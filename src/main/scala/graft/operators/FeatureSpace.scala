@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cyclical
+
+/** Declarative feature-transform layer: the Spark re-expression of the
+  * reference's Keras `FeatureSpace` compile/adapt/apply lifecycle.
+  *
+  * Reference (cites into /root/reference/):
+  *  - spec grammar + compile: `get_featurespace_definitions`
+  *    (powerdatapipeline/datapipeline/datapipeline.py:273-361);
+  *  - adapt on first N rows: `get_featurespace` (datapipeline.py:364-374);
+  *  - apply + column-order restore: `apply_featurespace`
+  *    (datapipeline.py:381-401);
+  *  - normalizer stats: mean + population variance over first n rows,
+  *    `get_normalizer_from_tfdataset` (tfdataset_utilities.py:81-105);
+  *  - min-max rescale (datapipeline.py:293-295); one-hot int depth 5
+  *    (datapipeline.py:237-261); string vocab one-hot
+  *    (tfdataset_utilities.py:199-210).
+  *
+  * Design: `adapt` runs ONE aggregation job computing every numeric stat
+  * (mean, var_pop, min, max per column) in a single pass — Catalyst's
+  * partial aggregation makes this a map-side-combined scan, no driver
+  * loops. Vocabularies are tiny distinct-collects (sorted for
+  * determinism). `apply` is pure Column expressions built from the learned
+  * [[FeatureStats]] — fully codegen'd, broadcast-free (stats are literals
+  * in the plan), shuffle-free. At 100 TB the adapt pass is one scan and
+  * the apply pass stays embarrassingly parallel.
+  */
+object FeatureSpace {
+
+  sealed trait FeatureSpec { def column: String }
+  /** numerical/plain — passthrough (datapipeline.py:287-289). */
+  case class Plain(column: String) extends FeatureSpec
+  /** numerical/normalized — (x−mean)/σ_pop (datapipeline.py:290-292). */
+  case class Normalized(column: String) extends FeatureSpec
+  /** numerical/rescaled — (x−min)/(max−min) (datapipeline.py:293-295). */
+  case class Rescaled(column: String) extends FeatureSpec
+  /** int/one_hot — depth-5 indicator block (datapipeline.py:237-261, 303-308). */
+  case class OneHotInt(column: String, depth: Int = 5) extends FeatureSpec
+  /** string/one_hot — learned sorted vocab indicators (tfdataset_utilities.py:199-210). */
+  case class OneHotString(column: String) extends FeatureSpec
+  /** datetimestamp_seconds/cyclical_* (datapipeline.py:332-351). */
+  case class CyclicalTime(column: String, periods: Seq[Double], pi: Double = math.Pi) extends FeatureSpec
+
+  case class ColumnStats(mean: Double, varPop: Double, min: Double, max: Double)
+  case class FeatureStats(numeric: Map[String, ColumnStats], vocab: Map[String, Seq[String]]) {
+    def toJson: String = {
+      val num = numeric.toSeq.sortBy(_._1).map { case (c, s) =>
+        s""""$c":{"mean":${s.mean},"var_pop":${s.varPop},"min":${s.min},"max":${s.max}}"""
+      }.mkString(",")
+      val voc = vocab.toSeq.sortBy(_._1).map { case (c, vs) =>
+        s""""$c":[${vs.map(v => "\"" + v.replace("\"", "\\\"") + "\"").mkString(",")}]"""
+      }.mkString(",")
+      s"""{"numeric":{$num},"vocab":{$voc}}"""
+    }
+  }
+
+  /** Learn stats for the given specs in one aggregation pass over (up to)
+    * `adaptRows` rows, plus one tiny distinct-collect per vocab column.
+    * Mirrors `n_rows_to_adapt_featurespace` (config/datafusion_config_*.json).
+    */
+  def adapt(df: DataFrame, specs: Seq[FeatureSpec], adaptRows: Option[Long] = None): FeatureStats = {
+    val sample = adaptRows.map(n => df.limit(n.toInt)).getOrElse(df)
+    val numericCols = specs.collect {
+      case Normalized(c) => c
+      case Rescaled(c) => c
+    }.distinct
+    val numeric: Map[String, ColumnStats] =
+      if (numericCols.isEmpty) Map.empty
+      else {
+        val exprs = numericCols.flatMap { c =>
+          Seq(avg(col(c)).as(s"${c}__mean"), var_pop(col(c)).as(s"${c}__var"),
+              min(col(c)).cast("double").as(s"${c}__min"), max(col(c)).cast("double").as(s"${c}__max"))
+        }
+        val row = sample.agg(exprs.head, exprs.tail: _*).head()
+        numericCols.map { c =>
+          c -> ColumnStats(
+            row.getAs[Double](s"${c}__mean"), row.getAs[Double](s"${c}__var"),
+            row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"))
+        }.toMap
+      }
+    val vocabCols = specs.collect { case OneHotString(c) => c }.distinct
+    val vocab = vocabCols.map { c =>
+      c -> sample.select(col(c).cast("string")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+    }.toMap
+    FeatureStats(numeric, vocab)
+  }
+
+  /** Expand one spec into named output Column expressions. */
+  def expand(spec: FeatureSpec, stats: FeatureStats): Seq[(String, Column)] = spec match {
+    case Plain(c) => Seq(c -> col(c).cast("double"))
+    case Normalized(c) =>
+      val s = stats.numeric(c)
+      Seq(c -> ((col(c) - lit(s.mean)) / lit(math.sqrt(s.varPop))))
+    case Rescaled(c) =>
+      val s = stats.numeric(c)
+      Seq(c -> ((col(c) - lit(s.min)) / lit(s.max - s.min)))
+    case OneHotInt(c, depth) =>
+      (0 until depth).map(i => s"${c}_onehot_$i" -> when(col(c) === i, 1.0).otherwise(0.0))
+    case OneHotString(c) =>
+      stats.vocab(c).zipWithIndex.map { case (v, i) =>
+        s"${c}_onehot_$i" -> when(col(c) === lit(v), 1.0).otherwise(0.0)
+      }
+    case CyclicalTime(c, periods, pi) =>
+      periods.flatMap { p =>
+        val (s, co) = Cyclical.pair(col(c), p, pi)
+        val tag = p match {
+          case Cyclical.SecondsPerMinute => "minute"
+          case Cyclical.SecondsPerHour => "hour"
+          case Cyclical.SecondsPerDay => "day"
+          case other => other.toLong.toString
+        }
+        Seq(s"${c}_sin_$tag" -> s, s"${c}_cos_$tag" -> co)
+      }
+  }
+
+  /** Apply learned transforms: pure select of expanded Columns, preserving
+    * spec order (the reference restores column order after Keras permutes
+    * it, datapipeline.py:389-395 — our select IS the order).
+    */
+  def apply(df: DataFrame, specs: Seq[FeatureSpec], stats: FeatureStats,
+            keep: Seq[String] = Nil): Seq[Column] = {
+    val kept = keep.map(col)
+    val expanded = specs.flatMap(s => expand(s, stats)).map { case (n, c) => c.as(n) }
+    kept ++ expanded
+  }
+}
