@@ -35,6 +35,20 @@ object Cyclical {
     (sin(theta), cos(theta))
   }
 
+  /** sin/cos pair with exact phase reduction: reduces the epoch to
+    * `t mod P` *exactly* in integer µs before the float multiply, so the
+    * sin/cos argument stays in [0, 2π) — numerically far better than
+    * `sin(epoch · 2π/P)` whose argument is ~1e8 rad (the reference's
+    * formulation), and cross-engine stable (the reduction is exact bigint
+    * arithmetic in Spark and DuckDB alike; mathematically identical since
+    * sin is 2π-periodic).
+    */
+  def pairReduced(epochUs: Column, periodSec: Double, pi: Double = math.Pi): (Column, Column) = {
+    val periodUs = (periodSec * 1e6).toLong
+    val theta = (epochUs % lit(periodUs)) * lit(2.0 * pi / (periodSec * 1e6))
+    (sin(theta), cos(theta))
+  }
+
   /** All minute/hour/day pairs in reference order
     * `[sin_min, cos_min, sin_hour, cos_hour, sin_day, cos_day]`
     * (`cyclical_minute_hour_day`, datapipeline.py:540-551).

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.{Cyclical, TimeFns}
+import graft.operators.FeatureSpace
+
+/** Feature-engineering queries: cyclical encodings, one-hot (int depth-5 +
+  * learned string vocab), min-max rescale, vector pack, feature concat,
+  * JSON extraction, and the end-to-end FeatureSpace adapt+apply composite.
+  * SURVEY.md §2.7/§2.8.
+  */
+object FeatureQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private val epochUs: Column = TimeFns.epochMicros(col("ts"))
+  private val epochS: Column = TimeFns.epochSeconds(col("ts"))
+
+  // ========================================================================
+  // §2.7 cyclical_features — sin/cos(t·2π/P) for P ∈ {minute, hour, day}.
+  // Phase-reduced in exact integer µs (see Cyclical.pairReduced) so both
+  // engines evaluate sin/cos on small arguments; round 6 absorbs the ≤1ulp
+  // libm difference. Pure per-row math: codegen'd, shuffle-free.
+  // ========================================================================
+  def cyclicalFeatures(s: SparkSession, d: String): DataFrame = {
+    val (sm, cm) = Cyclical.pairReduced(col("e_us"), Cyclical.SecondsPerMinute)
+    val (sh, ch) = Cyclical.pairReduced(col("e_us"), Cyclical.SecondsPerHour)
+    val (sd, cd) = Cyclical.pairReduced(col("e_us"), Cyclical.SecondsPerDay)
+    ev(s, d).select(col("event_id"), epochUs.as("e_us"))
+      .select(col("event_id"),
+        round(sm, 6).as("sin_minute"), round(cm, 6).as("cos_minute"),
+        round(sh, 6).as("sin_hour"), round(ch, 6).as("cos_hour"),
+        round(sd, 6).as("sin_day"), round(cd, 6).as("cos_day"))
+      .orderBy(col("event_id"))
+  }
+
+  private val cyclicalFeaturesSql =
+    """SELECT event_id,
+      |  round(sin((e_us % 60000000) * (2 * pi() / 60000000.0)), 6) AS sin_minute,
+      |  round(cos((e_us % 60000000) * (2 * pi() / 60000000.0)), 6) AS cos_minute,
+      |  round(sin((e_us % 3600000000) * (2 * pi() / 3600000000.0)), 6) AS sin_hour,
+      |  round(cos((e_us % 3600000000) * (2 * pi() / 3600000000.0)), 6) AS cos_hour,
+      |  round(sin((e_us % 86400000000) * (2 * pi() / 86400000000.0)), 6) AS sin_day,
+      |  round(cos((e_us % 86400000000) * (2 * pi() / 86400000000.0)), 6) AS cos_day
+      |FROM (SELECT event_id, epoch_us(ts) AS e_us FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.7 onehot_int — depth-5 indicator block over an int category
+  // (reference hardcodes depth 5, datapipeline.py:239). Wide output,
+  // `{col}_onehot_{i}` names as in the reference.
+  // ========================================================================
+  def onehotInt(s: SparkSession, d: String): DataFrame = {
+    val cat = (col("user_id") % 5).cast("int")
+    val stats = FeatureSpace.FeatureStats(Map.empty, Map.empty)
+    val cols = FeatureSpace.expand(FeatureSpace.OneHotInt("cat", 5), stats)
+      .map { case (n, c) => c.as(n) }
+    ev(s, d).withColumn("cat", cat)
+      .select(col("event_id") +: cols: _*)
+      .orderBy(col("event_id"))
+  }
+
+  private val onehotIntSql =
+    """SELECT event_id,
+      |  CASE WHEN user_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS cat_onehot_0,
+      |  CASE WHEN user_id % 5 = 1 THEN 1.0 ELSE 0.0 END AS cat_onehot_1,
+      |  CASE WHEN user_id % 5 = 2 THEN 1.0 ELSE 0.0 END AS cat_onehot_2,
+      |  CASE WHEN user_id % 5 = 3 THEN 1.0 ELSE 0.0 END AS cat_onehot_3,
+      |  CASE WHEN user_id % 5 = 4 THEN 1.0 ELSE 0.0 END AS cat_onehot_4
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.7 onehot_string — vocab-learned one-hot in long (row-per-vocab-entry)
+  // form: dynamic vocabulary without dynamic column names, so the oracle
+  // stays plain SQL. The wide form is exercised in ScalaTest. The vocab
+  // side of the cross join is tiny → broadcast NL join, no shuffle.
+  // ========================================================================
+  def onehotString(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val vocab = e.select(col("event_type").as("vocab")).distinct()
+    e.crossJoin(broadcast(vocab))
+      .select(col("event_id"), col("vocab"),
+        when(col("event_type") === col("vocab"), 1.0).otherwise(0.0).as("indicator"))
+      .orderBy(col("event_id"), col("vocab"))
+  }
+
+  private val onehotStringSql =
+    """SELECT e.event_id, v.vocab,
+      |  CASE WHEN e.event_type = v.vocab THEN 1.0 ELSE 0.0 END AS indicator
+      |FROM events e CROSS JOIN (SELECT DISTINCT event_type AS vocab FROM events) v
+      |ORDER BY e.event_id, v.vocab""".stripMargin
+
+  // ========================================================================
+  // §2.7 rescale_apply — min-max rescale with stats from a broadcast
+  // single-row aggregate (FeatureSpace float_rescaled, datapipeline.py:293-295).
+  // ========================================================================
+  def rescaleApply(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    e.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6).as("value_rescaled"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rescaleApplySql =
+    """SELECT event_id, round((value - mn) / (mx - mn), 6) AS value_rescaled
+      |FROM events CROSS JOIN (SELECT min(value) AS mn, max(value) AS mx FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.4 agg_min_max — per-group min/max (FeatureSpace adapt stats for
+  // rescaled mode). Exact: min/max of doubles is order-independent.
+  // ========================================================================
+  def aggMinMax(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val aggMinMaxSql =
+    """SELECT event_type, min(value) AS min_value, max(value) AS max_value, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ========================================================================
+  // §2.7 vector_pack — stack columns into a dense vector (tfdataset.py:54-59);
+  // compared in exploded (event_id, pos, v) form so the oracle needs no
+  // array machinery. posexplode keeps the operator distributed.
+  // ========================================================================
+  def vectorPack(s: SparkSession, d: String): DataFrame = {
+    val packed = ev(s, d).select(col("event_id"),
+      array(col("value"), col("user_id").cast("double"), epochS.cast("double")).as("vec"))
+    packed.select(col("event_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("event_id"), col("pos").cast("long").as("pos"), col("v"))
+      .orderBy(col("event_id"), col("pos"))
+  }
+
+  private val vectorPackSql =
+    """SELECT event_id, pos, v FROM (
+      |  SELECT event_id, CAST(0 AS BIGINT) AS pos, value AS v FROM events
+      |  UNION ALL
+      |  SELECT event_id, 1, CAST(user_id AS DOUBLE) FROM events
+      |  UNION ALL
+      |  SELECT event_id, 2, CAST(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS DOUBLE) FROM events
+      |) ORDER BY event_id, pos""".stripMargin
+
+  // ========================================================================
+  // §2.3 feature_concat — horizontal concat of two feature vectors
+  // (concatenate_dataset_features, tfdataset.py:163-195): both branches are
+  // columns of ONE DataFrame — never a positional zip of two scans.
+  // ========================================================================
+  def featureConcat(s: SparkSession, d: String): DataFrame = {
+    val a = array(col("value"), col("value") * 2.0)
+    val b = array(col("user_id").cast("double"))
+    ev(s, d).select(col("event_id"), concat(a, b).as("vec"))
+      .select(col("event_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .select(col("event_id"), col("pos").cast("long").as("pos"), col("v"))
+      .orderBy(col("event_id"), col("pos"))
+  }
+
+  private val featureConcatSql =
+    """SELECT event_id, pos, v FROM (
+      |  SELECT event_id, CAST(0 AS BIGINT) AS pos, value AS v FROM events
+      |  UNION ALL
+      |  SELECT event_id, 1, value * 2.0 FROM events
+      |  UNION ALL
+      |  SELECT event_id, 2, CAST(user_id AS DOUBLE) FROM events
+      |) ORDER BY event_id, pos""".stripMargin
+
+  // ========================================================================
+  // extension: json_extract_props — typed extraction from the events.props
+  // JSON string (natural extension per SURVEY §2.7; the reference has no
+  // JSON functions). Spark uses the native JSON path expression; the
+  // oracle reaches the same value via regexp to avoid DuckDB extension
+  // loading in the offline gate.
+  // ========================================================================
+  def jsonExtractProps(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  private val jsonExtractPropsSql =
+    """SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.8 featurespace_full — adapt + apply end-to-end through the
+  // FeatureSpace API: normalized value, rescaled value, depth-5 int
+  // one-hot of user_id%5, reduced-phase cyclical hour pair. One adapt
+  // aggregation pass -> literal stats -> pure-expression apply.
+  // ========================================================================
+  def featurespaceFull(s: SparkSession, d: String): DataFrame = {
+    import FeatureSpace._
+    val e = ev(s, d).withColumn("cat", (col("user_id") % 5).cast("int"))
+    val specs = Seq(Normalized("value"), Rescaled("value"), OneHotInt("cat", 5))
+    val stats = FeatureSpace.adapt(e, specs)
+    val vStats = stats.numeric("value")
+    val (sh, ch) = Cyclical.pairReduced(epochUs, Cyclical.SecondsPerHour)
+    e.select(
+        col("event_id"),
+        round((col("value") - lit(vStats.mean)) / lit(math.sqrt(vStats.varPop)), 4).as("value_norm"),
+        round((col("value") - lit(vStats.min)) / lit(vStats.max - vStats.min), 4).as("value_resc"),
+        (col("cat") === 0).cast("double").as("cat_onehot_0"),
+        (col("cat") === 1).cast("double").as("cat_onehot_1"),
+        (col("cat") === 2).cast("double").as("cat_onehot_2"),
+        (col("cat") === 3).cast("double").as("cat_onehot_3"),
+        (col("cat") === 4).cast("double").as("cat_onehot_4"),
+        round(sh, 6).as("sin_hour"), round(ch, 6).as("cos_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  private val featurespaceFullSql =
+    """SELECT event_id,
+      |  round((value - m) / sd, 4) AS value_norm,
+      |  round((value - mn) / (mx - mn), 4) AS value_resc,
+      |  CAST(user_id % 5 = 0 AS DOUBLE) AS cat_onehot_0,
+      |  CAST(user_id % 5 = 1 AS DOUBLE) AS cat_onehot_1,
+      |  CAST(user_id % 5 = 2 AS DOUBLE) AS cat_onehot_2,
+      |  CAST(user_id % 5 = 3 AS DOUBLE) AS cat_onehot_3,
+      |  CAST(user_id % 5 = 4 AS DOUBLE) AS cat_onehot_4,
+      |  round(sin((epoch_us(ts) % 3600000000) * (2 * pi() / 3600000000.0)), 6) AS sin_hour,
+      |  round(cos((epoch_us(ts) % 3600000000) * (2 * pi() / 3600000000.0)), 6) AS cos_hour
+      |FROM events CROSS JOIN
+      |  (SELECT avg(value) AS m, stddev_pop(value) AS sd,
+      |          min(value) AS mn, max(value) AS mx FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "cyclical_features" -> (cyclicalFeatures _),
+    "onehot_int" -> (onehotInt _),
+    "onehot_string" -> (onehotString _),
+    "rescale_apply" -> (rescaleApply _),
+    "agg_min_max" -> (aggMinMax _),
+    "vector_pack" -> (vectorPack _),
+    "feature_concat" -> (featureConcat _),
+    "json_extract_props" -> (jsonExtractProps _),
+    "featurespace_full" -> (featurespaceFull _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cyclical_features" -> cyclicalFeaturesSql,
+    "onehot_int" -> onehotIntSql,
+    "onehot_string" -> onehotStringSql,
+    "rescale_apply" -> rescaleApplySql,
+    "agg_min_max" -> aggMinMaxSql,
+    "vector_pack" -> vectorPackSql,
+    "feature_concat" -> featureConcatSql,
+    "json_extract_props" -> jsonExtractPropsSql,
+    "featurespace_full" -> featurespaceFullSql,
+  )
+}

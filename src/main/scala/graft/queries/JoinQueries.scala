@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.functions.TimeFns
+
+/** Join / set operators. The reference has NO relational join (SURVEY
+  * §2.3) — its "multi-source data fusion" is per-source pipeline runs.
+  * These queries implement the fusion generalization the reference's
+  * datafusion configs imply (time-aligned equi-join, as-of alignment)
+  * plus the standard dim joins / semi / anti / union the driver's star
+  * schema calls for.
+  *
+  * Scale notes per query in the comments: broadcast for small dims, bucket
+  * equi-join for time alignment (shuffle on the bucket key only), and the
+  * union+ffill formulation of as-of join (one shuffle + one window, no
+  * range-join explosion).
+  */
+object JoinQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private val epochUs: Column = TimeFns.epochMicros(col("ts"))
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ========================================================================
+  // join_dim_broadcast — fact ⋈ small dim: explicit broadcast() so the
+  // plan is a BroadcastHashJoin (no shuffle of the fact side) at any
+  // scale; aggregation is map-side partial on low-cardinality brand.
+  // ========================================================================
+  def joinDimBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  private val joinDimBroadcastSql =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ========================================================================
+  // join_time_align — the datafusion generalization: two streams
+  // aggregated to a common time bucket, equi-joined on the bucket.
+  // Shuffle on bucket key only; both sides pre-aggregated before the join
+  // so the join input is small.
+  // ========================================================================
+  def joinTimeAlign(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).withColumn("bucket", TimeFns.timeBucket(col("ts"), 3600L))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy(col("bucket")).agg(round(avg(col("value")), 4).as("avg_purchase"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("bucket")).agg(round(avg(col("value")), 4).as("avg_click"))
+    purchases.join(clicks, Seq("bucket"), "inner").orderBy(col("bucket"))
+  }
+
+  private val joinTimeAlignSql =
+    """WITH b AS (
+      |  SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket,
+      |    event_type, value FROM events),
+      |p AS (SELECT bucket, round(avg(value), 4) AS avg_purchase FROM b
+      |      WHERE event_type = 'purchase' GROUP BY bucket),
+      |c AS (SELECT bucket, round(avg(value), 4) AS avg_click FROM b
+      |      WHERE event_type = 'click' GROUP BY bucket)
+      |SELECT p.bucket, p.avg_purchase, c.avg_click
+      |FROM p JOIN c ON p.bucket = c.bucket
+      |ORDER BY p.bucket""".stripMargin
+
+  // ========================================================================
+  // join_asof — nearest-prior alignment: for each purchase, the value of
+  // the user's latest click at-or-before it. Implemented the
+  // distributed-safe way: UNION the tagged streams, one window ffill per
+  // user, filter — one shuffle + one sort, NO O(n²) inequality join.
+  // The oracle mirrors the same union+window formulation.
+  // ========================================================================
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochUs.as("e_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS e_us
+      |  FROM events WHERE event_type IN ('purchase', 'click'))
+      |SELECT event_id, user_id, value,
+      |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      |FROM e QUALIFY event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // join_semi / join_anti — EXISTS / NOT EXISTS via Spark's left_semi /
+  // left_anti (no payload duplication, builds only the key set).
+  // ========================================================================
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val joinSemiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+
+  private val joinAntiSql =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ========================================================================
+  // union_append — multi-source append (the reference's multi-file glob
+  // scan, tfdataset.py:21-24, generalized to heterogeneous sources with a
+  // provenance tag).
+  // ========================================================================
+  def unionAppend(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("purchases").as("src"), col("value"))
+    val b = e.filter(col("event_type") === "error")
+      .select(col("event_id"), lit("errors").as("src"), col("value"))
+    a.unionByName(b).orderBy(col("event_id"), col("src"))
+  }
+
+  private val unionAppendSql =
+    """SELECT event_id, src, value FROM (
+      |  SELECT event_id, 'purchases' AS src, value FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT event_id, 'errors', value FROM events WHERE event_type = 'error'
+      |) ORDER BY event_id, src""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "join_dim_broadcast" -> (joinDimBroadcast _),
+    "join_time_align" -> (joinTimeAlign _),
+    "join_asof" -> (joinAsof _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "union_append" -> (unionAppend _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "join_dim_broadcast" -> joinDimBroadcastSql,
+    "join_time_align" -> joinTimeAlignSql,
+    "join_asof" -> joinAsofSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "union_append" -> unionAppendSql,
+  )
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.TimeFns
+import graft.operators.{Fill, Quality, Resample, WindowOps}
+
+/** Ordered / time-series queries: sliding windows, supervised splits,
+  * fixed batching, prefix splits, offsets, upsample generation, ffill /
+  * linear interpolation, synthetic timestamp derivation, systematic
+  * sampling, null profiling, and the composite resample pipeline.
+  * SURVEY.md §2.5/§2.6.
+  *
+  * Every windowed query partitions by the series key (`user_id`) so the
+  * window work parallelizes per series at scale; the few global-order ones
+  * (batch/split/offset — inherently total-order ops) are documented as
+  * such and compute a single `row_number` pass.
+  */
+object WindowQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private val epochUs: Column = TimeFns.epochMicros(col("ts"))
+  private val epochS: Column = TimeFns.epochSeconds(col("ts"))
+
+  /** events + exact µs epoch, the shared input shape for ordered ops. */
+  private def evE(s: SparkSession, d: String) =
+    ev(s, d).select(col("event_id"), col("user_id"), col("value"), epochUs.as("e_us"))
+
+  private val orderCols = Seq("e_us", "event_id")
+
+  // ========================================================================
+  // §2.5 sliding_window — size 5, shift 1, drop_remainder, per series.
+  // Compared in exploded (anchor_id, pos, v) form.
+  // ========================================================================
+  def slidingWindow(s: SparkSession, d: String): DataFrame =
+    WindowOps.slidingWindow(evE(s, d), col("value"), 5, Seq("user_id"), orderCols)
+      .select(col("event_id").as("anchor_id"), posexplode(col("win")).as(Seq("pos", "v")))
+      .select(col("anchor_id"), col("pos").cast("long").as("pos"), col("v"))
+      .orderBy(col("anchor_id"), col("pos"))
+
+  private val slidingWindowSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT a.event_id AS anchor_id, CAST(b.rn - a.rn AS BIGINT) AS pos, b.value AS v
+      |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn >= a.rn AND b.rn <= a.rn + 4
+      |WHERE a.rn + 4 <= a.n
+      |ORDER BY anchor_id, pos""".stripMargin
+
+  // ========================================================================
+  // §2.5 window_supervised — window → (first W−1 = input, last = target).
+  // ========================================================================
+  def windowSupervised(s: SparkSession, d: String): DataFrame =
+    WindowOps.supervisedWindow(evE(s, d), col("value"), 5, Seq("user_id"), orderCols)
+      .select(col("event_id").as("anchor_id"), col("target"),
+        posexplode(col("input")).as(Seq("pos", "input_v")))
+      .select(col("anchor_id"), col("pos").cast("long").as("pos"),
+        col("input_v"), col("target"))
+      .orderBy(col("anchor_id"), col("pos"))
+
+  private val windowSupervisedSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events),
+      |t AS (
+      |  SELECT a.event_id AS anchor_id, a.user_id, a.rn AS arn, b.value AS target
+      |  FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn = a.rn + 4
+      |  WHERE a.rn + 4 <= a.n)
+      |SELECT t.anchor_id, CAST(c.rn - t.arn AS BIGINT) AS pos, c.value AS input_v, t.target
+      |FROM t JOIN r c ON c.user_id = t.user_id AND c.rn >= t.arn AND c.rn <= t.arn + 3
+      |ORDER BY anchor_id, pos""".stripMargin
+
+  // ========================================================================
+  // §2.6 batch_fixed — fixed batches of 100, drop_remainder, global order
+  // (inherently total-order; one row_number pass), per-batch aggregate out.
+  // ========================================================================
+  def batchFixed(s: SparkSession, d: String): DataFrame =
+    WindowOps.fixedBatches(ev(s, d).select(col("event_id"), col("value")), 100,
+        Seq.empty, Seq("event_id"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), round(avg(col("value")), 4).as("avg_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("batch_id"))
+
+  private val batchFixedSql =
+    """WITH r AS (
+      |  SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM events)
+      |SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS batch_id, count(*) AS n_rows,
+      |  round(avg(value), 4) AS avg_value, min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM r WHERE (floor((rn - 1) / 100) + 1) * 100 <= n
+      |GROUP BY 1 ORDER BY batch_id""".stripMargin
+
+  // ========================================================================
+  // §2.6 split_prefix — sequential 0.7/0.2/0.1 prefix split (NOT random;
+  // reference uses keras split_dataset = first f·N rows).
+  // ========================================================================
+  def splitPrefix(s: SparkSession, d: String): DataFrame =
+    WindowOps.prefixSplit(ev(s, d).select(col("event_id")), (0.7, 0.2, 0.1),
+        Seq.empty, Seq("event_id"))
+      .select(col("event_id"), col("split"))
+      .orderBy(col("event_id"))
+
+  private val splitPrefixSql =
+    """WITH r AS (
+      |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM events)
+      |SELECT event_id,
+      |  CASE WHEN rn <= floor(n * 0.7) THEN 'train'
+      |       WHEN rn <= floor(n * 0.7) + floor(n * 0.2) THEN 'test'
+      |       ELSE 'eval' END AS split
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.6 offset_skip — skip first 100 rows in time order (reference
+  // `.skip(45000)` DER warm-up).
+  // ========================================================================
+  def offsetSkip(s: SparkSession, d: String): DataFrame =
+    WindowOps.offsetSkip(evE(s, d), 100, Seq.empty, orderCols)
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+
+  private val offsetSkipSql =
+    """WITH r AS (
+      |  SELECT event_id, row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events)
+      |SELECT event_id FROM r WHERE rn > 100 ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.5 resample_up_explode — upsample 300s→60s grid by repeat-fill:
+  // a generator (explode(sequence)), shuffle-free.
+  // ========================================================================
+  def resampleUpExplode(s: SparkSession, d: String): DataFrame =
+    Resample.upsampleRepeat(ev(s, d).select(col("event_id"), col("value"), col("ts")),
+        "ts", 300L, 60L)
+      .select(col("event_id"), col("value"), col("ts_up"))
+      .orderBy(col("event_id"), col("ts_up"))
+
+  private val resampleUpExplodeSql =
+    """SELECT event_id, value, unnest(generate_series(b, b + 240, 60)) AS ts_up
+      |FROM (
+      |  SELECT event_id, value,
+      |    CAST(floor(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) / 60) * 60 AS BIGINT) AS b
+      |  FROM events)
+      |ORDER BY event_id, ts_up""".stripMargin
+
+  // ========================================================================
+  // §2.5 fill_forward — deterministic nulls injected (event_id % 7 == 0),
+  // then last-observation-carried-forward per series.
+  // ========================================================================
+  def fillForward(s: SparkSession, d: String): DataFrame = {
+    val e = evE(s, d).withColumn("v", when(col("event_id") % 7 =!= 0, col("value")))
+    e.select(col("event_id"), col("user_id"),
+        Fill.ffill(col("v"), Seq("user_id"), orderCols).as("v_filled"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fillForwardSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS e_us,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.5 fill_interpolate — linear interpolation between prev/next
+  // non-null, weighted by the µs time axis; bfill/ffill fallbacks at the
+  // edges (the reference's hardest window op, SURVEY §7.4).
+  // ========================================================================
+  def fillInterpolate(s: SparkSession, d: String): DataFrame = {
+    val e = evE(s, d)
+      .withColumn("v", when(col("event_id") % 7 =!= 0, col("value")))
+      .withColumn("t", col("e_us").cast("double"))
+    e.select(col("event_id"),
+        round(Fill.interpolate(col("v"), col("t"), Seq("user_id"), orderCols), 4).as("v_interp"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fillInterpolateSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS e_us,
+      |    CAST(epoch_us(ts) AS DOUBLE) AS t,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, v, t,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER win_b AS pt,
+      |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER win_b AS pv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER win_a AS nt,
+      |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER win_a AS nv
+      |  FROM r
+      |  WINDOW
+      |    win_b AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    win_a AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id,
+      |  round(CASE WHEN v IS NOT NULL THEN v
+      |        WHEN pt IS NOT NULL AND nt IS NOT NULL
+      |          THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+      |        WHEN pt IS NOT NULL THEN pv
+      |        ELSE nv END, 4) AS v_interp
+      |FROM w ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.1 derive_synthetic_ts — synthesize a timestamp column from the row
+  // index (get_df_der: pd.date_range('2023-01-01', freq='S'),
+  // pandas_utilities.py:42).
+  // ========================================================================
+  def deriveSyntheticTs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+    WindowOps.withRowIdx(li, Seq.empty, Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lit(1672531200L) + col("rn").cast("long")).as("synth_epoch_s"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val deriveSyntheticTsSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  1672531200 + row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS synth_epoch_s
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ========================================================================
+  // §2.6 sample_rate — deterministic systematic sample (the reference's
+  // `downsampling_rate` knob is declared but never read; we implement a
+  // reproducible variant; the seeded-random `df.sample` is in ScalaTest).
+  // ========================================================================
+  def sampleRate(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  private val sampleRateSql =
+    """SELECT event_id, value FROM events
+      |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // §2.2 null_profile — per-column null counting over injected nulls
+  // (NaN predicates, pandas_utilities.py:72-88 — intended semantics; the
+  // reference's inverted check is documented in Quality).
+  // ========================================================================
+  def nullProfile(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+      .withColumn("value", when(col("event_id") % 7 =!= 0, col("value")))
+      .withColumn("props", when(col("event_id") % 13 =!= 0, col("props")))
+    Quality.nullProfile(e, Seq("props", "value")).orderBy(col("column_name"))
+  }
+
+  private val nullProfileSql =
+    """SELECT column_name, n_rows, n_null FROM (
+      |  SELECT 'props' AS column_name, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM events
+      |  UNION ALL
+      |  SELECT 'value', count(*),
+      |    CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      |) ORDER BY column_name""".stripMargin
+
+  // ========================================================================
+  // §2.5 pipeline_resample — composite: epoch derive → alignment filter
+  // (60s) → bucket mean (300s), the add_select_resample_csvdataset chain
+  // (datapipeline.py:619-650).
+  // ========================================================================
+  def pipelineResample(s: SparkSession, d: String): DataFrame = {
+    val aligned = Resample.downsampleFilter(ev(s, d), "ts", 60L)
+    Resample.bucketMean(aligned, "ts", 300L, Seq("value"))
+      .select(col("bucket"), round(col("avg_value"), 4).as("avg_value"))
+      .orderBy(col("bucket"))
+  }
+
+  private val pipelineResampleSql =
+    """SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket,
+      |  round(avg(value), 4) AS avg_value
+      |FROM events
+      |WHERE CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) % 60 = 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sliding_window" -> (slidingWindow _),
+    "window_supervised" -> (windowSupervised _),
+    "batch_fixed" -> (batchFixed _),
+    "split_prefix" -> (splitPrefix _),
+    "offset_skip" -> (offsetSkip _),
+    "resample_up_explode" -> (resampleUpExplode _),
+    "fill_forward" -> (fillForward _),
+    "fill_interpolate" -> (fillInterpolate _),
+    "derive_synthetic_ts" -> (deriveSyntheticTs _),
+    "sample_rate" -> (sampleRate _),
+    "null_profile" -> (nullProfile _),
+    "pipeline_resample" -> (pipelineResample _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sliding_window" -> slidingWindowSql,
+    "window_supervised" -> windowSupervisedSql,
+    "batch_fixed" -> batchFixedSql,
+    "split_prefix" -> splitPrefixSql,
+    "offset_skip" -> offsetSkipSql,
+    "resample_up_explode" -> resampleUpExplodeSql,
+    "fill_forward" -> fillForwardSql,
+    "fill_interpolate" -> fillInterpolateSql,
+    "derive_synthetic_ts" -> deriveSyntheticTsSql,
+    "sample_rate" -> sampleRateSql,
+    "null_profile" -> nullProfileSql,
+    "pipeline_resample" -> pipelineResampleSql,
+  )
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class FillSpec extends SparkSpec {
+  import spark.implicits._
+
+  // t: 0,10,20,30,40 ; v: 1, null, null, 4, null
+  lazy val df = Seq(
+    (0L, 0.0, Some(1.0)), (1L, 10.0, None), (2L, 20.0, None),
+    (3L, 30.0, Some(4.0)), (4L, 40.0, None)
+  ).toDF("id", "t", "v").cache()
+
+  test("ffill carries the last observation forward") {
+    val got = df.select(Fill.ffill(col("v"), Seq.empty, Seq("id")).as("f"))
+      .orderBy("id" /* deterministic via plan order of df */).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 1.0, 1.0, 4.0, 4.0))
+  }
+
+  test("bfill carries the next observation backward") {
+    val got = df.select(col("id"), Fill.bfill(col("v"), Seq.empty, Seq("id")).as("b"))
+      .orderBy("id").collect().map(r => Option(r.get(1)))
+    assert(got.toSeq == Seq(Some(1.0), Some(4.0), Some(4.0), Some(4.0), None))
+  }
+
+  test("interpolate is linear in the time axis with edge fallbacks") {
+    val got = df.select(col("id"),
+        Fill.interpolate(col("v"), col("t"), Seq.empty, Seq("id")).as("x"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(got.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 4.0)) // 1 + (4-1)*(10-0)/(30-0) = 2.0 etc
+  }
+
+  test("leading nulls fall back to bfill") {
+    val lead = Seq((0L, 0.0, Option.empty[Double]), (1L, 10.0, Some(5.0)))
+      .toDF("id", "t", "v")
+    val got = lead.select(Fill.interpolate(col("v"), col("t"), Seq.empty, Seq("id")).as("x"))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(5.0, 5.0))
+  }
+}
