@@ -12,6 +12,9 @@ object Registry {
       (FeatureQueries.queries, FeatureQueries.oracleSql),
       (WindowQueries.queries, WindowQueries.oracleSql),
       (JoinQueries.queries, JoinQueries.oracleSql),
+      (TextQueries.queries, TextQueries.oracleSql),
+      (DedupQueries.queries, DedupQueries.oracleSql),
+      (SimQueries.queries, SimQueries.oracleSql),
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

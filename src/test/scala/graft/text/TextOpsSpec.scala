@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and regexTokens split as specified") {
+    val df = Seq("hello world  x2 (a-b)").toDF("t")
+    val r = df.select(size(TextOps.tokens($"t")), size(TextOps.regexTokens($"t"))).head()
+    assert(r.getInt(0) == 4)
+    assert(r.getInt(1) == 9) // hello world x 2 ( a - b )
+  }
+
+  test("shingles3 yields n-2 shingles, empty below 3 tokens") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val r = df.select(size(TextOps.shingles3(TextOps.tokens($"t")))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(2, 0))
+  }
+
+  test("fingerprint canonicalizes case/punct/whitespace") {
+    val df = Seq(("The  Quick dog!", "the quick dog")).toDF("a", "b")
+    val r = df.select(TextOps.fingerprint($"a") === TextOps.fingerprint($"b")).head()
+    assert(r.getBoolean(0))
+  }
+
+  test("hash60 is deterministic, salt changes it") {
+    val df = Seq("x").toDF("t")
+    val r = df.select(TextOps.hash60($"t"), TextOps.hash60($"t"),
+      TextOps.hash60($"t", lit(1))).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+    assert(r.getLong(0) >= 0)
+  }
+
+  test("langId picks the language with most stopword hits, tie -> lexicographic") {
+    val df = Seq("der und das xyz", "the of and is", "zz yy xx").toDF("t")
+    val r = df.select(TextOps.langId(TextOps.tokens($"t"))).collect().map(_.getString(0))
+    assert(r(0) == "de")
+    assert(r(1) == "en")
+    assert(r(2) == "de") // all-zero tie -> lexicographically first
+  }
+
+  test("qualityScore is in [0,1]") {
+    val df = Seq("the a of and is", "unique different tokens every one").toDF("t")
+    val r = df.select(TextOps.qualityScore(TextOps.tokens($"t"), Seq("the", "a", "of", "and", "is")))
+      .collect().map(_.getDouble(0))
+    r.foreach(x => assert(x >= 0.0 && x <= 1.0))
+  }
+}
