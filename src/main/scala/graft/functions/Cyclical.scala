@@ -29,9 +29,14 @@ object Cyclical {
 
   /** sin/cos pair for one period, `[sin, cos]` order as in the reference
     * (datapipeline.py:540-551: sin appended before cos).
+    *
+    * The phase is reduced (`t mod P`) before the multiply — mathematically
+    * identical (sin is 2π-periodic; the reference feeds the raw ~1e9 rad
+    * argument) but numerically far better: aligned epochs give exactly
+    * sin 0 / cos 1, and the sin argument never exceeds 2π.
     */
   def pair(epochSec: Column, periodSec: Double, pi: Double = math.Pi): (Column, Column) = {
-    val theta = epochSec * lit(2.0 * pi / periodSec)
+    val theta = (epochSec % lit(periodSec)) * lit(2.0 * pi / periodSec)
     (sin(theta), cos(theta))
   }
 

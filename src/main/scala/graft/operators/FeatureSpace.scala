@@ -41,6 +41,10 @@ object FeatureSpace {
   case class OneHotInt(column: String, depth: Int = 5) extends FeatureSpec
   /** string/one_hot — learned sorted vocab indicators (tfdataset_utilities.py:199-210). */
   case class OneHotString(column: String) extends FeatureSpec
+  /** string/int — learned sorted-vocab index (StringLookup int mode,
+    * datapipeline.py:316-318); out-of-vocabulary → −1.
+    */
+  case class StringIndexed(column: String) extends FeatureSpec
   /** datetimestamp_seconds/cyclical_* (datapipeline.py:332-351). */
   case class CyclicalTime(column: String, periods: Seq[Double], pi: Double = math.Pi) extends FeatureSpec
 
@@ -81,7 +85,10 @@ object FeatureSpace {
             row.getAs[Double](s"${c}__min"), row.getAs[Double](s"${c}__max"))
         }.toMap
       }
-    val vocabCols = specs.collect { case OneHotString(c) => c }.distinct
+    val vocabCols = specs.collect {
+      case OneHotString(c) => c
+      case StringIndexed(c) => c
+    }.distinct
     val vocab = vocabCols.map { c =>
       c -> sample.select(col(c).cast("string")).distinct().collect()
         .map(_.getString(0)).sorted.toSeq
@@ -104,6 +111,11 @@ object FeatureSpace {
       stats.vocab(c).zipWithIndex.map { case (v, i) =>
         s"${c}_onehot_$i" -> when(col(c) === lit(v), 1.0).otherwise(0.0)
       }
+    case StringIndexed(c) =>
+      val idx = stats.vocab(c).zipWithIndex.foldLeft(lit(-1.0)) {
+        case (acc, (v, i)) => when(col(c) === lit(v), i.toDouble).otherwise(acc)
+      }
+      Seq(s"${c}_index" -> idx)
     case CyclicalTime(c, periods, pi) =>
       periods.flatMap { p =>
         val (s, co) = Cyclical.pair(col(c), p, pi)
