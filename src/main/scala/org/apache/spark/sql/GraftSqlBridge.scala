@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column↔Expression conversions (Spark 4
+  * removed the public `new Column(expr)` constructor). The standard
+  * third-party-extension pattern: one tiny file declared inside the
+  * `org.apache.spark.sql` package; everything else in this repo lives
+  * under `graft.*`.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
