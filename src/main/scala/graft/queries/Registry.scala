@@ -15,6 +15,7 @@ object Registry {
       (TextQueries.queries, TextQueries.oracleSql),
       (DedupQueries.queries, DedupQueries.oracleSql),
       (SimQueries.queries, SimQueries.oracleSql),
+      (RelQueries.queries, RelQueries.oracleSql),
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

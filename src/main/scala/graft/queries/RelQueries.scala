@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational-completeness queries the reference never needed but Spark
+  * exposes for free (SURVEY §2.4 note: "cube/rollup are free in Spark if
+  * we expose them") — rollup totals, pivot, set difference, and
+  * dedup-keep-first — rounding out the "every query a reference user
+  * could want" surface.
+  */
+object RelQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ========================================================================
+  // rollup_agg — hierarchical totals (returnflag → linestatus → grand
+  // total). Map-side partial agg per grouping set; one shuffle.
+  // ========================================================================
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val rollupAggSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ========================================================================
+  // pivot_wide — event_type × user bucket value means as a wide matrix.
+  // The pivot values are declared (deterministic column set), so Spark
+  // skips the extra distinct scan; oracle is conditional aggregation.
+  // ========================================================================
+  def pivotWide(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket", (col("user_id") % 4).cast("long"))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(avg(col("value")), 4))
+      .orderBy(col("bucket"))
+
+  private val pivotWideSql =
+    """SELECT user_id % 4 AS bucket,
+      |  round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+      |  round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+      |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+      |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+      |  round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ========================================================================
+  // set_except — orders whose customers place no 'F'-status orders
+  // (EXCEPT = distinct set difference in both engines).
+  // ========================================================================
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val setExceptSql =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  // ========================================================================
+  // dedup_keep_first — dropDuplicates semantics made deterministic: keep
+  // the earliest event per (user_id, event_type). The canonical
+  // "keep-first-by-order" dedup (reference's dropDuplicates north star,
+  // SURVEY §7.2.7) via window rank, not dropDuplicates' arbitrary pick.
+  // ========================================================================
+  def dedupKeepFirst(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val dedupKeepFirstSql =
+    """SELECT user_id, event_type, event_id AS first_event_id
+      |FROM (SELECT user_id, event_type, event_id,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "rollup_agg" -> (rollupAgg _),
+    "pivot_wide" -> (pivotWide _),
+    "set_except" -> (setExcept _),
+    "dedup_keep_first" -> (dedupKeepFirst _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rollup_agg" -> rollupAggSql,
+    "pivot_wide" -> pivotWideSql,
+    "set_except" -> setExceptSql,
+    "dedup_keep_first" -> dedupKeepFirstSql,
+  )
+}
