@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FormattedMode
+import graft.SparkSpec
+
+/** Plan-shape regression guards: the scale properties promised in the
+  * operator docs (pushdown, pruning, broadcast, partial aggregation)
+  * asserted against the actual physical plans, so a refactor that
+  * silently de-optimizes a query fails CI, not the 100 TB run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("filter_eq pushes the predicate into the parquet scan") {
+    val p = plan("filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("project prunes unread columns out of the scan") {
+    val read = plan("project").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("event_id") && !read.contains("props") && !read.contains("value"), read)
+  }
+
+  test("scan_select_limit reads only the three projected columns") {
+    val read = plan("scan_select_limit").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("join_dim_broadcast plans a BroadcastHashJoin (fact side never shuffles)") {
+    val p = plan("join_dim_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_semi / join_anti use semi/anti join strategies, not inner+distinct") {
+    assert(plan("join_semi").contains("LeftSemi"))
+    assert(plan("join_anti").contains("LeftAnti"))
+  }
+
+  test("q1_agg does partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    // two HashAggregate nodes (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("normalize_apply broadcasts the stats row instead of a global window") {
+    val p = plan("normalize_apply")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("lag_interval partitions its window by the series key (no global sort)") {
+    val p = plan("lag_interval")
+    val windowLine = p.linesIterator.filter(_.contains("partitionBy")).mkString
+    assert(p.contains("Window"), p)
+    assert(windowLine.isEmpty || windowLine.contains("user_id"), windowLine)
+  }
+
+  test("resample_down_filter stays scan+filter (no shuffle before ordering)") {
+    val p = plan("resample_down_filter")
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("ann_cosine_topk broadcasts the tiny query side") {
+    assert(plan("ann_cosine_topk").contains("Broadcast"))
+  }
+}
