@@ -17,7 +17,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cpus)
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -148,7 +148,36 @@ object JoinQueries {
       |  SELECT event_id, 'errors', value FROM events WHERE event_type = 'error'
       |) ORDER BY event_id, src""".stripMargin
 
+  // ========================================================================
+  // join_asof_custom — the same nearest-prior alignment through the
+  // custom AsOfJoin physical operator (graft.plans.AsOfJoin): logical
+  // node → planner strategy → streaming sort-merge exec, O(n+m) per
+  // partition with O(1) state. Oracle: DuckDB's native ASOF LEFT JOIN.
+  // ========================================================================
+  def joinAsofCustom(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), epochUs.as("t_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), epochUs.as("c_us"), col("value").as("click_value"))
+    graft.plans.AsOf.joinLeft(purchases, clicks, "user_id", ("t_us", "c_us"))
+      .select(col("event_id"), col("value"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofCustomSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, value, epoch_us(ts) AS t_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_us, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.value, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.c_us
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_asof_custom" -> (joinAsofCustom _),
     "join_dim_broadcast" -> (joinDimBroadcast _),
     "join_time_align" -> (joinTimeAlign _),
     "join_asof" -> (joinAsof _),
@@ -158,6 +187,7 @@ object JoinQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_asof_custom" -> joinAsofCustomSql,
     "join_dim_broadcast" -> joinDimBroadcastSql,
     "join_time_align" -> joinTimeAlignSql,
     "join_asof" -> joinAsofSql,
