@@ -138,11 +138,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, "explode-join intersection cannot emit inter=0 pairs")
+    // cached: both sides of the self-join read this index — without the
+    // cache Spark recomputes the shingle+md5 pipeline once per branch
     val ex = shingleHexRows(df, textCol, idCol, Seq(blockCol))
       .select(col(idCol), col(blockCol),
         conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h"))
       .distinct()
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .cache()
     val a = ex.select(col(idCol).as("id_a"), col(blockCol), col("sz").as("sz_a"), col("h"))
     val b = ex.select(col(idCol).as("id_b"), col(blockCol), col("sz").as("sz_b"), col("h"))
     a.join(b, Seq(blockCol, "h"))

@@ -52,6 +52,24 @@ object Quality {
   /** All values in a column equal? (min == max, null-safe). */
   def allEqual(c: Column): Column = min(c) <=> max(c)
 
+  /** Validation errors as data (`validation_errors_to_df`,
+    * utilities.py:63-94 — which NameErrors on a missing pandas import in
+    * the reference; fixed by construction here): run a set of named
+    * checks, collect failures into a DataFrame sink-able like any other
+    * table instead of throwing on the first.
+    */
+  def errorsAsDf(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggExprs = checks.map { case (name, pred) =>
+      sum(when(!pred, 1L).otherwise(0L)).as(s"__fail_$name")
+    }
+    val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    checks.map { case (name, _) => (name, row.getAs[Long](s"__fail_$name")) }
+      .filter(_._2 > 0)
+      .toDF("check_name", "n_failures")
+  }
+
   /** Do all adjacent intervals equal `expected`? One boolean row.
     * `intervals` is a pre-computed adjacent-diff column (see
     * [[WindowOps.lagInterval]]).

@@ -102,4 +102,13 @@ object WindowOps {
   /** Skip the first `n` rows in order (reference `.skip(45000)`). */
   def offsetSkip(df: DataFrame, n: Long, partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
     withRowIdx(df, partitionBy, orderBy).filter(col("rn") > n).drop("rn")
+
+  /** Seeded whole-dataset shuffle — the scalable analog of the
+    * reference's buffered shuffle (`get_shuffled_tfdataset`,
+    * tfdataset.py:285-288, buffer=1000): a full sort by seeded rand is
+    * deterministic for a given seed and partitioning-independent,
+    * unlike buffer-local shuffling which only permutes within a window.
+    */
+  def shuffled(df: DataFrame, seed: Long): DataFrame =
+    df.orderBy(rand(seed))
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** Property-style invariants over the ordered operators (SURVEY §5.2):
+  * shape laws that must hold for ANY window/batch/split/resample
+  * parameters. Parameters come from seeded ScalaCheck generators (the
+  * scalatest-scalacheck bridge isn't in the offline cache, so sampling
+  * is explicit and deterministic).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private lazy val base = (1 to 120).map(i => (i.toLong, i * 10L, math.sin(i).abs))
+    .toDF("id", "t", "v").cache()
+
+  test("sliding windows: count == N-W+1, all size W (any W)") {
+    samples(Gen.choose(1, 15), 6).foreach { w =>
+      val win = WindowOps.slidingWindow(base, col("v"), w, Seq.empty, Seq("id"))
+      assert(win.count() == 120 - w + 1, s"W=$w")
+      assert(win.filter(size(col("win")) =!= w).count() == 0, s"W=$w")
+    }
+  }
+
+  test("fixed batches: every batch full, count == floor(N/B)*B (any B)") {
+    samples(Gen.choose(1, 50), 6).foreach { b =>
+      val batched = WindowOps.fixedBatches(base, b, Seq.empty, Seq("id"))
+      assert(batched.count() == (120 / b) * b, s"B=$b")
+      assert(batched.groupBy("batch_id").count()
+        .filter(col("count") =!= b).count() == 0, s"B=$b")
+    }
+  }
+
+  test("prefix split: partitions all rows, train ids precede eval ids (any fractions)") {
+    samples(Gen.zip(Gen.choose(1, 8), Gen.choose(1, 8)), 6)
+      .filter { case (a, b) => a + b < 10 }
+      .foreach { case (a, b) =>
+        val (fa, fb) = (a / 10.0, b / 10.0)
+        val sp = WindowOps.prefixSplit(base, (fa, fb, 1.0 - fa - fb), Seq.empty, Seq("id"))
+        assert(sp.count() == 120)
+        val maxTrain = sp.filter($"split" === "train").agg(max("id")).head()
+        val minEval = sp.filter($"split" === "eval").agg(min("id")).head()
+        if (!maxTrain.isNullAt(0) && !minEval.isNullAt(0))
+          assert(maxTrain.getLong(0) < minEval.getLong(0), s"f=($fa,$fb)")
+      }
+  }
+
+  test("upsample multiplies rows by the ratio onto an aligned grid (any divisor)") {
+    Seq(2, 3, 4, 6).foreach { ratio =>
+      val orig = 60L
+      val step = orig / ratio
+      val ts = base.select(col("id"), timestamp_micros(col("t") * 6000000L).as("ts"), col("v"))
+      val up = Resample.upsampleRepeat(ts, "ts", orig, step)
+      assert(up.count() == 120L * ratio, s"ratio=$ratio")
+      assert(up.filter(col("ts_up") % step =!= 0).count() == 0, s"ratio=$ratio")
+    }
+  }
+
+  test("normalize then denormalize is identity up to fp (any affine input)") {
+    samples(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0.5, 50.0)), 5)
+      .foreach { case (shift, scale) =>
+        val df = base.select((col("v") * scale + shift).as("x"))
+        val stats = FeatureSpace.adapt(df, Seq(FeatureSpace.Normalized("x")))
+        val cs = stats.numeric("x")
+        val err = df.select(
+            abs(FeatureSpace.expand(FeatureSpace.Normalized("x"), stats).head._2
+              * math.sqrt(cs.varPop) + cs.mean - col("x")).as("e"))
+          .agg(max("e")).head().getDouble(0)
+        assert(err < 1e-9 * math.max(1.0, math.abs(shift) + scale), s"shift=$shift scale=$scale")
+      }
+  }
+}

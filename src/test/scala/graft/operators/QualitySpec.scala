@@ -23,6 +23,26 @@ class QualitySpec extends SparkSpec {
     assert(!r.getBoolean(0) && r.getBoolean(1))
   }
 
+  test("errorsAsDf reports only failing checks with counts") {
+    val df = Seq((1, 5.0), (2, -1.0), (3, 200.0)).toDF("id", "v")
+    val errs = Quality.errorsAsDf(df, Seq(
+      "v_nonnegative" -> (col("v") >= 0),
+      "v_below_100" -> (col("v") < 100),
+      "id_positive" -> (col("id") > 0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(errs == Map("v_nonnegative" -> 1L, "v_below_100" -> 1L))
+  }
+
+  test("shuffled is a seeded deterministic permutation") {
+    val df = (1 to 50).toDF("x")
+    val a = graft.operators.WindowOps.shuffled(df, 7L).collect().map(_.getInt(0)).toSeq
+    val b = graft.operators.WindowOps.shuffled(df, 7L).collect().map(_.getInt(0)).toSeq
+    val c = graft.operators.WindowOps.shuffled(df, 8L).collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+    assert(a != c)
+    assert(a.sorted == (1 to 50))
+  }
+
   test("constantInterval validates a regular grid") {
     val ok = Seq(10L, 20L, 30L).toDF("t")
       .select(graft.operators.WindowOps.lagInterval(col("t"), Seq.empty, Seq("t")).as("i"))
