@@ -106,10 +106,16 @@ object Dedup {
     * (band, bandKey) — linear in corpus size.
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    // the band signature is the i-ORDERED minhash sequence — collect
+    // (i, minh) structs and sort by i, so permuted values in different
+    // slots do NOT collide (a sorted-multiset key would be
+    // permutation-invariant and admit false candidates)
     val banded = signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("long"))
       .groupBy(col(idCol), col("band"))
-      .agg(TextOps.hash60(concat_ws(",", sort_array(collect_list(col("minh"))))).as("band_key"))
+      .agg(TextOps.hash60(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("i"), col("minh")))),
+          s => s.getField("minh")))).as("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))

@@ -66,7 +66,11 @@ object FeatureSpace {
     * Mirrors `n_rows_to_adapt_featurespace` (config/datafusion_config_*.json).
     */
   def adapt(df: DataFrame, specs: Seq[FeatureSpec], adaptRows: Option[Long] = None): FeatureStats = {
-    val sample = adaptRows.map(n => df.limit(n.toInt)).getOrElse(df)
+    // "first N rows" is only deterministic if the caller passes an
+    // ordered frame (Pipeline orders by row_idx); clamp >Int.MaxValue
+    // requests to "all rows" instead of wrapping via toInt
+    val sample = adaptRows.filter(_ < Int.MaxValue)
+      .map(n => df.limit(n.toInt)).getOrElse(df)
     val numericCols = specs.collect {
       case Normalized(c) => c
       case Rescaled(c) => c

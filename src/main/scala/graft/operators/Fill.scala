@@ -45,8 +45,11 @@ object Fill {
     val after = part(partitionBy, orderBy).rowsBetween(1, Window.unboundedFollowing)
     val prev = last(when(v.isNotNull, struct(tsSec.as("t"), v.as("v"))), ignoreNulls = true).over(before)
     val next = first(when(v.isNotNull, struct(tsSec.as("t"), v.as("v"))), ignoreNulls = true).over(after)
+    // duplicate-timestamp guard: when the surrounding observations share
+    // a timestamp the slope is 0/0 — fall through to the ffill branch
+    // instead of emitting NaN
     when(v.isNotNull, v)
-      .when(prev.isNotNull && next.isNotNull,
+      .when(prev.isNotNull && next.isNotNull && next("t") =!= prev("t"),
         prev("v") + (next("v") - prev("v")) * (tsSec - prev("t")) / (next("t") - prev("t")))
       .when(prev.isNotNull, prev("v"))
       .otherwise(next("v"))

@@ -30,16 +30,23 @@ object Resample {
   def downsampleFilter(df: DataFrame, tsCol: String, intervalSec: Long): DataFrame =
     df.filter(TimeFns.epochSeconds(col(tsCol)) % lit(intervalSec) === 0)
 
-  /** Repeat-fill upsample: each row at original interval `origSec` expands
-    * to `origSec / newSec` rows at `newSec` spacing, all other columns
-    * repeated. Emits a `ts_up` epoch-seconds column.
+  /** Core repeat-fill grid expansion over an epoch-seconds Column: each
+    * row expands to `origSec / newSec` rows on the `newSec` grid
+    * (`ts_up`), all other columns repeated. Shared by the timestamp and
+    * epoch-double entry points so the grid formula exists exactly once.
     */
-  def upsampleRepeat(df: DataFrame, tsCol: String, origSec: Long, newSec: Long): DataFrame = {
+  def upsampleRepeatEpoch(df: DataFrame, epochSec: Column, origSec: Long, newSec: Long): DataFrame = {
     require(origSec % newSec == 0, s"original interval $origSec not divisible by $newSec")
-    val start = (floor(TimeFns.epochSeconds(col(tsCol)) / lit(newSec)) * newSec).cast("long")
+    val start = (floor(epochSec / lit(newSec)) * newSec).cast("long")
     df.withColumn("ts_up",
       explode(sequence(start, start + lit(origSec - newSec), lit(newSec))))
   }
+
+  /** Repeat-fill upsample of a timestamp column (emits `ts_up` epoch
+    * seconds).
+    */
+  def upsampleRepeat(df: DataFrame, tsCol: String, origSec: Long, newSec: Long): DataFrame =
+    upsampleRepeatEpoch(df, TimeFns.epochSeconds(col(tsCol)), origSec, newSec)
 
   /** Time-bucket mean: group rows into `intervalSec` buckets and average
     * the given value columns. The one true grouped aggregate in the

@@ -105,10 +105,13 @@ object WindowOps {
 
   /** Seeded whole-dataset shuffle — the scalable analog of the
     * reference's buffered shuffle (`get_shuffled_tfdataset`,
-    * tfdataset.py:285-288, buffer=1000): a full sort by seeded rand is
-    * deterministic for a given seed and partitioning-independent,
-    * unlike buffer-local shuffling which only permutes within a window.
+    * tfdataset.py:285-288, buffer=1000). Sorts by a content hash salted
+    * with the seed rather than `rand(seed)`: `rand` seeds per
+    * *partition*, so its "seeded" order silently changes with input
+    * partitioning — a content hash is identical on any cluster layout.
+    * Ties (fully duplicate rows) stay adjacent, which is acceptable for
+    * a shuffle.
     */
   def shuffled(df: DataFrame, seed: Long): DataFrame =
-    df.orderBy(rand(seed))
+    df.orderBy(xxhash64(lit(seed) +: df.columns.map(col): _*))
 }

@@ -134,12 +134,8 @@ object Pipeline {
         if (tr.timeIntervalDesired > ex.timeIntervalOriginal)
           cached.filter(col(tsCol).cast("long") % tr.timeIntervalDesired === 0)
         else {
-          val orig = ex.timeIntervalOriginal
-          val step = tr.timeIntervalDesired
-          require(orig % step == 0, s"cannot upsample $orig -> $step")
-          val start = (floor(col(tsCol).cast("long") / step) * step).cast("long")
-          val up = cached.withColumn("ts_up",
-            explode(sequence(start, start + lit(orig - step), lit(step))))
+          val up = Resample.upsampleRepeatEpoch(cached, col(tsCol).cast("long"),
+              ex.timeIntervalOriginal, tr.timeIntervalDesired)
             .withColumn(tsCol, col("ts_up").cast("double")).drop("ts_up", "row_idx")
           WindowOps.withRowIdx(up, Seq.empty, Seq(tsCol), "row_idx")
         }
@@ -147,7 +143,10 @@ object Pipeline {
 
     // 6. featurespace adapt (first N rows) + apply, preserving spec order
     val specs = tr.features.flatMap(toSpecs)
-    val stats = FeatureSpace.adapt(resampled, specs, Some(tr.nRowsToAdaptFeaturespace))
+    // order before limit: "first N rows" must mean the first N in time
+    // order, not N arbitrary partition-order rows
+    val stats = FeatureSpace.adapt(resampled.orderBy(col("row_idx")), specs,
+      Some(tr.nRowsToAdaptFeaturespace))
     val outCols = specs.flatMap(s => FeatureSpace.expand(s, stats).map(_._1))
     val applied = resampled.select(
       FeatureSpace.apply(resampled, specs, stats, keep = Seq("row_idx")): _*)

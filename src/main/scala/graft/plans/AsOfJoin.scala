@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.LongType
   *
   * v1 scope: key and time expressions must be LongType (covers the
   * id + epoch-µs shape of every time-series table here); left join only.
+  *
+  * Tie caveat: when multiple right rows share the matching (key, time),
+  * which one wins is unspecified (the required ordering has no
+  * tiebreak) — same as DuckDB's ASOF JOIN on duplicate times. The
+  * union+window formulation additionally orders by an id column, so the
+  * two formulations can differ on exact-time ties; keep right-side
+  * (key, time) unique (true of the µs-truncated testdata) or pre-dedup.
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,

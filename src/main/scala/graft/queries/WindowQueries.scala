@@ -207,7 +207,7 @@ object WindowQueries {
       |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |SELECT event_id,
       |  round(CASE WHEN v IS NOT NULL THEN v
-      |        WHEN pt IS NOT NULL AND nt IS NOT NULL
+      |        WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
       |          THEN pv + (nv - pv) * (t - pt) / (nt - pt)
       |        WHEN pt IS NOT NULL THEN pv
       |        ELSE nv END, 4) AS v_interp

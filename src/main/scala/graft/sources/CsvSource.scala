@@ -94,7 +94,10 @@ object CsvSource {
       }
     val projected =
       if (columnsSelected.nonEmpty) headered.select(columnsSelected.map(col): _*) else headered
-    if (nRows != Long.MaxValue) projected.limit(nRows.toInt) else projected
+    // limit takes an Int; clamp rather than letting a >2^31 n_rows wrap
+    // negative/small via toInt (a config asking for more rows than
+    // Int.MaxValue effectively wants them all)
+    if (nRows < Int.MaxValue) projected.limit(nRows.toInt) else projected
   }
 
   /** CSV sink (`df_to_csv`, pandas_utilities.py:66-70). */

@@ -71,13 +71,9 @@ object TextOps {
     * lexicographically first language code (deterministic).
     */
   def langId(toks: Column): Column = {
-    val scored = LangStopwords.map { case (lang, words) =>
-      struct(wordSetCount(toks, words).as("score"), lit(lang).as("lang"))
-    }
-    // max by (score, reversed-lang) => highest score, lexicographically
-    // smallest lang on ties. Encode by comparing structs: Spark orders
-    // structs field-by-field, so negate nothing — pick via array_max on
-    // (score, negLangRank).
+    // max over (score, rank, lang) structs — Spark compares structs
+    // field-by-field, so the highest score wins and ties fall to the
+    // higher rank = lexicographically FIRST language code.
     val ranked = LangStopwords.zipWithIndex.map { case ((lang, words), i) =>
       struct(wordSetCount(toks, words).as("score"),
         lit(LangStopwords.size - 1 - i).as("rank"), lit(lang).as("lang"))

@@ -31,6 +31,15 @@ class FillSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 4.0)) // 1 + (4-1)*(10-0)/(30-0) = 2.0 etc
   }
 
+  test("duplicate timestamps around a null fall back to ffill, not NaN") {
+    val dup = Seq((0L, 10.0, Some(1.0)), (1L, 10.0, Option.empty[Double]), (2L, 10.0, Some(4.0)))
+      .toDF("id", "t", "v")
+    val got = dup.select(Fill.interpolate(col("v"), col("t"), Seq.empty, Seq("id")).as("x"))
+      .orderBy("x").collect().map(_.getDouble(0))
+    assert(!got.exists(_.isNaN))
+    assert(got.toSeq == Seq(1.0, 1.0, 4.0))
+  }
+
   test("leading nulls fall back to bfill") {
     val lead = Seq((0L, 0.0, Option.empty[Double]), (1L, 10.0, Some(5.0)))
       .toDF("id", "t", "v")

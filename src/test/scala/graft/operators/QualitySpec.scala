@@ -33,12 +33,12 @@ class QualitySpec extends SparkSpec {
     assert(errs == Map("v_nonnegative" -> 1L, "v_below_100" -> 1L))
   }
 
-  test("shuffled is a seeded deterministic permutation") {
+  test("shuffled is a seeded deterministic permutation, independent of partitioning") {
     val df = (1 to 50).toDF("x")
     val a = graft.operators.WindowOps.shuffled(df, 7L).collect().map(_.getInt(0)).toSeq
-    val b = graft.operators.WindowOps.shuffled(df, 7L).collect().map(_.getInt(0)).toSeq
+    val b = graft.operators.WindowOps.shuffled(df.repartition(7), 7L).collect().map(_.getInt(0)).toSeq
     val c = graft.operators.WindowOps.shuffled(df, 8L).collect().map(_.getInt(0)).toSeq
-    assert(a == b)
+    assert(a == b) // same seed, different partitioning -> same permutation
     assert(a != c)
     assert(a.sorted == (1 to 50))
   }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+class ScaleSpec extends SparkSpec {
+
+  test("saltedAgg equals plain aggregation on a skewed key") {
+    // 90% of events share user_id via a synthetic hot key
+    val skewed = Tables.events(spark, sf)
+      .withColumn("k", when(col("event_id") % 10 =!= 0, 1L).otherwise(col("user_id")))
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Scale.saltedAgg(skewed, Seq("k"), 16,
+        partials = Seq(count(lit(1)).as("n"), sum(col("value")).as("s")),
+        merged = Seq(sum(col("n")).as("n"), round(sum(col("s")), 4).as("s")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, (n, s)) =>
+      assert(plain(k)._1 == n, s"count for $k")
+      assert(math.abs(plain(k)._2 - s) < 1e-4, s"sum for $k")
+    }
+  }
+
+  test("salted stage-1 actually spreads the hot key over multiple groups") {
+    val skewed = Tables.events(spark, sf).withColumn("k", lit(1L))
+    val spread = skewed
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
+      .groupBy("k", "__salt").count().count()
+    assert(spread > 1)
+  }
+
+  test("bucketed table join avoids the shuffle on the bucketed side") {
+    // warehouse.dir is a static conf — the table lands in ./spark-warehouse
+    // (gitignored); dropped again below
+    Scale.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_custkey", 8)
+    val b = spark.table("orders_b")
+    val agg = b.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan) // bucketing pre-partitions
+    assert(agg.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+  }
+}
