@@ -57,6 +57,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-source streaming: readStream over parquet drives the same bucket aggregation") {
+    // the production-shaped path (schema-declared readStream over a
+    // directory), unlike MemoryStream which bypasses source resolution
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf).select(col("ts"), col("value")).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = StreamingResample.bucketMean(stream, "ts", "value", 86400L)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("file_bucket_out").start()
+    q.processAllAvailable()
+    val got = spark.table("file_bucket_out").agg(sum("n")).head().getLong(0)
+    q.stop()
+    assert(got == Tables.events(spark, sf).count())
+  }
+
   test("stateful interval audit flags only irregular gaps across batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.IntervalEvent]
