@@ -15,6 +15,16 @@ object RelQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Exact discounted revenue: price and discount are 2-decimal values,
+    * so casting EACH to decimal before the multiply is lossless and the
+    * whole sum is exact integer-backed decimal arithmetic in both
+    * engines — unlike rounding the double product to cents, where
+    * Spark's and DuckDB's half-way rules differ on boundary doubles.
+    */
+  private def decRevenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)")
+      * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))).cast("double")
+
   // ========================================================================
   // rollup_agg — hierarchical totals (returnflag → linestatus → grand
   // total). Map-side partial agg per grouping set; one shuffle.
@@ -95,7 +105,72 @@ object RelQueries {
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ========================================================================
+  // q3_topk — shipping-priority shape (TPC-H Q3): selective dim filter →
+  // two hash joins → grouped exact-decimal revenue → top-k.
+  // ========================================================================
+  def q3TopK(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("o_orderkey"))
+      .agg(decRevenue.as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q3TopKSql =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ========================================================================
+  // q5_multi_join — local-supplier-volume shape (TPC-H Q5): six-way join
+  // across the full star schema; every dimension side (supplier, nation,
+  // region, customer) is broadcast-sized, so only the fact tables
+  // shuffle.
+  // ========================================================================
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(decRevenue.as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q5MultiJoinSql =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q3_topk" -> (q3TopK _),
+    "q5_multi_join" -> (q5MultiJoin _),
     "rollup_agg" -> (rollupAgg _),
     "pivot_wide" -> (pivotWide _),
     "set_except" -> (setExcept _),
@@ -103,6 +178,8 @@ object RelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q3_topk" -> q3TopKSql,
+    "q5_multi_join" -> q5MultiJoinSql,
     "rollup_agg" -> rollupAggSql,
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,
