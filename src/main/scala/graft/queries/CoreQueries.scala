@@ -263,6 +263,44 @@ object CoreQueries {
       |ORDER BY event_id""".stripMargin
 
   // ========================================================================
+  // §2.4 extension: agg_percentile — exact continuous quantiles (median,
+  // p90) per group. Spark `percentile` and DuckDB `quantile_cont` share
+  // the linear-interpolation definition; computed on identical sorted
+  // inputs, rounded 4.
+  // ========================================================================
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  private val aggPercentileSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ========================================================================
+  // §2.4 extension: agg_corr — per-group Pearson correlation and
+  // population covariance (order-dependent sums → round 4).
+  // ========================================================================
+  def aggCorr(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val aggCorrSql =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_pop(l_quantity, l_discount), 4) AS covar_qty_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ========================================================================
   // registry
   // ========================================================================
   val queries: Map[String, Q] = Map(
@@ -282,6 +320,8 @@ object CoreQueries {
     "agg_all_equal" -> (aggAllEqual _),
     "distinct_vocab" -> (distinctVocab _),
     "normalize_apply" -> (normalizeApply _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_corr" -> (aggCorr _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,5 +341,7 @@ object CoreQueries {
     "agg_all_equal" -> aggAllEqualSql,
     "distinct_vocab" -> distinctVocabSql,
     "normalize_apply" -> normalizeApplySql,
+    "agg_percentile" -> aggPercentileSql,
+    "agg_corr" -> aggCorrSql,
   )
 }
