@@ -159,9 +159,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("inter"),
         first(col("sz_a")).cast("double").as("la"), first(col("sz_b")).cast("double").as("lb"))
+      // unrounded: the division inputs are identical doubles in any
+      // engine, so the quotient is bit-identical — and jaccard is a
+      // small-denominator rational that can sit exactly on rounding
+      // half-boundaries (1/32 = 0.03125), where engines' round() differ
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 48-bit SimHash from whitespace tokens: bit j of the signature is 1

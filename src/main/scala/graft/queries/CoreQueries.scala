@@ -21,6 +21,22 @@ object CoreQueries {
   /** Exact cross-engine monetary sum: decimal-sum cast back to double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Exact mean of a 2-decimal column, UNROUNDED: sum the integer cents
+    * (exact) and do ONE identical double division in both engines — the
+    * result double is bit-identical, so no rounding is needed. Rounding
+    * is actively harmful here: means over small groups are
+    * small-denominator rationals that frequently sit EXACTLY on a
+    * rounding half-boundary (e.g. 30.94375), where Spark (BigDecimal
+    * half-up on the shortest decimal string) and DuckDB (multiply +
+    * nearbyint) disagree.
+    */
+  private[queries] def exactMeanCents(c: Column): Column =
+    sum(round(c * 100).cast("long")) / (count(lit(1)) * lit(100.0))
+
+  /** DuckDB twin of [[exactMeanCents]]. */
+  private[queries] val exactMeanCentsSql: String => String = col =>
+    s"CAST(sum(CAST(round($col * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0)"
+
   // ========================================================================
   // §2.4 q1_agg — flagship grouped aggregate over lineitem (scan → hash agg
   // with map-side partial agg; at 100 TB this is one shuffle on two
@@ -74,12 +90,14 @@ object CoreQueries {
   // ========================================================================
   def scanSelectLimit(s: SparkSession, d: String): DataFrame =
     li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (118k dup pairs at sf0.1) — order by every output column
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .limit(100)
 
   private val scanSelectLimitSql =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin
 
   // ========================================================================
   // §2.2 project / drop_columns / filter_eq
@@ -174,7 +192,7 @@ object CoreQueries {
   def aggMeanVar(s: SparkSession, d: String): DataFrame =
     ev(s, d).agg(
       count(lit(1)).as("n"),
-      round(avg(col("value")), 4).as("mean_value"),
+      exactMeanCents(col("value")).as("mean_value"),
       round(var_pop(col("value")), 4).as("var_pop_value"),
       round(stddev_pop(col("value")), 4).as("stddev_pop_value"),
       min(col("value")).as("min_value"),
@@ -182,7 +200,7 @@ object CoreQueries {
 
   private val aggMeanVarSql =
     """SELECT count(*) AS n,
-      |  round(avg(value), 4) AS mean_value,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS mean_value,
       |  round(var_pop(value), 4) AS var_pop_value,
       |  round(stddev_pop(value), 4) AS stddev_pop_value,
       |  min(value) AS min_value,
@@ -195,12 +213,13 @@ object CoreQueries {
   // ========================================================================
   def aggTimeBucketMean(s: SparkSession, d: String): DataFrame =
     ev(s, d).groupBy(TimeFns.timeBucket(col("ts"), 300L).as("bucket_s"))
-      .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+      .agg(exactMeanCents(col("value")).as("avg_value"), count(lit(1)).as("n"))
       .orderBy(col("bucket_s"))
 
   private val aggTimeBucketMeanSql =
     """SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket_s,
-      |  round(avg(value), 4) AS avg_value, count(*) AS n
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value,
+      |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY bucket_s""".stripMargin
 
   // ========================================================================

@@ -57,7 +57,7 @@ object DedupQueries {
 
   private val dedupNgramJaccardSql =
     s"""WITH $shinglesCte
-       |SELECT id_a, id_b, round(inter / (la + lb - inter), 4) AS jaccard
+       |SELECT id_a, id_b, inter / (la + lb - inter) AS jaccard
        |FROM (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,

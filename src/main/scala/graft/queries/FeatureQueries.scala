@@ -101,12 +101,12 @@ object FeatureQueries {
     val stats = e.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
     e.crossJoin(broadcast(stats))
       .select(col("event_id"),
-        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6).as("value_rescaled"))
+        ((col("value") - col("mn")) / (col("mx") - col("mn"))).as("value_rescaled"))
       .orderBy(col("event_id"))
   }
 
   private val rescaleApplySql =
-    """SELECT event_id, round((value - mn) / (mx - mn), 6) AS value_rescaled
+    """SELECT event_id, (value - mn) / (mx - mn) AS value_rescaled
       |FROM events CROSS JOIN (SELECT min(value) AS mn, max(value) AS mx FROM events)
       |ORDER BY event_id""".stripMargin
 
@@ -201,7 +201,7 @@ object FeatureQueries {
     e.select(
         col("event_id"),
         round((col("value") - lit(vStats.mean)) / lit(math.sqrt(vStats.varPop)), 4).as("value_norm"),
-        round((col("value") - lit(vStats.min)) / lit(vStats.max - vStats.min), 4).as("value_resc"),
+        ((col("value") - lit(vStats.min)) / lit(vStats.max - vStats.min)).as("value_resc"),
         (col("cat") === 0).cast("double").as("cat_onehot_0"),
         (col("cat") === 1).cast("double").as("cat_onehot_1"),
         (col("cat") === 2).cast("double").as("cat_onehot_2"),
@@ -214,7 +214,7 @@ object FeatureQueries {
   private val featurespaceFullSql =
     """SELECT event_id,
       |  round((value - m) / sd, 4) AS value_norm,
-      |  round((value - mn) / (mx - mn), 4) AS value_resc,
+      |  (value - mn) / (mx - mn) AS value_resc,
       |  CAST(user_id % 5 = 0 AS DOUBLE) AS cat_onehot_0,
       |  CAST(user_id % 5 = 1 AS DOUBLE) AS cat_onehot_1,
       |  CAST(user_id % 5 = 2 AS DOUBLE) AS cat_onehot_2,

@@ -52,9 +52,9 @@ object JoinQueries {
   def joinTimeAlign(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d).withColumn("bucket", TimeFns.timeBucket(col("ts"), 3600L))
     val purchases = e.filter(col("event_type") === "purchase")
-      .groupBy(col("bucket")).agg(round(avg(col("value")), 4).as("avg_purchase"))
+      .groupBy(col("bucket")).agg(CoreQueries.exactMeanCents(col("value")).as("avg_purchase"))
     val clicks = e.filter(col("event_type") === "click")
-      .groupBy(col("bucket")).agg(round(avg(col("value")), 4).as("avg_click"))
+      .groupBy(col("bucket")).agg(CoreQueries.exactMeanCents(col("value")).as("avg_click"))
     purchases.join(clicks, Seq("bucket"), "inner").orderBy(col("bucket"))
   }
 
@@ -62,9 +62,9 @@ object JoinQueries {
     """WITH b AS (
       |  SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket,
       |    event_type, value FROM events),
-      |p AS (SELECT bucket, round(avg(value), 4) AS avg_purchase FROM b
+      |p AS (SELECT bucket, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_purchase FROM b
       |      WHERE event_type = 'purchase' GROUP BY bucket),
-      |c AS (SELECT bucket, round(avg(value), 4) AS avg_click FROM b
+      |c AS (SELECT bucket, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_click FROM b
       |      WHERE event_type = 'click' GROUP BY bucket)
       |SELECT p.bucket, p.avg_purchase, c.avg_click
       |FROM p JOIN c ON p.bucket = c.bucket

@@ -51,16 +51,21 @@ object RelQueries {
       .withColumn("bucket", (col("user_id") % 4).cast("long"))
       .groupBy(col("bucket"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(round(avg(col("value")), 4))
+      .agg(CoreQueries.exactMeanCents(col("value")))
       .orderBy(col("bucket"))
 
   private val pivotWideSql =
     """SELECT user_id % 4 AS bucket,
-      |  round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
-      |  round(avg(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
-      |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
-      |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
-      |  round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+      |    / (count(CASE WHEN event_type = 'click' THEN 1 END) * 100.0) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+      |    / (count(CASE WHEN event_type = 'error' THEN 1 END) * 100.0) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+      |    / (count(CASE WHEN event_type = 'purchase' THEN 1 END) * 100.0) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+      |    / (count(CASE WHEN event_type = 'signup' THEN 1 END) * 100.0) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
+      |    / (count(CASE WHEN event_type = 'view' THEN 1 END) * 100.0) AS view
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ========================================================================

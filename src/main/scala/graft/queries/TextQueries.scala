@@ -109,21 +109,35 @@ object TextQueries {
 
   // ========================================================================
   // text_quality — composite score: length term + stopword term +
-  // lexical-diversity term (identical arithmetic both engines).
+  // lexical-diversity term. Computed in EXACT integer arithmetic scaled
+  // by 1000n (score = (5·n·min(n,100) + 300·(n−n_stop) + 200·n_dist)
+  // / (1000n)) then ONE identical double division, unrounded: the score
+  // is a small-denominator rational that frequently sits exactly on
+  // rounding half-boundaries (e.g. 0.48625 for n=16), where Spark's and
+  // DuckDB's round() disagree.
   // ========================================================================
   def textQuality(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.qualityScore(col("toks"), enStop).as("score"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+      .select(col("doc_id"),
+        ((lit(5L) * col("n") * least(col("n"), lit(100L))
+          + lit(300L) * (col("n") - col("n_stop"))
+          + lit(200L) * col("n_dist"))
+          / (lit(1000.0) * col("n"))).as("score"))
       .orderBy(col("doc_id"))
 
   private val textQualitySql =
     """SELECT doc_id,
-      |  round(least(n / 100.0, 1.0) * 0.5 + (1.0 - n_stop / n) * 0.3 + n_dist / n * 0.2, 4) AS score
+      |  (5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)
+      |    / (1000.0 * n) AS score
       |FROM (
       |  SELECT doc_id,
-      |    CAST(len(toks) AS DOUBLE) AS n,
-      |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS DOUBLE) AS n_stop,
-      |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents))
       |ORDER BY doc_id""".stripMargin
 

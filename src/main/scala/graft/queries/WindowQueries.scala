@@ -84,7 +84,7 @@ object WindowQueries {
     WindowOps.fixedBatches(ev(s, d).select(col("event_id"), col("value")), 100,
         Seq.empty, Seq("event_id"))
       .groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n_rows"), round(avg(col("value")), 4).as("avg_value"),
+      .agg(count(lit(1)).as("n_rows"), CoreQueries.exactMeanCents(col("value")).as("avg_value"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .orderBy(col("batch_id"))
 
@@ -94,7 +94,8 @@ object WindowQueries {
       |    count(*) OVER () AS n
       |  FROM events)
       |SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS batch_id, count(*) AS n_rows,
-      |  round(avg(value), 4) AS avg_value, min(event_id) AS min_id, max(event_id) AS max_id
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM r WHERE (floor((rn - 1) / 100) + 1) * 100 <= n
       |GROUP BY 1 ORDER BY batch_id""".stripMargin
 
@@ -273,14 +274,14 @@ object WindowQueries {
   // ========================================================================
   def pipelineResample(s: SparkSession, d: String): DataFrame = {
     val aligned = Resample.downsampleFilter(ev(s, d), "ts", 60L)
-    Resample.bucketMean(aligned, "ts", 300L, Seq("value"))
-      .select(col("bucket"), round(col("avg_value"), 4).as("avg_value"))
+    aligned.groupBy(graft.functions.TimeFns.timeBucket(col("ts"), 300L).as("bucket"))
+      .agg(CoreQueries.exactMeanCents(col("value")).as("avg_value"))
       .orderBy(col("bucket"))
   }
 
   private val pipelineResampleSql =
     """SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket,
-      |  round(avg(value), 4) AS avg_value
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value
       |FROM events
       |WHERE CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) % 60 = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
