@@ -47,7 +47,7 @@ object CoreQueries {
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        exactMeanCents(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -55,7 +55,7 @@ object CoreQueries {
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin

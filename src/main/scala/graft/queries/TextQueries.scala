@@ -29,19 +29,22 @@ object TextQueries {
       .select(
         col("doc_id"), col("n_chars_calc"),
         size(col("toks")).cast("long").as("n_tokens"),
-        round(aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
-          .cast("double") / size(col("toks")), 4).as("avg_token_len"),
-        round(TextOps.wordSetCount(col("toks"), enStop).cast("double") / size(col("toks")), 6)
+        // unrounded: integer-count numerators over identical token counts
+        // give bit-identical quotients cross-engine, and k/n rationals sit
+        // exactly on rounding half-boundaries for power-of-two n
+        (aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(col("toks"))).as("avg_token_len"),
+        (TextOps.wordSetCount(col("toks"), enStop).cast("double") / size(col("toks")))
           .as("stopword_ratio"),
-        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
           .as("distinct_ratio"))
       .orderBy(col("doc_id"))
 
   private val textStatsSql =
     """SELECT doc_id, n_chars_calc, n_tokens,
-      |  round(sum_len / n_tokens, 4) AS avg_token_len,
-      |  round(n_stop / n_tokens, 6) AS stopword_ratio,
-      |  round(n_distinct / n_tokens, 6) AS distinct_ratio
+      |  sum_len / n_tokens AS avg_token_len,
+      |  n_stop / n_tokens AS stopword_ratio,
+      |  n_distinct / n_tokens AS distinct_ratio
       |FROM (
       |  SELECT doc_id,
       |    CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -183,8 +183,11 @@ object WindowQueries {
     val e = evE(s, d)
       .withColumn("v", when(col("event_id") % 7 =!= 0, col("value")))
       .withColumn("t", col("e_us").cast("double"))
+    // unrounded: v and t are identical doubles in both engines, so the
+    // interpolation arithmetic is bit-identical; the interpolated value
+    // is a rational that can sit exactly on rounding half-boundaries
     e.select(col("event_id"),
-        round(Fill.interpolate(col("v"), col("t"), Seq("user_id"), orderCols), 4).as("v_interp"))
+        Fill.interpolate(col("v"), col("t"), Seq("user_id"), orderCols).as("v_interp"))
       .orderBy(col("event_id"))
   }
 
@@ -207,11 +210,11 @@ object WindowQueries {
       |    win_a AS (PARTITION BY user_id ORDER BY e_us, event_id
       |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |SELECT event_id,
-      |  round(CASE WHEN v IS NOT NULL THEN v
-      |        WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
-      |          THEN pv + (nv - pv) * (t - pt) / (nt - pt)
-      |        WHEN pt IS NOT NULL THEN pv
-      |        ELSE nv END, 4) AS v_interp
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+      |         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+      |       WHEN pt IS NOT NULL THEN pv
+      |       ELSE nv END AS v_interp
       |FROM w ORDER BY event_id""".stripMargin
 
   // ========================================================================
