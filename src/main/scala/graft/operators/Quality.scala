@@ -61,8 +61,10 @@ object Quality {
   def errorsAsDf(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null-as-fail: a predicate evaluating to NULL (e.g. `x > 0` on a
+    // null x) must count as a failure, not slip through the negation
     val aggExprs = checks.map { case (name, pred) =>
-      sum(when(!pred, 1L).otherwise(0L)).as(s"__fail_$name")
+      sum(when(pred, 0L).otherwise(1L)).as(s"__fail_$name")
     }
     val row = df.agg(aggExprs.head, aggExprs.tail: _*).head()
     checks.map { case (name, _) => (name, row.getAs[Long](s"__fail_$name")) }

@@ -95,24 +95,40 @@ case class AsOfJoinExec(
       var candTime = 0L
       var cand: InternalRow = null
       lIt.map { lrow =>
-        val lk = lKeyB.eval(lrow).asInstanceOf[Long]
-        val lt = lTimeB.eval(lrow).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val peek = rBuf.head
-          val rk = rKeyB.eval(peek).asInstanceOf[Long]
-          if (rk < lk || (rk == lk && rTimeB.eval(peek).asInstanceOf[Long] <= lt)) {
-            val r = rBuf.next()
-            if (rk == lk) {
-              cand = r.copy()
-              candKey = rk
-              candTime = rTimeB.eval(cand).asInstanceOf[Long]
+        val lkAny = lKeyB.eval(lrow)
+        val ltAny = lTimeB.eval(lrow)
+        // SQL join semantics: a null key or time matches nothing (without
+        // this, null unboxes to 0L and null-keyed rows join key 0)
+        if (lkAny == null || ltAny == null) {
+          proj(joined(lrow, nullRight))
+        } else {
+          val lk = lkAny.asInstanceOf[Long]
+          val lt = ltAny.asInstanceOf[Long]
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val peek = rBuf.head
+            val rkAny = rKeyB.eval(peek)
+            val rtAny = rTimeB.eval(peek)
+            if (rkAny == null || rtAny == null) {
+              // null-keyed right rows sort first (NULLS FIRST) and can
+              // never match — consume and drop
+              rBuf.next()
+            } else {
+              val rk = rkAny.asInstanceOf[Long]
+              if (rk < lk || (rk == lk && rtAny.asInstanceOf[Long] <= lt)) {
+                val r = rBuf.next()
+                if (rk == lk) {
+                  cand = r.copy()
+                  candKey = rk
+                  candTime = rtAny.asInstanceOf[Long]
+                }
+              } else advance = false
             }
-          } else advance = false
+          }
+          val matched = cand != null && candKey == lk &&
+            (tol < 0 || lt - candTime <= tol)
+          proj(joined(lrow, if (matched) cand else nullRight))
         }
-        val matched = cand != null && candKey == lk &&
-          (tol < 0 || lt - candTime <= tol)
-        proj(joined(lrow, if (matched) cand else nullRight))
       }
     }
   }

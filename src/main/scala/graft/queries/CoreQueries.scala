@@ -31,11 +31,13 @@ object CoreQueries {
     * nearbyint) disagree.
     */
   private[queries] def exactMeanCents(c: Column): Column =
-    sum(round(c * 100).cast("long")) / (count(lit(1)) * lit(100.0))
+    sum(round(c * 100).cast("long")) / (count(c) * lit(100.0))
 
-  /** DuckDB twin of [[exactMeanCents]]. */
-  private[queries] val exactMeanCentsSql: String => String = col =>
-    s"CAST(sum(CAST(round($col * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0)"
+  /** DuckDB twin of [[exactMeanCents]] — interpolate into oracle SQL so
+    * the formula exists once per engine.
+    */
+  private[queries] def exactMeanCentsSql(col: String): String =
+    s"CAST(sum(CAST(round($col * 100) AS BIGINT)) AS DOUBLE) / (count($col) * 100.0)"
 
   // ========================================================================
   // §2.4 q1_agg — flagship grouped aggregate over lineitem (scan → hash agg
@@ -52,10 +54,10 @@ object CoreQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val q1Sql =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-      |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_disc,
+      |  ${exactMeanCentsSql("l_discount")} AS avg_disc,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -199,8 +201,8 @@ object CoreQueries {
       max(col("value")).as("max_value"))
 
   private val aggMeanVarSql =
-    """SELECT count(*) AS n,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS mean_value,
+    s"""SELECT count(*) AS n,
+      |  ${exactMeanCentsSql("value")} AS mean_value,
       |  round(var_pop(value), 4) AS var_pop_value,
       |  round(stddev_pop(value), 4) AS stddev_pop_value,
       |  min(value) AS min_value,
@@ -217,8 +219,8 @@ object CoreQueries {
       .orderBy(col("bucket_s"))
 
   private val aggTimeBucketMeanSql =
-    """SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket_s,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value,
+    s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket_s,
+      |  ${exactMeanCentsSql("value")} AS avg_value,
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY bucket_s""".stripMargin
 

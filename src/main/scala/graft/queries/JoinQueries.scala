@@ -59,12 +59,12 @@ object JoinQueries {
   }
 
   private val joinTimeAlignSql =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket,
       |    event_type, value FROM events),
-      |p AS (SELECT bucket, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_purchase FROM b
+      |p AS (SELECT bucket, ${CoreQueries.exactMeanCentsSql("value")} AS avg_purchase FROM b
       |      WHERE event_type = 'purchase' GROUP BY bucket),
-      |c AS (SELECT bucket, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_click FROM b
+      |c AS (SELECT bucket, ${CoreQueries.exactMeanCentsSql("value")} AS avg_click FROM b
       |      WHERE event_type = 'click' GROUP BY bucket)
       |SELECT p.bucket, p.avg_purchase, c.avg_click
       |FROM p JOIN c ON p.bucket = c.bucket

@@ -57,15 +57,15 @@ object RelQueries {
   private val pivotWideSql =
     """SELECT user_id % 4 AS bucket,
       |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
-      |    / (count(CASE WHEN event_type = 'click' THEN 1 END) * 100.0) AS click,
+      |    / (count(CASE WHEN event_type = 'click' THEN value END) * 100.0) AS click,
       |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
-      |    / (count(CASE WHEN event_type = 'error' THEN 1 END) * 100.0) AS error,
+      |    / (count(CASE WHEN event_type = 'error' THEN value END) * 100.0) AS error,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
-      |    / (count(CASE WHEN event_type = 'purchase' THEN 1 END) * 100.0) AS purchase,
+      |    / (count(CASE WHEN event_type = 'purchase' THEN value END) * 100.0) AS purchase,
       |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
-      |    / (count(CASE WHEN event_type = 'signup' THEN 1 END) * 100.0) AS signup,
+      |    / (count(CASE WHEN event_type = 'signup' THEN value END) * 100.0) AS signup,
       |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) END) AS DOUBLE)
-      |    / (count(CASE WHEN event_type = 'view' THEN 1 END) * 100.0) AS view
+      |    / (count(CASE WHEN event_type = 'view' THEN value END) * 100.0) AS view
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ========================================================================

@@ -89,12 +89,12 @@ object WindowQueries {
       .orderBy(col("batch_id"))
 
   private val batchFixedSql =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT event_id, value, row_number() OVER (ORDER BY event_id) AS rn,
       |    count(*) OVER () AS n
       |  FROM events)
       |SELECT CAST(floor((rn - 1) / 100) AS BIGINT) AS batch_id, count(*) AS n_rows,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value,
+      |  ${CoreQueries.exactMeanCentsSql("value")} AS avg_value,
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM r WHERE (floor((rn - 1) / 100) + 1) * 100 <= n
       |GROUP BY 1 ORDER BY batch_id""".stripMargin
@@ -283,8 +283,8 @@ object WindowQueries {
   }
 
   private val pipelineResampleSql =
-    """SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket,
-      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0) AS avg_value
+    s"""SELECT CAST(floor(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket,
+      |  ${CoreQueries.exactMeanCentsSql("value")} AS avg_value
       |FROM events
       |WHERE CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) % 60 = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
