@@ -59,6 +59,46 @@ object FeatureSpace {
       }.mkString(",")
       s"""{"numeric":{$num},"vocab":{$voc}}"""
     }
+
+    def save(path: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  object FeatureStats {
+    private lazy val mapper = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
+      m
+    }
+
+    /** Parse stats persisted by [[FeatureStats.toJson]] — the engine's
+      * replacement for the reference's `.keras` featurespace archives
+      * (config.py:57-59,138-139): learned stats round-trip as plain JSON,
+      * so a fitted FeatureSpace can be re-applied in a later job (or a
+      * streaming one) without re-adapting.
+      */
+    def fromJson(json: String): FeatureStats = {
+      val root = mapper.readTree(json)
+      import scala.jdk.CollectionConverters._
+      val numeric = Option(root.get("numeric")).map { n =>
+        n.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ColumnStats(v.get("mean").asDouble(), v.get("var_pop").asDouble(),
+            v.get("min").asDouble(), v.get("max").asDouble())
+        }.toMap
+      }.getOrElse(Map.empty)
+      val vocab = Option(root.get("vocab")).map { n =>
+        n.properties().asScala.map { e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+        }.toMap
+      }.getOrElse(Map.empty)
+      FeatureStats(numeric, vocab)
+    }
+
+    def load(path: String): FeatureStats =
+      fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Learn stats for the given specs in one aggregation pass over (up to)

@@ -43,6 +43,31 @@ object StreamingResample {
       .select(col(keyCol), col("w.start").as("window_start"),
         col("avg_value"), col("min_value"), col("max_value"))
 
+  case class KeyedValue(key: Long, value: Double)
+
+  /** Streaming per-key adapt: maintains a mergeable Welford state per key
+    * (O(1) per key) and emits the running (count, mean, var_pop, min,
+    * max) after every batch — the incremental counterpart of
+    * `FeatureSpace.adapt` the reference's `use_streaming` flag promised.
+    */
+  def streamingAdapt(spark: SparkSession, events: DataFrame,
+                     keyCol: String, valueCol: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.WelfordAgg
+    events.select(col(keyCol).cast("long").as("key"), col(valueCol).cast("double").as("value"))
+      .as[KeyedValue]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[WelfordAgg.Buf]) =>
+          val start = if (state.exists) state.get else WelfordAgg.zero
+          val buf = rows.foldLeft(start)((b, r) => WelfordAgg.update(b, r.value))
+          state.update(buf)
+          val st = WelfordAgg.finish(buf)
+          Iterator.single((key, st.n, st.mean, st.varPop, st.min, st.max))
+      }
+      .toDF("key", "n", "mean", "var_pop", "min", "max")
+  }
+
   case class IntervalEvent(key: Long, tsSec: Long)
   case class IntervalAnomaly(key: Long, tsSec: Long, intervalSec: Long, expectedSec: Long)
 

@@ -73,6 +73,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Tables.events(spark, sf).count())
   }
 
+  test("streaming adapt accumulates Welford state across batches to the batch stats") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamingResample.KeyedValue]
+    val out = StreamingResample.streamingAdapt(spark, stream.toDF(), "key", "value")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("adapt_out").start()
+    stream.addData(StreamingResample.KeyedValue(1, 10.0), StreamingResample.KeyedValue(1, 20.0))
+    q.processAllAvailable()
+    stream.addData(StreamingResample.KeyedValue(1, 30.0), StreamingResample.KeyedValue(2, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("adapt_out").orderBy("n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    q.stop()
+    // final key-1 state after both batches: n=3, mean=20, var_pop=200/3
+    val k1 = rows.filter(_._1 == 1L).maxBy(_._2)
+    assert(k1._2 == 3L && k1._3 == 20.0 && math.abs(k1._4 - 200.0 / 3) < 1e-9)
+    val k2 = rows.filter(_._1 == 2L).head
+    assert(k2._2 == 1L && k2._3 == 5.0)
+  }
+
+  test("FeatureStats JSON round-trips save/load") {
+    val stats = graft.operators.FeatureSpace.adapt(
+      Tables.events(spark, sf).withColumnRenamed("event_type", "cat"),
+      Seq(graft.operators.FeatureSpace.Normalized("value"),
+        graft.operators.FeatureSpace.OneHotString("cat")))
+    val path = java.nio.file.Files.createTempFile("stats", ".json").toString
+    stats.save(path)
+    val back = graft.operators.FeatureSpace.FeatureStats.load(path)
+    assert(back == stats)
+  }
+
   test("stateful interval audit flags only irregular gaps across batches") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.IntervalEvent]
