@@ -144,7 +144,25 @@ object TextQueries {
       |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // term_freq — corpus term frequencies with document frequency: explode
+  // tokens → two hash aggregations (map-side combined), top-k by count.
+  // The scalable tf/df primitive for vocabulary building and IDF.
+  // ========================================================================
+  def termFreq(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(20)
+
+  private val termFreqSql =
+    """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+      |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "term_freq" -> (termFreq _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -153,6 +171,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "term_freq" -> termFreqSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,
