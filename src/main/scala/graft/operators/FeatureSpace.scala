@@ -50,14 +50,16 @@ object FeatureSpace {
 
   case class ColumnStats(mean: Double, varPop: Double, min: Double, max: Double)
   case class FeatureStats(numeric: Map[String, ColumnStats], vocab: Map[String, Seq[String]]) {
+    import FeatureStats.{esc, num}
+
     def toJson: String = {
-      val num = numeric.toSeq.sortBy(_._1).map { case (c, s) =>
-        s""""$c":{"mean":${s.mean},"var_pop":${s.varPop},"min":${s.min},"max":${s.max}}"""
+      val n = numeric.toSeq.sortBy(_._1).map { case (c, s) =>
+        s""""${esc(c)}":{"mean":${num(s.mean)},"var_pop":${num(s.varPop)},"min":${num(s.min)},"max":${num(s.max)}}"""
       }.mkString(",")
       val voc = vocab.toSeq.sortBy(_._1).map { case (c, vs) =>
-        s""""$c":[${vs.map(v => "\"" + v.replace("\"", "\\\"") + "\"").mkString(",")}]"""
+        s""""${esc(c)}":[${vs.map(v => "\"" + esc(v) + "\"").mkString(",")}]"""
       }.mkString(",")
-      s"""{"numeric":{$num},"vocab":{$voc}}"""
+      s"""{"numeric":{$n},"vocab":{$voc}}"""
     }
 
     def save(path: String): Unit =
@@ -66,11 +68,31 @@ object FeatureSpace {
   }
 
   object FeatureStats {
-    private lazy val mapper = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      m.registerModule(new com.fasterxml.jackson.module.scala.DefaultScalaModule)
-      m
+    // readTree-only parsing needs no scala module
+    private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    /** Full JSON string escaping — backslash, quote, and control chars
+      * (a vocab value ending in `\` would otherwise escape the closing
+      * quote and corrupt the file).
+      */
+    private[FeatureSpace] def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
     }
+
+    /** NaN/Infinity are not valid JSON number tokens — quote them; the
+      * parser side reads textual numbers via `toDouble`.
+      */
+    private[FeatureSpace] def num(d: Double): String =
+      if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+
+    private def readDouble(n: com.fasterxml.jackson.databind.JsonNode): Double =
+      if (n.isTextual) n.asText.toDouble else n.asDouble()
 
     /** Parse stats persisted by [[FeatureStats.toJson]] — the engine's
       * replacement for the reference's `.keras` featurespace archives
@@ -84,8 +106,8 @@ object FeatureSpace {
       val numeric = Option(root.get("numeric")).map { n =>
         n.properties().asScala.map { e =>
           val v = e.getValue
-          e.getKey -> ColumnStats(v.get("mean").asDouble(), v.get("var_pop").asDouble(),
-            v.get("min").asDouble(), v.get("max").asDouble())
+          e.getKey -> ColumnStats(readDouble(v.get("mean")), readDouble(v.get("var_pop")),
+            readDouble(v.get("min")), readDouble(v.get("max")))
         }.toMap
       }.getOrElse(Map.empty)
       val vocab = Option(root.get("vocab")).map { n =>

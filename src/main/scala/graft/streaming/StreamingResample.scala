@@ -55,6 +55,9 @@ object StreamingResample {
     import spark.implicits._
     import graft.operators.WelfordAgg
     events.select(col(keyCol).cast("long").as("key"), col(valueCol).cast("double").as("value"))
+      // match batch adapt's null-skip (avg/var_pop ignore nulls); without
+      // this a null value NPEs the encoder and kills the query
+      .filter(col("key").isNotNull && col("value").isNotNull)
       .as[KeyedValue]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
