@@ -168,4 +168,21 @@ object Pipeline {
       split.drop("rn"), col("vec"), windowSize, Seq("split"), Seq("row_idx"))
     windowed.select(col("split"), col("row_idx"), col("input"), col("target"))
   }
+
+  /** The reference's final training shape (`tfdataset_to_batched_tfdataset`,
+    * tfdataset.py:290-298): group supervised windows into fixed batches
+    * (drop_remainder), packing `inputs: array<array<array<double>>>`
+    * (batch × window × features) and `targets: array<array<double>>` —
+    * the "dataset ready for model.fit" boundary where the reference's
+    * data plane ends (SURVEY §7.5).
+    */
+  def batchedExamples(examples: DataFrame, batchSize: Int): DataFrame =
+    WindowOps.fixedBatches(examples, batchSize, Seq("split"), Seq("row_idx"))
+      .groupBy(col("split"), col("batch_id"))
+      .agg(
+        sort_array(collect_list(struct(col("pos_in_batch"), col("input"), col("target"))))
+          .as("packed"))
+      .select(col("split"), col("batch_id"),
+        transform(col("packed"), p => p.getField("input")).as("inputs"),
+        transform(col("packed"), p => p.getField("target")).as("targets"))
 }

@@ -174,6 +174,25 @@ class PipelineSpec extends SparkSpec {
     assert(input.head.size == 6)
   }
 
+  test("batchedExamples packs full batches of (inputs, targets) per split") {
+    val cfg = PipelineConfig.fromJson(derConfigJson)
+    val prep = Pipeline.run(spark, cfg, pathOverride = Some(derCsv))
+    // 4 resampled rows -> W=2 windows per split; batch B=1 keeps them all
+    val ex = Pipeline.supervisedExamples(prep, windowSize = 2, fractions = (0.5, 0.25, 0.25))
+    val batched = Pipeline.batchedExamples(ex, batchSize = 1)
+    val row = batched.orderBy("split", "batch_id").head()
+    val inputs = row.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
+      row.fieldIndex("inputs"))
+    assert(inputs.length == 1)          // batch dimension
+    assert(inputs.head.length == 1)     // window rows (W-1)
+    assert(inputs.head.head.length == 6) // features
+    val targets = row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("targets"))
+    assert(targets.length == 1 && targets.head.length == 6)
+    // drop_remainder: batch of 2 over a 1-window split yields nothing
+    val b2 = Pipeline.batchedExamples(ex.filter(col("split") === "eval"), batchSize = 5)
+    assert(b2.count() == 0)
+  }
+
   test("interval audit rejects an irregular grid") {
     val bad = writeTemp("bad.csv", Seq(
       "datetimestampseconds,W",
