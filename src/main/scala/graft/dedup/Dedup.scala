@@ -100,28 +100,91 @@ object Dedup {
       .agg(min((col("h1") + col("i") * col("h2")).bitwiseAND(HashMask)).as("minh"))
       .select(col(idCol), col("i").cast("long").as("i"), col("minh"))
 
-  /** LSH banding over the long-form signatures: band id = i / rowsPerBand,
-    * band key = hash of the concatenated minhashes in the band. Returns
-    * candidate pairs (a < b) that collide in ≥ 1 band. Shuffles only
-    * (band, bandKey) — linear in corpus size.
+  /** LSH band keys over the long-form signatures: one row per (id, band)
+    * with `band_key` = 60-bit hash of the i-ORDERED minhash sequence in
+    * the band — collect (i, minh) structs and sort by i, so permuted
+    * values in different slots do NOT collide (a sorted-multiset key
+    * would be permutation-invariant and admit false candidates).
+    * Map-side-combined aggregation; shuffles only (id, band) keys.
     */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
-    // the band signature is the i-ORDERED minhash sequence — collect
-    // (i, minh) structs and sort by i, so permuted values in different
-    // slots do NOT collide (a sorted-multiset key would be
-    // permutation-invariant and admit false candidates)
-    val banded = signatures
+  def bandKeys(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    signatures
       .withColumn("band", (col("i") / rowsPerBand).cast("long"))
       .groupBy(col(idCol), col("band"))
       .agg(TextOps.hash60(concat_ws(",",
         transform(sort_array(collect_list(struct(col("i"), col("minh")))),
           s => s.getField("minh")))).as("band_key"))
+
+  /** LSH banding over the long-form signatures: returns candidate pairs
+    * (a < b) that collide in ≥ 1 band. Shuffles only (band, bandKey) —
+    * linear in corpus size; the only quadratic term is within a single
+    * colliding band bucket, i.e. bounded by true duplicate-cluster size.
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val banded = bandKeys(signatures, idCol, rowsPerBand)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
     a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** End-to-end scale path for n-gram near-dup detection: MinHash
+    * signatures → LSH banded candidates → exact Jaccard verify on the
+    * candidates ONLY. Every stage is linear in the corpus except the
+    * per-bucket candidate enumeration (bounded by true dup-cluster
+    * size); there is NO block-size-unbounded join — this replaces the
+    * constant-cardinality blocking of [[ngramJaccardPairs]], whose pair
+    * enumeration grows quadratically with the corpus.
+    *
+    * The verify is relational (codegen hash joins + count, not per-pair
+    * interpreted `array_intersect`): candidates ⋈ exploded shingles on
+    * id_a, then ⋈ on (id_b, shingle) = |A∩B| per pair; |A∪B| from the
+    * per-doc distinct-shingle counts. The shingle index is computed once
+    * and cached — signatures and verify both read it.
+    */
+  def lshVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "zero-intersection candidates are dropped by the verify join")
+    val ex = shingleHexRows(df, textCol, idCol, Seq.empty)
+      .select(col(idCol),
+        conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hex"), 15, 14), 16, 10).cast("long").as("h2"))
+      .distinct()
+      .cache()
+    val sigs = ex
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col(idCol), col("i"))
+      .agg(min((col("h1") + col("i") * col("h2")).bitwiseAND(HashMask)).as("minh"))
+      .select(col(idCol), col("i").cast("long").as("i"), col("minh"))
+    val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").cast("double").as("la")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").cast("double").as("lb")), Seq("id_b"))
+      // unrounded quotient: identical double inputs → bit-identical
+      // cross-engine; jaccard is a small-denominator rational that can
+      // sit exactly on rounding half-boundaries
+      .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Keep-first resolution of verified near-dup pairs: each doc that has
+    * ANY verified partner with a smaller id maps to its smallest such
+    * partner. One hash aggregation over the (small) verified-pair set —
+    * the single-pass approximation of connected components (no iterative
+    * closure), deterministic.
+    */
+  def dupOfFirst(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .withColumnRenamed("id_b", "doc_id")
 
   /** Exact Jaccard similarity of two pre-computed distinct shingle arrays. */
   def jaccard(sa: Column, sb: Column): Column = {

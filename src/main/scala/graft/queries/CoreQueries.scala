@@ -74,16 +74,16 @@ object CoreQueries {
   private val scanProfileSql =
     """SELECT column_name, n_rows, n_null FROM (
       |  SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
-      |         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null FROM lineitem
+      |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null FROM lineitem
       |  UNION ALL
       |  SELECT 'l_quantity', count(*),
-      |         sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) FROM lineitem
+      |         CAST(sum(CASE WHEN l_quantity IS NULL OR isnan(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
       |  SELECT 'l_returnflag', count(*),
-      |         sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
       |  SELECT 'l_shipdate', count(*),
-      |         sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |) ORDER BY column_name""".stripMargin
 
   // ========================================================================

@@ -9,30 +9,19 @@ import graft.sim.Similarity
 
 /** Deduplication queries over `documents` / `embeddings`
   * (training-data-pipeline extensions): exact fingerprint groups,
-  * blocked n-gram Jaccard near-dup pairs, MinHash signatures, SimHash
-  * signatures, embedding-cosine near-dup pairs.
+  * LSH-bounded n-gram Jaccard near-dup pairs, MinHash signatures, LSH
+  * band keys, keep-first dup resolution, SimHash signatures,
+  * embedding-cosine near-dup pairs.
   *
-  * The LSH banding step (candidate generation from the MinHash
-  * signatures) is exercised in ScalaTest (`DedupSpec`) — its output is an
-  * intermediate candidate set, not a stable relation; the signatures and
-  * the verified pairs ARE the stable, oracle-checkable relations.
+  * The near-dup family is checked end-to-end: signatures
+  * (`dedup_minhash_sig`) → band keys (`dedup_lsh_bands`) → verified
+  * candidate pairs (`dedup_ngram_jaccard`) → keep-first resolution
+  * (`dedup_lsh_pairs`), each with a DuckDB oracle replicating the same
+  * deterministic md5-derived hashing.
   */
 object DedupQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
-
-  /** Shared DuckDB fragment: distinct 56-bit-hashed 3-gram shingles
-    * (one md5 per shingle, first 14 hex digits — mirrors
-    * [[Dedup.hashedShingleSet]]).
-    */
-  private val shinglesCte =
-    """sh AS (
-      |  SELECT doc_id, source, list_distinct(list_transform(
-      |    list_transform(range(1, len(t) - 1),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
-      |    s -> ('0x' || substr(md5(s), 1, 14))::BIGINT)) AS sh
-      |  FROM (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS t FROM documents)
-      |  WHERE len(t) >= 3)""".stripMargin
 
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
@@ -46,25 +35,90 @@ object DedupQueries {
       |  count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
+  /** Shared DuckDB pipeline: MinHash signatures (k=8, Carter-Wegman from
+    * one md5 per shingle) → LSH bands (rowsPerBand=2) → colliding
+    * candidate pairs → exact Jaccard verify on candidates only. Mirrors
+    * [[Dedup.lshVerifiedPairs]] stage for stage.
+    */
+  private val lshPipelineCtes =
+    """hp AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |    s -> md5(s))) AS hx
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |sig AS (
+      |  SELECT doc_id, i, list_min(list_transform(hx, x ->
+      |    (('0x' || substr(x, 1, 14))::BIGINT
+      |     + i * ('0x' || substr(x, 15, 14))::BIGINT) & 72057594037927935)) AS minh
+      |  FROM hp, range(0, 8) r(i)),
+      |banded AS (
+      |  SELECT doc_id, i // 2 AS band,
+      |    ('0x' || substr(md5(string_agg(minh, ',' ORDER BY i)), 1, 15))::BIGINT AS band_key
+      |  FROM sig GROUP BY doc_id, i // 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |shd AS (
+      |  SELECT doc_id, list_distinct(list_transform(hx,
+      |    x -> ('0x' || substr(x, 1, 14))::BIGINT)) AS sh
+      |  FROM hp),
+      |ver AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |  FROM cand JOIN shd a ON cand.id_a = a.doc_id
+      |            JOIN shd b ON cand.id_b = b.doc_id)""".stripMargin
+
   // ========================================================================
-  // dedup_ngram_jaccard — near-dup pairs by exact 3-gram Jaccard within a
-  // blocking key (source). The block bounds the quadratic verify; at
-  // scale the block is the LSH candidate set instead.
+  // dedup_ngram_jaccard — near-dup pairs by exact 3-gram Jaccard, verified
+  // ONLY on LSH-banded MinHash candidates: every stage linear in the
+  // corpus, no block-size-unbounded join (the round-1 `source`-blocked
+  // form enumerated pairs quadratically because block cardinality was
+  // constant; it survives as Dedup.ngramJaccardPairs for explicit
+  // fine-grained blocking keys).
   // ========================================================================
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", "source", 0.01)
+    Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id", k = 8, rowsPerBand = 2, threshold = 0.2)
       .orderBy(col("id_a"), col("id_b"))
 
   private val dedupNgramJaccardSql =
-    s"""WITH $shinglesCte
-       |SELECT id_a, id_b, inter / (la + lb - inter) AS jaccard
-       |FROM (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-       |    CAST(len(a.sh) AS DOUBLE) AS la, CAST(len(b.sh) AS DOUBLE) AS lb
-       |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
-       |WHERE inter / (la + lb - inter) >= 0.01
+    s"""WITH $lshPipelineCtes
+       |SELECT id_a, id_b, jaccard FROM ver
+       |WHERE jaccard >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ========================================================================
+  // dedup_lsh_bands — the LSH band-key relation itself (doc_id, band,
+  // band_key): the linchpin of the dedup scale story, checked directly.
+  // ========================================================================
+  def dedupLshBands(s: SparkSession, d: String): DataFrame =
+    Dedup.bandKeys(
+      Dedup.minhashSignatures(docs(s, d), "text", "doc_id", 8), "doc_id", 2)
+      .orderBy(col("doc_id"), col("band"))
+
+  private val dedupLshBandsSql =
+    s"""WITH $lshPipelineCtes
+       |SELECT doc_id, band, band_key FROM banded
+       |ORDER BY doc_id, band""".stripMargin
+
+  // ========================================================================
+  // dedup_lsh_pairs — end-to-end keep-first resolution: candidates →
+  // verify (jaccard ≥ 0.2) → each duplicate doc mapped to its smallest
+  // verified partner. The full production dedup decision.
+  // ========================================================================
+  def dedupLshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.dupOfFirst(
+      Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id", k = 8, rowsPerBand = 2, threshold = 0.2))
+      .orderBy(col("doc_id"))
+
+  private val dedupLshPairsSql =
+    s"""WITH $lshPipelineCtes
+       |SELECT id_b AS doc_id, min(id_a) AS dup_of FROM ver
+       |WHERE jaccard >= 0.2
+       |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
   // ========================================================================
   // dedup_minhash_sig — k=8 MinHash signatures in long form (doc_id, i,
@@ -106,7 +160,7 @@ object DedupQueries {
       |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
       |  FROM h, range(0, 48) r(i) GROUP BY doc_id, i)
       |SELECT doc_id,
-      |  sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+      |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ========================================================================
@@ -145,6 +199,8 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_lsh_bands" -> (dedupLshBands _),
+    "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -153,6 +209,8 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_lsh_bands" -> dedupLshBandsSql,
+    "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
