@@ -36,9 +36,76 @@ object WindowOps {
     base.orderBy(orderBy.map(col): _*)
   }
 
-  /** Row index (1-based) within each partition by the given order. */
+  /** Distributed 1-based GLOBAL row index by total order — the scale-safe
+    * replacement for `row_number() OVER (ORDER BY …)` with no PARTITION
+    * BY, which plans a single task sorting the entire table.
+    *
+    * Mechanism (the classic two-job zipWithIndex over ONE shared RDD):
+    *  1. range-repartition by the order keys and sort within partitions
+    *     (partition p's keys all precede partition p+1's);
+    *  2. a tiny first job collects per-partition row counts; the driver
+    *     scan-sums them into start offsets (≤ numPartitions longs);
+    *  3. the main job adds offset + local position per partition.
+    * Both jobs run over the SAME RDD instance, so they share one shuffle
+    * dependency: range boundaries are sampled once and the map side runs
+    * once; only the reduce-side sort is evaluated twice.
+    *
+    * Deliberately NOT expressed as a pure DataFrame plan: the tempting
+    * formulation — `monotonically_increasing_id()` after the local sort
+    * joined against `groupBy(spark_partition_id())` counts — evaluates
+    * the two nondeterministic leaves in two subtrees of one plan, and
+    * under AQE the two reads of the range exchange need not agree on
+    * partition ids (observed empirically: duplicated and gapped indices,
+    * run-to-run flaky). Pinning one RDD is what makes the ids consistent.
+    *
+    * Rows with equal order keys land in the same range partition, so ties
+    * behave exactly as in the window formulation.
+    */
+  private def globalRowIdx(df: DataFrame, orderBy: Seq[String], idxCol: String,
+                           totalCol: Option[String]): DataFrame = {
+    require(orderBy.nonEmpty, "a global row index needs an explicit total order")
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keys = orderBy.map(col)
+    val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val indexed = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var i = offsets(pid)
+      val extra = totalCol.map(_ => total).toList
+      it.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (i :: extra)) }
+    }
+    val fields = sorted.schema.fields ++
+      (org.apache.spark.sql.types.StructField(idxCol, org.apache.spark.sql.types.LongType, nullable = false) +:
+        totalCol.map(tc => org.apache.spark.sql.types.StructField(tc, org.apache.spark.sql.types.LongType, nullable = false)).toSeq)
+    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** Row index (1-based) within each partition by the given order; with an
+    * EMPTY `partitionBy` this is a total-order global index and takes the
+    * distributed [[globalRowIdx]] path (no single-task global sort).
+    * LongType in both branches.
+    */
   def withRowIdx(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String], idxCol: String = "rn"): DataFrame =
-    df.withColumn(idxCol, row_number().over(w(partitionBy, orderBy)))
+    if (partitionBy.nonEmpty)
+      df.withColumn(idxCol, row_number().over(w(partitionBy, orderBy)).cast("long"))
+    else globalRowIdx(df, orderBy, idxCol, None)
+
+  /** [[withRowIdx]] plus the per-partition (or grand) total row count —
+    * operators that need "position AND N" (batching, prefix splits) get
+    * both from one pass instead of a second unpartitioned window max,
+    * which would be another single-task bottleneck in the global case.
+    */
+  def withRowIdxAndTotal(df: DataFrame, partitionBy: Seq[String], orderBy: Seq[String],
+                         idxCol: String, totalCol: String): DataFrame =
+    if (partitionBy.nonEmpty)
+      df.withColumn(idxCol, row_number().over(w(partitionBy, orderBy)).cast("long"))
+        .withColumn(totalCol,
+          count(lit(1)).over(Window.partitionBy(partitionBy.map(col): _*)))
+    else globalRowIdx(df, orderBy, idxCol, Some(totalCol))
 
   /** Adjacent-row interval of an epoch-seconds column. `referenceSign=true`
     * reproduces the reference's negative `cur − next` quirk.
@@ -72,16 +139,12 @@ object WindowOps {
     * element) — callers `collect_list` if they need the packed form.
     */
   def fixedBatches(df: DataFrame, batchSize: Int,
-                   partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
-    val withIdx = withRowIdx(df, partitionBy, orderBy)
-    val cnt = Window.partitionBy(partitionBy.map(col): _*)
-    withIdx
+                   partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
+    withRowIdxAndTotal(df, partitionBy, orderBy, "rn", "_n")
       .withColumn("batch_id", floor((col("rn") - 1) / batchSize).cast("long"))
       .withColumn("pos_in_batch", ((col("rn") - 1) % batchSize).cast("long"))
-      .withColumn("_n", max(col("rn")).over(cnt))
       .filter((col("batch_id") + 1) * batchSize <= col("_n"))
       .drop("_n")
-  }
 
   /** Sequential prefix split by fractions (sums to 1.0). Two-pass like the
     * reference: requires total N per partition (window max), then labels
@@ -91,12 +154,13 @@ object WindowOps {
                   partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
     val (fTrain, fTest, fEval) = fractions
     require(math.abs(fTrain + fTest + fEval - 1.0) < 1e-9, "fractions must sum to 1.0")
-    val withIdx = withRowIdx(df, partitionBy, orderBy)
-    val n = max(col("rn")).over(Window.partitionBy(partitionBy.map(col): _*))
-    withIdx.withColumn("split",
-      when(col("rn") <= floor(n * fTrain), "train")
-        .when(col("rn") <= floor(n * fTrain) + floor(n * fTest), "test")
-        .otherwise("eval"))
+    val n = col("_n")
+    withRowIdxAndTotal(df, partitionBy, orderBy, "rn", "_n")
+      .withColumn("split",
+        when(col("rn") <= floor(n * fTrain), "train")
+          .when(col("rn") <= floor(n * fTrain) + floor(n * fTest), "test")
+          .otherwise("eval"))
+      .drop("_n")
   }
 
   /** Skip the first `n` rows in order (reference `.skip(45000)`). */

@@ -66,4 +66,15 @@ class PlanShapeSpec extends SparkSpec {
   test("ann_cosine_topk broadcasts the tiny query side") {
     assert(plan("ann_cosine_topk").contains("Broadcast"))
   }
+
+  // Global-order operators must NOT plan row_number() over an empty
+  // partition spec (one task sorts the whole table). The distributed
+  // path shows a RangePartitioning exchange + partition-local index and
+  // its only Window is the ≤numShufflePartitions-row offset cumsum.
+  for (q <- Seq("batch_fixed", "split_prefix", "offset_skip", "derive_synthetic_ts"))
+    test(s"$q builds its global row index distributed (range partition, no global row_number)") {
+      val p = plan(q)
+      assert(!p.contains("row_number"), p)
+      assert(p.toLowerCase.contains("rangepartitioning"), p)
+    }
 }
