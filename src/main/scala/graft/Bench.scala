@@ -12,15 +12,29 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Deterministic execution order (family order, alphabetical within) —
+    // a HashMap walk reorders everything whenever a query is added, which
+    // moves cold-cache costs between queries and breaks round-over-round
+    // comparability. Cache is cleared between families so one family's
+    // persisted intermediates (e.g. the dedup shingle index) can't skew
+    // another's numbers.
+    val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    graft.queries.Registry.families.foreach { case (family, keys) =>
+      val f0 = System.nanoTime()
+      keys.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        perQuery(name) = (System.nanoTime() - t0) / 1e9
+      }
+      perFamily(family) = (System.nanoTime() - f0) / 1e9
+      spark.catalog.clearCache()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def js(m: scala.collection.Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = perQuery.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"families":${js(perFamily)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,8 +140,16 @@ object Dedup {
     * The verify is relational (codegen hash joins + count, not per-pair
     * interpreted `array_intersect`): candidates ⋈ exploded shingles on
     * id_a, then ⋈ on (id_b, shingle) = |A∩B| per pair; |A∪B| from the
-    * per-doc distinct-shingle counts. The shingle index is computed once
-    * and cached — signatures and verify both read it.
+    * per-doc distinct-shingle counts.
+    *
+    * Caching contract: the exploded shingle index feeds BOTH the
+    * signature branch and the verify branch, so it is cached for the
+    * duration of this call, the (small) verified-pair result is
+    * materialized once and persisted, and the index cache is released
+    * before returning — no block squats in executor memory afterwards.
+    * The returned frame is persisted; callers that derive several
+    * outputs from it (pair list, keep-first resolution) share one
+    * computation and should `unpersist()` it when finished.
     */
   def lshVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
                        k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
@@ -160,7 +168,7 @@ object Dedup {
     val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
     val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    cand
+    val pairs = cand
       .join(sh.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
@@ -173,6 +181,10 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist()
+    pairs.count() // materialize via the cached index, then drop the index
+    ex.unpersist(blocking = false)
+    pairs
   }
 
   /** Keep-first resolution of verified near-dup pairs: each doc that has
@@ -229,6 +241,38 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup pairs at scale: candidates come from random-
+    * hyperplane LSH buckets (`Similarity.hyperplaneBucket` — per-row sign
+    * bits, no learned state), then exact cosine verifies each same-bucket
+    * pair. The join shuffles both sides on the bucket key; NO build side
+    * grows with the corpus (unlike blocking on a constant-cardinality
+    * column such as `label`, whose block size — and hence pair count —
+    * grows linearly/quadratically with the corpus).
+    *
+    * `nPlanes` is the recall/cost dial: bucket count is 2^nPlanes, so at
+    * N vectors pick nPlanes ≈ log2(N / targetBucketSize) to hold the
+    * per-bucket quadratic term at targetBucketSize² — e.g. 100 TB of 1e9
+    * vectors at ~1k/bucket → 20 planes. (Production systems add multi-
+    * table OR-amplification for recall; one table keeps the oracle
+    * reproducible here.)
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        nPlanes: Int, threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    val e = df.select(col(idCol), col(vecCol),
+      Similarity.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val a = e.select(col(idCol).as("id_a"), col("bucket"),
+      col(vecCol).as("va"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("id_b"), col("bucket"),
+      col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** 48-bit SimHash from whitespace tokens: bit j of the signature is 1

@@ -35,6 +35,59 @@ object Fill {
     first(c, ignoreNulls = true)
       .over(part(partitionBy, orderBy).rowsBetween(0, Window.unboundedFollowing))
 
+  /** Forward-only linear interpolation — pandas
+    * `interpolate(method='linear', limit_direction='forward')` semantics
+    * (the `columns_to_avoid` branch of `fill_missing_values_in_df`,
+    * pandas_utilities.py:140-142): interior gaps get the linear value,
+    * trailing nulls carry the last observation forward, LEADING nulls
+    * stay null (nothing precedes them to interpolate from).
+    */
+  def interpolateForward(v: Column, tsSec: Column, partitionBy: Seq[String], orderBy: Seq[String]): Column = {
+    val before = part(partitionBy, orderBy).rowsBetween(Window.unboundedPreceding, -1)
+    val after = part(partitionBy, orderBy).rowsBetween(1, Window.unboundedFollowing)
+    val prev = last(when(v.isNotNull, struct(tsSec.as("t"), v.as("v"))), ignoreNulls = true).over(before)
+    val next = first(when(v.isNotNull, struct(tsSec.as("t"), v.as("v"))), ignoreNulls = true).over(after)
+    when(v.isNotNull, v)
+      .when(prev.isNotNull && next.isNotNull && next("t") =!= prev("t"),
+        prev("v") + (next("v") - prev("v")) * (tsSec - prev("t")) / (next("t") - prev("t")))
+      .when(prev.isNotNull, prev("v"))
+    // no otherwise: leading nulls remain null under forward-only limits
+  }
+
+  /** The reference's per-column fill POLICY (`fill_missing_values_in_df`,
+    * pandas_utilities.py:131-152), composed from the primitives:
+    *
+    *  - columns NOT in `columnsToAvoid` (instantaneous measurements):
+    *    forward fill; if MORE THAN ONE null remains afterwards (leading
+    *    nulls), fall back to backfill for those — the reference's
+    *    ">1 NaN → backfill" branch. A single residual leading null is
+    *    left in place, exactly as the reference does.
+    *  - columns IN `columnsToAvoid` (cumulative counters, e.g. energy):
+    *    forward-only linear interpolation over the `tsSec` axis.
+    *
+    * The ">1 remaining" condition is data-dependent per column; it is
+    * expressed as a whole-partition window count — NO driver-side pass,
+    * the policy stays one window stage per column sharing a single
+    * partitioning+sort (Catalyst plans one shuffle+sort for all of them).
+    */
+  def fillMissing(df: DataFrame, valueCols: Seq[String], columnsToAvoid: Set[String],
+                  tsSec: Column, partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
+    val whole =
+      (if (partitionBy.isEmpty) Window.partitionBy() else Window.partitionBy(partitionBy.map(col): _*))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    valueCols.foldLeft(df) { (cur, c) =>
+      val filled =
+        if (columnsToAvoid.contains(c))
+          interpolateForward(col(c), tsSec, partitionBy, orderBy)
+        else {
+          val f = ffill(col(c), partitionBy, orderBy)
+          val remaining = sum(when(f.isNull, 1L).otherwise(0L)).over(whole)
+          when(remaining > 1, coalesce(f, bfill(col(c), partitionBy, orderBy))).otherwise(f)
+        }
+      cur.withColumn(c, filled)
+    }
+  }
+
   /** Linear interpolation between the previous and next non-null values,
     * weighted by a numeric time axis `tsSec`. Rows before the first /
     * after the last non-null fall back to bfill / ffill respectively

@@ -134,6 +134,43 @@ object WindowOps {
       .withColumn("input", slice(col("win"), 1, size - 1))
       .withColumn("target", element_at(col("win"), size))
 
+  /** Column-split supervision of a sliding window of row-VECTORS
+    * (`windowed_dataset_v2`, tfdataset.py:265-271): every row of the
+    * window contributes — `input` = each row's vector minus its first
+    * element (`window[:, 1:]`), `target` = each row's first element
+    * (`window[:, 0]`). Output `input: array<array<_>>` (W × (D−1)),
+    * `target: array<_>` (W).
+    *
+    * The per-window `transform`/`slice` lambdas evaluate interpreted, but
+    * this is the model-boundary restructuring step — O(W·D) work per
+    * window on data already materialized by `collect_list`; no shuffle
+    * beyond the window's own.
+    */
+  def supervisedWindowV2(df: DataFrame, vecCol: Column, size: Int,
+                         partitionBy: Seq[String], orderBy: Seq[String]): DataFrame =
+    slidingWindow(df, vecCol, size, partitionBy, orderBy)
+      .withColumn("input", transform(col("win"), r => slice(r, lit(2), org.apache.spark.sql.functions.size(r) - 1)))
+      .withColumn("target", transform(col("win"), r => element_at(r, 1)))
+
+  /** Arbitrary per-window feature/target index gather
+    * (`windowed_dataset_to_windowed_dataset_select_features_targets`,
+    * tfdataset.py:274-283): `input` = `window[:, featureIdx]`, `target` =
+    * `window[:, targetIdx]` — `tf.gather(axis=1)` semantics, indices
+    * 0-based, any order, overlap allowed. Output
+    * `input: array<array<_>>` (W × |featureIdx|), `target: array<array<_>>`
+    * (W × |targetIdx|).
+    */
+  def windowGather(df: DataFrame, vecCol: Column, size: Int,
+                   featureIdx: Seq[Int], targetIdx: Seq[Int],
+                   partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
+    require(featureIdx.nonEmpty && targetIdx.nonEmpty, "gather needs feature and target indices")
+    def gather(idx: Seq[Int])(r: Column): Column =
+      array(idx.map(i => element_at(r, i + 1)): _*)
+    slidingWindow(df, vecCol, size, partitionBy, orderBy)
+      .withColumn("input", transform(col("win"), gather(featureIdx) _))
+      .withColumn("target", transform(col("win"), gather(targetIdx) _))
+  }
+
   /** Fixed batching with drop_remainder: assign `batch_id` by position,
     * keep only full batches of `batchSize`. Returns one row per (batch,
     * element) — callers `collect_list` if they need the packed form.

@@ -169,6 +169,50 @@ object Pipeline {
     windowed.select(col("split"), col("row_idx"), col("input"), col("target"))
   }
 
+  /** `windowed_dataset_v2` training-set assembly (tfdataset.py:265-271):
+    * same vectorize→split→window flow as [[supervisedExamples]], but the
+    * supervision split is per COLUMN, not per row — every window row
+    * contributes `input` = features 1.. and `target` = feature 0.
+    * Returns `(split, row_idx, input: array<array<double>>,
+    * target: array<double>)`.
+    */
+  def supervisedExamplesV2(prepared: Prepared, windowSize: Int,
+                           fractions: (Double, Double, Double) = (0.7, 0.2, 0.1)): DataFrame = {
+    val vec = array(prepared.outputColumns.map(c => col(c).cast("double")): _*)
+    val df = prepared.df.withColumn("vec", vec)
+    val split = WindowOps.prefixSplit(df, fractions, Seq.empty, Seq("row_idx"))
+    val windowed = WindowOps.supervisedWindowV2(
+      split.drop("rn"), col("vec"), windowSize, Seq("split"), Seq("row_idx"))
+    windowed.select(col("split"), col("row_idx"), col("input"), col("target"))
+  }
+
+  /** Name-driven feature/target selection + window gather — the engine's
+    * `get_input_target_dataset` (datapipeline.py:427-474): the reference
+    * builds separate input/target datasets from feature-NAME lists, then
+    * windows both and zips; index-wise that is exactly
+    * `windowed_dataset_to_windowed_dataset_select_features_targets`
+    * (tfdataset.py:274-283) applied to the combined feature vector, so we
+    * resolve names → indices into `outputColumns` and gather once
+    * (one window pass, no zip of two windowed datasets).
+    */
+  def supervisedExamplesSelect(prepared: Prepared, windowSize: Int,
+                               inputFeatures: Seq[String], targetFeatures: Seq[String],
+                               fractions: (Double, Double, Double) = (0.7, 0.2, 0.1)): DataFrame = {
+    val idxOf = prepared.outputColumns.zipWithIndex.toMap
+    def resolve(names: Seq[String], role: String): Seq[Int] = names.map { n =>
+      idxOf.getOrElse(n, throw new IllegalArgumentException(
+        s"$role feature '$n' not among output columns ${prepared.outputColumns.mkString(", ")}"))
+    }
+    val featureIdx = resolve(inputFeatures, "input")
+    val targetIdx = resolve(targetFeatures, "target")
+    val vec = array(prepared.outputColumns.map(c => col(c).cast("double")): _*)
+    val df = prepared.df.withColumn("vec", vec)
+    val split = WindowOps.prefixSplit(df, fractions, Seq.empty, Seq("row_idx"))
+    val windowed = WindowOps.windowGather(
+      split.drop("rn"), col("vec"), windowSize, featureIdx, targetIdx, Seq("split"), Seq("row_idx"))
+    windowed.select(col("split"), col("row_idx"), col("input"), col("target"))
+  }
+
   /** The reference's final training shape (`tfdataset_to_batched_tfdataset`,
     * tfdataset.py:290-298): group supervised windows into fixed batches
     * (drop_remainder), packing `inputs: array<array<array<double>>>`

@@ -23,6 +23,28 @@ object DedupQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** One verified-pairs computation per (session, dir), shared by
+    * `dedup_ngram_jaccard` and `dedup_lsh_pairs` — each used to rebuild
+    * (and re-cache, and leak) the whole shingle→signatures→verify
+    * pipeline. `Dedup.lshVerifiedPairs` materializes the (small) pair
+    * set and releases its internal index cache; this memo keeps exactly
+    * ONE persisted pair set alive, unpersisting the previous one when
+    * the session or data dir changes.
+    */
+  private var pairsMemo: Option[((Int, String), DataFrame)] = None
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+    val key = (System.identityHashCode(s), d)
+    pairsMemo match {
+      case Some((k, df)) if k == key => df
+      case prev =>
+        prev.foreach(_._2.unpersist(false))
+        val df = Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id",
+          k = 8, rowsPerBand = 2, threshold = 0.2)
+        pairsMemo = Some((key, df))
+        df
+    }
+  }
+
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
   // aggregation; only (fp, id) shuffles, never the text.
@@ -81,8 +103,7 @@ object DedupQueries {
   // fine-grained blocking keys).
   // ========================================================================
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id", k = 8, rowsPerBand = 2, threshold = 0.2)
-      .orderBy(col("id_a"), col("id_b"))
+    verifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   private val dedupNgramJaccardSql =
     s"""WITH $lshPipelineCtes
@@ -110,9 +131,7 @@ object DedupQueries {
   // verified partner. The full production dedup decision.
   // ========================================================================
   def dedupLshPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.dupOfFirst(
-      Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id", k = 8, rowsPerBand = 2, threshold = 0.2))
-      .orderBy(col("doc_id"))
+    Dedup.dupOfFirst(verifiedPairs(s, d)).orderBy(col("doc_id"))
 
   private val dedupLshPairsSql =
     s"""WITH $lshPipelineCtes
@@ -196,6 +215,42 @@ object DedupQueries {
       |WHERE cos >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ========================================================================
+  // dedup_embedding_lsh — the SCALE path for embedding near-dup: candidate
+  // pairs from hyperplane-LSH buckets (2^8 buckets here; nPlanes grows
+  // with the corpus, see Dedup.embeddingLshPairs), exact cosine verify on
+  // same-bucket pairs only. Replaces the constant-cardinality `label`
+  // blocking of dedup_embedding_cosine (kept as the oracle fixture) whose
+  // pair count grows quadratically with the corpus.
+  // ========================================================================
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingLshPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 8, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dedupEmbeddingLshSql = {
+    // bucket bits replicate Similarity.planeCoef exactly: integer
+    // coefficients ((i*37 + j*101) % 19 - 9), 0-based dim index, double
+    // left-to-right dot (list_sum == Spark aggregate order)
+    val bits = (0 until 8).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $j * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST($bits AS BIGINT) AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(cos, 4) AS cos
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+       |  LATERAL (SELECT list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos)
+       |WHERE cos >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -204,6 +259,7 @@ object DedupQueries {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -214,5 +270,6 @@ object DedupQueries {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
   )
 }

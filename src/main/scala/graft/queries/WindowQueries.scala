@@ -77,6 +77,71 @@ object WindowQueries {
       |ORDER BY anchor_id, pos""".stripMargin
 
   // ========================================================================
+  // §2.5 window_supervised_v2 — windowed_dataset_v2 column split: each
+  // window row's vector → (cols 1.. = input, col 0 = target). Vector per
+  // row = [value, user_id, event_id % 100]; compared in exploded
+  // (anchor_id, pos, input_1, input_2, target_v) form with the inner
+  // input array flattened to fixed columns (width known = D−1 = 2).
+  // ========================================================================
+  private def evVec(s: SparkSession, d: String) =
+    evE(s, d).withColumn("vec", array(col("value"),
+      col("user_id").cast("double"), (col("event_id") % 100).cast("double")))
+
+  def windowSupervisedV2(s: SparkSession, d: String): DataFrame =
+    WindowOps.supervisedWindowV2(evVec(s, d), col("vec"), 4, Seq("user_id"), orderCols)
+      .select(col("event_id").as("anchor_id"),
+        posexplode(arrays_zip(col("input"), col("target"))).as(Seq("pos", "z")))
+      .select(col("anchor_id"), col("pos").cast("long").as("pos"),
+        element_at(col("z.input"), 1).as("input_1"),
+        element_at(col("z.input"), 2).as("input_2"),
+        col("z.target").as("target_v"))
+      .orderBy(col("anchor_id"), col("pos"))
+
+  private val windowSupervisedV2Sql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT a.event_id AS anchor_id, CAST(b.rn - a.rn AS BIGINT) AS pos,
+      |  CAST(b.user_id AS DOUBLE) AS input_1,
+      |  CAST(b.event_id % 100 AS DOUBLE) AS input_2,
+      |  b.value AS target_v
+      |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn >= a.rn AND b.rn <= a.rn + 3
+      |WHERE a.rn + 3 <= a.n
+      |ORDER BY anchor_id, pos""".stripMargin
+
+  // ========================================================================
+  // §2.5 window_gather — tf.gather(axis=1) index selection per window:
+  // features = vec[[2,0]] (reordered), targets = vec[[1]] — exercises
+  // arbitrary order and the feature/target overlap-free split.
+  // ========================================================================
+  def windowGather(s: SparkSession, d: String): DataFrame =
+    WindowOps.windowGather(evVec(s, d), col("vec"), 4,
+        featureIdx = Seq(2, 0), targetIdx = Seq(1), Seq("user_id"), orderCols)
+      .select(col("event_id").as("anchor_id"),
+        posexplode(arrays_zip(col("input"), col("target"))).as(Seq("pos", "z")))
+      .select(col("anchor_id"), col("pos").cast("long").as("pos"),
+        element_at(col("z.input"), 1).as("f_1"),
+        element_at(col("z.input"), 2).as("f_2"),
+        element_at(col("z.target"), 1).as("t_1"))
+      .orderBy(col("anchor_id"), col("pos"))
+
+  private val windowGatherSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT a.event_id AS anchor_id, CAST(b.rn - a.rn AS BIGINT) AS pos,
+      |  CAST(b.event_id % 100 AS DOUBLE) AS f_1,
+      |  b.value AS f_2,
+      |  CAST(b.user_id AS DOUBLE) AS t_1
+      |FROM r a JOIN r b ON a.user_id = b.user_id AND b.rn >= a.rn AND b.rn <= a.rn + 3
+      |WHERE a.rn + 3 <= a.n
+      |ORDER BY anchor_id, pos""".stripMargin
+
+  // ========================================================================
   // §2.6 batch_fixed — fixed batches of 100, drop_remainder, global order
   // (inherently total-order; one row_number pass), per-batch aggregate out.
   // ========================================================================
@@ -218,6 +283,63 @@ object WindowQueries {
       |FROM w ORDER BY event_id""".stripMargin
 
   // ========================================================================
+  // §2.5 fill_policy — the reference's per-column fill DISPATCHER
+  // (fill_missing_values_in_df): v_inst (instantaneous) → ffill with
+  // conditional >1-remaining backfill; v_cum (cumulative, in
+  // columns_to_avoid) → forward-only linear interpolation. Nulls injected
+  // deterministically (%7 / %11).
+  // ========================================================================
+  def fillPolicy(s: SparkSession, d: String): DataFrame = {
+    val e = evE(s, d)
+      .withColumn("v_inst", when(col("event_id") % 7 =!= 0, col("value")))
+      .withColumn("v_cum", when(col("event_id") % 11 =!= 0, col("value") * 2))
+      .withColumn("t", col("e_us").cast("double"))
+    Fill.fillMissing(e, Seq("v_inst", "v_cum"), Set("v_cum"), col("t"),
+        Seq("user_id"), orderCols)
+      .select(col("event_id"), col("v_inst"), col("v_cum"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fillPolicySql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS e_us,
+      |    CAST(epoch_us(ts) AS DOUBLE) AS t,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_inst,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE value * 2 END AS v_cum
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, t, v_cum,
+      |    last_value(v_inst IGNORE NULLS) OVER win_f AS ff,
+      |    first_value(v_inst IGNORE NULLS) OVER win_b AS bf,
+      |    last_value(CASE WHEN v_cum IS NOT NULL THEN t END IGNORE NULLS) OVER win_p AS pt,
+      |    last_value(CASE WHEN v_cum IS NOT NULL THEN v_cum END IGNORE NULLS) OVER win_p AS pv,
+      |    first_value(CASE WHEN v_cum IS NOT NULL THEN t END IGNORE NULLS) OVER win_n AS nt,
+      |    first_value(CASE WHEN v_cum IS NOT NULL THEN v_cum END IGNORE NULLS) OVER win_n AS nv
+      |  FROM r
+      |  WINDOW
+      |    win_f AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    win_b AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+      |    win_p AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    win_n AS (PARTITION BY user_id ORDER BY e_us, event_id
+      |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+      |f AS (
+      |  SELECT event_id, ff, bf,
+      |    sum(CASE WHEN ff IS NULL THEN 1 ELSE 0 END) OVER (PARTITION BY user_id) AS remaining,
+      |    CASE WHEN v_cum IS NOT NULL THEN v_cum
+      |         WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+      |           THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+      |         WHEN pt IS NOT NULL THEN pv
+      |         ELSE NULL END AS v_cum_f
+      |  FROM w)
+      |SELECT event_id,
+      |  CASE WHEN remaining > 1 THEN coalesce(ff, bf) ELSE ff END AS v_inst,
+      |  v_cum_f AS v_cum
+      |FROM f ORDER BY event_id""".stripMargin
+
+  // ========================================================================
   // §2.1 derive_synthetic_ts — synthesize a timestamp column from the row
   // index (get_df_der: pd.date_range('2023-01-01', freq='S'),
   // pandas_utilities.py:42).
@@ -292,12 +414,15 @@ object WindowQueries {
   val queries: Map[String, Q] = Map(
     "sliding_window" -> (slidingWindow _),
     "window_supervised" -> (windowSupervised _),
+    "window_supervised_v2" -> (windowSupervisedV2 _),
+    "window_gather" -> (windowGather _),
     "batch_fixed" -> (batchFixed _),
     "split_prefix" -> (splitPrefix _),
     "offset_skip" -> (offsetSkip _),
     "resample_up_explode" -> (resampleUpExplode _),
     "fill_forward" -> (fillForward _),
     "fill_interpolate" -> (fillInterpolate _),
+    "fill_policy" -> (fillPolicy _),
     "derive_synthetic_ts" -> (deriveSyntheticTs _),
     "sample_rate" -> (sampleRate _),
     "null_profile" -> (nullProfile _),
@@ -307,12 +432,15 @@ object WindowQueries {
   val oracleSql: Map[String, String] = Map(
     "sliding_window" -> slidingWindowSql,
     "window_supervised" -> windowSupervisedSql,
+    "window_supervised_v2" -> windowSupervisedV2Sql,
+    "window_gather" -> windowGatherSql,
     "batch_fixed" -> batchFixedSql,
     "split_prefix" -> splitPrefixSql,
     "offset_skip" -> offsetSkipSql,
     "resample_up_explode" -> resampleUpExplodeSql,
     "fill_forward" -> fillForwardSql,
     "fill_interpolate" -> fillInterpolateSql,
+    "fill_policy" -> fillPolicySql,
     "derive_synthetic_ts" -> deriveSyntheticTsSql,
     "sample_rate" -> sampleRateSql,
     "null_profile" -> nullProfileSql,

@@ -26,6 +26,30 @@ class WindowOpsSpec extends SparkSpec {
     assert(row.getAs[Double]("target") == win.last)
   }
 
+  lazy val vecSeries = (1 to 20).map(i =>
+    (i.toLong, Array(i * 1.0, i * 10.0, i * 100.0))).toSeq
+    .toDF("id", "vec")
+
+  test("supervisedWindowV2 splits columns: target = col 0 per row, input = cols 1..") {
+    val w = WindowOps.supervisedWindowV2(vecSeries, col("vec"), 3, Seq.empty, Seq("id"))
+    assert(w.count() == 18)
+    val row = w.orderBy("id").head()
+    val input = row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("input"))
+    val target = row.getSeq[Double](row.fieldIndex("target"))
+    assert(target.toSeq == Seq(1.0, 2.0, 3.0))                 // col 0 of rows 1..3
+    assert(input.map(_.toSeq) == Seq(Seq(10.0, 100.0), Seq(20.0, 200.0), Seq(30.0, 300.0)))
+  }
+
+  test("windowGather selects arbitrary feature/target indices in order") {
+    val w = WindowOps.windowGather(vecSeries, col("vec"), 2,
+      featureIdx = Seq(2, 0), targetIdx = Seq(1), Seq.empty, Seq("id"))
+    val row = w.orderBy("id").head()
+    val input = row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("input"))
+    val target = row.getSeq[scala.collection.Seq[Double]](row.fieldIndex("target"))
+    assert(input.map(_.toSeq) == Seq(Seq(100.0, 1.0), Seq(200.0, 2.0)))  // [2,0] order kept
+    assert(target.map(_.toSeq) == Seq(Seq(10.0), Seq(20.0)))
+  }
+
   test("fixedBatches drops the remainder") {
     val b = WindowOps.fixedBatches(series, 30, Seq.empty, Seq("id"))
     assert(b.count() == 90) // 100 rows -> 3 full batches of 30
@@ -47,6 +71,28 @@ class WindowOpsSpec extends SparkSpec {
     val o = WindowOps.offsetSkip(series, 10, Seq.empty, Seq("id"))
     assert(o.count() == 90)
     assert(o.agg(min("id")).head().getLong(0) == 11)
+  }
+
+  test("global row index is dense on a multi-partition frame (no dups, no gaps)") {
+    // invariant behind WindowOps.globalRowIdx: the two-job zipWithIndex must
+    // produce a permutation of 1..N even when the input arrives arbitrarily
+    // partitioned (the pure-DataFrame formulation is flaky under AQE —
+    // duplicated and gapped indices; see the scaladoc on globalRowIdx)
+    val df = spark.range(0, 5000)
+      .select((col("id") * 7919 % 10007).as("k"), col("id").as("payload"))
+      .repartition(8)
+    val idx = WindowOps.withRowIdx(df, Seq.empty, Seq("k", "payload"), "rn")
+    val n = idx.count()
+    assert(n == 5000)
+    assert(idx.select("rn").distinct().count() == n)
+    assert(idx.agg(max("rn"), min("rn")).head() match {
+      case r => r.getLong(0) == n && r.getLong(1) == 1L
+    })
+    // order correctness: rn ascends with the total order (k, payload)
+    val firstByOrder = df.orderBy("k", "payload").head()
+    val firstByIdx = idx.filter(col("rn") === 1L).head()
+    assert(firstByOrder.getLong(0) == firstByIdx.getLong(0) &&
+      firstByOrder.getLong(1) == firstByIdx.getLong(1))
   }
 
   test("lagInterval computes next-minus-current (and reference sign flips)") {

@@ -174,6 +174,46 @@ class PipelineSpec extends SparkSpec {
     assert(input.head.size == 6)
   }
 
+  test("supervised examples v2: per-column split (target = feature 0, every window row)") {
+    val cfg = PipelineConfig.fromJson(derConfigJson)
+    val prep = Pipeline.run(spark, cfg, pathOverride = Some(derCsv))
+    val ex = Pipeline.supervisedExamplesV2(prep, windowSize = 2, fractions = (0.5, 0.25, 0.25))
+    val first = ex.orderBy("row_idx").head()
+    val input = first.getSeq[scala.collection.Seq[Double]](first.fieldIndex("input"))
+    val target = first.getSeq[Double](first.fieldIndex("target"))
+    assert(input.length == 2)            // every window row contributes
+    assert(input.head.size == 5)         // D-1 features (6 outputs - col 0)
+    assert(target.length == 2)           // one target per window row
+    // target is column 0 = normalized W of each window row; input row = cols 1..
+    val applied = prep.df.orderBy("row_idx").collect()
+    val expectW = applied(0).getAs[Double](prep.outputColumns.head)
+    assert(math.abs(target.head - expectW) < 1e-12)
+    assert(math.abs(input.head.head - applied(0).getAs[Double](prep.outputColumns(1))) < 1e-12)
+  }
+
+  test("supervised examples select: name-driven feature/target gather from config features") {
+    val cfg = PipelineConfig.fromJson(derConfigJson)
+    val prep = Pipeline.run(spark, cfg, pathOverride = Some(derCsv))
+    // target by NAME (the get_input_target_dataset contract): predict DCW
+    // from (PhVphA, W) — arbitrary order, resolved to indices internally
+    val ex = Pipeline.supervisedExamplesSelect(prep, windowSize = 2,
+      inputFeatures = Seq("PhVphA", "W"), targetFeatures = Seq("DCW"),
+      fractions = (0.5, 0.25, 0.25))
+    val first = ex.orderBy("row_idx").head()
+    val input = first.getSeq[scala.collection.Seq[Double]](first.fieldIndex("input"))
+    val target = first.getSeq[scala.collection.Seq[Double]](first.fieldIndex("target"))
+    assert(input.length == 2 && input.head.size == 2)
+    assert(target.length == 2 && target.head.size == 1)
+    val applied = prep.df.orderBy("row_idx").collect()
+    assert(math.abs(input.head.head - applied(0).getAs[Double]("PhVphA")) < 1e-12)
+    assert(math.abs(input.head(1) - applied(0).getAs[Double]("W")) < 1e-12)
+    assert(math.abs(target.head.head - applied(0).getAs[Double]("DCW")) < 1e-12)
+    // unknown name is a config error, not silent index garbage
+    intercept[IllegalArgumentException] {
+      Pipeline.supervisedExamplesSelect(prep, 2, Seq("nope"), Seq("DCW"))
+    }
+  }
+
   test("batchedExamples packs full batches of (inputs, targets) per split") {
     val cfg = PipelineConfig.fromJson(derConfigJson)
     val prep = Pipeline.run(spark, cfg, pathOverride = Some(derCsv))
