@@ -72,6 +72,25 @@ object Quality {
       .toDF("check_name", "n_failures")
   }
 
+  /** Fault injection — the reference's own negative-path driver
+    * (`add_errors`, pandas_utilities.py:50-52: `df.loc[1,"vb"] = 1e7`
+    * then rename `va` → `Va`): corrupt the single cell of `corruptCol`
+    * at 0-based order position `rowPos` to `magnitude`, and rename
+    * `renameFrom` to `renameTo`. Exists to prove the Quality checks and
+    * schema verification actually fire — see QualitySpec.
+    *
+    * The positional corruption needs a total order; with no partition
+    * key that takes the distributed [[WindowOps.withRowIdx]] path (no
+    * single-task global sort even for a corruptor).
+    */
+  def addErrors(df: DataFrame, orderBy: Seq[String], corruptCol: String, rowPos: Long,
+                magnitude: Double, renameFrom: String, renameTo: String): DataFrame =
+    WindowOps.withRowIdx(df, Seq.empty, orderBy, "__rn")
+      .withColumn(corruptCol,
+        when(col("__rn") === rowPos + 1, lit(magnitude)).otherwise(col(corruptCol)))
+      .drop("__rn")
+      .withColumnRenamed(renameFrom, renameTo)
+
   /** Do all adjacent intervals equal `expected`? One boolean row.
     * `intervals` is a pre-computed adjacent-diff column (see
     * [[WindowOps.lagInterval]]).

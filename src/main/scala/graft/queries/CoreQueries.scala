@@ -322,6 +322,29 @@ object CoreQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ========================================================================
+  // §2.1 fault_inject — the reference's add_errors corruptor
+  // (pandas_utilities.py:50-52): one cell at order position 1 → 1e7, one
+  // column renamed (va → Va analog). The corrupted frame is what the
+  // Quality checks are proven against in QualitySpec.
+  // ========================================================================
+  def faultInject(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quality.addErrors(
+        ev(s, d).select(col("event_id"), col("value"), col("event_type")),
+        Seq("event_id"), "value", rowPos = 1, magnitude = 1e7,
+        renameFrom = "event_type", renameTo = "EventType")
+      .orderBy(col("event_id"))
+
+  private val faultInjectSql =
+    """WITH r AS (
+      |  SELECT event_id, value, event_type,
+      |    row_number() OVER (ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT event_id,
+      |  CASE WHEN rn = 2 THEN 1e7 ELSE value END AS value,
+      |  event_type AS "EventType"
+      |FROM r ORDER BY event_id""".stripMargin
+
+  // ========================================================================
   // registry
   // ========================================================================
   val queries: Map[String, Q] = Map(
@@ -343,6 +366,7 @@ object CoreQueries {
     "normalize_apply" -> (normalizeApply _),
     "agg_percentile" -> (aggPercentile _),
     "agg_corr" -> (aggCorr _),
+    "fault_inject" -> (faultInject _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -364,5 +388,6 @@ object CoreQueries {
     "normalize_apply" -> normalizeApplySql,
     "agg_percentile" -> aggPercentileSql,
     "agg_corr" -> aggCorrSql,
+    "fault_inject" -> faultInjectSql,
   )
 }

@@ -43,6 +43,34 @@ class QualitySpec extends SparkSpec {
     assert(a.sorted == (1 to 50))
   }
 
+  test("addErrors corrupts exactly one cell by order position and renames the column") {
+    // reference add_errors: df.loc[1,'vb'] = 1e7; rename va -> Va
+    val df = Seq((3L, 5.0, 1.0), (1L, 6.0, 2.0), (2L, 7.0, 3.0)).toDF("id", "vb", "va")
+      .repartition(3) // multi-partition: position must follow ORDER, not layout
+    val bad = Quality.addErrors(df, Seq("id"), "vb", rowPos = 1,
+      magnitude = 1e7, renameFrom = "va", renameTo = "Va")
+    assert(bad.columns.toSeq == Seq("id", "vb", "Va"))
+    val rows = bad.orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // order by id: positions 0,1,2 = ids 1,2,3 -> id 2 corrupted
+    assert(rows.toSeq == Seq(1L -> 6.0, 2L -> 1e7, 3L -> 5.0))
+  }
+
+  test("addErrors drives the negative paths: range check fires, schema audit detects the rename") {
+    val df = Seq((1L, 5.0, 1.0), (2L, 6.0, 2.0), (3L, 7.0, 3.0)).toDF("id", "vb", "va")
+    val bad = Quality.addErrors(df, Seq("id"), "vb", 1, 1e7, "va", "Va")
+    // the plausibility check that passed on clean data now fails on exactly 1 row
+    val clean = Quality.errorsAsDf(df, Seq("vb_plausible" -> (col("vb") < 1e6)))
+    assert(clean.count() == 0)
+    val errs = Quality.errorsAsDf(bad, Seq("vb_plausible" -> (col("vb") < 1e6)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(errs == Map("vb_plausible" -> 1L))
+    // schema verification (check_csv_file semantics): expected names no longer match
+    val expected = Seq("id", "vb", "va")
+    val missing = expected.diff(bad.columns.toSeq)
+    val unexpected = bad.columns.toSeq.diff(expected)
+    assert(missing == Seq("va") && unexpected == Seq("Va"))
+  }
+
   test("constantInterval validates a regular grid") {
     val ok = Seq(10L, 20L, 30L).toDF("t")
       .select(graft.operators.WindowOps.lagInterval(col("t"), Seq.empty, Seq("t")).as("i"))
