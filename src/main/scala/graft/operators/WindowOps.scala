@@ -63,25 +63,40 @@ object WindowOps {
     */
   private def globalRowIdx(df: DataFrame, orderBy: Seq[String], idxCol: String,
                            totalCol: Option[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
     require(orderBy.nonEmpty, "a global row index needs an explicit total order")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val keys = orderBy.map(col)
     val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
-    val rdd = sorted.rdd
-    val counts = rdd.mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
-      .collect()
+    // The pinned RDD is taken at the INTERNAL row level (queryExecution
+    // .toRdd) and re-enters the plan via internalCreateDataFrame: no
+    // InternalRow→Row→InternalRow conversion on either edge, and the
+    // resulting scan participates in WholeStageCodegen downstream (the
+    // previous .rdd/createDataFrame formulation paid a per-field external
+    // conversion both ways — ~1 s per million rows of local overhead).
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd.mapPartitions { it =>
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator.single(c)
+    }.collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val total = offsets.last
+    val extraWidth = 1 + totalCol.size
     val indexed = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var i = offsets(pid)
-      val extra = totalCol.map(_ => total).toList
-      it.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq ++ (i :: extra)) }
+      // per-partition scratch rows: the JoinedRow view is consumed (and
+      // copied by the downstream unsafe projection) before the next
+      // element mutates it — the standard InternalRow-reuse contract
+      val extra = new GenericInternalRow(extraWidth)
+      if (extraWidth == 2) extra.update(1, total)
+      val joined = new JoinedRow
+      it.map { r => i += 1; extra.update(0, i); joined(r, extra): org.apache.spark.sql.catalyst.InternalRow }
     }
     val fields = sorted.schema.fields ++
       (org.apache.spark.sql.types.StructField(idxCol, org.apache.spark.sql.types.LongType, nullable = false) +:
         totalCol.map(tc => org.apache.spark.sql.types.StructField(tc, org.apache.spark.sql.types.LongType, nullable = false)).toSeq)
-    spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(fields))
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, indexed,
+      org.apache.spark.sql.types.StructType(fields))
   }
 
   /** Row index (1-based) within each partition by the given order; with an

@@ -13,4 +13,15 @@ object GraftSqlBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame from an already-computed `RDD[InternalRow]` WITHOUT the
+    * external-Row round-trip (`createDataFrame(RDD[Row], schema)` pays an
+    * InternalRow→Row→InternalRow conversion per field per row). Used by
+    * the distributed global row index (WindowOps.globalRowIdx), whose
+    * output feeds straight back into codegen'd plans.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+                              rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+                              schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

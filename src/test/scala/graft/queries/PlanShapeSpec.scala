@@ -69,12 +69,23 @@ class PlanShapeSpec extends SparkSpec {
 
   // Global-order operators must NOT plan row_number() over an empty
   // partition spec (one task sorts the whole table). The distributed
-  // path shows a RangePartitioning exchange + partition-local index and
-  // its only Window is the ≤numShufflePartitions-row offset cumsum.
+  // path pre-computes the index over a pinned range-partitioned
+  // InternalRow RDD (WindowOps.globalRowIdx), which re-enters the plan
+  // as an ExistingRDD scan — so the consumer plan shows the RDD scan
+  // and no global row_number window.
   for (q <- Seq("batch_fixed", "split_prefix", "offset_skip", "derive_synthetic_ts"))
-    test(s"$q builds its global row index distributed (range partition, no global row_number)") {
+    test(s"$q builds its global row index distributed (pinned range RDD, no global row_number)") {
       val p = plan(q)
       assert(!p.contains("row_number"), p)
-      assert(p.toLowerCase.contains("rangepartitioning"), p)
+      assert(p.contains("ExistingRDD"), p)
     }
+
+  test("the pinned row-index RDD itself is range-partitioned (no single-task sort)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))
+    val sorted = df.repartitionByRange(8, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+    val p = sorted.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+  }
 }
