@@ -79,6 +79,26 @@ object Dedup {
       .withColumn("hex", md5(concat_ws(" ", col("tok"), col("t1"), col("t2"))))
   }
 
+  /** The distinct (id, h1, h2) 56-bit shingle-hash relation — the shared
+    * root of the whole text-LSH family (signatures, band keys, exact
+    * Jaccard verify all derive from it). Computing it once per corpus
+    * and persisting is the single biggest dedup-pipeline saving; see
+    * DedupQueries' memo.
+    */
+  def shingleHashRelation(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    shingleHexRows(df, textCol, idCol, Seq.empty)
+      .select(col(idCol),
+        conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hex"), 15, 14), 16, 10).cast("long").as("h2"))
+      .distinct()
+
+  /** MinHash signatures from a pre-built [[shingleHashRelation]]. */
+  def signaturesFromHashes(ex: DataFrame, idCol: String, k: Int): DataFrame =
+    ex.withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col(idCol), col("i"))
+      .agg(min((col("h1") + col("i") * col("h2")).bitwiseAND(HashMask)).as("minh"))
+      .select(col(idCol), col("i").cast("long").as("i"), col("minh"))
+
   /** MinHash signature in long form: one row per (id, i) with
     * `minh` = min over shingles of `(h1 + i·h2) & HashMask`, i ∈ [0, k)
     * — k families from ONE md5 per shingle (Carter-Wegman).
@@ -90,15 +110,7 @@ object Dedup {
     * O(shingles · k).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
-    shingleHexRows(df, textCol, idCol, Seq.empty)
-      .select(col(idCol),
-        conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(col("hex"), 15, 14), 16, 10).cast("long").as("h2"))
-      .distinct()
-      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col(idCol), col("i"))
-      .agg(min((col("h1") + col("i") * col("h2")).bitwiseAND(HashMask)).as("minh"))
-      .select(col(idCol), col("i").cast("long").as("i"), col("minh"))
+    signaturesFromHashes(shingleHashRelation(df, textCol, idCol), idCol, k)
 
   /** LSH band keys over the long-form signatures: one row per (id, band)
     * with `band_key` = 60-bit hash of the i-ORDERED minhash sequence in
@@ -153,22 +165,27 @@ object Dedup {
     */
   def lshVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
                        k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val ex = shingleHashRelation(df, textCol, idCol).cache()
+    val pairs = verifiedPairsFromHashes(ex, idCol, k, rowsPerBand, threshold).persist()
+    pairs.count() // materialize via the cached index, then drop the index
+    ex.unpersist(blocking = false)
+    pairs
+  }
+
+  /** Candidate generation + exact-Jaccard verify over a pre-built (and
+    * ideally persisted) [[shingleHashRelation]] — the composable form of
+    * [[lshVerifiedPairs]] for callers that share the hash relation across
+    * several derived outputs (signatures, band keys, pair list,
+    * keep-first resolution). Lazy: no persist, no action.
+    */
+  def verifiedPairsFromHashes(ex: DataFrame, idCol: String,
+                              k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "zero-intersection candidates are dropped by the verify join")
-    val ex = shingleHexRows(df, textCol, idCol, Seq.empty)
-      .select(col(idCol),
-        conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(col("hex"), 15, 14), 16, 10).cast("long").as("h2"))
-      .distinct()
-      .cache()
-    val sigs = ex
-      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy(col(idCol), col("i"))
-      .agg(min((col("h1") + col("i") * col("h2")).bitwiseAND(HashMask)).as("minh"))
-      .select(col(idCol), col("i").cast("long").as("i"), col("minh"))
+    val sigs = signaturesFromHashes(ex, idCol, k)
     val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
     val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val pairs = cand
+    cand
       .join(sh.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b"))
@@ -181,10 +198,6 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .persist()
-    pairs.count() // materialize via the cached index, then drop the index
-    ex.unpersist(blocking = false)
-    pairs
   }
 
   /** Keep-first resolution of verified near-dup pairs: each doc that has

@@ -23,27 +23,36 @@ object DedupQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** One verified-pairs computation per (session, dir), shared by
-    * `dedup_ngram_jaccard` and `dedup_lsh_pairs` — each used to rebuild
-    * (and re-cache, and leak) the whole shingle→signatures→verify
-    * pipeline. `Dedup.lshVerifiedPairs` materializes the (small) pair
-    * set and releases its internal index cache; this memo keeps exactly
-    * ONE persisted pair set alive, unpersisting the previous one when
-    * the session or data dir changes.
+  /** One text-LSH pipeline per (session, dir), shared by ALL its
+    * consumers — `dedup_minhash_sig`, `dedup_lsh_bands`,
+    * `dedup_ngram_jaccard`, `dedup_lsh_pairs` each used to rebuild (and
+    * re-cache, and leak) the shingle→signatures→verify pipeline from
+    * scratch. The memo holds the two reusable stages persisted: the
+    * distinct shingle-hash relation (the expensive tokenize+md5 scan,
+    * root of everything) and the verified pair set (root of the pair
+    * list and the keep-first resolution). Exactly ONE entry is kept
+    * alive; it is unpersisted when the session or data dir changes.
+    * This is also the 100 TB shape: a production dedup run computes the
+    * shingle index once and derives every artifact from it.
     */
-  private var pairsMemo: Option[((Int, String), DataFrame)] = None
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+  private var lshMemo: Option[((Int, String), (DataFrame, DataFrame))] = None
+  private def lshShared(s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
     val key = (System.identityHashCode(s), d)
-    pairsMemo match {
-      case Some((k, df)) if k == key => df
+    lshMemo match {
+      case Some((k, v)) if k == key => v
       case prev =>
-        prev.foreach(_._2.unpersist(false))
-        val df = Dedup.lshVerifiedPairs(docs(s, d), "text", "doc_id",
-          k = 8, rowsPerBand = 2, threshold = 0.2)
-        pairsMemo = Some((key, df))
-        df
+        prev.foreach { case (_, (ex, pairs)) =>
+          ex.unpersist(false); pairs.unpersist(false)
+        }
+        val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
+        val pairs = Dedup.verifiedPairsFromHashes(ex, "doc_id",
+          k = 8, rowsPerBand = 2, threshold = 0.2).persist()
+        val v = (ex, pairs)
+        lshMemo = Some((key, v))
+        v
     }
   }
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d)._2
 
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
@@ -117,7 +126,7 @@ object DedupQueries {
   // ========================================================================
   def dedupLshBands(s: SparkSession, d: String): DataFrame =
     Dedup.bandKeys(
-      Dedup.minhashSignatures(docs(s, d), "text", "doc_id", 8), "doc_id", 2)
+      Dedup.signaturesFromHashes(lshShared(s, d)._1, "doc_id", 8), "doc_id", 2)
       .orderBy(col("doc_id"), col("band"))
 
   private val dedupLshBandsSql =
@@ -145,7 +154,7 @@ object DedupQueries {
   // over these is in DedupSpec.
   // ========================================================================
   def dedupMinhashSig(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashSignatures(docs(s, d), "text", "doc_id", 8)
+    Dedup.signaturesFromHashes(lshShared(s, d)._1, "doc_id", 8)
       .orderBy(col("doc_id"), col("i"))
 
   private val dedupMinhashSigSql =
