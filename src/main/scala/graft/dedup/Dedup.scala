@@ -288,6 +288,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** OR-amplified multi-table variant of [[embeddingLshPairs]]: `nTables`
+    * independent hyperplane families (disjoint `planeOffset` ranges);
+    * a pair is a candidate if it collides in ANY table — the classical
+    * recall amplification (miss probability (1−p^…)ᵀ decays
+    * exponentially in T), at T× the bucketing cost. Candidates are
+    * deduplicated BEFORE the exact-cosine verify so each surviving pair
+    * pays one dot product regardless of how many tables it collided in.
+    *
+    * Multi-table candidates are a superset of table 0's by construction,
+    * so recall is monotone in `nTables` (asserted in DedupSpec).
+    */
+  def embeddingLshPairsMulti(df: DataFrame, idCol: String, vecCol: String,
+                             nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
+    import graft.sim.Similarity
+    val e = df.select(col(idCol), col(vecCol), Similarity.norm(col(vecCol)).as("nrm"))
+    val bucketed = e.select(col(idCol), posexplode(array((0 until nTables).map(t =>
+      Similarity.hyperplaneBucket(col(vecCol), nPlanes, t * nPlanes)): _*)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(e.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** 48-bit SimHash from whitespace tokens: bit j of the signature is 1
     * iff Σ_tokens (bit j of hash48(token) ? +1 : −1) > 0. Pure integer
     * math, cross-engine exact. Long-form intermediate keeps it set-based

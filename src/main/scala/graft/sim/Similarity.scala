@@ -68,12 +68,16 @@ object Similarity {
     */
   def planeCoef(j: Int, i: Column): Column = ((i * 37 + j * 101) % 19 - 9).cast("double")
 
-  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+  /** Random-hyperplane LSH bucket id from `nPlanes` sign bits.
+    * `planeOffset` selects a disjoint plane family — table t of an
+    * OR-amplified multi-table scheme passes `t * nPlanes` so its
+    * hyperplanes are independent of table 0's.
+    */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeCoef(j, i)),
+          (x, i) => x.cast("double") * planeCoef(planeOffset + j, i)),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << j)).otherwise(0L)
     }

@@ -62,4 +62,25 @@ class DedupSpec extends SparkSpec {
     // candidate generation must be far below the quadratic pair count
     assert(cand.count() < 200L * 199 / 2 / 10)
   }
+
+  test("multi-table embedding LSH: sound, deduplicated, recall monotone in tables") {
+    val emb = Tables.embeddings(spark, sf)
+    val th = 0.2
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairSet(Dedup.embeddingLshPairs(emb, "vec_id", "embedding", 8, th))
+    val multi = Dedup.embeddingLshPairsMulti(emb, "vec_id", "embedding",
+      nPlanes = 8, nTables = 4, threshold = th)
+    val multiRows = multi.collect()
+    val multiSet = multiRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dedup before verify: one output row per pair even with 4 tables
+    assert(multiRows.length == multiSet.size)
+    // soundness: every emitted pair really is above the cosine threshold
+    assert(multiRows.forall(_.getAs[Double]("cos") >= th))
+    // table 0 of the multi scheme IS the single-table scheme -> superset
+    assert(one.subsetOf(multiSet))
+    // and on this corpus the extra tables genuinely recover more pairs
+    assert(multiSet.size > one.size,
+      s"expected OR-amplification to add pairs: single=${one.size} multi=${multiSet.size}")
+  }
 }

@@ -121,4 +121,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("tsSec")).toSeq == Seq(25L))
     assert(rows.head.getAs[Long]("intervalSec") == 15L)
   }
+
+  test("streaming exactDedup admits one document per fingerprint, matching batch") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingDedup.exactDedup(df, "ts", "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (new java.sql.Timestamp(1700000000000L + id * 1000), id, t) }
+    stream.addData(docs)
+    q.processAllAvailable()
+    val admitted = spark.table("dedup_out").count()
+    q.stop()
+    // batch parity: one admitted doc per distinct canonical fingerprint
+    val want = graft.dedup.Dedup.exactGroups(
+      Tables.documents(spark, sf), "text", "doc_id").count()
+    assert(admitted == want)
+  }
+
+  test("streaming keepFirst maps duplicates to the earliest-batch keeper across batches") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.keepFirst(spark, df, "text", "doc_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("keepfirst_out").start()
+    // batch 1: ids 10, 3 share a text -> 3 is keeper (in-batch id order)
+    stream.addData((10L, "aa bb"), (3L, "aa bb"), (5L, "unique one"))
+    q.processAllAvailable()
+    // batch 2: id 1 repeats the text -> maps to the EARLIER keeper 3,
+    // even though 1 < 3 (streaming first-arrival wins across batches)
+    stream.addData((1L, "aa bb"), (7L, "unique one"))
+    q.processAllAvailable()
+    val rows = spark.table("keepfirst_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((1L, 3L), (7L, 5L), (10L, 3L)))
+  }
 }
