@@ -260,6 +260,46 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ========================================================================
+  // dedup_embedding_lsh_multi — OR-amplified multi-table variant (4
+  // independent plane families): recall amplification with candidates
+  // deduplicated before the single exact-cosine verify per pair.
+  // ========================================================================
+  def dedupEmbeddingLshMulti(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingLshPairsMulti(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 8, nTables = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val dedupEmbeddingLshMultiSql = {
+    def bits(t: Int) = (0 until 8).map { j =>
+      val plane = t * 8 + j
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $plane * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    val tables = (0 until 4).map(t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${bits(t)} AS BIGINT) AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH b AS (
+       |  $tables),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM b a JOIN b c
+       |    ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos
+       |FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+       |          JOIN e eb ON cand.id_b = eb.vec_id,
+       |  LATERAL (SELECT list_sum(list_transform(range(1, len(ea.embedding) + 1),
+       |    i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) / (ea.nrm * eb.nrm) AS cos)
+       |WHERE cos >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -269,6 +309,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -280,5 +321,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,
   )
 }
