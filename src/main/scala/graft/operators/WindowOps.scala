@@ -61,14 +61,23 @@ object WindowOps {
     * Rows with equal order keys land in the same range partition, so ties
     * behave exactly as in the window formulation.
     */
+  /** The range-partitioned, partition-locally-sorted input the global
+    * row index is computed over — package-visible so PlanShapeSpec can
+    * assert the REAL code path plans a RangePartitioning exchange with a
+    * partition-local (never single-task global) sort.
+    */
+  private[graft] def rangeSortedForIndex(df: DataFrame, orderBy: Seq[String]): DataFrame = {
+    require(orderBy.nonEmpty, "a global row index needs an explicit total order")
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val keys = orderBy.map(col)
+    df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   private def globalRowIdx(df: DataFrame, orderBy: Seq[String], idxCol: String,
                            totalCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-    require(orderBy.nonEmpty, "a global row index needs an explicit total order")
     val spark = df.sparkSession
-    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val keys = orderBy.map(col)
-    val sorted = df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+    val sorted = rangeSortedForIndex(df, orderBy)
     // The pinned RDD is taken at the INTERNAL row level (queryExecution
     // .toRdd) and re-enters the plan via internalCreateDataFrame: no
     // InternalRow→Row→InternalRow conversion on either edge, and the
@@ -179,6 +188,11 @@ object WindowOps {
                    featureIdx: Seq[Int], targetIdx: Seq[Int],
                    partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
     require(featureIdx.nonEmpty && targetIdx.nonEmpty, "gather needs feature and target indices")
+    // element_at interprets negative positions as from-the-end; tf.gather
+    // rejects them — validate here so a bad index fails loudly at
+    // construction, not as a silently wrong gather
+    require((featureIdx ++ targetIdx).forall(_ >= 0),
+      s"gather indices must be non-negative 0-based positions, got ${(featureIdx ++ targetIdx).filter(_ < 0).mkString(", ")}")
     def gather(idx: Seq[Int])(r: Column): Column =
       array(idx.map(i => element_at(r, i + 1)): _*)
     slidingWindow(df, vecCol, size, partitionBy, orderBy)

@@ -35,20 +35,33 @@ object DedupQueries {
     * This is also the 100 TB shape: a production dedup run computes the
     * shingle index once and derives every artifact from it.
     */
-  private var lshMemo: Option[((Int, String), (DataFrame, DataFrame))] = None
+  private var lshMemo: Option[((SparkSession, String), (DataFrame, DataFrame))] = None
   private def lshShared(s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
-    val key = (System.identityHashCode(s), d)
+    import org.apache.spark.storage.StorageLevel
     lshMemo match {
-      case Some((k, v)) if k == key => v
+      // key by session REFERENCE (not a hash, which the JVM may reuse
+      // after GC) — a new session must never see plans bound to an old one
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        // an external spark.catalog.clearCache() (Bench/Verify do this
+        // between families) silently drops the blocks but leaves the
+        // persisted flag cleared — re-mark so the sharing survives
+        val (ex, pairs) = v
+        if (ex.storageLevel == StorageLevel.NONE) ex.persist()
+        if (pairs.storageLevel == StorageLevel.NONE) pairs.persist()
+        v
       case prev =>
-        prev.foreach { case (_, (ex, pairs)) =>
-          ex.unpersist(false); pairs.unpersist(false)
+        prev.foreach { case (((ps, _), (ex, pairs))) =>
+          // previous session may already be stopped — releasing its
+          // cache is best-effort, never a failure of the NEW query
+          if (!ps.sparkContext.isStopped)
+            try { ex.unpersist(false); pairs.unpersist(false) }
+            catch { case _: IllegalStateException => () }
         }
         val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
         val pairs = Dedup.verifiedPairsFromHashes(ex, "doc_id",
           k = 8, rowsPerBand = 2, threshold = 0.2).persist()
         val v = (ex, pairs)
-        lshMemo = Some((key, v))
+        lshMemo = Some(((s, d), v))
         v
     }
   }

@@ -63,6 +63,23 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() < 200L * 199 / 2 / 10)
   }
 
+  test("lshVerifiedPairs (self-contained form) equals the composable pipeline and returns persisted pairs") {
+    // the one-shot API: persists+materializes internally, releases its
+    // shingle index, hands back a persisted pair set
+    val oneShot = Dedup.lshVerifiedPairs(docs, "text", "doc_id",
+      k = 16, rowsPerBand = 4, threshold = 0.5)
+    assert(oneShot.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val ex = Dedup.shingleHashRelation(docs, "text", "doc_id")
+    val composed = Dedup.verifiedPairsFromHashes(ex, "doc_id", 16, 4, 0.5)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set(oneShot) == set(composed))
+    // raw-identical texts (the shingle pipeline tokenizes RAW text — only
+    // exactGroups canonicalizes) verify at jaccard 1.0
+    assert(set(oneShot).contains((1L, 5L)))
+    oneShot.unpersist()
+  }
+
   test("multi-table embedding LSH: sound, deduplicated, recall monotone in tables") {
     val emb = Tables.embeddings(spark, sf)
     val th = 0.2

@@ -80,12 +80,16 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("ExistingRDD"), p)
     }
 
-  test("the pinned row-index RDD itself is range-partitioned (no single-task sort)") {
+  test("the pinned row-index input (the real code path) range-partitions with a local sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))
-    val sorted = df.repartitionByRange(8, col("event_id"))
-      .sortWithinPartitions(col("event_id"))
+    val sorted = graft.operators.WindowOps.rangeSortedForIndex(df, Seq("event_id"))
     val p = sorted.queryExecution.explainString(FormattedMode)
     assert(p.toLowerCase.contains("rangepartitioning"), p)
+    // every Sort node must be partition-local (global=false) — a global
+    // sort here would be the single-task bottleneck this path exists to
+    // avoid. In formatted explain a global sort renders as "Sort [...], true, 0".
+    val globalSorts = p.linesIterator.filter(l => l.contains("Sort [") && l.contains(", true,"))
+    assert(globalSorts.isEmpty, globalSorts.mkString("\n"))
   }
 }
