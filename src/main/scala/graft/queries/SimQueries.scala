@@ -99,6 +99,52 @@ object SimQueries {
       |ORDER BY label""".stripMargin
 
   // ========================================================================
+  // ann_ivf_search — the IVF production path end-to-end: learned per-cell
+  // centroids (one aggregation) → broadcast centroid assignment per query
+  // → top-5 ranked within the probed cell only. Per-query work is |cell|,
+  // not |corpus|.
+  // ========================================================================
+  def annIvfSearch(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearch(emb(s, d), "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 5)
+      .orderBy(col("q_id"), col("rank"))
+
+  private val annIvfSearchSql =
+    """WITH m AS (
+      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
+      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
+      |cn AS (
+      |  SELECT label AS cell, cvec,
+      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |assign AS (
+      |  SELECT q_id, q_vec, q_nrm, cell FROM (
+      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, cn.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[i]::DOUBLE * cn.cvec[i])) / (q.nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM e q, cn WHERE q.vec_id < 10)
+      |  WHERE rc = 1)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, CAST(cell AS BIGINT) AS cell,
+      |  round(cos, 4) AS cos
+      |FROM (
+      |  SELECT a.q_id, c.vec_id AS n_id, a.cell,
+      |    list_sum(list_transform(range(1, len(a.q_vec) + 1),
+      |      i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY a.q_id ORDER BY
+      |      list_sum(list_transform(range(1, len(a.q_vec) + 1),
+      |        i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
   // multimodal_meta — the binary-asset contract: payload as opaque bytes
   // + typed metadata (octet length, md5 checksum, media type). The
   // batched decode stub (mapPartitions) is exercised in MultimodalSpec.
@@ -121,6 +167,7 @@ object SimQueries {
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_centroid" -> (knnCentroid _),
+    "ann_ivf_search" -> (annIvfSearch _),
     "multimodal_meta" -> (multimodalMeta _),
   )
 
@@ -128,6 +175,7 @@ object SimQueries {
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_lsh_bucket" -> annLshBucketSql,
     "knn_centroid" -> knnCentroidSql,
+    "ann_ivf_search" -> annIvfSearchSql,
     "multimodal_meta" -> multimodalMetaSql,
   )
 }

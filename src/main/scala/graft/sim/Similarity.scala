@@ -84,6 +84,55 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Per-cell centroids learned from the data: mean per (cell, dim) —
+    * ONE aggregation over the exploded dims, map-side combined — packed
+    * back into a dim-ordered `array<double>` with its norm. Components
+    * are rounded to 6 digits: centroid means are independently
+    * recomputed per engine at oracle time, and the rounding makes the
+    * downstream argmax cell assignment engine-stable.
+    */
+  def ivfCentroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    df.select(col(cellCol).cast("long").as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mu"))
+      .groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+        s => s.getField("mu")).as("cvec"))
+      .withColumn("cnrm", norm(col("cvec")))
+
+  /** IVF-style ANN: learn [[ivfCentroids]] (one tiny aggregation), assign
+    * each query vector to its nearest centroid by cosine (a broadcast of
+    * ≤cells rows — the corpus never moves for assignment), then rank
+    * candidates ONLY within the probed cell. The 100 TB shape of
+    * similarity search: the per-query work is |cell|, not |corpus|, and
+    * the only corpus-wide pass is the centroid aggregation. (nprobe > 1
+    * generalizes by keeping the top-n cells instead of rc = 1.)
+    */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+                isQuery: Column, k: Int): DataFrame = {
+    val cent = ivfCentroids(df, cellCol, vecCol)
+    val e = df.select(col(idCol), col(cellCol).cast("long").as("cell"),
+      col(vecCol), norm(col(vecCol)).as("nrm"))
+    val q = e.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cell"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("cos_c", dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("rc", row_number().over(wa))
+      .filter(col("rc") === 1)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val c = e.select(col(idCol).as("n_id"), col("cell"), col(vecCol).as("n_vec"),
+      col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    c.join(broadcast(assigned), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("cell"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Bucketed ANN: assign buckets, then search only within the query's
     * bucket. Returns (q_id, n_id, cos) for same-bucket candidate pairs.
     */

@@ -54,4 +54,24 @@ class SimilaritySpec extends SparkSpec {
       brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9)) }
     assert(lsh.nonEmpty)
   }
+
+  test("ivfSearch: k ranked neighbors per query, all members of the probed cell") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val res = Similarity.ivfSearch(emb, "vec_id", "embedding", "label",
+      col("vec_id") < 10, k = 5)
+    val rows = res.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L)) // dense ranks
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length == 1)       // one probed cell
+      // ranked by descending cosine
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // neighbors really belong to the probed cell
+    val cells = emb.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(cells(r.getAs[Long]("n_id")) == r.getAs[Long]("cell")))
+  }
 }
