@@ -72,8 +72,19 @@ object Similarity {
     * `planeOffset` selects a disjoint plane family — table t of an
     * OR-amplified multi-table scheme passes `t * nPlanes` so its
     * hyperplanes are independent of table 0's.
+    *
+    * A native codegen'd expression (see [[graft.plans.HyperplaneBuckets]])
+    * — the built-ins-only formulation below evaluates one interpreted
+    * lambda chain per plane per row and measured ~10× slower on the
+    * multi-table dedup query.
     */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
+  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    graft.plans.HyperplaneBuckets.buckets(vec, nPlanes, planeOffset)
+
+  /** The composable built-ins-only formulation (kept as the cross-check
+    * in SimilaritySpec, like [[dotViaAggregate]]).
+    */
+  def hyperplaneBucketViaAggregate(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

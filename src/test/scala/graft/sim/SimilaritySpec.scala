@@ -55,6 +55,17 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("codegen hyperplane buckets match the aggregate formulation on real data") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    for (offset <- Seq(0, 8, 24)) {
+      val mismatch = emb.select(
+        Similarity.hyperplaneBucket(col("embedding"), 8, offset).as("fast"),
+        Similarity.hyperplaneBucketViaAggregate(col("embedding"), 8, offset).as("slow"))
+        .filter(col("fast") =!= col("slow")).count()
+      assert(mismatch == 0, s"offset $offset")
+    }
+  }
+
   test("ivfSearch: k ranked neighbors per query, all members of the probed cell") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val res = Similarity.ivfSearch(emb, "vec_id", "embedding", "label",
