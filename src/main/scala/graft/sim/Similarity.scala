@@ -114,13 +114,15 @@ object Similarity {
   /** IVF-style ANN: learn [[ivfCentroids]] (one tiny aggregation), assign
     * each query vector to its nearest centroid by cosine (a broadcast of
     * ≤cells rows — the corpus never moves for assignment), then rank
-    * candidates ONLY within the probed cell. The 100 TB shape of
-    * similarity search: the per-query work is |cell|, not |corpus|, and
-    * the only corpus-wide pass is the centroid aggregation. (nprobe > 1
-    * generalizes by keeping the top-n cells instead of rc = 1.)
+    * candidates ONLY within the probed cell(s). The 100 TB shape of
+    * similarity search: the per-query work is nProbe·|cell|, not
+    * |corpus|, and the only corpus-wide pass is the centroid
+    * aggregation. `nProbe` > 1 probes the n nearest cells — the standard
+    * recall dial for points near cell boundaries.
     */
   def ivfSearch(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-                isQuery: Column, k: Int): DataFrame = {
+                isQuery: Column, k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val cent = ivfCentroids(df, cellCol, vecCol)
     val e = df.select(col(idCol), col(cellCol).cast("long").as("cell"),
       col(vecCol), norm(col(vecCol)).as("nrm"))
@@ -130,7 +132,7 @@ object Similarity {
     val assigned = q.crossJoin(broadcast(cent))
       .withColumn("cos_c", dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
       .withColumn("rc", row_number().over(wa))
-      .filter(col("rc") === 1)
+      .filter(col("rc") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
     val c = e.select(col(idCol).as("n_id"), col("cell"), col(vecCol).as("n_vec"),
       col("nrm").as("n_nrm"))

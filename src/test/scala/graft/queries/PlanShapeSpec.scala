@@ -80,6 +80,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("ExistingRDD"), p)
     }
 
+  test("dedup_exact partial-aggregates map-side (fingerprints shuffle, never text)") {
+    val p = plan("dedup_exact")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("dedup_embedding_lsh joins on the bucket key (equi-join, not cross)") {
+    val p = plan("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("ann_ivf_search broadcasts assignment; candidate scan has no cartesian product") {
+    val p = plan("ann_ivf_search")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("the pinned row-index input (the real code path) range-partitions with a local sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))

@@ -85,4 +85,24 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(cells(r.getAs[Long]("n_id")) == r.getAs[Long]("cell")))
   }
+
+  test("ivfSearch nProbe=2 never degrades the best neighbor and widens the cell pool") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    def top1(nProbe: Int): Map[Long, Double] =
+      Similarity.ivfSearch(emb, "vec_id", "embedding", "label",
+          col("vec_id") < 10, k = 1, nProbe = nProbe)
+        .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("cos")).toMap
+    val p1 = top1(1)
+    val p2 = top1(2)
+    assert(p1.keySet == p2.keySet)
+    // the 2-probe candidate pool is a superset, so the best cosine can
+    // only improve or stay equal
+    p1.foreach { case (q, c1) => assert(p2(q) >= c1, s"query $q: ${p2(q)} < $c1") }
+    // and with 2 probes some query's neighbors may come from 2 cells
+    val cellsPerQ = Similarity.ivfSearch(emb, "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 5, nProbe = 2)
+      .groupBy("q_id").agg(countDistinct("cell").as("nc"))
+      .agg(max("nc")).head().getLong(0)
+    assert(cellsPerQ >= 1 && cellsPerQ <= 2)
+  }
 }
