@@ -223,12 +223,43 @@ object FeatureSpace {
       }
   }
 
+  /** Validate that PROVIDED stats cover every column the specs need —
+    * the engine's `check_normalizer` (tfdataset_utilities.py:116-124:
+    * the reference verifies a caller-supplied normalizer's shape against
+    * the dataset before reuse). Fails with the full list of missing
+    * columns instead of a NoSuchElementException on the first one deep
+    * inside expression building; also flags a zero-variance normalize
+    * and a degenerate min==max rescale, which would otherwise apply as
+    * silent ±Infinity/NaN columns.
+    */
+  def checkStats(specs: Seq[FeatureSpec], stats: FeatureStats): Unit = {
+    val missingNumeric = specs.collect {
+      case Normalized(c) if !stats.numeric.contains(c) => c
+      case Rescaled(c) if !stats.numeric.contains(c) => c
+    }
+    val missingVocab = specs.collect {
+      case OneHotString(c) if !stats.vocab.contains(c) => c
+      case StringIndexed(c) if !stats.vocab.contains(c) => c
+    }
+    require(missingNumeric.isEmpty && missingVocab.isEmpty,
+      s"stats do not cover the specs: missing numeric ${missingNumeric.mkString(", ")}; " +
+        s"missing vocab ${missingVocab.mkString(", ")}")
+    val degenerate = specs.collect {
+      case Normalized(c) if stats.numeric(c).varPop == 0.0 => s"$c (zero variance)"
+      case Rescaled(c) if stats.numeric(c).min == stats.numeric(c).max => s"$c (min == max)"
+    }
+    require(degenerate.isEmpty,
+      s"degenerate stats would produce Infinity/NaN columns: ${degenerate.mkString(", ")}")
+  }
+
   /** Apply learned transforms: pure select of expanded Columns, preserving
     * spec order (the reference restores column order after Keras permutes
-    * it, datapipeline.py:389-395 — our select IS the order).
+    * it, datapipeline.py:389-395 — our select IS the order). Validates
+    * the stats cover the specs first ([[checkStats]]).
     */
   def apply(df: DataFrame, specs: Seq[FeatureSpec], stats: FeatureStats,
             keep: Seq[String] = Nil): Seq[Column] = {
+    checkStats(specs, stats)
     val kept = keep.map(col)
     val expanded = specs.flatMap(s => expand(s, stats)).map { case (n, c) => c.as(n) }
     kept ++ expanded

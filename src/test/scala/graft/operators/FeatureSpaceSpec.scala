@@ -57,4 +57,28 @@ class FeatureSpaceSpec extends SparkSpec {
     val j = st.toJson
     assert(j.contains("\"mean\":25.0") && j.contains("\"vocab\":{\"s\":[\"a\",\"b\",\"c\"]}"))
   }
+
+  test("checkStats rejects stats that don't cover the specs (check_normalizer)") {
+    val st = FeatureSpace.adapt(df, Seq(Normalized("x")))
+    // reusing stats adapted for x against a spec needing y and a vocab
+    val e = intercept[IllegalArgumentException] {
+      FeatureSpace.checkStats(Seq(Normalized("x"), Rescaled("y"), OneHotString("s")), st)
+    }
+    assert(e.getMessage.contains("y") && e.getMessage.contains("s"))
+    // valid stats pass
+    FeatureSpace.checkStats(Seq(Normalized("x")), st)
+  }
+
+  test("checkStats flags degenerate stats instead of applying Infinity/NaN columns") {
+    val const = Seq((1.0, 1.0), (1.0, 1.0)).toDF("x", "s")
+    val st = FeatureSpace.adapt(const, Seq(Normalized("x"), Rescaled("x")))
+    val e = intercept[IllegalArgumentException] {
+      FeatureSpace.checkStats(Seq(Normalized("x")), st)
+    }
+    assert(e.getMessage.contains("zero variance"))
+    val e2 = intercept[IllegalArgumentException] {
+      FeatureSpace.checkStats(Seq(Rescaled("x")), st)
+    }
+    assert(e2.getMessage.contains("min == max"))
+  }
 }
