@@ -36,6 +36,18 @@ object WindowOps {
     base.orderBy(orderBy.map(col): _*)
   }
 
+  /** The range-partitioned, partition-locally-sorted input the global
+    * row index is computed over — package-visible so PlanShapeSpec can
+    * assert the REAL code path plans a RangePartitioning exchange with a
+    * partition-local (never single-task global) sort.
+    */
+  private[graft] def rangeSortedForIndex(df: DataFrame, orderBy: Seq[String]): DataFrame = {
+    require(orderBy.nonEmpty, "a global row index needs an explicit total order")
+    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val keys = orderBy.map(col)
+    df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+  }
+
   /** Distributed 1-based GLOBAL row index by total order — the scale-safe
     * replacement for `row_number() OVER (ORDER BY …)` with no PARTITION
     * BY, which plans a single task sorting the entire table.
@@ -61,18 +73,6 @@ object WindowOps {
     * Rows with equal order keys land in the same range partition, so ties
     * behave exactly as in the window formulation.
     */
-  /** The range-partitioned, partition-locally-sorted input the global
-    * row index is computed over — package-visible so PlanShapeSpec can
-    * assert the REAL code path plans a RangePartitioning exchange with a
-    * partition-local (never single-task global) sort.
-    */
-  private[graft] def rangeSortedForIndex(df: DataFrame, orderBy: Seq[String]): DataFrame = {
-    require(orderBy.nonEmpty, "a global row index needs an explicit total order")
-    val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val keys = orderBy.map(col)
-    df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
-  }
-
   private def globalRowIdx(df: DataFrame, orderBy: Seq[String], idxCol: String,
                            totalCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}

@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   * coefficient at dim i is `((i*37 + (planeOffset+j)*101) % 19) - 9`
   * (all operands non-negative, so `%` agrees across languages); the dot
   * product accumulates left-to-right in doubles; bit j of the result is
-  * set iff the sum is > 0. Null array → null; null elements contribute
-  * 0 (DuckDB's `list_sum` ignores nulls).
+  * set iff the sum is > 0. A NULL array yields bucket 0, never null —
+  * the oracle's `CASE WHEN list_sum(NULL) > 0 … ELSE 0` and the
+  * aggregate formulation's `when(d > 0, …).otherwise(0)` both collapse
+  * null sums to 0. Null ELEMENTS contribute 0 (DuckDB `list_sum`
+  * ignores nulls).
   */
 case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
     extends UnaryExpression {
@@ -34,6 +37,9 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
   require(planeOffset >= 0, s"planeOffset must be non-negative, got $planeOffset")
 
   override def dataType: DataType = LongType
+
+  /** Never null: a null input array maps to bucket 0 (see class doc). */
+  override def nullable: Boolean = false
 
   private def numericElem: Option[DataType] = child.dataType match {
     case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType | ShortType | ByteType), _) => Some(t)
@@ -45,14 +51,20 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"argument must be an array of a primitive numeric type, got ${child.dataType}")
 
-  private def read(a: ArrayData, i: Int): Double = numericElem.get match {
-    case FloatType => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
-    case IntegerType => a.getInt(i).toDouble
-    case LongType => a.getLong(i).toDouble
-    case ShortType => a.getShort(i).toDouble
-    case ByteType => a.getByte(i).toDouble
+  // cached per-expression reader (the dispatch must not re-run per element)
+  @transient private lazy val read: (ArrayData, Int) => Double = numericElem.get match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case ShortType => (a, i) => a.getShort(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
     case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -79,6 +91,8 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
     val getter = numericElem.get match {
       case FloatType => (a: String, i: String) => s"(double) $a.getFloat($i)"
       case DoubleType => (a: String, i: String) => s"$a.getDouble($i)"
@@ -88,13 +102,14 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
       case ByteType => (a: String, i: String) => s"(double) $a.getByte($i)"
       case other => throw new IllegalStateException(s"unsupported element type $other")
     }
-    nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val x = ctx.freshName("x")
-      val bucket = ctx.freshName("bucket")
+    val childGen = child.genCode(ctx)
+    val a = childGen.value.toString
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val x = ctx.freshName("x")
+    val compute =
       s"""
          |int $n = $a.numElements();
          |double[] $acc = new double[$nPlanes];
@@ -104,13 +119,20 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
          |    $acc[$j] += $x * ((($i * 37 + ($planeOffset + $j) * 101) % 19) - 9);
          |  }
          |}
-         |long $bucket = 0L;
          |for (int $j = 0; $j < $nPlanes; $j++) {
-         |  if ($acc[$j] > 0) $bucket |= 1L << $j;
+         |  if ($acc[$j] > 0) ${ev.value} |= 1L << $j;
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
-    })
+    // manual null guard (not nullSafeCodeGen): a null input array must
+    // yield bucket 0, and this expression is never null itself
+    val guarded =
+      if (child.nullable) s"if (!${childGen.isNull}) {\n$compute\n}" else compute
+    ev.copy(code =
+      code"""
+            |${childGen.code}
+            |long ${ev.value} = 0L;
+            |$guarded
+       """.stripMargin, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =

@@ -252,17 +252,11 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   private val dedupEmbeddingLshSql = {
-    // bucket bits replicate Similarity.planeCoef exactly: integer
-    // coefficients ((i*37 + j*101) % 19 - 9), 0-based dim index, double
-    // left-to-right dot (list_sum == Spark aggregate order)
-    val bits = (0 until 8).map { j =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $j * 101) % 19) - 9)::DOUBLE)) > 0
-         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
+    // bucket bits replicate Similarity.planeCoef exactly — one shared
+    // rendering for every hyperplane oracle (SimQueries.hyperplaneBitsSql)
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
-       |    CAST($bits AS BIGINT) AS bucket,
+       |    CAST(${SimQueries.hyperplaneBitsSql(8)} AS BIGINT) AS bucket,
        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
        |  FROM embeddings)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(cos, 4) AS cos
@@ -285,14 +279,8 @@ object DedupQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   private val dedupEmbeddingLshMultiSql = {
-    def bits(t: Int) = (0 until 8).map { j =>
-      val plane = t * 8 + j
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $plane * 101) % 19) - 9)::DOUBLE)) > 0
-         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
     val tables = (0 until 4).map(t =>
-      s"SELECT vec_id, $t AS tbl, CAST(${bits(t)} AS BIGINT) AS bucket FROM embeddings")
+      s"SELECT vec_id, $t AS tbl, CAST(${SimQueries.hyperplaneBitsSql(8, t * 8)} AS BIGINT) AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH b AS (
        |  $tables),

@@ -17,6 +17,21 @@ object SimQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** The DuckDB rendering of `Similarity.hyperplaneBucket(embedding,
+    * nPlanes, planeOffset)` — ONE definition for every oracle that
+    * replicates the hyperplane coefficient scheme
+    * (((i-1)*37 + plane*101) % 19 - 9, 0-based dims, left-to-right
+    * double sums), so a change to the scheme cannot silently diverge
+    * per query.
+    */
+  private[queries] def hyperplaneBitsSql(nPlanes: Int, planeOffset: Int = 0): String =
+    (0 until nPlanes).map { j =>
+      val plane = planeOffset + j
+      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $plane * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
   // ========================================================================
   // ann_cosine_topk — brute-force top-5 cosine neighbors for query vecs
   // (vec_id < 10). Query side broadcast; candidate scan stays parallel;
@@ -54,15 +69,9 @@ object SimQueries {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
       .orderBy(col("bucket"))
 
-  private val annLshBucketSql = {
-    val bits = (0 until 8).map { j =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-         |  i -> embedding[i]::DOUBLE * ((((i - 1) * 37 + $j * 101) % 19) - 9)::DOUBLE)) > 0
-         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }.mkString(" + ")
-    s"""SELECT CAST($bits AS BIGINT) AS bucket, count(*) AS n_vecs
+  private val annLshBucketSql =
+    s"""SELECT CAST(${hyperplaneBitsSql(8)} AS BIGINT) AS bucket, count(*) AS n_vecs
        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
-  }
 
   // ========================================================================
   // knn_centroid — IVF-style per-cell stats (label = coarse cell): mean

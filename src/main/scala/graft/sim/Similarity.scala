@@ -82,13 +82,16 @@ object Similarity {
     graft.plans.HyperplaneBuckets.buckets(vec, nPlanes, planeOffset)
 
   /** The composable built-ins-only formulation (kept as the cross-check
-    * in SimilaritySpec, like [[dotViaAggregate]]).
+    * in SimilaritySpec, like [[dotViaAggregate]]). Null elements are
+    * coalesced to 0 before summing so the semantics match the codegen
+    * expression and DuckDB's null-ignoring `list_sum` (a bare `acc + x`
+    * would null the whole plane sum on the first null element).
     */
   def hyperplaneBucketViaAggregate(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeCoef(planeOffset + j, i)),
+          (x, i) => coalesce(x.cast("double") * planeCoef(planeOffset + j, i), lit(0.0))),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << j)).otherwise(0L)
     }

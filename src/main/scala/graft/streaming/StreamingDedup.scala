@@ -54,7 +54,10 @@ object StreamingDedup {
     sorted.foreach { id =>
       keeper match {
         case None => keeper = Some(id) // first ever seen: admit silently
-        case Some(k) => out += ((id, k))
+        // a redelivery of the keeper itself (at-least-once sources) must
+        // not emit (k, k) — that would mark the only copy a duplicate
+        case Some(k) if id != k => out += ((id, k))
+        case _ => ()
       }
     }
     keeper.foreach(state.update)
