@@ -66,6 +66,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane bucket of a NULL array is 0 (oracle CASE semantics), never null") {
+    val df = spark.sql(
+      "SELECT * FROM VALUES (CAST(NULL AS ARRAY<FLOAT>)), (array(CAST(1.0 AS FLOAT))) AS t(v)")
+    val got = df.select(Similarity.hyperplaneBucket(col("v"), 8).as("b"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got.forall(_.isDefined))           // never null
+    assert(got.count(_ == Some(0L)) >= 1)     // the NULL row mapped to bucket 0
+    // and matches the aggregate formulation on the same frame
+    val agg = df.select(Similarity.hyperplaneBucketViaAggregate(col("v"), 8).as("b"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == agg.toSeq)
+  }
+
   test("ivfSearch: k ranked neighbors per query, all members of the probed cell") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val res = Similarity.ivfSearch(emb, "vec_id", "embedding", "label",

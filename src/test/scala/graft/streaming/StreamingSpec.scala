@@ -153,8 +153,10 @@ class StreamingSpec extends SparkSpec {
     stream.addData((10L, "aa bb"), (3L, "aa bb"), (5L, "unique one"))
     q.processAllAvailable()
     // batch 2: id 1 repeats the text -> maps to the EARLIER keeper 3,
-    // even though 1 < 3 (streaming first-arrival wins across batches)
-    stream.addData((1L, "aa bb"), (7L, "unique one"))
+    // even though 1 < 3 (streaming first-arrival wins across batches);
+    // the keeper 3 itself is REDELIVERED (at-least-once source) and must
+    // NOT be emitted as its own duplicate
+    stream.addData((1L, "aa bb"), (3L, "aa bb"), (7L, "unique one"))
     q.processAllAvailable()
     val rows = spark.table("keepfirst_out").orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
