@@ -179,9 +179,16 @@ object Dedup {
     * keep-first resolution). Lazy: no persist, no action.
     */
   def verifiedPairsFromHashes(ex: DataFrame, idCol: String,
-                              k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+                              k: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    verifiedPairsFromParts(ex, signaturesFromHashes(ex, idCol, k), idCol, rowsPerBand, threshold)
+
+  /** [[verifiedPairsFromHashes]] with the signature stage supplied by the
+    * caller — for pipelines that persist and share the signatures across
+    * several derived outputs (see DedupQueries' memo).
+    */
+  def verifiedPairsFromParts(ex: DataFrame, sigs: DataFrame, idCol: String,
+                             rowsPerBand: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "zero-intersection candidates are dropped by the verify join")
-    val sigs = signaturesFromHashes(ex, idCol, k)
     val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
     val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

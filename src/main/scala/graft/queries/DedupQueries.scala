@@ -35,8 +35,9 @@ object DedupQueries {
     * This is also the 100 TB shape: a production dedup run computes the
     * shingle index once and derives every artifact from it.
     */
-  private var lshMemo: Option[((SparkSession, String), (DataFrame, DataFrame))] = None
-  private def lshShared(s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
+  private case class LshShared(ex: DataFrame, sigs: DataFrame, pairs: DataFrame)
+  private var lshMemo: Option[((SparkSession, String), LshShared)] = None
+  private def lshShared(s: SparkSession, d: String): LshShared = synchronized {
     import org.apache.spark.storage.StorageLevel
     lshMemo match {
       // key by session REFERENCE (not a hash, which the JVM may reuse
@@ -45,27 +46,28 @@ object DedupQueries {
         // an external spark.catalog.clearCache() (Bench/Verify do this
         // between families) silently drops the blocks but leaves the
         // persisted flag cleared — re-mark so the sharing survives
-        val (ex, pairs) = v
-        if (ex.storageLevel == StorageLevel.NONE) ex.persist()
-        if (pairs.storageLevel == StorageLevel.NONE) pairs.persist()
+        Seq(v.ex, v.sigs, v.pairs).foreach { df =>
+          if (df.storageLevel == StorageLevel.NONE) df.persist()
+        }
         v
       case prev =>
-        prev.foreach { case (((ps, _), (ex, pairs))) =>
+        prev.foreach { case ((ps, _), v) =>
           // previous session may already be stopped — releasing its
           // cache is best-effort, never a failure of the NEW query
           if (!ps.sparkContext.isStopped)
-            try { ex.unpersist(false); pairs.unpersist(false) }
+            try Seq(v.ex, v.sigs, v.pairs).foreach(_.unpersist(false))
             catch { case _: IllegalStateException => () }
         }
         val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
-        val pairs = Dedup.verifiedPairsFromHashes(ex, "doc_id",
-          k = 8, rowsPerBand = 2, threshold = 0.2).persist()
-        val v = (ex, pairs)
+        val sigs = Dedup.signaturesFromHashes(ex, "doc_id", 8).persist()
+        val pairs = Dedup.verifiedPairsFromParts(ex, sigs, "doc_id",
+          rowsPerBand = 2, threshold = 0.2).persist()
+        val v = LshShared(ex, sigs, pairs)
         lshMemo = Some(((s, d), v))
         v
     }
   }
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d)._2
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
@@ -138,8 +140,7 @@ object DedupQueries {
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
   def dedupLshBands(s: SparkSession, d: String): DataFrame =
-    Dedup.bandKeys(
-      Dedup.signaturesFromHashes(lshShared(s, d)._1, "doc_id", 8), "doc_id", 2)
+    Dedup.bandKeys(lshShared(s, d).sigs, "doc_id", 2)
       .orderBy(col("doc_id"), col("band"))
 
   private val dedupLshBandsSql =
@@ -167,8 +168,7 @@ object DedupQueries {
   // over these is in DedupSpec.
   // ========================================================================
   def dedupMinhashSig(s: SparkSession, d: String): DataFrame =
-    Dedup.signaturesFromHashes(lshShared(s, d)._1, "doc_id", 8)
-      .orderBy(col("doc_id"), col("i"))
+    lshShared(s, d).sigs.orderBy(col("doc_id"), col("i"))
 
   private val dedupMinhashSigSql =
     """WITH hp AS (
