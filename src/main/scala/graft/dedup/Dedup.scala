@@ -240,7 +240,10 @@ object Dedup {
                         blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, "explode-join intersection cannot emit inter=0 pairs")
     // cached: both sides of the self-join read this index — without the
-    // cache Spark recomputes the shingle+md5 pipeline once per branch
+    // cache Spark recomputes the shingle+md5 pipeline once per branch.
+    // Same contract as lshVerifiedPairs: the (small) pair result is
+    // materialized once, the index cache is released before returning,
+    // and the caller unpersists the returned frame when done.
     val ex = shingleHexRows(df, textCol, idCol, Seq(blockCol))
       .select(col(idCol), col(blockCol),
         conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h"))
@@ -249,7 +252,7 @@ object Dedup {
       .cache()
     val a = ex.select(col(idCol).as("id_a"), col(blockCol), col("sz").as("sz_a"), col("h"))
     val b = ex.select(col(idCol).as("id_b"), col(blockCol), col("sz").as("sz_b"), col("h"))
-    a.join(b, Seq(blockCol, "h"))
+    val pairs = a.join(b, Seq(blockCol, "h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("double").as("inter"),
@@ -261,6 +264,10 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .persist()
+    pairs.count()
+    ex.unpersist(blocking = false)
+    pairs
   }
 
   /** Embedding near-dup pairs at scale: candidates come from random-
