@@ -233,6 +233,41 @@ class PipelineSpec extends SparkSpec {
     assert(b2.count() == 0)
   }
 
+  test("full example flow: skip -> resample -> featurespace -> split -> gather -> batches") {
+    // mirrors examples/datapipeline_test.py end-to-end (the
+    // prepare_final_dataset branch): DER config, .skip() warm-up drop,
+    // 1s -> 300s resample, adapt+apply, 0.8/0.2/0.0 split (no eval),
+    // name-driven input/target selection, windowing, fixed batches
+    val csv = {
+      val header = "datetimestampseconds,W,DCW,AphA,PhVphA"
+      val rows = (0 until 3600).map { i =>
+        val t = 1672531200 + i
+        s"$t.0,${100.0 + i},${50.0 + i},${1.0 + i * 0.1},${230.0 + i * 0.01}"
+      }
+      writeTemp("der_full.csv", header +: rows)
+    }
+    val cfg = PipelineConfig.fromJson(derConfigJson)
+    val prep = Pipeline.run(spark, cfg, pathOverride = Some(csv),
+      auditInterval = true, skipRows = 600)
+    // 3600 1s-rows, drop first 600 -> epochs in (600, 3600]; 300s-aligned -> 10
+    assert(prep.df.count() == 10)
+    val ex = Pipeline.supervisedExamplesSelect(prep, windowSize = 2,
+      inputFeatures = Seq("W", "DCW"), targetFeatures = Seq("W"),
+      fractions = (0.8, 0.2, 0.0))
+    val splits = ex.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "test")) // eval fraction 0.0 -> no eval rows
+    val batched = Pipeline.batchedExamples(ex, batchSize = 2)
+    val row = batched.orderBy("split", "batch_id").head()
+    val inputs = row.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
+      row.fieldIndex("inputs"))
+    assert(inputs.length == 2)           // batch dimension
+    assert(inputs.head.length == 2)      // window rows (W)
+    assert(inputs.head.head.length == 2) // selected input features (W, DCW)
+    val targets = row.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
+      row.fieldIndex("targets"))
+    assert(targets.length == 2 && targets.head.length == 2 && targets.head.head.length == 1)
+  }
+
   test("interval audit rejects an irregular grid") {
     val bad = writeTemp("bad.csv", Seq(
       "datetimestampseconds,W",
