@@ -22,7 +22,16 @@ import graft.sources.CsvSource
 object Pipeline {
 
   case class Prepared(df: DataFrame, stats: FeatureSpace.FeatureStats,
-                      outputColumns: Seq[String], specs: Seq[FeatureSpace.FeatureSpec])
+                      outputColumns: Seq[String], specs: Seq[FeatureSpace.FeatureSpec],
+                      private val cachedSource: Option[DataFrame] = None) {
+    /** Release the pipeline's internal scan cache. `run` caches the
+      * post-derivation frame so audit/adapt/output don't re-read the
+      * CSV (the reference re-reads it per pass); call this when done
+      * with the Prepared in a long-lived session — derived frames stay
+      * correct (they recompute from the source if re-used).
+      */
+    def release(): Unit = cachedSource.foreach(_.unpersist(false))
+  }
 
   /** Map a config feature spec to engine specs
     * (`get_featurespace_definitions`, datapipeline.py:273-361; the int
@@ -151,7 +160,7 @@ object Pipeline {
     val applied = resampled.select(
       FeatureSpace.apply(resampled, specs, stats, keep = Seq("row_idx")): _*)
 
-    Prepared(applied, stats, outCols, specs)
+    Prepared(applied, stats, outCols, specs, cachedSource = Some(cached))
   }
 
   /** §3.2 training-set assembly: vectorize the feature columns, window

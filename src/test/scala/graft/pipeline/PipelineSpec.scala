@@ -266,6 +266,8 @@ class PipelineSpec extends SparkSpec {
     val targets = row.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](
       row.fieldIndex("targets"))
     assert(targets.length == 2 && targets.head.length == 2 && targets.head.head.length == 1)
+    prep.release() // long-session hygiene: drop the internal scan cache
+    assert(prep.df.count() == 10) // derived frames recompute correctly after release
   }
 
   test("interval audit rejects an irregular grid") {
