@@ -71,6 +71,45 @@ object StreamingResample {
       .toDF("key", "n", "mean", "var_pop", "min", "max")
   }
 
+  case class WindowEvent(key: Long, tsSec: Long, value: Double)
+
+  /** Continuous supervised-example generation — the streaming
+    * counterpart of `windowed_dataset_v1` (`WindowOps.supervisedWindow`):
+    * per series key, a ring buffer of the last `windowSize` values
+    * (O(W) state, no watermark needed — the buffer never grows); each
+    * arriving observation that completes a window emits
+    * (key, tsSec-of-last-row, input = first W−1 values, target = last).
+    * Within a micro-batch events are ordered by event time; across
+    * batches arrival order is trusted (the file/kafka source delivers
+    * per-key in order — same contract as the reference's file-order
+    * assumption, SURVEY §7.4).
+    */
+  def supervisedStream(spark: SparkSession, events: DataFrame,
+                       keyCol: String, tsSecCol: String, valueCol: String,
+                       windowSize: Int): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("key"),
+        col(tsSecCol).cast("long").as("tsSec"), col(valueCol).cast("double").as("value"))
+      .filter(col("key").isNotNull && col("tsSec").isNotNull && col("value").isNotNull)
+      .as[WindowEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[WindowEvent], state: GroupState[Seq[Double]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsSec, e.value))
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Seq[Double], Double)]
+          sorted.foreach { e =>
+            buf = (buf :+ e.value).takeRight(windowSize)
+            if (buf.size == windowSize) out += ((key, e.tsSec, buf.init, buf.last))
+          }
+          state.update(buf)
+          out.iterator
+      }
+      .toDF("key", "tsSec", "input", "target")
+  }
+
   case class IntervalEvent(key: Long, tsSec: Long)
   case class IntervalAnomaly(key: Long, tsSec: Long, intervalSec: Long, expectedSec: Long)
 

@@ -122,6 +122,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("intervalSec") == 15L)
   }
 
+  test("streaming supervised windows match batch supervisedWindow across batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamingResample.WindowEvent]
+    val out = StreamingResample.supervisedStream(
+      spark, stream.toDF(), "key", "tsSec", "value", windowSize = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("supwin_out").start()
+    // 6 observations of one series split across two micro-batches: the
+    // window spanning the batch boundary must still be emitted
+    stream.addData((1L to 4L).map(t => StreamingResample.WindowEvent(7L, t, t * 10.0)): _*)
+    q.processAllAvailable()
+    stream.addData(Seq(5L, 6L).map(t => StreamingResample.WindowEvent(7L, t, t * 10.0)): _*)
+    q.processAllAvailable()
+    val got = spark.table("supwin_out").orderBy("tsSec").collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq, r.getDouble(3)))
+    q.stop()
+    // batch parity: supervisedWindow over the same 6 rows
+    val batch = graft.operators.WindowOps.supervisedWindow(
+        (1L to 6L).map(t => (7L, t, t * 10.0)).toDF("key", "tsSec", "value"),
+        col("value"), 3, Seq("key"), Seq("tsSec"))
+      .orderBy(col("tsSec") + 2) // anchor row; emitted ts is the LAST row's
+      .collect()
+      .map(r => (r.getLong(1) + 2, r.getSeq[Double](r.fieldIndex("input")).toSeq,
+        r.getDouble(r.fieldIndex("target"))))
+    assert(got.toSeq == batch.toSeq)
+    assert(got.length == 4) // 6 rows, W=3 -> 4 complete windows
+  }
+
   test("streaming exactDedup admits one document per fingerprint, matching batch") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
