@@ -20,21 +20,28 @@ object Bench {
     // another's numbers.
     val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // a query that throws must NOT read as a fast success: its time is
+    // negated and its name listed under "failed" in the output line
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     graft.queries.Registry.families.foreach { case (family, keys) =>
       val f0 = System.nanoTime()
       keys.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        perQuery(name) = (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (!ok) failed += name
+        perQuery(name) = if (ok) elapsed else -elapsed
       }
       perFamily(family) = (System.nanoTime() - f0) / 1e9
       spark.catalog.clearCache()
     }
     def js(m: scala.collection.Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = perQuery.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"families":${js(perFamily)},"sf":"$sfDir"}""")
+    val total = perQuery.values.filter(_ > 0).sum
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"families":${js(perFamily)},"failed":$failedJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

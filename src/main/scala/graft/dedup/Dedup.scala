@@ -146,7 +146,7 @@ object Dedup {
     * candidates ONLY. Every stage is linear in the corpus except the
     * per-bucket candidate enumeration (bounded by true dup-cluster
     * size); there is NO block-size-unbounded join — this replaces the
-    * constant-cardinality blocking of [[ngramJaccardPairs]], whose pair
+    * constant-cardinality blocking of [[ngramJaccardPairsPersisted]], whose pair
     * enumeration grows quadratically with the corpus.
     *
     * The verify is relational (codegen hash joins + count, not per-pair
@@ -154,17 +154,17 @@ object Dedup {
     * id_a, then ⋈ on (id_b, shingle) = |A∩B| per pair; |A∪B| from the
     * per-doc distinct-shingle counts.
     *
-    * Caching contract: the exploded shingle index feeds BOTH the
-    * signature branch and the verify branch, so it is cached for the
-    * duration of this call, the (small) verified-pair result is
-    * materialized once and persisted, and the index cache is released
-    * before returning — no block squats in executor memory afterwards.
-    * The returned frame is persisted; callers that derive several
-    * outputs from it (pair list, keep-first resolution) share one
-    * computation and should `unpersist()` it when finished.
+    * Caching contract — EAGER, named accordingly: this runs a Spark job
+    * now (materializes via the cached index) and RETURNS A PERSISTED
+    * frame; the caller owns the `unpersist()`. The index cache itself is
+    * released before returning — no block squats in executor memory
+    * afterwards. Callers that derive several outputs (pair list,
+    * keep-first resolution) share the one computation; callers that
+    * want a lazy, persist-free plan compose
+    * [[verifiedPairsFromHashes]] instead.
     */
-  def lshVerifiedPairs(df: DataFrame, textCol: String, idCol: String,
-                       k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+  def lshVerifiedPairsPersisted(df: DataFrame, textCol: String, idCol: String,
+                                k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val ex = shingleHashRelation(df, textCol, idCol).cache()
     val pairs = verifiedPairsFromHashes(ex, idCol, k, rowsPerBand, threshold).persist()
     pairs.count() // materialize via the cached index, then drop the index
@@ -174,9 +174,9 @@ object Dedup {
 
   /** Candidate generation + exact-Jaccard verify over a pre-built (and
     * ideally persisted) [[shingleHashRelation]] — the composable form of
-    * [[lshVerifiedPairs]] for callers that share the hash relation across
-    * several derived outputs (signatures, band keys, pair list,
-    * keep-first resolution). Lazy: no persist, no action.
+    * [[lshVerifiedPairsPersisted]] for callers that share the hash
+    * relation across several derived outputs (signatures, band keys,
+    * pair list, keep-first resolution). Lazy: no persist, no action.
     */
   def verifiedPairsFromHashes(ex: DataFrame, idCol: String,
                               k: Int, rowsPerBand: Int, threshold: Double): DataFrame =
@@ -227,7 +227,8 @@ object Dedup {
   /** Near-duplicate pairs within a blocking key, verified by exact
     * n-gram Jaccard ≥ threshold (> 0). The blocking key bounds the
     * quadratic step (at scale, pass LSH candidates instead of a block
-    * column).
+    * column). EAGER: runs a job and returns a PERSISTED frame the
+    * caller must `unpersist()` (named accordingly).
     *
     * Set-intersection as a relational plan, not per-pair array ops:
     * explode hashed shingles → self-equi-join on (block, shingle) →
@@ -236,13 +237,13 @@ object Dedup {
     * linear-ish under blocking — and every operator is a codegen'd hash
     * join/agg, vs O(pairs) interpreted array_intersect calls.
     */
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, threshold: Double): DataFrame = {
+  def ngramJaccardPairsPersisted(df: DataFrame, textCol: String, idCol: String,
+                                 blockCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, "explode-join intersection cannot emit inter=0 pairs")
     // cached: both sides of the self-join read this index — without the
     // cache Spark recomputes the shingle+md5 pipeline once per branch.
-    // Same contract as lshVerifiedPairs: the (small) pair result is
-    // materialized once, the index cache is released before returning,
+    // Same contract as lshVerifiedPairsPersisted: the (small) pair result
+    // is materialized once, the index cache is released before returning,
     // and the caller unpersists the returned frame when done.
     val ex = shingleHexRows(df, textCol, idCol, Seq(blockCol))
       .select(col(idCol), col(blockCol),

@@ -23,6 +23,17 @@ object DedupQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** LSH parameters shared by the memoized Spark pipeline AND every SQL
+    * oracle rendered below — one definition, so the memo and the
+    * per-query oracles cannot silently diverge when a parameter changes
+    * (they previously repeated the literals in six places).
+    */
+  private[queries] object LshParams {
+    val K = 8             // MinHash functions per signature
+    val RowsPerBand = 2   // signature rows hashed into one band key
+    val Threshold = 0.2   // exact-Jaccard verify cutoff
+  }
+
   /** One text-LSH pipeline per (session, dir), shared by ALL its
     * consumers — `dedup_minhash_sig`, `dedup_lsh_bands`,
     * `dedup_ngram_jaccard`, `dedup_lsh_pairs` each used to rebuild (and
@@ -59,9 +70,9 @@ object DedupQueries {
             catch { case _: IllegalStateException => () }
         }
         val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
-        val sigs = Dedup.signaturesFromHashes(ex, "doc_id", 8).persist()
+        val sigs = Dedup.signaturesFromHashes(ex, "doc_id", LshParams.K).persist()
         val pairs = Dedup.verifiedPairsFromParts(ex, sigs, "doc_id",
-          rowsPerBand = 2, threshold = 0.2).persist()
+          rowsPerBand = LshParams.RowsPerBand, threshold = LshParams.Threshold).persist()
         val v = LshShared(ex, sigs, pairs)
         lshMemo = Some(((s, d), v))
         v
@@ -84,10 +95,10 @@ object DedupQueries {
   /** Shared DuckDB pipeline: MinHash signatures (k=8, Carter-Wegman from
     * one md5 per shingle) → LSH bands (rowsPerBand=2) → colliding
     * candidate pairs → exact Jaccard verify on candidates only. Mirrors
-    * [[Dedup.lshVerifiedPairs]] stage for stage.
+    * [[Dedup.verifiedPairsFromHashes]] stage for stage.
     */
   private val lshPipelineCtes =
-    """hp AS (
+    raw"""hp AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
@@ -97,12 +108,12 @@ object DedupQueries {
       |sig AS (
       |  SELECT doc_id, i, list_min(list_transform(hx, x ->
       |    (('0x' || substr(x, 1, 14))::BIGINT
-      |     + i * ('0x' || substr(x, 15, 14))::BIGINT) & 72057594037927935)) AS minh
-      |  FROM hp, range(0, 8) r(i)),
+      |     + i * ('0x' || substr(x, 15, 14))::BIGINT) & ${Dedup.HashMask})) AS minh
+      |  FROM hp, range(0, ${LshParams.K}) r(i)),
       |banded AS (
-      |  SELECT doc_id, i // 2 AS band,
+      |  SELECT doc_id, i // ${LshParams.RowsPerBand} AS band,
       |    ('0x' || substr(md5(string_agg(minh, ',' ORDER BY i)), 1, 15))::BIGINT AS band_key
-      |  FROM sig GROUP BY doc_id, i // 2),
+      |  FROM sig GROUP BY doc_id, i // ${LshParams.RowsPerBand}),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM banded a JOIN banded b
@@ -123,7 +134,7 @@ object DedupQueries {
   // ONLY on LSH-banded MinHash candidates: every stage linear in the
   // corpus, no block-size-unbounded join (the round-1 `source`-blocked
   // form enumerated pairs quadratically because block cardinality was
-  // constant; it survives as Dedup.ngramJaccardPairs for explicit
+  // constant; it survives as Dedup.ngramJaccardPairsPersisted for explicit
   // fine-grained blocking keys).
   // ========================================================================
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -132,7 +143,7 @@ object DedupQueries {
   private val dedupNgramJaccardSql =
     s"""WITH $lshPipelineCtes
        |SELECT id_a, id_b, jaccard FROM ver
-       |WHERE jaccard >= 0.2
+       |WHERE jaccard >= ${LshParams.Threshold}
        |ORDER BY id_a, id_b""".stripMargin
 
   // ========================================================================
@@ -159,7 +170,7 @@ object DedupQueries {
   private val dedupLshPairsSql =
     s"""WITH $lshPipelineCtes
        |SELECT id_b AS doc_id, min(id_a) AS dup_of FROM ver
-       |WHERE jaccard >= 0.2
+       |WHERE jaccard >= ${LshParams.Threshold}
        |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
   // ========================================================================
@@ -171,7 +182,7 @@ object DedupQueries {
     lshShared(s, d).sigs.orderBy(col("doc_id"), col("i"))
 
   private val dedupMinhashSigSql =
-    """WITH hp AS (
+    raw"""WITH hp AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
@@ -180,8 +191,8 @@ object DedupQueries {
       |  WHERE len(t) >= 3)
       |SELECT doc_id, i, list_min(list_transform(hx, x ->
       |    (('0x' || substr(x, 1, 14))::BIGINT
-      |     + i * ('0x' || substr(x, 15, 14))::BIGINT) & 72057594037927935)) AS minh
-      |FROM hp, range(0, 8) r(i)
+      |     + i * ('0x' || substr(x, 15, 14))::BIGINT) & ${Dedup.HashMask})) AS minh
+      |FROM hp, range(0, ${LshParams.K}) r(i)
       |ORDER BY doc_id, i""".stripMargin
 
   // ========================================================================

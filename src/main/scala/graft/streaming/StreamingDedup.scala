@@ -19,8 +19,8 @@ import graft.text.TextOps
   * (`dropDuplicatesWithinWatermark` — the built-in evicts fingerprints
   * older than the watermark, the standard retention contract for
   * unbounded corpora); `keepFirst` keeps O(1) state per distinct
-  * fingerprint with no timeout (use it behind an upstream retention
-  * filter when the corpus is unbounded).
+  * fingerprint, bounded by an optional idle-TTL (processing-time
+  * timeout) for unbounded corpora.
   */
 object StreamingDedup {
 
@@ -45,9 +45,16 @@ object StreamingDedup {
     * matching the batch `exactGroups`/`dupOfFirst` tie-break); across
     * micro-batches the EARLIER batch's keeper wins — true streaming
     * semantics.
+    *
+    * `ttl` bounds state on an unbounded corpus: a fingerprint idle
+    * longer than the TTL is evicted (processing-time timeout), so a
+    * later re-arrival of the same text is admitted as a NEW keeper —
+    * the same retention trade [[exactDedup]] makes via its watermark.
+    * `None` keeps state forever (bounded corpora / upstream retention).
     */
-  def keepFirstFn(fp: String, rows: Iterator[FpDoc],
+  def keepFirstFn(ttl: Option[String])(fp: String, rows: Iterator[FpDoc],
                   state: GroupState[Long]): Iterator[(Long, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val sorted = rows.map(_.docId).toSeq.sorted
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var keeper = if (state.exists) Some(state.get) else None
@@ -60,21 +67,30 @@ object StreamingDedup {
         case _ => ()
       }
     }
-    keeper.foreach(state.update)
+    keeper.foreach { k =>
+      state.update(k)
+      // re-arm on every batch that touches the key: TTL measures IDLE
+      // time, so hot duplicates never expire mid-stream
+      ttl.foreach(state.setTimeoutDuration)
+    }
     out.iterator
   }
 
   /** Wire [[keepFirstFn]] over a streaming document frame: emits one
-    * (doc_id, dup_of) row per detected duplicate.
+    * (doc_id, dup_of) row per detected duplicate. Pass `ttl` (e.g.
+    * `"1 hour"`) to bound per-fingerprint state on unbounded corpora.
     */
   def keepFirst(spark: SparkSession, docs: DataFrame,
-                textCol: String, idCol: String): DataFrame = {
+                textCol: String, idCol: String,
+                ttl: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     docs
       .select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol).cast("long").as("docId"))
       .as[FpDoc]
       .groupByKey(_.fp)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(keepFirstFn)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFn(ttl))
       .toDF("doc_id", "dup_of")
   }
 }

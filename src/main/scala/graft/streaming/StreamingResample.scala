@@ -79,10 +79,16 @@ object StreamingResample {
     * (O(W) state, no watermark needed — the buffer never grows); each
     * arriving observation that completes a window emits
     * (key, tsSec-of-last-row, input = first W−1 values, target = last).
-    * Within a micro-batch events are ordered by event time; across
-    * batches arrival order is trusted (the file/kafka source delivers
-    * per-key in order — same contract as the reference's file-order
-    * assumption, SURVEY §7.4).
+    * Within a micro-batch events are ordered by event time. Across
+    * batches the ring buffer only ever APPENDS, so an event whose
+    * timestamp is older than the last buffered one (a late cross-batch
+    * arrival — e.g. a Kafka key spread over several partitions) cannot
+    * be inserted in place; it is DETECTED AND DROPPED rather than
+    * appended out of order, which would silently emit windows that
+    * differ from the batch `supervisedWindow` result. Per-key in-order
+    * delivery (file source, or one Kafka partition per key) therefore
+    * gives exact batch parity; out-of-order delivery degrades to
+    * batch-parity-minus-the-late-events, never to wrong windows.
     */
   def supervisedStream(spark: SparkSession, events: DataFrame,
                        keyCol: String, tsSecCol: String, valueCol: String,
@@ -95,16 +101,19 @@ object StreamingResample {
       .as[WindowEvent]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[WindowEvent], state: GroupState[Seq[Double]]) =>
+        (key: Long, rows: Iterator[WindowEvent], state: GroupState[(Seq[Double], Long)]) =>
           val sorted = rows.toSeq.sortBy(e => (e.tsSec, e.value))
-          var buf = state.getOption.getOrElse(Seq.empty)
+          var (buf, lastTs) = state.getOption.getOrElse((Seq.empty[Double], Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, Long, Seq[Double], Double)]
           sorted.foreach { e =>
-            buf = (buf :+ e.value).takeRight(windowSize)
-            if (buf.size == windowSize) out += ((key, e.tsSec, buf.init, buf.last))
+            if (e.tsSec >= lastTs) { // late regression: drop, don't mis-order
+              buf = (buf :+ e.value).takeRight(windowSize)
+              lastTs = e.tsSec
+              if (buf.size == windowSize) out += ((key, e.tsSec, buf.init, buf.last))
+            }
           }
-          state.update(buf)
+          state.update((buf, lastTs))
           out.iterator
       }
       .toDF("key", "tsSec", "input", "target")

@@ -41,8 +41,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard verification: near-dups above, unrelated below threshold") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 0.3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persisted = Dedup.ngramJaccardPairsPersisted(docs, "text", "doc_id", "source", 0.3)
+    val pairs = persisted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    persisted.unpersist()
     assert(pairs.contains((1L, 2L))) // 7-of-9 shingles shared
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
@@ -63,10 +64,10 @@ class DedupSpec extends SparkSpec {
     assert(cand.count() < 200L * 199 / 2 / 10)
   }
 
-  test("lshVerifiedPairs (self-contained form) equals the composable pipeline and returns persisted pairs") {
+  test("lshVerifiedPairsPersisted (self-contained form) equals the composable pipeline and returns persisted pairs") {
     // the one-shot API: persists+materializes internally, releases its
     // shingle index, hands back a persisted pair set
-    val oneShot = Dedup.lshVerifiedPairs(docs, "text", "doc_id",
+    val oneShot = Dedup.lshVerifiedPairsPersisted(docs, "text", "doc_id",
       k = 16, rowsPerBand = 4, threshold = 0.5)
     assert(oneShot.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
     val ex = Dedup.shingleHashRelation(docs, "text", "doc_id")

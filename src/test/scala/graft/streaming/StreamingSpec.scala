@@ -191,4 +191,58 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.toSeq == Seq((1L, 3L), (7L, 5L), (10L, 3L)))
   }
+
+  test("keepFirstFn idle-TTL: arms the timeout on live keys, evicts on expiry, re-admits after") {
+    // unit-tested with TestGroupState (a live ProcessingTimeTimeout query
+    // spins empty micro-batches under MemoryStream — the function is the
+    // contract, the wiring is covered by the untimed streaming test)
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingDedup.FpDoc
+    val ttl = Some("1 hour")
+    // batch 1: fresh key — keeper admitted, timeout armed
+    val s1 = TestGroupState.create[Long](Optional.empty[Long](),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out1 = StreamingDedup.keepFirstFn(ttl)("fp", Iterator(FpDoc("fp", 3L), FpDoc("fp", 10L)), s1).toSeq
+    assert(out1 == Seq((10L, 3L)) && s1.get == 3L)
+    assert(s1.getTimeoutTimestampMs.isPresent) // TTL armed, state evictable
+    // expiry: the timed-out invocation clears the fingerprint
+    val s2 = TestGroupState.create[Long](Optional.of(3L),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 3600001L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(StreamingDedup.keepFirstFn(ttl)("fp", Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+    // post-expiry re-arrival: admitted as a NEW keeper (retention trade)
+    val s3 = TestGroupState.create[Long](Optional.empty[Long](),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 7200000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    assert(StreamingDedup.keepFirstFn(ttl)("fp", Iterator(FpDoc("fp", 20L)), s3).isEmpty)
+    assert(s3.get == 20L)
+  }
+
+  test("streaming supervised windows drop late cross-batch events instead of mis-ordering") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[StreamingResample.WindowEvent]
+    val out = StreamingResample.supervisedStream(
+      spark, stream.toDF(), "key", "tsSec", "value", windowSize = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("supwin_late_out").start()
+    stream.addData((1L to 4L).map(t => StreamingResample.WindowEvent(7L, t, t * 10.0)): _*)
+    q.processAllAvailable()
+    // batch 2 delivers ts=2 again (late regression: last buffered is 4)
+    // plus an in-order ts=5; the late event must not enter the buffer
+    stream.addData(StreamingResample.WindowEvent(7L, 2L, 999.0),
+      StreamingResample.WindowEvent(7L, 5L, 50.0))
+    q.processAllAvailable()
+    val got = spark.table("supwin_late_out").orderBy("tsSec").collect()
+      .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq, r.getDouble(3)))
+    q.stop()
+    // windows are exactly those of the in-order subsequence 1,2,3,4,5 —
+    // the late 999.0 appears in NO window
+    assert(got.toSeq == Seq(
+      (3L, Seq(10.0, 20.0), 30.0),
+      (4L, Seq(20.0, 30.0), 40.0),
+      (5L, Seq(30.0, 40.0), 50.0)))
+  }
 }
