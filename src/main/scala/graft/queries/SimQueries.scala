@@ -59,6 +59,30 @@ object SimQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   // ========================================================================
+  // ann_cosine_sql — the SAME brute-force top-5 cosine search expressed
+  // through the SQL surface (`spark.sql` + the graft_dot function that
+  // GraftExtensions registers in the session FunctionRegistry): proves
+  // SQL/DataFrame API parity end-to-end against the same DuckDB oracle.
+  // The registered function IS the codegen ArrayDotProduct expression,
+  // so the physical plan matches the DataFrame form's.
+  // ========================================================================
+  def annCosineSqlSurface(s: SparkSession, d: String): DataFrame = {
+    emb(s, d).createOrReplaceTempView("graft_embeddings_sqlv")
+    s.sql(
+      """WITH e AS (
+        |  SELECT vec_id, embedding, sqrt(graft_dot(embedding, embedding)) AS nrm
+        |  FROM graft_embeddings_sqlv)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 4) AS cos FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin)
+  }
+
+  // ========================================================================
   // ann_lsh_bucket — random-hyperplane bucket histogram: 8 sign bits from
   // integer-coefficient pseudo-hyperplanes (cross-engine-exact
   // coefficients; double dot products). The scale path: candidates only
@@ -174,6 +198,7 @@ object SimQueries {
 
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
@@ -182,6 +207,9 @@ object SimQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
+    // the SQL-surface variant computes the identical result, so it is
+    // checked against the identical oracle
+    "ann_cosine_sql" -> annCosineTopKSql,
     "ann_lsh_bucket" -> annLshBucketSql,
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
