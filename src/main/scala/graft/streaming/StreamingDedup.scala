@@ -93,4 +93,91 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFn(ttl))
       .toDF("doc_id", "dup_of")
   }
+
+  case class BandedDoc(band: Long, bandKey: Long, docId: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate generation — the
+    * incremental counterpart of the batch
+    * signatures → band keys → colliding pairs pipeline
+    * ([[graft.dedup.Dedup.lshCandidatePairs]]): each arriving document's
+    * k-row MinHash signature and band keys are computed PER ROW (array
+    * expressions over the document's own shingle set — no corpus-wide
+    * aggregation), and per (band, band_key) bucket the member-id state
+    * emits one candidate pair (a < b) for every existing member when a
+    * new document lands in the bucket.
+    *
+    * Exactly the batch hashing: distinct (h1, h2) md5 halves per
+    * shingle, Carter-Wegman `min((h1 + i·h2) & mask)` per signature row,
+    * band key = hash60 of the comma-joined i-ordered minhash values —
+    * so the streamed candidate set equals the batch one on the same
+    * corpus (StreamingSpec asserts set equality). Documents with < 3
+    * tokens have no shingles and are dropped, as in batch.
+    *
+    * Scale/state: state per bucket is its member-id list — the same
+    * "quadratic only within a colliding bucket" bound as the batch join;
+    * a pair colliding in several bands is emitted once per band
+    * (deduplicate downstream, exactly like the batch form's
+    * `.distinct()`). `ttl` evicts buckets idle longer than the given
+    * duration (processing-time timeout) for unbounded corpora. Exact-
+    * Jaccard verification stays downstream: it needs both documents'
+    * shingle sets, which per-bucket state should not hold.
+    */
+  def lshCandidates(spark: SparkSession, docs: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int = 8, rowsPerBand: Int = 2,
+                    ttl: Option[String] = None): DataFrame = {
+    require(k % rowsPerBand == 0, s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
+    import spark.implicits._
+    import graft.dedup.Dedup
+
+    val pairs = Dedup.shingleHashPairs(col(textCol))
+    // per-row signature: min over the doc's shingle pairs, i ∈ [0, k)
+    val sigs: Seq[org.apache.spark.sql.Column] = (0 until k).map { i =>
+      array_min(transform(col("shp"),
+        p => (p.getField("h1") + lit(i.toLong) * p.getField("h2")).bitwiseAND(Dedup.HashMask)))
+    }
+    // band b hashes the i-ordered minhash values of its rows — the same
+    // rendering as Dedup.bandKeys (longs comma-joined, hash60)
+    val bands = array((0 until k / rowsPerBand).map { b =>
+      struct(lit(b.toLong).as("band"),
+        TextOps.hash60(concat_ws(",",
+          (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r).cast("string")): _*)).as("bandKey"))
+    }: _*)
+
+    docs
+      .select(col(idCol).cast("long").as("docId"), pairs.as("shp"))
+      .filter(size(col("shp")) >= 1) // < 3 tokens → no shingles, as in batch
+      .select(col("docId"), explode(bands).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bandKey").as("bandKey"), col("docId"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(lshCandidatesFn(ttl))
+      .toDF("id_a", "id_b")
+  }
+
+  /** Per-bucket member state: new members pair with every existing one.
+    * In-batch arrival order is nondeterministic, so the batch's members
+    * are admitted in sorted id order (output pairs are (min, max) and
+    * therefore order-insensitive; sorting just makes admission
+    * deterministic). Redeliveries (already-member ids) emit nothing.
+    */
+  def lshCandidatesFn(ttl: Option[String])(bucket: (Long, Long), rows: Iterator[BandedDoc],
+                      state: GroupState[Seq[Long]]): Iterator[(Long, Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var members = state.getOption.getOrElse(Seq.empty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.map(_.docId).toSeq.distinct.sorted.foreach { id =>
+      if (!members.contains(id)) {
+        out ++= members.map(m => (math.min(m, id), math.max(m, id)))
+        members = members :+ id
+      }
+    }
+    if (members.nonEmpty) {
+      state.update(members)
+      ttl.foreach(state.setTimeoutDuration)
+    }
+    out.iterator
+  }
 }

@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpec {
     assert(s3.get == 20L)
   }
 
+  test("streaming LSH candidates equal the batch candidate pairs across batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.lshCandidates(spark, df, "text", "doc_id", k = 8, rowsPerBand = 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lshcand_out").start()
+    // split the corpus over two micro-batches: bucket state must carry
+    // batch-1 members so batch-2 arrivals pair with them
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("lshcand_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // per-band emits dedup here,
+    q.stop()                                        // like batch's .distinct()
+    val sigs = graft.dedup.Dedup.minhashSignatures(
+      Tables.documents(spark, sf), "text", "doc_id", 8)
+    val want = graft.dedup.Dedup.lshCandidatePairs(sigs, "doc_id", 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty) // the corpus has dup clusters; parity must not be vacuous
+    // at least one pair spans the micro-batch boundary
+    val b1Ids = b1.map(_._1).toSet
+    assert(got.exists { case (a, b) => b1Ids.contains(a) != b1Ids.contains(b) })
+  }
+
   test("streaming supervised windows drop late cross-batch events instead of mis-ordering") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.WindowEvent]
