@@ -25,6 +25,18 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  /** THE text-LSH parameter set — one definition feeding the batch
+    * pipeline, every DuckDB oracle rendering, and the streaming
+    * candidate generator's defaults. Round 4 shipped a per-module copy
+    * and one call site still passed a literal `2`; a single object makes
+    * that divergence impossible.
+    */
+  object LshParams {
+    val K = 8             // MinHash functions per signature
+    val RowsPerBand = 2   // signature rows hashed into one band key
+    val Threshold = 0.2   // exact-Jaccard verify cutoff
+  }
+
   /** Exact-duplicate groups: canonical fingerprint → (n_docs, keeper id).
     * One map-side-combined aggregation.
     */

@@ -123,12 +123,29 @@ object FeatureSpace {
         java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Hard cap on learned vocabulary size (distinct values of a one-hot /
+    * string-indexed column). A vocabulary IS driver-resident state — it
+    * becomes the output feature width — so it must stay small by design;
+    * the cap turns a misconfigured column (an id or free-text column
+    * declared categorical: millions of distinct values, driver OOM at
+    * `collect()`) into an immediate, named error.
+    */
+  val DefaultMaxVocab: Int = 10000
+
   /** Learn stats for the given specs in one aggregation pass over (up to)
     * `adaptRows` rows, plus one tiny distinct-collect per vocab column.
     * Mirrors `n_rows_to_adapt_featurespace` (config/datafusion_config_*.json).
+    *
+    * Vocab columns are gated by `maxVocab` BEFORE the exact
+    * distinct-collect: one `approx_count_distinct` pass (map-side-combined
+    * HLL sketch — no shuffle of values, never grows with cardinality)
+    * estimates each vocabulary, and any estimate above the cap (with 10%
+    * slack for the sketch's rsd) aborts with a clear error instead of
+    * OOMing the driver. Estimates under the slack still get an exact
+    * post-collect check, so the cap semantics stay exact.
     */
   def adapt(df: DataFrame, specs: Seq[FeatureSpec], adaptRows: Option[Long] = None,
-            onePass: Boolean = false): FeatureStats = {
+            onePass: Boolean = false, maxVocab: Int = DefaultMaxVocab): FeatureStats = {
     // "first N rows" is only deterministic if the caller passes an
     // ordered frame (Pipeline orders by row_idx); clamp >Int.MaxValue
     // requests to "all rows" instead of wrapping via toInt
@@ -143,10 +160,25 @@ object FeatureSpace {
       case OneHotString(c) => c
       case StringIndexed(c) => c
     }.distinct
-    val vocab = vocabCols.map { c =>
-      c -> sample.select(col(c).cast("string")).distinct().collect()
-        .map(_.getString(0)).sorted.toSeq
-    }.toMap
+    val vocab = if (vocabCols.isEmpty) Map.empty[String, Seq[String]] else {
+      val est = {
+        val exprs = vocabCols.map(c => approx_count_distinct(col(c)).as(c))
+        sample.agg(exprs.head, exprs.tail: _*).head()
+      }
+      vocabCols.map { c =>
+        val approx = est.getAs[Long](c)
+        require(approx <= maxVocab * 1.1,
+          s"categorical column '$c' has ~$approx distinct values, over the vocabulary " +
+          s"cap of $maxVocab — one-hot/index over it would OOM the driver and explode " +
+          s"the feature width; fix the column choice or raise maxVocab explicitly")
+        val values = sample.select(col(c).cast("string")).distinct().collect()
+          .map(_.getString(0)).sorted.toSeq
+        require(values.size <= maxVocab,
+          s"categorical column '$c' has ${values.size} distinct values, over the " +
+          s"vocabulary cap of $maxVocab; fix the column choice or raise maxVocab explicitly")
+        c -> values
+      }.toMap
+    }
     FeatureStats(numeric, vocab)
   }
 

@@ -23,16 +23,12 @@ object DedupQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** LSH parameters shared by the memoized Spark pipeline AND every SQL
-    * oracle rendered below — one definition, so the memo and the
-    * per-query oracles cannot silently diverge when a parameter changes
-    * (they previously repeated the literals in six places).
+  /** LSH parameters shared by the memoized Spark pipeline, every SQL
+    * oracle rendered below, AND the streaming candidate generator —
+    * the single library-level definition ([[Dedup.LshParams]]), so none
+    * of them can silently diverge when a parameter changes.
     */
-  private[queries] object LshParams {
-    val K = 8             // MinHash functions per signature
-    val RowsPerBand = 2   // signature rows hashed into one band key
-    val Threshold = 0.2   // exact-Jaccard verify cutoff
-  }
+  private[queries] val LshParams = Dedup.LshParams
 
   /** One text-LSH pipeline per (session, dir), shared by ALL its
     * consumers — `dedup_minhash_sig`, `dedup_lsh_bands`,
@@ -151,7 +147,7 @@ object DedupQueries {
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
   def dedupLshBands(s: SparkSession, d: String): DataFrame =
-    Dedup.bandKeys(lshShared(s, d).sigs, "doc_id", 2)
+    Dedup.bandKeys(lshShared(s, d).sigs, "doc_id", LshParams.RowsPerBand)
       .orderBy(col("doc_id"), col("band"))
 
   private val dedupLshBandsSql =

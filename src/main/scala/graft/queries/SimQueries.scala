@@ -67,11 +67,17 @@ object SimQueries {
   // so the physical plan matches the DataFrame form's.
   // ========================================================================
   def annCosineSqlSurface(s: SparkSession, d: String): DataFrame = {
-    emb(s, d).createOrReplaceTempView("graft_embeddings_sqlv")
-    s.sql(
-      """WITH e AS (
+    // per-call unique view name, dropped as soon as spark.sql has
+    // (eagerly) analyzed the plan — a fixed name was a side effect on the
+    // shared session catalog that let two concurrent callers on different
+    // dirs resolve each other's data
+    val view = "graft_embeddings_sqlv_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    emb(s, d).createOrReplaceTempView(view)
+    try s.sql(
+      s"""WITH e AS (
         |  SELECT vec_id, embedding, sqrt(graft_dot(embedding, embedding)) AS nrm
-        |  FROM graft_embeddings_sqlv)
+        |  FROM $view)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 4) AS cos FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
         |    graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cos,
@@ -80,6 +86,7 @@ object SimQueries {
         |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   // ========================================================================
@@ -142,8 +149,20 @@ object SimQueries {
         col("vec_id") < 10, k = 5)
       .orderBy(col("q_id"), col("rank"))
 
-  private val annIvfSearchSql =
-    """WITH m AS (
+  // ========================================================================
+  // ann_ivf_probe2 — the same IVF search with nProbe = 2: each query scans
+  // its TWO nearest cells and the top-5 ranks across both. Exercises the
+  // boundary-recall dial (a query vector near a cell frontier recovers
+  // neighbors the rc=1 probe misses) — the oracle is the same pipeline
+  // with the assignment CTE widened to rc <= 2.
+  // ========================================================================
+  def annIvfProbe2(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSearch(emb(s, d), "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 5, nProbe = 2)
+      .orderBy(col("q_id"), col("rank"))
+
+  private def ivfSearchSql(nProbe: Int) =
+    s"""WITH m AS (
       |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
       |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
       |cn AS (
@@ -162,7 +181,7 @@ object SimQueries {
       |          i -> q.embedding[i]::DOUBLE * cn.cvec[i])) / (q.nrm * cn.cnrm) DESC,
       |        cn.cell) AS rc
       |    FROM e q, cn WHERE q.vec_id < 10)
-      |  WHERE rc = 1)
+      |  WHERE rc <= $nProbe)
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, CAST(cell AS BIGINT) AS cell,
       |  round(cos, 4) AS cos
       |FROM (
@@ -176,6 +195,9 @@ object SimQueries {
       |  FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id)
       |WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
+
+  private val annIvfSearchSql = ivfSearchSql(nProbe = 1)
+  private val annIvfProbe2Sql = ivfSearchSql(nProbe = 2)
 
   // ========================================================================
   // multimodal_meta — the binary-asset contract: payload as opaque bytes
@@ -202,6 +224,7 @@ object SimQueries {
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
+    "ann_ivf_probe2" -> (annIvfProbe2 _),
     "multimodal_meta" -> (multimodalMeta _),
   )
 
@@ -213,6 +236,7 @@ object SimQueries {
     "ann_lsh_bucket" -> annLshBucketSql,
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
+    "ann_ivf_probe2" -> annIvfProbe2Sql,
     "multimodal_meta" -> multimodalMetaSql,
   )
 }

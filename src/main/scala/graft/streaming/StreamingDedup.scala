@@ -122,12 +122,15 @@ object StreamingDedup {
     * Jaccard verification stays downstream: it needs both documents'
     * shingle sets, which per-bucket state should not hold.
     */
-  def lshCandidates(spark: SparkSession, docs: DataFrame,
-                    textCol: String, idCol: String,
-                    k: Int = 8, rowsPerBand: Int = 2,
-                    ttl: Option[String] = None): DataFrame = {
+  /** The per-row signature → exploded band-key relation shared by
+    * [[lshCandidates]] and [[lshVerified]]: one row per (band, bandKey,
+    * docId), plus the doc's distinct sorted h1 shingle set when
+    * `carrySet` (the verify stage needs it; the candidate stage must NOT
+    * pay to shuffle it).
+    */
+  private def bandedRows(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int, rowsPerBand: Int, carrySet: Boolean): DataFrame = {
     require(k % rowsPerBand == 0, s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
-    import spark.implicits._
     import graft.dedup.Dedup
 
     val pairs = Dedup.shingleHashPairs(col(textCol))
@@ -143,12 +146,25 @@ object StreamingDedup {
         TextOps.hash60(concat_ws(",",
           (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r).cast("string")): _*)).as("bandKey"))
     }: _*)
+    val carry = if (carrySet)
+      Seq(array_sort(array_distinct(transform(col("shp"), _.getField("h1")))).as("sh"))
+    else Seq.empty
 
     docs
       .select(col(idCol).cast("long").as("docId"), pairs.as("shp"))
       .filter(size(col("shp")) >= 1) // < 3 tokens → no shingles, as in batch
-      .select(col("docId"), explode(bands).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bandKey").as("bandKey"), col("docId"))
+      .select(col("docId") +: explode(bands).as("bk") +: carry: _*)
+      .select(Seq(col("bk.band").as("band"), col("bk.bandKey").as("bandKey"),
+        col("docId")) ++ carry.map(_ => col("sh")): _*)
+  }
+
+  def lshCandidates(spark: SparkSession, docs: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int = graft.dedup.Dedup.LshParams.K,
+                    rowsPerBand: Int = graft.dedup.Dedup.LshParams.RowsPerBand,
+                    ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    bandedRows(docs, textCol, idCol, k, rowsPerBand, carrySet = false)
       .as[BandedDoc]
       .groupByKey(d => (d.band, d.bandKey))
       .flatMapGroupsWithState(OutputMode.Append,
@@ -162,22 +178,129 @@ object StreamingDedup {
     * are admitted in sorted id order (output pairs are (min, max) and
     * therefore order-insensitive; sorting just makes admission
     * deterministic). Redeliveries (already-member ids) emit nothing.
+    *
+    * State is a SORTED id array: membership is a binary search and the
+    * batch's fresh ids merge in with one O(m + b) pass — a hot bucket (a
+    * skewed near-dup cluster) previously paid an O(m) `Seq.contains`
+    * scan per arrival, O(m²) per micro-batch.
     */
   def lshCandidatesFn(ttl: Option[String])(bucket: (Long, Long), rows: Iterator[BandedDoc],
                       state: GroupState[Seq[Long]]): Iterator[(Long, Long)] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    var members = state.getOption.getOrElse(Seq.empty)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    rows.map(_.docId).toSeq.distinct.sorted.foreach { id =>
-      if (!members.contains(id)) {
-        out ++= members.map(m => (math.min(m, id), math.max(m, id)))
-        members = members :+ id
+    val members: Array[Long] = state.getOption.map(_.toArray).getOrElse(Array.empty)
+    val fresh = rows.map(_.docId).toSeq.distinct.sorted
+      .filter(id => java.util.Arrays.binarySearch(members, id) < 0)
+    val out = for {
+      (id, idx) <- fresh.iterator.zipWithIndex
+      m <- members.iterator ++ fresh.iterator.take(idx)
+    } yield (math.min(m, id), math.max(m, id))
+    if (fresh.nonEmpty || members.nonEmpty) {
+      state.update(mergeSorted(members, fresh))
+      ttl.foreach(state.setTimeoutDuration)
+    }
+    // out is lazy over `members`/`fresh` vals — safe to return unforced
+    out
+  }
+
+  /** Merge two sorted, disjoint sequences in one pass. */
+  private def mergeSorted(a: Array[Long], b: Seq[Long]): Seq[Long] = {
+    if (b.isEmpty) return a.toSeq
+    if (a.isEmpty) return b
+    val out = new Array[Long](a.length + b.size)
+    var i = 0; var j = 0; var o = 0
+    val bArr = b.toArray
+    while (i < a.length && j < bArr.length) {
+      if (a(i) < bArr(j)) { out(o) = a(i); i += 1 } else { out(o) = bArr(j); j += 1 }
+      o += 1
+    }
+    while (i < a.length) { out(o) = a(i); i += 1; o += 1 }
+    while (j < bArr.length) { out(o) = bArr(j); j += 1; o += 1 }
+    out.toSeq
+  }
+
+  case class BandedDocSet(band: Long, bandKey: Long, docId: Long, sh: Seq[Long])
+  case class VerifiedPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming near-dup VERIFY — the complete streaming counterpart of
+    * the batch signatures → bands → candidates → exact-Jaccard pipeline
+    * ([[graft.dedup.Dedup.verifiedPairsFromHashes]]): each arriving
+    * document carries its distinct sorted 56-bit shingle-hash set into
+    * its band buckets, and a new bucket member is verified IN-OPERATOR
+    * against every existing member — emitting (id_a, id_b, jaccard) for
+    * pairs at or above `threshold`, with the identical jaccard double
+    * the batch path computes (same h1 sets, same
+    * inter / (|a| + |b| − inter) formula ⇒ bit-identical).
+    *
+    * A pair colliding in several bands is emitted once per band with
+    * identical values (deduplicate downstream, exactly like the batch
+    * form's `.distinct()` — the verdict is deterministic so duplicates
+    * are harmless repeats, never conflicts).
+    *
+    * Scale/state trade, explicitly: per-bucket state holds each member's
+    * shingle set, i.e. each document's set is stored once per band
+    * (k/rowsPerBand ×). That buys single-operator verified output with
+    * no second join; intersection of two sorted arrays is O(|a| + |b|).
+    * For corpora where that state is too heavy, run [[lshCandidates]]
+    * (ids only) and verify downstream against a persisted batch
+    * shingle-hash relation instead. `ttl` evicts idle buckets exactly as
+    * in [[lshCandidates]].
+    */
+  def lshVerified(spark: SparkSession, docs: DataFrame,
+                  textCol: String, idCol: String,
+                  k: Int = graft.dedup.Dedup.LshParams.K,
+                  rowsPerBand: Int = graft.dedup.Dedup.LshParams.RowsPerBand,
+                  threshold: Double = graft.dedup.Dedup.LshParams.Threshold,
+                  ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    bandedRows(docs, textCol, idCol, k, rowsPerBand, carrySet = true)
+      .as[BandedDocSet]
+      .groupByKey(d => (d.band, d.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(lshVerifiedFn(threshold, ttl))
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** Bucket state for [[lshVerified]]: members sorted by id, each with
+    * its sorted shingle-hash set. Admission mirrors [[lshCandidatesFn]];
+    * each fresh member is Jaccard-verified against all current members.
+    */
+  def lshVerifiedFn(threshold: Double, ttl: Option[String])(
+      bucket: (Long, Long), rows: Iterator[BandedDocSet],
+      state: GroupState[Seq[(Long, Seq[Long])]]): Iterator[VerifiedPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var members: Vector[(Long, Array[Long])] =
+      state.getOption.map(_.iterator.map { case (id, sh) => (id, sh.toArray) }.toVector)
+        .getOrElse(Vector.empty)
+    val seen = scala.collection.mutable.Set(members.map(_._1): _*)
+    val fresh = rows.toSeq.sortBy(_.docId).iterator
+      .filter(d => seen.add(d.docId)).toVector // drops in-batch redeliveries too
+    val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+    fresh.foreach { d =>
+      val sh = d.sh.toArray
+      members.foreach { case (mid, msh) =>
+        val inter = sortedIntersectionSize(sh, msh).toDouble
+        val j = inter / (sh.length + msh.length - inter)
+        if (j >= threshold)
+          out += VerifiedPair(math.min(mid, d.docId), math.max(mid, d.docId), j)
       }
+      members = members :+ ((d.docId, sh))
     }
     if (members.nonEmpty) {
-      state.update(members)
+      state.update(members.map { case (id, sh) => (id, sh.toSeq) })
       ttl.foreach(state.setTimeoutDuration)
     }
     out.iterator
+  }
+
+  /** |a ∩ b| for two sorted long arrays — one linear merge pass. */
+  private def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 }

@@ -24,6 +24,18 @@ class FeatureSpaceSpec extends SparkSpec {
     assert(st.vocab("s") == Seq("a", "b", "c"))
   }
 
+  test("adapt rejects a categorical column over the vocabulary cap before collecting") {
+    val wide = spark.range(5000).selectExpr("concat('v', id) AS s")
+    val err = intercept[IllegalArgumentException] {
+      FeatureSpace.adapt(wide, Seq(OneHotString("s")), maxVocab = 100)
+    }
+    assert(err.getMessage.contains("'s'"))
+    assert(err.getMessage.contains("cap of 100"))
+    // at the cap it still adapts (exact semantics, not sketch semantics)
+    val ok = FeatureSpace.adapt(wide.limit(100), Seq(OneHotString("s")), maxVocab = 100)
+    assert(ok.vocab("s").size == 100)
+  }
+
   test("normalize then inverse is identity") {
     val st = FeatureSpace.adapt(df, Seq(Normalized("x")))
     val cs = st.numeric("x")

@@ -251,6 +251,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (a, b) => b1Ids.contains(a) != b1Ids.contains(b) })
   }
 
+  test("streaming LSH verified pairs equal the batch verified pairs, jaccard included") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.lshVerified(spark, df, "text", "doc_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lshver_out").start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    // per-band repeats collapse in the set, like batch's .distinct();
+    // jaccard doubles must be BIT-identical to batch (same h1 sets, same
+    // formula), so they participate in the set equality un-rounded
+    val got = spark.table("lshver_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val p = graft.dedup.Dedup.LshParams
+    val want = graft.dedup.Dedup.verifiedPairsFromHashes(
+        graft.dedup.Dedup.shingleHashRelation(Tables.documents(spark, sf), "text", "doc_id"),
+        "doc_id", p.K, p.RowsPerBand, p.Threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // at least one verified pair spans the micro-batch boundary
+    val b1Ids = b1.map(_._1).toSet
+    assert(got.exists { case (a, b, _) => b1Ids.contains(a) != b1Ids.contains(b) })
+  }
+
+  test("lshCandidatesFn hot bucket: 1k-member bucket admits a batch without quadratic blowup") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingDedup.BandedDoc
+    // state already holds 1000 members; a micro-batch delivers 200 fresh
+    // ids + 100 redeliveries. Correctness: exactly fresh×(members+earlier
+    // fresh) pairs, no redelivery emissions, state stays sorted.
+    val existing = (0L until 2000L by 2).toSeq // evens
+    val s = TestGroupState.create[Seq[Long]](Optional.of(existing),
+      GroupStateTimeout.NoTimeout, batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val fresh = (1L until 400L by 2).toSeq  // 200 odds
+    val redeliveries = (0L until 200L by 2).toSeq
+    val rows = scala.util.Random.shuffle(fresh ++ redeliveries)
+      .map(id => BandedDoc(0L, 0L, id))
+    val out = StreamingDedup.lshCandidatesFn(None)((0L, 0L), rows.iterator, s).toSeq
+    val expected = fresh.size * existing.size + fresh.size * (fresh.size - 1) / 2
+    assert(out.size == expected)
+    assert(out.forall { case (a, b) => a < b })
+    val updated = s.get
+    assert(updated == updated.sorted && updated.size == existing.size + fresh.size)
+  }
+
   test("streaming supervised windows drop late cross-batch events instead of mis-ordering") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.WindowEvent]
