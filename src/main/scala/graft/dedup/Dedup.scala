@@ -230,6 +230,75 @@ object Dedup {
       .agg(min(col("id_a")).as("dup_of"))
       .withColumnRenamed("id_b", "doc_id")
 
+  /** Transitive near-dup cluster resolution: connected components over
+    * the verified pair set, emitting `(doc_id, canonical)` for every doc
+    * that appears in at least one pair, where `canonical` is the SMALLEST
+    * doc id in the doc's component. Unlike [[dupOfFirst]] (one pass, so
+    * on a chain a–b, b–c doc c's recorded partner b is itself a dup),
+    * following `canonical` always lands on a kept doc: the keep-set is
+    * exactly `{doc_id == canonical}` plus all unpaired docs.
+    *
+    * Algorithm: min-label propagation with pointer jumping, iterated to a
+    * fixpoint. Each round does (1) edge relaxation — every node takes the
+    * min of its own label and its neighbors' labels (a join + hash agg on
+    * the undirected edge list), then (2) pointer jumping — `l(v) ←
+    * l(l(v))` (a self-join on the label table), which halves chain depth,
+    * so rounds = O(log componentDiameter) instead of O(diameter).
+    *
+    * Scale: the input is the post-verify pair set — orders of magnitude
+    * smaller than the corpus (only true near-dup pairs survive the
+    * jaccard gate). Every round is hash joins + hash aggs over that small
+    * relation; `localCheckpoint` cuts lineage per round so the fixpoint
+    * loop never builds a deep recursive plan, and convergence is detected
+    * with a single scalar aggregate (labels only ever decrease, so the
+    * label sum strictly decreases until the fixpoint).
+    */
+  def clusterLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    // decimal(38,0) sum: overflow-proof convergence metric regardless of
+    // corpus id magnitude (a silently wrapped long sum could fake a
+    // fixpoint); null (empty pair set) reads as 0
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head() match {
+        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO
+        case r => r.getDecimal(0)
+      }
+    try {
+      var prevSum = labelSum(labels)
+      var converged = false
+      var rounds = 0
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 64, s"clusterLabels did not converge in 64 rounds")
+        // (1) edge relaxation: min over neighbor labels, folded into own
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("lbl").as("nlbl")), Seq("src"))
+          .groupBy(col("dst").as("doc_id"))
+          .agg(min(col("nlbl")).as("nbr"))
+        val relaxed = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        // (2) pointer jump: adopt the label OF the current label (labels
+        // are node ids, so l(l(v)) is defined whenever l(v) is a node)
+        val next = relaxed
+          .join(relaxed.select(col("doc_id").as("lbl"), col("lbl").as("jmp")), Seq("lbl"), "left")
+          .select(col("doc_id"), least(col("lbl"), coalesce(col("jmp"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val newSum = labelSum(next)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        labels = next
+      }
+      labels.withColumnRenamed("lbl", "canonical")
+    } finally edges.unpersist(false)
+  }
+
   /** Exact Jaccard similarity of two pre-computed distinct shingle arrays. */
   def jaccard(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")

@@ -170,6 +170,30 @@ object DedupQueries {
        |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // dedup_cluster — TRANSITIVE resolution of the verified pairs:
+  // connected components by min-label propagation (pointer-jumped,
+  // O(log n) rounds) so a chain a–b, b–c maps ALL of {a,b,c} to a, even
+  // when a–c itself was never verified. Unlike dedup_lsh_pairs (direct
+  // partners only), following `canonical` always lands on a kept doc.
+  // Oracle: DuckDB recursive CTE computing min reachable id per node.
+  // ========================================================================
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterLabels(verifiedPairs(s, d)).orderBy(col("doc_id"))
+
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE $lshPipelineCtes,
+       |vp AS (SELECT id_a, id_b FROM ver WHERE jaccard >= ${LshParams.Threshold}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM vp
+       |  UNION SELECT id_b, id_a FROM vp),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(lbl) AS canonical FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
   // dedup_minhash_sig — k=8 MinHash signatures in long form (doc_id, i,
   // minh): per-row expressions + a generator, shuffle-free; LSH banding
   // over these is in DedupSpec.
@@ -313,6 +337,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_lsh_bands" -> (dedupLshBands _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -325,6 +350,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_lsh_bands" -> dedupLshBandsSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_cluster" -> dedupClusterSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

@@ -81,6 +81,45 @@ class DedupSpec extends SparkSpec {
     oneShot.unpersist()
   }
 
+  test("clusterLabels resolves chains transitively to the component min; dupOfFirst does not") {
+    val pairs = Seq((1L, 2L, 0.5), (2L, 3L, 0.5), (10L, 11L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val m = Dedup.clusterLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the gap clusterLabels closes: dupOfFirst records 3 -> 2, but 2 is
+    // itself dropped as a dup of 1 — following dup_of lands on a dropped doc
+    val d = Dedup.dupOfFirst(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(3L) == 2L && d.contains(2L))
+  }
+
+  test("clusterLabels pointer jumping converges on a 32-node path and an empty input") {
+    val path = (1L until 32L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val m = Dedup.clusterLabels(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 32 && m.values.forall(_ == 1L))
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    assert(Dedup.clusterLabels(empty).collect().isEmpty)
+  }
+
+  test("chain fixture: jaccard(a,c) below threshold still resolves all of {a,b,c} to a") {
+    // sliding windows over 16 distinct tokens: j(a,b)=j(b,c)=5/11 ≈ 0.45,
+    // j(a,c)=2/14 ≈ 0.14 < 0.2 — the verified pairs form the chain a–b, b–c
+    def words(from: Int, to: Int) = (from to to).map(i => f"w$i%02d").mkString(" ")
+    val chain = Seq((1L, words(1, 10), "x"), (2L, words(4, 13), "x"), (3L, words(7, 16), "x"))
+      .toDF("doc_id", "text", "source")
+    val verified = Dedup.ngramJaccardPairsPersisted(chain, "text", "doc_id", "source",
+      Dedup.LshParams.Threshold)
+    val pairSet = verified.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((1L, 2L), (2L, 3L)), s"fixture pairs were $pairSet")
+    val m = Dedup.clusterLabels(verified).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    verified.unpersist()
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("multi-table embedding LSH: sound, deduplicated, recall monotone in tables") {
     val emb = Tables.embeddings(spark, sf)
     val th = 0.2
