@@ -7,14 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed in partition-local batches.
   *
-  * The decode step itself (image/audio/video) is STUBBED — the codec
-  * libraries are not in this container — behind [[decodeStub]], a
-  * deterministic fake that derives features from the raw bytes. What IS
-  * real and tested: the schema contract, the binary column handling, the
-  * `mapPartitions`-batched execution shape (the Scala analog of
-  * `mapInPandas`: one iterator per partition, batch-amortized setup, no
-  * per-row codec init), and the partitioning story (payload bytes never
-  * shuffle; features detach from payloads before any wide operation).
+  * Header decode is REAL: [[parseImageHeader]] reads PNG IHDR
+  * (width/height/bit-depth/color-type) and JPEG SOFn (precision/
+  * dimensions/components) from the payload bytes in pure Scala — byte
+  * arithmetic only, no codec library — including a proper JPEG marker
+  * scan (fill bytes, standalone markers, variable-length APPn/COM
+  * segments before the SOF). Only full PIXEL decode (image/audio/video)
+  * remains stubbed behind [[decodeStub]] — the codec libraries are not
+  * in this container. What is also real and tested: the schema contract,
+  * the binary column handling, the `mapPartitions`-batched execution
+  * shape (the Scala analog of `mapInPandas`: one iterator per partition,
+  * batch-amortized setup, no per-row codec init), and the partitioning
+  * story (payload bytes never shuffle; features detach from payloads
+  * before any wide operation).
   */
 object Multimodal {
 
@@ -40,10 +45,130 @@ object Multimodal {
       struct(length(col("text").cast("binary")).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
 
+  // ------------------------------------------------------------------
+  // Real header decode: PNG IHDR + JPEG SOFn, pure byte arithmetic
+  // ------------------------------------------------------------------
+
+  private val PngSig: Array[Int] = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** SOFn marker codes carrying frame dimensions: C0–CF minus DHT (C4),
+    * JPG-extension (C8) and DAC (CC).
+    */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** Parse an image header from raw payload bytes. Returns
+    * `(format, width, height, bitDepth, color)` where for PNG `bitDepth`
+    * is the IHDR bit-depth byte and `color` the color-type byte, and for
+    * JPEG `bitDepth` is the SOF sample precision and `color` the
+    * component count. `None` for anything that isn't a well-formed
+    * PNG/JPEG prefix (truncated, corrupt, or other media).
+    *
+    * PNG: 8-byte signature, then the IHDR chunk is REQUIRED first
+    * (www.w3.org/TR/png-3 §5.6) — width/height as big-endian u32 at
+    * offsets 16/20, bit-depth/color-type bytes at 24/25.
+    *
+    * JPEG: SOI (FFD8), then a marker scan — any number of fill bytes
+    * (FF) before a marker code, standalone markers (TEM, RSTn, SOI)
+    * skipped, EOI/SOS terminate, every other segment skipped via its
+    * big-endian u16 length (which counts itself), until an SOFn frame
+    * header: precision byte, height u16, width u16, component count.
+    */
+  def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int, Int, Int)] = {
+    if (bytes == null) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val n = bytes.length
+    if (n >= 26 && (0 until 8).forall(i => u8(i) == PngSig(i)) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      Some(("png", be32(16), be32(20), u8(24), u8(25)))
+    } else if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var pos = 2
+      while (pos + 1 < n) {
+        if (u8(pos) != 0xff) return None // lost marker sync: corrupt stream
+        var p = pos
+        while (p < n && u8(p) == 0xff) p += 1 // skip fill bytes
+        if (p >= n) return None
+        val m = u8(p)
+        if (isSof(m)) {
+          // segment: len u16 at p+1, precision p+3, height p+4, width p+6, ncomp p+8
+          if (p + 8 >= n || be16(p + 1) < 8) return None
+          return Some(("jpeg", be16(p + 6), be16(p + 4), u8(p + 3), u8(p + 8)))
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
+          pos = p + 1 // standalone marker, no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return None // EOI / entropy-coded data before any SOF
+        } else {
+          if (p + 2 >= n) return None
+          val segLen = be16(p + 1)
+          if (segLen < 2) return None
+          pos = p + 1 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  case class ImageHeader(asset_id: Long, format: String, width: Long, height: Long,
+                         bit_depth: Long, color: Long)
+
+  /** Batched header decode over an asset table: the real (non-stub) part
+    * of the decode stage. Same execution shape as a full decoder —
+    * payload bytes stay partition-local, one iterator per partition —
+    * but needs only byte arithmetic. Rows whose payload is not a
+    * well-formed PNG/JPEG are dropped (a production run would route them
+    * to a quarantine sink instead).
+    */
+  def decodeHeaders(spark: SparkSession, assets: DataFrame): Dataset[ImageHeader] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseImageHeader(bytes).map { case (f, w, h, d, c) =>
+            ImageHeader(id, f, w.toLong, h.toLong, d.toLong, c.toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic image payloads derived from `doc_id` — the
+    * test stand-in for real media bytes (this container ships no image
+    * corpus): even ids become a PNG (signature + IHDR + fake CRC), odd
+    * ids a JPEG (SOI, an APP0 whose length VARIES with the id so the
+    * marker scan is genuinely exercised at shifting offsets, SOF0, EOI).
+    * Built entirely from hex-string expressions + `unhex` so a SQL
+    * oracle can construct the identical bytes and extract the same
+    * fields by the same byte arithmetic.
+    */
+  def syntheticImagePayloads(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 997 + 1).cast("long")
+    val h = (id % 499 + 1).cast("long")
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length + type
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000"), // bit-depth 8, color-type 6, comp/filter/interlace
+      lit("00000000")) // fake CRC
+    // APP0 payload length varies 6..14 bytes with the id
+    val app0Pay = (id % 5) * 2 + 6
+    val jpegHex = concat(
+      lit("FFD8"), lit("FFE0"), lpad(hex(app0Pay + 2), 4, "0"),
+      expr("repeat('00', cast(doc_id % 5 as int) * 2 + 6)"),
+      lit("FFC0"), lit("0011"), lit("08"),
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03"), lit("012200"), lit("021101"), lit("031101"),
+      lit("FFD9"))
+    docs.select(id.as("asset_id"),
+      unhex(when(id % 2 === 0, pngHex).otherwise(jpegHex)).as("payload"))
+  }
+
   case class DecodedFeatures(asset_id: Long, n_bytes: Long, checksum: Long, feat: Array[Double])
 
-  /** STUB decode: a real implementation would decode image/audio bytes
-    * and emit an embedding; this deterministic fake derives a tiny
+  /** STUB pixel decode: a real implementation would decode image/audio
+    * SAMPLES and emit an embedding (headers are already decoded for real
+    * by [[decodeHeaders]]); this deterministic fake derives a tiny
     * "feature vector" from the payload bytes so the batching/schema
     * plumbing is fully exercisable. Runs per partition — codec setup
     * (here: none) would be amortized per partition exactly as a real

@@ -218,6 +218,59 @@ object SimQueries {
       |  md5(text) AS checksum, source
       |FROM documents ORDER BY asset_id""".stripMargin
 
+  // ========================================================================
+  // multimodal_dims — REAL header decode over synthetic-but-well-formed
+  // image bytes: even doc_ids become PNGs (signature + IHDR), odd ones
+  // JPEGs whose APP0 length varies with the id so the SOF lands at
+  // shifting offsets and the marker scan is genuinely exercised. Spark
+  // parses the BYTES (Multimodal.parseImageHeader, pure Scala byte
+  // arithmetic in the mapPartitions decode stage); the oracle constructs
+  // the identical bytes as hex and extracts the same fields by the same
+  // offset arithmetic (including reading the APP0 length back out of the
+  // built payload, not re-deriving it).
+  // ========================================================================
+  def multimodalDims(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeHeaders(s,
+        Multimodal.syntheticImagePayloads(Tables.documents(s, d)))
+      .toDF().orderBy(col("asset_id"))
+
+  private val multimodalDimsSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id, doc_id % 2 = 0 AS is_png,
+      |    doc_id % 997 + 1 AS w, doc_id % 499 + 1 AS h,
+      |    (doc_id % 5) * 2 + 6 AS app0pay
+      |  FROM documents),
+      |built AS (
+      |  SELECT asset_id, is_png,
+      |    CASE WHEN is_png THEN
+      |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |      lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') ||
+      |      '0806000000' || '00000000'
+      |    ELSE
+      |      'FFD8FFE0' || lpad(to_hex(app0pay + 2), 4, '0') ||
+      |      repeat('00', app0pay::INT) ||
+      |      'FFC0' || '0011' || '08' ||
+      |      lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+      |      '03' || '012200' || '021101' || '031101' || 'FFD9'
+      |    END AS hx
+      |  FROM p),
+      |parsed AS (
+      |  SELECT asset_id, is_png, hx,
+      |    CASE WHEN is_png THEN NULL
+      |         ELSE ('0x' || substr(hx, 9, 4))::BIGINT END AS a0
+      |  FROM built)
+      |SELECT asset_id,
+      |  CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS format,
+      |  CASE WHEN is_png THEN ('0x' || substr(hx, 33, 8))::BIGINT
+      |       ELSE ('0x' || substr(hx, 2 * (4 + a0 + 7) + 1, 4))::BIGINT END AS width,
+      |  CASE WHEN is_png THEN ('0x' || substr(hx, 41, 8))::BIGINT
+      |       ELSE ('0x' || substr(hx, 2 * (4 + a0 + 5) + 1, 4))::BIGINT END AS height,
+      |  CASE WHEN is_png THEN ('0x' || substr(hx, 49, 2))::BIGINT
+      |       ELSE ('0x' || substr(hx, 2 * (4 + a0 + 4) + 1, 2))::BIGINT END AS bit_depth,
+      |  CASE WHEN is_png THEN ('0x' || substr(hx, 51, 2))::BIGINT
+      |       ELSE ('0x' || substr(hx, 2 * (4 + a0 + 9) + 1, 2))::BIGINT END AS color
+      |FROM parsed ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
@@ -226,6 +279,7 @@ object SimQueries {
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_dims" -> (multimodalDims _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -238,5 +292,6 @@ object SimQueries {
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_dims" -> multimodalDimsSql,
   )
 }

@@ -32,4 +32,70 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feat.length == 6)
     assert(f.feat.forall(x => x >= 0.0 && x <= 1.0))
   }
+
+  // ------------------------------------------------------------------
+  // parseImageHeader: pure-Scala PNG IHDR / JPEG SOFn byte parsing
+  // ------------------------------------------------------------------
+
+  private def hexBytes(hx: String): Array[Byte] =
+    hx.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def be16(v: Int) = f"$v%04X"
+  private def be32(v: Int) = f"$v%08X"
+
+  private def png(w: Int, h: Int, depth: Int = 8, color: Int = 6): Array[Byte] =
+    hexBytes("89504E470D0A1A0A 0000000D 49484452 " +
+      be32(w) + be32(h) + f"$depth%02X$color%02X" + "000000 00000000")
+
+  test("parseImageHeader reads PNG IHDR fields") {
+    assert(Multimodal.parseImageHeader(png(640, 480)) == Some(("png", 640, 480, 8, 6)))
+    assert(Multimodal.parseImageHeader(png(70000, 3, depth = 16, color = 2))
+      == Some(("png", 70000, 3, 16, 2))) // >u16 width exercises the u32 read
+  }
+
+  test("parseImageHeader scans JPEG markers to SOFn past multiple variable segments") {
+    // SOI, APP0 (JFIF, 16 bytes), APP1 (odd 5-byte length), COM, fill
+    // bytes before the SOF marker, then SOF2 (progressive, still a frame
+    // header), then EOI
+    val jpeg = hexBytes(
+      "FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0048 0048 00 00" +
+      "FFE1 0005 616263" +
+      "FFFE 0004 5858" +
+      "FFFF" + // fill byte before marker
+      "FFC2 0011 10 " + be16(1080) + be16(1920) + " 03 012200 021101 031101" +
+      "FFD9")
+    assert(Multimodal.parseImageHeader(jpeg) == Some(("jpeg", 1920, 1080, 16, 3)))
+  }
+
+  test("parseImageHeader skips standalone markers and rejects non-images") {
+    // RST0 + TEM standalone markers between SOI and SOF0
+    val weird = hexBytes("FFD8 FFD0 FF01 FFC0 0011 08 " + be16(2) + be16(3) +
+      " 03 012200 021101 031101 FFD9")
+    assert(Multimodal.parseImageHeader(weird) == Some(("jpeg", 3, 2, 8, 3)))
+    assert(Multimodal.parseImageHeader(null).isEmpty)
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.parseImageHeader("plain text bytes, not an image".getBytes).isEmpty)
+    // EOI before any SOF → no dimensions
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8FFD9")).isEmpty)
+    // truncated mid-segment
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8FFE000")).isEmpty)
+    // DHT (C4) must NOT be mistaken for a SOF
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8 FFC4 0004 0000 FFD9")).isEmpty)
+    // marker desync (non-FF where a marker must start)
+    assert(Multimodal.parseImageHeader(hexBytes("FFD8 00FF")).isEmpty)
+  }
+
+  test("decodeHeaders over synthetic payloads matches the id-derived dimensions") {
+    val docs = Tables.documents(spark, sf)
+    val decoded = Multimodal.decodeHeaders(spark,
+      Multimodal.syntheticImagePayloads(docs)).collect()
+    assert(decoded.length == docs.count()) // every payload parses
+    decoded.foreach { hdr =>
+      val id = hdr.asset_id
+      assert(hdr.width == id % 997 + 1 && hdr.height == id % 499 + 1)
+      if (id % 2 == 0) assert(hdr.format == "png" && hdr.bit_depth == 8 && hdr.color == 6)
+      else assert(hdr.format == "jpeg" && hdr.bit_depth == 8 && hdr.color == 3)
+    }
+  }
 }
