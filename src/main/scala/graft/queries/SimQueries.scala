@@ -200,6 +200,101 @@ object SimQueries {
   private val annIvfProbe2Sql = ivfSearchSql(nProbe = 2)
 
   // ========================================================================
+  // ann_recall — recall@5 of IVF(nProbe ∈ {1,2}) against the brute-force
+  // top-5 (the declared correctness baseline): per query, how many of the
+  // true neighbors the probe recovered. THE dial that matters at 100×
+  // scale is recall-vs-probe-cost; this query measures it (and locks
+  // centroid learning against regressions — a worse quantizer shows up
+  // as a recall drop before it shows up anywhere else).
+  //
+  // Determinism: hits is an integer pair-set intersection; recall ships
+  // as ONE division of identical ints (never a rounded small-denominator
+  // rational — x/5 sits exactly on half-boundaries).
+  // ========================================================================
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .select(col("q_id"), col("n_id"))
+    val qids = exact.select(col("q_id")).distinct()
+    val perProbe = Seq(1, 2).map { p =>
+      val hits = Similarity.ivfSearch(e, "vec_id", "embedding", "label",
+          col("vec_id") < 10, k = 5, nProbe = p)
+        .select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(p.toLong).as("n_probe"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+    }
+    perProbe.reduce(_ unionByName _).orderBy(col("n_probe"), col("q_id"))
+  }
+
+  private val annRecallSql =
+    """WITH m AS (
+      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
+      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
+      |cn AS (
+      |  SELECT label AS cell, cvec,
+      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |bf AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |        c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |assign AS (
+      |  SELECT q_id, q_vec, q_nrm, cell, rc FROM (
+      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, cn.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[i]::DOUBLE * cn.cvec[i])) / (q.nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM e q, cn WHERE q.vec_id < 10)
+      |  WHERE rc <= 2),
+      |ivf1 AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT a.q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY a.q_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.q_vec) + 1),
+      |          i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
+      |        c.vec_id) AS rank
+      |    FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id
+      |    WHERE a.rc <= 1)
+      |  WHERE rank <= 5),
+      |ivf2 AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT a.q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY a.q_id ORDER BY
+      |        list_sum(list_transform(range(1, len(a.q_vec) + 1),
+      |          i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
+      |        c.vec_id) AS rank
+      |    FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id)
+      |  WHERE rank <= 5),
+      |h1 AS (SELECT q_id, count(*) AS hits
+      |       FROM (SELECT * FROM ivf1 INTERSECT SELECT * FROM bf) GROUP BY q_id),
+      |h2 AS (SELECT q_id, count(*) AS hits
+      |       FROM (SELECT * FROM ivf2 INTERSECT SELECT * FROM bf) GROUP BY q_id),
+      |q AS (SELECT DISTINCT q_id FROM bf)
+      |SELECT q_id, n_probe, hits, CAST(hits AS DOUBLE) / 5.0 AS recall FROM (
+      |  SELECT q.q_id, CAST(1 AS BIGINT) AS n_probe,
+      |    CAST(coalesce(h1.hits, 0) AS BIGINT) AS hits
+      |  FROM q LEFT JOIN h1 ON q.q_id = h1.q_id
+      |  UNION ALL
+      |  SELECT q.q_id, CAST(2 AS BIGINT) AS n_probe,
+      |    CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits
+      |  FROM q LEFT JOIN h2 ON q.q_id = h2.q_id)
+      |ORDER BY n_probe, q_id""".stripMargin
+
+  // ========================================================================
   // multimodal_meta — the binary-asset contract: payload as opaque bytes
   // + typed metadata (octet length, md5 checksum, media type). The
   // batched decode stub (mapPartitions) is exercised in MultimodalSpec.
@@ -278,6 +373,7 @@ object SimQueries {
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
+    "ann_recall" -> (annRecall _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
   )
@@ -291,6 +387,7 @@ object SimQueries {
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,
+    "ann_recall" -> annRecallSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
   )

@@ -161,8 +161,101 @@ object TextQueries {
       |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
       |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
 
+  // ========================================================================
+  // bm25_topk — ranked retrieval over the corpus for a FIXED query-term
+  // set: the scoring layer on top of the tf/df primitives (term_freq),
+  // used in training-data curation for quality filtering and
+  // contamination lookup. Okapi BM25 with the Lucene idf variant,
+  // k1 = 1.2, b = 0.75.
+  //
+  // Scale + determinism design:
+  //  - tokens explode once, filtered to the query terms BEFORE the
+  //    shuffle, so only (doc, query-term) rows move — work is
+  //    O(corpus tokens) map-side, O(matches) shuffle, never O(vocab);
+  //  - df (≤ |Q| rows) and the corpus stats (1 row) broadcast;
+  //  - avgdl is an exact long sum divided ONCE (bit-equal cross-engine,
+  //    see the README rounding conventions) — never an order-dependent
+  //    double sum;
+  //  - the per-doc score sums its ≤|Q| term contributions in FIXED
+  //    textual term order via conditional aggregation (one column per
+  //    query term), not in shuffle arrival order — double addition is
+  //    non-associative, so arrival-order sums are nondeterministic;
+  //  - ln() is the one engine-dependent step (last-ulp), so the score
+  //    ships rounded to 4 digits, and the top-k ORDER BY uses the
+  //    UNROUNDED score (distinct docs differ by ≫ 1 ulp; structurally
+  //    identical docs tie exactly in both engines and break on doc_id).
+  // ========================================================================
+  private val Bm25Terms = Seq("spark", "hash", "window", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25K = 15
+
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val dl = docs(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
+          / (col("tf").cast("double")
+             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    }
+    val score = Bm25Terms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  private val bm25TopKSql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val caseCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
+    }.mkString(", ")
+    val scoreSum = Bm25Terms.indices.map(i => s"coalesce(c$i, 0.0)").mkString(" + ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (
+       |  SELECT doc_id, term,
+       |    ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
+       |      / (CAST(tf AS DOUBLE)
+       |         + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) AS contrib
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       |SELECT doc_id, round($scoreSum, 4) AS score
+       |FROM (SELECT doc_id, $caseCols FROM c GROUP BY doc_id)
+       |ORDER BY $scoreSum DESC, doc_id LIMIT $Bm25K""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "term_freq" -> (termFreq _),
+    "bm25_topk" -> (bm25TopK _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -172,6 +265,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "term_freq" -> termFreqSql,
+    "bm25_topk" -> bm25TopKSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,
