@@ -240,10 +240,11 @@ object StreamingDedup {
     * shingle set, i.e. each document's set is stored once per band
     * (k/rowsPerBand ×). That buys single-operator verified output with
     * no second join; intersection of two sorted arrays is O(|a| + |b|).
-    * For corpora where that state is too heavy, run [[lshCandidates]]
-    * (ids only) and verify downstream against a persisted batch
-    * shingle-hash relation instead. `ttl` evicts idle buckets exactly as
-    * in [[lshCandidates]].
+    * For corpora where that state is too heavy, use
+    * [[lshVerifiedAgainst]] — the runnable state-light alternative:
+    * [[lshCandidates]] (ids-only state) + a per-micro-batch join against
+    * a persisted batch shingle-hash relation. `ttl` evicts idle buckets
+    * exactly as in [[lshCandidates]].
     */
   def lshVerified(spark: SparkSession, docs: DataFrame,
                   textCol: String, idCol: String,
@@ -291,6 +292,140 @@ object StreamingDedup {
       ttl.foreach(state.setTimeoutDuration)
     }
     out.iterator
+  }
+
+  /** State-LIGHT streaming near-dup verify: [[lshCandidates]] generates
+    * candidate pairs with ids-only bucket state, and each micro-batch's
+    * pairs are verified by a stream-static join against `shingleHashes` —
+    * a PERSISTED batch shingle-hash relation in the
+    * [[graft.dedup.Dedup.shingleHashRelation]] shape (`idCol`, `h1`, …) —
+    * emitting the identical (id_a, id_b, jaccard) rows as [[lshVerified]]
+    * (same h1 sets, same inter / (|a| + |b| − inter) double formula ⇒
+    * bit-identical; same once-per-colliding-band duplicate contract).
+    *
+    * Choosing between the two:
+    *  - [[lshVerified]] stores every member's shingle set once per band
+    *    (k/rowsPerBand ×) but verifies in-operator — one stateful stage,
+    *    no external relation, lowest latency. Right when documents are
+    *    short or buckets small.
+    *  - this form keeps streaming state at ids only (O(1) longs per
+    *    member per band) and pays one static-side aggregation + two
+    *    joins per micro-batch instead. Right when shingle sets are large
+    *    or buckets hot — state size no longer grows with document
+    *    length — at the cost of maintaining the batch-side relation
+    *    (persist it; refresh on corpus growth).
+    *
+    * The exact-Jaccard step is per CANDIDATE pair (LSH-bounded, tiny per
+    * micro-batch), so the interpreted `array_intersect` here is bounded
+    * work — unlike the corpus-wide batch verify, which uses the
+    * relational explode-join form for exactly that reason.
+    */
+  def lshVerifiedAgainst(spark: SparkSession, docs: DataFrame,
+                         shingleHashes: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = graft.dedup.Dedup.LshParams.K,
+                         rowsPerBand: Int = graft.dedup.Dedup.LshParams.RowsPerBand,
+                         threshold: Double = graft.dedup.Dedup.LshParams.Threshold,
+                         ttl: Option[String] = None): DataFrame = {
+    val cand = lshCandidates(spark, docs, textCol, idCol, k, rowsPerBand, ttl)
+    // mirrors Dedup.verifiedPairsFromParts' distinct (id, h1) projection,
+    // pre-aggregated to one sorted set per doc (map-side combined; one
+    // pass over the persisted relation per micro-batch)
+    val sets = shingleHashes
+      .select(col(idCol).cast("long").as("sid"), col("h1").as("h"))
+      .distinct()
+      .groupBy(col("sid"))
+      .agg(array_sort(collect_set(col("h"))).as("sh"))
+    cand
+      .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  case class ClusterUpdate(doc_id: Long, canonical: Long)
+
+  /** Incremental TRANSITIVE cluster resolution over a verified-pair
+    * stream — the streaming counterpart of
+    * [[graft.dedup.Dedup.clusterLabels]] (and the cluster-level sibling
+    * of [[keepFirst]]): the keeper of a near-dup cluster is the minimum
+    * id seen so far in its connected component, and merges REVISE it.
+    *
+    * Emission contract (update semantics over an append stream): each
+    * micro-batch emits (doc_id, canonical) for every doc whose canonical
+    * CHANGED — new docs, and all members of a cluster absorbed into one
+    * with a smaller keeper. Downstream keeps the latest row per doc;
+    * folding the emissions in order reproduces the batch clusterLabels
+    * mapping exactly (the parity StreamingSpec asserts this).
+    *
+    * State/scale: pairs are grouped to a SINGLE key holding a flat
+    * doc → cluster-min map plus the per-cluster member lists — a
+    * deliberate trade, stated plainly: the verified-pair stream is
+    * orders of magnitude smaller than the document stream (only true
+    * near-dups survive the jaccard gate), and transitive merges are
+    * inherently cross-bucket, so no per-bucket keying can express them
+    * in one stateful operator. Relabeling on merge costs
+    * O(|absorbed cluster|) — exactly the rows that must be emitted
+    * anyway, so the operator is emission-bound, not bookkeeping-bound.
+    * `ttl` bounds state under the same idle-eviction contract as
+    * [[keepFirst]]: a quiet corpus's cluster map expires as one unit and
+    * later pairs restart clustering fresh.
+    */
+  def clusterKeepFirstFn(ttl: Option[String])(key: Int, rows: Iterator[(Long, Long)],
+      state: GroupState[Seq[(Long, Long)]]): Iterator[ClusterUpdate] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val canon = scala.collection.mutable.Map.empty[Long, Long] ++
+      state.getOption.getOrElse(Seq.empty)
+    val before = canon.toMap
+    val members = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    canon.foreach { case (doc, c) =>
+      members.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty) += doc
+    }
+    def ensure(id: Long): Long = canon.getOrElseUpdate(id, {
+      members.getOrElseUpdate(id, scala.collection.mutable.ArrayBuffer.empty) += id
+      id
+    })
+    // in-batch arrival order is nondeterministic → process pairs sorted,
+    // like every other admission in this file
+    rows.toSeq.sorted.foreach { case (a, b) =>
+      val ca = ensure(a); val cb = ensure(b)
+      if (ca != cb) {
+        val keep = math.min(ca, cb); val drop = math.max(ca, cb)
+        val moved = members.remove(drop).get
+        moved.foreach(m => canon(m) = keep)
+        members(keep) ++= moved
+      }
+    }
+    val changed = canon.iterator
+      .filter { case (doc, c) => !before.get(doc).contains(c) }
+      .map { case (doc, c) => ClusterUpdate(doc, c) }
+      .toArray.sortBy(_.doc_id)
+    if (canon.nonEmpty) {
+      state.update(canon.toSeq.sorted)
+      ttl.foreach(state.setTimeoutDuration)
+    }
+    changed.iterator
+  }
+
+  /** Wire [[clusterKeepFirstFn]] over a streaming verified-pair frame
+    * (`id_a`, `id_b` — e.g. the output of [[lshVerified]] /
+    * [[lshVerifiedAgainst]]): emits one (doc_id, canonical) revision per
+    * changed doc per micro-batch.
+    */
+  def clusterKeepFirst(spark: SparkSession, pairs: DataFrame,
+                       ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(clusterKeepFirstFn(ttl))
+      .toDF("doc_id", "canonical")
   }
 
   /** |a ∩ b| for two sorted long arrays — one linear merge pass. */

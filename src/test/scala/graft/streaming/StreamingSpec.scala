@@ -283,6 +283,87 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => b1Ids.contains(a) != b1Ids.contains(b) })
   }
 
+  test("state-light lshVerifiedAgainst matches the batch verified pairs bit-identically") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingleHashRelation(
+      Tables.documents(spark, sf), "text", "doc_id").persist()
+    val out = StreamingDedup.lshVerifiedAgainst(spark, df, sh, "text", "doc_id")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("lshver_light_out").start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("lshver_light_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val p = graft.dedup.Dedup.LshParams
+    val want = graft.dedup.Dedup.verifiedPairsFromHashes(sh,
+        "doc_id", p.K, p.RowsPerBand, p.Threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist()
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the state-light path too must verify pairs spanning micro-batches
+    val b1Ids = b1.map(_._1).toSet
+    assert(got.exists { case (a, b, _) => b1Ids.contains(a) != b1Ids.contains(b) })
+  }
+
+  test("streaming clusterKeepFirst folds to the batch clusterLabels mapping across batches") {
+    implicit val sc = spark.sqlContext
+    val p = graft.dedup.Dedup.LshParams
+    val batchPairs = graft.dedup.Dedup.verifiedPairsFromHashes(
+        graft.dedup.Dedup.shingleHashRelation(Tables.documents(spark, sf), "text", "doc_id"),
+        "doc_id", p.K, p.RowsPerBand, p.Threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(batchPairs.nonEmpty)
+    val stream = MemoryStream[(Long, Long)]
+    val out = StreamingDedup.clusterKeepFirst(spark, stream.toDF().toDF("id_a", "id_b"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cluster_out").start()
+    val folded = scala.collection.mutable.Map.empty[Long, Long]
+    var seen = 0
+    batchPairs.grouped(math.max(1, batchPairs.size / 3)).foreach { chunk =>
+      stream.addData(chunk)
+      q.processAllAvailable()
+      val rows = spark.table("cluster_out").collect()
+      // within one micro-batch each doc appears at most once (the fn
+      // emits a before/after diff), so fold order within a batch is moot
+      rows.drop(seen).foreach(r => folded(r.getLong(0)) = r.getLong(1))
+      seen = rows.length
+    }
+    q.stop()
+    val want = graft.dedup.Dedup.clusterLabels(
+        batchPairs.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded.toMap == want)
+  }
+
+  test("clusterKeepFirstFn revises canonicals when a later pair merges clusters downward") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val out = StreamingDedup.clusterKeepFirst(spark, stream.toDF().toDF("id_a", "id_b"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cluster_rev_out").start()
+    stream.addData(Seq((5L, 6L)))
+    q.processAllAvailable()
+    val afterB1 = spark.table("cluster_rev_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterB1 == Set((5L, 5L), (6L, 5L)))
+    stream.addData(Seq((1L, 5L))) // merges {5,6} into {1}: both must be revised
+    q.processAllAvailable()
+    val all = spark.table("cluster_rev_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    val batch2 = all.drop(afterB1.size).toSet
+    assert(batch2 == Set((1L, 1L), (5L, 1L), (6L, 1L)))
+  }
+
   test("lshCandidatesFn hot bucket: 1k-member bucket admits a batch without quadratic blowup") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
