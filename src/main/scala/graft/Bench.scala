@@ -25,6 +25,11 @@ object Bench {
     // persisted intermediates (e.g. the dedup shingle index) can't skew
     // another's numbers.
     val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // both raw samples per query (run order), so a loaded box is visible
+    // from the artifact alone: min(samples) is the headline, and a large
+    // spread between the two runs IS the load diagnosis that previously
+    // required an idle-box re-run
+    val perQuerySamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // a query that throws must NOT read as a fast success: its time is
     // negated and its name listed under "failed" in the output line
@@ -40,16 +45,19 @@ object Bench {
         var best = Double.MaxValue
         var ok = true
         var attempt = 0
+        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
         while (ok && attempt < 2) {
           val t0 = System.nanoTime()
           ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
           val elapsed = (System.nanoTime() - t0) / 1e9
+          samples += elapsed
           best = math.min(best, elapsed)
           attempt += 1
         }
         if (!ok) failed += name
         perQuery(name) = if (ok) best else -best
+        perQuerySamples(name) = samples.toSeq
       }
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
       spark.catalog.clearCache()
@@ -58,7 +66,10 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ > 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"families":${js(perFamily)},"failed":$failedJs,"sf":"$sfDir"}""")
+    val samplesJs = perQuerySamples
+      .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"samples":$samplesJs,"families":${js(perFamily)},"failed":$failedJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
