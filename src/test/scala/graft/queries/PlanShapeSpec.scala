@@ -99,6 +99,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bm25_topk partial-aggregates the tf counts and broadcasts df + corpus stats") {
+    val p = plan("bm25_topk")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("multimodal_dims builds payloads from doc_id only (text never scanned)") {
+    val read = plan("multimodal_dims").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
+
+  test("ann_recall joins stay broadcast/equi (no cartesian product)") {
+    val p = plan("ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("the pinned row-index input (the real code path) range-partitions with a local sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))
