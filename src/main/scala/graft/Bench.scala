@@ -57,7 +57,9 @@ object Bench {
         }
         if (!ok) failed += name
         perQuery(name) = if (ok) best else -best
-        perQuerySamples(name) = samples.toSeq
+        // failed attempts negate their sample too, so min(samples) never
+        // reads an abort time as a valid fast timing
+        perQuerySamples(name) = if (ok) samples.toSeq else samples.map(-_).toSeq
       }
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
       spark.catalog.clearCache()

@@ -212,10 +212,19 @@ object SimQueries {
   // rational — x/5 sits exactly on half-boundaries).
   // ========================================================================
   def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, d)
-    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 10, 5)
+    // the baseline is consumed four times below (qids + one semi-join per
+    // probe, and every downstream action would re-run its corpus-wide
+    // crossJoin+window). Its result is bounded at queries×k rows, so
+    // materialize it ONCE to a local relation (bounded top-k collect —
+    // same contract as the vocab collects) instead of re-scanning the
+    // corpus per consumer.
+    val exactRows = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 10, 5)
       .select(col("q_id"), col("n_id"))
-    val qids = exact.select(col("q_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = exactRows.toDF("q_id", "n_id")
+    val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
     val perProbe = Seq(1, 2).map { p =>
       val hits = Similarity.ivfSearch(e, "vec_id", "embedding", "label",
           col("vec_id") < 10, k = 5, nProbe = p)

@@ -328,20 +328,17 @@ object StreamingDedup {
                          threshold: Double = graft.dedup.Dedup.LshParams.Threshold,
                          ttl: Option[String] = None): DataFrame = {
     val cand = lshCandidates(spark, docs, textCol, idCol, k, rowsPerBand, ttl)
-    // mirrors Dedup.verifiedPairsFromParts' distinct (id, h1) projection,
-    // pre-aggregated to one sorted set per doc (map-side combined; one
-    // pass over the persisted relation per micro-batch)
+    // the distinct h1 set per doc, pre-aggregated in ONE map-side-combined
+    // pass over the persisted relation per micro-batch (collect_set
+    // already deduplicates — no separate distinct shuffle)
     val sets = shingleHashes
       .select(col(idCol).cast("long").as("sid"), col("h1").as("h"))
-      .distinct()
       .groupBy(col("sid"))
       .agg(array_sort(collect_set(col("h"))).as("sh"))
     cand
       .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")).cast("double") + size(col("sh_b")).cast("double") - col("inter")))
+      .withColumn("jaccard", graft.dedup.Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
