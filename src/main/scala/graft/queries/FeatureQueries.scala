@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.functions.{Cyclical, TimeFns}
-import graft.operators.FeatureSpace
+import graft.operators.{FeatureSpace, PlotPrep}
 
 /** Feature-engineering queries: cyclical encodings, one-hot (int depth-5 +
   * learned string vocab), min-max rescale, vector pack, feature concat,
@@ -227,8 +227,50 @@ object FeatureQueries {
       |          min(value) AS mn, max(value) AS mx FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ========================================================================
+  // §2.1 plot_prep — the plot sink's engine half (reference
+  // plot_cyclical_time_features/plot_dataset draw feature columns vs the
+  // sample index): a bounded min/max-decimated envelope — 100 buckets
+  // over the event_id span, per-bucket mean/min/max of the hour+day
+  // cyclical encodings. Pure integer bucket arithmetic against a
+  // broadcast 1-row span, one map-side-combined aggregation; output size
+  // is features × buckets regardless of input size. Rendering stays
+  // outside the engine.
+  // ========================================================================
+  def plotPrep(s: SparkSession, d: String): DataFrame = {
+    val (sh, ch) = Cyclical.pairReduced(col("e_us"), Cyclical.SecondsPerHour)
+    val (sd, cd) = Cyclical.pairReduced(col("e_us"), Cyclical.SecondsPerDay)
+    val src = ev(s, d).select(col("event_id"), epochUs.as("e_us"))
+    PlotPrep.envelope(src, "event_id",
+        Seq("sin_hour" -> sh, "cos_hour" -> ch, "sin_day" -> sd, "cos_day" -> cd),
+        nBuckets = 100)
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  private val plotPrepSql =
+    """WITH src AS (SELECT event_id, epoch_us(ts) AS e_us FROM events),
+      |sp AS (SELECT min(event_id) AS mn, max(event_id) AS mx FROM src),
+      |b AS (
+      |  SELECT ((event_id - mn) * 100) // (mx - mn + 1) AS bucket,
+      |    sin((e_us % 3600000000) * (2 * pi() / 3600000000.0)) AS sin_hour,
+      |    cos((e_us % 3600000000) * (2 * pi() / 3600000000.0)) AS cos_hour,
+      |    sin((e_us % 86400000000) * (2 * pi() / 86400000000.0)) AS sin_day,
+      |    cos((e_us % 86400000000) * (2 * pi() / 86400000000.0)) AS cos_day
+      |  FROM src, sp),
+      |u AS (
+      |  SELECT bucket, 'sin_hour' AS feature, sin_hour AS v FROM b
+      |  UNION ALL SELECT bucket, 'cos_hour', cos_hour FROM b
+      |  UNION ALL SELECT bucket, 'sin_day', sin_day FROM b
+      |  UNION ALL SELECT bucket, 'cos_day', cos_day FROM b)
+      |SELECT feature, CAST(bucket AS BIGINT) AS bucket,
+      |  round(avg(v), 6) AS mean, round(min(v), 6) AS vmin,
+      |  round(max(v), 6) AS vmax, count(*) AS n
+      |FROM u GROUP BY feature, bucket
+      |ORDER BY feature, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cyclical_features" -> (cyclicalFeatures _),
+    "plot_prep" -> (plotPrep _),
     "onehot_int" -> (onehotInt _),
     "onehot_string" -> (onehotString _),
     "rescale_apply" -> (rescaleApply _),
@@ -241,6 +283,7 @@ object FeatureQueries {
 
   val oracleSql: Map[String, String] = Map(
     "cyclical_features" -> cyclicalFeaturesSql,
+    "plot_prep" -> plotPrepSql,
     "onehot_int" -> onehotIntSql,
     "onehot_string" -> onehotStringSql,
     "rescale_apply" -> rescaleApplySql,

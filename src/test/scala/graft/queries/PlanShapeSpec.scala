@@ -116,6 +116,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("plot_prep broadcasts the span row and partial-aggregates (no window, no sort before agg)") {
+    val p = plan("plot_prep")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("event_id") && read.contains("ts") && !read.contains("props") && !read.contains("value"), read)
+  }
+
   test("the pinned row-index input (the real code path) range-partitions with a local sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))
