@@ -1,5 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints TWO stdout lines:
+  *
+  *  1. a diagnostic JSON line — full-precision per-query sample pairs
+  *     (both attempts, run order) and per-family subtotals;
+  *  2. the headline JSON line (LAST, so a parser taking the final stdout
+  *     line gets valid JSON): total, per-query best-of-2 seconds rounded
+  *     to 2 decimals, failed list, sf.
+  *
+  * The consumer of this output keeps only the TAIL of stdout (~2000
+  * chars), so the headline is deliberately compact (83 queries at full
+  * double precision is ~3× that window) and ordered so the aggregate
+  * fields trail the line; the diagnostic line puts families LAST for the
+  * same reason. Everything, uncompacted, also lands in `bench_full.json`
+  * in the working directory. build.sbt sets `showSuccess := false` so
+  * sbt's "[success] Total time" trailer cannot displace the headline as
+  * the final line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,13 +44,15 @@ object Bench {
     // another's numbers.
     val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // both raw samples per query (run order), so a loaded box is visible
-    // from the artifact alone: min(samples) is the headline, and a large
-    // spread between the two runs IS the load diagnosis that previously
-    // required an idle-box re-run
+    // from the artifact alone: min(successful samples) is the headline, and
+    // a large spread between the two runs IS the load diagnosis that
+    // previously required an idle-box re-run
     val perQuerySamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // a query that throws must NOT read as a fast success: its time is
-    // negated and its name listed under "failed" in the output line
+    // a query whose EVERY attempt throws must not read as a fast success:
+    // its best time is negated and its name listed under "failed". A
+    // per-attempt failure negates only THAT attempt's sample, so a
+    // succeed-then-throw query still reports its one real measurement.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     graft.queries.Registry.families.foreach { case (family, keys) =>
       keys.foreach { name =>
@@ -42,36 +62,43 @@ object Bench {
         // as 3x regressions on unchanged code). The min of two back-to-back
         // runs discards a one-off stall; it also measures the steady state
         // the memoized pipelines (dedup LSH) are designed for.
-        var best = Double.MaxValue
-        var ok = true
-        var attempt = 0
-        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-        while (ok && attempt < 2) {
+        val samples = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
-          ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
           val elapsed = (System.nanoTime() - t0) / 1e9
-          samples += elapsed
-          best = math.min(best, elapsed)
-          attempt += 1
+          if (ok) elapsed else -elapsed
         }
-        if (!ok) failed += name
-        perQuery(name) = if (ok) best else -best
-        // failed attempts negate their sample too, so min(samples) never
-        // reads an abort time as a valid fast timing
-        perQuerySamples(name) = if (ok) samples.toSeq else samples.map(-_).toSeq
+        val good = samples.filter(_ > 0)
+        perQuery(name) = if (good.nonEmpty) good.min else samples.min
+        if (good.isEmpty) failed += name
+        perQuerySamples(name) = samples
       }
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
       spark.catalog.clearCache()
     }
-    def js(m: scala.collection.Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    def r2(v: Double) = math.rint(v * 100) / 100
+    def js(m: scala.collection.Map[String, Double], round: Double => Double) =
+      m.map { case (k, v) => s"\"" + k + "\":" + round(v) }.mkString("{", ",", "}")
     val total = perQuery.values.filter(_ > 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJs = perQuerySamples
-      .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
+      .map { case (k, vs) => "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery)},"samples":$samplesJs,"families":${js(perFamily)},"failed":$failedJs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val diagLine =
+      s"""{"samples":$samplesJs,"sf_dir":"$sfDir","families":${js(perFamily, r3)}}"""
+    val headline =
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"sf":$sfNum,"value":${r3(total)}}"""
+    // complete full-precision artifact, for readers with file access
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":$samplesJs,"families":${js(perFamily, identity)},"failed":$failedJs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(diagLine)
+    println(headline)
     spark.stop()
   }
 }
