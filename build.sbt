@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep Bench's headline JSON as the FINAL stdout line: without this, sbt
+// appends "[success] Total time: ..." after it and a last-line parser
+// gets non-JSON (observed in BENCH_r07.json: parsed=null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
