@@ -3,11 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark entrypoint. Prints TWO stdout lines:
   *
-  *  1. a diagnostic JSON line — full-precision per-query sample pairs
-  *     (both attempts, run order) and per-family subtotals;
+  *  1. a diagnostic JSON line — per-query sample lists (all attempts,
+  *     run order, rounded to ms for stdout compactness) and per-family
+  *     subtotals;
   *  2. the headline JSON line (LAST, so a parser taking the final stdout
-  *     line gets valid JSON): total, per-query best-of-2 seconds rounded
-  *     to 2 decimals, failed list, sf.
+  *     line gets valid JSON): total, per-query best-of-samples seconds
+  *     rounded to 2 decimals, failed list, sf.
   *
   * The consumer of this output keeps only the TAIL of stdout (~2000
   * chars), so the headline is deliberately compact (83 queries at full
@@ -62,13 +63,22 @@ object Bench {
         // as 3x regressions on unchanged code). The min of two back-to-back
         // runs discards a one-off stall; it also measures the steady state
         // the memoized pipelines (dedup LSH) are designed for.
-        val samples = (0 until 2).map { _ =>
+        def sample(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
           val elapsed = (System.nanoTime() - t0) / 1e9
           if (ok) elapsed else -elapsed
         }
+        val base = (0 until 2).map(_ => sample())
+        // expensive queries get a THIRD sample: with 3-4x per-query swings
+        // observed on unchanged code between rounds, min-of-2 still lets a
+        // loaded box double a multi-second query's best time, and those
+        // few queries dominate the headline total. The 0.4s floor bounds
+        // the extra wall clock to the ~dozen queries where noise actually
+        // moves the total.
+        val good2 = base.filter(_ > 0)
+        val samples = if (good2.nonEmpty && good2.min >= 0.4) base :+ sample() else base
         val good = samples.filter(_ > 0)
         perQuery(name) = if (good.nonEmpty) good.min else samples.min
         if (good.isEmpty) failed += name
@@ -78,22 +88,30 @@ object Bench {
       spark.catalog.clearCache()
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    def r2(v: Double) = math.rint(v * 100) / 100
+    // failed queries carry a NEGATED time; a sub-5ms failure must not
+    // round to -0.0 (sign-invisible in the headline map), so rounded
+    // negatives are clamped to at most -0.01
+    def r2(v: Double) = { val r = math.rint(v * 100) / 100; if (v < 0) math.min(r, -0.01) else r }
     def js(m: scala.collection.Map[String, Double], round: Double => Double) =
       m.map { case (k, v) => s"\"" + k + "\":" + round(v) }.mkString("{", ",", "}")
+    def samplesJsBy(round: Double => Double) = perQuerySamples
+      .map { case (k, vs) => "\"" + k + "\":" + vs.map(round).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val total = perQuery.values.filter(_ > 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val samplesJs = perQuerySamples
-      .map { case (k, vs) => "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val samplesJs = samplesJsBy(r3)
+    // a dir not matching sf<number> must not emit invalid JSON (bare `sf.`)
+    // or a silently wrong literal 0 — fall back to a quoted marker
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"unknown\"")
     val diagLine =
       s"""{"samples":$samplesJs,"sf_dir":"$sfDir","families":${js(perFamily, r3)}}"""
     val headline =
       s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"sf":$sfNum,"value":${r3(total)}}"""
-    // complete full-precision artifact, for readers with file access
+    // complete full-precision artifact (samples included, unrounded),
+    // for readers with file access
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":$samplesJs,"families":${js(perFamily, identity)},"failed":$failedJs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":${samplesJsBy(identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -98,21 +98,114 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Per-cell centroids learned from the data: mean per (cell, dim) —
-    * ONE aggregation over the exploded dims, map-side combined — packed
-    * back into a dim-ordered `array<double>` with its norm. Components
-    * are rounded to 6 digits: centroid means are independently
-    * recomputed per engine at oracle time, and the rounding makes the
-    * downstream argmax cell assignment engine-stable.
+  /** Per-cell centroids learned from the data: mean per (cell, dim) as
+    * ONE aggregation — [[graft.plans.VectorSumAgg]] keeps an
+    * `Array[Double]` buffer per cell per task (map-side combined), so
+    * only O(cells) buffers cross the exchange. The earlier composable
+    * form (`posexplode` + per-(cell,dim) `avg`) shuffled O(rows·dims)
+    * records — 64× the corpus — which matters once k-means multiplies
+    * centroid passes by its iteration count. Components are rounded to
+    * 6 digits: centroid means are independently recomputed per engine
+    * at oracle time, and the rounding makes the downstream argmax cell
+    * assignment engine-stable.
     */
   def ivfCentroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
-    df.select(col(cellCol).cast("long").as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("x").cast("double")), 6).as("mu"))
-      .groupBy(col("cell"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
-        s => s.getField("mu")).as("cvec"))
+    df.groupBy(col(cellCol).cast("long").as("cell"))
+      .agg(graft.plans.VectorSumAgg.vectorSum(col(vecCol)).as("vsum"),
+        count(col(vecCol)).as("n"))
+      .filter(col("vsum").isNotNull)
+      .select(col("cell"),
+        transform(col("vsum"), x => round(x / col("n"), 6)).as("cvec"))
       .withColumn("cnrm", norm(col("cvec")))
+
+  /** A centroid row collected to the driver: (cell id, rounded
+    * components, norm). Bounded — at most 2^nPlanes (k-means) or
+    * #distinct cells rows — the same bounded-collect contract as the
+    * broadcast it replaces.
+    */
+  final case class Centroid(cell: Long, cvec: Seq[Double], cnrm: Double)
+
+  /** Collect a [[ivfCentroids]]-shaped frame (cell, cvec, cnrm) to a
+    * bounded local list, cell-ordered.
+    */
+  def collectCentroids(cent: DataFrame): Seq[Centroid] =
+    cent.select(col("cell"), col("cvec"), col("cnrm"))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_.cell).toSeq
+
+  /** Argmax cell assignment as a PURE PROJECTION: score each row's
+    * vector against every (driver-collected, k≤2^nPlanes) centroid with
+    * the codegen dot product and fold a `when` chain over
+    * `struct(score, -cell)` — highest score wins, ties break to the
+    * SMALLEST cell id (struct comparison: larger negcell = smaller
+    * cell). No join, no shuffle: during Lloyd iterations the corpus
+    * never moves — only the O(cells) partial-agg buffers of the next
+    * centroid pass do. Score is `dot(vec, cvec) / cnrm` (the query-side
+    * norm is a positive constant per row, so dividing by it cannot
+    * change the argmax; oracles replicate THIS exact formula so
+    * floating-point near-ties order identically).
+    */
+  def argmaxCell(vec: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty, "argmaxCell needs at least one centroid")
+    val scored = cents.map { c =>
+      struct((dot(vec, typedLit(c.cvec)) / lit(c.cnrm)).as("score"),
+        lit(-c.cell).as("negcell"))
+    }
+    // greatest() keeps each struct subtree ONCE — a when(b > a, b) fold
+    // duplicates both operands per step, growing the expression tree
+    // 2^k-fold (measured: 6s/query at k=8 from analysis+codegen alone)
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    -best.getField("negcell")
+  }
+
+  /** Attach a learned-quantizer cell column (see [[argmaxCell]]). */
+  def kmeansAssign(df: DataFrame, vecCol: String, cent: DataFrame,
+                   cellName: String): DataFrame =
+    df.withColumn(cellName, argmaxCell(col(vecCol), collectCentroids(cent)))
+
+  /** Re-materialize collected centroids as a LOCAL relation (cell, cvec,
+    * cnrm). A learned-centroid DataFrame's plan re-runs the whole Lloyd
+    * chain (seed agg + iters corpus passes) every time an action
+    * consumes it — e.g. once per probe variant in a recall sweep;
+    * localizing the ≤2^nPlanes rows makes each consumer pay a
+    * LocalTableScan broadcast instead.
+    */
+  def localizeCentroids(spark: org.apache.spark.sql.SparkSession,
+                        cents: Seq[Centroid]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell", "cvec", "cnrm")
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column — the learned
+    * coarse quantizer for IVF on unlabeled corpora (the production case:
+    * real corpora carry no `label`). Mirrors the reference's
+    * adapt-then-apply lifecycle (datapipeline.py:364-374 — statistics
+    * learned from the data, then applied as a projection).
+    *
+    * Seeding is LSH-geometric, not random: the 2^nPlanes
+    * [[hyperplaneBucket]] sign-buckets partition the space, and each
+    * non-empty bucket's mean vector seeds one centroid — deterministic,
+    * well-spread, and cross-engine reproducible (the oracle rebuilds the
+    * same buckets from the same integer-coefficient planes). Then
+    * `iters` Lloyd rounds: assign = [[argmaxCell]] projection (corpus
+    * never shuffles), update = [[ivfCentroids]] (one vector-sum agg,
+    * O(cells) rows shuffled), components re-rounded to 6 digits each
+    * round so every engine's argmax sees identical inputs. Cells that
+    * lose all members drop out (both engines aggregate only assigned
+    * rows, so they drop identically).
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, nPlanes: Int = 3,
+                      iters: Int = 2): DataFrame = {
+    val e = df.select(col(vecCol).as("__vec"))
+    var cent = ivfCentroids(
+      e.withColumn("__cell", hyperplaneBucket(col("__vec"), nPlanes)), "__cell", "__vec")
+    for (_ <- 1 to iters) {
+      val assigned = e.withColumn("__cell", argmaxCell(col("__vec"), collectCentroids(cent)))
+      cent = ivfCentroids(assigned, "__cell", "__vec")
+    }
+    cent
+  }
 
   /** IVF-style ANN: learn [[ivfCentroids]] (one tiny aggregation), assign
     * each query vector to its nearest centroid by cosine (a broadcast of
@@ -124,9 +217,13 @@ object Similarity {
     * recall dial for points near cell boundaries.
     */
   def ivfSearch(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-                isQuery: Column, k: Int, nProbe: Int = 1): DataFrame = {
+                isQuery: Column, k: Int, nProbe: Int = 1,
+                centroids: Option[DataFrame] = None): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
-    val cent = ivfCentroids(df, cellCol, vecCol)
+    // default: per-cell means OF the given cells (the label-cell path);
+    // a learned quantizer passes its own centroids so probe and member
+    // assignment use the same model (textbook IVF)
+    val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
     val e = df.select(col(idCol), col(cellCol).cast("long").as("cell"),
       col(vecCol), norm(col(vecCol)).as("nrm"))
     val q = e.filter(isQuery)

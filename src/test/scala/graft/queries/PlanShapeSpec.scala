@@ -110,6 +110,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(read.contains("doc_id") && !read.contains("text"), read)
   }
 
+  test("knn_centroid sums vectors in ONE array buffer (no 64x posexplode inflation)") {
+    val p = plan("knn_centroid")
+    assert(p.contains("partial_vector_sum"), p)
+    assert(!p.contains("Generate"), p) // posexplode would plan a Generate node
+  }
+
+  test("ann_ivf_kmeans: Lloyd assignment is a pure projection (no join/window before the agg)") {
+    // the centroid-learning agg input must contain no Window, no
+    // CartesianProduct and no posexplode Generate — the corpus never
+    // shuffles during Lloyd; only the final top-k rank windows by q_id
+    val p = plan("ann_ivf_kmeans")
+    assert(p.contains("partial_vector_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("ann_recall joins stay broadcast/equi (no cartesian product)") {
     val p = plan("ann_recall")
     assert(!p.contains("CartesianProduct"), p)

@@ -99,6 +99,51 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(cells(r.getAs[Long]("n_id")) == r.getAs[Long]("cell")))
   }
 
+  test("kmeansCentroids: deterministic, bounded by 2^nPlanes cells, full-dim centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    def run() = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 2))
+    val c1 = run()
+    val c2 = run()
+    assert(c1 == c2, "two identical runs must learn identical centroids")
+    assert(c1.nonEmpty && c1.size <= 8)
+    assert(c1.forall(_.cvec.length == 64))
+    // rounded components: ×1e6 lands on integers
+    c1.foreach(c => c.cvec.foreach(x =>
+      assert(math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-6, s"unrounded component $x")))
+  }
+
+  test("argmaxCell assigns every vector to its genuinely best-scoring centroid") {
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 1)
+    val cents = Similarity.collectCentroids(cent)
+    val got = emb.limit(50)
+      .withColumn("cell", Similarity.argmaxCell(col("embedding"), cents))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble)
+      def score(c: Similarity.Centroid): Double =
+        v.zip(c.cvec).map { case (a, b) => a * b }.sum / c.cnrm
+      // best = max score, ties to smallest cell — the documented contract
+      val best = cents.map(c => (score(c), c.cell)).sortBy { case (s, id) => (-s, id) }.head._2
+      assert(r.getLong(1) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("learned quantizer beats label cells on recall@5 (the round-9 acceptance bar)") {
+    val rows = graft.queries.SimQueries.queries("ann_recall_kmeans")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rows(("kmeans", 2L)) >= rows(("label", 2L)),
+      s"kmeans nProbe=2 recall ${rows(("kmeans", 2L))} < label ${rows(("label", 2L))}")
+    assert(rows(("kmeans", 1L)) >= rows(("label", 1L)),
+      s"kmeans nProbe=1 recall ${rows(("kmeans", 1L))} < label ${rows(("label", 1L))}")
+    // probing 2 cells can only add candidates
+    assert(rows(("kmeans", 2L)) >= rows(("kmeans", 1L)))
+    assert(rows(("label", 2L)) >= rows(("label", 1L)))
+  }
+
   test("ivfSearch nProbe=2 never degrades the best neighbor and widens the cell pool") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     def top1(nProbe: Int): Map[Long, Double] =
