@@ -116,14 +116,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), p) // posexplode would plan a Generate node
   }
 
-  test("ann_ivf_kmeans: Lloyd assignment is a pure projection (no join/window before the agg)") {
-    // the centroid-learning agg input must contain no Window, no
-    // CartesianProduct and no posexplode Generate — the corpus never
-    // shuffles during Lloyd; only the final top-k rank windows by q_id
+  test("ann_ivf_kmeans search plan stays equi/broadcast (no cartesian, no explode)") {
+    // the query itself runs the Lloyd chain eagerly (collectCentroids at
+    // construction — the one-collect-many-consumers optimization), so the
+    // returned plan is probe+rank over a LocalTableScan of centroids; the
+    // learning-plan asserts live in the kmeansCentroids test below
     val p = plan("ann_ivf_kmeans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("kmeansCentroids learning plan: assignment is a pure projection feeding ONE vector-sum agg") {
+    // the centroid-update agg input must contain no Window, no
+    // CartesianProduct and no posexplode Generate — the corpus never
+    // shuffles during Lloyd; only O(cells) partial vector-sum buffers do
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.sim.Similarity.kmeansCentroids(emb, "embedding", 3, 2)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("partial_vector_sum"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Generate"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("ann_recall joins stay broadcast/equi (no cartesian product)") {
