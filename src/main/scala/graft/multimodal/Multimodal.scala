@@ -12,14 +12,13 @@ import org.apache.spark.sql.types._
   * dimensions/components) from the payload bytes in pure Scala — byte
   * arithmetic only, no codec library — including a proper JPEG marker
   * scan (fill bytes, standalone markers, variable-length APPn/COM
-  * segments before the SOF). Only full PIXEL decode (image/audio/video)
-  * remains stubbed behind [[decodeStub]] — the codec libraries are not
-  * in this container. What is also real and tested: the schema contract,
-  * the binary column handling, the `mapPartitions`-batched execution
-  * shape (the Scala analog of `mapInPandas`: one iterator per partition,
-  * batch-amortized setup, no per-row codec init), and the partitioning
-  * story (payload bytes never shuffle; features detach from payloads
-  * before any wide operation).
+  * segments before the SOF). Pixel decode is ALSO real:
+  * [[decodePixels]] runs `javax.imageio.ImageIO` (ships in the JDK —
+  * BMP/PNG/JPEG/GIF readers, no external codec needed) inside the same
+  * `mapPartitions`-batched execution shape (the Scala analog of
+  * `mapInPandas`: one iterator per partition, batch-amortized setup, no
+  * per-row codec init). Payload bytes stay partition-local; features
+  * detach from payloads before any wide operation.
   */
 object Multimodal {
 
@@ -164,31 +163,122 @@ object Multimodal {
       unhex(when(id % 2 === 0, pngHex).otherwise(jpegHex)).as("payload"))
   }
 
-  case class DecodedFeatures(asset_id: Long, n_bytes: Long, checksum: Long, feat: Array[Double])
+  // ------------------------------------------------------------------
+  // Real pixel decode: javax.imageio over uncompressed BMP / PNG / JPEG
+  // ------------------------------------------------------------------
 
-  /** STUB pixel decode: a real implementation would decode image/audio
-    * SAMPLES and emit an embedding (headers are already decoded for real
-    * by [[decodeHeaders]]); this deterministic fake derives a tiny
-    * "feature vector" from the payload bytes so the batching/schema
-    * plumbing is fully exercisable. Runs per partition — codec setup
-    * (here: none) would be amortized per partition exactly as a real
-    * decoder's would.
+  /** Encode a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up rows,
+    * BGR byte order, rows zero-padded to 4-byte boundaries). `px(x, y)`
+    * returns (r, g, b) for the pixel at column x, row y with y = 0 the
+    * TOP row — the same orientation `BufferedImage.getRGB` reads back,
+    * so generator formula and decoded stats line up coordinate-for-
+    * coordinate. Pure offset arithmetic: a SQL oracle can recompute any
+    * per-pixel statistic from the same (x, y) formula without parsing
+    * bytes at all.
     */
-  def decodeStub(spark: SparkSession, assets: DataFrame, featDim: Int = 4): Dataset[DecodedFeatures] = {
+  def bmp24(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"bmp24 needs positive dims, got ${w}x$h")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(o: Int, v: Int): Unit = { le16(o, v & 0xffff); le16(o + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize) // file size
+    le32(10, 54)           // pixel-data offset
+    le32(14, 40)           // BITMAPINFOHEADER size
+    le32(18, w); le32(22, h) // positive height = bottom-up row order
+    le16(26, 1); le16(28, 24) // planes, bits per pixel
+    le32(30, 0)            // BI_RGB: uncompressed
+    le32(34, dataSize)
+    le32(38, 2835); le32(42, 2835) // 72 dpi in px/metre
+    var row = 0
+    while (row < h) {
+      val y = h - 1 - row // stored bottom-up
+      val off = 54 + row * rowSize
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        out(off + x * 3) = b.toByte
+        out(off + x * 3 + 1) = g.toByte
+        out(off + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic BMP payloads from `doc_id`: small 24-bit
+    * images (2..8 × 2..6) whose pixel channels are closed-form functions
+    * of (id, x, y) — so a SQL oracle computes the exact per-image pixel
+    * statistics from `generate_series` without touching bytes, while the
+    * Spark side decodes the REAL bytes through ImageIO.
+    */
+  def syntheticBmpPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 7 + 2).toInt
+        val h = (id % 5 + 2).toInt
+        val bytes = bmp24(w, h, (x, y) => (
+          ((id + 13L * x + 31L * y) % 256).toInt,
+          ((2L * id + 7L * x + 3L * y) % 256).toInt,
+          ((5L * id + 11L * x + 17L * y) % 256).toInt))
+        (id, bytes)
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  case class PixelStats(asset_id: Long, width: Long, height: Long, n_px: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pixel decode via `javax.imageio.ImageIO` (JDK built-in — BMP,
+    * PNG, JPEG, GIF readers; no external codec): decodes each payload to
+    * a `BufferedImage` and reduces it to exact integer per-channel sums
+    * plus the derived means (one IEEE division on exact integers — bit-
+    * equal cross-engine, per the repo's rounding conventions). Runs per
+    * partition: codec lookup is amortized across the batch and payload
+    * bytes never leave the partition — only the O(1) stats rows shuffle.
+    * Rows ImageIO cannot decode are dropped (a production run would
+    * route them to a quarantine sink instead).
+    */
+  def decodePixels(spark: SparkSession, assets: DataFrame): Dataset[PixelStats] = {
     import spark.implicits._
     assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would go here (decoder handles, model load)
-        it.map { case (id, bytes) =>
-          val n = if (bytes == null) 0L else bytes.length.toLong
-          var sum = 0L
-          var i = 0
-          while (i < (if (bytes == null) 0 else bytes.length)) {
-            sum = (sum * 131 + (bytes(i) & 0xff)) & 0xffffffffL
-            i += 1
+        // ImageIO scans its reader registry per MIME sniff; disabling the
+        // on-disk cache keeps the decode entirely in-memory per batch
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            if (bytes == null) None
+            else try {
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: java.io.IOException => None }
+          img.map { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            PixelStats(id, w.toLong, h.toLong, n, sr, sg, sb,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
           }
-          val feat = Array.tabulate(featDim)(j => ((sum >> (8 * j)) & 0xff) / 255.0)
-          DecodedFeatures(id, n, sum, feat)
         }
       }
   }

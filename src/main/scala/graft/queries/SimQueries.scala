@@ -574,6 +574,45 @@ object SimQueries {
       |       ELSE ('0x' || substr(hx, 2 * (4 + a0 + 9) + 1, 2))::BIGINT END AS color
       |FROM parsed ORDER BY asset_id""".stripMargin
 
+  // ========================================================================
+  // multimodal_pixels — REAL pixel decode: synthetic-but-well-formed
+  // 24-bit BMPs (dims and pixel channels are closed-form functions of
+  // doc_id/x/y) decoded through javax.imageio on the Spark side; the
+  // oracle recomputes the identical integer per-channel sums from the
+  // same generator formula over generate_series — if ImageIO's decode or
+  // our BMP encoding were off by one row, pad byte, or channel order,
+  // the exact-integer comparison catches it. Means are one IEEE division
+  // on exact integers (bit-equal cross-engine, per README conventions).
+  // ========================================================================
+  def multimodalPixels(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePixels(s,
+        Multimodal.syntheticBmpPayloads(s, Tables.documents(s, d)))
+      .toDF().orderBy(col("asset_id"))
+
+  private val multimodalPixelsSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  -- constant range (this DuckDB lacks lateral table-function args):
+      |  -- max pixels = 8*6 = 48, rows beyond w*h filtered out
+      |  SELECT asset_id, w, h, s.i % w AS x, s.i // w AS y
+      |  FROM p, range(0, 48) s(i) WHERE s.i < w * h),
+      |agg AS (
+      |  SELECT asset_id, w, h,
+      |    sum((asset_id + 13 * x + 31 * y) % 256) AS sr,
+      |    sum((2 * asset_id + 7 * x + 3 * y) % 256) AS sg,
+      |    sum((5 * asset_id + 11 * x + 17 * y) % 256) AS sb
+      |  FROM px GROUP BY asset_id, w, h)
+      |SELECT asset_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_px,
+      |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+      |  CAST(sb AS BIGINT) AS sum_b,
+      |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+      |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+      |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+      |FROM agg ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
@@ -586,6 +625,7 @@ object SimQueries {
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
+    "multimodal_pixels" -> (multimodalPixels _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -602,5 +642,6 @@ object SimQueries {
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
+    "multimodal_pixels" -> multimodalPixelsSql,
   )
 }

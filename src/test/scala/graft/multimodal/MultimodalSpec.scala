@@ -19,18 +19,50 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("decodeStub runs batched per partition and is deterministic") {
-    val d1 = Multimodal.decodeStub(spark, assets).collect().map(f => f.asset_id -> f.checksum).toMap
-    val d2 = Multimodal.decodeStub(spark, assets.repartition(7)).collect()
-      .map(f => f.asset_id -> f.checksum).toMap
-    assert(d1 == d2) // partitioning must not change results
-    assert(d1.nonEmpty)
+  test("decodePixels matches the closed-form generator and is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val bmps = Multimodal.syntheticBmpPayloads(spark, docs)
+    val d1 = Multimodal.decodePixels(spark, bmps).collect()
+    assert(d1.length == docs.count()) // every BMP decodes
+    d1.foreach { p =>
+      val id = p.asset_id
+      val w = (id % 7 + 2).toInt; val h = (id % 5 + 2).toInt
+      assert(p.width == w && p.height == h && p.n_px == w.toLong * h)
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      assert(p.sum_r == px.map { case (x, y) => (id + 13L * x + 31L * y) % 256 }.sum)
+      assert(p.sum_g == px.map { case (x, y) => (2L * id + 7L * x + 3L * y) % 256 }.sum)
+      assert(p.sum_b == px.map { case (x, y) => (5L * id + 11L * x + 17L * y) % 256 }.sum)
+      assert(p.mean_r == p.sum_r.toDouble / p.n_px)
+    }
+    val d2 = Multimodal.decodePixels(spark, bmps.repartition(7)).collect()
+    assert(d1.map(p => p.asset_id -> p.sum_r).toMap ==
+      d2.map(p => p.asset_id -> p.sum_r).toMap) // partitioning must not change results
   }
 
-  test("decoded features have the declared dim and bounded range") {
-    val f = Multimodal.decodeStub(spark, assets, featDim = 6).head()
-    assert(f.feat.length == 6)
-    assert(f.feat.forall(x => x >= 0.0 && x <= 1.0))
+  test("decodePixels decodes a real ImageIO-written PNG (format-independent path)") {
+    // round-trip: build a BufferedImage, encode it as a REAL PNG via
+    // ImageIO.write, decode through the same production path as BMP
+    val w = 5; val h = 3
+    val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, ((10 * x + y) << 16) | ((20 * x) << 8) | (30 * y))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(im, "png", baos))
+    import spark.implicits._
+    val one = Seq((1L, baos.toByteArray)).toDF("asset_id", "payload")
+    val p = Multimodal.decodePixels(spark, one).head()
+    assert(p.width == w && p.height == h && p.n_px == w * h)
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+    assert(p.sum_r == px.map { case (x, y) => 10L * x + y }.sum)
+    assert(p.sum_g == px.map { case (x, _) => 20L * x }.sum)
+    assert(p.sum_b == px.map { case (_, y) => 30L * y }.sum)
+  }
+
+  test("decodePixels drops undecodable payloads instead of failing") {
+    import spark.implicits._
+    val junk = Seq((1L, "not an image".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    assert(Multimodal.decodePixels(spark, junk).count() == 0)
   }
 
   // ------------------------------------------------------------------
