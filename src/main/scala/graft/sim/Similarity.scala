@@ -159,10 +159,64 @@ object Similarity {
     -best.getField("negcell")
   }
 
-  /** Attach a learned-quantizer cell column (see [[argmaxCell]]). */
+  /** Above this many centroids, [[kmeansAssign]] switches from the
+    * expression-tree argmax to the relational join path: the
+    * [[argmaxCell]] projection compiles k inline dot products into one
+    * generated method — at k≈64×64-dim that generated code approaches
+    * the JIT's 64 KB method limit and analysis/codegen time grows with
+    * k, while [[kmeansAssignJoin]]'s per-row cost is a k-iteration loop
+    * over broadcast rows with k-independent codegen.
+    */
+  val MaxExprCells: Int = 48
+
+  /** Attach a learned-quantizer cell column. Dispatches on k: small k →
+    * [[argmaxCell]] pure projection (zero shuffle), large k →
+    * [[kmeansAssignJoin]] (broadcast join + map-side max-struct argmax;
+    * one aggregated row per input row crosses the wire). Both paths
+    * score `dot(vec, cvec) / cnrm` with ties to the smallest cell, so
+    * the dispatch is result-transparent.
+    */
   def kmeansAssign(df: DataFrame, vecCol: String, cent: DataFrame,
-                   cellName: String): DataFrame =
-    df.withColumn(cellName, argmaxCell(col(vecCol), collectCentroids(cent)))
+                   cellName: String, maxExprCells: Int = MaxExprCells): DataFrame = {
+    val cents = collectCentroids(cent)
+    if (cents.size <= maxExprCells)
+      df.withColumn(cellName, argmaxCell(col(vecCol), cents))
+    else
+      kmeansAssignJoin(df, vecCol, localizeCentroids(df.sparkSession, cents), cellName)
+  }
+
+  /** Relational argmax assignment — the large-k (k ≈ √N cells, the
+    * 100 TB IVF shape) counterpart of [[argmaxCell]]: broadcast the
+    * centroid frame (k rows — a few MB even at k = thousands), score
+    * every (row, centroid) pair with the codegen dot, reduce to the best
+    * cell per row with ONE `max(struct(score, negcell))` aggregation.
+    * The k-fold intermediate never shuffles: the broadcast join keeps it
+    * partition-local and the max partial-aggregates map-side, so exactly
+    * one row per input row crosses the exchange — same wire cost as the
+    * projection path, but with k-independent generated code. Scoring and
+    * tie-break (`dot/cnrm`, smallest cell wins) are bit-identical to
+    * [[argmaxCell]] — SimilaritySpec asserts path equivalence.
+    *
+    * Original columns ride through `first(...)` aggregates: every group
+    * is the k broadcast copies of ONE input row, so `first` is
+    * deterministic by construction. The row key is
+    * `monotonically_increasing_id` taken BEFORE the join — unique per
+    * physical row, never exposed downstream.
+    */
+  def kmeansAssignJoin(df: DataFrame, vecCol: String, cent: DataFrame,
+                       cellName: String): DataFrame = {
+    val others = df.columns.toSeq
+    val scored = df.withColumn("__aj_id", monotonically_increasing_id())
+      .crossJoin(broadcast(cent.select(col("cell"), col("cvec"), col("cnrm"))))
+      .withColumn("__aj_s",
+        struct((dot(col(vecCol), col("cvec")) / col("cnrm")).as("score"),
+          (-col("cell")).as("negcell")))
+    val aggs = others.map(c => first(col(c)).as(c)) :+ max(col("__aj_s")).as("__aj_best")
+    scored.groupBy(col("__aj_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(cellName, -col("__aj_best").getField("negcell"))
+      .select(others.map(col) :+ col(cellName): _*)
+  }
 
   /** Re-materialize collected centroids as a LOCAL relation (cell, cvec,
     * cnrm). A learned-centroid DataFrame's plan re-runs the whole Lloyd
@@ -196,12 +250,12 @@ object Similarity {
     * rows, so they drop identically).
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, nPlanes: Int = 3,
-                      iters: Int = 2): DataFrame = {
+                      iters: Int = 2, maxExprCells: Int = MaxExprCells): DataFrame = {
     val e = df.select(col(vecCol).as("__vec"))
     var cent = ivfCentroids(
       e.withColumn("__cell", hyperplaneBucket(col("__vec"), nPlanes)), "__cell", "__vec")
     for (_ <- 1 to iters) {
-      val assigned = e.withColumn("__cell", argmaxCell(col("__vec"), collectCentroids(cent)))
+      val assigned = kmeansAssign(e, "__vec", cent, "__cell", maxExprCells)
       cent = ivfCentroids(assigned, "__cell", "__vec")
     }
     cent

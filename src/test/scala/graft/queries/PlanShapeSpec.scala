@@ -139,6 +139,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("kmeansAssignJoin broadcasts centroids and partial-aggregates the argmax (no window, no k-fold shuffle)") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cents = graft.sim.Similarity.collectCentroids(
+      graft.sim.Similarity.kmeansCentroids(emb, "embedding", 3, 1))
+    val p = graft.sim.Similarity.kmeansAssignJoin(emb, "embedding",
+        graft.sim.Similarity.localizeCentroids(spark, cents), "cell")
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("Broadcast"), p)
+    // the k-fold scored intermediate reduces map-side: partial max/first
+    // before the exchange, so one row per input row crosses the wire
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_ivf_kmeans64 search plan stays equi/broadcast (no cartesian, no explode)") {
+    val p = plan("ann_ivf_kmeans64")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("ann_recall joins stay broadcast/equi (no cartesian product)") {
     val p = plan("ann_recall")
     assert(!p.contains("CartesianProduct"), p)

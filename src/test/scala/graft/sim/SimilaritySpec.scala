@@ -131,6 +131,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansAssignJoin equals the expression-path argmax on real data") {
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 1)
+    val cents = Similarity.collectCentroids(cent)
+    val viaExpr = emb.withColumn("cell", Similarity.argmaxCell(col("embedding"), cents))
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Similarity.kmeansAssignJoin(emb, "embedding",
+        Similarity.localizeCentroids(spark, cents), "cell")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaJoin)
+    // the join path must also preserve row count and the original columns
+    val joined = Similarity.kmeansAssignJoin(emb, "embedding",
+      Similarity.localizeCentroids(spark, cents), "cell")
+    assert(joined.count() == emb.count())
+    assert(joined.columns.toSeq == emb.columns.toSeq :+ "cell")
+  }
+
+  test("kmeansAssign dispatches on k and both sides agree (forced-join vs forced-expr)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cent = Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 1)
+    def cells(maxExprCells: Int): Map[Long, Long] =
+      Similarity.kmeansAssign(emb, "embedding", cent, "cell", maxExprCells)
+        .select(col("vec_id"), col("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(maxExprCells = 0) == cells(maxExprCells = 64))
+  }
+
+  test("large-k learning (nPlanes=6) converges through the join path and stays deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    def run() = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(emb, "embedding", nPlanes = 6, iters = 1))
+    val c1 = run()
+    assert(c1 == run(), "two identical large-k runs must learn identical centroids")
+    assert(c1.size > Similarity.MaxExprCells && c1.size <= 64,
+      s"expected >48 and <=64 cells, got ${c1.size}") // the dispatch actually exercised the join path
+  }
+
   test("learned quantizer beats label cells on recall@5 (the round-9 acceptance bar)") {
     val rows = graft.queries.SimQueries.queries("ann_recall_kmeans")(spark, sf)
       .collect()
