@@ -343,6 +343,89 @@ object StreamingDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  case class BucketVec(bucket: Long, docId: Long, vec: Seq[Float], nrm: Double)
+  case class CosPair(id_a: Long, id_b: Long, cos: Double)
+
+  /** Streaming EMBEDDING near-dup pairs — the incremental counterpart of
+    * [[graft.dedup.Dedup.embeddingLshPairs]], closing the last
+    * streaming/batch asymmetry: each arriving vector lands in its
+    * random-hyperplane sign bucket ([[graft.sim.Similarity.hyperplaneBucket]]
+    * — per-row integer-coefficient dots, no learned state, so the
+    * bucketing needs no corpus pass), and per bucket the member state
+    * verifies the newcomer against every existing member by EXACT
+    * cosine, emitting (id_a, id_b, cos) for pairs at or above
+    * `threshold` with `id_a < id_b`.
+    *
+    * Bit-parity with batch: the bucket id and the norm are computed by
+    * the same codegen column expressions the batch path uses, and the
+    * in-operator dot multiplies float-promoted-to-double elementwise,
+    * summed left-to-right — identical IEEE order to
+    * [[graft.plans.ArrayDotProduct]], and multiplication commutes, so
+    * which member arrived first cannot change the double. StreamingSpec
+    * asserts pair-set equality with batch, cosines un-rounded.
+    *
+    * Scale/state: per-bucket state holds (id, vec, norm) per member —
+    * one vector copy total (single bucket per vector; contrast the
+    * band-table text pipeline which stores per-band copies). The
+    * quadratic term is bounded per bucket exactly as in batch: pick
+    * nPlanes ≈ log2(N / targetBucketSize). `ttl` evicts idle buckets
+    * under the same contract as [[lshCandidates]], and admission is
+    * sorted/deduplicated per micro-batch like every other stateful
+    * operator in this file (redeliveries emit nothing).
+    */
+  def embeddingLshPairs(spark: SparkSession, vecs: DataFrame,
+                        idCol: String, vecCol: String,
+                        nPlanes: Int, threshold: Double,
+                        ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import graft.sim.Similarity
+    vecs.select(
+        Similarity.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"),
+        col(idCol).cast("long").as("docId"),
+        col(vecCol).as("vec"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .as[BucketVec]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(embeddingLshFn(threshold, ttl))
+      .toDF("id_a", "id_b", "cos")
+  }
+
+  /** Bucket state for [[embeddingLshPairs]]: members with their vectors
+    * and precomputed norms. Each fresh member is cosine-verified against
+    * all current members; O(dims) per pair, pairs bounded by bucket size.
+    */
+  def embeddingLshFn(threshold: Double, ttl: Option[String])(
+      bucket: Long, rows: Iterator[BucketVec],
+      state: GroupState[Seq[(Long, Seq[Float], Double)]]): Iterator[CosPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var members: Vector[(Long, Array[Float], Double)] =
+      state.getOption.map(_.iterator.map { case (id, v, n) => (id, v.toArray, n) }.toVector)
+        .getOrElse(Vector.empty)
+    val seen = scala.collection.mutable.Set(members.map(_._1): _*)
+    val fresh = rows.toSeq.sortBy(_.docId).iterator
+      .filter(d => seen.add(d.docId)).toVector // drops in-batch redeliveries too
+    val out = scala.collection.mutable.ArrayBuffer.empty[CosPair]
+    fresh.foreach { d =>
+      val dv = d.vec.toArray
+      members.foreach { case (mid, mv, mn) =>
+        var s = 0.0
+        var i = 0
+        while (i < dv.length) { s += dv(i).toDouble * mv(i).toDouble; i += 1 }
+        val c = s / (mn * d.nrm)
+        if (c >= threshold)
+          out += CosPair(math.min(mid, d.docId), math.max(mid, d.docId), c)
+      }
+      members = members :+ ((d.docId, dv, d.nrm))
+    }
+    if (members.nonEmpty) {
+      state.update(members.map { case (id, v, n) => (id, v.toSeq, n) })
+      ttl.foreach(state.setTimeoutDuration)
+    }
+    out.iterator
+  }
+
   case class ClusterUpdate(doc_id: Long, canonical: Long)
 
   /** Incremental TRANSITIVE cluster resolution over a verified-pair

@@ -314,6 +314,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => b1Ids.contains(a) != b1Ids.contains(b) })
   }
 
+  test("streaming embedding LSH pairs equal the batch pairs, cosines bit-identical") {
+    implicit val sc = spark.sqlContext
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Array[Float])]
+    val df = stream.toDF().toDF("vec_id", "embedding")
+    val out = StreamingDedup.embeddingLshPairs(spark, df, "vec_id", "embedding",
+      nPlanes = 8, threshold = 0.3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("embLsh_out").start()
+    val (b1, b2) = vecs.splitAt(vecs.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("embLsh_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val want = graft.dedup.Dedup.embeddingLshPairs(Tables.embeddings(spark, sf),
+        "vec_id", "embedding", nPlanes = 8, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // at least one verified pair spans the micro-batch boundary
+    val b1Ids = b1.map(_._1).toSet
+    assert(got.exists { case (a, b, _) => b1Ids.contains(a) != b1Ids.contains(b) })
+  }
+
+  test("embeddingLshFn idle-TTL arms on live buckets; redeliveries emit nothing; expiry clears") {
+    // drive the state function directly with TestGroupState (same
+    // technique as the keepFirstFn TTL test): a redelivered member must
+    // not re-pair, and the timeout must re-arm on every touching batch
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    type St = Seq[(Long, Seq[Float], Double)]
+    val ttl = Some("1 hour")
+    def row(id: Long, v: Seq[Float]) =
+      StreamingDedup.BucketVec(0L, id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+    val vecA = Seq(1.0f, 0.0f)
+    val vecB = Seq(0.9f, 0.1f)
+    val s1 = TestGroupState.create[St](Optional.empty[St](),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out1 = StreamingDedup.embeddingLshFn(0.3, ttl)(
+      0L, Iterator(row(1, vecA), row(2, vecB)), s1).toSeq
+    assert(out1.map(p => (p.id_a, p.id_b)) == Seq((1L, 2L)))
+    assert(s1.getTimeoutTimestampMs.isPresent,
+      "TTL must be armed after a batch that touches the bucket")
+    val s2 = TestGroupState.create[St](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = false)
+    val out2 = StreamingDedup.embeddingLshFn(0.3, ttl)(0L, Iterator(row(2, vecB)), s2).toSeq
+    assert(out2.isEmpty, "a redelivered member must emit no pairs")
+    assert(s2.getTimeoutTimestampMs.isPresent)
+    // expiry: the timed-out invocation clears the bucket state
+    val s3 = TestGroupState.create[St](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, batchProcessingTimeMs = 3600001L,
+      eventTimeWatermarkMs = Optional.empty[Long](), hasTimedOut = true)
+    assert(StreamingDedup.embeddingLshFn(0.3, ttl)(0L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+  }
+
   test("streaming clusterKeepFirst folds to the batch clusterLabels mapping across batches") {
     implicit val sc = spark.sqlContext
     val p = graft.dedup.Dedup.LshParams
