@@ -253,7 +253,14 @@ object Dedup {
     * with a single scalar aggregate (labels only ever decrease, so the
     * label sum strictly decreases until the fixpoint).
     */
-  def clusterLabels(pairs: DataFrame): DataFrame = {
+  def clusterLabels(pairs: DataFrame): DataFrame = clusterLabelsWithRounds(pairs)._1
+
+  /** [[clusterLabels]] plus the number of fixpoint rounds executed — the
+    * O(log componentDiameter) convergence claim made measurable (DedupSpec
+    * stresses a deep path graph and a star and asserts the bound). The
+    * count includes the final no-change round that detects the fixpoint.
+    */
+  def clusterLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -295,7 +302,7 @@ object Dedup {
         prevSum = newSum
         labels = next
       }
-      labels.withColumnRenamed("lbl", "canonical")
+      (labels.withColumnRenamed("lbl", "canonical"), rounds)
     } finally edges.unpersist(false)
   }
 

@@ -103,6 +103,31 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.clusterLabels(empty).collect().isEmpty)
   }
 
+  test("clusterLabels adversarial: 10k-node path converges in O(log d) rounds, star in O(1)") {
+    // the two extreme component shapes: a path maximizes diameter (the
+    // pointer-jumping worst case), a star maximizes degree skew (one hot
+    // node in every round's edge relaxation)
+    val n = 10000
+    val path = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.clusterLabelsWithRounds(path)
+    assert(labels.count() == n)
+    assert(labels.filter(col("canonical") =!= 0L).count() == 0,
+      "every path node must resolve to the component min")
+    // relax extends the labeled frontier by 1, the jump composes labels
+    // (depth ~halves), so rounds = O(log2 diameter); +2 covers the first
+    // frontier-building round and the final no-change detection round
+    val bound = math.ceil(math.log((n - 1).toDouble) / math.log(2)).toInt + 2
+    assert(rounds <= bound, s"path: $rounds rounds > bound $bound")
+    val star = (1 until n).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val (slabels, srounds) = Dedup.clusterLabelsWithRounds(star)
+    assert(slabels.count() == n)
+    assert(slabels.filter(col("canonical") =!= 0L).count() == 0,
+      "every spoke must resolve to the hub")
+    // hub label reaches every spoke in the first relaxation; the rest is
+    // fixpoint detection — size-independent
+    assert(srounds <= 3, s"star: $srounds rounds")
+  }
+
   test("chain fixture: jaccard(a,c) below threshold still resolves all of {a,b,c} to a") {
     // sliding windows over 16 distinct tokens: j(a,b)=j(b,c)=5/11 ≈ 0.45,
     // j(a,c)=2/14 ≈ 0.14 < 0.2 — the verified pairs form the chain a–b, b–c
