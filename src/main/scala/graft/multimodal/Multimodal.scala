@@ -232,6 +232,123 @@ object Multimodal {
     }.toDF("asset_id", "payload")
   }
 
+  // ------------------------------------------------------------------
+  // Real audio decode: RIFF/WAV PCM-16 chunk walk, pure byte arithmetic
+  // (PCM "decode" IS byte arithmetic — no codec library exists to need)
+  // ------------------------------------------------------------------
+
+  /** Encode a mono 16-bit PCM WAV: RIFF header, `fmt ` chunk, a LIST/INFO
+    * chunk of `infoBytes` junk payload placed BEFORE `data` (odd sizes
+    * exercise the RIFF pad rule and shift the data offset, so the decoder
+    * must genuinely walk chunks), then the samples as little-endian s16.
+    */
+  def wavPcm16Mono(sampleRate: Int, samples: Array[Short], infoBytes: Int = 0): Array[Byte] = {
+    val listPayload = 4 + infoBytes // "INFO" + junk
+    val listTotal = 8 + listPayload + (listPayload & 1) // header + payload + pad
+    val dataSize = samples.length * 2
+    val riffSize = 4 + (8 + 16) + listTotal + 8 + dataSize
+    val out = new Array[Byte](8 + riffSize)
+    var o = 0
+    def tag(s: String): Unit = { s.foreach { ch => out(o) = ch.toByte; o += 1 } }
+    def le16(v: Int): Unit = { out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte; o += 2 }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16(v >>> 16) }
+    tag("RIFF"); le32(riffSize); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1) // PCM
+    le16(1) // mono
+    le32(sampleRate)
+    le32(sampleRate * 2) // byte rate
+    le16(2) // block align
+    le16(16) // bits per sample
+    tag("LIST"); le32(listPayload); tag("INFO")
+    o += infoBytes + (listPayload & 1) // junk + pad stay zero
+    tag("data"); le32(dataSize)
+    samples.foreach(s => le16(s & 0xffff))
+    out
+  }
+
+  /** Deterministic synthetic WAV payloads from `doc_id`: 10..59 mono
+    * PCM-16 samples whose values are a closed-form function of (id, i),
+    * at one of three sample rates, with an id-varying LIST chunk length
+    * so the data chunk lands at shifting (sometimes odd-padded) offsets.
+    * A SQL oracle recomputes every sample statistic from the formula; the
+    * Spark side walks the REAL bytes.
+    */
+  def syntheticWavPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (id % 50 + 10).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * 17) % 65536 - 32768).toShort)
+        (id, wavPcm16Mono(rate, samples, infoBytes = (id % 7).toInt))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  case class AudioStats(asset_id: Long, sample_rate: Long, n_channels: Long,
+                        n_samples: Long, sum_s: Long, sum_abs: Long,
+                        min_s: Long, max_s: Long, mean_s: Double)
+
+  /** REAL WAV decode: walk the RIFF chunk list (arbitrary chunks before
+    * `data`, sizes padded to even per the RIFF spec), read the PCM format
+    * from `fmt `, and reduce the interleaved s16 samples to exact integer
+    * stats (sum, sum of |s|, min, max) plus the derived mean — one IEEE
+    * division on exact integers, bit-equal cross-engine. Only
+    * uncompressed PCM-16 is admitted; anything else (float WAV, ADPCM,
+    * truncated/corrupt chunks) is dropped, mirroring [[decodePixels]]'s
+    * quarantine contract. Batched per partition like every decode here.
+    */
+  def decodeWav(spark: SparkSession, assets: DataFrame): Dataset[AudioStats] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => parseWav(id, bytes) })
+  }
+
+  private[multimodal] def parseWav(id: Long, b: Array[Byte]): Option[AudioStats] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None // (audioFormat, channels, rate, bits)
+    while (pos + 8 <= b.length) {
+      val id4 = tag(pos)
+      val size = le32(pos + 4)
+      val body = pos + 8
+      if (body + size > b.length) return None // truncated chunk
+      id4 match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((le16(body), le16(body + 2), le32(body + 4), le16(body + 14)))
+        case "data" =>
+          val (audioFmt, ch, rate, bits) = fmt.getOrElse(return None)
+          if (audioFmt != 1 || bits != 16 || ch < 1) return None // PCM-16 only
+          val n = (size / 2).toInt
+          if (n == 0 || size % (2L * ch) != 0) return None
+          var sum = 0L; var sabs = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < n) {
+            val s = le16(body + 2 * i).toShort.toLong
+            sum += s; sabs += math.abs(s)
+            if (s < mn) mn = s
+            if (s > mx) mx = s
+            i += 1
+          }
+          return Some(AudioStats(id, rate, ch.toLong, n.toLong / ch, sum, sabs,
+            mn, mx, sum.toDouble / n))
+        case _ => () // LIST/INFO/fact/...: skip
+      }
+      pos = body + size.toInt + (size & 1).toInt // chunks pad to even
+    }
+    None
+  }
+
   case class PixelStats(asset_id: Long, width: Long, height: Long, n_px: Long,
                         sum_r: Long, sum_g: Long, sum_b: Long,
                         mean_r: Double, mean_g: Double, mean_b: Double)

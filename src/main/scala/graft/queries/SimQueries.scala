@@ -663,6 +663,42 @@ object SimQueries {
       |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
       |FROM agg ORDER BY asset_id""".stripMargin
 
+  // ========================================================================
+  // multimodal_audio — REAL audio decode: synthetic mono PCM-16 WAVs
+  // (sample values closed-form in (doc_id, i); an id-varying LIST chunk
+  // shifts the data offset so the RIFF walk is genuinely exercised,
+  // including the odd-size pad rule) decoded by the chunk-walking parser
+  // on the Spark side; the oracle recomputes the identical exact integer
+  // sample stats from the generator formula. Any off-by-one in chunk
+  // sizes, padding, or the s16 little-endian read breaks the match.
+  // ========================================================================
+  def multimodalAudio(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWav(s,
+        Multimodal.syntheticWavPayloads(s, Tables.documents(s, d)))
+      .toDF().orderBy(col("asset_id"))
+
+  private val multimodalAudioSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id, doc_id % 50 + 10 AS n,
+      |    8000 + (doc_id % 3) * 4000 AS rate
+      |  FROM documents),
+      |sm AS (
+      |  -- constant range (this DuckDB lacks lateral table-function args):
+      |  -- max samples = 59, rows beyond n filtered out
+      |  SELECT asset_id, n, rate,
+      |    (asset_id * 31 + s.i * 17) % 65536 - 32768 AS v
+      |  FROM p, range(0, 59) s(i) WHERE s.i < n),
+      |agg AS (
+      |  SELECT asset_id, n, rate, sum(v) AS sv, sum(abs(v)) AS sa,
+      |    min(v) AS mn, max(v) AS mx
+      |  FROM sm GROUP BY asset_id, n, rate)
+      |SELECT asset_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(sv AS BIGINT) AS sum_s, CAST(sa AS BIGINT) AS sum_abs,
+      |  CAST(mn AS BIGINT) AS min_s, CAST(mx AS BIGINT) AS max_s,
+      |  CAST(sv AS DOUBLE) / n AS mean_s
+      |FROM agg ORDER BY asset_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
@@ -677,6 +713,7 @@ object SimQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
+    "multimodal_audio" -> (multimodalAudio _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -695,5 +732,6 @@ object SimQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
+    "multimodal_audio" -> multimodalAudioSql,
   )
 }

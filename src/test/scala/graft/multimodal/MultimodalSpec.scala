@@ -65,6 +65,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePixels(spark, junk).count() == 0)
   }
 
+  test("decodeWav matches the closed-form generator and is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val wavs = Multimodal.syntheticWavPayloads(spark, docs)
+    val d1 = Multimodal.decodeWav(spark, wavs).collect()
+    assert(d1.length == docs.count()) // every WAV decodes
+    d1.foreach { a =>
+      val id = a.asset_id
+      val n = (id % 50 + 10).toInt
+      val vals = (0 until n).map(i => (id * 31 + i.toLong * 17) % 65536 - 32768)
+      assert(a.sample_rate == 8000 + (id % 3) * 4000 && a.n_channels == 1)
+      assert(a.n_samples == n)
+      assert(a.sum_s == vals.sum && a.sum_abs == vals.map(math.abs).sum)
+      assert(a.min_s == vals.min && a.max_s == vals.max)
+      assert(a.mean_s == vals.sum.toDouble / n)
+    }
+    val d2 = Multimodal.decodeWav(spark, wavs.repartition(7)).collect()
+    assert(d1.map(a => a.asset_id -> a.sum_s).toMap ==
+      d2.map(a => a.asset_id -> a.sum_s).toMap)
+  }
+
+  test("decodeWav decodes a real AudioSystem-written WAV (format interop)") {
+    // round-trip: encode samples with javax.sound.sampled (JDK built-in)
+    // and decode through the production chunk-walking parser
+    import javax.sound.sampled._
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 5)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte; bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false) // s16 LE mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val got = Multimodal.parseWav(7L, baos.toByteArray)
+    assert(got.isDefined, "AudioSystem WAV must parse")
+    val a = got.get
+    assert(a.sample_rate == 16000 && a.n_channels == 1 && a.n_samples == samples.length)
+    assert(a.sum_s == samples.map(_.toLong).sum)
+    assert(a.min_s == -32768 && a.max_s == 32767)
+  }
+
+  test("parseWav rejects non-WAV, truncated, and non-PCM-16 payloads") {
+    assert(Multimodal.parseWav(1, null).isEmpty)
+    assert(Multimodal.parseWav(1, "RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+    assert(Multimodal.parseWav(1, "not audio at all, just text bytes here".getBytes).isEmpty)
+    // a valid WAV truncated mid-data must be dropped, not mis-summed
+    val ok = Multimodal.wavPcm16Mono(8000, Array[Short](1, 2, 3, 4), infoBytes = 3)
+    assert(Multimodal.parseWav(1, ok).isDefined)
+    assert(Multimodal.parseWav(1, ok.dropRight(3)).isEmpty)
+    // 8-bit PCM (bits=16 flipped to 8) must be rejected: patch the fmt chunk
+    val eight = ok.clone()
+    eight(12 + 8 + 14) = 8 // bitsPerSample LSB inside "fmt " body
+    assert(Multimodal.parseWav(1, eight).isEmpty)
+  }
+
   // ------------------------------------------------------------------
   // parseImageHeader: pure-Scala PNG IHDR / JPEG SOFn byte parsing
   // ------------------------------------------------------------------

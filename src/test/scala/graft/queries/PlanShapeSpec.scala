@@ -110,6 +110,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(read.contains("doc_id") && !read.contains("text"), read)
   }
 
+  for (q <- Seq("multimodal_pixels", "multimodal_audio"))
+    test(s"$q builds payloads from doc_id only (text never scanned)") {
+      val read = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(read.contains("doc_id") && !read.contains("text"), read)
+    }
+
   test("knn_centroid sums vectors in ONE array buffer (no 64x posexplode inflation)") {
     val p = plan("knn_centroid")
     assert(p.contains("partial_vector_sum"), p)
