@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -250,8 +250,9 @@ object Dedup {
     * jaccard gate). Every round is hash joins + hash aggs over that small
     * relation; `localCheckpoint` cuts lineage per round so the fixpoint
     * loop never builds a deep recursive plan, and convergence is detected
-    * with a single scalar aggregate (labels only ever decrease, so the
-    * label sum strictly decreases until the fixpoint).
+    * by an `observe`d label-sum metric collected inside that same
+    * checkpoint job (labels only ever decrease, so the sum strictly
+    * decreases until the fixpoint) — one Spark action per round total.
     */
   def clusterLabels(pairs: DataFrame): DataFrame = clusterLabelsWithRounds(pairs)._1
 
@@ -265,20 +266,30 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
-    // decimal(38,0) sum: overflow-proof convergence metric regardless of
-    // corpus id magnitude (a silently wrapped long sum could fake a
-    // fixpoint); null (empty pair set) reads as 0
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head() match {
-        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO
-        case r => r.getDecimal(0)
+    // Fused convergence probe: the decimal(38,0) label sum (overflow-proof
+    // regardless of corpus id magnitude — a silently wrapped long sum could
+    // fake a fixpoint) is collected via `observe` DURING the eager
+    // localCheckpoint job, so each round is exactly ONE Spark action instead
+    // of checkpoint + a separate scalar aggregate. At 100 TB the label table
+    // can be large; halving the per-round action count halves scheduler
+    // round-trips on the fixpoint's critical path. Null (empty set) reads 0.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
+        .localCheckpoint()
+      val s = obs.get("lbl_sum") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
       }
+      (out, s)
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("doc_id"))
+        .distinct()
+        .withColumn("lbl", col("doc_id")))
     try {
-      var prevSum = labelSum(labels)
       var converged = false
       var rounds = 0
       while (!converged) {
@@ -293,11 +304,9 @@ object Dedup {
           .select(col("doc_id"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         // (2) pointer jump: adopt the label OF the current label (labels
         // are node ids, so l(l(v)) is defined whenever l(v) is a node)
-        val next = relaxed
+        val (next, newSum) = checkpointWithSum(relaxed
           .join(relaxed.select(col("doc_id").as("lbl"), col("lbl").as("jmp")), Seq("lbl"), "left")
-          .select(col("doc_id"), least(col("lbl"), coalesce(col("jmp"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        val newSum = labelSum(next)
+          .select(col("doc_id"), least(col("lbl"), coalesce(col("jmp"), col("lbl"))).as("lbl")))
         converged = newSum.compareTo(prevSum) == 0
         prevSum = newSum
         labels = next
