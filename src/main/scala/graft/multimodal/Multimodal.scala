@@ -349,6 +349,185 @@ object Multimodal {
     None
   }
 
+  case class ResizeStats(asset_id: Long, src_w: Long, src_h: Long,
+                         dst_w: Long, dst_h: Long,
+                         sum_r: Long, sum_g: Long, sum_b: Long,
+                         mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL decode + deterministic nearest-neighbor resize: each payload is
+    * decoded through `javax.imageio.ImageIO` like [[decodePixels]], then
+    * resampled to `dstW × dstH` with the standard floor mapping
+    * `src = dst · srcDim / dstDim` (integer arithmetic — no filtering, no
+    * rounding-mode ambiguity, so the resample is bit-reproducible in any
+    * engine), and reduced to exact per-channel integer sums over the
+    * RESIZED raster plus the derived means. AWT's own scalers
+    * (`getScaledInstance`, `AffineTransformOp`) are deliberately NOT used:
+    * their kernels are implementation-defined, which would make the result
+    * unverifiable cross-engine. Payload bytes stay partition-local; only
+    * the O(1) stats rows shuffle. Undecodable rows are dropped under the
+    * same quarantine contract as [[decodePixels]].
+    */
+  def resizePixels(spark: SparkSession, assets: DataFrame,
+                   dstW: Int, dstH: Int): Dataset[ResizeStats] = {
+    import spark.implicits._
+    require(dstW > 0 && dstH > 0, s"resize needs positive dims, got ${dstW}x$dstH")
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            if (bytes == null) None
+            else try {
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: java.io.IOException => None }
+          img.map { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < dstH) {
+              val sy = y * h / dstH
+              var x = 0
+              while (x < dstW) {
+                val sx = x * w / dstW
+                val rgb = im.getRGB(sx, sy)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = dstW.toLong * dstH
+            ResizeStats(id, w.toLong, h.toLong, dstW.toLong, dstH.toLong, sr, sg, sb,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // Real video frame-sampling: YUV4MPEG2 (y4m) stream walk, pure byte
+  // arithmetic (y4m frames are uncompressed — the container IS the codec)
+  // ------------------------------------------------------------------
+
+  /** Encode a YUV4MPEG2 monochrome stream (the mjpegtools/ffmpeg `y4m`
+    * interchange format): the `YUV4MPEG2` parameter line, then per frame
+    * a `FRAME` line followed by the raw `w·h` luma plane. `extraParams`
+    * appends X-extension tokens to the stream header, and odd frame
+    * indices carry an `Xi<n>` frame parameter — both force a decoder to
+    * genuinely tokenize lines rather than assume fixed offsets.
+    */
+  def y4mMono(w: Int, h: Int, frames: Seq[Array[Byte]], extraParams: String = ""): Array[Byte] = {
+    require(w > 0 && h > 0, s"y4mMono needs positive dims, got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono$extraParams\n".getBytes(ascii))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      require(f.length == w * h, s"frame $i: ${f.length} bytes, expected ${w * h}")
+      bos.write((if (i % 2 == 1) s"FRAME Xi$i\n" else "FRAME\n").getBytes(ascii))
+      bos.write(f)
+    }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic y4m payloads from `doc_id`: 3..9 mono frames
+    * of 2..6 × 2..4 whose luma is a closed-form function of
+    * (id, frame, x, y), with an id-varying header extension token so the
+    * parameter line length shifts per asset. A SQL oracle recomputes every
+    * frame statistic from the formula; the Spark side walks REAL bytes.
+    */
+  def syntheticY4mPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 5 + 2).toInt
+        val h = (id % 3 + 2).toInt
+        val nf = (id % 7 + 3).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h) { i =>
+            ((id * 7 + f * 19L + (i % w) * 13L + (i / w) * 31L) % 256).toByte
+          }
+        }
+        (id, y4mMono(w, h, frames, extraParams = " Xz" + ("q" * (id % 3).toInt)))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  case class FrameStats(asset_id: Long, frame_idx: Long, width: Long, height: Long,
+                        n_frames: Long, sum_y: Long, mean_y: Double)
+
+  /** REAL video frame-sampling: walk a y4m stream's FRAME list and keep
+    * every `step`-th frame, reducing each kept luma plane to its exact
+    * integer sum plus the derived mean. This is the training-pipeline
+    * frame-sample stage: the full stream's bytes stay partition-local and
+    * only the O(frames/step) stat rows ever shuffle — at 100 TB of video
+    * nothing but sampled-frame summaries crosses the wire. Streams that
+    * are not well-formed mono y4m (truncated frame, bad FRAME line,
+    * chroma-subsampled) are dropped under the decode quarantine contract.
+    */
+  def sampleFrames(spark: SparkSession, assets: DataFrame, step: Int): Dataset[FrameStats] = {
+    import spark.implicits._
+    require(step > 0, s"frame-sample step must be positive, got $step")
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => parseY4m(id, bytes, step) })
+  }
+
+  /** Parse a mono y4m stream and return stats for frames at indices
+    * `0, step, 2·step, …`, each row carrying the TOTAL frame count (so a
+    * consumer can tell sampling density without a second pass). `Nil` for
+    * anything malformed: missing magic, non-mono chroma, a frame line not
+    * starting `FRAME`, or a truncated luma plane.
+    */
+  private[multimodal] def parseY4m(id: Long, b: Array[Byte], step: Int): Seq[FrameStats] = {
+    if (b == null) return Nil
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != '\n') i += 1
+      i
+    }
+    val he = lineEnd(0)
+    if (he >= b.length) return Nil // no newline: not a y4m stream
+    val toks = new String(b, 0, he, ascii).split(' ')
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return Nil
+    var w = -1; var h = -1
+    var chroma = "420jpeg" // the spec default when no C token is present
+    toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = t.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => chroma = t.drop(1)
+        case _   => () // F/I/A/X…: irrelevant to plane layout
+      }
+    }
+    if (w <= 0 || h <= 0 || chroma != "mono") return Nil // mono planes only
+    val frameSize = w * h
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var pos = he + 1
+    var idx = 0
+    while (pos < b.length) {
+      val le = lineEnd(pos)
+      if (le >= b.length) return Nil // frame header never terminated
+      val line = new String(b, pos, le - pos, ascii)
+      if (line != "FRAME" && !line.startsWith("FRAME ")) return Nil
+      val body = le + 1
+      if (body + frameSize > b.length) return Nil // truncated luma plane
+      if (idx % step == 0) {
+        var s = 0L
+        var i = 0
+        while (i < frameSize) { s += b(body + i) & 0xff; i += 1 }
+        sampled += ((idx, s))
+      }
+      idx += 1
+      pos = body + frameSize
+    }
+    val nf = idx.toLong
+    sampled.toSeq.map { case (f, s) =>
+      FrameStats(id, f.toLong, w.toLong, h.toLong, nf, s, s.toDouble / frameSize)
+    }
+  }
+
   case class PixelStats(asset_id: Long, width: Long, height: Long, n_px: Long,
                         sum_r: Long, sum_g: Long, sum_b: Long,
                         mean_r: Double, mean_g: Double, mean_b: Double)

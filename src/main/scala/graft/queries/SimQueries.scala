@@ -699,6 +699,87 @@ object SimQueries {
       |  CAST(sv AS DOUBLE) / n AS mean_s
       |FROM agg ORDER BY asset_id""".stripMargin
 
+  // ========================================================================
+  // multimodal_resize — REAL decode + deterministic nearest-neighbor
+  // resize: the same synthetic BMPs as multimodal_pixels are decoded
+  // through ImageIO, resampled to a fixed 4×3 raster with the floor
+  // mapping src = dst·srcDim/dstDim (pure integer arithmetic, no AWT
+  // scaler kernels), and reduced to exact per-channel sums. The oracle
+  // applies the identical coordinate mapping to the generator formula —
+  // a resample off by one source row/column breaks the exact match.
+  // ========================================================================
+  private val ResizeW = 4
+  private val ResizeH = 3
+
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizePixels(s,
+        Multimodal.syntheticBmpPayloads(s, Tables.documents(s, d)), ResizeW, ResizeH)
+      .toDF().orderBy(col("asset_id"))
+
+  private val multimodalResizeSql =
+    s"""WITH p AS (
+       |  SELECT doc_id AS asset_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+       |  FROM documents),
+       |px AS (
+       |  -- the 4x3 destination raster; (sx, sy) is the nearest-neighbor
+       |  -- source pixel under the floor mapping src = dst * srcDim / dstDim
+       |  SELECT asset_id, w, h,
+       |    ((s.i % $ResizeW) * w) // $ResizeW AS sx,
+       |    ((s.i // $ResizeW) * h) // $ResizeH AS sy
+       |  FROM p, range(0, ${ResizeW * ResizeH}) s(i)),
+       |agg AS (
+       |  SELECT asset_id, w, h,
+       |    sum((asset_id + 13 * sx + 31 * sy) % 256) AS sr,
+       |    sum((2 * asset_id + 7 * sx + 3 * sy) % 256) AS sg,
+       |    sum((5 * asset_id + 11 * sx + 17 * sy) % 256) AS sb
+       |  FROM px GROUP BY asset_id, w, h)
+       |SELECT asset_id, CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+       |  CAST($ResizeW AS BIGINT) AS dst_w, CAST($ResizeH AS BIGINT) AS dst_h,
+       |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+       |  CAST(sb AS BIGINT) AS sum_b,
+       |  CAST(sr AS DOUBLE) / ${ResizeW * ResizeH} AS mean_r,
+       |  CAST(sg AS DOUBLE) / ${ResizeW * ResizeH} AS mean_g,
+       |  CAST(sb AS DOUBLE) / ${ResizeW * ResizeH} AS mean_b
+       |FROM agg ORDER BY asset_id""".stripMargin
+
+  // ========================================================================
+  // multimodal_video — REAL frame-sampling over YUV4MPEG2 streams:
+  // synthetic mono y4m payloads (luma closed-form in (id, frame, x, y),
+  // an id-varying header token and per-odd-frame FRAME parameters so
+  // offsets shift and line tokenization is genuinely exercised) walked
+  // by the stream parser on the Spark side, keeping every 2nd frame;
+  // the oracle recomputes the identical exact luma sums per kept frame.
+  // ========================================================================
+  private val FrameStep = 2
+
+  def multimodalVideo(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(s,
+        Multimodal.syntheticY4mPayloads(s, Tables.documents(s, d)), FrameStep)
+      .toDF().orderBy(col("asset_id"), col("frame_idx"))
+
+  private val multimodalVideoSql =
+    s"""WITH p AS (
+       |  SELECT doc_id AS asset_id, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+       |    doc_id % 7 + 3 AS nf
+       |  FROM documents),
+       |fr AS (
+       |  -- constant range (this DuckDB lacks lateral table-function args):
+       |  -- max frames = 9, rows beyond nf filtered; keep every 2nd frame
+       |  SELECT asset_id, w, h, nf, f.i AS f
+       |  FROM p, range(0, 9) f(i) WHERE f.i < nf AND f.i % $FrameStep = 0),
+       |px AS (
+       |  -- max pixels per frame = 6*4 = 24
+       |  SELECT asset_id, w, h, nf, f,
+       |    (asset_id * 7 + f * 19 + (s.i % w) * 13 + (s.i // w) * 31) % 256 AS v
+       |  FROM fr, range(0, 24) s(i) WHERE s.i < w * h),
+       |agg AS (
+       |  SELECT asset_id, f, w, h, nf, sum(v) AS sy
+       |  FROM px GROUP BY asset_id, f, w, h, nf)
+       |SELECT asset_id, CAST(f AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(sy AS BIGINT) AS sum_y, CAST(sy AS DOUBLE) / (w * h) AS mean_y
+       |FROM agg ORDER BY asset_id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
@@ -714,6 +795,8 @@ object SimQueries {
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_audio" -> (multimodalAudio _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_video" -> (multimodalVideo _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -733,5 +816,7 @@ object SimQueries {
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
     "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_video" -> multimodalVideoSql,
   )
 }

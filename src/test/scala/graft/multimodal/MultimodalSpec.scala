@@ -65,6 +65,78 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePixels(spark, junk).count() == 0)
   }
 
+  test("resizePixels matches the floor-mapped generator; identity resize equals decodePixels") {
+    val docs = Tables.documents(spark, sf)
+    val bmps = Multimodal.syntheticBmpPayloads(spark, docs).cache()
+    try {
+      val dstW = 4; val dstH = 3
+      val rs = Multimodal.resizePixels(spark, bmps, dstW, dstH).collect()
+      assert(rs.length == docs.count())
+      rs.foreach { r =>
+        val id = r.asset_id
+        val w = (id % 7 + 2).toInt; val h = (id % 5 + 2).toInt
+        assert(r.src_w == w && r.src_h == h && r.dst_w == dstW && r.dst_h == dstH)
+        val px = for (y <- 0 until dstH; x <- 0 until dstW)
+          yield (x * w / dstW, y * h / dstH)
+        assert(r.sum_r == px.map { case (sx, sy) => (id + 13L * sx + 31L * sy) % 256 }.sum)
+        assert(r.sum_g == px.map { case (sx, sy) => (2L * id + 7L * sx + 3L * sy) % 256 }.sum)
+        assert(r.sum_b == px.map { case (sx, sy) => (5L * id + 11L * sx + 17L * sy) % 256 }.sum)
+        assert(r.mean_r == r.sum_r.toDouble / (dstW * dstH))
+      }
+      // resizing to the source dims is the identity: sums must equal decodePixels'
+      val one = bmps.filter(col("asset_id") === 5L) // 5 % 7 + 2 = 7, 5 % 5 + 2 = 2
+      val ident = Multimodal.resizePixels(spark, one, 7, 2).head()
+      val plain = Multimodal.decodePixels(spark, one).head()
+      assert((ident.sum_r, ident.sum_g, ident.sum_b) ==
+        (plain.sum_r, plain.sum_g, plain.sum_b))
+    } finally { bmps.unpersist(false); () }
+  }
+
+  test("parseY4m walks frames, samples by step, and rejects malformed streams") {
+    val w = 3; val h = 2
+    val frames = (0 until 5).map(f => Array.tabulate(w * h)(i => (10 * f + i).toByte))
+    val ok = Multimodal.y4mMono(w, h, frames, extraParams = " Xzqq")
+    val got = Multimodal.parseY4m(9L, ok, step = 2)
+    assert(got.map(_.frame_idx) == Seq(0L, 2L, 4L)) // every 2nd of 5
+    got.foreach { fs =>
+      assert(fs.width == w && fs.height == h && fs.n_frames == 5)
+      val expect = (0 until w * h).map(i => 10L * fs.frame_idx + i).sum
+      assert(fs.sum_y == expect && fs.mean_y == expect.toDouble / (w * h))
+    }
+    assert(Multimodal.parseY4m(1, ok, 1).size == 5) // step 1 keeps all
+    assert(Multimodal.parseY4m(1, null, 2).isEmpty)
+    assert(Multimodal.parseY4m(1, "not a video".getBytes, 2).isEmpty)
+    // chroma-subsampled streams are rejected (mono planes only)
+    val c420 = new String(ok.takeWhile(_ != '\n'), "US-ASCII").replace("Cmono", "C420jpeg")
+    assert(Multimodal.parseY4m(1, (c420 + "\n").getBytes ++ ok.dropWhile(_ != '\n').drop(1), 2).isEmpty)
+    // truncated mid-plane and corrupted FRAME line are rejected, not mis-summed
+    assert(Multimodal.parseY4m(1, ok.dropRight(2), 2).isEmpty)
+    val bad = ok.clone()
+    val frameOff = ok.indexOfSlice("FRAME".getBytes)
+    bad(frameOff) = 'G'
+    assert(Multimodal.parseY4m(1, bad, 2).isEmpty)
+  }
+
+  test("sampleFrames over synthetic y4m matches the generator and is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val vids = Multimodal.syntheticY4mPayloads(spark, docs)
+    val d1 = Multimodal.sampleFrames(spark, vids, 2).collect()
+    val nDocs = docs.count()
+    assert(d1.map(_.asset_id).distinct.length == nDocs) // every stream parses
+    d1.foreach { fs =>
+      val id = fs.asset_id
+      val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+      assert(fs.width == w && fs.height == h && fs.n_frames == id % 7 + 3)
+      assert(fs.frame_idx % 2 == 0)
+      val expect = (0 until w * h)
+        .map(i => (id * 7 + fs.frame_idx * 19 + (i % w) * 13L + (i / w) * 31L) % 256).sum
+      assert(fs.sum_y == expect)
+    }
+    val d2 = Multimodal.sampleFrames(spark, vids.repartition(7), 2).collect()
+    assert(d1.map(f => (f.asset_id, f.frame_idx) -> f.sum_y).toMap ==
+      d2.map(f => (f.asset_id, f.frame_idx) -> f.sum_y).toMap)
+  }
+
   test("decodeWav matches the closed-form generator and is partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val wavs = Multimodal.syntheticWavPayloads(spark, docs)

@@ -110,7 +110,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(read.contains("doc_id") && !read.contains("text"), read)
   }
 
-  for (q <- Seq("multimodal_pixels", "multimodal_audio"))
+  for (q <- Seq("multimodal_pixels", "multimodal_audio", "multimodal_resize", "multimodal_video"))
     test(s"$q builds payloads from doc_id only (text never scanned)") {
       val read = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString
       assert(read.contains("doc_id") && !read.contains("text"), read)
