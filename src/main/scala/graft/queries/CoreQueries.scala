@@ -347,8 +347,53 @@ object CoreQueries {
   // ========================================================================
   // registry
   // ========================================================================
+  // ========================================================================
+  // agg_salted — skew-proof two-stage aggregation: partial states on
+  // (key, salt) spread each hot key over 16 reducers before the per-key
+  // merge. event_type has 5 values over the whole corpus — the worst-case
+  // skew shape, where a single-stage shuffle sends ~N/5 rows to one
+  // reducer and AQE cannot help (it splits skewed JOINS, not aggs). The
+  // aggregated measures are exact integers (count + id sum), so the
+  // two-stage regrouping is bit-identical to the oracle's plain GROUP BY.
+  // ========================================================================
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scale.saltedAgg(
+        ev(s, d).select(col("event_type"), col("event_id")),
+        Seq("event_type"), saltBuckets = 16,
+        partials = Seq(count(lit(1)).as("n"), sum(col("event_id")).as("sid")),
+        merged = Seq(sum(col("n")).as("n_events"), sum(col("sid")).as("sum_id")))
+      .orderBy(col("event_type"))
+
+  private val aggSaltedSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ========================================================================
+  // sample_stratified — deterministic per-stratum quota sampling (the
+  // "rebalance the language mix" stage of a training-data pipeline): a
+  // doc survives iff hash60(doc_id) mod 100 < its language's keep
+  // percentage. Content-addressed, so the sample is reproducible across
+  // engines/partitionings and extends incrementally; the rates table is
+  // broadcast and the filter is one codegen'd scan-side pass.
+  // ========================================================================
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratified(Tables.documents(s, d),
+        strataCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 10, "zh" -> 50), defaultPct = 25)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+      |  CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
+    "agg_salted" -> (aggSalted _),
+    "sample_stratified" -> (sampleStratified _),
     "scan_profile" -> (scanProfile _),
     "scan_select_limit" -> (scanSelectLimit _),
     "project" -> (project _),
@@ -371,6 +416,8 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
+    "agg_salted" -> aggSaltedSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "scan_profile" -> scanProfileSql,
     "scan_select_limit" -> scanSelectLimitSql,
     "project" -> projectSql,

@@ -116,6 +116,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(read.contains("doc_id") && !read.contains("text"), read)
     }
 
+  test("agg_salted plans TWO aggregation stages over the salt column") {
+    val p = plan("agg_salted")
+    assert(p.contains("__salt"), p) // stage 1 groups on (key, salt)
+    // both stages partial-aggregate map-side before their shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p)
+  }
+
+  test("sample_stratified broadcasts the rates and never shuffles the corpus") {
+    val df = graft.operators.Sampling.stratified(
+      graft.sources.Tables.documents(spark, sf), "lang", "doc_id",
+      Map("en" -> 10, "zh" -> 50), defaultPct = 25)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // scan-side pass only
+    // text column pruned out of the query's scan (never read, never moved)
+    val read = plan("sample_stratified").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
+
   test("knn_centroid sums vectors in ONE array buffer (no 64x posexplode inflation)") {
     val p = plan("knn_centroid")
     assert(p.contains("partial_vector_sum"), p)
