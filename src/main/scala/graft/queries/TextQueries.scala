@@ -145,6 +145,77 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // pipeline_curate — the end-to-end training-data curation funnel, the
+  // flagship composition of the text family: per-doc features (heuristic
+  // lang-ID, exact-integer quality score, BPE-ish token count, canonical
+  // fingerprint) computed in ONE scan pass, filtered to
+  // (predicted-English ∧ score ≥ 0.6 ∧ ≥ 15 regex tokens), then exact-
+  // dedup keep-first (row_number over fingerprint, smallest doc_id
+  // survives). Scale shape: one narrow scan → per-row expressions → one
+  // filter → ONE hash-partitioned window shuffle on fp over the already-
+  // filtered survivors. The score comparison at the 0.6 boundary is safe
+  // cross-engine because the score is exact-integer arithmetic with one
+  // IEEE division (see text_quality).
+  // ========================================================================
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("toks"),
+        size(TextOps.regexTokens(col("text"))).cast("long").as("n_re"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
+        TextOps.langId(col("toks")).as("lang_pred"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+      .select(col("doc_id"), col("source"), col("n_re"), col("fp"), col("lang_pred"),
+        ((lit(5L) * col("n") * least(col("n"), lit(100L))
+          + lit(300L) * (col("n") - col("n_stop"))
+          + lit(200L) * col("n_dist"))
+          / (lit(1000.0) * col("n"))).as("score"))
+      .filter(col("lang_pred") === "en" && col("score") >= 0.6 && col("n_re") >= 15)
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    feat.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_re"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineCurateSql = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val langs = TextOps.LangStopwords.toMap
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, n_re, fp,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(${score(langs("en"))} AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+       |    ${score(langs("de"))} AS s_de, ${score(langs("en"))} AS s_en,
+       |    ${score(langs("es"))} AS s_es, ${score(langs("fr"))} AS s_fr
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, source, n_re, fp,
+       |    (5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)
+       |      / (1000.0 * n) AS score,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM f)
+       |SELECT doc_id, source, n_re, score
+       |FROM q
+       |WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
+       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ========================================================================
   // term_freq — corpus term frequencies with document frequency: explode
   // tokens → two hash aggregations (map-side combined), top-k by count.
   // The scalable tf/df primitive for vocabulary building and IDF.
@@ -255,6 +326,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "term_freq" -> (termFreq _),
+    "pipeline_curate" -> (pipelineCurate _),
     "bm25_topk" -> (bm25TopK _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -265,6 +337,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "term_freq" -> termFreqSql,
+    "pipeline_curate" -> pipelineCurateSql,
     "bm25_topk" -> bm25TopKSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

@@ -116,6 +116,14 @@ class PlanShapeSpec extends SparkSpec {
       assert(read.contains("doc_id") && !read.contains("text"), read)
     }
 
+  test("pipeline_curate scans documents ONCE and hash-partitions the dedup window") {
+    val p = plan("pipeline_curate")
+    assert(p.linesIterator.count(_.contains("ReadSchema")) == 1, p)
+    assert(p.contains("Window"), p)
+    // the dedup window must be keyed on fp, never a single-partition sort
+    assert(p.contains("hashpartitioning(fp"), p)
+  }
+
   test("agg_salted plans TWO aggregation stages over the salt column") {
     val p = plan("agg_salted")
     assert(p.contains("__salt"), p) // stage 1 groups on (key, salt)
