@@ -173,8 +173,49 @@ object RelQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ========================================================================
+  // sketch_distinct — HyperLogLog++ approximate distinct counting, THE
+  // cardinality primitive at 100 TB (exact countDistinct shuffles every
+  // distinct value; the sketch shuffles one ~1.5 KB buffer per group and
+  // merges associatively, so it map-side combines like any algebraic
+  // agg). Exact counts ship alongside so the error is visible in the
+  // result itself; SketchSpec asserts the documented rsd bound. No
+  // DuckDB oracle by construction: HLL register layouts are
+  // engine-specific, so the driver records the weaker rows-only check
+  // and the value contract lives in the spec instead.
+  // ========================================================================
+  def sketchDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  // ========================================================================
+  // sketch_quantiles — approximate quantiles via the Greenwald-Khanna
+  // sketch (percentile_approx): rank error ≤ 1/accuracy of the true
+  // rank, single pass, mergeable across partitions — vs the exact
+  // percentile which materializes the full sorted column per group.
+  // Engine-specific by construction (see sketch_distinct); bounds in
+  // SketchSpec.
+  // ========================================================================
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q_approx"))
+      .select(col("event_type"),
+        element_at(col("q_approx"), 1).as("p50"),
+        element_at(col("q_approx"), 2).as("p95"),
+        element_at(col("q_approx"), 3).as("p99"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q3_topk" -> (q3TopK _),
+    "sketch_distinct" -> (sketchDistinct _),
+    "sketch_quantiles" -> (sketchQuantiles _),
     "q5_multi_join" -> (q5MultiJoin _),
     "rollup_agg" -> (rollupAgg _),
     "pivot_wide" -> (pivotWide _),
