@@ -73,6 +73,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Tables.events(spark, sf).count())
   }
 
+  test("stratified sampling composes with a stream and matches the batch sample") {
+    // the sampler is a stateless content-addressed filter + broadcast
+    // (stream-static) join, so the streamed sample must equal the batch
+    // sample row-for-row regardless of micro-batch boundaries
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "lang")
+    val sampled = graft.operators.Sampling.stratified(
+      df, "lang", "doc_id", Map("en" -> 10, "zh" -> 50), defaultPct = 25)
+    val q = sampled.writeStream.outputMode("append").format("memory")
+      .queryName("strat_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 3)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("strat_out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    val want = graft.operators.Sampling.stratified(
+        Tables.documents(spark, sf), "lang", "doc_id",
+        Map("en" -> 10, "zh" -> 50), defaultPct = 25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("streaming adapt accumulates Welford state across batches to the batch stats") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.KeyedValue]
