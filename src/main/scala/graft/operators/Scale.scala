@@ -44,4 +44,17 @@ object Scale {
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partCols` (e.g. `lang=en/`, `dt=2026-01-01/`). At 100 TB this is
+    * the difference between scanning the corpus and scanning a slice: a
+    * filter on a partition column prunes whole directories at PLANNING
+    * time (`PartitionFilters` in the scan, asserted in ScaleSpec), so a
+    * per-language or per-day query never opens the other files.
+    * Partition columns should be low-cardinality (each value is a
+    * directory + at least one file; a high-cardinality partition key
+    * produces millions of small files and kills the listing).
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 }

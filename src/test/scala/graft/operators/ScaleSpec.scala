@@ -32,6 +32,26 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 1)
   }
 
+  test("partitioned layout prunes non-matching directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Scale.writePartitioned(
+      Tables.documents(spark, sf).select("doc_id", "lang", "n_chars"), dir, Seq("lang"))
+    // one directory per language value
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.count(_.startsWith("lang=")) >= 4, subdirs.mkString(","))
+    val back = spark.read.parquet(dir)
+    val en = back.filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(en.count() == expected)
+    // the pruned scan selects ONLY the en partition directory
+    val scan = en.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1, scan.toString)
+  }
+
   test("bucketed table join avoids the shuffle on the bucketed side") {
     // warehouse.dir is a static conf — the table lands in ./spark-warehouse
     // (gitignored); dropped again below
