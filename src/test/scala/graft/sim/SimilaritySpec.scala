@@ -160,6 +160,32 @@ class SimilaritySpec extends SparkSpec {
     assert(cells(maxExprCells = 0) == cells(maxExprCells = 64))
   }
 
+  test("kmeansAssignJoin handles k=512 cells — the k≈√N IVF shape — with correct argmax") {
+    // the expression path compiles k dot products into one projection and
+    // dies by codegen size around k≈64; the join path must stay
+    // k-independent. 512 synthetic unit-ish centroids, deterministic in
+    // (cell, dim), assignments cross-checked against a driver-side argmax.
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cents = (0 until 512).map { c =>
+      val v = Seq.tabulate(dim)(i => math.sin(c * 37.0 + i * 11.0))
+      Similarity.Centroid(c.toLong, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val assigned = Similarity.kmeansAssignJoin(emb, "embedding",
+        Similarity.localizeCentroids(spark, cents), "cell")
+      .select(col("vec_id"), col("embedding"), col("cell")).collect()
+    assert(assigned.length == emb.count())
+    assert(assigned.map(_.getLong(2)).distinct.length > 1) // not all one cell
+    assigned.take(25).foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val best = cents.map { c =>
+        val s = vec.zip(c.cvec).map { case (a, b) => a * b }.sum / c.cnrm
+        (s, -c.cell)
+      }.max._2 * -1
+      assert(r.getLong(2) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("large-k learning (nPlanes=6) converges through the join path and stays deterministic") {
     val emb = Tables.embeddings(spark, sf)
     def run() = Similarity.collectCentroids(
