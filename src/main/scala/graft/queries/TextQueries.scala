@@ -145,6 +145,46 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // text_scrub — PII-style redaction (URLs then emails → placeholder
+  // tokens), the standard pre-training privacy pass. The corpus text is
+  // deterministically salted with one synthetic email + one URL whose
+  // query string ALSO contains an email-looking substring (both engines
+  // build the identical bytes), so the oracle catches wrong pattern
+  // order (URL must win over the email inside it), partial replacement,
+  // or engine regex divergence — the patterns are RE2-safe by design so
+  // java.util.regex and RE2 engines redact identically. Output compares
+  // the full scrubbed content via md5 plus the replacement counts.
+  // ========================================================================
+  def textScrub(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val raw = concat(col("text"), lit(" reach u"), id, lit("@m"),
+      (col("doc_id") % 7).cast("string"), lit(".example.org or https://s"), id,
+      lit(".example/x?id="), id, lit("&mail=a@b.co end"))
+    docs(s, d).select(col("doc_id"), TextOps.scrubPii(raw).as("scrubbed"))
+      .select(col("doc_id"), md5(col("scrubbed")).as("scrub_md5"),
+        (size(split(col("scrubbed"), "<URL>", -1)) - 1).cast("long").as("n_url"),
+        (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1).cast("long").as("n_email"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textScrubSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text || ' reach u' || doc_id || '@m' || (doc_id % 7)
+      |      || '.example.org or https://s' || doc_id
+      |      || '.example/x?id=' || doc_id || '&mail=a@b.co end' AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+      |  FROM raw)
+      |SELECT doc_id, md5(scrubbed) AS scrub_md5,
+      |  CAST(len(string_split(scrubbed, '<URL>')) - 1 AS BIGINT) AS n_url,
+      |  CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
   // pipeline_curate — the end-to-end training-data curation funnel, the
   // flagship composition of the text family: per-doc features (heuristic
   // lang-ID, exact-integer quality score, BPE-ish token count, canonical
@@ -327,6 +367,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "term_freq" -> (termFreq _),
     "pipeline_curate" -> (pipelineCurate _),
+    "text_scrub" -> (textScrub _),
     "bm25_topk" -> (bm25TopK _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -338,6 +379,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "term_freq" -> termFreqSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "text_scrub" -> textScrubSql,
     "bm25_topk" -> bm25TopKSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

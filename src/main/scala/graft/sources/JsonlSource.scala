@@ -59,6 +59,26 @@ object JsonlSource {
     (good, bad)
   }
 
+  /** Streaming variant of [[readWithQuarantine]]: a `readStream.text`
+    * over a directory of JSONL files, split into (goodRows,
+    * corruptLines) with the SAME from_json parse — so a continuously
+    * ingesting corpus gets the same quarantine contract as the batch
+    * path (same schema, same corrupt detection), and both outputs can
+    * be written by independent streaming sinks.
+    */
+  def readStreamWithQuarantine(spark: SparkSession, pathGlob: String,
+                               schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add(CorruptCol, "string")
+    val parsed = spark.readStream.text(pathGlob).select(col("value"),
+      from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+    val good = parsed.filter(col(s"r.$CorruptCol").isNull)
+      .select(col("r.*")).drop(CorruptCol)
+    val bad = parsed.filter(col(s"r.$CorruptCol").isNotNull)
+      .select(col("value").as("line"))
+    (good, bad)
+  }
+
   /** Write a DataFrame as JSONL, one object per row. `ignoreNullFields`
     * is off so absent and null fields stay distinguishable on re-read.
     */

@@ -53,6 +53,20 @@ object TextOps {
   def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
 
+  /** PII-style redaction: URLs then emails replaced with placeholder
+    * tokens. Patterns are RE2-safe (character classes + quantifiers, no
+    * backreferences/lookaround) so Spark's java.util.regex and engines
+    * on RE2 (DuckDB, Go) replace identically — the property that makes
+    * redaction auditable cross-engine. URL first: an email-looking
+    * substring INSIDE a URL query string belongs to the URL.
+    */
+  val UrlPattern = "https?://\\S+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Canonical-text fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, md5. Exact-dedup key.
     */

@@ -58,6 +58,25 @@ class JsonlSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming quarantine read matches the batch split over the same files") {
+    val dir = Files.createTempDirectory("graft_jsonl_stream").toString
+    val f = new java.io.PrintWriter(s"$dir/part-0.jsonl")
+    f.println("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""")
+    f.println("""{"doc_id": 2, "text": "ok2", "lang": "fr", "source": "s", "n_chars": 3}""")
+    f.println("""{"broken""")
+    f.close()
+    val (good, bad) = JsonlSource.readStreamWithQuarantine(spark, dir, docSchema)
+    val q1 = good.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_good").start()
+    val q2 = bad.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_bad").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    assert(spark.table("jsonl_good").count() == 2)
+    assert(spark.table("jsonl_good").columns.toSeq == docSchema.fieldNames.toSeq)
+    assert(spark.table("jsonl_bad").collect().map(_.getString(0)).toSeq == Seq("""{"broken"""))
+  }
+
   test("schema projection prunes unread JSON fields from the parse (scale contract)") {
     val docs = Tables.documents(spark, sf)
     val dir = Files.createTempDirectory("graft_jsonl_prune").toString + "/docs"
