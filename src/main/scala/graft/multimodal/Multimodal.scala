@@ -377,9 +377,12 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val img =
             if (bytes == null) None
+            // NonFatal, not just IOException: several ImageIO plugins throw
+            // RuntimeExceptions (IllegalArgument, IndexOutOfBounds) on
+            // corrupt payloads — those must quarantine, not kill the job
             else try {
               Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
           img.map { im =>
             val w = im.getWidth
             val h = im.getHeight
@@ -502,7 +505,14 @@ object Multimodal {
       }
     }
     if (w <= 0 || h <= 0 || chroma != "mono") return Nil // mono planes only
-    val frameSize = w * h
+    // long arithmetic: header dims like W429496729 H10 overflow an Int
+    // multiply to a NEGATIVE frameSize, which would pass the truncation
+    // check below and step `pos` BACKWARDS — an infinite loop appending
+    // to `sampled` (executor hang/OOM) instead of a quarantined reject.
+    // Any frame larger than the whole payload is malformed by definition.
+    val frameSizeL = w.toLong * h
+    if (frameSizeL <= 0 || frameSizeL > b.length) return Nil
+    val frameSize = frameSizeL.toInt // ≤ b.length, so the cast is exact
     val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     var pos = he + 1
     var idx = 0
@@ -512,7 +522,8 @@ object Multimodal {
       val line = new String(b, pos, le - pos, ascii)
       if (line != "FRAME" && !line.startsWith("FRAME ")) return Nil
       val body = le + 1
-      if (body + frameSize > b.length) return Nil // truncated luma plane
+      // long add: body + frameSize can exceed Int.MaxValue on ~2 GB payloads
+      if (body.toLong + frameSize > b.length) return Nil // truncated luma plane
       if (idx % step == 0) {
         var s = 0L
         var i = 0
@@ -552,9 +563,11 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val img =
             if (bytes == null) None
+            // NonFatal (see resizePixels): plugin RuntimeExceptions on
+            // corrupt payloads quarantine instead of failing the job
             else try {
               Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            } catch { case _: java.io.IOException => None }
+            } catch { case scala.util.control.NonFatal(_) => None }
           img.map { im =>
             val w = im.getWidth
             val h = im.getHeight

@@ -32,6 +32,36 @@ object JsonlSource {
   def read(spark: SparkSession, pathGlob: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(pathGlob)
 
+  /** The parse-and-split stage shared by the batch and streaming readers
+    * — ONE definition so a fix to the corrupt-detection predicate can
+    * never land on one path only. `scanned` is a text scan (batch or
+    * streaming) with a `value` line column.
+    *
+    * Blank/whitespace-only lines are routed to NEITHER output: the
+    * strict JSON reader skips them (they are separators, not records),
+    * so counting them corrupt would make the tolerant path disagree
+    * with the strict one on identical well-formed input.
+    */
+  private def splitQuarantine(scanned: DataFrame,
+                              schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain a '$CorruptCol' field — it is " +
+        "reserved for the quarantine marker")
+    // the corrupt marker must live INSIDE the from_json schema: a
+    // PERMISSIVE from_json yields an all-null row (not a null struct)
+    // for malformed input, so struct nullness alone cannot detect it
+    val withCorrupt = schema.add(CorruptCol, "string")
+    val parsed = scanned.filter(trim(col("value")) =!= "")
+      .select(col("value"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+    val good = parsed.filter(col(s"r.$CorruptCol").isNull)
+      .select(col("r.*")).drop(CorruptCol)
+    val bad = parsed.filter(col(s"r.$CorruptCol").isNotNull)
+      .select(col("value").as("line"))
+    (good, bad)
+  }
+
   /** Tolerant read: returns (goodRows, corruptLines). Good rows carry
     * the declared schema; corrupt lines survive as raw text for
     * inspection/re-driving.
@@ -44,20 +74,8 @@ object JsonlSource {
     * so both outputs are plain projections of one distributed parse.
     */
   def readWithQuarantine(spark: SparkSession, pathGlob: String,
-                         schema: StructType): (DataFrame, DataFrame) = {
-    // the corrupt marker must live INSIDE the from_json schema: a
-    // PERMISSIVE from_json yields an all-null row (not a null struct)
-    // for malformed input, so struct nullness alone cannot detect it
-    val withCorrupt = schema.add(CorruptCol, "string")
-    val parsed = spark.read.text(pathGlob).select(col("value"),
-      from_json(col("value"), withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
-    val good = parsed.filter(col(s"r.$CorruptCol").isNull)
-      .select(col("r.*")).drop(CorruptCol)
-    val bad = parsed.filter(col(s"r.$CorruptCol").isNotNull)
-      .select(col("value").as("line"))
-    (good, bad)
-  }
+                         schema: StructType): (DataFrame, DataFrame) =
+    splitQuarantine(spark.read.text(pathGlob), schema)
 
   /** Streaming variant of [[readWithQuarantine]]: a `readStream.text`
     * over a directory of JSONL files, split into (goodRows,
@@ -67,17 +85,8 @@ object JsonlSource {
     * be written by independent streaming sinks.
     */
   def readStreamWithQuarantine(spark: SparkSession, pathGlob: String,
-                               schema: StructType): (DataFrame, DataFrame) = {
-    val withCorrupt = schema.add(CorruptCol, "string")
-    val parsed = spark.readStream.text(pathGlob).select(col("value"),
-      from_json(col("value"), withCorrupt,
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
-    val good = parsed.filter(col(s"r.$CorruptCol").isNull)
-      .select(col("r.*")).drop(CorruptCol)
-    val bad = parsed.filter(col(s"r.$CorruptCol").isNotNull)
-      .select(col("value").as("line"))
-    (good, bad)
-  }
+                               schema: StructType): (DataFrame, DataFrame) =
+    splitQuarantine(spark.readStream.text(pathGlob), schema)
 
   /** Write a DataFrame as JSONL, one object per row. `ignoreNullFields`
     * is off so absent and null fields stay distinguishable on re-read.

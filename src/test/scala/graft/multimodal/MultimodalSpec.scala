@@ -117,6 +117,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseY4m(1, bad, 2).isEmpty)
   }
 
+  test("parseY4m rejects overflowing header dims instead of looping forever") {
+    // W429496729 * H10 wraps an Int multiply to -6: the old truncation
+    // check passed and `pos` stepped BACKWARDS — an executor hang. The
+    // stream must be quarantined (Nil), and promptly.
+    val evil = ("YUV4MPEG2 W429496729 H10 F25:1 Ip A1:1 Cmono\nFRAME\n" + "x" * 64)
+      .getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(1, evil, 1).isEmpty)
+    // zero-area dims are equally malformed, not zero-size frames
+    val zero = ("YUV4MPEG2 W3 H0 F25:1 Ip A1:1 Cmono\nFRAME\nFRAME\n").getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(1, zero, 1).isEmpty)
+    // and a single frame claiming more bytes than the whole payload
+    val huge = ("YUV4MPEG2 W100000 H100000 F25:1 Ip A1:1 Cmono\nFRAME\nxx").getBytes("US-ASCII")
+    assert(Multimodal.parseY4m(1, huge, 1).isEmpty)
+  }
+
   test("sampleFrames over synthetic y4m matches the generator and is partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val vids = Multimodal.syntheticY4mPayloads(spark, docs)

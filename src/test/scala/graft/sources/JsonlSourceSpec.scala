@@ -77,6 +77,32 @@ class JsonlSourceSpec extends SparkSpec {
     assert(spark.table("jsonl_bad").collect().map(_.getString(0)).toSeq == Seq("""{"broken"""))
   }
 
+  test("blank lines are separators, not corrupt records (strict-reader parity)") {
+    val dir = Files.createTempDirectory("graft_jsonl_blank").toString
+    val f = new java.io.PrintWriter(s"$dir/part-0.jsonl")
+    f.println("""{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""")
+    f.println("") // blank separator line
+    f.println("   ") // whitespace-only line
+    f.println("""{"doc_id": 2, "text": "ok2", "lang": "fr", "source": "s", "n_chars": 3}""")
+    f.close()
+    val (good, bad) = JsonlSource.readWithQuarantine(spark, dir, docSchema)
+    assert(good.count() == 2)
+    assert(bad.count() == 0, bad.collect().mkString(","))
+    // and the strict reader agrees: same two rows, no failure
+    assert(JsonlSource.read(spark, dir, docSchema).count() == 2)
+  }
+
+  test("a schema that already claims _corrupt_record is rejected with a clear message") {
+    val dir = Files.createTempDirectory("graft_jsonl_clash").toString
+    val f = new java.io.PrintWriter(s"$dir/part-0.jsonl")
+    f.println("""{"doc_id": 1}"""); f.close()
+    val clash = docSchema.add(JsonlSource.CorruptCol, StringType)
+    val e = intercept[IllegalArgumentException] {
+      JsonlSource.readWithQuarantine(spark, dir, clash)
+    }
+    assert(e.getMessage.contains(JsonlSource.CorruptCol))
+  }
+
   test("schema projection prunes unread JSON fields from the parse (scale contract)") {
     val docs = Tables.documents(spark, sf)
     val dir = Files.createTempDirectory("graft_jsonl_prune").toString + "/docs"
