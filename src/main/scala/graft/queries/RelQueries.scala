@@ -178,39 +178,93 @@ object RelQueries {
   // cardinality primitive at 100 TB (exact countDistinct shuffles every
   // distinct value; the sketch shuffles one ~1.5 KB buffer per group and
   // merges associatively, so it map-side combines like any algebraic
-  // agg). Exact counts ship alongside so the error is visible in the
-  // result itself; SketchSpec asserts the documented rsd bound. No
-  // DuckDB oracle by construction: HLL register layouts are
-  // engine-specific, so the driver records the weaker rows-only check
-  // and the value contract lives in the spec instead.
+  // agg).
+  //
+  // Verification design (the reference's adapt-stats gate made
+  // cross-engine — datapipeline.py:364-374 / tfdataset_utilities.py:
+  // 116-124: learned statistics are CHECKED, not just produced): the
+  // HLL register layout is engine-specific, so the estimate itself
+  // cannot cross the oracle boundary — but its accuracy contract can.
+  // The query emits the exact stats plus `bound_ok` =
+  // |approx − exact| ≤ ⌈3·rsd·exact⌉ computed in Spark (deterministic:
+  // HLL on fixed input is a pure function), and DuckDB recomputes the
+  // exact side expecting literal 1 — so a sketch drifting outside 3σ
+  // fails the hash match. SketchSpec keeps the raw-estimate bounds and
+  // merge-invariance checks on [[sketchDistinctRaw]].
   // ========================================================================
-  def sketchDistinct(s: SparkSession, d: String): DataFrame =
+  private val HllRsd = 0.02
+
+  /** The production single-pass form: estimate + exact side by side. */
+  def sketchDistinctRaw(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        approx_count_distinct(col("user_id"), rsd = HllRsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+
+  def sketchDistinct(s: SparkSession, d: String): DataFrame =
+    sketchDistinctRaw(s, d)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= ceil(lit(3 * HllRsd) * col("exact_users"))).cast("long").as("bound_ok"))
       .orderBy(col("event_type"))
+
+  private val sketchDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  count(*) AS n_events, CAST(1 AS BIGINT) AS bound_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ========================================================================
   // sketch_quantiles — approximate quantiles via the Greenwald-Khanna
-  // sketch (percentile_approx): rank error ≤ 1/accuracy of the true
+  // sketch (percentile_approx): rank error ≤ n/accuracy of the true
   // rank, single pass, mergeable across partitions — vs the exact
   // percentile which materializes the full sorted column per group.
-  // Engine-specific by construction (see sketch_distinct); bounds in
-  // SketchSpec.
+  //
+  // Verified like sketch_distinct: the returned quantile VALUES are
+  // engine-specific, but GK's rank-error contract is checkable — the
+  // query re-ranks each returned value against the column (one extra
+  // audit pass; the sketch itself stays the one-pass primitive,
+  // [[sketchQuantilesRaw]]) and emits `p*_ok` =
+  // |rank(v_p) − p·n| ≤ max(n/accuracy, 1) + 1 (the +1 absorbs
+  // duplicate-value rank inflation), with DuckDB recomputing the exact
+  // group sizes and expecting literal 1s.
   // ========================================================================
-  def sketchQuantiles(s: SparkSession, d: String): DataFrame =
+  private val GkAccuracy = 10000
+
+  /** The production single-pass form: the three quantile estimates. */
+  def sketchQuantilesRaw(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q_approx"))
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(GkAccuracy)).as("q_approx"))
       .select(col("event_type"),
         element_at(col("q_approx"), 1).as("p50"),
         element_at(col("q_approx"), 2).as("p95"),
         element_at(col("q_approx"), 3).as("p99"))
+
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    val tol = greatest(col("n").cast("double") / GkAccuracy, lit(1.0)) + lit(1.0)
+    def ok(rank: Column, p: Double) =
+      (abs(rank.cast("double") - lit(p) * col("n")) <= tol).cast("long")
+    Tables.events(s, d).select(col("event_type"), col("value"))
+      .join(broadcast(sketchQuantilesRaw(s, d)), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("r95"),
+        sum(when(col("value") <= col("p99"), 1L).otherwise(0L)).as("r99"))
+      .select(col("event_type"), col("n"),
+        ok(col("r50"), 0.5).as("p50_ok"),
+        ok(col("r95"), 0.95).as("p95_ok"),
+        ok(col("r99"), 0.99).as("p99_ok"))
       .orderBy(col("event_type"))
+  }
+
+  private val sketchQuantilesSql =
+    """SELECT event_type, count(*) AS n, CAST(1 AS BIGINT) AS p50_ok,
+      |  CAST(1 AS BIGINT) AS p95_ok, CAST(1 AS BIGINT) AS p99_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q3_topk" -> (q3TopK _),
@@ -230,5 +284,7 @@ object RelQueries {
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
+    "sketch_distinct" -> sketchDistinctSql,
+    "sketch_quantiles" -> sketchQuantilesSql,
   )
 }

@@ -4,14 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.Tables
 
-/** Value contracts for the sketch queries: DuckDB cannot oracle a
-  * sketch (register layouts are engine-specific), so the accuracy
-  * bounds are asserted here against the exact answers instead.
+/** Value contracts for the sketch queries. The declared queries are
+  * oracle-verified (they emit exact stats + in-Spark bound checks that
+  * DuckDB expects as literal 1s); this spec keeps the TIGHTER raw
+  * bounds on the underlying estimates plus the merge-invariance
+  * property the oracle shape cannot express.
   */
 class SketchSpec extends SparkSpec {
 
   test("sketch_distinct: HLL estimate within the configured rsd of exact, per group") {
-    val rows = RelQueries.queries("sketch_distinct")(spark, sf).collect()
+    val rows = RelQueries.sketchDistinctRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -22,10 +24,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sketch_distinct query reports every group inside the 3-sigma oracle bound") {
+    val rows = RelQueries.queries("sketch_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("bound_ok") == 1L,
+      s"${r.getAs[String]("event_type")} outside bound"))
+  }
+
   test("sketch_quantiles: GK ranks within 1/accuracy of the true ranks") {
     val ev = Tables.events(spark, sf).select("event_type", "value").cache()
     try {
-      val approx = RelQueries.queries("sketch_quantiles")(spark, sf).collect()
+      val approx = RelQueries.sketchQuantilesRaw(spark, sf).collect()
       approx.foreach { r =>
         val et = r.getAs[String]("event_type")
         val grp = ev.filter(col("event_type") === et)
@@ -42,8 +51,18 @@ class SketchSpec extends SparkSpec {
     } finally { ev.unpersist(false); () }
   }
 
+  test("sketch_quantiles query reports every group/percentile inside the rank bound") {
+    val rows = RelQueries.queries("sketch_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("p50_ok", "p95_ok", "p99_ok"))
+        assert(r.getAs[Long](c) == 1L, s"${r.getAs[String]("event_type")} $c")
+    }
+  }
+
   test("sketches are order- and partitioning-invariant (mergeable aggregation)") {
-    val a = RelQueries.queries("sketch_distinct")(spark, sf)
+    val a = RelQueries.sketchDistinctRaw(spark, sf)
+      .select("event_type", "approx_users")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val b = Tables.events(spark, sf).repartition(17)
       .groupBy(col("event_type"))
