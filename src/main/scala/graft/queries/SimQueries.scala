@@ -342,7 +342,7 @@ object SimQueries {
     // literals / a local relation — no Lloyd-chain recompute per
     // downstream action
     val cents = kmCentroids(s, d, KmPlanes, KmIters)
-    val withCell = e.withColumn("kcell", Similarity.argmaxCell(col("embedding"), cents))
+    val withCell = e.withColumn("kcell", Similarity.nearestCentroid(col("embedding"), cents))
     Similarity.ivfSearch(withCell, "vec_id", "embedding", "kcell",
         col("vec_id") < 10, k = 5, nProbe = 1,
         centroids = Some(Similarity.localizeCentroids(s, cents)))
@@ -354,7 +354,7 @@ object SimQueries {
     * `a1/m1/cn1 … a{iters}/m{iters}/cn{iters}`, and `am` — the final
     * member assignment against `cn{iters}`. Assignment score is
     * `dot(vec, cvec) / cnrm` with ties to the smallest cell — the EXACT
-    * formula of `Similarity.argmaxCell`, so floating-point near-ties
+    * formula of `Similarity.nearestCentroid`, so floating-point near-ties
     * order identically.
     */
   private def kmeansCtesSql(nPlanes: Int, iters: Int): String = {
@@ -425,15 +425,14 @@ object SimQueries {
   private val annIvfKmeansSql = annIvfKmeansSqlFor(KmPlanes, KmIters)
 
   // ========================================================================
-  // ann_ivf_kmeans64 — the LARGE-k quantizer path (k ≈ √N cells, the
-  // 100 TB IVF shape): 2^6 = 64 seed cells, one Lloyd round, member
-  // assignment through the RELATIONAL argmax (broadcast centroid join +
-  // map-side max-struct reduce — k-independent codegen; the expression-
-  // tree argmax the small-k path uses would compile 64 inline 64-dim dot
-  // products into one generated method). kmeansAssign dispatches on
-  // k > MaxExprCells automatically; the two paths are result-identical
-  // (SimilaritySpec asserts equivalence), so the oracle is the same
-  // parameterized CTE chain at (6, 1).
+  // ann_ivf_kmeans64 — the quantizer at k past the old expression-tree
+  // limit: 2^6 = 64 seed cells, one Lloyd round, member assignment
+  // through the NearestCentroid codegen projection (zero exchanges at
+  // any k — plan-guarded in PlanShapeSpec; the retired expression-tree
+  // argmax would compile 64 inline 64-dim dot products into one
+  // generated method, and the join fallback would exchange one row per
+  // corpus row). The oracle is the same parameterized CTE chain at
+  // (6, 1).
   // ========================================================================
   private val Km64Planes = 6
   private val Km64Iters = 1
@@ -441,7 +440,6 @@ object SimQueries {
   def annIvfKmeans64(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val cents = kmCentroids(s, d, Km64Planes, Km64Iters)
-    // 64 cells > MaxExprCells → the dispatcher takes the join path
     val withCell = Similarity.kmeansAssign(e, "embedding",
       Similarity.localizeCentroids(s, cents), "kcell")
     Similarity.ivfSearch(withCell, "vec_id", "embedding", "kcell",
@@ -470,7 +468,7 @@ object SimQueries {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val nq = exact.map(_._1).size
     val cents = kmCentroids(s, d, KmPlanes, KmIters)
-    val withCell = e.withColumn("kcell", Similarity.argmaxCell(col("embedding"), cents))
+    val withCell = e.withColumn("kcell", Similarity.nearestCentroid(col("embedding"), cents))
     val configs = Seq(
       ("kmeans", withCell, "kcell", Some(Similarity.localizeCentroids(s, cents))),
       ("label", e, "label", Option.empty[DataFrame]))

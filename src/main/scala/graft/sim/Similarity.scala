@@ -134,17 +134,52 @@ object Similarity {
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_.cell).toSeq
 
-  /** Argmax cell assignment as a PURE PROJECTION: score each row's
-    * vector against every (driver-collected, k≤2^nPlanes) centroid with
-    * the codegen dot product and fold a `when` chain over
-    * `struct(score, -cell)` — highest score wins, ties break to the
-    * SMALLEST cell id (struct comparison: larger negcell = smaller
-    * cell). No join, no shuffle: during Lloyd iterations the corpus
-    * never moves — only the O(cells) partial-agg buffers of the next
-    * centroid pass do. Score is `dot(vec, cvec) / cnrm` (the query-side
-    * norm is a positive constant per row, so dividing by it cannot
-    * change the argmax; oracles replicate THIS exact formula so
-    * floating-point near-ties order identically).
+  /** Argmax cell assignment as ONE codegen expression
+    * ([[graft.plans.NearestCentroid]]) — a pure projection, zero
+    * shuffle, k-independent generated code: during Lloyd iterations the
+    * corpus never moves — only the O(cells) partial-agg buffers of the
+    * next centroid pass do — and that now holds at ANY k (the earlier
+    * expression-tree argmax hit JIT method limits near k ≈ 64; the
+    * earlier relational fallback exchanged one row per corpus row per
+    * pass). Score is `dot(vec, cvec) / cnrm` summed left-to-right (the
+    * query-side norm is a positive constant per row, so dividing by it
+    * cannot change the argmax), ties to the SMALLEST cell id; oracles
+    * replicate THIS exact formula so floating-point near-ties order
+    * identically.
+    */
+  def nearestCentroid(vec: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
+    graft.plans.NearestCentroid.assign(vec,
+      cents.map(_.cell), cents.map(_.cvec), cents.map(_.cnrm))
+  }
+
+  /** The composable built-ins-only formulation (the cross-check in
+    * SimilaritySpec, like [[dotViaAggregate]]): a higher-order
+    * `aggregate()` fold over a `typedLit` array-of-struct codebook,
+    * keeping the running best as a (score, -cell) struct — max score
+    * wins, ties to the smallest cell. Interpreted lambda evaluation
+    * (HOFs don't codegen), so the native expression is the production
+    * path; this form documents the semantics in pure Spark SQL algebra.
+    */
+  def nearestCentroidViaAggregate(vec: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty, "nearestCentroidViaAggregate needs at least one centroid")
+    val codebook = typedLit(cents.map(c => (c.cell, c.cvec, c.cnrm)))
+    val folded = aggregate(codebook,
+      struct(lit(null).cast("double").as("score"), lit(null).cast("bigint").as("negcell")),
+      (acc, c) => {
+        val cand = struct((dot(vec, c.getField("_2")) / c.getField("_3")).as("score"),
+          (-c.getField("_1")).as("negcell"))
+        when(acc.getField("score").isNull || cand > acc, cand).otherwise(acc)
+      })
+    -folded.getField("negcell")
+  }
+
+  /** The retired expression-tree argmax (a `greatest` over k inline
+    * `struct(score, -cell)` dot products), kept as a second independent
+    * formulation for the spec's path-equivalence checks: analysis and
+    * codegen cost grow with k and the generated method nears the JIT's
+    * 64 KB limit around k ≈ [[MaxExprCells]] × 64 dims, which is why
+    * [[nearestCentroid]] supersedes it in every caller.
     */
   def argmaxCell(vec: Column, cents: Seq[Centroid]): Column = {
     require(cents.nonEmpty, "argmaxCell needs at least one centroid")
@@ -159,43 +194,40 @@ object Similarity {
     -best.getField("negcell")
   }
 
-  /** Above this many centroids, [[kmeansAssign]] switches from the
-    * expression-tree argmax to the relational join path: the
-    * [[argmaxCell]] projection compiles k inline dot products into one
-    * generated method — at k≈64×64-dim that generated code approaches
-    * the JIT's 64 KB method limit and analysis/codegen time grows with
-    * k, while [[kmeansAssignJoin]]'s per-row cost is a k-iteration loop
-    * over broadcast rows with k-independent codegen.
+  /** The old expression-tree/join crossover (assignment no longer
+    * dispatches on k — [[nearestCentroid]] is k-independent); retained
+    * because the spec sizes its large-k fixtures against it.
     */
   val MaxExprCells: Int = 48
 
-  /** Attach a learned-quantizer cell column. Dispatches on k: small k →
-    * [[argmaxCell]] pure projection (zero shuffle), large k →
-    * [[kmeansAssignJoin]] (broadcast join + map-side max-struct argmax;
-    * one aggregated row per input row crosses the wire). Both paths
+  /** Attach a learned-quantizer cell column as a [[nearestCentroid]]
+    * pure projection — zero exchanges at any k (plan-guarded). Pass
+    * `useJoin = true` to route through [[kmeansAssignJoin]] instead for
+    * the memory-constrained regime where even one flattened codebook
+    * per task is too much (k·dims in the tens of millions); both paths
     * score `dot(vec, cvec) / cnrm` with ties to the smallest cell, so
-    * the dispatch is result-transparent.
+    * the switch is result-transparent.
     */
   def kmeansAssign(df: DataFrame, vecCol: String, cent: DataFrame,
-                   cellName: String, maxExprCells: Int = MaxExprCells): DataFrame = {
+                   cellName: String, useJoin: Boolean = false): DataFrame = {
     val cents = collectCentroids(cent)
-    if (cents.size <= maxExprCells)
-      df.withColumn(cellName, argmaxCell(col(vecCol), cents))
-    else
+    if (useJoin)
       kmeansAssignJoin(df, vecCol, localizeCentroids(df.sparkSession, cents), cellName)
+    else
+      df.withColumn(cellName, nearestCentroid(col(vecCol), cents))
   }
 
-  /** Relational argmax assignment — the large-k (k ≈ √N cells, the
-    * 100 TB IVF shape) counterpart of [[argmaxCell]]: broadcast the
-    * centroid frame (k rows — a few MB even at k = thousands), score
-    * every (row, centroid) pair with the codegen dot, reduce to the best
-    * cell per row with ONE `max(struct(score, negcell))` aggregation.
-    * The k-fold intermediate never shuffles: the broadcast join keeps it
-    * partition-local and the max partial-aggregates map-side, so exactly
-    * one row per input row crosses the exchange — same wire cost as the
-    * projection path, but with k-independent generated code. Scoring and
-    * tie-break (`dot/cnrm`, smallest cell wins) are bit-identical to
-    * [[argmaxCell]] — SimilaritySpec asserts path equivalence.
+  /** Relational argmax assignment — the memory-constrained fallback
+    * behind [[kmeansAssign]]'s `useJoin` flag: broadcast the centroid
+    * frame (k rows), score every (row, centroid) pair with the codegen
+    * dot, reduce to the best cell per row with ONE
+    * `max(struct(score, negcell))` aggregation. The k-fold intermediate
+    * stays partition-local (broadcast join) and the max
+    * partial-aggregates map-side, but the `groupBy` still EXCHANGES one
+    * aggregated row per input row per assignment pass — the projection
+    * path exchanges nothing, which is why it is the default. Scoring
+    * and tie-break (`dot/cnrm`, smallest cell wins) are bit-identical
+    * to [[nearestCentroid]] — SimilaritySpec asserts path equivalence.
     *
     * Original columns ride through `first(...)` aggregates: every group
     * is the k broadcast copies of ONE input row, so `first` is
@@ -242,20 +274,20 @@ object Similarity {
     * non-empty bucket's mean vector seeds one centroid — deterministic,
     * well-spread, and cross-engine reproducible (the oracle rebuilds the
     * same buckets from the same integer-coefficient planes). Then
-    * `iters` Lloyd rounds: assign = [[argmaxCell]] projection (corpus
-    * never shuffles), update = [[ivfCentroids]] (one vector-sum agg,
-    * O(cells) rows shuffled), components re-rounded to 6 digits each
-    * round so every engine's argmax sees identical inputs. Cells that
-    * lose all members drop out (both engines aggregate only assigned
-    * rows, so they drop identically).
+    * `iters` Lloyd rounds: assign = [[nearestCentroid]] projection (the
+    * corpus never shuffles, at any k), update = [[ivfCentroids]] (one
+    * vector-sum agg, O(cells) rows shuffled), components re-rounded to
+    * 6 digits each round so every engine's argmax sees identical
+    * inputs. Cells that lose all members drop out (both engines
+    * aggregate only assigned rows, so they drop identically).
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, nPlanes: Int = 3,
-                      iters: Int = 2, maxExprCells: Int = MaxExprCells): DataFrame = {
+                      iters: Int = 2): DataFrame = {
     val e = df.select(col(vecCol).as("__vec"))
     var cent = ivfCentroids(
       e.withColumn("__cell", hyperplaneBucket(col("__vec"), nPlanes)), "__cell", "__vec")
     for (_ <- 1 to iters) {
-      val assigned = kmeansAssign(e, "__vec", cent, "__cell", maxExprCells)
+      val assigned = kmeansAssign(e, "__vec", cent, "__cell")
       cent = ivfCentroids(assigned, "__cell", "__vec")
     }
     cent

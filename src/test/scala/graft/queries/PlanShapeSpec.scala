@@ -172,7 +172,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("kmeansAssignJoin broadcasts centroids and partial-aggregates the argmax (no window, no k-fold shuffle)") {
+  test("ann_ivf_kmeans64 assignment subplan has ZERO exchanges (pure projection at k>48)") {
+    // the learned 64-cell model through the DEFAULT assignment path — the
+    // exact construction annIvfKmeans64 uses. The corpus must not move:
+    // no Exchange anywhere in the assignment subplan.
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val cents = graft.sim.Similarity.collectCentroids(
+      graft.sim.Similarity.kmeansCentroids(emb, "embedding", 6, 1))
+    assert(cents.size > graft.sim.Similarity.MaxExprCells, s"fixture too small: ${cents.size}")
+    val p = graft.sim.Similarity.kmeansAssign(emb, "embedding",
+        graft.sim.Similarity.localizeCentroids(spark, cents), "kcell")
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmeansAssignJoin (the useJoin fallback) broadcasts centroids and partial-aggregates the argmax") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val cents = graft.sim.Similarity.collectCentroids(
       graft.sim.Similarity.kmeansCentroids(emb, "embedding", 3, 1))

@@ -150,14 +150,72 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.columns.toSeq == emb.columns.toSeq :+ "cell")
   }
 
-  test("kmeansAssign dispatches on k and both sides agree (forced-join vs forced-expr)") {
+  test("kmeansAssign default (projection) and useJoin paths agree") {
     val emb = Tables.embeddings(spark, sf)
     val cent = Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 1)
-    def cells(maxExprCells: Int): Map[Long, Long] =
-      Similarity.kmeansAssign(emb, "embedding", cent, "cell", maxExprCells)
+    def cells(useJoin: Boolean): Map[Long, Long] =
+      Similarity.kmeansAssign(emb, "embedding", cent, "cell", useJoin)
         .select(col("vec_id"), col("cell"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cells(maxExprCells = 0) == cells(maxExprCells = 64))
+    assert(cells(useJoin = false) == cells(useJoin = true))
+  }
+
+  test("nearestCentroid matches the retired expression-tree argmax and the HOF fold") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(emb, "embedding", nPlanes = 3, iters = 1))
+    val rows = emb.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding"), cents).as("fast"),
+        Similarity.argmaxCell(col("embedding"), cents).as("tree"),
+        Similarity.nearestCentroidViaAggregate(col("embedding"), cents).as("fold"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}: fast vs tree")
+      assert(r.getLong(1) == r.getLong(3), s"vec ${r.getLong(0)}: fast vs fold")
+    }
+  }
+
+  test("nearestCentroid handles k=512 cells with correct argmax and a shuffle-free plan") {
+    // the k≈√N IVF shape on the DEFAULT path: 512 synthetic unit-ish
+    // centroids, assignments cross-checked against a driver-side argmax,
+    // and the assignment subplan must contain NO exchange — the corpus
+    // never moves during an assignment pass.
+    val emb = Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cents = (0 until 512).map { c =>
+      val v = Seq.tabulate(dim)(i => math.sin(c * 37.0 + i * 11.0))
+      Similarity.Centroid(c.toLong, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val assigned = Similarity.kmeansAssign(emb, "embedding",
+      Similarity.localizeCentroids(spark, cents), "cell")
+    val p = assigned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    val rows = assigned.select(col("vec_id"), col("embedding"), col("cell")).collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_.getLong(2)).distinct.length > 1) // not all one cell
+    rows.take(25).foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val best = cents.map { c =>
+        val s = vec.zip(c.cvec).map { case (a, b) => a * b }.sum / c.cnrm
+        (s, -c.cell)
+      }.max._2 * -1
+      assert(r.getLong(2) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("nearestCentroid null semantics: null vec and dim mismatch yield null") {
+    val cents = Seq(Similarity.Centroid(0L, Seq(1.0, 0.0), 1.0),
+      Similarity.Centroid(1L, Seq(0.0, 1.0), 1.0))
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS ARRAY<FLOAT>)),
+        |  (array(CAST(1.0 AS FLOAT))),
+        |  (array(CAST(0.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS t(v)""".stripMargin)
+    val got = df.select(Similarity.nearestCentroid(col("v"), cents).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(None, None, Some(1L)))
   }
 
   test("kmeansAssignJoin handles k=512 cells — the k≈√N IVF shape — with correct argmax") {
