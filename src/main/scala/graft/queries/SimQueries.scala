@@ -451,6 +451,34 @@ object SimQueries {
   private val annIvfKmeans64Sql = annIvfKmeansSqlFor(Km64Planes, Km64Iters)
 
   // ========================================================================
+  // ann_ivf_kmeans256 — the quantizer at GENUINELY large k (k ≈ √N is
+  // the classic IVF cell count; at 100 TB that is thousands of cells):
+  // 2^11 sign-buckets seed ~280 non-empty cells at sf0.01 (~680 at
+  // sf0.1), one Lloyd round, and both the member-assignment pass and the
+  // round's reassignment run through the NearestCentroid projection —
+  // zero exchanges, k-independent codegen, the plan the 512-cell spec
+  // stress guards. The oracle is the same parameterized CTE chain at
+  // (11, 1): DuckDB re-learns the identical centroids (per-round
+  // round(,6) keeps every engine's argmax inputs identical) and re-ranks
+  // the probed cells.
+  // ========================================================================
+  private val Km256Planes = 11
+  private val Km256Iters = 1
+
+  def annIvfKmeans256(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = kmCentroids(s, d, Km256Planes, Km256Iters)
+    val withCell = Similarity.kmeansAssign(e, "embedding",
+      Similarity.localizeCentroids(s, cents), "kcell")
+    Similarity.ivfSearch(withCell, "vec_id", "embedding", "kcell",
+        col("vec_id") < 10, k = 5, nProbe = 1,
+        centroids = Some(Similarity.localizeCentroids(s, cents)))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annIvfKmeans256Sql = annIvfKmeansSqlFor(Km256Planes, Km256Iters)
+
+  // ========================================================================
   // ann_recall_kmeans — recall@5 of the LEARNED quantizer vs the label
   // cells, both at nProbe ∈ {1,2}, against the brute-force truth: the
   // judge-facing evidence that learned cells beat arbitrary ones (labels
@@ -787,6 +815,7 @@ object SimQueries {
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
+    "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_recall" -> (annRecall _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -808,6 +837,7 @@ object SimQueries {
     "ann_ivf_probe2" -> annIvfProbe2Sql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
+    "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_recall" -> annRecallSql,
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,

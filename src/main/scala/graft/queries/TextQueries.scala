@@ -145,44 +145,137 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
-  // text_scrub — PII-style redaction (URLs then emails → placeholder
-  // tokens), the standard pre-training privacy pass. The corpus text is
-  // deterministically salted with one synthetic email + one URL whose
-  // query string ALSO contains an email-looking substring (both engines
-  // build the identical bytes), so the oracle catches wrong pattern
-  // order (URL must win over the email inside it), partial replacement,
-  // or engine regex divergence — the patterns are RE2-safe by design so
-  // java.util.regex and RE2 engines redact identically. Output compares
-  // the full scrubbed content via md5 plus the replacement counts.
+  // text_scrub — PII-style redaction (URLs → emails → IPv4 → phone
+  // numbers, placeholder tokens), the standard pre-training privacy
+  // pass. The corpus text is deterministically salted with one synthetic
+  // email, one URL whose query string ALSO contains an email-looking
+  // substring, one international phone number, and one IPv4 literal
+  // (both engines build the identical bytes), so the oracle catches
+  // wrong pattern order (URL must win over the email inside it), partial
+  // replacement, or engine regex divergence — the patterns are RE2-safe
+  // by design so java.util.regex and RE2 engines redact identically.
+  // Output compares the full scrubbed content via md5 plus all four
+  // replacement counts.
   // ========================================================================
   def textScrub(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id").cast("string")
     val raw = concat(col("text"), lit(" reach u"), id, lit("@m"),
       (col("doc_id") % 7).cast("string"), lit(".example.org or https://s"), id,
-      lit(".example/x?id="), id, lit("&mail=a@b.co end"))
+      lit(".example/x?id="), id, lit("&mail=a@b.co"),
+      lit(" call +"), (col("doc_id") % 89 + 1).cast("string"), lit("-555-"),
+      (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+      (col("doc_id") % 9000 + 1000).cast("string"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") * 7 % 256).cast("string"), lit("."),
+      (col("doc_id") * 13 % 256).cast("string"), lit(" end"))
     docs(s, d).select(col("doc_id"), TextOps.scrubPii(raw).as("scrubbed"))
       .select(col("doc_id"), md5(col("scrubbed")).as("scrub_md5"),
         (size(split(col("scrubbed"), "<URL>", -1)) - 1).cast("long").as("n_url"),
-        (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1).cast("long").as("n_email"))
+        (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1).cast("long").as("n_email"),
+        (size(split(col("scrubbed"), "<IP>", -1)) - 1).cast("long").as("n_ip"),
+        (size(split(col("scrubbed"), "<PHONE>", -1)) - 1).cast("long").as("n_phone"))
       .orderBy(col("doc_id"))
   }
 
+  /** The DuckDB rendering of [[TextOps.scrubPii]] — ONE definition for
+    * both scrub oracles so the pattern chain cannot silently diverge
+    * per query. `t` is the salted-text SQL expression to scrub.
+    */
+  private def scrubPiiSql(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace($t,
+       |      'https?://\\S+', '<URL>', 'g'),
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+       |      '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g')""".stripMargin
+
   private val textScrubSql =
-    """WITH raw AS (
+    s"""WITH raw AS (
       |  SELECT doc_id,
       |    text || ' reach u' || doc_id || '@m' || (doc_id % 7)
       |      || '.example.org or https://s' || doc_id
-      |      || '.example/x?id=' || doc_id || '&mail=a@b.co end' AS t
+      |      || '.example/x?id=' || doc_id || '&mail=a@b.co'
+      |      || ' call +' || (doc_id % 89 + 1) || '-555-'
+      |      || (doc_id % 900 + 100) || '-' || (doc_id % 9000 + 1000)
+      |      || ' from 10.' || (doc_id % 256) || '.' || (doc_id * 7 % 256)
+      |      || '.' || (doc_id * 13 % 256) || ' end' AS t
       |  FROM documents),
       |s AS (
-      |  SELECT doc_id,
-      |    regexp_replace(regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+      |  SELECT doc_id, ${scrubPiiSql("t")} AS scrubbed
       |  FROM raw)
       |SELECT doc_id, md5(scrubbed) AS scrub_md5,
       |  CAST(len(string_split(scrubbed, '<URL>')) - 1 AS BIGINT) AS n_url,
-      |  CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email
+      |  CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+      |  CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
+      |  CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // scrub_count — per-source PII density, the gate a curation funnel
+  // filters on (refuse-bad-data surface, reference §2.10 analogue): each
+  // document is CONDITIONALLY salted (email iff id%3=0, URL iff id%4=1,
+  // phone iff id%5=2, IP iff id%6=3 — both engines build the identical
+  // bytes), scrubbed with the shared pattern chain, and the per-doc
+  // redaction counts aggregate per source. Because the salting varies by
+  // doc_id, the per-source sums genuinely exercise the aggregation, not
+  // a constant-per-row identity. One scan pass, map-side-combined agg —
+  // the redaction-count path adds nothing to the scrub's plan shape.
+  // ========================================================================
+  def scrubCount(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val idStr = id.cast("string")
+    val salted = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" c"), idStr, lit("@ex"),
+        (id % 7).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(id % 4 === 1, concat(lit(" https://h"), idStr,
+        lit(".example/p"))).otherwise(lit("")),
+      when(id % 5 === 2, concat(lit(" +"), (id % 89 + 1).cast("string"),
+        lit("-555-"), (id % 900 + 100).cast("string"), lit("-"),
+        (id % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(id % 6 === 3, concat(lit(" 192.168."), (id % 256).cast("string"),
+        lit("."), (id * 3 % 256).cast("string"))).otherwise(lit("")))
+    docs(s, d)
+      .select(col("source"), TextOps.scrubPii(salted).as("sc"))
+      .select(col("source"),
+        (size(split(col("sc"), "<URL>", -1)) - 1).cast("long").as("u"),
+        (size(split(col("sc"), "<EMAIL>", -1)) - 1).cast("long").as("e"),
+        (size(split(col("sc"), "<IP>", -1)) - 1).cast("long").as("i"),
+        (size(split(col("sc"), "<PHONE>", -1)) - 1).cast("long").as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("u")).as("n_url"), sum(col("e")).as("n_email"),
+        sum(col("i")).as("n_ip"), sum(col("p")).as("n_phone"),
+        sum(when(col("u") + col("e") + col("i") + col("p") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"))
+      .orderBy(col("source"))
+  }
+
+  private val scrubCountSql =
+    s"""WITH raw AS (
+      |  SELECT doc_id, source,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0
+      |           THEN ' c' || doc_id || '@ex' || (doc_id % 7) || '.org' ELSE '' END
+      |      || CASE WHEN doc_id % 4 = 1
+      |           THEN ' https://h' || doc_id || '.example/p' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 2
+      |           THEN ' +' || (doc_id % 89 + 1) || '-555-' || (doc_id % 900 + 100)
+      |                || '-' || (doc_id % 9000 + 1000) ELSE '' END
+      |      || CASE WHEN doc_id % 6 = 3
+      |           THEN ' 192.168.' || (doc_id % 256) || '.' || (doc_id * 3 % 256)
+      |           ELSE '' END AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT source,
+      |    CAST(len(string_split(sc, '<URL>')) - 1 AS BIGINT) AS u,
+      |    CAST(len(string_split(sc, '<EMAIL>')) - 1 AS BIGINT) AS e,
+      |    CAST(len(string_split(sc, '<IP>')) - 1 AS BIGINT) AS i,
+      |    CAST(len(string_split(sc, '<PHONE>')) - 1 AS BIGINT) AS p
+      |  FROM (SELECT source, ${scrubPiiSql("t")} AS sc FROM raw))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(u) AS BIGINT) AS n_url, CAST(sum(e) AS BIGINT) AS n_email,
+      |  CAST(sum(i) AS BIGINT) AS n_ip, CAST(sum(p) AS BIGINT) AS n_phone,
+      |  CAST(sum(CASE WHEN u + e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   // ========================================================================
   // pipeline_curate — the end-to-end training-data curation funnel, the
@@ -197,9 +290,18 @@ object TextQueries {
   // cross-engine because the score is exact-integer arithmetic with one
   // IEEE division (see text_quality).
   // ========================================================================
-  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val feat = docs(s, d)
+  /** The STATELESS stage of the curation funnel — per-doc features
+    * (lang-ID, exact-integer quality score, BPE-ish token count,
+    * canonical fingerprint) in one scan pass, filtered to
+    * (predicted-English ∧ score ≥ 0.6 ∧ ≥ 15 regex tokens). ONE
+    * definition shared by the batch funnel below and the streaming one
+    * ([[graft.streaming.StreamingCurate]]): only the dedup step differs
+    * between them (window vs keyed state), so the feature/filter
+    * semantics cannot drift. Works unchanged on a streaming frame —
+    * every expression is a per-row projection.
+    */
+  def curateFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("toks"),
         size(TextOps.regexTokens(col("text"))).cast("long").as("n_re"),
@@ -215,6 +317,10 @@ object TextQueries {
           + lit(200L) * col("n_dist"))
           / (lit(1000.0) * col("n"))).as("score"))
       .filter(col("lang_pred") === "en" && col("score") >= 0.6 && col("n_re") >= 15)
+
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = curateFeatures(docs(s, d))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     feat.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -368,6 +474,7 @@ object TextQueries {
     "term_freq" -> (termFreq _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_scrub" -> (textScrub _),
+    "scrub_count" -> (scrubCount _),
     "bm25_topk" -> (bm25TopK _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -380,6 +487,7 @@ object TextQueries {
     "term_freq" -> termFreqSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_scrub" -> textScrubSql,
+    "scrub_count" -> scrubCountSql,
     "bm25_topk" -> bm25TopKSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

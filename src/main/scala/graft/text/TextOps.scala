@@ -53,19 +53,30 @@ object TextOps {
   def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
 
-  /** PII-style redaction: URLs then emails replaced with placeholder
-    * tokens. Patterns are RE2-safe (character classes + quantifiers, no
-    * backreferences/lookaround) so Spark's java.util.regex and engines
-    * on RE2 (DuckDB, Go) replace identically — the property that makes
-    * redaction auditable cross-engine. URL first: an email-looking
-    * substring INSIDE a URL query string belongs to the URL.
+  /** PII-style redaction: URLs, then emails, then IPv4 literals, then
+    * international-format phone numbers, each replaced with a
+    * placeholder token. Patterns are RE2-safe (character classes +
+    * quantifiers + word boundaries, no backreferences/lookaround) so
+    * Spark's java.util.regex and engines on RE2 (DuckDB, Go) replace
+    * identically — the property that makes redaction auditable
+    * cross-engine. Order matters and is fixed: URL first (an
+    * email-looking substring INSIDE a URL query string belongs to the
+    * URL), and the placeholders contain no digits or dots, so a later
+    * pattern can never match inside an earlier replacement.
     */
   val UrlPattern = "https?://\\S+"
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
   def scrubPii(text: Column): Column =
-    regexp_replace(regexp_replace(text, UrlPattern, "<URL>"),
-      EmailPattern, "<EMAIL>")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
 
   /** Canonical-text fingerprint: lowercase, strip non-alphanumerics,
     * collapse whitespace, md5. Exact-dedup key.

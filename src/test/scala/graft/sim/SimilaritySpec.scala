@@ -244,14 +244,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("large-k learning (nPlanes=6) converges through the join path and stays deterministic") {
+  test("large-k learning (nPlanes=6) converges through the projection path and stays deterministic") {
     val emb = Tables.embeddings(spark, sf)
     def run() = Similarity.collectCentroids(
       Similarity.kmeansCentroids(emb, "embedding", nPlanes = 6, iters = 1))
     val c1 = run()
     assert(c1 == run(), "two identical large-k runs must learn identical centroids")
     assert(c1.size > Similarity.MaxExprCells && c1.size <= 64,
-      s"expected >48 and <=64 cells, got ${c1.size}") // the dispatch actually exercised the join path
+      s"expected >48 and <=64 cells, got ${c1.size}") // genuinely past the old expr-tree limit
+  }
+
+  test("ann_ivf_kmeans256 learning lands at k>=256 cells (the k~sqrt(N) IVF shape)") {
+    // the 2^11 sign-bucket seeding must keep the 256-cell query honest:
+    // if the corpus or seeding drifted below 256 learned cells, the
+    // query would silently stop exercising genuinely large k
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(emb, "embedding", nPlanes = 11, iters = 1))
+    assert(cents.size >= 256, s"only ${cents.size} learned cells")
   }
 
   test("learned quantizer beats label cells on recall@5 (the round-9 acceptance bar)") {
