@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The streaming curation funnel — the continuous counterpart of the
+  * batch `pipeline_curate` flagship (and the `use_streaming` promise the
+  * reference declared but never built, config.py:89-90): lang-ID →
+  * quality gate → token bounds → exact-dedup keep-first over a document
+  * STREAM, admitting each surviving document exactly once.
+  *
+  * Composition, not reimplementation: the stateless feature/filter
+  * stage is [[graft.queries.TextQueries.curateFeatures]] — the SAME
+  * Column expressions the batch funnel runs (per-row projections work
+  * unchanged on a streaming frame), so the two paths cannot drift. Only
+  * the dedup step differs: batch uses a window over fp; streaming keys
+  * state by fp and passes through the FIRST arrival (within one
+  * micro-batch, the smallest doc_id — matching the batch keeper
+  * tie-break; across micro-batches the earlier batch wins, true
+  * streaming semantics).
+  *
+  * Scale/state: state per distinct surviving fingerprint is ONE long
+  * (the keeper id) — the filters run BEFORE the stateful stage, so
+  * rejected documents never touch state, and the fp keying
+  * hash-partitions across executors like the batch window's
+  * `hashpartitioning(fp)`. `ttl` evicts idle fingerprints
+  * (processing-time timeout) under the same retention contract as
+  * [[StreamingDedup.keepFirst]].
+  */
+object StreamingCurate {
+
+  case class CurateDoc(fp: String, doc_id: Long, source: String,
+                       n_re: Long, score: Double)
+  case class CuratedRow(doc_id: Long, source: String, n_re: Long, score: Double)
+
+  /** Per-fingerprint admission: emit the first-ever arrival (smallest
+    * id within the micro-batch), swallow every later duplicate —
+    * including redeliveries of the keeper itself (at-least-once
+    * sources must not emit a document twice).
+    */
+  def keepFirstPassFn(ttl: Option[String])(fp: String, rows: Iterator[CurateDoc],
+      state: GroupState[Long]): Iterator[CuratedRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val out =
+      if (state.exists) Iterator.empty
+      else sorted.headOption
+        .map(d => CuratedRow(d.doc_id, d.source, d.n_re, d.score)).iterator
+    val keeper = if (state.exists) state.get else sorted.head.doc_id
+    state.update(keeper)
+    ttl.foreach(state.setTimeoutDuration)
+    out
+  }
+
+  /** Wire the funnel over a streaming document frame (`doc_id`,
+    * `source`, `text` columns): emits one (doc_id, source, n_re, score)
+    * row per admitted document — the streaming rendering of the batch
+    * funnel's survivor set. Pass `ttl` (e.g. `"1 hour"`) to bound
+    * per-fingerprint state on unbounded corpora.
+    */
+  def curate(spark: SparkSession, docs: DataFrame,
+             ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    graft.queries.TextQueries.curateFeatures(docs)
+      .select(col("fp"), col("doc_id"), col("source"), col("n_re"), col("score"))
+      .as[CurateDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstPassFn(ttl))
+      .toDF("doc_id", "source", "n_re", "score")
+  }
+}

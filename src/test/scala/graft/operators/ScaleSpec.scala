@@ -52,6 +52,32 @@ class ScaleSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1, scan.toString)
   }
 
+  test("pipeline_curate survivors write partitioned by source and prune to one directory") {
+    // ties the partitioned-layout machinery into the flagship funnel:
+    // curated output lands hive-partitioned on the provenance column, so
+    // a per-source consumer (re-train on one crawl, audit one vendor)
+    // scans ONLY its slice — asserted at planning time, not hoped.
+    val cur = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_part").toString + "/curated"
+    Scale.writePartitioned(cur, dir, Seq("source"))
+    val srcs = cur.select("source").distinct().collect().map(_.getString(0)).sorted
+    assert(srcs.length > 1, s"fixture has ${srcs.length} sources")
+    val pick = srcs.head
+    val slice = spark.read.parquet(dir).filter(col("source") === pick)
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+    val scan = slice.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount == 1, scan.toString)
+    // and the slice is exactly the funnel's rows for that source
+    val want = cur.filter(col("source") === pick)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val got = slice.select("doc_id", "n_re")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+  }
+
   test("bucketed table join avoids the shuffle on the bucketed side") {
     // warehouse.dir is a static conf — the table lands in ./spark-warehouse
     // (gitignored); dropped again below

@@ -475,6 +475,59 @@ class StreamingSpec extends SparkSpec {
     assert(updated == updated.sorted && updated.size == existing.size + fresh.size)
   }
 
+  test("streaming curate funnel matches the batch pipeline_curate survivor set") {
+    // docs are fed in doc_id order across two micro-batches, so the
+    // first arrival per fingerprint is the smallest id — the batch
+    // keeper tie-break — and the streamed survivor rows must equal the
+    // batch funnel's rows EXACTLY (same features, same filters, same
+    // dedup outcome; only window-vs-state differs)
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    val out = StreamingCurate.curate(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("curate_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    q.stop()
+    val want = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.nonEmpty, "the funnel admitted nothing — fixture too strict")
+    assert(got == want)
+  }
+
+  test("streaming curate swallows keeper redeliveries and later duplicates") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    val out = StreamingCurate.curate(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_dup_out").start()
+    // a text that certainly survives the funnel: English stopword hits
+    // (lang-ID), ~50 mostly-distinct tokens (score ≈ 0.71 ≥ 0.6), and
+    // far more than 15 regex tokens
+    val text = "the quick brown fox jumps over a lazy dog and runs far " +
+      "away into the green field of tall grass where many small animals hide " +
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo " +
+      "lima mike november oscar papa quebec romeo sierra tango uniform " +
+      "victor whiskey xray yankee zulu"
+    stream.addData((10L, "a", text)); q.processAllAvailable()
+    // keeper redelivery + a same-text duplicate under a different id
+    stream.addData((10L, "a", text), (11L, "b", text)); q.processAllAvailable()
+    val got = spark.table("curate_dup_out").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got == Seq(10L), s"expected exactly one admission, got $got")
+  }
+
   test("streaming supervised windows drop late cross-batch events instead of mis-ordering") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[StreamingResample.WindowEvent]
