@@ -505,6 +505,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("JSONL quarantine stream feeds the curate funnel end-to-end (file source, not MemoryStream)") {
+    // the production composition: a directory of JSONL files read with
+    // the streaming quarantine split, good rows driven through the
+    // curation funnel — corrupt lines must neither kill the stream nor
+    // leak into it, and the survivors must equal the batch funnel run
+    // over the same good rows
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_curate").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.sources.JsonlSource.write(docs, s"$dir/in")
+    // salt the input with corrupt lines alongside the real parts
+    val pw = new java.io.PrintWriter(s"$dir/in/part-corrupt.jsonl")
+    pw.println("""{"doc_id": 999999, "text": "trunc""")
+    pw.println("not json at all")
+    pw.close()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val (good, bad) = graft.sources.JsonlSource.readStreamWithQuarantine(
+      spark, s"$dir/in", schema)
+    val out = StreamingCurate.curate(spark, good)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_curate_out").start()
+    val qb = bad.writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_curate_bad").start()
+    q.processAllAvailable(); qb.processAllAvailable()
+    q.stop(); qb.stop()
+    assert(spark.table("jsonl_curate_bad").count() == 2)
+    val got = spark.table("jsonl_curate_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // parity target: batch funnel over the same corpus. doc_ids within
+    // one micro-batch admit smallest-first, and here ALL files land in
+    // one batch, so keepers match the batch min-id tie-break
+    val want = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming curate swallows keeper redeliveries and later duplicates") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
