@@ -176,11 +176,59 @@ object JoinQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.c_us
       |ORDER BY p.event_id""".stripMargin
 
+  // ========================================================================
+  // join_range — point-in-interval join WITHOUT a nested loop: shipments
+  // falling inside 3-day order-date windows (every 97th order), through
+  // operators/RangeJoin's bucketize → explode → hash-equi-join → refine
+  // composition. A bare `ts >= lo AND ts < hi` join predicate plans a
+  // BroadcastNestedLoopJoin — O(|probe|·|windows|) comparisons, the
+  // range-join scale-killer; the bucketed form shuffles on the bucket
+  // key only (plan-guarded). Timestamps travel as epoch seconds (micros
+  // are date-exact multiples of 1e6 in both engines); the oracle states
+  // the range predicate directly — DuckDB's optimizer handles the small
+  // oracle-side input, Spark runs the plan that survives 100 TB.
+  // ========================================================================
+  private val RangeWindowSecs = 259200L // 3 days
+  private val RangeBucketSecs = 345600L // 4 days: each window spans <= 2 buckets
+
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    // order/ship dates are TIMESTAMP_NTZ in the parquet; the session runs
+    // UTC (GraftSession), so the cast to TIMESTAMP is instant-preserving
+    // and matches DuckDB's naive-as-UTC epoch_us
+    def epochSecs(c: Column): Column =
+      (TimeFns.epochMicros(c.cast("timestamp")) / lit(1000000L)).cast("long")
+    val win = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        epochSecs(col("o_orderdate")).as("lo"))
+      .withColumn("hi", col("lo") + RangeWindowSecs)
+    val probe = Tables.lineitem(s, d)
+      .select(epochSecs(col("l_shipdate")).as("ship_s"), col("l_quantity"))
+    graft.operators.RangeJoin
+      .pointInInterval(probe, win, "ship_s", "lo", "hi", RangeBucketSecs)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("window_id"))
+  }
+
+  private val joinRangeSql =
+    s"""WITH win AS (
+      |  SELECT o_orderkey AS window_id,
+      |    epoch_us(o_orderdate) // 1000000 AS lo,
+      |    epoch_us(o_orderdate) // 1000000 + $RangeWindowSecs AS hi
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |p AS (SELECT epoch_us(l_shipdate) // 1000000 AS ship_s, l_quantity FROM lineitem)
+      |SELECT w.window_id, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM p JOIN win w ON p.ship_s >= w.lo AND p.ship_s < w.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof_custom" -> (joinAsofCustom _),
     "join_dim_broadcast" -> (joinDimBroadcast _),
     "join_time_align" -> (joinTimeAlign _),
     "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "union_append" -> (unionAppend _),
@@ -191,6 +239,7 @@ object JoinQueries {
     "join_dim_broadcast" -> joinDimBroadcastSql,
     "join_time_align" -> joinTimeAlignSql,
     "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "union_append" -> unionAppendSql,

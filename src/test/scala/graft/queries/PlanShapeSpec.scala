@@ -39,6 +39,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("join_anti").contains("LeftAnti"))
   }
 
+  test("join_range plans a hash equi-join on the bucket key (no nested loop, no cartesian)") {
+    val p = plan("join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bkt"), p)
+  }
+
   test("q1_agg does partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     // formatted mode lists the map-side node's functions as partial_*;
