@@ -201,6 +201,65 @@ object SimQueries {
   private val annIvfProbe2Sql = ivfSearchSql(nProbe = 2)
 
   // ========================================================================
+  // ann_sq8 — scalar-quantized (int8) brute-force ANN: the memory lever
+  // for billion-vector search (4× smaller than float32, integer SIMD
+  // dot products; IVF partitions the corpus, quantization shrinks what
+  // each probe touches). Adapt-then-apply like the reference's
+  // normalizer (datapipeline.py:364-374): ONE corpus pass learns the
+  // global max-abs, every vector quantizes to
+  // clamp(floor(x · 127/maxabs), ±127) — floor, never round-half, so no
+  // engine disagrees at .5 boundaries — and ranking runs on EXACT
+  // integer dot products (|q|≤127, 64 dims → |dot| ≤ 2^20, double-exact
+  // in the codegen dot): the whole query is float-free past the single
+  // scale constant both engines derive identically.
+  // ========================================================================
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val maxAbs = e.agg(max(greatest(
+      array_max(col("embedding")).cast("double"),
+      -array_min(col("embedding")).cast("double"))).as("ma"))
+    val q8 = e.crossJoin(broadcast(maxAbs))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * (lit(127.0) / col("ma")))))).as("qv"))
+    val q = q8.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"))
+    val c = q8.select(col("vec_id").as("n_id"), col("qv").as("n_qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("n_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qdot", Similarity.dot(col("q_qv"), col("n_qv")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annSq8Sql =
+    """WITH s AS (
+      |  SELECT 127.0 / max(greatest(list_max(embedding)::DOUBLE,
+      |                              -list_min(embedding)::DOUBLE)) AS sc
+      |  FROM embeddings),
+      |q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(greatest(-127, least(127, floor(x::DOUBLE * sc))) AS BIGINT)) AS qv
+      |  FROM embeddings, s)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, qdot FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> q.qv[i] * c.qv[i])) AS BIGINT) AS qdot,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(q.qv) + 1),
+      |        i -> q.qv[i] * c.qv[i])) DESC,
+      |      c.vec_id) AS rank
+      |  FROM q8 q JOIN q8 c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
   // ann_recall — recall@5 of IVF(nProbe ∈ {1,2}) against the brute-force
   // top-5 (the declared correctness baseline): per query, how many of the
   // true neighbors the probe recovered. THE dial that matters at 100×
@@ -816,6 +875,7 @@ object SimQueries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
+    "ann_sq8" -> (annSq8 _),
     "ann_recall" -> (annRecall _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -838,6 +898,7 @@ object SimQueries {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
+    "ann_sq8" -> annSq8Sql,
     "ann_recall" -> annRecallSql,
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,

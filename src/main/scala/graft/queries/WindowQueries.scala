@@ -411,7 +411,57 @@ object WindowQueries {
       |WHERE CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) % 60 = 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ========================================================================
+  // sessionize — gap-based session windows: per user, a new session
+  // starts when the gap to the previous event exceeds 30 minutes; each
+  // session reduces to (n_events, start, end, duration). THE grouping
+  // primitive for interaction logs / conversation corpora. Implemented
+  // the distributed-safe way: one lag + one running sum over the SAME
+  // per-user window (a single hash-partitioned sort, no self-join, no
+  // session_window state), then a partial-aggregated groupBy on
+  // (user, session). All arithmetic is exact integer epoch-micros, so
+  // the boundary decision (gap > 30 min, strictly) is engine-identical.
+  // ========================================================================
+  private val SessionGapUs = 1800L * 1000000L
+
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .select(col("user_id"), col("event_id"), epochUs.as("e_us"))
+      .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("e_us")).as("start_us"), max(col("e_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS e_us FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, e_us,
+      |    e_us - lag(e_us) OVER (PARTITION BY user_id ORDER BY e_us, event_id) AS gap
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, e_us,
+      |    sum(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM g)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(e_us) AS start_us, max(e_us) AS end_us,
+      |  max(e_us) - min(e_us) AS duration_us
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sessionize" -> (sessionize _),
     "sliding_window" -> (slidingWindow _),
     "window_supervised" -> (windowSupervised _),
     "window_supervised_v2" -> (windowSupervisedV2 _),
@@ -430,6 +480,7 @@ object WindowQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize" -> sessionizeSql,
     "sliding_window" -> slidingWindowSql,
     "window_supervised" -> windowSupervisedSql,
     "window_supervised_v2" -> windowSupervisedV2Sql,
