@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query names — dev-only fast path
+    // for iterating on a few queries; the driver always runs the full set.
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -14,7 +18,7 @@ object Verify {
     // Deterministic order (family, then alphabetical) for stable driver
     // logs; cache cleared between families (mirrors Bench).
     graft.queries.Registry.families.foreach { case (_, keys) =>
-      keys.foreach { name =>
+      keys.filter(k => only.forall(_.contains(k))).foreach { name =>
         val fn = SparkEntry.queries(name)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

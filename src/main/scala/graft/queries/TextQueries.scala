@@ -290,17 +290,12 @@ object TextQueries {
   // cross-engine because the score is exact-integer arithmetic with one
   // IEEE division (see text_quality).
   // ========================================================================
-  /** The STATELESS stage of the curation funnel — per-doc features
-    * (lang-ID, exact-integer quality score, BPE-ish token count,
-    * canonical fingerprint) in one scan pass, filtered to
-    * (predicted-English ∧ score ≥ 0.6 ∧ ≥ 15 regex tokens). ONE
-    * definition shared by the batch funnel below and the streaming one
-    * ([[graft.streaming.StreamingCurate]]): only the dedup step differs
-    * between them (window vs keyed state), so the feature/filter
-    * semantics cannot drift. Works unchanged on a streaming frame —
-    * every expression is a per-row projection.
+  /** Per-doc curation features WITHOUT the admission filter — the raw
+    * material for both the funnel itself ([[curateFeatures]]) and the
+    * per-stage attrition report (`curate_report`), which needs to count
+    * the docs each stage REJECTS, not just the survivors.
     */
-  def curateFeatures(docsDf: DataFrame): DataFrame =
+  def curateFeaturesAll(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("toks"),
@@ -316,7 +311,27 @@ object TextQueries {
           + lit(300L) * (col("n") - col("n_stop"))
           + lit(200L) * col("n_dist"))
           / (lit(1000.0) * col("n"))).as("score"))
-      .filter(col("lang_pred") === "en" && col("score") >= 0.6 && col("n_re") >= 15)
+
+  /** The funnel's per-stage admission predicates, in stage order. Each
+    * stage implies the previous (conjunction), so stage counts are
+    * monotone — the property the attrition report asserts visually.
+    */
+  private def condLang = col("lang_pred") === "en"
+  private def condQuality = condLang && col("score") >= 0.6
+  private def condTokens = condQuality && col("n_re") >= 15
+
+  /** The STATELESS stage of the curation funnel — per-doc features
+    * (lang-ID, exact-integer quality score, BPE-ish token count,
+    * canonical fingerprint) in one scan pass, filtered to
+    * (predicted-English ∧ score ≥ 0.6 ∧ ≥ 15 regex tokens). ONE
+    * definition shared by the batch funnel below and the streaming one
+    * ([[graft.streaming.StreamingCurate]]): only the dedup step differs
+    * between them (window vs keyed state), so the feature/filter
+    * semantics cannot drift. Works unchanged on a streaming frame —
+    * every expression is a per-row projection.
+    */
+  def curateFeatures(docsDf: DataFrame): DataFrame =
+    curateFeaturesAll(docsDf).filter(condTokens)
 
   def pipelineCurate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -328,7 +343,11 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val pipelineCurateSql = {
+  /** The funnel's feature CTEs (`t` → `f` → `q`), ONE DuckDB rendering
+    * shared by the `pipeline_curate` and `curate_report` oracles so the
+    * two SQL mirrors of [[curateFeaturesAll]] cannot drift.
+    */
+  private val curateCtesSql = {
     def score(words: Seq[String]) =
       s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
     val langs = TextOps.LangStopwords.toMap
@@ -353,13 +372,16 @@ object TextQueries {
        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |         WHEN s_es >= s_fr THEN 'es'
        |         ELSE 'fr' END AS lang_pred
-       |  FROM f)
+       |  FROM f)""".stripMargin
+  }
+
+  private val pipelineCurateSql =
+    s"""$curateCtesSql
        |SELECT doc_id, source, n_re, score
        |FROM q
        |WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ========================================================================
   // term_freq — corpus term frequencies with document frequency: explode
@@ -470,9 +492,174 @@ object TextQueries {
        |ORDER BY $scoreSum DESC, doc_id LIMIT $Bm25K""".stripMargin
   }
 
+  // ========================================================================
+  // text_repetition — Gopher-style within-document repetition signals,
+  // the quality gate that catches boilerplate/spam which length and
+  // stopword ratios miss: the most-repeated 2-gram's share of all
+  // 2-grams, and the duplicated-3-gram fraction. BOTH are computed
+  // per-row (shingle → per-row sort + linear fold for the mode count;
+  // size − distinct for the dup count) — zero shuffle, scan-linear, no
+  // explode. At 100 TB this is the difference between a projection and
+  // a corpus-sized (doc, gram) exchange. Fractions are one integer/
+  // integer IEEE division, unrounded (see text_quality's convention).
+  // ========================================================================
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.shinglesN(col("toks"), 2).as("g2"),
+        TextOps.shinglesN(col("toks"), 3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        TextOps.maxMultiplicity(col("g2")).as("top2_count"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long").as("dup3_count"))
+      .withColumn("top2_frac",
+        when(col("n_2grams") > 0, col("top2_count").cast("double") / col("n_2grams")))
+      .withColumn("dup3_frac",
+        when(col("n_3grams") > 0, col("dup3_count").cast("double") / col("n_3grams")))
+      .orderBy(col("doc_id"))
+
+  private val textRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 2
+      |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+      |      ELSE [] END AS g2,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |      ELSE [] END AS g3
+      |  FROM t),
+      |top AS (
+      |  SELECT doc_id, max(cnt) AS topc FROM (
+      |    SELECT doc_id, g2i, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(g2) AS g2i FROM g) GROUP BY doc_id, g2i)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  CAST(len(g2) AS BIGINT) AS n_2grams,
+      |  CAST(coalesce(topc, 0) AS BIGINT) AS top2_count,
+      |  CAST(len(g3) AS BIGINT) AS n_3grams,
+      |  CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3_count,
+      |  CASE WHEN len(g2) > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / len(g2) END AS top2_frac,
+      |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup3_frac
+      |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ========================================================================
+  // decontaminate — benchmark-overlap screen (train/test contamination):
+  // every corpus doc is checked for 4-token shingles it shares with a
+  // held-out benchmark set (here the deterministic doc_id % 50 = 0
+  // slice). Scale shape: the benchmark side is SMALL by definition →
+  // its distinct shingles broadcast; the corpus side explodes its
+  // (per-doc distinct) shingles and hash-joins WITHOUT a shuffle of the
+  // corpus; only matching (doc, gram) rows — sparse by construction —
+  // reach the per-doc count. The final left join attaches hit counts
+  // back to the full corpus (AQE picks broadcast while hits are small).
+  // Reports ALL corpus docs, so the clean majority is part of the
+  // verified result, not an absence.
+  // ========================================================================
+  private val DecontShingle = 4
+  private val DecontBenchMod = 50
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d).select(col("doc_id"),
+      array_distinct(
+        TextOps.shinglesN(TextOps.tokens(col("text")), DecontShingle)).as("grams"))
+    val bench = grams.filter(col("doc_id") % DecontBenchMod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpus = grams.filter(col("doc_id") % DecontBenchMod =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateSql =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) >= $DecontShingle
+      |      THEN list_transform(range(1, len(w) - ${DecontShingle - 2}),
+      |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |      ELSE [] END) AS grams
+      |  FROM t),
+      |bench AS (
+      |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $DecontBenchMod = 0),
+      |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % $DecontBenchMod <> 0),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_hit
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+      |  JOIN bench USING (gram)
+      |  GROUP BY doc_id)
+      |SELECT corpus.doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(CASE WHEN coalesce(n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+      |ORDER BY corpus.doc_id""".stripMargin
+
+  // ========================================================================
+  // curate_report — per-source, per-stage attrition through the curation
+  // funnel: total docs, survivors of lang-ID, of the quality gate, of
+  // the token-bound gate, and of exact dedup. The observability surface
+  // a 100 TB curation run is steered by (which source is losing docs at
+  // which stage?). Stage predicates are conjunctions, so counts are
+  // monotone non-increasing left to right. Shape: the stage counts are
+  // ONE conditional-sum aggregation over the feature scan; the unique
+  // count reuses the funnel's window pass over the (already filtered)
+  // survivors; both aggregates are per-source tiny and join broadcast.
+  // ========================================================================
+  def curateReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = curateFeaturesAll(docs(s, d))
+    val stages = feat.groupBy(col("source")).agg(
+      count(lit(1)).as("n_total"),
+      sum(when(condLang, 1L).otherwise(0L)).as("n_lang"),
+      sum(when(condQuality, 1L).otherwise(0L)).as("n_quality"),
+      sum(when(condTokens, 1L).otherwise(0L)).as("n_filtered"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val uniq = feat.filter(condTokens)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    stages.join(uniq, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("n_lang"), col("n_quality"),
+        col("n_filtered"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .orderBy(col("source"))
+  }
+
+  private val curateReportSql =
+    s"""$curateCtesSql,
+       |r AS (
+       |  SELECT source, count(*) AS n_total,
+       |    CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |    CAST(sum(CASE WHEN lang_pred = 'en' AND score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN lang_pred = 'en' AND score >= 0.6 AND n_re >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered
+       |  FROM q GROUP BY source),
+       |u AS (
+       |  SELECT source, count(*) AS n_unique FROM (
+       |    SELECT source FROM q
+       |    WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
+       |    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+       |  GROUP BY source)
+       |SELECT r.source, n_total, n_lang, n_quality, n_filtered,
+       |  CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique
+       |FROM r LEFT JOIN u ON r.source = u.source
+       |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "term_freq" -> (termFreq _),
     "pipeline_curate" -> (pipelineCurate _),
+    "text_repetition" -> (textRepetition _),
+    "decontaminate" -> (decontaminate _),
+    "curate_report" -> (curateReport _),
     "text_scrub" -> (textScrub _),
     "scrub_count" -> (scrubCount _),
     "bm25_topk" -> (bm25TopK _),
@@ -486,6 +673,9 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "term_freq" -> termFreqSql,
     "pipeline_curate" -> pipelineCurateSql,
+    "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql,
+    "curate_report" -> curateReportSql,
     "text_scrub" -> textScrubSql,
     "scrub_count" -> scrubCountSql,
     "bm25_topk" -> bm25TopKSql,

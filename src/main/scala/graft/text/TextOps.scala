@@ -33,6 +33,36 @@ object TextOps {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Contiguous n-gram shingles (space-joined) of a token array; empty
+    * when fewer than n tokens. Generalizes [[shingles3]] for the
+    * repetition-signal and decontamination operators.
+    */
+  def shinglesN(toks: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Highest multiplicity of any element of a string array (0 for the
+    * empty array): one per-row sort + one linear fold — the per-row
+    * "mode count" WITHOUT exploding to a shuffle. Assumes elements are
+    * non-empty strings (true for tokens/shingles, which match \S+);
+    * an empty-string element would extend the fold's sentinel run.
+    */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Count of tokens that belong to `words`. */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))

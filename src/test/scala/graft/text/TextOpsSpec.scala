@@ -48,4 +48,26 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     r.foreach(x => assert(x >= 0.0 && x <= 1.0))
   }
+
+  test("shinglesN yields n-k+1 shingles of the right width, empty below k tokens") {
+    val df = Seq("a b c d e", "a b c").toDF("t")
+    val r = df.select(TextOps.shinglesN(TextOps.tokens($"t"), 4)).collect()
+      .map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b c d", "b c d e"))
+    assert(r(1) == Seq.empty)
+    // n = 1 degenerates to the token array itself
+    val one = df.select(TextOps.shinglesN(TextOps.tokens($"t"), 1)).head().getSeq[String](0)
+    assert(one == Seq("a", "b", "c", "d", "e"))
+  }
+
+  test("maxMultiplicity is the per-row mode count, 0 on empty") {
+    val df = Seq(
+      (Seq("x", "y", "x", "z", "x"), 3L),
+      (Seq("a", "b", "c"), 1L),
+      (Seq.empty[String], 0L),
+      (Seq("q", "q"), 2L),
+    ).toDF("arr", "want")
+    val bad = df.filter(TextOps.maxMultiplicity($"arr") =!= $"want").count()
+    assert(bad == 0)
+  }
 }
