@@ -590,4 +590,40 @@ class StreamingSpec extends SparkSpec {
       (4L, Seq(20.0, 30.0), 40.0),
       (5L, Seq(30.0, 40.0), 50.0)))
   }
+
+  test("streaming sessionize matches the batch sessionize after watermark flush") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_id")
+    val out = StreamingSessionize.sessionize(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    // feed the real events in timestamp order across two micro-batches
+    // (in-order delivery is the 0-second-watermark contract)
+    val evs = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy(e => (e._1.getTime, e._3)).toSeq
+    val (first, rest) = evs.splitAt(evs.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    // flush the trailing open sessions: two far-future sentinel events
+    // (user -1) — the first advances the watermark past every gap
+    // horizon, the second triggers the batch in which timeouts fire
+    val maxTs = evs.map(_._1.getTime).max
+    stream.addData(Seq((new java.sql.Timestamp(maxTs + 86400_000L), -1L, 0L)))
+    q.processAllAvailable()
+    stream.addData(Seq((new java.sql.Timestamp(maxTs + 2 * 86400_000L), -1L, 1L)))
+    q.processAllAvailable()
+    val got = spark.table("sess_out").filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    val want = graft.queries.WindowQueries.queries("sessionize")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
