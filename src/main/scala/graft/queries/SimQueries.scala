@@ -538,6 +538,311 @@ object SimQueries {
   private val annIvfKmeans256Sql = annIvfKmeansSqlFor(Km256Planes, Km256Iters)
 
   // ========================================================================
+  // ann_pq — product quantization, THE billion-vector compression lever
+  // (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011): the 64-dim vector splits into 4 subspaces of 16 dims,
+  // each with its own LSH-seeded Lloyd codebook (≤ 2^4 cells), and every
+  // corpus vector stores only 4 small cell ids — 4 codes instead of 64
+  // floats. Ranking is ADC (asymmetric distance computation): the exact
+  // query vector against the RECONSTRUCTION (concatenated codebook
+  // entries), so dot(q, recon(x)) = Σ_j dot(q_j, codebook_j[code_j(x)]).
+  //
+  // Scale shape: each subspace codebook learns via the same zero-
+  // exchange NearestCentroid Lloyd as ann_ivf_kmeans*; corpus encoding
+  // is 4 pure projections (no shuffle); scoring reconstructs inside the
+  // projection from 4 literal-map lookups — the decoded vector exists
+  // only inside the scan expression, never in storage or shuffle. The
+  // oracle re-learns all 4 codebooks independently (the per-subspace
+  // CTE chain mirrors kmeansCtesSql over the slice) and re-ranks by the
+  // same reconstruction — exact to the hash because every centroid
+  // component is round(·,6) and the 64-term dot folds left-to-right in
+  // both engines.
+  // ========================================================================
+  private val PqSubspaces = 4
+  private val PqSubDim = 16
+  // 2^6 = 64 seed cells per subspace: on these isotropic synthetic
+  // embeddings 16-cell codebooks left ADC recall@5 near 0.05-0.1
+  // (quantization noise dominates — no cluster structure to exploit);
+  // 64 cells roughly doubles raw ADC recall, and the rerank stage below
+  // recovers 0.88 (sf0.01) / 0.64 (sf0.1) — ann_recall_pq locks both.
+  // NearestCentroid keeps encode cost k-independent, so the larger k is
+  // free on the Spark side.
+  private val PqPlanes = 6
+  private val PqIters = 1
+  private val PqShortlist = 100
+
+  /** Per-(dir, subspace) codebook memo — same contract as [[kmMemo]]:
+    * plain collected data, bounded by the few (dir, j) pairs a process
+    * sees.
+    */
+  private val pqMemo =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[Similarity.Centroid]]
+  private def pqCentroids(s: SparkSession, d: String, j: Int): Seq[Similarity.Centroid] =
+    pqMemo.synchronized {
+      pqMemo.getOrElseUpdate((d, j),
+        Similarity.collectCentroids(
+          Similarity.kmeansCentroids(
+            emb(s, d).select(
+              slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("sub")),
+            "sub", PqPlanes, PqIters)))
+    }
+
+  /** The PQ encode+decode stage: corpus → (n_id, recon) where recon is
+    * the codebook reconstruction. Encode is one NearestCentroid
+    * projection per subspace, decode is a literal-map lookup per
+    * subspace — the whole stage is a pure projection over the scan
+    * (ZERO exchanges, plan-guarded in PlanShapeSpec).
+    */
+  private[queries] def pqEncode(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val subs = 0 until PqSubspaces
+    val cents = subs.map(j => pqCentroids(s, d, j))
+    val coded = subs.foldLeft(e) { (df, j) =>
+      df.withColumn(s"code$j", Similarity.nearestCentroid(
+        slice(col("embedding"), j * PqSubDim + 1, PqSubDim), cents(j)))
+    }
+    val recon = concat(subs.map { j =>
+      element_at(typedLit(cents(j).map(c => c.cell -> c.cvec).toMap),
+        col(s"code$j"))
+    }: _*)
+    coded.select(col("vec_id").as("n_id"), recon.as("recon"))
+  }
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = pqEncode(s, d)
+    val q = emb(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", Similarity.dot(col("q_vec"), col("recon")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** One subspace's Lloyd chain as DuckDB CTEs (no WITH prefix) —
+    * kmeansCtesSql restricted to the 16-dim slice at offset j·16, CTE
+    * names prefixed `s{j}_`; ends with `s{j}_code`, the final member
+    * assignment.
+    */
+  private def pqSubCtesSql(j: Int): String = {
+    val o = j * PqSubDim
+    val dimRange = s"range(1, ${PqSubDim + 1})"
+    val bits = (0 until PqPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform($dimRange,
+         |  i -> embedding[i + $o]::DOUBLE * ((((i - 1) * 37 + $p * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    def meansOf(src: String, idx: Int) =
+      s"""s${j}_m$idx AS (
+         |  SELECT cell, i, round(avg(e.embedding[i + $o]::DOUBLE), 6) AS mu
+         |  FROM $src JOIN e USING (vec_id), $dimRange r(i) GROUP BY cell, i),
+         |s${j}_cn$idx AS (
+         |  SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+         |  FROM (SELECT cell, list(mu ORDER BY i) AS cvec FROM s${j}_m$idx GROUP BY cell))""".stripMargin
+    def assignVs(cn: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform($dimRange,
+         |          i -> e.embedding[i + $o]::DOUBLE * c.cvec[i])) / c.cnrm DESC,
+         |        c.cell) AS rc
+         |    FROM e, $cn c) WHERE rc = 1)""".stripMargin
+    val head =
+      s"""s${j}_b0 AS (
+         |  SELECT vec_id, CAST($bits AS BIGINT) AS cell FROM embeddings),
+         |${meansOf(s"s${j}_b0", 0)}""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      assignVs(s"s${j}_cn${r - 1}", s"s${j}_a$r") + ",\n" + meansOf(s"s${j}_a$r", r)
+    }
+    val code = assignVs(s"s${j}_cn$PqIters", s"s${j}_code")
+    (Seq(head) ++ rounds :+ code).mkString(",\n")
+  }
+
+  /** ADC score of query `q` (exact vector) against reconstruction `r`. */
+  private val pqDotQR =
+    s"""list_sum(list_transform(range(1, ${PqSubspaces * PqSubDim + 1}),
+       |      i -> q.embedding[i]::DOUBLE * r.recon[i]))""".stripMargin
+
+  /** The full PQ CTE stack (`e`, the 4 per-subspace Lloyd chains,
+    * `recon`) — shared by the `ann_pq` and `ann_recall_pq` oracles.
+    */
+  private val pqCtesSql = {
+    val subs = 0 until PqSubspaces
+    val subCtes = subs.map(pqSubCtesSql).mkString(",\n")
+    val joins = subs.map(j =>
+      s"JOIN s${j}_code k$j ON k$j.vec_id = e.vec_id JOIN s${j}_cn$PqIters c$j ON c$j.cell = k$j.cell")
+      .mkString("\n  ")
+    val reconExpr =
+      "list_concat(list_concat(c0.cvec, c1.cvec), list_concat(c2.cvec, c3.cvec))"
+    s"""e AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |$subCtes,
+       |recon AS (
+       |  SELECT e.vec_id, $reconExpr AS recon
+       |  FROM e
+       |  $joins)""".stripMargin
+  }
+
+  private val annPqSql =
+    s"""WITH $pqCtesSql
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(score, 4) AS score
+       |FROM (
+       |  SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+       |    $pqDotQR AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    $pqDotQR DESC, r.vec_id) AS rank
+       |  FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
+  // ann_pq_rerank — the production two-stage pattern: ADC ranks a cheap
+  // shortlist (top-100 on reconstructions, i.e. on 4-code compressed
+  // vectors), then EXACT inner products re-rank only the shortlist.
+  // At 100 TB this is why PQ exists: the full corpus is scanned only in
+  // compressed form; exact vectors are fetched (a broadcast-able join of
+  // queries×100 ids against the store) for a vanishing fraction of
+  // the corpus. On this data the rerank lifts recall@5 from 0.2/0.1
+  // (raw ADC, sf0.01/sf0.1) to 0.88/0.64 — measured and locked by
+  // ann_recall_pq below.
+  // ========================================================================
+  def annPqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = pqEncode(s, d)
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val shortlist = corpus.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", Similarity.dot(col("q_vec"), col("recon")))
+      .withColumn("rs", row_number().over(wA)).filter(col("rs") <= PqShortlist)
+      .select(col("q_id"), col("q_vec"), col("n_id"))
+    // fetch exact vectors for the shortlist only (the small side
+    // broadcasts; the corpus never reshuffles)
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")), Seq("n_id"))
+      .withColumn("ip", Similarity.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("ip"), 4).as("ip"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ADC shortlist CTE (`sl`): top-[[PqShortlist]] per query by
+    * reconstruction score. Shared by the rerank and recall oracles.
+    */
+  private val pqShortlistCteSql =
+    s"""sl AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      $pqDotQR DESC, r.vec_id) AS rs
+       |    FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rs <= $PqShortlist)""".stripMargin
+
+  /** Exact-IP re-rank of the shortlist (`rr`): top-5 per query. */
+  private val pqRerankCteSql =
+    s"""rr AS (
+       |  SELECT q_id, n_id, ip, rank FROM (
+       |    SELECT sl.q_id, sl.n_id,
+       |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |        i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS ip,
+       |      row_number() OVER (PARTITION BY sl.q_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) DESC,
+       |        sl.n_id) AS rank
+       |    FROM sl JOIN e q ON q.vec_id = sl.q_id JOIN e c ON c.vec_id = sl.n_id)
+       |  WHERE rank <= 5)""".stripMargin
+
+  private val annPqRerankSql =
+    s"""WITH $pqCtesSql,
+       |$pqShortlistCteSql,
+       |$pqRerankCteSql
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(ip, 4) AS ip
+       |FROM rr
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
+  // ann_recall_pq — recall@5 of BOTH PQ paths (raw ADC, and ADC-
+  // shortlist + exact rerank) against the brute-force truth UNDER THE
+  // SAME METRIC (inner product — ADC approximates IP, so the recall
+  // isolates quantization loss, not the IP-vs-cosine gap): the
+  // regression lock for the 4-codebook quantizer, same contract as
+  // ann_recall / ann_recall_kmeans. Pure DataFrame composition (semi-
+  // join + per-query counts), no collect; recall ships as ONE division
+  // of identical small ints.
+  // ========================================================================
+  def annRecallPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("ip", Similarity.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val qids = exact.select(col("q_id")).distinct()
+    val methods = Seq(
+      "adc" -> annPq(s, d).select(col("q_id"), col("n_id")),
+      "rerank" -> annPqRerank(s, d).select(col("q_id"), col("n_id")))
+    methods.map { case (name, top5) =>
+      val hits = exact.join(top5, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(name).as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+    }.reduce(_ unionByName _).orderBy(col("method"), col("q_id"))
+  }
+
+  private val annRecallPqSql =
+    s"""WITH $pqCtesSql,
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) DESC,
+       |        c.vec_id) AS rank
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |pq AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      $pqDotQR DESC, r.vec_id) AS rank
+       |    FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rank <= 5),
+       |$pqShortlistCteSql,
+       |$pqRerankCteSql
+       |SELECT bf.q_id, 'adc' AS method,
+       |  CAST(sum(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  sum(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+       |FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
+       |GROUP BY bf.q_id
+       |UNION ALL
+       |SELECT bf.q_id, 'rerank' AS method,
+       |  CAST(sum(CASE WHEN rr.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  sum(CASE WHEN rr.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+       |FROM bf LEFT JOIN rr ON rr.q_id = bf.q_id AND rr.n_id = bf.n_id
+       |GROUP BY bf.q_id
+       |ORDER BY method, q_id""".stripMargin
+
+  // ========================================================================
   // ann_recall_kmeans — recall@5 of the LEARNED quantizer vs the label
   // cells, both at nProbe ∈ {1,2}, against the brute-force truth: the
   // judge-facing evidence that learned cells beat arbitrary ones (labels
@@ -876,6 +1181,9 @@ object SimQueries {
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_sq8" -> (annSq8 _),
+    "ann_pq" -> (annPq _),
+    "ann_recall_pq" -> (annRecallPq _),
+    "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -899,6 +1207,9 @@ object SimQueries {
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,
+    "ann_pq" -> annPqSql,
+    "ann_recall_pq" -> annRecallPqSql,
+    "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,

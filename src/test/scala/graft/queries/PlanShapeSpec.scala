@@ -216,6 +216,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), p)
   }
 
+  test("ann_pq encode+decode stage is a pure projection (zero exchanges)") {
+    // 4 subspace codes + literal-map reconstruction must all live inside
+    // the scan projection — the corpus never moves for quantization
+    val p = SimQueries.pqEncode(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ann_recall joins stay broadcast/equi (no cartesian product)") {
     val p = plan("ann_recall")
     assert(!p.contains("CartesianProduct"), p)
