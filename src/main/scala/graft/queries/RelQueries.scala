@@ -266,7 +266,113 @@ object RelQueries {
       |  CAST(1 AS BIGINT) AS p95_ok, CAST(1 AS BIGINT) AS p99_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ========================================================================
+  // funnel_conversion — ordered-step funnel over the event stream: how
+  // many users did view, then click STRICTLY after their first view,
+  // then purchase strictly after that click. The canonical interaction-
+  // analytics query (and the sessionized-corpus QA check: did the
+  // pipeline preserve event ordering per user?). Three stacked
+  // conditional-min windows over the SAME user partitioning — ONE hash
+  // shuffle, no sort (unordered frames), no self-joins (the naive
+  // 3-way self-join is quadratic in events per user) — then one
+  // per-user reduce and one global count row. Exact integer
+  // epoch-micros; strict inequalities are engine-identical.
+  // ========================================================================
+  def funnelConversion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      graft.functions.TimeFns.epochMicros(col("ts")).as("e_us"))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("e_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("e_us") > col("t1"),
+          col("e_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("e_us") > col("t2"),
+          col("e_us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_view_click"),
+        count(col("t3")).as("n_view_click_purchase"))
+      .select(col("n_users"), col("n_view"), col("n_view_click"),
+        col("n_view_click_purchase"),
+        when(col("n_view") > 0,
+          col("n_view_click").cast("double") / col("n_view")).as("conv_click"),
+        when(col("n_view_click") > 0,
+          col("n_view_click_purchase").cast("double") / col("n_view_click"))
+          .as("conv_purchase"))
+  }
+
+  private val funnelConversionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS e_us FROM events),
+      |s1 AS (
+      |  SELECT user_id, event_type, e_us,
+      |    min(CASE WHEN event_type = 'view' THEN e_us END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND e_us > t1 THEN e_us END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND e_us > t2 THEN e_us END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  count(t1) AS n_view, count(t2) AS n_view_click,
+      |  count(t3) AS n_view_click_purchase,
+      |  CASE WHEN count(t1) > 0
+      |    THEN CAST(count(t2) AS DOUBLE) / count(t1) END AS conv_click,
+      |  CASE WHEN count(t2) > 0
+      |    THEN CAST(count(t3) AS DOUBLE) / count(t2) END AS conv_purchase
+      |FROM u""".stripMargin
+
+  // ========================================================================
+  // retention_cohorts — classic cohort retention: users grouped by the
+  // epoch-day of their FIRST event; for each (cohort, day-offset) the
+  // count of distinct users active that day. One per-user min window
+  // (hash shuffle), a distinct on (user, cohort, offset), one count
+  // aggregation — all exact integer day arithmetic (`div`, no
+  // float dates).
+  // ========================================================================
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        graft.functions.TimeFns.epochMicros(col("ts")).as("e_us"))
+      .select(col("user_id"), expr("e_us div 86400000000").as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val retentionCohortsSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  count(*) AS n_users
+      |FROM (SELECT DISTINCT user_id, cohort_day, day FROM c)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "funnel_conversion" -> (funnelConversion _),
+    "retention_cohorts" -> (retentionCohorts _),
     "q3_topk" -> (q3TopK _),
     "sketch_distinct" -> (sketchDistinct _),
     "sketch_quantiles" -> (sketchQuantiles _),
@@ -278,6 +384,8 @@ object RelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "funnel_conversion" -> funnelConversionSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "q3_topk" -> q3TopKSql,
     "q5_multi_join" -> q5MultiJoinSql,
     "rollup_agg" -> rollupAggSql,

@@ -520,10 +520,14 @@ object TextQueries {
         when(col("n_3grams") > 0, col("dup3_count").cast("double") / col("n_3grams")))
       .orderBy(col("doc_id"))
 
-  private val textRepetitionSql =
-    """WITH t AS (
+  /** Repetition-signal CTEs (`rt` tokens → `rg` 2/3-gram arrays → `rtop`
+    * per-doc mode count) — shared by the `text_repetition` and
+    * `pipeline_curate_full` oracles.
+    */
+  private val repCtesSql =
+    """rt AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
-      |g AS (
+      |rg AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) >= 2
       |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
@@ -531,21 +535,24 @@ object TextQueries {
       |    CASE WHEN len(w) >= 3
       |      THEN list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
       |      ELSE [] END AS g3
-      |  FROM t),
-      |top AS (
+      |  FROM rt),
+      |rtop AS (
       |  SELECT doc_id, max(cnt) AS topc FROM (
       |    SELECT doc_id, g2i, count(*) AS cnt
-      |    FROM (SELECT doc_id, unnest(g2) AS g2i FROM g) GROUP BY doc_id, g2i)
-      |  GROUP BY doc_id)
-      |SELECT g.doc_id,
+      |    FROM (SELECT doc_id, unnest(g2) AS g2i FROM rg) GROUP BY doc_id, g2i)
+      |  GROUP BY doc_id)""".stripMargin
+
+  private val textRepetitionSql =
+    s"""WITH $repCtesSql
+      |SELECT rg.doc_id,
       |  CAST(len(g2) AS BIGINT) AS n_2grams,
       |  CAST(coalesce(topc, 0) AS BIGINT) AS top2_count,
       |  CAST(len(g3) AS BIGINT) AS n_3grams,
       |  CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3_count,
       |  CASE WHEN len(g2) > 0 THEN CAST(coalesce(topc, 0) AS DOUBLE) / len(g2) END AS top2_frac,
       |  CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup3_frac
-      |FROM g LEFT JOIN top ON g.doc_id = top.doc_id
-      |ORDER BY g.doc_id""".stripMargin
+      |FROM rg LEFT JOIN rtop ON rg.doc_id = rtop.doc_id
+      |ORDER BY rg.doc_id""".stripMargin
 
   // ========================================================================
   // decontaminate — benchmark-overlap screen (train/test contamination):
@@ -563,42 +570,61 @@ object TextQueries {
   private val DecontShingle = 4
   private val DecontBenchMod = 50
 
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d).select(col("doc_id"),
+  /** Per-doc distinct decontamination shingles (doc_id, grams). */
+  private def decontGrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
       array_distinct(
         TextOps.shinglesN(TextOps.tokens(col("text")), DecontShingle)).as("grams"))
+
+  /** (doc_id, n_hit) for corpus docs sharing ≥ 1 shingle with the
+    * benchmark slice — the contamination screen's core join, shared by
+    * `decontaminate` and `pipeline_curate_full`. Bench side broadcasts;
+    * only matching (doc, gram) rows reach the per-doc count.
+    */
+  private def decontHits(s: SparkSession, d: String): DataFrame = {
+    val grams = decontGrams(s, d)
     val bench = grams.filter(col("doc_id") % DecontBenchMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
-    val corpus = grams.filter(col("doc_id") % DecontBenchMod =!= 0)
-    val hits = corpus.select(col("doc_id"), explode(col("grams")).as("gram"))
+    grams.filter(col("doc_id") % DecontBenchMod =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    corpus.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontGrams(s, d).filter(col("doc_id") % DecontBenchMod =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(decontHits(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
       .orderBy(col("doc_id"))
-  }
 
-  private val decontaminateSql =
-    s"""WITH t AS (
+  /** Contamination-screen CTEs (`dt` tokens → `dg` distinct shingles →
+    * `bench`/`corpus` split → `hits`) — shared by the `decontaminate`
+    * and `pipeline_curate_full` oracles.
+    */
+  private val decontCtesSql =
+    s"""dt AS (
       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
-      |g AS (
+      |dg AS (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(w) >= $DecontShingle
       |      THEN list_transform(range(1, len(w) - ${DecontShingle - 2}),
       |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
       |      ELSE [] END) AS grams
-      |  FROM t),
+      |  FROM dt),
       |bench AS (
-      |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $DecontBenchMod = 0),
-      |corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % $DecontBenchMod <> 0),
+      |  SELECT DISTINCT unnest(grams) AS gram FROM dg WHERE doc_id % $DecontBenchMod = 0),
+      |corpus AS (SELECT doc_id, grams FROM dg WHERE doc_id % $DecontBenchMod <> 0),
       |hits AS (
       |  SELECT doc_id, count(*) AS n_hit
       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
       |  JOIN bench USING (gram)
-      |  GROUP BY doc_id)
+      |  GROUP BY doc_id)""".stripMargin
+
+  private val decontaminateSql =
+    s"""WITH $decontCtesSql
       |SELECT corpus.doc_id,
       |  CAST(len(grams) AS BIGINT) AS n_grams,
       |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
@@ -654,7 +680,159 @@ object TextQueries {
        |FROM r LEFT JOIN u ON r.source = u.source
        |ORDER BY r.source""".stripMargin
 
+  // ========================================================================
+  // sample_weighted — quality-weighted content-addressed sampling: keep
+  // each document with probability equal to its quality score, decided
+  // by comparing the score against a uniform deterministic hash of the
+  // doc id (u = hash60(id)/2^60 ∈ [0,1)). The corpus-mixing primitive
+  // for quality-proportional selection at 100 TB: a pure scan-side
+  // filter — no shuffle, no RNG state, reproducible across runs and
+  // engines (2^60 is a power of two, so u is one EXACT division; the
+  // score is the funnel's exact-integer rational).
+  // ========================================================================
+  private val Pow60 = 1152921504606846976L // 2^60
+
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    curateFeaturesAll(docs(s, d))
+      .withColumn("u",
+        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
+      .filter(col("u") < col("score"))
+      .select(col("doc_id"), col("source"), col("score"), col("u"))
+      .orderBy(col("doc_id"))
+
+  private val sampleWeightedSql =
+    s"""$curateCtesSql
+       |SELECT doc_id, source, score, u FROM (
+       |  SELECT doc_id, source, score,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / $Pow60.0 AS u
+       |  FROM q)
+       |WHERE u < score ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // sample_temperature — temperature-flattened corpus mixing (the
+  // multilingual-LLM sampling scheme: expected kept docs per stratum
+  // ∝ n^alpha, alpha = 0.5): per-(source, lang) stratum the keep rate is
+  // sqrt(min_n / n) — 1 for the smallest stratum, shrinking for larger
+  // ones — and each doc's keep decision is the same content-addressed
+  // u < rate test as sample_weighted. Scale shape: ONE tiny stratum-count
+  // aggregation broadcasts back onto the scan; the corpus itself never
+  // shuffles. All rate arithmetic is integer-count division + IEEE sqrt
+  // (correctly rounded, engine-identical).
+  // ========================================================================
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val c = docs(s, d).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val mn = c.agg(min(col("n")).as("mn"))
+    val rates = c.crossJoin(broadcast(mn))
+      .select(col("source"), col("lang"),
+        sqrt(col("mn").cast("double") / col("n")).as("rate"))
+    docs(s, d).select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(rates), Seq("source", "lang"))
+      .withColumn("u",
+        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleTemperatureSql =
+    s"""WITH c AS (
+       |  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+       |mn AS (SELECT min(n) AS mn FROM c),
+       |r AS (
+       |  SELECT source, lang, sqrt(CAST(mn AS DOUBLE) / n) AS rate FROM c, mn)
+       |SELECT d.doc_id, d.source, d.lang, r.rate
+       |FROM documents d JOIN r ON d.source = r.source AND d.lang = r.lang
+       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        / $Pow60.0 < r.rate
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ========================================================================
+  // group_topk — per-group top-k (top-3 docs per source by quality
+  // score): the generic "best exemplars per group" primitive (curation
+  // review samples, per-domain spot checks). One hash-partitioned
+  // window; ties break on doc_id (scores are exact rationals, so ties
+  // are engine-identical).
+  // ========================================================================
+  def groupTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    curateFeaturesAll(docs(s, d))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val groupTopkSql =
+    s"""$curateCtesSql
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+       |  SELECT source, doc_id, score,
+       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+       |  FROM q)
+       |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
+  // ========================================================================
+  // pipeline_curate_full — the curation funnel with EVERY gate this
+  // engine ships: benchmark exclusion → lang-ID → quality → token
+  // bounds → repetition cap (top-2-gram share ≤ 0.2) → decontamination
+  // (no 4-gram overlap with the benchmark slice) → exact-dedup
+  // keep-first. Composition, not reimplementation: stages reuse
+  // curateFeatures, TextOps repetition signals, and decontHits.
+  //
+  // Scale shape: scan 1 computes the cheap per-row gates and shrinks the
+  // corpus to survivors; scan 2 re-reads text ONLY for survivors (their
+  // id set broadcasts, so the join is scan-side) to compute the
+  // repetition fold; the contamination screen is bench-sized and its id
+  // set broadcast-anti-joins; the one shuffle is the funnel's usual
+  // window on fp over final survivors. No corpus-wide exchange anywhere.
+  // ========================================================================
+  private val RepetitionCap = 0.2
+
+  def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = docs(s, d)
+    val surv = curateFeatures(all.filter(col("doc_id") % DecontBenchMod =!= 0))
+      .select(col("doc_id"), col("source"), col("n_re"), col("fp"), col("score"))
+    val g2 = TextOps.shinglesN(TextOps.tokens(col("text")), 2)
+    val rep = all.select(col("doc_id"), col("text"))
+      .join(broadcast(surv), Seq("doc_id"))
+      .withColumn("g2", g2)
+      .withColumn("top2_frac",
+        TextOps.maxMultiplicity(col("g2")).cast("double") / size(col("g2")))
+      .filter(col("top2_frac") <= RepetitionCap)
+    val contaminated = decontHits(s, d).select(col("doc_id"))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    rep.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_re"), col("score"),
+        col("top2_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineCurateFullSql =
+    s"""$curateCtesSql,
+       |$repCtesSql,
+       |$decontCtesSql
+       |SELECT doc_id, source, n_re, score, top2_frac FROM (
+       |  SELECT q.doc_id, q.source, q.n_re, q.fp, q.score,
+       |    CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) AS top2_frac
+       |  FROM q
+       |  JOIN rg ON rg.doc_id = q.doc_id
+       |  LEFT JOIN rtop ON rtop.doc_id = q.doc_id
+       |  WHERE q.doc_id % $DecontBenchMod <> 0
+       |    AND q.lang_pred = 'en' AND q.score >= 0.6 AND q.n_re >= 15
+       |    AND CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) <= $RepetitionCap
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM hits))
+       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_curate_full" -> (pipelineCurateFull _),
+    "sample_weighted" -> (sampleWeighted _),
+    "sample_temperature" -> (sampleTemperature _),
+    "group_topk" -> (groupTopk _),
     "term_freq" -> (termFreq _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
@@ -671,6 +849,10 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_curate_full" -> pipelineCurateFullSql,
+    "sample_weighted" -> sampleWeightedSql,
+    "sample_temperature" -> sampleTemperatureSql,
+    "group_topk" -> groupTopkSql,
     "term_freq" -> termFreqSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
