@@ -36,13 +36,28 @@ object TextOps {
   /** Contiguous n-gram shingles (space-joined) of a token array; empty
     * when fewer than n tokens. Generalizes [[shingles3]] for the
     * repetition-signal and decontamination operators.
+    *
+    * Built as a `zip_with` chain over shifted `slice`s rather than
+    * `transform(sequence, i -> element_at(toks, i+j))`: every lambda
+    * here touches ONLY its bound element variables, so the expression
+    * stays cheap even when Catalyst inlines `toks`' definition (e.g.
+    * `regexp_extract_all(text)`) into this expression — in the
+    * element_at form that inlining re-evaluates the tokenizer ONCE PER
+    * ELEMENT ACCESS (2(n-1)·|toks| regex runs per row; measured 40×
+    * slowdown in pipeline_curate_full before the rewrite). The shifted
+    * copies are plain child expressions, evaluated once per row.
+    * zip_with pads the shorter (shifted) side with nulls; the null
+    * marks propagate and the final filter drops the incomplete tail
+    * shingles.
     */
   def shinglesN(toks: Column, n: Int): Column = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    val joined = (1 until n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, when(size(toks) > j, slice(toks, lit(j + 1), size(toks)))
+          .otherwise(array().cast("array<string>")), (a, b) =>
+        when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+    }
+    filter(joined, x => x.isNotNull)
   }
 
   /** Highest multiplicity of any element of a string array (0 for the

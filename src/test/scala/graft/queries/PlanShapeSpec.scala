@@ -131,6 +131,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(fp"), p)
   }
 
+  test("sample_weighted is a pure scan-side filter (no joins, no data shuffle)") {
+    val p = plan("sample_weighted")
+    // only the presentation sort's rangepartitioning — no hash shuffle
+    assert(!p.contains("hashpartitioning("), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sample_temperature broadcasts the stratum rates back onto the scan") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the doc-side scan reads only id/source/lang — text never moves
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("text"), read)
+  }
+
+  test("funnel_conversion runs all three stage windows over ONE user exchange") {
+    val p = plan("funnel_conversion")
+    assert(p.contains("Window"), p)
+    // one hashpartitioning(user_id) serves every window AND the per-user
+    // reduce; the only other exchange is the single-row global aggregate
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("pipeline_curate_full joins broadcast-side and keys its dedup window on fp") {
+    val p = plan("pipeline_curate_full")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)     // survivor ids + contamination ids
+    assert(p.contains("hashpartitioning(fp"), p)   // the one dedup shuffle
+  }
+
   test("agg_salted plans TWO aggregation stages over the salt column") {
     val p = plan("agg_salted")
     assert(p.contains("__salt"), p) // stage 1 groups on (key, salt)
