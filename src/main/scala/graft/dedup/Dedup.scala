@@ -198,9 +198,14 @@ object Dedup {
     * caller — for pipelines that persist and share the signatures across
     * several derived outputs (see DedupQueries' memo).
     */
-  def verifiedPairsFromParts(ex: DataFrame, sigs: DataFrame, idCol: String,
-                             rowsPerBand: Int, threshold: Double): DataFrame = {
-    require(threshold > 0, "zero-intersection candidates are dropped by the verify join")
+  /** Exact Jaccard for every LSH candidate pair, UNthresholded —
+    * `(id_a, id_b, jaccard)`. Note the verify join drops
+    * zero-intersection candidates (an inner join on shared shingles);
+    * a pair of banded-but-disjoint docs never reaches the output, which
+    * is correct for any threshold > 0.
+    */
+  def candidateJaccard(ex: DataFrame, sigs: DataFrame, idCol: String,
+                       rowsPerBand: Int): DataFrame = {
     val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
     val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
@@ -215,8 +220,14 @@ object Dedup {
       // cross-engine; jaccard is a small-denominator rational that can
       // sit exactly on rounding half-boundaries
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def verifiedPairsFromParts(ex: DataFrame, sigs: DataFrame, idCol: String,
+                             rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "zero-intersection candidates are dropped by the verify join")
+    candidateJaccard(ex, sigs, idCol, rowsPerBand)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Keep-first resolution of verified near-dup pairs: each doc that has

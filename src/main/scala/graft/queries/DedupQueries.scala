@@ -332,7 +332,51 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ========================================================================
+  // dedup_minhash_est — MinHash estimator quality on the candidate set:
+  // for every LSH candidate pair, the signature-agreement estimate
+  // (matching components / K) next to the exact 3-gram Jaccard and the
+  // absolute error. The quality lock for the MinHash family — a broken
+  // hash family or band key shows up here as estimator drift before it
+  // shows up as missed dups. Everything reuses the memoized pipeline:
+  // candidates + exact Jaccard from the shared relation, the estimate
+  // from a K-row-per-pair join against the (tiny, broadcastable)
+  // signature relation. Fully deterministic (md5-derived hashes), so
+  // the oracle hash-matches — no self-refereed bound needed.
+  // ========================================================================
+  def dedupMinhashEst(s: SparkSession, d: String): DataFrame = {
+    val shd = lshShared(s, d)
+    val jac = Dedup.candidateJaccard(shd.ex, shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val est = jac.select(col("id_a"), col("id_b"))
+      .join(shd.sigs.select(col("doc_id").as("id_a"), col("i"), col("minh").as("ma")),
+        Seq("id_a"))
+      .join(shd.sigs.select(col("doc_id").as("id_b"), col("i"), col("minh").as("mb")),
+        Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
+        / lit(LshParams.K.toDouble)).as("est"))
+    jac.join(est, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est"), col("jaccard"),
+        abs(col("est") - col("jaccard")).as("abs_err"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupMinhashEstSql =
+    s"""WITH $lshPipelineCtes,
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / ${LshParams.K} AS est
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.id_a
+       |  JOIN sig b ON b.doc_id = c.id_b AND b.i = a.i
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT ver.id_a, ver.id_b, est, jaccard, abs(est - jaccard) AS abs_err
+       |FROM ver JOIN est ON est.id_a = ver.id_a AND est.id_b = ver.id_b
+       |ORDER BY ver.id_a, ver.id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_lsh_bands" -> (dedupLshBands _),
@@ -346,6 +390,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_lsh_bands" -> dedupLshBandsSql,
