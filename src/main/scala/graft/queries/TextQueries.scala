@@ -297,16 +297,20 @@ object TextQueries {
     */
   def curateFeaturesAll(docsDf: DataFrame): DataFrame =
     docsDf
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("text"),
         TextOps.tokens(col("text")).as("toks"),
         size(TextOps.regexTokens(col("text"))).cast("long").as("n_re"),
         TextOps.fingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
+      .select(col("doc_id"), col("source"), col("text"), col("n_re"), col("fp"),
         TextOps.langId(col("toks")).as("lang_pred"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
         size(array_distinct(col("toks"))).cast("long").as("n_dist"))
-      .select(col("doc_id"), col("source"), col("n_re"), col("fp"), col("lang_pred"),
+      // `text` rides through (projection-only, pruned wherever unused) so
+      // single-pass consumers — the streaming full funnel — can gate on
+      // signals that need the raw text (repetition) without a second scan
+      .select(col("doc_id"), col("source"), col("text"), col("n_re"), col("fp"),
+        col("lang_pred"),
         ((lit(5L) * col("n") * least(col("n"), lit(100L))
           + lit(300L) * (col("n") - col("n_stop"))
           + lit(200L) * col("n_dist"))
@@ -781,27 +785,37 @@ object TextQueries {
   // keep-first. Composition, not reimplementation: stages reuse
   // curateFeatures, TextOps repetition signals, and decontHits.
   //
-  // Scale shape: scan 1 computes the cheap per-row gates and shrinks the
-  // corpus to survivors; scan 2 re-reads text ONLY for survivors (their
-  // id set broadcasts, so the join is scan-side) to compute the
-  // repetition fold; the contamination screen is bench-sized and its id
-  // set broadcast-anti-joins; the one shuffle is the funnel's usual
-  // window on fp over final survivors. No corpus-wide exchange anywhere.
+  // Scale shape: ONE corpus scan evaluates every per-row gate (cheap
+  // gates first, so the repetition fold only runs on docs that pass
+  // them); the contamination screen is bench-sized and its id set
+  // broadcast-anti-joins; the one shuffle is the funnel's usual window
+  // on fp over final survivors. No corpus-wide exchange anywhere — and
+  // because the stateless stage is one shared projection
+  // (curateFullFeatures), it runs unchanged on a document STREAM.
   // ========================================================================
   private val RepetitionCap = 0.2
 
-  def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = docs(s, d)
-    val surv = curateFeatures(all.filter(col("doc_id") % DecontBenchMod =!= 0))
-      .select(col("doc_id"), col("source"), col("n_re"), col("fp"), col("score"))
+  /** The full funnel's STATELESS stage — benchmark exclusion, the three
+    * curateFeatures gates, and the repetition cap, in ONE scan pass.
+    * Shared verbatim by the batch funnel below and the streaming one
+    * ([[graft.streaming.StreamingCurate.curateFull]]), same
+    * cannot-drift contract as [[curateFeatures]]. Output:
+    * (doc_id, source, n_re, fp, score, top2_frac).
+    */
+  def curateFullFeatures(docsDf: DataFrame): DataFrame = {
     val g2 = TextOps.shinglesN(TextOps.tokens(col("text")), 2)
-    val rep = all.select(col("doc_id"), col("text"))
-      .join(broadcast(surv), Seq("doc_id"))
+    curateFeatures(docsDf.filter(col("doc_id") % DecontBenchMod =!= 0))
       .withColumn("g2", g2)
       .withColumn("top2_frac",
         TextOps.maxMultiplicity(col("g2")).cast("double") / size(col("g2")))
       .filter(col("top2_frac") <= RepetitionCap)
+      .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
+        col("score"), col("top2_frac"))
+  }
+
+  def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep = curateFullFeatures(docs(s, d))
     val contaminated = decontHits(s, d).select(col("doc_id"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     rep.join(broadcast(contaminated), Seq("doc_id"), "left_anti")

@@ -71,4 +71,51 @@ object StreamingCurate {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstPassFn(ttl))
       .toDF("doc_id", "source", "n_re", "score")
   }
+
+  case class CurateFullDoc(fp: String, doc_id: Long, source: String,
+                           n_re: Long, score: Double, top2_frac: Double)
+  case class CuratedFullRow(doc_id: Long, source: String, n_re: Long,
+                            score: Double, top2_frac: Double)
+
+  private def keepFirstFullFn(ttl: Option[String])(fp: String,
+      rows: Iterator[CurateFullDoc],
+      state: GroupState[Long]): Iterator[CuratedFullRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = rows.toSeq.sortBy(_.doc_id)
+    val out =
+      if (state.exists) Iterator.empty
+      else sorted.headOption.map(d =>
+        CuratedFullRow(d.doc_id, d.source, d.n_re, d.score, d.top2_frac)).iterator
+    val keeper = if (state.exists) state.get else sorted.head.doc_id
+    state.update(keeper)
+    ttl.foreach(state.setTimeoutDuration)
+    out
+  }
+
+  /** The ALL-GATES funnel over a document stream — the continuous
+    * counterpart of the batch `pipeline_curate_full`: benchmark
+    * exclusion + lang/quality/token gates + repetition cap run as the
+    * SAME shared projection ([[graft.queries.TextQueries
+    * .curateFullFeatures]], one scan, per-row only), the contamination
+    * screen arrives as a STATIC relation of banned doc ids (in
+    * production: precomputed from the benchmark corpus — it depends
+    * only on the benchmark, so it is naturally static) anti-joined
+    * stream-static, and admission is the usual keyed keep-first with
+    * one long of state per surviving fingerprint.
+    */
+  def curateFull(spark: SparkSession, docs: DataFrame,
+                 contaminatedIds: DataFrame,
+                 ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    graft.queries.TextQueries.curateFullFeatures(docs)
+      .join(contaminatedIds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("fp"), col("doc_id"), col("source"), col("n_re"),
+        col("score"), col("top2_frac"))
+      .as[CurateFullDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFullFn(ttl))
+      .toDF("doc_id", "source", "n_re", "score", "top2_frac")
+  }
 }

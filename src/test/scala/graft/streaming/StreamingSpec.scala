@@ -505,6 +505,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming ALL-GATES funnel matches the batch pipeline_curate_full survivor set") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    // the contamination screen is static by nature (it depends only on
+    // the benchmark corpus) — derive it batch-side from the screen query
+    val contaminated = graft.queries.TextQueries.queries("decontaminate")(spark, sf)
+      .filter(col("contaminated") === 1).select(col("doc_id"))
+    val out = StreamingCurate.curateFull(spark, df, contaminated)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_full_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("curate_full_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    q.stop()
+    val want = graft.queries.TextQueries.queries("pipeline_curate_full")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .toSeq
+    assert(got.nonEmpty, "the full funnel admitted nothing — fixture too strict")
+    assert(got == want)
+  }
+
   test("JSONL quarantine stream feeds the curate funnel end-to-end (file source, not MemoryStream)") {
     // the production composition: a directory of JSONL files read with
     // the streaming quarantine split, good rows driven through the
