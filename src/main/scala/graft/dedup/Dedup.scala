@@ -202,11 +202,21 @@ object Dedup {
     * `(id_a, id_b, jaccard)`. Note the verify join drops
     * zero-intersection candidates (an inner join on shared shingles);
     * a pair of banded-but-disjoint docs never reaches the output, which
-    * is correct for any threshold > 0.
+    * is correct for any threshold > 0. A consumer that needs those pairs
+    * surfaced (the unthresholded estimator lock) must left-join THIS
+    * output from its candidate set and coalesce jaccard to 0 — see
+    * DedupQueries.dedupMinhashEst.
     */
   def candidateJaccard(ex: DataFrame, sigs: DataFrame, idCol: String,
-                       rowsPerBand: Int): DataFrame = {
-    val cand = lshCandidatePairs(sigs, idCol, rowsPerBand)
+                       rowsPerBand: Int): DataFrame =
+    pairJaccard(lshCandidatePairs(sigs, idCol, rowsPerBand), ex, idCol)
+
+  /** [[candidateJaccard]] with the candidate pair set supplied by the
+    * caller — for consumers that pre-filter candidates (the estimator
+    * lock's content-addressed sample) before paying the exact-verify
+    * join. Same zero-intersection-drop caveat.
+    */
+  def pairJaccard(cand: DataFrame, ex: DataFrame, idCol: String): DataFrame = {
     val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     cand

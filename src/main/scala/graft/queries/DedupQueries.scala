@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.dedup.Dedup
 import graft.sim.Similarity
+import graft.text.TextOps
 
 /** Deduplication queries over `documents` / `embeddings`
   * (training-data-pipeline extensions): exact fingerprint groups,
@@ -333,21 +334,42 @@ object DedupQueries {
   }
 
   // ========================================================================
-  // dedup_minhash_est — MinHash estimator quality on the candidate set:
-  // for every LSH candidate pair, the signature-agreement estimate
-  // (matching components / K) next to the exact 3-gram Jaccard and the
-  // absolute error. The quality lock for the MinHash family — a broken
-  // hash family or band key shows up here as estimator drift before it
-  // shows up as missed dups. Everything reuses the memoized pipeline:
-  // candidates + exact Jaccard from the shared relation, the estimate
-  // from a K-row-per-pair join against the (tiny, broadcastable)
-  // signature relation. Fully deterministic (md5-derived hashes), so
-  // the oracle hash-matches — no self-refereed bound needed.
+  // dedup_minhash_est — MinHash estimator quality on a SAMPLE of the
+  // candidate set: for each sampled LSH candidate pair, the
+  // signature-agreement estimate (matching components / K) next to the
+  // exact 3-gram Jaccard and the absolute error. The quality lock for
+  // the MinHash family — a broken hash family or band key shows up here
+  // as estimator drift before it shows up as missed dups.
+  //
+  // Scale posture: a lock must not pay the population verify cost. The
+  // sample is CONTENT-ADDRESSED (md5 of "id_a#id_b" mod m — the
+  // sample_weighted trick, deterministic and oracle-mirrorable) with the
+  // modulus DERIVED FROM THE CANDIDATE COUNT, m = max(1, n/32): the
+  // sampled set stays ~32–64 pairs whether the corpus yields 6e2 or 3e5
+  // candidates, so the verify cost is FLAT in corpus size (the r11 10×
+  // probe grew 632→285k pairs and 23.7 s at a fixed full verify). At
+  // gate scale (sf0.01, 28 candidates) m=1 keeps every pair — full lock
+  // strength where the oracle runs. Both engines compute m from their
+  // own candidate count, so the sampled sets agree by construction.
+  //
+  // Zero-intersection candidates (banded-but-disjoint docs) are KEPT
+  // with jaccard = 0: the estimate side covers every sampled candidate
+  // (inner join to signatures, total for banded docs) and the exact
+  // side is LEFT-joined and coalesced — matching the oracle's
+  // list_intersect, which never drops a pair. (Previously both sides
+  // rode on the inner shingle join, a live cross-engine asymmetry.)
   // ========================================================================
+  private[queries] val EstSampleTarget = 32
   def dedupMinhashEst(s: SparkSession, d: String): DataFrame = {
     val shd = lshShared(s, d)
-    val jac = Dedup.candidateJaccard(shd.ex, shd.sigs, "doc_id", LshParams.RowsPerBand)
-    val est = jac.select(col("id_a"), col("id_b"))
+    val cand = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val nCand = cand.groupBy().agg(count(lit(1)).as("n_cand"))
+    val sampled = cand.crossJoin(broadcast(nCand))
+      .filter(TextOps.hash60(concat(col("id_a"), lit("#"), col("id_b")))
+        % greatest(lit(1L), floor(col("n_cand") / lit(EstSampleTarget)).cast("long")) === 0L)
+      .select(col("id_a"), col("id_b"))
+    val jac = Dedup.pairJaccard(sampled, shd.ex, "doc_id")
+    val est = sampled
       .join(shd.sigs.select(col("doc_id").as("id_a"), col("i"), col("minh").as("ma")),
         Seq("id_a"))
       .join(shd.sigs.select(col("doc_id").as("id_b"), col("i"), col("minh").as("mb")),
@@ -355,25 +377,36 @@ object DedupQueries {
       .groupBy(col("id_a"), col("id_b"))
       .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double")
         / lit(LshParams.K.toDouble)).as("est"))
-    jac.join(est, Seq("id_a", "id_b"))
-      .select(col("id_a"), col("id_b"), col("est"), col("jaccard"),
-        abs(col("est") - col("jaccard")).as("abs_err"))
+    est.join(jac, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), col("est"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        abs(col("est") - coalesce(col("jaccard"), lit(0.0))).as("abs_err"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   private val dedupMinhashEstSql =
     s"""WITH $lshPipelineCtes,
+       |scand AS (
+       |  SELECT id_a, id_b FROM cand
+       |  WHERE (('0x' || substr(md5(id_a || '#' || id_b), 1, 15))::BIGINT)
+       |        % greatest(1, (SELECT count(*) FROM cand) // $EstSampleTarget) = 0),
+       |sver AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |  FROM scand JOIN shd a ON scand.id_a = a.doc_id
+       |             JOIN shd b ON scand.id_b = b.doc_id),
        |est AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS DOUBLE)
        |      / ${LshParams.K} AS est
-       |  FROM cand c
+       |  FROM scand c
        |  JOIN sig a ON a.doc_id = c.id_a
        |  JOIN sig b ON b.doc_id = c.id_b AND b.i = a.i
        |  GROUP BY c.id_a, c.id_b)
-       |SELECT ver.id_a, ver.id_b, est, jaccard, abs(est - jaccard) AS abs_err
-       |FROM ver JOIN est ON est.id_a = ver.id_a AND est.id_b = ver.id_b
-       |ORDER BY ver.id_a, ver.id_b""".stripMargin
+       |SELECT sver.id_a, sver.id_b, est, jaccard, abs(est - jaccard) AS abs_err
+       |FROM sver JOIN est ON est.id_a = sver.id_a AND est.id_b = sver.id_b
+       |ORDER BY sver.id_a, sver.id_b""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "dedup_minhash_est" -> (dedupMinhashEst _),

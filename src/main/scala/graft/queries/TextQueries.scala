@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -298,7 +298,11 @@ object TextQueries {
   def curateFeaturesAll(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), col("source"), col("text"),
-        TextOps.tokens(col("text")).as("toks"),
+        // EvalOnce pins the tokenizer to ONE run per row: without it,
+        // predicate pushdown splices this definition into the admission
+        // filter's nine `toks` references (measured 6× funnel slowdown —
+        // see graft.plans.EvalOnce).
+        graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"),
         size(TextOps.regexTokens(col("text"))).cast("long").as("n_re"),
         TextOps.fingerprint(col("text")).as("fp"))
       .select(col("doc_id"), col("source"), col("text"), col("n_re"), col("fp"),
@@ -574,11 +578,29 @@ object TextQueries {
   private val DecontShingle = 4
   private val DecontBenchMod = 50
 
-  /** Per-doc distinct decontamination shingles (doc_id, grams). */
-  private def decontGrams(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
-      array_distinct(
-        TextOps.shinglesN(TextOps.tokens(col("text")), DecontShingle)).as("grams"))
+  /** Per-doc distinct decontamination shingles (doc_id, grams) of the
+    * `keep` slice of the corpus. Two structural protections:
+    *
+    *  - the slice predicate is applied BELOW the projections (it is a
+    *    base-column filter, so writing it first puts it at the scan with
+    *    no pushdown needed), and
+    *  - `grams` is EvalOnce-pinned: `InferFiltersFromGenerate` synthesizes
+    *    `size(grams) > 0 AND isnotnull(grams)` under the consumers'
+    *    explode, and predicate pushdown then substituted the whole
+    *    4-gram zip_with chain — with its ~14 `regexp_extract_all`
+    *    references — into that inferred filter and sank it to the scan
+    *    (the residual 2.5 s of pipeline_curate_full after the funnel
+    *    fix). Pinned, the inferred filter reads the materialized array.
+    *
+    * The tokenizer bind (`w`) needs no pin: it is multi-referenced
+    * non-cheap, which CollapseProject already refuses to inline, and
+    * with `grams` pinned no filter can reach it from above.
+    */
+  private def decontGrams(s: SparkSession, d: String, keep: Column): DataFrame =
+    docs(s, d).filter(keep)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.plans.EvalOnce(
+        array_distinct(TextOps.shinglesN(col("w"), DecontShingle))).as("grams"))
 
   /** (doc_id, n_hit) for corpus docs sharing ≥ 1 shingle with the
     * benchmark slice — the contamination screen's core join, shared by
@@ -586,17 +608,16 @@ object TextQueries {
     * only matching (doc, gram) rows reach the per-doc count.
     */
   private def decontHits(s: SparkSession, d: String): DataFrame = {
-    val grams = decontGrams(s, d)
-    val bench = grams.filter(col("doc_id") % DecontBenchMod === 0)
+    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
-    grams.filter(col("doc_id") % DecontBenchMod =!= 0)
+    decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
   }
 
   def decontaminate(s: SparkSession, d: String): DataFrame =
-    decontGrams(s, d).filter(col("doc_id") % DecontBenchMod =!= 0)
+    decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
       .join(decontHits(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -802,16 +823,21 @@ object TextQueries {
     * cannot-drift contract as [[curateFeatures]]. Output:
     * (doc_id, source, n_re, fp, score, top2_frac).
     */
-  def curateFullFeatures(docsDf: DataFrame): DataFrame = {
-    val g2 = TextOps.shinglesN(TextOps.tokens(col("text")), 2)
+  def curateFullFeatures(docsDf: DataFrame): DataFrame =
     curateFeatures(docsDf.filter(col("doc_id") % DecontBenchMod =!= 0))
-      .withColumn("g2", g2)
-      .withColumn("top2_frac",
-        TextOps.maxMultiplicity(col("g2")).cast("double") / size(col("g2")))
+      // two EvalOnce pins (see graft.plans.EvalOnce): `w2` so the g2
+      // projection (4 refs) can't collapse the tokenizer into itself,
+      // and `top2_frac` so the repetition filter can't substitute the
+      // per-row sort+fold into its predicate (it ran 2-3× per row:
+      // measured as pipeline_curate_full staying at 3.6 s after the
+      // pipeline_curate fix landed).
+      .withColumn("w2", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
+      .withColumn("g2", TextOps.shinglesN(col("w2"), 2))
+      .withColumn("top2_frac", graft.plans.EvalOnce(
+        TextOps.maxMultiplicity(col("g2")).cast("double") / size(col("g2"))))
       .filter(col("top2_frac") <= RepetitionCap)
       .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
         col("score"), col("top2_frac"))
-  }
 
   def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

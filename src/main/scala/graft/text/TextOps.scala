@@ -25,13 +25,15 @@ object TextOps {
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Contiguous 3-gram shingles of a token array ("a b c" strings).
-    * Empty when fewer than 3 tokens.
+    * Empty when fewer than 3 tokens or when `toks` is null. Delegates to
+    * [[shinglesN]] — the old standalone
+    * `transform(sequence, i -> element_at(toks, i+j))` form was the
+    * element_at inlining trap ([[shinglesN]]'s doc): callers passing
+    * `tokens(text)` inline re-ran the tokenizer once per ELEMENT access.
     */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    when(toks.isNull, array().cast("array<string>"))
+      .otherwise(shinglesN(toks, 3))
 
   /** Contiguous n-gram shingles (space-joined) of a token array; empty
     * when fewer than n tokens. Generalizes [[shingles3]] for the
