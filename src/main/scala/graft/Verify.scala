@@ -5,11 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      s"usage: Verify <sfDir> <outDir> [query,query,...] — got ${args.length} args")
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names — dev-only fast path
     // for iterating on a few queries; the driver always runs the full set.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // fail LOUDLY on a typo'd name: a silently-ignored filter would let a
+    // dev run exit green having verified nothing for the intended query
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()

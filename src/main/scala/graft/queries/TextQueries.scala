@@ -315,10 +315,16 @@ object TextQueries {
       // signals that need the raw text (repetition) without a second scan
       .select(col("doc_id"), col("source"), col("text"), col("n_re"), col("fp"),
         col("lang_pred"),
-        ((lit(5L) * col("n") * least(col("n"), lit(100L))
-          + lit(300L) * (col("n") - col("n_stop"))
-          + lit(200L) * col("n_dist"))
-          / (lit(1000.0) * col("n"))).as("score"))
+        // n = 0 guard: Spark's Divide yields NULL for 0/0.0 but DuckDB
+        // yields NaN, which sorts FIRST under ORDER BY score DESC — an
+        // empty-text doc would rank top-1 in the oracle and last in
+        // Spark (group_topk). An explicit NULL on both engines makes
+        // degenerate docs agree by construction (both sort nulls last).
+        when(col("n") > 0,
+          (lit(5L) * col("n") * least(col("n"), lit(100L))
+            + lit(300L) * (col("n") - col("n_stop"))
+            + lit(200L) * col("n_dist"))
+            / (lit(1000.0) * col("n"))).as("score"))
 
   /** The funnel's per-stage admission predicates, in stage order. Each
     * stage implies the previous (conjunction), so stage counts are
@@ -374,8 +380,9 @@ object TextQueries {
        |  FROM t),
        |q AS (
        |  SELECT doc_id, source, n_re, fp,
-       |    (5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)
-       |      / (1000.0 * n) AS score,
+       |    CASE WHEN n > 0 THEN
+       |      (5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)
+       |        / (1000.0 * n) END AS score,
        |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |         WHEN s_es >= s_fr THEN 'es'

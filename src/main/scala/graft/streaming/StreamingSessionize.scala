@@ -24,8 +24,17 @@ import graft.functions.TimeFns
   * watermark); only the trailing open session needs the event-time
   * timeout, firing once the watermark passes `end + gap`. After the flush
   * the state keeps a closed placeholder (`n = 0`) so `session_idx`
-  * continues across the user's next session — state is 4 longs per active
-  * user, hash-partitioned by user like the batch window.
+  * continues across the user's next session.
+  *
+  * State footprint: 4 longs per user EVER SEEN, not per active user —
+  * placeholders are what carry the session counter, so by default they
+  * are never evicted, and a long-running stream with user churn grows
+  * state monotonically. For that regime pass `placeholderTtlUs`: a
+  * placeholder untouched for the TTL past its session's gap horizon is
+  * removed (a second event-time timeout), trading exact `session_idx`
+  * continuity — a user returning after the TTL restarts at idx 1 — for
+  * bounded per-ACTIVE-user state. Session boundaries, counts, and
+  * timestamps are unaffected by eviction; only the index restarts.
   *
   * Caveat shared with every watermark design: an event arriving AFTER its
   * session was flushed by timeout (i.e. later than the watermark delay)
@@ -52,12 +61,27 @@ object StreamingSessionize {
     * emitting every session closed by a gap breach; on timeout, emit the
     * open session and leave a closed placeholder carrying the counter.
     */
-  def sessionFn(gapUs: Long)(user: Long, rows: Iterator[Ev],
+  def sessionFn(gapUs: Long, placeholderTtlUs: Option[Long] = None)(
+      user: Long, rows: Iterator[Ev],
       state: GroupState[SessState]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
       val s = state.get
+      if (s.n == 0) {
+        // placeholder TTL fired: evict the counter (session_idx restarts
+        // at 1 if this user ever returns)
+        state.remove()
+        return Iterator.empty
+      }
       state.update(SessState(s.idx, s.end_us, s.end_us, 0))
-      // no new timeout: the placeholder is inert until the next event
+      placeholderTtlUs match {
+        case Some(ttl) =>
+          // second-stage timeout: reap the placeholder once the watermark
+          // passes end + ttl (clamped above the watermark like below)
+          val at = s.end_us / 1000 + ttl / 1000 + 1
+          state.setTimeoutTimestamp(math.max(at, state.getCurrentWatermarkMs + 1))
+        case None =>
+          () // no new timeout: the placeholder is inert until the next event
+      }
       return Iterator.single(row(user, s))
     }
     val evs = rows.toSeq.sortBy(e => (e.e_us, e.event_id))
@@ -94,7 +118,8 @@ object StreamingSessionize {
     */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapUs: Long = 1800L * 1000000L,
-                 watermark: String = "0 seconds"): DataFrame = {
+                 watermark: String = "0 seconds",
+                 placeholderTtlUs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     events
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
@@ -103,7 +128,7 @@ object StreamingSessionize {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(sessionFn(gapUs))
+        GroupStateTimeout.EventTimeTimeout)(sessionFn(gapUs, placeholderTtlUs))
       .toDF("user_id", "session_idx", "n_events", "start_us", "end_us",
         "duration_us")
   }

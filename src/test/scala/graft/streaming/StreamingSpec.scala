@@ -657,4 +657,41 @@ class StreamingSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("sessionize placeholder TTL evicts the counter; a returning user restarts at idx 1") {
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val gapUs = 60L * 1000000L   // 1 min gap
+    val ttlUs = 300L * 1000000L  // 5 min placeholder TTL
+    def run(ttl: Option[Long], qn: String): Seq[(Long, Long, Long)] = {
+      val stream = MemoryStream[(java.sql.Timestamp, Long, Long)]
+      val df = stream.toDF().toDF("ts", "user_id", "event_id")
+      val out = StreamingSessionize.sessionize(spark, df, gapUs = gapUs,
+        placeholderTtlUs = ttl)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(qn).start()
+      // session 1 for user 5, then advance the watermark past gap AND ttl
+      // with sentinel users so the flush and the reap both fire
+      stream.addData(Seq((ts(100), 5L, 1L), (ts(110), 5L, 2L)))
+      q.processAllAvailable()
+      stream.addData(Seq((ts(1000), -1L, 0L))); q.processAllAvailable()
+      stream.addData(Seq((ts(2000), -2L, 0L))); q.processAllAvailable()
+      stream.addData(Seq((ts(3000), -3L, 0L))); q.processAllAvailable()
+      // user 5 returns long after the TTL
+      stream.addData(Seq((ts(4000), 5L, 3L))); q.processAllAvailable()
+      stream.addData(Seq((ts(9000), -4L, 0L))); q.processAllAvailable()
+      stream.addData(Seq((ts(9500), -5L, 0L))); q.processAllAvailable()
+      val got = spark.table(qn).filter(col("user_id") === 5L).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._3).toSeq
+      q.stop()
+      got
+    }
+    // without TTL the placeholder survives: second session is idx 2
+    assert(run(None, "sess_ttl_off") ==
+      Seq((1L, 2L, 100000000L), (2L, 1L, 4000000000L)))
+    // with TTL the counter was reaped: second session restarts at idx 1
+    assert(run(Some(ttlUs), "sess_ttl_on") ==
+      Seq((1L, 2L, 100000000L), (1L, 1L, 4000000000L)))
+  }
 }
