@@ -33,6 +33,41 @@ object Scale {
       .agg(merged.head, merged.tail: _*)
   }
 
+  /** Two-sided skew-salted equi-join: the probe (fact) side gets a
+    * deterministic salt in [0, saltBuckets) and the build (dimension)
+    * side is replicated once per salt value, so the join key becomes
+    * (key, salt) and a hot probe key's rows spread over `saltBuckets`
+    * tasks instead of landing in one. This is the standard mitigation
+    * for the 100 TB fusion-join hot spot (one device/user id owning a
+    * large fraction of the fact rows) when the dimension is too large
+    * to broadcast — the case AQE's skew-join split also targets, but
+    * salting works on the FIRST run (no runtime re-plan needed) and
+    * under any join strategy.
+    *
+    * `saltExpr` must be deterministic (content-addressed, e.g. a row id
+    * — the same convention as the sampling operators) so the join output
+    * is reproducible row-for-row; the salt columns are internal and
+    * dropped from the output, which is therefore EXACTLY the unsalted
+    * join's output. Build-side replication costs |build| × saltBuckets
+    * rows — size saltBuckets to the skew factor, not higher.
+    *
+    * The build side carries a SHUFFLE_HASH hint: with a dimension small
+    * enough for the stats to suggest broadcasting (as in local testing),
+    * Spark would otherwise pick a BroadcastHashJoin, where no skew
+    * exists to mitigate; the hint pins the plan that the
+    * too-big-to-broadcast production dimension would get.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, saltExpr: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0)
+    val p = probe.withColumn("__psalt", pmod(saltExpr, lit(saltBuckets)).cast("int"))
+    val b = build.withColumn("__bsalt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    p.join(b.hint("shuffle_hash"),
+        p(probeKey) === b(buildKey) && col("__psalt") === col("__bsalt"))
+      .drop("__psalt", "__bsalt")
+  }
+
   /** Write a DataFrame bucketed + sorted by a join key so future
     * equi-joins/aggregations on that key read co-located, pre-sorted
     * buckets (no shuffle at read time). Saved as a table (bucketing

@@ -223,7 +223,43 @@ object JoinQueries {
       |FROM p JOIN win w ON p.ship_s >= w.lo AND p.ship_s < w.hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ========================================================================
+  // join_salted — skew-salted fact ⋈ dim on a deliberately hot key: the
+  // derived key collapses every 4th user onto key 0, so ~25% of all
+  // events share one join key — the 100 TB fusion-join failure mode
+  // (one hot device/user id = one straggler task holding the stage).
+  // Scale.saltedJoin spreads the hot key over 8 (key, salt) partitions
+  // with a content-addressed salt (event_id), replicating the dim side
+  // ×8; the salt cancels out of the output, so the DuckDB oracle is the
+  // PLAIN unsalted join — correctness of the mitigation is exactly
+  // "identical answer, different distribution". The plan guard
+  // (PlanShapeSpec) asserts the join is a ShuffledHashJoin partitioned
+  // by (key, salt) — never a broadcast (no skew spread) or a bare-key
+  // shuffle (hot key in one task). Merge-side aggregation uses the
+  // exact-integer sum convention (agg_salted).
+  // ========================================================================
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val facts = ev(s, d).select(
+      when(col("user_id") % 4 === 0, 0L).otherwise(col("user_id")).as("hk"),
+      col("event_id"))
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    graft.operators.Scale.saltedJoin(facts, dim, "hk", "c_custkey",
+        saltExpr = col("event_id"), saltBuckets = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_id"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  private val joinSaltedSql =
+    """SELECT c_nationkey, count(*) AS n_events,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 0 ELSE user_id END AS hk,
+      |        event_id FROM events) e
+      |JOIN customer c ON c.c_custkey = e.hk
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_salted" -> (joinSalted _),
     "join_asof_custom" -> (joinAsofCustom _),
     "join_dim_broadcast" -> (joinDimBroadcast _),
     "join_time_align" -> (joinTimeAlign _),
@@ -235,6 +271,7 @@ object JoinQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_salted" -> joinSaltedSql,
     "join_asof_custom" -> joinAsofCustomSql,
     "join_dim_broadcast" -> joinDimBroadcastSql,
     "join_time_align" -> joinTimeAlignSql,

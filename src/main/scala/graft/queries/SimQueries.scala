@@ -1170,6 +1170,74 @@ object SimQueries {
        |  CAST(sy AS BIGINT) AS sum_y, CAST(sy AS DOUBLE) / (w * h) AS mean_y
        |FROM agg ORDER BY asset_id, frame_idx""".stripMargin
 
+  /** Probe/spec-only: ADC-shortlist + exact-rerank recall@5 over an
+    * arbitrary `(vec_id, embedding)` frame at a GIVEN codebook budget
+    * (`planes` → ≤ 2^planes cells per subspace) and shortlist — the two
+    * production knobs for holding PQ recall as the corpus grows at a
+    * fixed quantizer. Learns fresh codebooks (no memo), mirrors
+    * [[annPqRerank]]'s pipeline stage for stage, and returns the scalar
+    * recall against the brute-force IP top-5. Drives the README scale
+    * probe and SimilaritySpec's recall-floor lock.
+    */
+  private[graft] def pqRerankRecallAt(e0: DataFrame, planes: Int,
+      shortlist: Int): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = 0 until PqSubspaces
+    val cents = subs.map { j =>
+      Similarity.collectCentroids(Similarity.kmeansCentroids(
+        e0.select(slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("sub")),
+        "sub", planes, PqIters))
+    }
+    val coded = subs.foldLeft(e0) { (df, j) =>
+      df.withColumn(s"code$j", Similarity.nearestCentroid(
+        slice(col("embedding"), j * PqSubDim + 1, PqSubDim), cents(j)))
+    }
+    val recon = concat(subs.map { j =>
+      element_at(typedLit(cents(j).map(c => c.cell -> c.cvec).toMap),
+        col(s"code$j"))
+    }: _*)
+    val corpus = coded.select(col("vec_id").as("n_id"), recon.as("recon"))
+    val q = e0.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val sl = corpus.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", Similarity.dot(col("q_vec"), col("recon")))
+      .withColumn("rs", row_number().over(wA)).filter(col("rs") <= shortlist)
+      .select(col("q_id"), col("q_vec"), col("n_id"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    val rer = sl
+      .join(e0.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")), Seq("n_id"))
+      .withColumn("ip", Similarity.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val wE = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    val exact = e0.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("ip", Similarity.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("n_id"))
+    val hits = rer.join(exact, Seq("q_id", "n_id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
+  /** Deterministically perturbed ×`factor` replica corpus for scale
+    * probes: copy c of vector v gets `vec_id = v + c·N` and each
+    * component nudged by a content-addressed ±1% factor, so near-dups
+    * of every vector exist at every scale and the probe is exactly
+    * reproducible (no RNG).
+    */
+  private[graft] def replicatedEmbeddings(e0: DataFrame, factor: Int): DataFrame = {
+    val n = e0.count()
+    e0.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(factor - 1))).as("c"))
+      .select((col("vec_id") + col("c") * lit(n)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + (pmod(col("vec_id") * 131 + col("c") * 17 + i * 7, lit(201))
+            - lit(100)).cast("float") / lit(10000.0f))).as("embedding"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),

@@ -46,6 +46,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("join_salted spreads the hot key over (key, salt) partitions in a shuffle join") {
+    val p = plan("join_salted")
+    // never a broadcast (no skew to spread) and never a nested loop
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // the exchanges feeding the join partition by BOTH the key and the
+    // salt — a bare-key hashpartitioning would put the hot key's ~25% of
+    // all rows in one task
+    val parts = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(parts.exists(l => l.contains("hk") && l.contains("__psalt")), parts.mkString("\n"))
+    assert(parts.exists(l => l.contains("c_custkey") && l.contains("__bsalt")), parts.mkString("\n"))
+    assert(!parts.exists(l => l.contains("hk") && !l.contains("__psalt") && !l.contains("c_nationkey")), parts.mkString("\n"))
+  }
+
+  test("join_salted's salt actually spreads the hot key's rows (data-level)") {
+    import org.apache.spark.sql.functions._
+    val facts = graft.sources.Tables.events(spark, sf).select(
+      when(col("user_id") % 4 === 0, 0L).otherwise(col("user_id")).as("hk"),
+      col("event_id"))
+    val hot = facts.filter(col("hk") === 0L).count()
+    val perSalt = facts.filter(col("hk") === 0L)
+      .groupBy(pmod(col("event_id"), lit(8)).cast("int").as("salt"))
+      .count().collect().map(_.getLong(1))
+    assert(perSalt.length == 8, perSalt.toSeq)
+    // content-addressed salt is near-uniform: no (key, salt) cell holds
+    // more than 2x the ideal hot/8 share
+    assert(perSalt.max <= 2 * hot / 8, s"hot=$hot perSalt=${perSalt.toSeq}")
+  }
+
   test("q1_agg does partial (map-side) aggregation before the exchange") {
     val p = plan("q1_agg")
     // formatted mode lists the map-side node's functions as partial_*;

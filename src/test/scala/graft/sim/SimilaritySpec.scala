@@ -264,6 +264,23 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.size >= 256, s"only ${cents.size} learned cells")
   }
 
+  test("PQ rerank recall floor, and the shortlist is the recall knob at fixed codebooks") {
+    // Scale-probe conclusion (round 12, README table): at a FIXED
+    // codebook budget, rerank recall@5 decays with corpus size through
+    // the ADC shortlist (1.0@2k -> 0.72@20k isotropic at shortlist
+    // 100), and the restoring knob is the SHORTLIST DEPTH, not codebook
+    // bits (planes 6 -> 8 moved recall <= 0.04 everywhere; shortlist
+    // 100 -> 400 restored 1.0 at every probed scale). This lock pins
+    // both facts where CI runs: the baseline floor, and that deepening
+    // the shortlist recovers what quantization loses.
+    val e = Tables.embeddings(spark, sf)
+    val r100 = graft.queries.SimQueries.pqRerankRecallAt(e, planes = 6, shortlist = 100)
+    assert(r100 >= 0.8, s"baseline rerank recall collapsed: $r100")   // measured 0.84
+    val r400 = graft.queries.SimQueries.pqRerankRecallAt(e, planes = 6, shortlist = 400)
+    assert(r400 >= 0.95, s"deep-shortlist recall did not recover: $r400") // measured 1.0
+    assert(r400 >= r100, s"widening the shortlist reduced recall: $r100 -> $r400")
+  }
+
   test("learned quantizer beats label cells on recall@5 (the round-9 acceptance bar)") {
     val rows = graft.queries.SimQueries.queries("ann_recall_kmeans")(spark, sf)
       .collect()
