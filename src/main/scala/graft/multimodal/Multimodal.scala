@@ -211,6 +211,82 @@ object Multimodal {
     out
   }
 
+  /** Encode a truecolor (8-bit RGB) PNG with STORED deflate blocks: PNG
+    * signature, IHDR, one IDAT whose zlib stream uses uncompressed
+    * (BTYPE=00) deflate blocks, IEND. Every byte is closed-form — the
+    * scanlines (filter byte 0 + RGB triples) pass through the "deflate"
+    * verbatim, and the only non-trivial fields (CRC-32 per chunk,
+    * Adler-32 in the zlib trailer) are fully-determined checksums — so
+    * the payload is as oracle-friendly as [[bmp24]] while exercising the
+    * container format real corpora actually use. Same orientation
+    * contract as bmp24: `px(x, y)` with y = 0 the top row (PNG stores
+    * top-down natively). Lossless by construction; JPEG is deliberately
+    * NOT generated here — its decode is implementation-defined lossy,
+    * which cannot be locked to an exact-integer oracle.
+    */
+  def pngRgb24(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"pngRgb24 needs positive dims, got ${w}x$h")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      bos.write(be32(data.length.toLong))
+      val tagged = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      bos.write(tagged)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagged)
+      bos.write(be32(crc.getValue))
+    }
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8 /*bit depth*/, 2 /*truecolor*/, 0, 0, 0))
+    // raw scanlines: per row one filter byte (0 = None) + w RGB triples
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    while (y < h) {
+      val off = y * (1 + w * 3)
+      raw(off) = 0
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        raw(off + 1 + x * 3) = r.toByte
+        raw(off + 2 + x * 3) = g.toByte
+        raw(off + 3 + x * 3) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // zlib: CMF/FLG 0x78 0x01, stored deflate blocks (≤ 65535 bytes
+    // each; tiny test rasters fit in one), Adler-32 trailer
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var p = 0
+    while (p < raw.length) {
+      val len = math.min(65535, raw.length - p)
+      z.write(if (p + len >= raw.length) 1 else 0) // BFINAL + BTYPE=00
+      z.write(len & 0xff); z.write((len >> 8) & 0xff)
+      z.write(~len & 0xff); z.write((~len >> 8) & 0xff)
+      z.write(raw, p, len)
+      p += len
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    z.write(be32(adler.getValue))
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** The shared closed-form pixel formula for synthetic image payloads —
+    * ONE definition consumed by both container encoders and mirrored in
+    * the multimodal_pixels / multimodal_resize oracles.
+    */
+  @inline private def imgPx(id: Long)(x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 13L * x + 31L * y) % 256).toInt,
+    ((2L * id + 7L * x + 3L * y) % 256).toInt,
+    ((5L * id + 11L * x + 17L * y) % 256).toInt)
+
   /** Deterministic synthetic BMP payloads from `doc_id`: small 24-bit
     * images (2..8 × 2..6) whose pixel channels are closed-form functions
     * of (id, x, y) — so a SQL oracle computes the exact per-image pixel
@@ -223,10 +299,26 @@ object Multimodal {
       it.map { id =>
         val w = (id % 7 + 2).toInt
         val h = (id % 5 + 2).toInt
-        val bytes = bmp24(w, h, (x, y) => (
-          ((id + 13L * x + 31L * y) % 256).toInt,
-          ((2L * id + 7L * x + 3L * y) % 256).toInt,
-          ((5L * id + 11L * x + 17L * y) % 256).toInt))
+        (id, bmp24(w, h, imgPx(id)))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  /** [[syntheticBmpPayloads]] widened to the format mix a real corpus
+    * has: even ids stay 24-bit BMP, odd ids become truecolor PNG
+    * ([[pngRgb24]]) — same dims, same closed-form channels, so every
+    * oracle over the pixel formula holds UNCHANGED while the decode path
+    * exercises both containers (PNG being what image corpora
+    * overwhelmingly ship).
+    */
+  def syntheticPixelPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 7 + 2).toInt
+        val h = (id % 5 + 2).toInt
+        val bytes =
+          if (id % 2 == 0) bmp24(w, h, imgPx(id)) else pngRgb24(w, h, imgPx(id))
         (id, bytes)
       }
     }.toDF("asset_id", "payload")

@@ -1016,8 +1016,9 @@ object SimQueries {
 
   // ========================================================================
   // multimodal_pixels — REAL pixel decode: synthetic-but-well-formed
-  // 24-bit BMPs (dims and pixel channels are closed-form functions of
-  // doc_id/x/y) decoded through javax.imageio on the Spark side; the
+  // images — 24-bit BMP for even ids, truecolor stored-deflate PNG for
+  // odd ids (dims and pixel channels are closed-form functions of
+  // doc_id/x/y) — decoded through javax.imageio on the Spark side; the
   // oracle recomputes the identical integer per-channel sums from the
   // same generator formula over generate_series — if ImageIO's decode or
   // our BMP encoding were off by one row, pad byte, or channel order,
@@ -1026,7 +1027,7 @@ object SimQueries {
   // ========================================================================
   def multimodalPixels(s: SparkSession, d: String): DataFrame =
     Multimodal.decodePixels(s,
-        Multimodal.syntheticBmpPayloads(s, Tables.documents(s, d)))
+        Multimodal.syntheticPixelPayloads(s, Tables.documents(s, d)))
       .toDF().orderBy(col("asset_id"))
 
   private val multimodalPixelsSql =
@@ -1091,7 +1092,7 @@ object SimQueries {
 
   // ========================================================================
   // multimodal_resize — REAL decode + deterministic nearest-neighbor
-  // resize: the same synthetic BMPs as multimodal_pixels are decoded
+  // resize: the same BMP/PNG mix as multimodal_pixels is decoded
   // through ImageIO, resampled to a fixed 4×3 raster with the floor
   // mapping src = dst·srcDim/dstDim (pure integer arithmetic, no AWT
   // scaler kernels), and reduced to exact per-channel sums. The oracle
@@ -1103,7 +1104,7 @@ object SimQueries {
 
   def multimodalResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizePixels(s,
-        Multimodal.syntheticBmpPayloads(s, Tables.documents(s, d)), ResizeW, ResizeH)
+        Multimodal.syntheticPixelPayloads(s, Tables.documents(s, d)), ResizeW, ResizeH)
       .toDF().orderBy(col("asset_id"))
 
   private val multimodalResizeSql =

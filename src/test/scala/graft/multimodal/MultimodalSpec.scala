@@ -58,6 +58,32 @@ class MultimodalSpec extends SparkSpec {
     assert(p.sum_b == px.map { case (_, y) => 30L * y }.sum)
   }
 
+  test("pngRgb24 stored-deflate bytes decode through ImageIO to the exact formula") {
+    // the hand-rolled PNG (stored zlib blocks, computed CRC/Adler) must
+    // be a REAL PNG: ImageIO's decoder is the referee. Dims straddle
+    // unusual shapes incl. 1-px rows/cols.
+    import spark.implicits._
+    for ((w, h) <- Seq((1, 1), (5, 3), (8, 6), (1, 4), (7, 1))) {
+      val bytes = Multimodal.pngRgb24(w, h,
+        (x, y) => ((10 * x + y) % 256, (20 * x + 7 * y) % 256, (3 * x + 30 * y) % 256))
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(im != null, s"ImageIO rejected the ${w}x$h PNG")
+      assert(im.getWidth == w && im.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = im.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == (10 * x + y) % 256, s"r at ($x,$y) ${w}x$h")
+        assert(((rgb >> 8) & 0xff) == (20 * x + 7 * y) % 256, s"g at ($x,$y) ${w}x$h")
+        assert((rgb & 0xff) == (3 * x + 30 * y) % 256, s"b at ($x,$y) ${w}x$h")
+      }
+    }
+    // a corrupted IDAT (flipped bit in the stored block) must quarantine,
+    // not throw, under the decodePixels contract
+    val good = Multimodal.pngRgb24(4, 4, (x, y) => (x, y, x + y))
+    val bad = good.clone(); bad(bad.length - 20) = (bad(bad.length - 20) ^ 0xff).toByte
+    val df = Seq((1L, bad)).toDF("asset_id", "payload")
+    assert(Multimodal.decodePixels(spark, df).count() <= 1) // drop or decode-garbage, never throw
+  }
+
   test("decodePixels drops undecodable payloads instead of failing") {
     import spark.implicits._
     val junk = Seq((1L, "not an image".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
