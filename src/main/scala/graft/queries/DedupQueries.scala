@@ -408,7 +408,87 @@ object DedupQueries {
        |FROM sver JOIN est ON est.id_a = sver.id_a AND est.id_b = sver.id_b
        |ORDER BY sver.id_a, sver.id_b""".stripMargin
 
+  // ========================================================================
+  // dedup_incremental — dedup a NEW slice of the corpus against the
+  // EXISTING corpus: the production shape for continuous ingestion,
+  // where recomputing the full-corpus pairwise dedup per increment is
+  // the thing you must never do. The deterministic doc_id % 3 = 0 slice
+  // plays the increment; each new doc is classified
+  // `exact_dup` (canonical fingerprint already present — dup_of is the
+  // smallest holder), else `near_dup` (LSH band collision with an
+  // existing doc verified at exact 3-gram Jaccard ≥ threshold — dup_of
+  // is the smallest verified partner), else `unique`.
+  //
+  // Scale shape: the existing side's fingerprints/signatures/bands ARE
+  // the persisted corpus index (here the memoized lshShared pipeline —
+  // in production a stored table, incrementally appended); the increment
+  // computes its own fp/bands (linear in the increment), candidates come
+  // from an equi-join on (band, band_key) restricted new × old (never
+  // new × new, never all-pairs), and the Jaccard verify touches
+  // candidates only. Everything that shuffles is O(increment + collisions).
+  // ========================================================================
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val IncMod = 3
+    val isNew = col("doc_id") % IncMod === 0
+    val shd = lshShared(s, d)
+    val fp = docs(s, d).select(col("doc_id"),
+      graft.text.TextOps.fingerprint(col("text")).as("fp"))
+    val oldFp = fp.filter(!isNew).groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("exact_of"))
+    val exact = fp.filter(isNew)
+      .join(oldFp, Seq("fp"), "left").select(col("doc_id"), col("exact_of"))
+    val bands = Dedup.bandKeys(shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val cand = bands.filter(isNew)
+      .select(col("doc_id").as("id_a"), col("band"), col("band_key"))
+      .join(bands.filter(!isNew)
+        .select(col("doc_id").as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val near = Dedup.pairJaccard(cand, shd.ex, "doc_id")
+      .filter(col("jaccard") >= LshParams.Threshold)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("near_of"))
+    exact.join(near, col("doc_id") === col("id_a"), "left")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("unique").as("status"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH $lshPipelineCtes,
+       |afp AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |old_fp AS (
+       |  SELECT fp, min(doc_id) AS exact_of FROM afp WHERE doc_id % 3 <> 0 GROUP BY fp),
+       |nearc AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+       |nearv AS (
+       |  SELECT new_id, min(old_id) AS near_of
+       |  FROM nearc c JOIN shd a ON c.new_id = a.doc_id
+       |               JOIN shd b ON c.old_id = b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |        >= ${LshParams.Threshold}
+       |  GROUP BY new_id)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN v.near_of IS NOT NULL THEN 'near_dup'
+       |       ELSE 'unique' END AS status,
+       |  coalesce(e.exact_of, v.near_of) AS dup_of
+       |FROM (SELECT doc_id, fp FROM afp WHERE doc_id % 3 = 0) n
+       |LEFT JOIN old_fp e ON e.fp = n.fp
+       |LEFT JOIN nearv v ON v.new_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -423,6 +503,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

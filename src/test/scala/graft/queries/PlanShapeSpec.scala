@@ -160,6 +160,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(fp"), p)
   }
 
+  test("the funnel plans evaluate each tokenizer exactly once per row (EvalOnce holds)") {
+    // the round-12 regression lock: predicate pushdown used to splice
+    // the tokenizer definition into every predicate reference (9 copies
+    // in pipeline_curate's admission filter; ~14 in the decontamination
+    // branches via InferFiltersFromGenerate) — a consistent 6x wall
+    // slowdown. With the EvalOnce pins the OPTIMIZED plan must contain
+    // exactly the distinct evaluations and no more.
+    def regexCount(name: String): Int =
+      "regexp_extract_all".r.findAllIn(
+        graft.SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.toString).length
+    // pipeline_curate: whitespace tokenizer + BPE token gate
+    assert(regexCount("pipeline_curate") == 2, s"pipeline_curate: ${regexCount("pipeline_curate")}")
+    // pipeline_curate_full: funnel's two + repetition re-tokenize +
+    // corpus-branch + bench-branch decontamination tokenizers
+    assert(regexCount("pipeline_curate_full") == 5, s"pipeline_curate_full: ${regexCount("pipeline_curate_full")}")
+    // decontaminate: corpus-gram, hits-corpus, hits-bench tokenizers
+    assert(regexCount("decontaminate") == 3, s"decontaminate: ${regexCount("decontaminate")}")
+  }
+
   test("sample_weighted is a pure scan-side filter (no joins, no data shuffle)") {
     val p = plan("sample_weighted")
     // only the presentation sort's rangepartitioning — no hash shuffle
