@@ -399,6 +399,51 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // chunk_tokens — fixed-size overlapping token windows per document,
+  // the standard pre-training prep step (context-window packing input):
+  // chunk i covers tokens [i·S+1, i·S+C] (C = 32, stride S = 24, i.e.
+  // 8-token overlap); every doc yields ≥ 1 chunk, the last chunk is the
+  // ragged remainder. Scale shape: one scan, one per-row tokenizer run
+  // (EvalOnce-pinned against InferFiltersFromGenerate's synthesized
+  // filters), one explode whose fan-out is n/S — no shuffle except the
+  // presentation sort. The chunk text is rebuilt with single spaces
+  // (canonical whitespace), which is what a packing stage feeds the
+  // tokenizer anyway.
+  // ========================================================================
+  private val ChunkC = 32
+  private val ChunkS = 24
+
+  def chunkTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nc", when(col("n") <= ChunkC, lit(1L))
+        .otherwise(ceil((col("n") - ChunkC) / lit(ChunkS.toDouble)).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("toks"), (col("chunk_idx") * ChunkS + 1L).cast("int"),
+          lit(ChunkC)), " ").as("chunk_text"),
+        least(lit(ChunkC.toLong), col("n") - col("chunk_idx") * ChunkS).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkTokensSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |    CASE WHEN n <= $ChunkC THEN 1
+       |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
+       |  FROM t)
+       |SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(w, s.i * $ChunkS + 1, s.i * $ChunkS + $ChunkC), ' ') AS chunk_text,
+       |  CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
+       |FROM c, range(0, 16) s(i) WHERE s.i < nc
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ========================================================================
   // term_freq — corpus term frequencies with document frequency: explode
   // tokens → two hash aggregations (map-side combined), top-k by count.
   // The scalable tf/df primitive for vocabulary building and IDF.
@@ -881,6 +926,7 @@ object TextQueries {
     "sample_temperature" -> (sampleTemperature _),
     "group_topk" -> (groupTopk _),
     "term_freq" -> (termFreq _),
+    "chunk_tokens" -> (chunkTokens _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -901,6 +947,7 @@ object TextQueries {
     "sample_temperature" -> sampleTemperatureSql,
     "group_topk" -> groupTopkSql,
     "term_freq" -> termFreqSql,
+    "chunk_tokens" -> chunkTokensSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
