@@ -36,7 +36,7 @@ object TextQueries {
           .cast("double") / size(col("toks"))).as("avg_token_len"),
         (TextOps.wordSetCount(col("toks"), enStop).cast("double") / size(col("toks")))
           .as("stopword_ratio"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        (TextOps.distinctCount(col("toks")).cast("double") / size(col("toks")))
           .as("distinct_ratio"))
       .orderBy(col("doc_id"))
 
@@ -124,7 +124,7 @@ object TextQueries {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
-        size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+        TextOps.distinctCount(col("toks")).as("n_dist"))
       .select(col("doc_id"),
         ((lit(5L) * col("n") * least(col("n"), lit(100L))
           + lit(300L) * (col("n") - col("n_stop"))
@@ -309,7 +309,7 @@ object TextQueries {
         TextOps.langId(col("toks")).as("lang_pred"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
-        size(array_distinct(col("toks"))).cast("long").as("n_dist"))
+        TextOps.distinctCount(col("toks")).as("n_dist"))
       // `text` rides through (projection-only, pruned wherever unused) so
       // single-pass consumers — the streaming full funnel — can gate on
       // signals that need the raw text (repetition) without a second scan
@@ -573,7 +573,7 @@ object TextQueries {
         size(col("g2")).cast("long").as("n_2grams"),
         TextOps.maxMultiplicity(col("g2")).as("top2_count"),
         size(col("g3")).cast("long").as("n_3grams"),
-        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long").as("dup3_count"))
+        (size(col("g3")).cast("long") - TextOps.distinctCount(col("g3"))).as("dup3_count"))
       .withColumn("top2_frac",
         when(col("n_2grams") > 0, col("top2_count").cast("double") / col("n_2grams")))
       .withColumn("dup3_frac",

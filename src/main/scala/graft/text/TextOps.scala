@@ -80,9 +80,22 @@ object TextOps {
       },
       acc => acc.getField("best"))
 
-  /** Count of tokens that belong to `words`. */
+  /** Count of tokens that belong to `words` — a native codegen
+    * expression ([[graft.plans.CountInSet]]); the HOF formulation
+    * (`size(filter(toks, t -> t.isInCollection(words)))`) evaluated an
+    * interpreted lambda per element and allocated the filtered array
+    * just to count it. Returns long (HOF form returned int; every call
+    * site cast upward anyway).
+    */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+    graft.plans.CountInSet(toks, words)
+
+  /** Distinct-element count of a string array — codegen'd
+    * ([[graft.plans.ArrayDistinctCount]]) replacement for
+    * `size(array_distinct(arr))`, which materialized the deduplicated
+    * array per row just to count it. Returns long.
+    */
+  def distinctCount(arr: Column): Column = graft.plans.ArrayDistinctCount(arr)
 
   /** 60-bit deterministic hash: first 15 hex digits of md5, parsed base-16.
     * Cross-engine reproducible (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`).
@@ -159,7 +172,7 @@ object TextOps {
   def qualityScore(toks: Column, stopwords: Seq[String]): Column = {
     val n = size(toks).cast("double")
     val swRatio = wordSetCount(toks, stopwords).cast("double") / n
-    val diversity = size(array_distinct(toks)).cast("double") / n
+    val diversity = distinctCount(toks).cast("double") / n
     round(least(n / 100.0, lit(1.0)) * 0.5 + (lit(1.0) - swRatio) * 0.3 + diversity * 0.2, 4)
   }
 }
