@@ -557,23 +557,27 @@ object TextQueries {
   // the quality gate that catches boilerplate/spam which length and
   // stopword ratios miss: the most-repeated 2-gram's share of all
   // 2-grams, and the duplicated-3-gram fraction. BOTH are computed
-  // per-row (shingle → per-row sort + linear fold for the mode count;
-  // size − distinct for the dup count) — zero shuffle, scan-linear, no
-  // explode. At 100 TB this is the difference between a projection and
-  // a corpus-sized (doc, gram) exchange. Fractions are one integer/
-  // integer IEEE division, unrounded (see text_quality's convention).
+  // per-row in ONE codegen pass over the token windows each
+  // (MaxShingleMultiplicity / DistinctShingleCount — no intermediate
+  // shingle arrays, no interpreted lambda fold) — zero shuffle,
+  // scan-linear, no explode. At 100 TB this is the difference between a
+  // projection and a corpus-sized (doc, gram) exchange. Gram counts are
+  // size arithmetic (tokens are non-null, so every window is complete);
+  // fractions are one integer/integer IEEE division, unrounded (see
+  // text_quality's convention).
   // ========================================================================
   def textRepetition(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        TextOps.shinglesN(col("toks"), 2).as("g2"),
-        TextOps.shinglesN(col("toks"), 3).as("g3"))
-      .select(col("doc_id"),
-        size(col("g2")).cast("long").as("n_2grams"),
-        TextOps.maxMultiplicity(col("g2")).as("top2_count"),
-        size(col("g3")).cast("long").as("n_3grams"),
-        (size(col("g3")).cast("long") - TextOps.distinctCount(col("g3"))).as("dup3_count"))
+        when(col("toks").isNull, lit(null).cast("long"))
+          .otherwise(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_2grams"),
+        TextOps.maxShingleMultiplicity(col("toks"), 2).as("top2_count"),
+        when(col("toks").isNull, lit(null).cast("long"))
+          .otherwise(greatest(size(col("toks")) - 2, lit(0)).cast("long")).as("n_3grams"),
+        TextOps.distinctShingleCount(col("toks"), 3).as("d3"))
+      .select(col("doc_id"), col("n_2grams"), col("top2_count"), col("n_3grams"),
+        (col("n_3grams") - col("d3")).as("dup3_count"))
       .withColumn("top2_frac",
         when(col("n_2grams") > 0, col("top2_count").cast("double") / col("n_2grams")))
       .withColumn("dup3_frac",
@@ -877,16 +881,21 @@ object TextQueries {
     */
   def curateFullFeatures(docsDf: DataFrame): DataFrame =
     curateFeatures(docsDf.filter(col("doc_id") % DecontBenchMod =!= 0))
-      // two EvalOnce pins (see graft.plans.EvalOnce): `w2` so the g2
-      // projection (4 refs) can't collapse the tokenizer into itself,
-      // and `top2_frac` so the repetition filter can't substitute the
-      // per-row sort+fold into its predicate (it ran 2-3× per row:
-      // measured as pipeline_curate_full staying at 3.6 s after the
-      // pipeline_curate fix landed).
+      // two EvalOnce pins (see graft.plans.EvalOnce): `w2` so no rule
+      // can substitute the tokenizer into a consumer, and `top2_frac`
+      // so the repetition filter can't substitute the gram count into
+      // its predicate (it ran 2-3× per row: measured as
+      // pipeline_curate_full staying at 3.6 s after the pipeline_curate
+      // fix landed). The mode count itself is one codegen pass over the
+      // token windows (MaxShingleMultiplicity) — no shingle array, no
+      // interpreted sort+fold; the denominator is size arithmetic
+      // (tokens are non-null, so every 2-gram window is complete), with
+      // the ≤1-token case clamped to 0 so the division nulls out and
+      // the gate drops the doc, exactly like the composed form's 0/0.
       .withColumn("w2", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
-      .withColumn("g2", TextOps.shinglesN(col("w2"), 2))
       .withColumn("top2_frac", graft.plans.EvalOnce(
-        TextOps.maxMultiplicity(col("g2")).cast("double") / size(col("g2"))))
+        TextOps.maxShingleMultiplicity(col("w2"), 2).cast("double") /
+          greatest(size(col("w2")) - 1, lit(0))))
       .filter(col("top2_frac") <= RepetitionCap)
       .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
         col("score"), col("top2_frac"))

@@ -62,11 +62,34 @@ object TextOps {
     filter(joined, x => x.isNotNull)
   }
 
+  /** Highest multiplicity of any contiguous n-gram of a token array —
+    * one codegen'd pass over the windows
+    * ([[graft.plans.MaxShingleMultiplicity]]); replaces
+    * `maxMultiplicity(shinglesN(toks, n))`, which materialized the
+    * shingle array through interpreted zip_with lambdas and folded it
+    * through an interpreted aggregate over an array_sort, per row.
+    */
+  def maxShingleMultiplicity(toks: Column, n: Int): Column =
+    graft.plans.MaxShingleMultiplicity(toks, n)
+
+  /** Distinct contiguous n-gram count of a token array, one codegen'd
+    * pass ([[graft.plans.DistinctShingleCount]]) — the
+    * `distinctCount(shinglesN(toks, n))` composition without the
+    * intermediate shingle array. `n_grams − this` is the duplicated-
+    * n-gram count of the repetition signals.
+    */
+  def distinctShingleCount(toks: Column, n: Int): Column =
+    graft.plans.DistinctShingleCount(toks, n)
+
   /** Highest multiplicity of any element of a string array (0 for the
     * empty array): one per-row sort + one linear fold — the per-row
     * "mode count" WITHOUT exploding to a shuffle. Assumes elements are
     * non-empty strings (true for tokens/shingles, which match \S+);
     * an empty-string element would extend the fold's sentinel run.
+    * The repetition operators now use [[maxShingleMultiplicity]] (one
+    * codegen pass, no shingle array); this composed form remains the
+    * interpreted reference implementation that ShingleExprSpec
+    * cross-checks the native expressions against.
     */
   def maxMultiplicity(arr: Column): Column =
     aggregate(
