@@ -444,6 +444,63 @@ object TextQueries {
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ========================================================================
+  // pack_sequences — concat-and-cut sequence packing, the step after
+  // chunking that actually fills the training context window: per
+  // source shard, documents (plus one EOD separator token each) are
+  // concatenated in doc_id order and cut into fixed L=256-token
+  // sequences; docs straddle cuts. Reports per (source, seq) how many
+  // docs it touches and its token count (= L everywhere but each
+  // shard's ragged tail — the packing-efficiency signal).
+  //
+  // Scale shape: packing is PER SHARD (source), so there is no global
+  // order dependency — one hashpartitioning(source) exchange serves
+  // both the offset cumsum window and (being a superset clustering)
+  // the (source, seq_id) aggregation; the explode fan-out is
+  // ceil(n_tok/L)+1 per doc. At 100 TB each shard packs
+  // independently — the shape a 1000-executor run needs. Plan-guarded
+  // to exactly one hash exchange.
+  // ========================================================================
+  private val SeqLen = 256
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("source"), col("st"), col("n_tok"),
+        explode(sequence(expr(s"st DIV $SeqLen"),
+          expr(s"(st + n_tok - 1) DIV $SeqLen"))).as("seq_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("st") + col("n_tok"), (col("seq_id") + 1L) * SeqLen) -
+          greatest(col("st"), col("seq_id") * lit(SeqLen.toLong))).as("n_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM t),
+       |e AS (
+       |  SELECT source, st, n_tok,
+       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
+       |  FROM o)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
+       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
   // term_freq — corpus term frequencies with document frequency: explode
   // tokens → two hash aggregations (map-side combined), top-k by count.
   // The scalable tf/df primitive for vocabulary building and IDF.
@@ -936,6 +993,7 @@ object TextQueries {
     "group_topk" -> (groupTopk _),
     "term_freq" -> (termFreq _),
     "chunk_tokens" -> (chunkTokens _),
+    "pack_sequences" -> (packSequences _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -957,6 +1015,7 @@ object TextQueries {
     "group_topk" -> groupTopkSql,
     "term_freq" -> termFreqSql,
     "chunk_tokens" -> chunkTokensSql,
+    "pack_sequences" -> packSequencesSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,

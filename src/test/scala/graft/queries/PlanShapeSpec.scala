@@ -180,6 +180,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(regexCount("decontaminate") == 3, s"decontaminate: ${regexCount("decontaminate")}")
   }
 
+  test("pack_sequences runs cumsum window AND seq aggregation over ONE source exchange") {
+    val p = plan("pack_sequences")
+    // hashpartitioning(source) serves the offset window and, as a
+    // superset clustering, the (source, seq_id) aggregation — a second
+    // hash exchange would mean the packing reshuffles per sequence
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(p.contains("hashpartitioning(source"), p)
+    // tokenizer runs once per row, in the pre-window projection
+    assert("regexp_extract_all".r.findAllIn(
+      graft.SparkEntry.queries("pack_sequences")(spark, sf)
+        .queryExecution.optimizedPlan.toString).length == 1, p)
+  }
+
   test("sample_weighted is a pure scan-side filter (no joins, no data shuffle)") {
     val p = plan("sample_weighted")
     // only the presentation sort's rangepartitioning — no hash shuffle
