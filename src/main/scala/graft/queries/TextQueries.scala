@@ -413,8 +413,14 @@ object TextQueries {
   private val ChunkC = 32
   private val ChunkS = 24
 
-  def chunkTokens(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  /** The chunker's STATELESS per-doc stage (everything but the batch
+    * presentation sort) — pure projections + one bounded explode, so it
+    * runs UNCHANGED on a document stream (parity asserted in
+    * StreamingSpec): curate → chunk is the continuous training-data
+    * feed. Same cannot-drift contract as [[curateFeatures]].
+    */
+  def chunkTokensOn(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("nc", when(col("n") <= ChunkC, lit(1L))
@@ -425,7 +431,9 @@ object TextQueries {
         array_join(slice(col("toks"), (col("chunk_idx") * ChunkS + 1L).cast("int"),
           lit(ChunkC)), " ").as("chunk_text"),
         least(lit(ChunkC.toLong), col("n") - col("chunk_idx") * ChunkS).as("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  def chunkTokens(s: SparkSession, d: String): DataFrame =
+    chunkTokensOn(docs(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
 
   private val chunkTokensSql =
     s"""WITH t AS (

@@ -536,6 +536,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming chunker matches the batch chunk_tokens rows (stateless stage shared)") {
+    // curate → chunk is the continuous training-data feed; the chunking
+    // stage is stateless per doc, so the shared projection must emit
+    // IDENTICAL chunks on a stream (append mode, no state, no watermark)
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.chunkTokensOn(df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    val want = graft.queries.TextQueries.queries("chunk_tokens")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("JSONL quarantine stream feeds the curate funnel end-to-end (file source, not MemoryStream)") {
     // the production composition: a directory of JSONL files read with
     // the streaming quarantine split, good rows driven through the
