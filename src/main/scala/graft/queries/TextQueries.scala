@@ -419,18 +419,20 @@ object TextQueries {
     * StreamingSpec): curate → chunk is the continuous training-data
     * feed. Same cannot-drift contract as [[curateFeatures]].
     */
-  def chunkTokensOn(docsDf: DataFrame): DataFrame =
+  def chunkTokensOn(docsDf: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val k = keep.map(col)
     docsDf
-      .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
+      .select(col("doc_id") +: graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks") +: k: _*)
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("nc", when(col("n") <= ChunkC, lit(1L))
         .otherwise(ceil((col("n") - ChunkC) / lit(ChunkS.toDouble)).cast("long") + 1L))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(col("doc_id") +: col("toks") +: col("n") +:
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx") +: k: _*)
+      .select(col("doc_id") +: col("chunk_idx") +:
         array_join(slice(col("toks"), (col("chunk_idx") * ChunkS + 1L).cast("int"),
-          lit(ChunkC)), " ").as("chunk_text"),
-        least(lit(ChunkC.toLong), col("n") - col("chunk_idx") * ChunkS).as("n_tokens"))
+          lit(ChunkC)), " ").as("chunk_text") +:
+        least(lit(ChunkC.toLong), col("n") - col("chunk_idx") * ChunkS).as("n_tokens") +: k: _*)
+  }
 
   def chunkTokens(s: SparkSession, d: String): DataFrame =
     chunkTokensOn(docs(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
@@ -506,6 +508,83 @@ object TextQueries {
        |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
        |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
        |FROM e GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
+  // pipeline_pack — the COMPLETE pre-training prep job in one
+  // declarative plan: curation funnel (lang → quality → token bounds →
+  // exact-dedup keep-first) → overlapping token chunking of the
+  // survivors → length-grouped fixed-slot packing of the chunks into
+  // 8-slot/256-token-capacity training sequences. Unlike
+  // pack_sequences' concat-and-cut (docs straddle cuts), chunks here
+  // are ATOMIC training samples: each occupies one of 8 padded 32-token
+  // slots, and slots are filled in (n_tokens, doc_id, chunk_idx) order
+  // — length-grouping, the standard trick that co-locates short ragged
+  // chunks so padding waste concentrates in few sequences instead of
+  // smearing over all of them. `pad_frac` = 1 − filled/256 is the waste
+  // metric (exact: /256 is a power-of-two division).
+  //
+  // Scale shape (composes the proven stage shapes): funnel survivors
+  // are IDs only — text never rides the fp dedup shuffle; scan 2
+  // re-reads text for the broadcast survivor-id set (the
+  // pipeline_curate_full pattern); chunking is a per-row explode; the
+  // slot ranking reuses ONE hashpartitioning(source) for both its
+  // window and the (source, seq_id) aggregation. Two hash exchanges
+  // total — fp and source — both plan-guarded.
+  // ========================================================================
+  private val PackSlots = 8
+
+  def pipelinePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val survivors = curateFeatures(docs(s, d))
+      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+      .select(col("doc_id"))
+    val chunks = chunkTokensOn(
+      docs(s, d).join(broadcast(survivors), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("text")),
+      keep = Seq("source"))
+    val wSlot = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("slot", row_number().over(wSlot).cast("long") - 1L)
+      .withColumn("seq_id", expr(s"slot DIV $PackSlots"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("pad_frac",
+        lit(1.0) - col("n_tokens").cast("double") / lit((PackSlots * ChunkC).toDouble))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  private val pipelinePackSql =
+    s"""$curateCtesSql,
+       |surv AS (
+       |  SELECT doc_id FROM q
+       |  WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+       |ct AS (
+       |  SELECT d.doc_id, d.source, regexp_extract_all(d.text, '\\S+') AS w,
+       |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents d JOIN surv USING (doc_id)),
+       |cc AS (
+       |  SELECT doc_id, source, n,
+       |    CASE WHEN n <= $ChunkC THEN 1
+       |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
+       |  FROM ct),
+       |ch AS (
+       |  SELECT doc_id, source, CAST(s.i AS BIGINT) AS chunk_idx,
+       |    CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
+       |  FROM cc, range(0, 16) s(i) WHERE s.i < nc),
+       |sl AS (
+       |  SELECT source, n_tokens,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tokens, doc_id, chunk_idx) - 1 AS slot
+       |  FROM ch)
+       |SELECT source, CAST(slot // $PackSlots AS BIGINT) AS seq_id,
+       |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(1 AS DOUBLE) - CAST(sum(n_tokens) AS DOUBLE) / ${PackSlots * ChunkC} AS pad_frac
+       |FROM sl GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
 
   // ========================================================================
@@ -1002,6 +1081,7 @@ object TextQueries {
     "term_freq" -> (termFreq _),
     "chunk_tokens" -> (chunkTokens _),
     "pack_sequences" -> (packSequences _),
+    "pipeline_pack" -> (pipelinePack _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -1024,6 +1104,7 @@ object TextQueries {
     "term_freq" -> termFreqSql,
     "chunk_tokens" -> chunkTokensSql,
     "pack_sequences" -> packSequencesSql,
+    "pipeline_pack" -> pipelinePackSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,

@@ -193,6 +193,14 @@ class PlanShapeSpec extends SparkSpec {
         .queryExecution.optimizedPlan.toString).length == 1, p)
   }
 
+  test("pipeline_pack: two hash exchanges (fp dedup, source packing), text off the fp shuffle") {
+    val p = plan("pipeline_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // survivor ids broadcast to scan 2
+    val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashes.sorted == Seq("fp", "source"), p) // exactly one each, nothing else
+  }
+
   test("sample_weighted is a pure scan-side filter (no joins, no data shuffle)") {
     val p = plan("sample_weighted")
     // only the presentation sort's rangepartitioning — no hash shuffle
