@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Streaming micro-benchmark: drives the continuous operators
-  * (curation funnel, exact dedup, LSH verify, sessionization) over the
+  * (curation funnel, exact dedup, LSH verify, sessionization, and the
+  * reference-core time-series pair: watermarked bucket-mean + per-key
+  * Welford adapt) over the
   * sf dir's real tables fed as micro-batched in-memory streams, and
   * reports per-pipeline throughput AND state-store footprint — the two
   * signals the batch parity tests cannot see. At 100 TB the thing that
@@ -46,6 +48,10 @@ object StreamBench {
       .select(col("ts"), col("user_id"), col("event_id"))
       .as[(java.sql.Timestamp, Long, Long)].collect()
       .sortBy(e => (e._1.getTime, e._3)).toSeq
+    val evVals = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(e => (e._1.getTime, e._2)).toSeq
     val contaminated = graft.queries.TextQueries.queries("decontaminate")(spark, sfDir)
       .filter(col("contaminated") === 1).select(col("doc_id")).cache()
     contaminated.count()
@@ -87,6 +93,13 @@ object StreamBench {
         df => graft.streaming.StreamingDedup.lshVerified(spark, df, "text", "doc_id")),
       run[(java.sql.Timestamp, Long, Long)]("sessionize", evRows, Seq("ts", "user_id", "event_id"),
         df => graft.streaming.StreamingSessionize.sessionize(spark, df)),
+      // the reference-core time-series half of the streaming surface:
+      // watermarked tumbling bucket-mean (state = open windows) and the
+      // per-key Welford adapt (O(1) state per key)
+      run[(java.sql.Timestamp, Long, Double)]("bucket_mean", evVals, Seq("ts", "user_id", "value"),
+        df => graft.streaming.StreamingResample.bucketMean(df, "ts", "value", 60)),
+      run[(java.sql.Timestamp, Long, Double)]("welford_adapt", evVals, Seq("ts", "user_id", "value"),
+        df => graft.streaming.StreamingResample.streamingAdapt(spark, df, "user_id", "value")),
     )
 
     def row(r: Result): String =
