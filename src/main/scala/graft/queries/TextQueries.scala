@@ -450,7 +450,7 @@ object TextQueries {
        |SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
        |  array_to_string(list_slice(w, s.i * $ChunkS + 1, s.i * $ChunkS + $ChunkC), ' ') AS chunk_text,
        |  CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
-       |FROM c, range(0, 16) s(i) WHERE s.i < nc
+       |FROM c, range(0, 64) s(i) WHERE s.i < nc
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ========================================================================
@@ -575,7 +575,7 @@ object TextQueries {
        |ch AS (
        |  SELECT doc_id, source, CAST(s.i AS BIGINT) AS chunk_idx,
        |    CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
-       |  FROM cc, range(0, 16) s(i) WHERE s.i < nc),
+       |  FROM cc, range(0, 64) s(i) WHERE s.i < nc),
        |sl AS (
        |  SELECT source, n_tokens,
        |    row_number() OVER (PARTITION BY source
