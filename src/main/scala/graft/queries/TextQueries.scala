@@ -935,6 +935,77 @@ object TextQueries {
        |WHERE u < score ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // sample_mix — target-share corpus mixing (domain reweighting): given
+  // per-source target shares w_s (here data-driven: w ∝ source index+1,
+  // so the mix is deliberately non-uniform over the uniform corpus),
+  // find the largest feasible sample T = min_s(n_s / w_s) that hits the
+  // target mix without oversampling any source, keep each doc with
+  // probability rate_s = w_s·T / n_s via the content-addressed
+  // hash60(doc_id)/2^60 draw (the sample_weighted convention — same
+  // hash, so mixing composes with quality sampling), and report
+  // achieved vs target share. THE knob a pre-training run turns to
+  // rebalance web/books/code/wiki proportions.
+  //
+  // Scale shape: rates come from one tiny per-source count agg
+  // (broadcast back onto the scan); the keep decision is a scan-side
+  // filter — no corpus shuffle, text pruned from every scan; only
+  // per-source partial counts move. All arithmetic is IEEE-exact and
+  // identically ordered on both engines (single divisions/multiplies of
+  // exact integers), so shares ship unrounded.
+  // ========================================================================
+  private val MixWeightDen = 210.0 // sum of (i+1) over the 20 sources
+
+  def sampleMix(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w",
+        (substring(col("source"), 4, 10).cast("int") + 1).cast("double") / lit(MixWeightDen))
+    val t = counts.agg(min(col("n_total").cast("double") / col("w")).as("t"))
+    val rates = counts.crossJoin(broadcast(t))
+      .withColumn("rate",
+        least(lit(1.0), col("w") * col("t") / col("n_total").cast("double")))
+      .select(col("source"), col("n_total"), col("w").as("target_share"), col("rate"))
+    val kept = docs(s, d).select(col("doc_id"), col("source"))
+      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .withColumn("u",
+        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
+      .filter(col("u") < col("rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val totalKept = kept.agg(sum(col("n_kept")).as("total_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(totalKept))
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("target_share"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("total_kept").cast("double")).as("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  private val sampleMixSql =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_total,
+       |    CAST(CAST(substr(source, 4) AS INTEGER) + 1 AS DOUBLE) / $MixWeightDen AS w
+       |  FROM documents GROUP BY source),
+       |tt AS (SELECT min(CAST(n_total AS DOUBLE) / w) AS t FROM c),
+       |r AS (
+       |  SELECT source, n_total, w AS target_share,
+       |    least(CAST(1 AS DOUBLE), w * t / CAST(n_total AS DOUBLE)) AS rate
+       |  FROM c, tt),
+       |k AS (
+       |  SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN r ON d.source = r.source
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        / $Pow60.0 < rate
+       |  GROUP BY d.source),
+       |tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM k)
+       |SELECT r.source, r.n_total, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  target_share,
+       |  CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept AS achieved_share
+       |FROM r LEFT JOIN k ON r.source = k.source, tk
+       |ORDER BY r.source""".stripMargin
+
+  // ========================================================================
   // sample_temperature — temperature-flattened corpus mixing (the
   // multilingual-LLM sampling scheme: expected kept docs per stratum
   // ∝ n^alpha, alpha = 0.5): per-(source, lang) stratum the keep rate is
@@ -1082,6 +1153,7 @@ object TextQueries {
     "chunk_tokens" -> (chunkTokens _),
     "pack_sequences" -> (packSequences _),
     "pipeline_pack" -> (pipelinePack _),
+    "sample_mix" -> (sampleMix _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -1105,6 +1177,7 @@ object TextQueries {
     "chunk_tokens" -> chunkTokensSql,
     "pack_sequences" -> packSequencesSql,
     "pipeline_pack" -> pipelinePackSql,
+    "sample_mix" -> sampleMixSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,

@@ -201,6 +201,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashes.sorted == Seq("fp", "source"), p) // exactly one each, nothing else
   }
 
+  test("sample_mix broadcasts the rates onto a text-pruned scan (no corpus shuffle)") {
+    val p = plan("sample_mix")
+    assert(p.contains("BroadcastHashJoin"), p) // per-source rates onto the scan
+    // the only hash exchanges carry per-source partial counts
+    assert("hashpartitioning\\((\\w+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet == Set("source"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("text"), read) // text never scanned, never moved
+  }
+
   test("sample_weighted is a pure scan-side filter (no joins, no data shuffle)") {
     val p = plan("sample_weighted")
     // only the presentation sort's rangepartitioning — no hash shuffle
