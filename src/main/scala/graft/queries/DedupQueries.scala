@@ -161,6 +161,46 @@ object DedupQueries {
   // verify (jaccard ≥ 0.2) → each duplicate doc mapped to its smallest
   // verified partner. The full production dedup decision.
   // ========================================================================
+  // ========================================================================
+  // dedup_cross_source — duplication provenance: which source pairs
+  // share verified near-dups, how many, and how close. The corpus-
+  // analysis view a curation team reads before deciding which feed to
+  // drop — within-source dup density is normal (mirrors, reposts),
+  // heavy CROSS-source overlap means two feeds crawl the same site.
+  // Source pairs are canonicalized (least, greatest) so (a,b) and (b,a)
+  // collapse. Scale shape: the verified-pair set is collision-sparse by
+  // construction and BROADCASTS onto the corpus (doc_id, source)
+  // projection twice — the corpus never shuffles; the final agg moves
+  // only per-source-pair partials. Aggregates are order-independent
+  // (count, max), so no rounding is needed.
+  // ========================================================================
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val src = docs(s, d).select(col("doc_id"), col("source"))
+    val pairs = verifiedPairs(s, d)
+    val withA = src.select(col("doc_id").as("id_a"), col("source").as("sa"))
+      .join(broadcast(pairs), Seq("id_a"))
+    val withB = src.select(col("doc_id").as("id_b"), col("source").as("sb"))
+      .join(broadcast(withA), Seq("id_b"))
+    withB
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val dedupCrossSourceSql =
+    s"""WITH $lshPipelineCtes,
+       |sp AS (
+       |  SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b, jaccard
+       |  FROM ver JOIN documents da ON ver.id_a = da.doc_id
+       |           JOIN documents db ON ver.id_b = db.doc_id
+       |  WHERE jaccard >= ${LshParams.Threshold})
+       |SELECT src_a, src_b, count(*) AS n_pairs, max(jaccard) AS max_jaccard
+       |FROM sp GROUP BY src_a, src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
   def dedupLshPairs(s: SparkSession, d: String): DataFrame =
     Dedup.dupOfFirst(verifiedPairs(s, d)).orderBy(col("doc_id"))
 
@@ -494,6 +534,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_lsh_bands" -> (dedupLshBands _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -509,6 +550,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_lsh_bands" -> dedupLshBandsSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
