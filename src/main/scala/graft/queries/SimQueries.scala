@@ -59,6 +59,38 @@ object SimQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   // ========================================================================
+  // ann_filtered — filtered ANN: per query, top-5 cosine among
+  // candidates OUTSIDE the query's own label (search-within-a-metadata-
+  // slice, here the diversity filter "not my own cluster"). The filter
+  // restricts candidates BEFORE ranking (see Similarity.filteredTopK's
+  // doc for why rank-then-filter is the classic filtered-ANN bug); it
+  // sits on the scan side of the broadcast join, so disallowed vectors
+  // are never even scored. Same scale shape as ann_cosine_topk.
+  // ========================================================================
+  def annFiltered(s: SparkSession, d: String): DataFrame =
+    Similarity.filteredTopK(emb(s, d), "vec_id", "embedding", "label",
+      col("vec_id") < 10, (qa, na) => na =!= qa, 5)
+      .orderBy(col("q_id"), col("rank"))
+
+  private val annFilteredSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 4) AS cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |        i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |      c.vec_id) AS rank
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |    AND c.label <> q.label)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
   // ann_cosine_sql — the SAME brute-force top-5 cosine search expressed
   // through the SQL surface (`spark.sql` + the graft_dot function that
   // GraftExtensions registers in the session FunctionRegistry): proves
@@ -1241,6 +1273,7 @@ object SimQueries {
 
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_filtered" -> (annFiltered _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "knn_centroid" -> (knnCentroid _),
@@ -1265,6 +1298,7 @@ object SimQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
+    "ann_filtered" -> annFilteredSql,
     // the SQL-surface variant computes the identical result, so it is
     // checked against the identical oracle
     "ann_cosine_sql" -> annCosineTopKSql,

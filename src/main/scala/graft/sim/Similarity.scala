@@ -62,6 +62,36 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Filtered top-k: like [[bruteForceTopK]] but candidates are first
+    * restricted by a per-(query, candidate) attribute predicate `keep`
+    * — the production "filtered ANN" shape (search within a metadata
+    * slice: language, license, freshness, not-my-own-cluster). The
+    * ORDER matters and is the point: filter-THEN-rank returns the true
+    * top-k of the allowed set; the tempting rank-then-filter
+    * post-processing of an unfiltered top-k under-fills k and silently
+    * drops allowed near matches whenever disallowed ones crowd the
+    * shortlist. The predicate lands on the scan side of the broadcast
+    * join, so disallowed candidates are never scored.
+    */
+  def filteredTopK(df: DataFrame, idCol: String, vecCol: String, attrCol: String,
+                   isQuery: Column, keep: (Column, Column) => Column, k: Int): DataFrame = {
+    val withNorm = df.select(col(idCol), col(vecCol), col(attrCol), norm(col(vecCol)).as("nrm"))
+    val q = withNorm.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col(attrCol).as("q_attr"), col("nrm").as("q_nrm"))
+    val c = withNorm
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        col(attrCol).as("n_attr"), col("nrm").as("n_nrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id") && keep(col("q_attr"), col("n_attr")))
+      .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic pseudo-hyperplane coefficient for (plane j, dim i):
     * small signed integers, exactly representable — sign decisions are
     * then reproducible across engines.

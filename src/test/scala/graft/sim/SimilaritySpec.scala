@@ -313,4 +313,27 @@ class SimilaritySpec extends SparkSpec {
       .agg(max("nc")).head().getLong(0)
     assert(cellsPerQ >= 1 && cellsPerQ <= 2)
   }
+
+  test("filteredTopK is filter-then-rank: full k of allowed hits, never a post-filter") {
+    val e = Tables.embeddings(spark, sf)
+    val filtered = Similarity.filteredTopK(e, "vec_id", "embedding", "label",
+      col("vec_id") < 10, (qa, na) => na =!= qa, 5)
+    // every returned neighbor respects the predicate
+    val lab = e.select(col("vec_id"), col("label"))
+    val labeled = filtered
+      .join(lab.toDF("q_id", "ql"), Seq("q_id"))
+      .join(lab.toDF("n_id", "nl"), Seq("n_id"))
+    assert(labeled.filter(col("ql") === col("nl")).count() == 0)
+    // and every query still gets its FULL k — which post-filtering the
+    // unfiltered shortlist cannot deliver on this label-clustered corpus
+    // (same-label vectors crowd the unfiltered top-5)
+    assert(filtered.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    val postFiltered = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        col("vec_id") < 10, 5)
+      .join(lab.toDF("q_id", "ql"), Seq("q_id"))
+      .join(lab.toDF("n_id", "nl"), Seq("n_id"))
+      .filter(col("ql") =!= col("nl"))
+    assert(postFiltered.count() < filtered.count(),
+      "post-filter kept full k for every query — fixture no longer demonstrates the bug")
+  }
 }
