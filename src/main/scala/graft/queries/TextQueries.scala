@@ -985,7 +985,7 @@ object TextQueries {
   private val sampleMixSql =
     s"""WITH c AS (
        |  SELECT source, count(*) AS n_total,
-       |    CAST(CAST(substr(source, 4) AS INTEGER) + 1 AS DOUBLE) / $MixWeightDen AS w
+       |    CAST(TRY_CAST(substr(source, 4) AS INTEGER) + 1 AS DOUBLE) / $MixWeightDen AS w
        |  FROM documents GROUP BY source),
        |tt AS (SELECT min(CAST(n_total AS DOUBLE) / w) AS t FROM c),
        |r AS (
