@@ -162,6 +162,88 @@ object DedupQueries {
   // verified partner. The full production dedup decision.
   // ========================================================================
   // ========================================================================
+  // dedup_lsh_recall — the LSH S-curve, measured: on a BOUNDED corpus
+  // slice (doc_id < 60 → ≤ 1770 pairs, CONSTANT cost at any corpus
+  // size), exact 3-gram Jaccard for every intersecting pair is the
+  // ground truth, and each truth pair is checked against the banding
+  // pipeline's candidate set. Bucketed by Jaccard decile, `recall` per
+  // bucket draws the S-curve the (K=8, rowsPerBand=2) parameters imply:
+  // near-certain capture above the threshold, sharply decaying below —
+  // the quality lock for the LSH PARAMETERS themselves (dedup_minhash_est
+  // locks the estimator; this locks the candidate generator), the same
+  // role ann_recall plays for IVF. The deliberate all-pairs join is the
+  // evaluation harness, not the operator: it is constant-bounded by the
+  // slice, never corpus-sized.
+  // ========================================================================
+  def dedupLshRecall(s: SparkSession, d: String): DataFrame = {
+    val SliceMax = 60
+    val shd = lshShared(s, d)
+    val sliceIds = shd.ex.select(col("doc_id")).distinct()
+      .filter(col("doc_id") < SliceMax)
+    val allPairs = sliceIds.select(col("doc_id").as("id_a"))
+      .crossJoin(sliceIds.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val truth = Dedup.pairJaccard(allPairs, shd.ex, "doc_id")
+    val caughtAll = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
+      .withColumn("hit", lit(1L))
+    val caught = caughtAll.filter(col("id_a") < SliceMax && col("id_b") < SliceMax)
+    val curve = truth.join(caught, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+    // planted truth: exact-FINGERPRINT dup pairs, known INDEPENDENTLY of
+    // MinHash (bucket 10) — an id-range slice cannot contain both ends
+    // of a cross-range dup pair, but every fp-equal pair anywhere in the
+    // corpus must be a banding candidate (identical shingles → identical
+    // signatures → identical band keys). Equi-join on fp, collision-
+    // sparse; emitted only when the corpus has exact dups.
+    val fpRel = docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val planted = fpRel.select(col("fp"), col("doc_id").as("id_a"))
+      .join(fpRel.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"))
+      .join(caughtAll, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_caught"))
+      .select(lit(10L).as("bucket"), col("n_true"), col("n_caught"))
+      .filter(col("n_true") > 0)
+    curve.unionByName(planted)
+      .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
+      .orderBy(col("bucket"))
+  }
+
+  private val dedupLshRecallSql =
+    s"""WITH $lshPipelineCtes,
+       |sl AS (SELECT doc_id, sh FROM shd WHERE doc_id < 60),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM sl a JOIN sl b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+       |ct AS (SELECT id_a, id_b FROM cand WHERE id_a < 60 AND id_b < 60),
+       |curve AS (
+       |  SELECT CAST(least(floor(j * 10), CAST(9 AS DOUBLE)) AS BIGINT) AS bucket,
+       |    count(*) AS n_true,
+       |    CAST(sum(CASE WHEN ct.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+       |  FROM tp LEFT JOIN ct ON tp.id_a = ct.id_a AND tp.id_b = ct.id_b
+       |  GROUP BY bucket),
+       |efp AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |ep AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM efp a JOIN efp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |pl AS (
+       |  SELECT CAST(10 AS BIGINT) AS bucket, count(*) AS n_true,
+       |    CAST(coalesce(sum(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught
+       |  FROM ep LEFT JOIN cand ON ep.id_a = cand.id_a AND ep.id_b = cand.id_b)
+       |SELECT bucket, n_true, n_caught,
+       |  CAST(n_caught AS DOUBLE) / n_true AS recall
+       |FROM (SELECT * FROM curve UNION ALL SELECT * FROM pl WHERE n_true > 0)
+       |ORDER BY bucket""".stripMargin
+
+  // ========================================================================
   // dedup_cross_source — duplication provenance: which source pairs
   // share verified near-dups, how many, and how close. The corpus-
   // analysis view a curation team reads before deciding which feed to
@@ -535,6 +617,7 @@ object DedupQueries {
     "dedup_lsh_bands" -> (dedupLshBands _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_cross_source" -> (dedupCrossSource _),
+    "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -551,6 +634,7 @@ object DedupQueries {
     "dedup_lsh_bands" -> dedupLshBandsSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
+    "dedup_lsh_recall" -> dedupLshRecallSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
