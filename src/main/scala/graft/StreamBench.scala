@@ -93,6 +93,8 @@ object StreamBench {
         df => graft.streaming.StreamingDedup.lshVerified(spark, df, "text", "doc_id")),
       run[(java.sql.Timestamp, Long, Long)]("sessionize", evRows, Seq("ts", "user_id", "event_id"),
         df => graft.streaming.StreamingSessionize.sessionize(spark, df)),
+      run[(Long, String, String)]("pack", docRows, Seq("doc_id", "source", "text"),
+        df => graft.streaming.StreamingPack.pack(spark, df)),
       // the reference-core time-series half of the streaming surface:
       // watermarked tumbling bucket-mean (state = open windows) and the
       // per-key Welford adapt (O(1) state per key)

@@ -564,6 +564,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming packer matches the batch offset cumsum (one long of state per shard)") {
+    // the continuous feed's last stage: per-source running token offsets
+    // must equal the batch window cumsum when docs arrive in doc_id
+    // order — and the state store must hold exactly one row per source
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    val out = StreamingPack.pack(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("pack_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("pack_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val stateRows = q.lastProgress.stateOperators.headOption.map(_.numRowsTotal)
+    q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        (size(graft.text.TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_first", expr("st DIV 256"))
+      .select(col("doc_id"), col("source"), col("st"), col("n_tok"), col("seq_first"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+    // O(1)-per-shard contract: exactly one state row per source
+    val nSources = docRows.map(_._2).distinct.size
+    assert(stateRows.contains(nSources.toLong), s"state=$stateRows sources=$nSources")
+  }
+
   test("JSONL quarantine stream feeds the curate funnel end-to-end (file source, not MemoryStream)") {
     // the production composition: a directory of JSONL files read with
     // the streaming quarantine split, good rows driven through the
