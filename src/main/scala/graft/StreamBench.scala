@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Streaming micro-benchmark: drives the continuous operators
-  * (curation funnel, exact dedup, LSH verify, sessionization, and the
-  * reference-core time-series pair: watermarked bucket-mean + per-key
-  * Welford adapt) over the
+  * (curation funnel, exact dedup, LSH verify, sessionization, the
+  * per-shard sequence packer, and the reference-core time-series pair:
+  * watermarked bucket-mean + per-key Welford adapt) over the
   * sf dir's real tables fed as micro-batched in-memory streams, and
   * reports per-pipeline throughput AND state-store footprint — the two
   * signals the batch parity tests cannot see. At 100 TB the thing that

@@ -55,6 +55,10 @@ object StreamingPack {
     docs
       .select(col("doc_id"), col("source"),
         (size(graft.text.TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+      // a null doc would NPE the typed encoder (streamingAdapt's
+      // documented trap) — and the batch cumsum skips nulls too, so
+      // dropping them keeps offset parity
+      .filter(col("doc_id").isNotNull && col("source").isNotNull && col("n_tok").isNotNull)
       .as[Doc]
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
