@@ -44,9 +44,13 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
-  /** Distinct 3-gram shingle set of a text column. */
+  /** Distinct 3-gram shingle set of a text column. The tokenizer is
+    * lambda-bound ([[TextOps.bindOnce]]) so it runs once per row no
+    * matter how many times [[TextOps.shinglesN]] references the array.
+    */
   def shingleSet(text: Column): Column =
-    array_distinct(TextOps.shingles3(TextOps.tokens(text)))
+    TextOps.bindOnce(TextOps.tokens(text))(t =>
+      array_distinct(TextOps.shingles3(t)))
 
   /** 2^56 − 1: mask keeping Carter-Wegman combinations positive in int64
     * (h1,h2 < 2^56; h1 + i·h2 < 2^60 for i < 16).
@@ -58,8 +62,9 @@ object Dedup {
     * equality vs 50-char string hashing), cross-engine reproducible.
     */
   def hashedShingleSet(text: Column): Column =
-    array_distinct(transform(TextOps.shingles3(TextOps.tokens(text)),
-      s => conv(substring(md5(s), 1, 14), 16, 10).cast("long")))
+    TextOps.bindOnce(TextOps.tokens(text))(t =>
+      array_distinct(transform(TextOps.shingles3(t),
+        s => conv(substring(md5(s), 1, 14), 16, 10).cast("long"))))
 
   /** Distinct (h1, h2) 56-bit hash pairs per shingle — both halves of one
     * md5 — feeding the Carter-Wegman MinHash family
@@ -67,11 +72,12 @@ object Dedup {
     * shingle instead of k).
     */
   def shingleHashPairs(text: Column): Column =
-    array_distinct(transform(TextOps.shingles3(TextOps.tokens(text)), { s =>
-      val hex = md5(s)
-      struct(conv(substring(hex, 1, 14), 16, 10).cast("long").as("h1"),
-        conv(substring(hex, 15, 14), 16, 10).cast("long").as("h2"))
-    }))
+    TextOps.bindOnce(TextOps.tokens(text))(t =>
+      array_distinct(transform(TextOps.shingles3(t), { s =>
+        val hex = md5(s)
+        struct(conv(substring(hex, 1, 14), 16, 10).cast("long").as("h1"),
+          conv(substring(hex, 15, 14), 16, 10).cast("long").as("h2"))
+      })))
 
   /** Exploded 3-gram shingle md5s, built RELATIONALLY: posexplode tokens,
     * window `lead` ×2 per doc, concat, md5 — every step codegen'd. The
@@ -469,4 +475,42 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
         .otherwise(0L)).as("simhash"))
+
+  /** Candidate pairs of DISTINCT hash values within small Hamming
+    * distance, by band-slicing: the hash's low `nBands · bitsPerBand`
+    * bits are cut into `nBands` contiguous slices, each (band, slice)
+    * becomes an equi-join key, and two hashes pair iff they collide on at
+    * least one band. Pigeonhole guarantee: Hamming distance < nBands
+    * leaves some band untouched, so every pair within `nBands − 1` bits
+    * IS a candidate — recall 1.0 below that radius by construction, no
+    * probabilistic argument needed (contrast MinHash banding's S-curve).
+    *
+    * Operates on HASH VALUES, not row ids, deliberately: perceptual
+    * hashes collapse heavy exact-duplicate clusters (a synthetic or
+    * scraped corpus can put thousands of images on one hash), and pairing
+    * at the id level would re-expand those clusters quadratically through
+    * the join. Collapse to distinct hashes first (with counts /
+    * representatives carried separately), pair the hashes, and the join
+    * is bounded by distinct-hash cardinality — the same
+    * collapse-then-relate shape as [[exactGroups]]. Scale: only
+    * (hash, band, slice) rows shuffle; the self-join is an equi-join on
+    * (band, slice) — never a cross product.
+    */
+  def hammingBandPairs(hashes: DataFrame, hashCol: String,
+                       nBands: Int, bitsPerBand: Int): DataFrame = {
+    require(nBands > 0 && bitsPerBand > 0 && nBands * bitsPerBand <= 63,
+      s"band layout must fit a positive BIGINT, got $nBands x $bitsPerBand")
+    val mask = (1L << bitsPerBand) - 1
+    val banded = hashes.select(col(hashCol)).distinct()
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("bkey",
+        expr(s"shiftright($hashCol, CAST(band * $bitsPerBand AS INT))")
+          .bitwiseAND(mask))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$hashCol") < col(s"b.$hashCol"))
+      .select(col(s"a.$hashCol").as(s"${hashCol}_a"),
+        col(s"b.$hashCol").as(s"${hashCol}_b"))
+      .distinct()
+  }
 }

@@ -501,6 +501,62 @@ object Multimodal {
       }
   }
 
+  case class PHash(asset_id: Long, phash: Long)
+
+  /** 56-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint: decode (REAL bytes through ImageIO, like
+    * [[decodePixels]]), resample to a fixed 8×8 grid with the SAME
+    * deterministic floor mapping [[resizePixels]] uses
+    * (`src = dst · srcDim / 8`, integer arithmetic — bit-reproducible in
+    * any engine, unlike AWT's implementation-defined scalers), take the
+    * integer luminance `299·R + 587·G + 114·B` (the ITU-R 601 weights
+    * ×1000, kept integral so a SQL oracle reproduces every bit), and set
+    * bit `j·7 + i` iff `lum(i+1, j) > lum(i, j)` — 7 horizontal
+    * comparisons × 8 rows = 56 bits, deliberately matching the repo's
+    * 56-bit hash convention ([[graft.dedup.Dedup.HashMask]]) and staying
+    * clear of the BIGINT sign bit on both engines. Near-duplicate images
+    * (crops, small edits, re-encodes of the same picture) land within a
+    * small Hamming distance; exact re-encodes (BMP vs PNG of the same
+    * raster) hash identically. Payload bytes stay partition-local; only
+    * (id, hash) rows shuffle. Undecodable rows quarantine as in
+    * [[decodePixels]].
+    */
+  def dhash56(spark: SparkSession, assets: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            if (bytes == null) None
+            else try {
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          img.map { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            var hash = 0L
+            var j = 0
+            while (j < 8) {
+              val sy = j * h / 8
+              var last = 0L
+              var i = 0
+              while (i < 8) {
+                val rgb = im.getRGB(i * w / 8, sy)
+                val lum = 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                if (i > 0 && lum > last) hash |= 1L << (j * 7 + (i - 1))
+                last = lum
+                i += 1
+              }
+              j += 1
+            }
+            PHash(id, hash)
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------------------------
   // Real video frame-sampling: YUV4MPEG2 (y4m) stream walk, pure byte
   // arithmetic (y4m frames are uncompressed — the container IS the codec)

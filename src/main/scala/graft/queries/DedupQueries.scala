@@ -197,8 +197,13 @@ object DedupQueries {
     // of a cross-range dup pair, but every fp-equal pair anywhere in the
     // corpus must be a banding candidate (identical shingles → identical
     // signatures → identical band keys). Equi-join on fp, collision-
-    // sparse; emitted only when the corpus has exact dups.
+    // sparse; emitted only when the corpus has exact dups. Restricted to
+    // docs that HAVE signatures (≥3 tokens): a sub-3-token exact-dup
+    // pair is real duplication but invisible to shingling by definition,
+    // so counting it in n_true would depress bucket-10 recall below 1.0
+    // and false-alarm the lock on a corpus with short dup docs.
     val fpRel = docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(shd.ex.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val planted = fpRel.select(col("fp"), col("doc_id").as("id_a"))
       .join(fpRel.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b")).select(col("id_a"), col("id_b"))
@@ -230,7 +235,7 @@ object DedupQueries {
        |  GROUP BY bucket),
        |efp AS (
        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
-       |  FROM documents),
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM hp)),
        |ep AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM efp a JOIN efp b ON a.fp = b.fp AND a.doc_id < b.doc_id),

@@ -446,11 +446,13 @@ object TextQueries {
        |  SELECT doc_id, w, n,
        |    CASE WHEN n <= $ChunkC THEN 1
        |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
-       |  FROM t)
-       |SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
-       |  array_to_string(list_slice(w, s.i * $ChunkS + 1, s.i * $ChunkS + $ChunkC), ' ') AS chunk_text,
-       |  CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
-       |FROM c, range(0, 64) s(i) WHERE s.i < nc
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, w, n, unnest(range(nc)) AS i FROM c)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(w, i * $ChunkS + 1, i * $ChunkS + $ChunkC), ' ') AS chunk_text,
+       |  CAST(least($ChunkC, n - i * $ChunkS) AS BIGINT) AS n_tokens
+       |FROM x
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // ========================================================================
@@ -572,10 +574,12 @@ object TextQueries {
        |    CASE WHEN n <= $ChunkC THEN 1
        |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
        |  FROM ct),
+       |cx AS (
+       |  SELECT doc_id, source, n, unnest(range(nc)) AS i FROM cc),
        |ch AS (
-       |  SELECT doc_id, source, CAST(s.i AS BIGINT) AS chunk_idx,
-       |    CAST(least($ChunkC, n - s.i * $ChunkS) AS BIGINT) AS n_tokens
-       |  FROM cc, range(0, 64) s(i) WHERE s.i < nc),
+       |  SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_idx,
+       |    CAST(least($ChunkC, n - i * $ChunkS) AS BIGINT) AS n_tokens
+       |  FROM cx),
        |sl AS (
        |  SELECT source, n_tokens,
        |    row_number() OVER (PARTITION BY source
@@ -959,7 +963,9 @@ object TextQueries {
     val counts = docs(s, d).groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"))
       .withColumn("w",
-        (substring(col("source"), 4, 10).cast("int") + 1).cast("double") / lit(MixWeightDen))
+        // try_cast, not cast: under ANSI mode a malformed source name must
+        // null out (as the DuckDB oracle's TRY_CAST does), not crash the job
+        (expr("try_cast(substring(source, 4, 10) AS int)") + 1).cast("double") / lit(MixWeightDen))
     val t = counts.agg(min(col("n_total").cast("double") / col("w")).as("t"))
     val rates = counts.crossJoin(broadcast(t))
       .withColumn("rate",

@@ -26,16 +26,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingPack {
 
-  case class Doc(doc_id: Long, source: String, n_tok: Long)
+  // doc_id/source are Options, NOT filtered away: the batch cumsum
+  // (pack_sequences) only skips null n_tok — a row with a null id or
+  // source but countable text still occupies offset space there (null
+  // source is its own window partition, null doc_id sorts first), so
+  // the stream must pack it too or the asserted batch parity breaks.
+  case class Doc(doc_id: Option[Long], source: Option[String], n_tok: Long)
   case class PackState(off: Long)
-  case class PackedDoc(doc_id: Long, source: String, st: Long, n_tok: Long,
-                       seq_first: Long)
+  case class PackedDoc(doc_id: Option[Long], source: Option[String], st: Long,
+                       n_tok: Long, seq_first: Long)
 
   /** Per-shard transition: fold this micro-batch's docs (sorted by
-    * doc_id) over the running offset; emit one assignment row per doc.
+    * doc_id, None first — the window's asc_nulls_first) over the running
+    * offset; emit one assignment row per doc.
     */
   def packFn(seqLen: Long)(
-      source: String, rows: Iterator[Doc],
+      source: Option[String], rows: Iterator[Doc],
       state: GroupState[PackState]): Iterator[PackedDoc] = {
     var off = state.getOption.map(_.off).getOrElse(0L)
     val out = rows.toSeq.sortBy(_.doc_id).map { d =>
@@ -55,10 +61,11 @@ object StreamingPack {
     docs
       .select(col("doc_id"), col("source"),
         (size(graft.text.TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
-      // a null doc would NPE the typed encoder (streamingAdapt's
-      // documented trap) — and the batch cumsum skips nulls too, so
-      // dropping them keeps offset parity
-      .filter(col("doc_id").isNotNull && col("source").isNotNull && col("n_tok").isNotNull)
+      // filter ONLY on n_tok, mirroring the batch cumsum exactly: a null
+      // n_tok contributes nothing to the batch window sum and its row
+      // vanishes at the batch explode, so dropping it here is parity;
+      // null doc_id/source ride through as Options (encoder-safe)
+      .filter(col("n_tok").isNotNull)
       .as[Doc]
       .groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

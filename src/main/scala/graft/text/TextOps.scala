@@ -24,6 +24,23 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Bind an expensive column ONCE per row and consume it many times
+    * inside a single Column expression: `c` is evaluated a single time
+    * as the sole element of a transient one-element array, and `f`
+    * receives the BOUND lambda variable — every reference `f` makes is
+    * a cheap variable read, never a re-evaluation. This closes the
+    * remaining within-expression duplication that [[graft.plans.EvalOnce]]
+    * cannot reach: EvalOnce pins a PROJECTED alias against rule
+    * substitution, but a helper returning one Column (e.g.
+    * `shingles3(tokens(text))`) textually embeds `tokens(text)` at every
+    * reference site inside [[shinglesN]] (size/slice per shift), and
+    * wrapping those occurrences in EvalOnce would only block codegen
+    * common-subexpression elimination. A lambda binding is the one
+    * Column-level construct Catalyst never substitutes into.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Contiguous 3-gram shingles of a token array ("a b c" strings).
     * Empty when fewer than 3 tokens or when `toks` is null. Delegates to
     * [[shinglesN]] — the old standalone

@@ -180,6 +180,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(regexCount("decontaminate") == 3, s"decontaminate: ${regexCount("decontaminate")}")
   }
 
+  test("single-Column shingle helpers evaluate the tokenizer exactly once per row (bindOnce)") {
+    // the within-expression counterpart of the EvalOnce guard above:
+    // shinglesN references its token array at every shift (size/slice),
+    // so a helper passing tokens(text) inline would textually embed the
+    // tokenizer at each reference site. bindOnce lambda-binds it — one
+    // evaluation, any number of reads — and this pins that shape.
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(graft.dedup.Dedup.shingleSet(col("text")),
+        graft.dedup.Dedup.hashedShingleSet(col("text")),
+        graft.dedup.Dedup.shingleHashPairs(col("text"))).foreach { c =>
+      val p = d.select(c.as("s")).queryExecution.optimizedPlan.toString
+      assert("regexp_extract_all".r.findAllIn(p).length == 1, p)
+    }
+  }
+
   test("pack_sequences runs cumsum window AND seq aggregation over ONE source exchange") {
     val p = plan("pack_sequences")
     // hashpartitioning(source) serves the offset window and, as a
