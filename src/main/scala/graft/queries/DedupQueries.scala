@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -364,6 +365,75 @@ object DedupQueries {
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // dedup_image_phash — image near-dup by perceptual hash: the multimodal
+  // counterpart of dedup_simhash, composing the REAL ImageIO decode path
+  // (Multimodal.dhash56 over the BMP/PNG corpus multimodal_pixels
+  // verifies) with the banding machinery text dedup uses. 56-bit dHash
+  // per image → collapse to DISTINCT hashes (exact perceptual dups form
+  // groups, counted in n_a/n_b — pairing at image level would re-expand
+  // heavy clusters quadratically) → Hamming banding (8 bands × 7 bits:
+  // every hash pair within distance 7 shares a band by pigeonhole, so
+  // candidate recall below the verify threshold is exactly 1.0) → exact
+  // bit_count verify ≤ 6. Output: the hash-level near-dup graph with
+  // cluster sizes. Oracle: the closed-form pixel formula recomputes every
+  // grid sample, luminance, hash bit, band key, and Hamming distance in
+  // exact integer SQL — one flipped comparison anywhere breaks the match.
+  // Scale: decode partition-local, only (id, hash) shuffles; the join is
+  // (band, slice)-keyed over distinct hashes, never image-quadratic.
+  // ========================================================================
+  def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.dhash56(s,
+      Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF()
+    val grp = hashes.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id"))
+    Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
+      .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .join(grp.select(col("phash").as("phash_a"), col("n").as("n_a")), Seq("phash_a"))
+      .join(grp.select(col("phash").as("phash_b"), col("n").as("n_b")), Seq("phash_b"))
+      .select(col("phash_a"), col("phash_b"), col("hamming"), col("n_a"), col("n_b"))
+      .orderBy(col("phash_a"), col("phash_b"))
+  }
+
+  private val dedupImagePhashSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT asset_id, s.i % 8 AS gi, s.i // 8 AS gj,
+      |    ((s.i % 8) * w) // 8 AS sx, ((s.i // 8) * h) // 8 AS sy
+      |  FROM p, range(0, 64) s(i)),
+      |l AS (
+      |  SELECT asset_id, gi, gj,
+      |    299 * ((asset_id + 13 * sx + 31 * sy) % 256)
+      |    + 587 * ((2 * asset_id + 7 * sx + 3 * sy) % 256)
+      |    + 114 * ((5 * asset_id + 11 * sx + 17 * sy) % 256) AS lum
+      |  FROM g),
+      |hsh AS (
+      |  SELECT a.asset_id,
+      |    CAST(sum(CASE WHEN b.lum > a.lum
+      |      THEN (1::BIGINT << (a.gj * 7 + a.gi)) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM l a JOIN l b ON a.asset_id = b.asset_id AND a.gj = b.gj
+      |    AND b.gi = a.gi + 1
+      |  WHERE a.gi < 7
+      |  GROUP BY a.asset_id),
+      |grp AS (SELECT phash, count(*) AS n FROM hsh GROUP BY phash),
+      |bands AS (
+      |  SELECT phash, r.b AS band, (phash >> (7 * CAST(r.b AS INT))) & 127 AS bkey
+      |  FROM grp, range(0, 8) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.phash < b.phash)
+      |SELECT phash_a, phash_b,
+      |  CAST(bit_count(xor(phash_a, phash_b)) AS BIGINT) AS hamming,
+      |  ga.n AS n_a, gb.n AS n_b
+      |FROM cand JOIN grp ga ON cand.phash_a = ga.phash
+      |          JOIN grp gb ON cand.phash_b = gb.phash
+      |WHERE bit_count(xor(phash_a, phash_b)) <= 6
+      |ORDER BY phash_a, phash_b""".stripMargin
+
+  // ========================================================================
   // dedup_embedding_cosine — near-dup pairs by embedding cosine within a
   // coarse block (label = IVF-cell stand-in). Double-precision
   // left-to-right dots both sides; threshold 0.3 (this corpus has no
@@ -626,6 +696,7 @@ object DedupQueries {
     "dedup_cluster" -> (dedupCluster _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
@@ -643,6 +714,7 @@ object DedupQueries {
     "dedup_cluster" -> dedupClusterSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_image_phash" -> dedupImagePhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,
