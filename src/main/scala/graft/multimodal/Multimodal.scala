@@ -501,6 +501,63 @@ object Multimodal {
       }
   }
 
+  /** Encode a true JPEG via the JDK's ImageIO writer at an explicit
+    * quality. Unlike [[bmp24]]/[[pngRgb24]] (hand-rolled, byte-exact by
+    * construction) the emitted BYTES are implementation-defined — JPEG is
+    * lossy and encoders differ — which is exactly why the JPEG
+    * verification path uses tolerance flags, not hashes: decode stats are
+    * compared to the source raster within a bound, never byte-for-byte.
+    */
+  def jpegRgb24(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
+                quality: Float = 0.9f): Array[Byte] = {
+    require(w > 0 && h > 0, s"jpegRgb24 needs positive dims, got ${w}x$h")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = px(x, y)
+        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** [[syntheticPixelPayloads]]' lossy sibling: the same closed-form
+    * pixel channels encoded as REAL JPEGs ([[jpegRgb24]]) — the majority
+    * format of real image corpora, exercised end-to-end (encoder →
+    * container → ImageIO decode) instead of header-only. Dims are
+    * 10..16 × 10..14 rather than the BMP/PNG corpus's 2..8 × 2..6: every
+    * image then spans multiple 8×8 MCU blocks (the representative JPEG
+    * shape — a 2×3 JPEG is a degenerate single-MCU corner case whose
+    * chroma-subsampled means drift ~16 gray levels, measured, vs ~2.0
+    * here at q=0.9), which is what makes a tight bound-flag tolerance
+    * possible downstream.
+    */
+  def syntheticJpegPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 7 + 10).toInt
+        val h = (id % 5 + 10).toInt
+        (id, jpegRgb24(w, h, imgPx(id)))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
   case class PHash(asset_id: Long, phash: Long)
 
   /** 56-bit difference hash (dHash) — the standard perceptual image

@@ -1087,6 +1087,56 @@ object SimQueries {
       |FROM agg ORDER BY asset_id""".stripMargin
 
   // ========================================================================
+  // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
+  // closed-form rasters as multimodal_pixels, but round-tripped through a
+  // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
+  // majority format of real image corpora, previously header-only. A
+  // lossy codec makes exact-hash oracles impossible BY DESIGN, so this
+  // uses the sketch_distinct pattern: the exact columns (dims, pixel
+  // count — JPEG preserves geometry) are oracle-computed from the
+  // formula, and each per-channel decoded mean is checked IN SPARK
+  // against the source raster's exact mean within JpegTol; the oracle
+  // asserts the flags as literal 1s. Tolerance rationale: per-channel
+  // MEANS ride on the DC coefficients (quantized lightly at q=0.9) plus
+  // the RGB↔YCbCr roundtrip and chroma averaging — observed max drift on
+  // this multi-MCU corpus is ~2.0 (MultimodalSpec measures and bounds
+  // it); 8.0 leaves encoder-implementation headroom without ever passing
+  // a broken decode (a channel swap or row skew shifts means by ~tens).
+  // ========================================================================
+  private val JpegTol = 8.0
+
+  def multimodalPixelsJpeg(s: SparkSession, d: String): DataFrame = {
+    val dec = Multimodal.decodePixels(s,
+      Multimodal.syntheticJpegPayloads(s, Tables.documents(s, d))).toDF()
+    val src = Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"),
+        (col("doc_id") % 7 + 10).as("w"), (col("doc_id") % 5 + 10).as("h"))
+      .withColumn("i", explode(sequence(lit(0L), col("w") * col("h") - 1L)))
+      .withColumn("x", expr("i % w"))
+      .withColumn("y", expr("i DIV w"))
+      .groupBy(col("asset_id"), col("w"), col("h"))
+      .agg(
+        avg((col("asset_id") + col("x") * 13 + col("y") * 31) % 256).as("msr"),
+        avg((col("asset_id") * 2 + col("x") * 7 + col("y") * 3) % 256).as("msg"),
+        avg((col("asset_id") * 5 + col("x") * 11 + col("y") * 17) % 256).as("msb"))
+    dec.join(src, Seq("asset_id"))
+      .select(col("asset_id"), col("width"), col("height"), col("n_px"),
+        (abs(col("mean_r") - col("msr")) <= JpegTol).cast("long").as("ok_r"),
+        (abs(col("mean_g") - col("msg")) <= JpegTol).cast("long").as("ok_g"),
+        (abs(col("mean_b") - col("msb")) <= JpegTol).cast("long").as("ok_b"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val multimodalPixelsJpegSql =
+    """SELECT doc_id AS asset_id,
+      |  CAST(doc_id % 7 + 10 AS BIGINT) AS width,
+      |  CAST(doc_id % 5 + 10 AS BIGINT) AS height,
+      |  CAST((doc_id % 7 + 10) * (doc_id % 5 + 10) AS BIGINT) AS n_px,
+      |  CAST(1 AS BIGINT) AS ok_r, CAST(1 AS BIGINT) AS ok_g,
+      |  CAST(1 AS BIGINT) AS ok_b
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  // ========================================================================
   // multimodal_audio — REAL audio decode: synthetic mono PCM-16 WAVs
   // (sample values closed-form in (doc_id, i); an id-varying LIST chunk
   // shifts the data offset so the RIFF walk is genuinely exercised,
@@ -1291,6 +1341,7 @@ object SimQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
+    "multimodal_pixels_jpeg" -> (multimodalPixelsJpeg _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_video" -> (multimodalVideo _),
@@ -1318,6 +1369,7 @@ object SimQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
+    "multimodal_pixels_jpeg" -> multimodalPixelsJpegSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_resize" -> multimodalResizeSql,
     "multimodal_video" -> multimodalVideoSql,

@@ -287,6 +287,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(hexBytes("FFD8 00FF")).isEmpty)
   }
 
+  test("JPEG round-trip: geometry exact, channel means inside the bound-flag tolerance") {
+    val docs = Tables.documents(spark, sf)
+    val dec = Multimodal.decodePixels(spark,
+      Multimodal.syntheticJpegPayloads(spark, docs)).collect()
+    assert(dec.length == docs.count()) // every JPEG decodes
+    var maxErr = 0.0
+    dec.foreach { p =>
+      val id = p.asset_id
+      val w = (id % 7 + 10).toInt; val h = (id % 5 + 10).toInt
+      // JPEG is lossy in VALUES, never in geometry
+      assert(p.width == w && p.height == h && p.n_px == w.toLong * h)
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      def mean(f: (Int, Int) => Long) = px.map(f.tupled).sum.toDouble / (w * h)
+      val errs = Seq(
+        math.abs(p.mean_r - mean((x, y) => (id + 13L * x + 31L * y) % 256)),
+        math.abs(p.mean_g - mean((x, y) => (2L * id + 7L * x + 3L * y) % 256)),
+        math.abs(p.mean_b - mean((x, y) => (5L * id + 11L * x + 17L * y) % 256)))
+      maxErr = math.max(maxErr, errs.max)
+    }
+    info(f"max per-channel mean drift over ${dec.length} JPEGs: $maxErr%.3f")
+    // the query's flags use 8.0; requiring half that here means the
+    // shipped tolerance carries >= 2x headroom over observed reality
+    assert(maxErr <= 4.0, f"JPEG mean drift $maxErr%.3f exceeds half the shipped tolerance")
+  }
+
   test("decodeHeaders over synthetic payloads matches the id-derived dimensions") {
     val docs = Tables.documents(spark, sf)
     val decoded = Multimodal.decodeHeaders(spark,
