@@ -68,17 +68,46 @@ object Scale {
       .drop("__psalt", "__bsalt")
   }
 
+  /** Drop `table` and its warehouse directory if either survives from an
+    * earlier session. The default session-scoped catalog forgets tables
+    * across JVMs while their warehouse directories persist on disk; an
+    * orphaned location then fails a fresh `saveAsTable` with
+    * LOCATION_ALREADY_EXISTS even under overwrite mode, so rebuilding a
+    * persisted artifact (index tables, bucketed relations) must clear
+    * both the catalog entry and the stale path.
+    */
+  private def dropStale(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   /** Write a DataFrame bucketed + sorted by a join key so future
     * equi-joins/aggregations on that key read co-located, pre-sorted
     * buckets (no shuffle at read time). Saved as a table (bucketing
     * metadata lives in the catalog).
     */
-  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit = {
+    dropStale(df, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Plain (unbucketed) managed-table write with the same
+    * stale-location handling as [[writeBucketed]] — for small persisted
+    * artifacts (learned scales, codebook metadata) that no join keys on.
+    */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    dropStale(df, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
 
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partCols` (e.g. `lang=en/`, `dt=2026-01-01/`). At 100 TB this is

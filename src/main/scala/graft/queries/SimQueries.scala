@@ -440,6 +440,48 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ========================================================================
+  // ann_ivf_persisted — the BUILD-ONCE / QUERY-MANY shape of a production
+  // vector index: the learned coarse quantizer (kmeans centroids) and the
+  // fully ASSIGNED corpus are persisted as catalog tables (centroids via
+  // Similarity.saveCentroids; the corpus bucketed BY CELL via
+  // Scale.writeBucketed — at billions of vectors the assignment pass, not
+  // the centroid table, is the expensive artifact, and cell-bucketing
+  // means a probe reads co-located buckets, not the corpus). The query
+  // path then RELOADS both and ranks without re-learning: no Lloyd
+  // scans, no assignment pass — exactly what the 100 TB index serves per
+  // query. Results are identical to ann_ivf_kmeans (parquet doubles
+  // round-trip bit-exactly; AnnPersistSpec pins top-k equality), so the
+  // oracle is the same re-learned pipeline.
+  // ========================================================================
+  private val ivfIndexMemo = scala.collection.mutable.Map.empty[String, (String, String)]
+  private def ivfIndexTables(s: SparkSession, d: String): (String, String) =
+    ivfIndexMemo.synchronized {
+      ivfIndexMemo.getOrElseUpdate(d, {
+        // per-dir table names: indexes for different corpora coexist
+        val suffix = java.lang.Integer.toHexString(d.hashCode)
+        val centT = s"graft_ivf_centroids_$suffix"
+        val corpT = s"graft_ivf_corpus_$suffix"
+        val cents = kmCentroids(s, d, KmPlanes, KmIters)
+        Similarity.saveCentroids(s, cents, centT)
+        graft.operators.Scale.writeBucketed(
+          emb(s, d).withColumn("kcell",
+            Similarity.nearestCentroid(col("embedding"), cents)),
+          corpT, "kcell", 8)
+        (centT, corpT)
+      })
+    }
+
+  def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val (centT, corpT) = ivfIndexTables(s, d)
+    // fresh load — the ranking below must touch only persisted artifacts
+    val loaded = Similarity.loadCentroids(s, centT)
+    Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
+        col("vec_id") < 10, k = 5, nProbe = 1,
+        centroids = Some(Similarity.localizeCentroids(s, loaded)))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The kmeans pipeline as DuckDB CTEs (no WITH prefix): `e` (vectors +
     * norms), `cn0` (LSH-bucket-seeded centroids), Lloyd rounds
     * `a1/m1/cn1 … a{iters}/m{iters}/cn{iters}`, and `am` — the final
@@ -1330,6 +1372,7 @@ object SimQueries {
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_sq8" -> (annSq8 _),
@@ -1358,6 +1401,10 @@ object SimQueries {
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
+    // the persisted-index path reloads what ann_ivf_kmeans learns, so it
+    // is checked against the identical re-learned oracle (the
+    // ann_cosine_sql precedent)
+    "ann_ivf_persisted" -> annIvfKmeansSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,28 @@ object Similarity {
       .collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_.cell).toSeq
+
+  /** Persist a learned codebook (IVF coarse centroids, a PQ subspace
+    * codebook — anything [[Centroid]]-shaped) as a catalog table, cell-
+    * bucketed via [[graft.operators.Scale.writeBucketed]]. A production
+    * index is built ONCE and queried many times; saving the learned
+    * artifact is what separates the two phases — re-learning per query
+    * re-pays the full Lloyd corpus scans on every search.
+    */
+  def saveCentroids(spark: SparkSession, cents: Seq[Centroid], table: String): Unit = {
+    import spark.implicits._
+    graft.operators.Scale.writeBucketed(
+      cents.map(c => (c.cell, c.cvec, c.cnrm)).toDF("cell", "cvec", "cnrm"),
+      table, "cell", 4)
+  }
+
+  /** Reload a [[saveCentroids]] table into the bounded local form every
+    * quantizer consumer takes. Parquet doubles round-trip bit-exactly,
+    * so a loaded codebook assigns and scores identically to the
+    * freshly-learned one (AnnPersistSpec pins this).
+    */
+  def loadCentroids(spark: SparkSession, table: String): Seq[Centroid] =
+    collectCentroids(spark.table(table))
 
   /** Argmax cell assignment as ONE codegen expression
     * ([[graft.plans.NearestCentroid]]) — a pure projection, zero
