@@ -104,15 +104,76 @@ object StreamBench {
         df => graft.streaming.StreamingResample.streamingAdapt(spark, df, "user_id", "value")),
     )
 
+    // ---- regression thresholds: the artifact asserts on itself ----
+    // Three families of bounds, from loosest-coupled to tightest:
+    //  - bytes per STATE ROW (scale-free: per-entity state size doesn't
+    //    depend on corpus size) at ~2x the measured sf0.1 values — a
+    //    state-schema regression (an accidentally retained text column,
+    //    a vector where a hash belongs) trips this immediately;
+    //  - STRUCTURAL state-row bounds — each pipeline's O(·) state shape
+    //    stated as an inequality against its own run (pack: O(shards);
+    //    bucket_mean: watermark-bounded open windows; keep-first: at
+    //    most one row per input fingerprint) — an eviction bug that
+    //    turns O(shards) into O(rows) trips this at any scale;
+    //  - rows/sec floors set 10-20x BELOW measured idle throughput:
+    //    only a catastrophic regression (per-row recompile, quadratic
+    //    state scan) trips them, co-tenant box load cannot (the r12
+    //    lesson: tight wall-clock bounds on a shared box false-alarm).
+    // maxBytesPerStateRow applies only with >= 16 state rows (below that
+    // the state store's fixed per-partition overhead dominates the
+    // ratio); small-state pipelines get an absolute total-bytes cap
+    // instead (their state is O(shards)/O(open windows) by construction,
+    // so a total cap IS the right invariant).
+    final case class Bound(maxBytesPerStateRow: Double,
+                           maxStateRows: Result => Long,
+                           minRowsPerSec: Double,
+                           maxTotalStateBytes: Long = Long.MaxValue)
+    val bounds: Map[String, Bound] = Map(
+      "curate" -> Bound(600, r => r.rowsOut, 25),            // one fp row per survivor
+      "curate_full" -> Bound(600, r => r.rowsOut, 25),
+      "dedup_keep_first" -> Bound(600, r => r.rowsIn, 25),   // one row per distinct fp
+      "lsh_verified" -> Bound(1400, r => 8 * r.rowsIn, 25),  // bands + shingle sets
+      "sessionize" -> Bound(900, r => r.rowsIn, 500),        // one row per live user
+      "pack" -> Bound(2100, _ => 64, 25, 2L << 20),          // ONE long per source shard
+      "bucket_mean" -> Bound(250000, _ => 64, 500, 8L << 20), // open windows only
+      "welford_adapt" -> Bound(900, r => r.rowsIn, 500),     // one row per key
+    )
+    val violations = results.flatMap { r =>
+      bounds.get(r.name).toSeq.flatMap { b =>
+        val perRow = if (r.stateRows > 0) r.stateBytes.toDouble / r.stateRows else 0.0
+        val rps = r.rowsIn / math.max(r.wallSec, 1e-9)
+        Seq(
+          Option.when(r.stateRows >= 16 && perRow > b.maxBytesPerStateRow)(
+            f"${r.name}: ${perRow}%.0f bytes/state-row > ${b.maxBytesPerStateRow}%.0f"),
+          Option.when(r.stateRows > b.maxStateRows(r))(
+            s"${r.name}: ${r.stateRows} state rows > structural bound ${b.maxStateRows(r)}"),
+          Option.when(r.stateBytes > b.maxTotalStateBytes)(
+            s"${r.name}: ${r.stateBytes} state bytes > cap ${b.maxTotalStateBytes}"),
+          // floors only where input amortizes fixed micro-batch overhead
+          // (the driver's canonical sf0.1 run always qualifies)
+          Option.when(r.rowsIn >= 5000 && rps < b.minRowsPerSec)(
+            f"${r.name}: ${rps}%.0f rows/sec < floor ${b.minRowsPerSec}%.0f"),
+        ).flatten
+      }
+    }
+
     def row(r: Result): String =
       f"""{"name":"${r.name}","rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
       f""""batches":${r.batches},"wall_sec":${r.wallSec}%.3f,""" +
       f""""rows_per_sec":${r.rowsIn / math.max(r.wallSec, 1e-9)}%.0f,""" +
       f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
-    val json = s"""{"sf":"$sfDir","chunks":$chunks,"pipelines":[${results.map(row).mkString(",")}]}"""
+    val violJson = violations.map(v => "\"" + v + "\"").mkString("[", ",", "]")
+    val json = s"""{"sf":"$sfDir","chunks":$chunks,"violations":$violJson,""" +
+      s""""pipelines":[${results.map(row).mkString(",")}]}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("streambench_full.json"), json)
     println(json)
     spark.stop()
+    if (violations.nonEmpty) {
+      // artifact is written and printed above; now fail LOUDLY so a
+      // state/throughput regression cannot drift through a round unseen
+      System.err.println(s"STREAMBENCH THRESHOLD VIOLATIONS:\n  ${violations.mkString("\n  ")}")
+      sys.exit(1)
+    }
   }
 }
