@@ -22,6 +22,7 @@ object Registry {
       ("dedup", DedupQueries.queries, DedupQueries.oracleSql),
       ("sim", SimQueries.queries, SimQueries.oracleSql),
       ("rel", RelQueries.queries, RelQueries.oracleSql),
+      ("ts", TsQueries.queries, TsQueries.oracleSql),
     )
 
   /** (family name, alphabetically ordered query keys) in declared group

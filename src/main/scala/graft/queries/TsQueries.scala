@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.operators.TimeSeries
+import graft.sources.Tables
+
+/** Time-series analytics family: EWMA smoothing, rolling z-score anomaly
+  * flags, lag-1 autocorrelation, and a key-skew report. The analytics a
+  * sensor-data pipeline (the reference's power-meter domain) runs as QA
+  * before windowing a channel into training sets — reference analogues:
+  * the interval audit (preprocess_utilities.py get_interval) judges
+  * sampling health, these judge VALUE health.
+  *
+  * Scale shape shared by the first three: ONE shuffle on the series key
+  * (`user_id`), then sorted window work per partition; same-spec window
+  * expressions fuse into a single Window exec (plan-guarded in
+  * TimeSeriesSpec). skew_report is a two-level agg: per-key counts shuffle
+  * on the key, the tiny key-count relation then aggregates to one row of
+  * corpus stats joined back broadcast-style.
+  */
+object TsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** events + exact µs epoch: the ordered input shape (same as
+    * WindowQueries.evE — deterministic (e_us, event_id) total order per
+    * series).
+    */
+  private def evE(s: SparkSession, d: String) =
+    ev(s, d).select(col("event_id"), col("user_id"), col("value"),
+      TimeFns.epochMicros(col("ts")).as("e_us"))
+
+  private val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+  private val overSql = "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+
+  private val EwmaLookback = 8
+  private val EwmaDecay = 0.7
+
+  // ========================================================================
+  // ts_ewma — bounded-lookback EWMA smoothing per series. Spark side and
+  // oracle SQL are generated from the same loop (TimeSeries.ewmaBounded /
+  // ewmaBoundedSql) so term order and weight literals are bit-identical.
+  // ========================================================================
+  def tsEwma(s: SparkSession, d: String): DataFrame =
+    evE(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(TimeSeries.ewmaBounded(col("value"), w, EwmaLookback, EwmaDecay), 4).as("ewma"))
+      .orderBy(col("event_id"))
+
+  private val tsEwmaSql =
+    s"""SELECT event_id, user_id,
+       |  round(${TimeSeries.ewmaBoundedSql("value", overSql, EwmaLookback, EwmaDecay)}, 4) AS ewma
+       |FROM events
+       |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // ts_zscore_anomaly — rolling z-score against the trailing 20 readings
+  // (current row excluded), anomaly flag from the ROUNDED z so the flag
+  // can only differ between engines if the z column itself differs.
+  // ========================================================================
+  private val ZLookback = 20
+  private val ZMinN = 8
+
+  def tsZscoreAnomaly(s: SparkSession, d: String): DataFrame = {
+    val z = round(TimeSeries.rollingZScore(col("value"), w, ZLookback, ZMinN), 4)
+    evE(s, d)
+      .select(col("event_id"), col("user_id"), z.as("z"))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull && abs(col("z")) > 3.0, 1L).otherwise(0L))
+      .orderBy(col("event_id"))
+  }
+
+  private val tsZscoreAnomalySql =
+    s"""WITH r AS (
+       |  SELECT event_id, user_id, value,
+       |    avg(value) OVER fr AS mu,
+       |    stddev_samp(value) OVER fr AS sd,
+       |    count(value) OVER fr AS n
+       |  FROM events
+       |  WINDOW fr AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |                ROWS BETWEEN $ZLookback PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id,
+       |  round(CASE WHEN n >= $ZMinN AND sd > 1e-9 THEN (value - mu) / sd END, 4) AS z,
+       |  CAST(CASE WHEN n >= $ZMinN AND sd > 1e-9
+       |              AND abs(round((value - mu) / sd, 4)) > 3.0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+       |FROM r
+       |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
+  // ts_autocorr — lag-1 Pearson autocorrelation per series: one window
+  // pass for the lag, one grouped agg on the same key (the lag's shuffle
+  // partitioning is reused by the groupBy — no second exchange,
+  // plan-guarded in TimeSeriesSpec).
+  // ========================================================================
+  def tsAutocorr(s: SparkSession, d: String): DataFrame =
+    evE(s, d)
+      .withColumn("v_lag", TimeSeries.lagged(col("value"), w, 1))
+      .groupBy(col("user_id"))
+      .agg(round(corr(col("value"), col("v_lag")), 4).as("autocorr_1"),
+        count(col("v_lag")).as("n_pairs"))
+      .orderBy(col("user_id"))
+
+  private val tsAutocorrSql =
+    """WITH r AS (
+      |  SELECT user_id, value,
+      |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS v_lag
+      |  FROM events)
+      |SELECT user_id, round(corr(value, v_lag), 4) AS autocorr_1,
+      |  count(v_lag) AS n_pairs
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ========================================================================
+  // skew_report — per-key distribution audit for shuffle planning: the
+  // top-5 hottest keys with their share of rows and skew ratio
+  // (count / mean-count). THE diagnostic a 100 TB job runs before picking
+  // salting/AQE strategy for a join or agg on that key — agg_salted /
+  // join_salted are the mitigations this report justifies. Exact integer
+  // counts; one shuffle on the key; the key-count relation (≤ #keys rows)
+  // is tiny, so the global stats cross-join is a broadcast of one row.
+  // ========================================================================
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d).groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).cast("double").as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_suppkey"), col("cnt"),
+        round(col("cnt") / col("total") * 100.0, 6).as("share_pct"),
+        round(col("cnt") * col("n_keys") / col("total"), 4).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(5)
+  }
+
+  private val skewReportSql =
+    """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+      |s AS (SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS n_keys FROM c)
+      |SELECT l_suppkey, cnt,
+      |  round(cnt / total * 100.0, 6) AS share_pct,
+      |  round(cnt * n_keys / total, 4) AS skew_ratio
+      |FROM c, s
+      |ORDER BY cnt DESC, l_suppkey
+      |LIMIT 5""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "ts_ewma" -> (tsEwma _),
+    "ts_zscore_anomaly" -> (tsZscoreAnomaly _),
+    "ts_autocorr" -> (tsAutocorr _),
+    "skew_report" -> (skewReport _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_ewma" -> tsEwmaSql,
+    "ts_zscore_anomaly" -> tsZscoreAnomalySql,
+    "ts_autocorr" -> tsAutocorrSql,
+    "skew_report" -> skewReportSql,
+  )
+}
