@@ -862,6 +862,65 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // decontaminate_bloom — the contamination screen through a Bloom
+  // SKETCH instead of the broadcast benchmark relation. At 100 TB the
+  // benchmark side can reach 10⁸–10⁹ distinct shingles: the exact
+  // screen's broadcast hash relation stops fitting long before the
+  // Bloom bits do (~1.8 MB / 10⁶ items at 0.1% fpp), and the sketch
+  // probe replaces explode+join+groupBy with one codegen'd projection —
+  // no shuffle at all on the corpus (plan-guarded in BloomScreenSpec).
+  //
+  // Verified the sketch_distinct way: the sketch's own counts are
+  // implementation-defined, so the oracle-checked columns are the EXACT
+  // screen's (doc_id, n_grams, n_hit) plus `bloom_no_miss` — the
+  // one-sided-error contract (bloom count ≥ exact count, i.e. the
+  // sketch NEVER misses a true contamination hit) evaluated in-Spark
+  // per doc and checked by the oracle as a literal 1. The fpp side
+  // (bounded overcount) is locked in aggregate by BloomScreenSpec.
+  // ========================================================================
+  private val BloomFpp = 0.001
+
+  /** Learned benchmark sketch for the given corpus dir: distinct bench
+    * shingles aggregated distributed (`stat.bloomFilter` treeAggregate),
+    * sized by an exact count of the bench side (bounded: the benchmark
+    * is the 1/DecontBenchMod slice, and the count is an aggregate
+    * action, not a collect).
+    */
+  private def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = {
+    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
+  }
+
+  /** Production path of the bloom screen: ONE projection over the corpus
+    * — per-doc gram count and sketch hit count — no join, no exchange.
+    */
+  def decontBloomScreen(s: SparkSession, d: String): DataFrame = {
+    val bloom = benchBloom(s, d)
+    decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        graft.plans.BloomArrayHits(col("grams"), bloom).as("n_hit_bloom"))
+  }
+
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame =
+    decontBloomScreen(s, d)
+      .join(decontHits(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_hit_bloom") >= coalesce(col("n_hit"), lit(0L)), 1L)
+          .otherwise(0L).as("bloom_no_miss"))
+      .orderBy(col("doc_id"))
+
+  private val decontaminateBloomSql =
+    s"""WITH $decontCtesSql
+      |SELECT corpus.doc_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(1 AS BIGINT) AS bloom_no_miss
+      |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+      |ORDER BY corpus.doc_id""".stripMargin
+
+  // ========================================================================
   // curate_report — per-source, per-stage attrition through the curation
   // funnel: total docs, survivors of lang-ID, of the quality gate, of
   // the token-bound gate, and of exact dedup. The observability surface
@@ -1163,6 +1222,7 @@ object TextQueries {
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "curate_report" -> (curateReport _),
     "text_scrub" -> (textScrub _),
     "scrub_count" -> (scrubCount _),
@@ -1187,6 +1247,7 @@ object TextQueries {
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateBloomSql,
     "curate_report" -> curateReportSql,
     "text_scrub" -> textScrubSql,
     "scrub_count" -> scrubCountSql,
