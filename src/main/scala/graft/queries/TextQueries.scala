@@ -921,6 +921,54 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // tfidf_topk — top-3 characteristic terms per document by smoothed
+  // TF-IDF. The keyword-extraction pass a corpus-exploration / topic-
+  // tagging step runs; also the textbook shape for "rank within group
+  // after two grouped aggs". Shuffle budget: explode → map-side-combined
+  // (doc,term) counts (ONE shuffle of the tf relation, far smaller than
+  // raw tokens), term document-frequencies over the tf relation (second
+  // shuffle, distinct-terms-sized), broadcast one-row corpus count, then
+  // a doc-keyed window for the top-3. Ranking uses the ROUNDED score
+  // (ties broken by term asc) so cross-engine rank flips require the
+  // rounded score itself to differ.
+  // ========================================================================
+  private val TfidfK = 3
+
+  def tfidfTopK(s: SparkSession, d: String): DataFrame = {
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfTopKSql =
+    s"""WITH dt AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
+      |  FROM tf JOIN dfreq USING (term), n),
+      |r AS (SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, score FROM r
+      |WHERE rank <= $TfidfK
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ========================================================================
   // curate_report — per-source, per-stage attrition through the curation
   // funnel: total docs, survivors of lang-ID, of the quality gate, of
   // the token-bound gate, and of exact dedup. The observability surface
@@ -1223,6 +1271,7 @@ object TextQueries {
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "tfidf_topk" -> (tfidfTopK _),
     "curate_report" -> (curateReport _),
     "text_scrub" -> (textScrub _),
     "scrub_count" -> (scrubCount _),
@@ -1248,6 +1297,7 @@ object TextQueries {
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateBloomSql,
+    "tfidf_topk" -> tfidfTopKSql,
     "curate_report" -> curateReportSql,
     "text_scrub" -> textScrubSql,
     "scrub_count" -> scrubCountSql,
