@@ -22,11 +22,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is ns-precision in the parquet; Spark reads it as a raw
-    * ns long (see [[graft.GraftSession]]) and we truncate to a µs
-    * timestamp here — matching DuckDB, whose TIMESTAMP is µs and which
-    * truncates ns parquet on read. Integer `div` (not double `/`): ns
-    * epochs ≈ 1.7e18 overflow double's 53-bit mantissa.
+  /** `events.ts` normalization — the driver's testdata generator has
+    * shipped two physical encodings across rounds, and the engine accepts
+    * both, always landing on TimestampType µs UTC (DuckDB's view):
+    *  - ns-precision INT64: read as a raw ns long (nanosAsLong, see
+    *    [[graft.GraftSession]]) and truncated to µs here. Integer `div`
+    *    (not double `/`): ns epochs ≈ 1.7e18 overflow double's 53-bit
+    *    mantissa.
+    *  - µs `isAdjustedToUTC=false`: read as TimestampType directly
+    *    (inferTimestampNTZ off in [[graft.GraftSession]]). The NTZ branch
+    *    below only fires for sessions configured outside GraftSession;
+    *    with the UTC session zone the cast is instant-preserving.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
@@ -34,6 +40,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
