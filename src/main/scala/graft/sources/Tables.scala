@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, from_utc_timestamp, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver testdata layout
   * (`/root/testdata/sf{N}/{name}.parquet`, see repo:TESTDATA.md).
@@ -15,37 +17,50 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
-  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
-  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
-  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
-  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` normalization — the driver's testdata generator has
+  /** Timestamp-column normalization — the driver's testdata generator has
     * shipped two physical encodings across rounds, and the engine accepts
-    * both, always landing on TimestampType µs UTC (DuckDB's view):
+    * both for EVERY table carrying event-time columns (events.ts,
+    * orders.o_orderdate, lineitem.l_shipdate), always landing on
+    * TimestampType µs UTC (DuckDB's view of the same files):
     *  - ns-precision INT64: read as a raw ns long (nanosAsLong, see
     *    [[graft.GraftSession]]) and truncated to µs here. Integer `div`
     *    (not double `/`): ns epochs ≈ 1.7e18 overflow double's 53-bit
     *    mantissa.
     *  - µs `isAdjustedToUTC=false`: read as TimestampType directly
     *    (inferTimestampNTZ off in [[graft.GraftSession]]). The NTZ branch
-    *    below only fires for sessions configured outside GraftSession;
-    *    with the UTC session zone the cast is instant-preserving.
+    *    below only fires for sessions configured outside GraftSession; it
+    *    reads the NTZ wall-clock AS a UTC instant regardless of the
+    *    session zone: a bare cast interprets the wall-clock in the
+    *    session zone (shifting the instant by the zone offset), so it is
+    *    routed through `from_utc_timestamp(cast, sessionZone)` which
+    *    applies the equal-and-opposite shift (TablesSpec pins instant
+    *    preservation under non-UTC zones in both hemispheres).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = table(spark, sfDir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+  private def tsToUtcInstant(spark: SparkSession, c: Column): Column =
+    from_utc_timestamp(c.cast(TimestampType), spark.conf.get("spark.sql.session.timeZone"))
+
+  private[sources] def normalizeTs(spark: SparkSession, df: DataFrame, cols: String*): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, name) =>
+      d.schema(name).dataType match {
+        case LongType =>
+          d.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(name, tsToUtcInstant(spark, col(name)))
+        case _ => d
+      }
     }
-  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(spark, table(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(spark, table(spark, sfDir, "orders"), "o_orderdate")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(spark, table(spark, sfDir, "events"), "ts")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }
