@@ -48,6 +48,35 @@ object Resample {
   def upsampleRepeat(df: DataFrame, tsCol: String, origSec: Long, newSec: Long): DataFrame =
     upsampleRepeatEpoch(df, TimeFns.epochSeconds(col(tsCol)), origSec, newSec)
 
+  /** Linear-fill upsample — the reference's declared-but-commented-out
+    * `fill_method="linear"` (tfdataset_resampling.py:22-25) realized by
+    * composing the repeat grid expansion with the forward-only linear
+    * interpolation window ([[Fill.interpolateForward]]): expand to the
+    * `newSec` grid, keep each source row's value only at its OWN grid
+    * point (the anchor), and interpolate interior grid points between
+    * consecutive anchors of the same series. Grid points after a
+    * series' last anchor carry it forward (there is no later anchor to
+    * interpolate toward); the first grid point of every expansion IS an
+    * anchor, so no leading nulls arise.
+    *
+    * Scale shape: one generator (explode(sequence), shuffle-free) plus
+    * ONE keyed window — a single hash shuffle on the series key, same
+    * budget as [[Fill.interpolate]]; grid values are exact integer
+    * doubles so the interpolation arithmetic is engine-identical.
+    * Emits `ts_up` (epoch-seconds grid) and `<valueCol>_lin`.
+    */
+  def upsampleLinear(df: DataFrame, tsCol: String, valueCol: String,
+                     origSec: Long, newSec: Long,
+                     partitionBy: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val epoch = TimeFns.epochSeconds(col(tsCol))
+    val anchor = (floor(epoch / lit(newSec)) * newSec).cast("long")
+    val up = upsampleRepeatEpoch(df, epoch, origSec, newSec)
+    val vAtAnchor = when(col("ts_up") === anchor, col(valueCol))
+    up.withColumn(s"${valueCol}_lin",
+      Fill.interpolateForward(vAtAnchor, col("ts_up").cast("double"),
+        partitionBy, "ts_up" +: tieBreak))
+  }
+
   /** Time-bucket mean: group rows into `intervalSec` buckets and average
     * the given value columns. The one true grouped aggregate in the
     * reference (pandas `resample(period).mean()`).

@@ -219,6 +219,55 @@ object WindowQueries {
       |ORDER BY event_id, ts_up""".stripMargin
 
   // ========================================================================
+  // §2.5 resample_up_linear — upsample 300s→60s with LINEAR fill: the
+  // reference declares `fill_method` with the linear path commented out
+  // (tfdataset_resampling.py:22-25); realized by composing the repeat
+  // grid generator with the forward-only interpolation window per user
+  // series (Resample.upsampleLinear). Anchors keep their exact value;
+  // interior grid points interpolate between consecutive anchors;
+  // trailing points carry forward. One generator + one keyed window.
+  // ========================================================================
+  def resampleUpLinear(s: SparkSession, d: String): DataFrame =
+    Resample.upsampleLinear(
+        ev(s, d).select(col("event_id"), col("user_id"), col("value"), col("ts")),
+        "ts", "value", 300L, 60L, Seq("user_id"), Seq("event_id"))
+      .select(col("event_id"), col("ts_up"), col("value_lin"))
+      .orderBy(col("event_id"), col("ts_up"))
+
+  private val resampleUpLinearSql =
+    """WITH up AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(floor(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) / 60) * 60 AS BIGINT) AS b
+      |  FROM events),
+      |g AS (
+      |  SELECT event_id, user_id, value, b,
+      |    unnest(generate_series(b, b + 240, 60)) AS ts_up
+      |  FROM up),
+      |a AS (
+      |  SELECT event_id, user_id, ts_up, CAST(ts_up AS DOUBLE) AS t,
+      |    CASE WHEN ts_up = b THEN value END AS v
+      |  FROM g),
+      |w AS (
+      |  SELECT event_id, ts_up, v, t,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER win_b AS pt,
+      |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER win_b AS pv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER win_a AS nt,
+      |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER win_a AS nv
+      |  FROM a
+      |  WINDOW
+      |    win_b AS (PARTITION BY user_id ORDER BY ts_up, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    win_a AS (PARTITION BY user_id ORDER BY ts_up, event_id
+      |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, ts_up,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pt IS NOT NULL AND nt IS NOT NULL AND nt <> pt
+      |         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+      |       WHEN pt IS NOT NULL THEN pv
+      |       END AS value_lin
+      |FROM w ORDER BY event_id, ts_up""".stripMargin
+
+  // ========================================================================
   // §2.5 fill_forward — deterministic nulls injected (event_id % 7 == 0),
   // then last-observation-carried-forward per series.
   // ========================================================================
@@ -470,6 +519,7 @@ object WindowQueries {
     "split_prefix" -> (splitPrefix _),
     "offset_skip" -> (offsetSkip _),
     "resample_up_explode" -> (resampleUpExplode _),
+    "resample_up_linear" -> (resampleUpLinear _),
     "fill_forward" -> (fillForward _),
     "fill_interpolate" -> (fillInterpolate _),
     "fill_policy" -> (fillPolicy _),
@@ -489,6 +539,7 @@ object WindowQueries {
     "split_prefix" -> splitPrefixSql,
     "offset_skip" -> offsetSkipSql,
     "resample_up_explode" -> resampleUpExplodeSql,
+    "resample_up_linear" -> resampleUpLinearSql,
     "fill_forward" -> fillForwardSql,
     "fill_interpolate" -> fillInterpolateSql,
     "fill_policy" -> fillPolicySql,

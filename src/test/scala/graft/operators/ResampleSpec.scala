@@ -6,7 +6,13 @@ import graft.sources.Tables
 import graft.functions.TimeFns
 
 class ResampleSpec extends SparkSpec {
-  lazy val events = Tables.events(spark, sf).cache()
+  // NOT cached: a cache() of a bare Tables.* relation registers an
+  // InMemoryRelation that the shared-session CacheManager substitutes
+  // into ANY later plan over the same table — PlanShapeSpec's
+  // PushedFilters/ReadSchema asserts then see a cache scan instead of
+  // the parquet scan when this suite happens to run first. sf0.001 is
+  // small enough that re-reading costs nothing.
+  lazy val events = Tables.events(spark, sf)
 
   test("upsampleRepeat 300->60 expands every row to 5") {
     val n = events.count()
@@ -42,5 +48,24 @@ class ResampleSpec extends SparkSpec {
   test("resample dispatcher: equal intervals is a no-op") {
     val same = Resample.resample(events, "ts", 300L, 300L)
     assert(same.count() == events.count())
+  }
+
+  test("upsampleLinear: anchors exact, interior points linear between consecutive anchors") {
+    // two aligned anchors 300s apart with values 10 and 20: the four
+    // interior grid points of the first expansion must read 12, 14, 16, 18
+    // (exact halves of exact doubles — no tolerance needed), and the
+    // second expansion's trailing points carry 20 forward.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 7L, 10.0D, timestamp'2024-01-01 00:00:00'),
+        |  (2L, 7L, 20.0D, timestamp'2024-01-01 00:05:00')
+        |  AS t(event_id, user_id, value, ts)""".stripMargin)
+    val out = Resample.upsampleLinear(df, "ts", "value", 300L, 60L,
+        Seq("user_id"), Seq("event_id"))
+      .select(col("event_id"), col("ts_up"), col("value_lin"))
+      .orderBy(col("ts_up")).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getDouble(2)).toSeq ==
+      Seq(10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 20.0, 20.0, 20.0, 20.0))
   }
 }
