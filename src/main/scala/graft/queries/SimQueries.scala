@@ -403,8 +403,8 @@ object SimQueries {
   // oracle unrolls the identical seed + Lloyd rounds as chained CTEs —
   // per-round round(,6) makes each round's argmax inputs engine-identical.
   // ========================================================================
-  private val KmPlanes = 3
-  private val KmIters = 2
+  private[graft] val KmPlanes = 3
+  private[graft] val KmIters = 2
 
   /** Learned-centroid memo: the Lloyd chain (seed agg + `iters` corpus
     * passes) is deterministic per (data dir, planes, iters) and reduces
@@ -418,7 +418,7 @@ object SimQueries {
     */
   private val kmMemo =
     scala.collection.mutable.Map.empty[(String, Int, Int), Seq[Similarity.Centroid]]
-  private def kmCentroids(s: SparkSession, d: String,
+  private[graft] def kmCentroids(s: SparkSession, d: String,
                           planes: Int, iters: Int): Seq[Similarity.Centroid] =
     kmMemo.synchronized {
       kmMemo.getOrElseUpdate((d, planes, iters),
@@ -632,7 +632,7 @@ object SimQueries {
   // component is round(·,6) and the 64-term dot folds left-to-right in
   // both engines.
   // ========================================================================
-  private val PqSubspaces = 4
+  private[graft] val PqSubspaces = 4
   private val PqSubDim = 16
   // 2^6 = 64 seed cells per subspace: on these isotropic synthetic
   // embeddings 16-cell codebooks left ADC recall@5 near 0.05-0.1
@@ -746,7 +746,12 @@ object SimQueries {
   /** The full PQ CTE stack (`e`, the 4 per-subspace Lloyd chains,
     * `recon`) — shared by the `ann_pq` and `ann_recall_pq` oracles.
     */
-  private val pqCtesSql = {
+  /** The PQ stack WITHOUT the leading `e` CTE — composable with stacks
+    * that bring their own (richer) `e`, e.g. the kmeans chain's
+    * e-with-nrm in the combined `ann_recall_pq` oracle. Consumers here
+    * only read `e.vec_id`/`e.embedding`, so any superset `e` works.
+    */
+  private val pqCtesBodySql = {
     val subs = 0 until PqSubspaces
     val subCtes = subs.map(pqSubCtesSql).mkString(",\n")
     val joins = subs.map(j =>
@@ -754,14 +759,17 @@ object SimQueries {
       .mkString("\n  ")
     val reconExpr =
       "list_concat(list_concat(c0.cvec, c1.cvec), list_concat(c2.cvec, c3.cvec))"
-    s"""e AS (
-       |  SELECT vec_id, embedding FROM embeddings),
-       |$subCtes,
+    s"""$subCtes,
        |recon AS (
        |  SELECT e.vec_id, $reconExpr AS recon
        |  FROM e
        |  $joins)""".stripMargin
   }
+
+  private val pqCtesSql =
+    s"""e AS (
+       |  SELECT vec_id, embedding FROM embeddings),
+       |$pqCtesBodySql""".stripMargin
 
   private val annPqSql =
     s"""WITH $pqCtesSql
@@ -847,6 +855,248 @@ object SimQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   // ========================================================================
+  // ann_ivf_pq — the COMPOSED production billion-vector index (the
+  // IVFADC layout of Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011 §V; FAISS's IndexIVFPQ): the learned
+  // coarse quantizer partitions the corpus into IVF cells, and PQ
+  // codebooks are learned on the RESIDUALS (vec − coarse centroid) —
+  // residual energy is a fraction of vector energy, so the same 4×2^6
+  // codebook budget quantizes far more precisely than whole-vector PQ.
+  // Search: probe the query's nearest coarse cells, ADC-rank ONLY the
+  // probed cells' members on reconstruction (coarse centroid + residual
+  // decode), exact-rerank the shortlist.
+  //
+  // Scale shape: per-query work is |probed cells| · compressed scan +
+  // |shortlist| exact fetches — both knobs (nProbe, shortlist) are
+  // constants; residual computation and encode are pure projections
+  // (the coarse map and 4 codebooks ride as literals — zero exchanges,
+  // same plan contract as ann_pq's encode, guarded in PlanShapeSpec);
+  // the only exchanges are the two top-k windows keyed by q_id. The
+  // oracle replays the identical coarse Lloyd chain, residual
+  // derivation (rounded coarse centroids ⇒ bit-identical residuals),
+  // 4 residual Lloyd chains, reconstruction, probe, ADC shortlist and
+  // exact rerank.
+  // ========================================================================
+  private val IvfPqProbe = 2
+
+  /** Residual frame (vec_id, kcell, resid): corpus assigned to coarse
+    * cells, residual = embedding − coarse centroid, element-wise double.
+    * Coarse centroids are rounded(,6) per the Lloyd contract, so the
+    * subtraction is engine-exact.
+    */
+  private def ivfPqResiduals(s: SparkSession, d: String): DataFrame = {
+    val coarse = kmCentroids(s, d, KmPlanes, KmIters)
+    val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
+    emb(s, d)
+      .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(coarseMap, col("kcell")),
+        (x, c) => x.cast("double") - c))
+  }
+
+  /** Per-(dir, subspace) RESIDUAL codebook memo — the [[pqMemo]] contract
+    * applied to the residual space (global codebooks across cells, the
+    * standard IVFADC layout — per-cell codebooks would need cells×
+    * subspaces tables for marginal gain on isotropic data).
+    */
+  private val ivfPqMemo =
+    scala.collection.mutable.Map.empty[(String, Int), Seq[Similarity.Centroid]]
+  private[graft] def ivfPqCentroids(s: SparkSession, d: String, j: Int): Seq[Similarity.Centroid] =
+    ivfPqMemo.synchronized {
+      ivfPqMemo.getOrElseUpdate((d, j),
+        Similarity.collectCentroids(
+          Similarity.kmeansCentroids(
+            ivfPqResiduals(s, d).select(
+              slice(col("resid"), j * PqSubDim + 1, PqSubDim).as("sub")),
+            "sub", PqPlanes, PqIters)))
+    }
+
+  /** The PERSISTABLE index payload: corpus → (vec_id, cell, rcode0..3)
+    * — one long cell id + [[PqSubspaces]] small codes per vector, the
+    * compressed artifact a billion-vector index stores (codebooks are
+    * O(cells) driver-side tables). Pure projection over the residual
+    * frame.
+    */
+  private[graft] def ivfPqCodes(s: SparkSession, d: String): DataFrame = {
+    val subs = 0 until PqSubspaces
+    val cents = subs.map(j => ivfPqCentroids(s, d, j))
+    subs.foldLeft(ivfPqResiduals(s, d)) { (df, j) =>
+      df.withColumn(s"rcode$j", Similarity.nearestCentroid(
+        slice(col("resid"), j * PqSubDim + 1, PqSubDim), cents(j)))
+    }.select(col("vec_id") +: col("kcell").as("cell") +:
+      subs.map(j => col(s"rcode$j")): _*)
+  }
+
+  /** Decode a codes frame back to (n_id, cell, recon): recon = coarse
+    * centroid + concatenated residual codebook entries. Codebooks ride
+    * as literal maps — a pure projection whatever the codes source
+    * (freshly encoded or reloaded from the persisted index).
+    */
+  private[graft] def ivfPqDecode(codes: DataFrame, coarse: Seq[Similarity.Centroid],
+                                 books: Seq[Seq[Similarity.Centroid]]): DataFrame = {
+    val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
+    val reconRes = concat(books.zipWithIndex.map { case (b, j) =>
+      element_at(typedLit(b.map(c => c.cell -> c.cvec).toMap), col(s"rcode$j"))
+    }: _*)
+    codes.select(col("vec_id").as("n_id"), col("cell"),
+      zip_with(element_at(coarseMap, col("cell")), reconRes, _ + _).as("recon"))
+  }
+
+  /** IVF-PQ encode+decode: corpus → (n_id, cell, recon) where recon =
+    * coarse centroid + residual reconstruction. Pure projection over the
+    * residual frame (codebooks and the coarse map are literals).
+    */
+  private[graft] def ivfPqEncode(s: SparkSession, d: String): DataFrame =
+    ivfPqDecode(ivfPqCodes(s, d), kmCentroids(s, d, KmPlanes, KmIters),
+      (0 until PqSubspaces).map(j => ivfPqCentroids(s, d, j)))
+
+  /** Probe + ADC shortlist + exact rerank over a reconstruction frame
+    * (n_id, cell, recon) — the search half of the index, shared by the
+    * in-session and persisted paths.
+    */
+  private[graft] def ivfPqSearch(s: SparkSession, e: DataFrame,
+                                 corpusRecon: DataFrame,
+                                 coarse: Seq[Similarity.Centroid]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = Similarity.localizeCentroids(s, coarse)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    // probe assignment — identical formula to Similarity.ivfSearch
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cell"))
+    val assigned = q.crossJoin(broadcast(cent))
+      .withColumn("cos_c", Similarity.dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("rc", row_number().over(wa))
+      .filter(col("rc") <= IvfPqProbe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val wS = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    val shortlist = corpusRecon.join(broadcast(assigned), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", Similarity.dot(col("q_vec"), col("recon")))
+      .withColumn("rs", row_number().over(wS)).filter(col("rs") <= PqShortlist)
+      .select(col("q_id"), col("q_vec"), col("n_id"))
+    val wR = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("n_id"))
+    shortlist
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec")), Seq("n_id"))
+      .withColumn("ip", Similarity.dot(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wR)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("ip"), 4).as("ip"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqSearch(s, emb(s, d), ivfPqEncode(s, d), kmCentroids(s, d, KmPlanes, KmIters))
+
+  /** One residual subspace's Lloyd chain as DuckDB CTEs — pqSubCtesSql
+    * over the `res` relation (resid already DOUBLE), CTE names prefixed
+    * `r{j}_`; ends with `r{j}_code`.
+    */
+  private def ivfPqSubCtesSql(j: Int): String = {
+    val o = j * PqSubDim
+    val dimRange = s"range(1, ${PqSubDim + 1})"
+    val bits = (0 until PqPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform($dimRange,
+         |  i -> resid[i + $o] * ((((i - 1) * 37 + $p * 101) % 19) - 9)::DOUBLE)) > 0
+         |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    def meansOf(src: String, idx: Int) =
+      s"""r${j}_m$idx AS (
+         |  SELECT $src.cell AS cell, i, round(avg(res.resid[i + $o]), 6) AS mu
+         |  FROM $src JOIN res USING (vec_id), $dimRange r(i) GROUP BY $src.cell, i),
+         |r${j}_cn$idx AS (
+         |  SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+         |  FROM (SELECT cell, list(mu ORDER BY i) AS cvec FROM r${j}_m$idx GROUP BY cell))""".stripMargin
+    def assignVs(cn: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT res.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY res.vec_id ORDER BY
+         |        list_sum(list_transform($dimRange,
+         |          i -> res.resid[i + $o] * c.cvec[i])) / c.cnrm DESC,
+         |        c.cell) AS rc
+         |    FROM res, $cn c) WHERE rc = 1)""".stripMargin
+    val head =
+      s"""r${j}_b0 AS (
+         |  SELECT vec_id, CAST($bits AS BIGINT) AS cell FROM res),
+         |${meansOf(s"r${j}_b0", 0)}""".stripMargin
+    val rounds = (1 to PqIters).map { r =>
+      assignVs(s"r${j}_cn${r - 1}", s"r${j}_a$r") + ",\n" + meansOf(s"r${j}_a$r", r)
+    }
+    val code = assignVs(s"r${j}_cn$PqIters", s"r${j}_code")
+    (Seq(head) ++ rounds :+ code).mkString(",\n")
+  }
+
+  /** The full IVF-PQ CTE stack: coarse Lloyd chain (ends `am`/`cn_k`),
+    * residuals `res`, 4 residual subspace chains, reconstruction
+    * `ivfpq_recon` (coarse + residual decode), probe `ivfpq_assign`,
+    * ADC shortlist `ivfpq_sl`, exact rerank `ivfpq_rr` (top-5).
+    * Shared by the `ann_ivf_pq` and `ann_recall_pq` oracles.
+    */
+  private val ivfPqCtesBodySql = {
+    val subs = 0 until PqSubspaces
+    val subCtes = subs.map(ivfPqSubCtesSql).mkString(",\n")
+    val joins = subs.map(j =>
+      s"JOIN r${j}_code k$j ON k$j.vec_id = res.vec_id JOIN r${j}_cn$PqIters c$j ON c$j.cell = k$j.cell")
+      .mkString("\n  ")
+    val reconExpr =
+      "list_concat(list_concat(c0.cvec, c1.cvec), list_concat(c2.cvec, c3.cvec))"
+    s"""res AS (
+       |  SELECT e.vec_id, am.cell,
+       |    list_transform(range(1, len(e.embedding) + 1),
+       |      i -> e.embedding[i]::DOUBLE - cc.cvec[i]) AS resid
+       |  FROM e JOIN am USING (vec_id) JOIN cn$KmIters cc ON cc.cell = am.cell),
+       |$subCtes,
+       |ivfpq_rres AS (
+       |  SELECT res.vec_id, res.cell, $reconExpr AS rres
+       |  FROM res
+       |  $joins),
+       |ivfpq_recon AS (
+       |  SELECT rr.vec_id, rr.cell,
+       |    list_transform(range(1, len(rr.rres) + 1), i -> cc.cvec[i] + rr.rres[i]) AS recon
+       |  FROM ivfpq_rres rr JOIN cn$KmIters cc ON cc.cell = rr.cell),
+       |ivfpq_assign AS (
+       |  SELECT q_id, q_vec, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[i]::DOUBLE * c.cvec[i])) / (q.nrm * c.cnrm) DESC,
+       |        c.cell) AS rc
+       |    FROM e q, cn$KmIters c WHERE q.vec_id < 10)
+       |  WHERE rc <= $IvfPqProbe),
+       |ivfpq_sl AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT a.q_id, m.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY a.q_id ORDER BY
+       |        list_sum(list_transform(range(1, len(m.recon) + 1),
+       |          i -> a.q_vec[i]::DOUBLE * m.recon[i])) DESC,
+       |        m.vec_id) AS rs
+       |    FROM ivfpq_assign a JOIN ivfpq_recon m ON m.cell = a.cell AND m.vec_id <> a.q_id)
+       |  WHERE rs <= $PqShortlist),
+       |ivfpq_rr AS (
+       |  SELECT q_id, n_id, ip, rank FROM (
+       |    SELECT sl.q_id, sl.n_id,
+       |      list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |        i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS ip,
+       |      row_number() OVER (PARTITION BY sl.q_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) DESC,
+       |        sl.n_id) AS rank
+       |    FROM ivfpq_sl sl JOIN e q ON q.vec_id = sl.q_id JOIN e c ON c.vec_id = sl.n_id)
+       |  WHERE rank <= 5)""".stripMargin
+  }
+
+  private val ivfPqCtesSql =
+    s"""${kmeansCtesSql(KmPlanes, KmIters)},
+       |$ivfPqCtesBodySql""".stripMargin
+
+  private val annIvfPqSql =
+    s"""WITH $ivfPqCtesSql
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(ip, 4) AS ip
+       |FROM ivfpq_rr
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
   // ann_recall_pq — recall@5 of BOTH PQ paths (raw ADC, and ADC-
   // shortlist + exact rerank) against the brute-force truth UNDER THE
   // SAME METRIC (inner product — ADC approximates IP, so the recall
@@ -871,6 +1121,7 @@ object SimQueries {
     val qids = exact.select(col("q_id")).distinct()
     val methods = Seq(
       "adc" -> annPq(s, d).select(col("q_id"), col("n_id")),
+      "ivfpq" -> annIvfPq(s, d).select(col("q_id"), col("n_id")),
       "rerank" -> annPqRerank(s, d).select(col("q_id"), col("n_id")))
     methods.map { case (name, top5) =>
       val hits = exact.join(top5, Seq("q_id", "n_id"), "left_semi")
@@ -883,7 +1134,9 @@ object SimQueries {
   }
 
   private val annRecallPqSql =
-    s"""WITH $pqCtesSql,
+    s"""WITH ${kmeansCtesSql(KmPlanes, KmIters)},
+       |$ivfPqCtesBodySql,
+       |$pqCtesBodySql,
        |bf AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -907,6 +1160,12 @@ object SimQueries {
        |  CAST(sum(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        |  sum(CASE WHEN pq.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
        |FROM bf LEFT JOIN pq ON pq.q_id = bf.q_id AND pq.n_id = bf.n_id
+       |GROUP BY bf.q_id
+       |UNION ALL
+       |SELECT bf.q_id, 'ivfpq' AS method,
+       |  CAST(sum(CASE WHEN iq.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  sum(CASE WHEN iq.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+       |FROM bf LEFT JOIN ivfpq_rr iq ON iq.q_id = bf.q_id AND iq.n_id = bf.n_id
        |GROUP BY bf.q_id
        |UNION ALL
        |SELECT bf.q_id, 'rerank' AS method,
@@ -1377,6 +1636,7 @@ object SimQueries {
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_sq8" -> (annSq8 _),
     "ann_pq" -> (annPq _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "ann_recall_pq" -> (annRecallPq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
@@ -1409,6 +1669,7 @@ object SimQueries {
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,
     "ann_pq" -> annPqSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "ann_recall_pq" -> annRecallPqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,

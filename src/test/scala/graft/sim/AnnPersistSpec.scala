@@ -35,6 +35,31 @@ class AnnPersistSpec extends SparkSpec {
     assert(full.forall(c => c.cvec.nonEmpty && !c.cnrm.isNaN))
   }
 
+  test("IVF-PQ index persists: codebooks + coded corpus round-trip, search identical") {
+    import graft.queries.SimQueries
+    val subs = 0 until SimQueries.PqSubspaces
+    // learn the composed index in-session
+    val coarse = SimQueries.kmCentroids(spark, sf, SimQueries.KmPlanes, SimQueries.KmIters)
+    val books = subs.map(j => SimQueries.ivfPqCentroids(spark, sf, j))
+    // persist: coarse codebook, 4 residual codebooks, and the CODED
+    // corpus (cell + 4 small codes per vector — the compressed artifact)
+    // bucketed by cell so a probe reads co-located buckets
+    Similarity.saveCentroids(spark, coarse, "graft_test_ivfpq_coarse")
+    subs.foreach(j => Similarity.saveCentroids(spark, books(j), s"graft_test_ivfpq_book$j"))
+    graft.operators.Scale.writeBucketed(
+      SimQueries.ivfPqCodes(spark, sf), "graft_test_ivfpq_codes", "cell", 4)
+    // reload EVERYTHING and search from persisted artifacts only
+    val coarseBack = Similarity.loadCentroids(spark, "graft_test_ivfpq_coarse")
+    val booksBack = subs.map(j => Similarity.loadCentroids(spark, s"graft_test_ivfpq_book$j"))
+    assert(coarseBack == coarse && booksBack == books) // bit-exact codebooks
+    val recon = SimQueries.ivfPqDecode(
+      spark.table("graft_test_ivfpq_codes"), coarseBack, booksBack)
+    val persisted = SimQueries.ivfPqSearch(spark, emb, recon, coarseBack).collect()
+    val inSession = graft.SparkEntry.queries("ann_ivf_pq")(spark, sf).collect()
+    assert(persisted.nonEmpty)
+    assert(persisted.sameElements(inSession))
+  }
+
   test("SQ8 scale constant round-trips bit-exactly through a table") {
     import spark.implicits._
     val scale = emb
