@@ -100,6 +100,19 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Append rows to an EXISTING bucketed table with a matching bucket
+    * spec — the incremental-index write: new rows land in their key's
+    * bucket files without touching (or re-shuffling) the base data.
+    * The bucket spec must match [[writeBucketed]]'s or Spark rejects
+    * the append.
+    */
+  def appendBucketed(df: DataFrame, table: String, keyCol: String, buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Plain (unbucketed) managed-table write with the same
     * stale-location handling as [[writeBucketed]] — for small persisted
     * artifacts (learned scales, codebook metadata) that no join keys on.

@@ -482,6 +482,60 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ========================================================================
+  // ann_ivf_append — INCREMENTAL update of the persisted IVF index: new
+  // vectors join an existing index WITHOUT re-learning the quantizer or
+  // touching the base rows. Build: centroids learned on the BASE slice
+  // (vec_id % 5 <> 4) only, base corpus assigned and cell-bucketed;
+  // append: the increment slice (% 5 = 4) is assigned against the
+  // PERSISTED (reloaded) centroids and appended into the bucketed
+  // layout — the dedup_incremental shape applied to ANN. Search over
+  // base+increment then equals search over a re-ingested union BY
+  // CONSTRUCTION (same centroids assign both sides; AnnPersistSpec
+  // asserts the equality). At 100 TB this is the difference between an
+  // O(increment) daily index update and an O(corpus) rebuild; appended
+  // rows land in their cell's buckets so probes stay co-located.
+  // Oracle: the kmeans CTE chain with every LEARNING step restricted to
+  // the base slice and the member assignment covering everything.
+  // ========================================================================
+  private val AppendBaseWhere = "vec_id % 5 <> 4"
+
+  private val ivfAppendMemo = scala.collection.mutable.Map.empty[String, (String, String)]
+  private def ivfAppendTables(s: SparkSession, d: String): (String, String) =
+    ivfAppendMemo.synchronized {
+      ivfAppendMemo.getOrElseUpdate(d, {
+        val suffix = java.lang.Integer.toHexString(d.hashCode)
+        val centT = s"graft_ivfadd_centroids_$suffix"
+        val corpT = s"graft_ivfadd_corpus_$suffix"
+        val base = emb(s, d).filter(expr(AppendBaseWhere))
+        val cents = Similarity.collectCentroids(
+          Similarity.kmeansCentroids(base, "embedding", KmPlanes, KmIters))
+        Similarity.saveCentroids(s, cents, centT)
+        graft.operators.Scale.writeBucketed(
+          base.withColumn("kcell",
+            Similarity.nearestCentroid(col("embedding"), cents)),
+          corpT, "kcell", 8)
+        // the incremental step: assign the NEW slice against the
+        // RELOADED codebook (no re-learning) and append in place
+        val loaded = Similarity.loadCentroids(s, centT)
+        graft.operators.Scale.appendBucketed(
+          emb(s, d).filter(not(expr(AppendBaseWhere)))
+            .withColumn("kcell",
+              Similarity.nearestCentroid(col("embedding"), loaded)),
+          corpT, "kcell", 8)
+        (centT, corpT)
+      })
+    }
+
+  def annIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val (centT, corpT) = ivfAppendTables(s, d)
+    val loaded = Similarity.loadCentroids(s, centT)
+    Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
+        col("vec_id") < 10, k = 5, nProbe = 1,
+        centroids = Some(Similarity.localizeCentroids(s, loaded)))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The kmeans pipeline as DuckDB CTEs (no WITH prefix): `e` (vectors +
     * norms), `cn0` (LSH-bucket-seeded centroids), Lloyd rounds
     * `a1/m1/cn1 … a{iters}/m{iters}/cn{iters}`, and `am` — the final
@@ -490,7 +544,18 @@ object SimQueries {
     * formula of `Similarity.nearestCentroid`, so floating-point near-ties
     * order identically.
     */
-  private def kmeansCtesSql(nPlanes: Int, iters: Int): String = {
+  /** `learnWhere` (optional bare predicate, e.g. `vec_id % 5 <> 4`)
+    * restricts every LEARNING step — the seed assignment and each Lloyd
+    * round's reassignment (means restrict automatically through the
+    * join against the round's assignment) — to that slice; the final
+    * `am` member assignment always covers the whole corpus. Empty
+    * string renders the original unrestricted chain byte-identically
+    * (existing oracles must not change). This is the incremental-index
+    * contract: centroids learned on the base slice, everything assigned
+    * against them.
+    */
+  private def kmeansCtesSql(nPlanes: Int, iters: Int, learnWhere: String = ""): String = {
+    val learnPred = if (learnWhere.isEmpty) "" else s" WHERE $learnWhere"
     def meansOf(src: String, idx: Int) =
       s"""m$idx AS (
          |  SELECT cell, i, round(avg(e.embedding[i]::DOUBLE), 6) AS mu
@@ -498,7 +563,7 @@ object SimQueries {
          |cn$idx AS (
          |  SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
          |  FROM (SELECT cell, list(mu ORDER BY i) AS cvec FROM m$idx GROUP BY cell))""".stripMargin
-    def assignVs(cn: String, name: String) =
+    def assignVs(cn: String, name: String, learnOnly: Boolean) =
       s"""$name AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.cell,
@@ -506,7 +571,7 @@ object SimQueries {
          |        list_sum(list_transform(range(1, len(e.embedding) + 1),
          |          i -> e.embedding[i]::DOUBLE * c.cvec[i])) / c.cnrm DESC,
          |        c.cell) AS rc
-         |    FROM e, $cn c) WHERE rc = 1)""".stripMargin
+         |    FROM e, $cn c${if (learnOnly && learnWhere.nonEmpty) s" WHERE e.$learnWhere" else ""}) WHERE rc = 1)""".stripMargin
     val head =
       s"""e AS (
          |  SELECT vec_id, embedding,
@@ -514,12 +579,12 @@ object SimQueries {
          |  FROM embeddings),
          |b0 AS (
          |  SELECT vec_id, CAST(${hyperplaneBitsSql(nPlanes)} AS BIGINT) AS cell
-         |  FROM embeddings),
+         |  FROM embeddings$learnPred),
          |${meansOf("b0", 0)}""".stripMargin
     val rounds = (1 to iters).map { r =>
-      assignVs(s"cn${r - 1}", s"a$r") + ",\n" + meansOf(s"a$r", r)
+      assignVs(s"cn${r - 1}", s"a$r", learnOnly = true) + ",\n" + meansOf(s"a$r", r)
     }
-    val fin = assignVs(s"cn$iters", "am")
+    val fin = assignVs(s"cn$iters", "am", learnOnly = false)
     (Seq(head) ++ rounds :+ fin).mkString(",\n")
   }
 
@@ -528,8 +593,8 @@ object SimQueries {
     * members keyed by `am`. Parameterized over (planes, iters) so the
     * small-k and large-k (64-cell) variants render from one definition.
     */
-  private def annIvfKmeansSqlFor(planes: Int, iters: Int): String =
-    s"""WITH ${kmeansCtesSql(planes, iters)},
+  private def annIvfKmeansSqlFor(planes: Int, iters: Int, learnWhere: String = ""): String =
+    s"""WITH ${kmeansCtesSql(planes, iters, learnWhere)},
        |assign AS (
        |  SELECT q_id, q_vec, q_nrm, cell FROM (
        |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, c.cell,
@@ -556,6 +621,7 @@ object SimQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   private val annIvfKmeansSql = annIvfKmeansSqlFor(KmPlanes, KmIters)
+  private val annIvfAppendSql = annIvfKmeansSqlFor(KmPlanes, KmIters, AppendBaseWhere)
 
   // ========================================================================
   // ann_ivf_kmeans64 — the quantizer at k past the old expression-tree
@@ -1632,6 +1698,7 @@ object SimQueries {
     "ann_ivf_probe2" -> (annIvfProbe2 _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
+    "ann_ivf_append" -> (annIvfAppend _),
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_sq8" -> (annSq8 _),
@@ -1665,6 +1732,8 @@ object SimQueries {
     // is checked against the identical re-learned oracle (the
     // ann_cosine_sql precedent)
     "ann_ivf_persisted" -> annIvfKmeansSql,
+    // append = same learned-on-base pipeline with full member assignment
+    "ann_ivf_append" -> annIvfAppendSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,

@@ -60,6 +60,31 @@ class AnnPersistSpec extends SparkSpec {
     assert(persisted.sameElements(inSession))
   }
 
+  test("incremental IVF append equals re-ingesting the whole union") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.SimQueries
+    // the persisted base+appended index path
+    val viaAppend = graft.SparkEntry.queries("ann_ivf_append")(spark, sf).collect()
+    // re-ingest: learn on the SAME base slice, assign the whole corpus
+    // in one pass, search directly — no tables. Learning is
+    // deterministic, so this reproduces the persisted codebook exactly.
+    val base = emb.filter(expr("vec_id % 5 <> 4"))
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(base, "embedding", SimQueries.KmPlanes, SimQueries.KmIters))
+    val union = emb.withColumn("kcell",
+      Similarity.nearestCentroid(col("embedding"), cents))
+    val direct = Similarity.ivfSearch(union, "vec_id", "embedding", "kcell",
+        col("vec_id") < 10, k = 5, nProbe = 1,
+        centroids = Some(Similarity.localizeCentroids(spark, cents)))
+      .orderBy(col("q_id"), col("rank")).collect()
+    assert(viaAppend.nonEmpty)
+    assert(viaAppend.sameElements(direct))
+    // and the appended rows really are in the bucketed corpus: the
+    // index serves increment-slice neighbors too
+    assert(viaAppend.exists(r => r.getLong(2) % 5 == 4),
+      "no increment-slice vector in any top-k — append not visible")
+  }
+
   test("SQ8 scale constant round-trips bit-exactly through a table") {
     import spark.implicits._
     val scale = emb
