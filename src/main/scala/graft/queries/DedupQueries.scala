@@ -395,8 +395,12 @@ object DedupQueries {
       .orderBy(col("phash_a"), col("phash_b"))
   }
 
-  private val dedupImagePhashSql =
-    """WITH p AS (
+  /** The image-phash pipeline CTEs (payload formula → grid → luminance →
+    * 56-bit dHash → distinct-hash groups → Hamming bands → candidate
+    * hash pairs) — shared by the pair query and the cluster resolution.
+    */
+  private val imagePhashCtesSql =
+    """p AS (
       |  SELECT doc_id AS asset_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
       |  FROM documents),
       |g AS (
@@ -424,7 +428,10 @@ object DedupQueries {
       |cand AS (
       |  SELECT DISTINCT a.phash AS phash_a, b.phash AS phash_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.phash < b.phash)
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.phash < b.phash)""".stripMargin
+
+  private val dedupImagePhashSql =
+    s"""WITH $imagePhashCtesSql
       |SELECT phash_a, phash_b,
       |  CAST(bit_count(xor(phash_a, phash_b)) AS BIGINT) AS hamming,
       |  ga.n AS n_a, gb.n AS n_b
@@ -432,6 +439,185 @@ object DedupQueries {
       |          JOIN grp gb ON cand.phash_b = gb.phash
       |WHERE bit_count(xor(phash_a, phash_b)) <= 6
       |ORDER BY phash_a, phash_b""".stripMargin
+
+  // ========================================================================
+  // dedup_image_cluster — TRANSITIVE resolution of the image near-dup
+  // graph with keep-first election: the dedup_cluster treatment applied
+  // to the perceptual-hash pairs. Components form over DISTINCT hashes
+  // (min-label propagation, pointer-jumped — the image-level graph
+  // would re-expand heavy perceptual-dup groups quadratically); every
+  // image then joins its hash's component, EXACT perceptual dups
+  // (hash groups with n ≥ 2) participate even when their hash has no
+  // near-dup partner (a singleton component), and the kept image per
+  // cluster is the smallest asset id. Output: (asset_id, canonical,
+  // kept) for every image in any cluster. Oracle: recursive CTE over
+  // the hash edges + the same membership/keep-first election.
+  // ========================================================================
+  def dedupImageCluster(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.dhash56(s,
+      Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF()
+    val grp = hashes.groupBy(col("phash")).agg(count(lit(1)).as("n"))
+    val pairs = Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
+      .filter(expr("bit_count(phash_a ^ phash_b)") <= 6)
+      .select(col("phash_a").as("id_a"), col("phash_b").as("id_b"))
+    val comp = Dedup.clusterLabels(pairs)
+      .select(col("doc_id").as("phash"), col("canonical").as("clbl"))
+    val members = hashes.join(grp, Seq("phash"))
+      .join(comp, Seq("phash"), "left")
+      .filter(col("n") >= 2 || col("clbl").isNotNull)
+      .withColumn("clbl", coalesce(col("clbl"), col("phash")))
+    val canon = members.groupBy(col("clbl")).agg(min(col("asset_id")).as("canonical"))
+    members.join(canon, Seq("clbl"))
+      .select(col("asset_id"), col("canonical"),
+        when(col("asset_id") === col("canonical"), 1L).otherwise(0L).as("kept"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val dedupImageClusterSql =
+    s"""WITH RECURSIVE $imagePhashCtesSql,
+      |vp AS (
+      |  SELECT phash_a, phash_b FROM cand
+      |  WHERE bit_count(xor(phash_a, phash_b)) <= 6),
+      |edges AS (
+      |  SELECT phash_a AS src, phash_b AS dst FROM vp
+      |  UNION SELECT phash_b, phash_a FROM vp),
+      |reach AS (
+      |  SELECT src AS ph, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.ph),
+      |comp AS (SELECT ph AS phash, min(lbl) AS clbl FROM reach GROUP BY ph),
+      |members AS (
+      |  SELECT h.asset_id, coalesce(c.clbl, h.phash) AS clbl
+      |  FROM hsh h JOIN grp g2 USING (phash) LEFT JOIN comp c USING (phash)
+      |  WHERE g2.n >= 2 OR c.clbl IS NOT NULL),
+      |canon AS (SELECT clbl, min(asset_id) AS canonical FROM members GROUP BY clbl)
+      |SELECT m.asset_id, c.canonical,
+      |  CAST(CASE WHEN m.asset_id = c.canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM members m JOIN canon c USING (clbl)
+      |ORDER BY m.asset_id""".stripMargin
+
+  // ========================================================================
+  // dedup_video_phash — near-dup CLIPS by per-frame perceptual hash:
+  // the video completion of the multimodal dedup story. Every 2nd frame
+  // of each mono y4m clip (REAL byte walk, planted perturbed replicas at
+  // doc_id % 10 == 3) gets a 56-bit dHash; clips collapse to DISTINCT
+  // clip signatures (md5 of the ordered frame-hash list — exact
+  // perceptual dups never pair quadratically, the dedup_image_phash
+  // treatment lifted to sequences). Candidates come from WHOLE-CLIP
+  // Hamming bands: for each of 4 bands, the clip's key is its frame
+  // list plus the per-frame 14-bit slices of that band concatenated in
+  // frame order — two clips collide only when a band agrees across
+  // EVERY sampled frame. Pigeonhole-complete for the verify criterion
+  // (same frame set, TOTAL Hamming over all aligned frames ≤ 3): ≤ 3
+  // differing bits cannot touch all 4 bands, so one band's whole-clip
+  // key must match. Per-frame banding was measured first and rejected:
+  // smooth-gradient frames make single-band keys low-entropy (1.6M
+  // candidate pairs at sf0.1 — a hot-key skew hazard at 100 TB);
+  // whole-clip keys compose the entropy of every frame (~200
+  // candidates for the same corpus). Scale: payload bytes stay
+  // partition-local (hashes computed in the stream walk, no plane
+  // copies); only (sig, frame, hash) rows shuffle; nothing is
+  // clip-quadratic. Oracle: the closed-form luma recomputed per grid
+  // sample, every hash bit, band key, signature md5 and Hamming
+  // distance in exact integer SQL.
+  // ========================================================================
+  def dedupVideoPhash(s: SparkSession, d: String): DataFrame = {
+    val fh = Multimodal.frameDhashes(s,
+      Multimodal.syntheticY4mReplicaPayloads(s, docs(s, d)), step = 2).toDF()
+    // ordered frame-hash list per clip (sort_array on the (idx, hash)
+    // structs makes the ordering explicit and shuffle-safe), then the
+    // clip signature and the per-band whole-clip keys all derive from it
+    val lists = fh.groupBy(col("asset_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fhash")))).as("fs"))
+    val sig = lists.select(col("asset_id"), col("fs"),
+      md5(concat_ws(",", expr("transform(fs, x -> CAST(x.fhash AS STRING))"))).as("csig"))
+    val sgrp = sig.groupBy(col("csig"))
+      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("rep_id"))
+    // one representative (frame list) per distinct signature
+    val srep = sgrp.join(sig.select(col("asset_id").as("rep_id"), col("fs")), Seq("rep_id"))
+    val banded = srep
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .select(col("csig"), col("band"), concat_ws(",",
+        expr("transform(fs, x -> concat(CAST(x.frame_idx AS STRING), ':', " +
+          "CAST(shiftright(x.fhash, CAST(band * 14 AS INT)) & 16383 AS STRING)))"))
+        .as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.csig") < col("b.csig"))
+      .select(col("a.csig").as("sig_a"), col("b.csig").as("sig_b"))
+      .distinct()
+    val sfh = srep.select(col("csig"), explode(col("fs")).as("fx"))
+      .select(col("csig"), col("fx.frame_idx").as("frame_idx"), col("fx.fhash").as("fhash"))
+    val ha = sfh.select(col("csig").as("sig_a"), col("frame_idx"), col("fhash").as("fha"))
+    val hb = sfh.select(col("csig").as("sig_b"), col("frame_idx"), col("fhash").as("fhb"))
+    cand.join(ha, Seq("sig_a")).join(hb, Seq("sig_b", "frame_idx"))
+      .withColumn("hamming", expr("CAST(bit_count(fha ^ fhb) AS BIGINT)"))
+      .groupBy(col("sig_a"), col("sig_b"))
+      .agg(count(lit(1)).as("n_aligned"), sum(col("hamming")).as("total_hamming"))
+      .filter(col("total_hamming") <= 3 && col("n_aligned") >= 2)
+      .join(sgrp.select(col("csig").as("sig_a"), col("n").as("n_a")), Seq("sig_a"))
+      .join(sgrp.select(col("csig").as("sig_b"), col("n").as("n_b")), Seq("sig_b"))
+      .select(col("sig_a"), col("sig_b"), col("n_aligned"), col("total_hamming"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("sig_a"), col("sig_b"))
+  }
+
+  private val dedupVideoPhashSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
+      |  FROM documents),
+      |dims AS (
+      |  SELECT asset_id, rep, rep % 9 + 8 AS w, rep % 5 + 8 AS h, rep % 7 + 3 AS nf
+      |  FROM p),
+      |fr AS (
+      |  SELECT asset_id, rep, w, h, f.f AS f
+      |  FROM dims, range(0, 10) f(f) WHERE f.f < nf AND f.f % 2 = 0),
+      |vg AS (
+      |  SELECT asset_id, rep, w, h, f, s.i % 8 AS gi, s.i // 8 AS gj,
+      |    ((s.i % 8) * w) // 8 AS sx, ((s.i // 8) * h) // 8 AS sy
+      |  FROM fr, range(0, 64) s(i)),
+      |vl AS (
+      |  SELECT asset_id, f, gi, gj,
+      |    ((rep * 7 + f * 19 + sx * 13 + sy * 31 + (sx * sy + 3) * (rep % 23)) % 250
+      |     + CASE WHEN asset_id % 10 = 3 AND f = 0 AND sx = 0 AND sy = 0
+      |         THEN 60 ELSE 0 END) % 250 AS lum
+      |  FROM vg),
+      |fhsh AS (
+      |  SELECT a.asset_id, a.f,
+      |    CAST(sum(CASE WHEN b.lum > a.lum
+      |      THEN (1::BIGINT << (a.gj * 7 + a.gi)) ELSE 0 END) AS BIGINT) AS fhash
+      |  FROM vl a JOIN vl b ON a.asset_id = b.asset_id AND a.f = b.f
+      |    AND a.gj = b.gj AND b.gi = a.gi + 1
+      |  WHERE a.gi < 7
+      |  GROUP BY a.asset_id, a.f),
+      |sig AS (
+      |  SELECT asset_id, md5(string_agg(fhash, ',' ORDER BY f)) AS csig
+      |  FROM fhsh GROUP BY asset_id),
+      |sgrp AS (SELECT csig, count(*) AS n, min(asset_id) AS rep_id FROM sig GROUP BY csig),
+      |sfh AS (
+      |  SELECT s.csig, h.f, h.fhash FROM sgrp s JOIN fhsh h ON h.asset_id = s.rep_id),
+      |bands AS (
+      |  SELECT csig, r.b AS band,
+      |    string_agg(f || ':' || ((fhash >> (14 * CAST(r.b AS INT))) & 16383),
+      |      ',' ORDER BY f) AS bkey
+      |  FROM sfh, range(0, 4) r(b)
+      |  GROUP BY csig, r.b),
+      |cand AS (
+      |  SELECT DISTINCT a.csig AS sig_a, b.csig AS sig_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.csig < b.csig),
+      |ver AS (
+      |  SELECT c.sig_a, c.sig_b, count(*) AS n_aligned,
+      |    CAST(sum(bit_count(xor(ha.fhash, hb.fhash))) AS BIGINT) AS total_hamming
+      |  FROM cand c JOIN sfh ha ON ha.csig = c.sig_a
+      |              JOIN sfh hb ON hb.csig = c.sig_b AND hb.f = ha.f
+      |  GROUP BY c.sig_a, c.sig_b)
+      |SELECT v.sig_a, v.sig_b, v.n_aligned, v.total_hamming, ga.n AS n_a, gb.n AS n_b
+      |FROM ver v JOIN sgrp ga ON ga.csig = v.sig_a
+      |           JOIN sgrp gb ON gb.csig = v.sig_b
+      |WHERE v.total_hamming <= 3 AND v.n_aligned >= 2
+      |ORDER BY v.sig_a, v.sig_b""".stripMargin
 
   // ========================================================================
   // dedup_embedding_cosine — near-dup pairs by embedding cosine within a
@@ -697,6 +883,8 @@ object DedupQueries {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_image_phash" -> (dedupImagePhash _),
+    "dedup_image_cluster" -> (dedupImageCluster _),
+    "dedup_video_phash" -> (dedupVideoPhash _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
@@ -715,6 +903,8 @@ object DedupQueries {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_image_phash" -> dedupImagePhashSql,
+    "dedup_image_cluster" -> dedupImageClusterSql,
+    "dedup_video_phash" -> dedupVideoPhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,
