@@ -687,8 +687,16 @@ object Multimodal {
     * anything malformed: missing magic, non-mono chroma, a frame line not
     * starting `FRAME`, or a truncated luma plane.
     */
-  private[multimodal] def parseY4m(id: Long, b: Array[Byte], step: Int): Seq[FrameStats] = {
-    if (b == null) return Nil
+  /** The shared mono-y4m stream walk: validate the header, step through
+    * FRAME records, and reduce every `step`-th luma plane with `reduce
+    * (w, h, bodyOffset)` reading the plane in place (no copy). Returns
+    * `(w, h, totalFrames, sampled (idx, value))`, or None for anything
+    * malformed — the single definition of the quarantine contract for
+    * both the frame-stat sampler and the per-frame perceptual hash.
+    */
+  private def walkY4mMono[T](b: Array[Byte], step: Int)(
+      reduce: (Int, Int, Int) => T): Option[(Int, Int, Long, Seq[(Int, T)])] = {
+    if (b == null) return None
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     def lineEnd(from: Int): Int = {
       var i = from
@@ -696,9 +704,9 @@ object Multimodal {
       i
     }
     val he = lineEnd(0)
-    if (he >= b.length) return Nil // no newline: not a y4m stream
+    if (he >= b.length) return None // no newline: not a y4m stream
     val toks = new String(b, 0, he, ascii).split(' ')
-    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return Nil
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
     var w = -1; var h = -1
     var chroma = "420jpeg" // the spec default when no C token is present
     toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
@@ -709,40 +717,129 @@ object Multimodal {
         case _   => () // F/I/A/X…: irrelevant to plane layout
       }
     }
-    if (w <= 0 || h <= 0 || chroma != "mono") return Nil // mono planes only
+    if (w <= 0 || h <= 0 || chroma != "mono") return None // mono planes only
     // long arithmetic: header dims like W429496729 H10 overflow an Int
     // multiply to a NEGATIVE frameSize, which would pass the truncation
     // check below and step `pos` BACKWARDS — an infinite loop appending
     // to `sampled` (executor hang/OOM) instead of a quarantined reject.
     // Any frame larger than the whole payload is malformed by definition.
     val frameSizeL = w.toLong * h
-    if (frameSizeL <= 0 || frameSizeL > b.length) return Nil
+    if (frameSizeL <= 0 || frameSizeL > b.length) return None
     val frameSize = frameSizeL.toInt // ≤ b.length, so the cast is exact
-    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, T)]
     var pos = he + 1
     var idx = 0
     while (pos < b.length) {
       val le = lineEnd(pos)
-      if (le >= b.length) return Nil // frame header never terminated
+      if (le >= b.length) return None // frame header never terminated
       val line = new String(b, pos, le - pos, ascii)
-      if (line != "FRAME" && !line.startsWith("FRAME ")) return Nil
+      if (line != "FRAME" && !line.startsWith("FRAME ")) return None
       val body = le + 1
       // long add: body + frameSize can exceed Int.MaxValue on ~2 GB payloads
-      if (body.toLong + frameSize > b.length) return Nil // truncated luma plane
-      if (idx % step == 0) {
-        var s = 0L
-        var i = 0
-        while (i < frameSize) { s += b(body + i) & 0xff; i += 1 }
-        sampled += ((idx, s))
-      }
+      if (body.toLong + frameSize > b.length) return None // truncated luma plane
+      if (idx % step == 0) sampled += ((idx, reduce(w, h, body)))
       idx += 1
       pos = body + frameSize
     }
-    val nf = idx.toLong
-    sampled.toSeq.map { case (f, s) =>
-      FrameStats(id, f.toLong, w.toLong, h.toLong, nf, s, s.toDouble / frameSize)
-    }
+    Some((w, h, idx.toLong, sampled.toSeq))
   }
+
+  /** Synthetic y4m corpus WITH PLANTED NEAR-DUP CLIPS for the video
+    * dedup path: assets whose `doc_id % 10 == 3` are PERTURBED REPLICAS
+    * of `doc_id - 1`'s clip — same dimensions and frames, luma from the
+    * same closed-form formula, plus +60 on the single (0,0) pixel of
+    * frame 0 (a re-encode/watermark stand-in) — large enough to flip a
+    * dHash comparison for most clips (the rest collapse to exact
+    * perceptual dups, also a valid outcome), small in area so per-frame
+    * Hamming stays ≤ 1 (the bump is re-reduced mod 250 so the byte
+    * never wraps differently from the oracle's arithmetic). Frames are
+    * at least 8×8 so the hash grid
+    * samples 64 DISTINCT pixels, and the luma formula carries a
+    * rep-dependent nonlinear term (`(x·y+3)·(rep % 23)`) so different
+    * clips hash near-randomly — without it the affine formula made
+    * dHash shift-invariant across clips and everything matched
+    * everything (measured: 137k pairs at sf0.1 vs 3.2k with the term).
+    * Luma stays in 0..249 so the perturbation never wraps the byte.
+    * Everything is a closed form of (rep id, frame, x, y), so a SQL
+    * oracle reproduces every hash bit of originals and replicas.
+    */
+  def syntheticY4mReplicaPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rep = if (id % 10 == 3) id - 1 else id
+        val w = (rep % 9 + 8).toInt
+        val h = (rep % 5 + 8).toInt
+        val nf = (rep % 7 + 3).toInt
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h) { i =>
+            val x = (i % w).toLong
+            val y = (i / w).toLong
+            val base = (rep * 7 + f * 19L + x * 13L + y * 31L +
+              (x * y + 3L) * (rep % 23)) % 250
+            val bump = if (id % 10 == 3 && f == 0 && i == 0) 60L else 0L
+            ((base + bump) % 250).toByte
+          }
+        }
+        (id, y4mMono(w, h, frames))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  case class FrameHash(asset_id: Long, frame_idx: Long, n_frames: Long, fhash: Long)
+
+  /** Per-frame 56-bit dHash of a mono y4m stream at sampling `step` —
+    * [[dhash56]]'s grid/compare scheme applied to each sampled luma
+    * plane: 8×8 floor-mapped samples (`src = dst · dim / 8`), lum = the
+    * raw luma byte (the plane IS luminance — no RGB weights), bit
+    * `j·7 + (i−1)` set iff `lum(i,j) > lum(i−1,j)`. Planes are read in
+    * place inside the walk — payload bytes never copy, and only
+    * (id, frame, hash) rows shuffle. Malformed streams quarantine via
+    * the shared walker.
+    */
+  def frameDhashes(spark: SparkSession, assets: DataFrame, step: Int): Dataset[FrameHash] = {
+    import spark.implicits._
+    require(step > 0, s"frame-sample step must be positive, got $step")
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        walkY4mMono(bytes, step) { (w, h, body) =>
+          var hash = 0L
+          var j = 0
+          while (j < 8) {
+            val sy = j * h / 8
+            var last = 0L
+            var i = 0
+            while (i < 8) {
+              val lum = (bytes(body + sy * w + i * w / 8) & 0xff).toLong
+              if (i > 0 && lum > last) hash |= 1L << (j * 7 + (i - 1))
+              last = lum
+              i += 1
+            }
+            j += 1
+          }
+          hash
+        } match {
+          case None => Nil
+          case Some((_, _, nf, sampled)) =>
+            sampled.map { case (f, hsh) => FrameHash(id, f.toLong, nf, hsh) }
+        }
+      })
+  }
+
+  private[multimodal] def parseY4m(id: Long, b: Array[Byte], step: Int): Seq[FrameStats] =
+    walkY4mMono(b, step) { (w, h, body) =>
+      val frameSize = w * h
+      var s = 0L
+      var i = 0
+      while (i < frameSize) { s += b(body + i) & 0xff; i += 1 }
+      s
+    } match {
+      case None => Nil
+      case Some((w, h, nf, sampled)) =>
+        sampled.map { case (f, s) =>
+          FrameStats(id, f.toLong, w.toLong, h.toLong, nf, s, s.toDouble / (w * h))
+        }
+    }
 
   case class PixelStats(asset_id: Long, width: Long, height: Long, n_px: Long,
                         sum_r: Long, sum_g: Long, sum_b: Long,

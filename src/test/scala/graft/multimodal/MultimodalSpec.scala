@@ -324,4 +324,27 @@ class MultimodalSpec extends SparkSpec {
       else assert(hdr.format == "jpeg" && hdr.bit_depth == 8 && hdr.color == 3)
     }
   }
+
+  test("video replica corpus: planted clips stay within per-frame Hamming 3 of their originals") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val docs = Tables.documents(spark, sf)
+    val fh = Multimodal.frameDhashes(spark,
+      Multimodal.syntheticY4mReplicaPayloads(spark, docs), step = 2).toDF()
+    // replica (id % 10 == 3) vs original (id - 1), frame-aligned
+    val rep = fh.filter(col("asset_id") % 10 === 3)
+      .select(col("asset_id"), col("frame_idx"), col("fhash").as("hr"))
+    val orig = fh.select((col("asset_id") + 1).as("asset_id"),
+      col("frame_idx"), col("fhash").as("ho"))
+    val joined = rep.join(orig, Seq("asset_id", "frame_idx"))
+      .selectExpr("asset_id", "CAST(bit_count(hr ^ ho) AS BIGINT) AS hamming")
+    val n = joined.count()
+    assert(n > 0, "no replica/original frame alignments — fixture broken")
+    val worst = joined.agg(smax(col("hamming"))).head().getLong(0)
+    // the +60 single-pixel bump flips at most the one (0,0)->(1,0)
+    // comparison on frame 0; every other frame is byte-identical
+    assert(worst <= 3, s"replica drifted beyond the verify threshold: $worst")
+    // and the query actually surfaces near-dup pairs on this corpus
+    val pairs = graft.SparkEntry.queries("dedup_video_phash")(spark, sf)
+    assert(pairs.count() > 0)
+  }
 }
