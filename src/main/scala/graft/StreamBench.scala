@@ -55,6 +55,9 @@ object StreamBench {
     val contaminated = graft.queries.TextQueries.queries("decontaminate")(spark, sfDir)
       .filter(col("contaminated") === 1).select(col("doc_id")).cache()
     contaminated.count()
+    // the Bloom variant's sketch: learned once from the static benchmark
+    // slice, rides every micro-batch as a plan literal (no per-batch join)
+    val benchSketch = graft.queries.TextQueries.benchBloom(spark, sfDir)
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
@@ -87,6 +90,8 @@ object StreamBench {
         df => graft.streaming.StreamingCurate.curate(spark, df)),
       run[(Long, String, String)]("curate_full", docRows, Seq("doc_id", "source", "text"),
         df => graft.streaming.StreamingCurate.curateFull(spark, df, contaminated)),
+      run[(Long, String, String)]("curate_full_bloom", docRows, Seq("doc_id", "source", "text"),
+        df => graft.streaming.StreamingCurate.curateFullBloom(spark, df, benchSketch)),
       run[(Long, String, String)]("dedup_keep_first", docRows, Seq("doc_id", "source", "text"),
         df => graft.streaming.StreamingDedup.keepFirst(spark, df, "text", "doc_id")),
       run[(Long, String, String)]("lsh_verified", docRows, Seq("doc_id", "source", "text"),
@@ -131,6 +136,9 @@ object StreamBench {
     val bounds: Map[String, Bound] = Map(
       "curate" -> Bound(600, r => r.rowsOut, 25),            // one fp row per survivor
       "curate_full" -> Bound(600, r => r.rowsOut, 25),
+      // same keep-first state shape as curate_full; the screen itself is
+      // stateless (sketch is a plan literal, not state)
+      "curate_full_bloom" -> Bound(600, r => r.rowsOut, 25),
       "dedup_keep_first" -> Bound(600, r => r.rowsIn, 25),   // one row per distinct fp
       "lsh_verified" -> Bound(1400, r => 8 * r.rowsIn, 25),  // bands + shingle sets
       "sessionize" -> Bound(900, r => r.rowsIn, 500),        // one row per live user

@@ -474,13 +474,19 @@ object TextQueries {
   // ========================================================================
   private val SeqLen = 256
 
-  def packSequences(s: SparkSession, d: String): DataFrame = {
+  /** The packer parameterized over its token denominator: `nTok` is the
+    * per-document token count Column (+1 EOD separator applied here).
+    * `pack_sequences` feeds the whitespace count; the subword variant
+    * feeds [[graft.plans.SubwordCount]] — the packing algebra (cumsum
+    * offsets, straddle explode, per-sequence aggregation) is written
+    * once.
+    */
+  private def packSequencesWith(docsDf: DataFrame, nTok: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, d)
-      .select(col("doc_id"), col("source"),
-        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+    docsDf
+      .select(col("doc_id"), col("source"), (nTok + 1).cast("long").as("n_tok"))
       .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("source"), col("st"), col("n_tok"),
         explode(sequence(expr(s"st DIV $SeqLen"),
@@ -492,11 +498,124 @@ object TextQueries {
       .orderBy(col("source"), col("seq_id"))
   }
 
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesWith(docs(s, d), size(TextOps.tokens(col("text"))))
+
   private val packSequencesSql =
     s"""WITH t AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
        |  FROM documents),
+       |o AS (
+       |  SELECT source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM t),
+       |e AS (
+       |  SELECT source, st, n_tok,
+       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
+       |  FROM o)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
+       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
+  // token_count_subword — SUBWORD-denominated token counts: greedy
+  // longest-match against a corpus-learned piece vocab (character
+  // 2-grams holding ≥ 1% of all 2-gram mass; single-char fallback) via
+  // the codegen SubwordCount expression — the vocab rides as ONE plan
+  // reference (the BloomArrayHits pattern), no join, no explode, no
+  // shuffle. Real LLM-pipeline token budgets are BPE-denominated;
+  // whitespace counts under-estimate them, and this is the engine-side
+  // counter the chunk/pack family can swap in (pack_sequences_subword
+  // below does exactly that). Learning is ONE bounded aggregation
+  // (distinct 2-grams ≤ |charset|² — 82 on this corpus) collected to
+  // the driver, the localizeCentroids contract. Oracle: re-learns the
+  // vocab in SQL and replays the greedy scan as a per-word recursive
+  // CTE — the integer threshold (cnt·100 ≥ total) and character
+  // offsets are exact in both engines (ASCII corpus; see SubwordCount
+  // scaladoc for the multilingual caveat).
+  // ========================================================================
+  private val subwordMemo = scala.collection.mutable.Map.empty[String, Set[String]]
+  private[graft] def subwordVocab(s: SparkSession, d: String): Set[String] =
+    subwordMemo.synchronized {
+      subwordMemo.getOrElseUpdate(d, {
+        val rows = docs(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
+          .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val total = rows.map(_._2).sum
+        rows.filter(_._2 * 100 >= total).map(_._1).toSet
+      })
+    }
+
+  def tokenCountSubword(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        graft.plans.SubwordCount(col("text"), subwordVocab(s, d)).as("n_subword"))
+      .orderBy(col("doc_id"))
+
+  /** Vocab learning + per-doc greedy subword count as DuckDB CTEs (no
+    * WITH prefix; needs WITH RECURSIVE): `swt` word instances, `svc`
+    * piece counts, `svoc` the ≥1%-mass vocab, `srec` the greedy scan
+    * (one recursion step per consumed piece), `sntok` per-doc totals
+    * (LEFT JOIN so token-less docs count 0).
+    */
+  private val subwordCtesSql =
+    raw"""swt AS (
+      |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS wid
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)),
+      |svc AS (
+      |  SELECT piece, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> substr(w, CAST(i AS INT), 2))) AS piece
+      |    FROM swt)
+      |  GROUP BY piece),
+      |svoc AS (SELECT piece FROM svc WHERE cnt * 100 >= (SELECT sum(cnt) FROM svc)),
+      |srec AS (
+      |  SELECT doc_id, wid, w, 1 AS pos, 0 AS cnt FROM swt
+      |  UNION ALL
+      |  SELECT r.doc_id, r.wid, r.w,
+      |    r.pos + CASE WHEN r.pos < len(r.w) AND EXISTS (
+      |        SELECT 1 FROM svoc v WHERE v.piece = substr(r.w, CAST(r.pos AS INT), 2))
+      |      THEN 2 ELSE 1 END,
+      |    r.cnt + 1
+      |  FROM srec r WHERE r.pos <= len(r.w)),
+      |swc AS (SELECT doc_id, wid, cnt AS n_pieces FROM srec WHERE pos > len(w)),
+      |sntok AS (
+      |  SELECT d.doc_id, CAST(coalesce(sum(w2.n_pieces), 0) AS BIGINT) AS n_subword
+      |  FROM documents d LEFT JOIN swc w2 ON w2.doc_id = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  private val tokenCountSubwordSql =
+    s"""WITH RECURSIVE $subwordCtesSql
+       |SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok,
+       |  ns.n_subword
+       |FROM documents d JOIN sntok ns USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ========================================================================
+  // pack_sequences_subword — the packer with its token budget
+  // SUBWORD-denominated: identical packing algebra (packSequencesWith),
+  // n_tok = greedy subword count + 1 EOD. The pair (pack_sequences,
+  // pack_sequences_subword) is the whitespace-vs-BPE budget delta made
+  // queryable — sequence counts grow by exactly the subword inflation.
+  // ========================================================================
+  def packSequencesSubword(s: SparkSession, d: String): DataFrame =
+    packSequencesWith(docs(s, d),
+      graft.plans.SubwordCount(col("text"), subwordVocab(s, d)))
+
+  private val packSequencesSubwordSql =
+    s"""WITH RECURSIVE $subwordCtesSql,
+       |t AS (
+       |  SELECT d.doc_id, d.source, ns.n_subword + 1 AS n_tok
+       |  FROM documents d JOIN sntok ns USING (doc_id)),
        |o AS (
        |  SELECT source, n_tok,
        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -800,6 +919,17 @@ object TextQueries {
     * non-cheap, which CollapseProject already refuses to inline, and
     * with `grams` pinned no filter can reach it from above.
     */
+  /** The decontamination shingle set of a text Column — the single
+    * definition of "contamination gram" (distinct 4-token shingles),
+    * EvalOnce-pinned; shared by the batch screens here and the
+    * streaming Bloom screen ([[graft.streaming.StreamingCurate
+    * .curateFullBloom]]), so batch and stream cannot hash different
+    * grams.
+    */
+  private[graft] def decontGramsCol(text: Column): Column =
+    graft.plans.EvalOnce(TextOps.bindOnce(TextOps.tokens(text))(w =>
+      array_distinct(TextOps.shinglesN(w, DecontShingle))))
+
   private def decontGrams(s: SparkSession, d: String, keep: Column): DataFrame =
     docs(s, d).filter(keep)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
@@ -886,7 +1016,7 @@ object TextQueries {
     * is the 1/DecontBenchMod slice, and the count is an aggregate
     * action, not a collect).
     */
-  private def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = {
+  private[graft] def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = {
     val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
@@ -1270,6 +1400,8 @@ object TextQueries {
     "term_freq" -> (termFreq _),
     "chunk_tokens" -> (chunkTokens _),
     "pack_sequences" -> (packSequences _),
+    "token_count_subword" -> (tokenCountSubword _),
+    "pack_sequences_subword" -> (packSequencesSubword _),
     "pipeline_pack" -> (pipelinePack _),
     "sample_mix" -> (sampleMix _),
     "pipeline_curate" -> (pipelineCurate _),
@@ -1296,6 +1428,8 @@ object TextQueries {
     "term_freq" -> termFreqSql,
     "chunk_tokens" -> chunkTokensSql,
     "pack_sequences" -> packSequencesSql,
+    "token_count_subword" -> tokenCountSubwordSql,
+    "pack_sequences_subword" -> packSequencesSubwordSql,
     "pipeline_pack" -> pipelinePackSql,
     "sample_mix" -> sampleMixSql,
     "pipeline_curate" -> pipelineCurateSql,

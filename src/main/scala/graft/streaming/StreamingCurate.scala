@@ -118,4 +118,41 @@ object StreamingCurate {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFullFn(ttl))
       .toDF("doc_id", "source", "n_re", "score", "top2_frac")
   }
+
+  /** [[curateFull]] with the contamination screen as a Bloom SKETCH of
+    * the benchmark's shingles instead of a stream-static anti-join on a
+    * banned-id relation: the probe ([[graft.plans.BloomArrayHits]] over
+    * the doc's decontamination grams, the same gram definition the
+    * batch screens hash) rides the stateless projection as a plan
+    * literal — ZERO per-batch join work, no broadcast rebuilt per
+    * micro-batch, no contamination relation shipped to executors at
+    * all. At 100 TB-of-benchmark scale the bits stay ~1.8 MB per 10⁶
+    * shingles while an id relation needs the whole precomputed screen.
+    *
+    * Error contract (one-sided, documented): the sketch NEVER misses a
+    * truly contaminated document (bloom hit count ≥ exact hit count),
+    * so everything the exact screen rejects stays rejected; at the
+    * configured fpp it may additionally reject a bounded fraction of
+    * clean documents — the admitted set is a SUBSET of the exact
+    * path's, never a superset (StreamingSpec pins exactly this against
+    * the batch funnel).
+    */
+  def curateFullBloom(spark: SparkSession, docs: DataFrame,
+                      bloom: org.apache.spark.util.sketch.BloomFilter,
+                      ttl: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val timeout = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
+    // the probe precedes the feature projection (which drops `text`);
+    // every gate is per-row, so ordering cannot change the admitted set
+    graft.queries.TextQueries.curateFullFeatures(
+        docs.filter(graft.plans.BloomArrayHits(
+          graft.queries.TextQueries.decontGramsCol(col("text")), bloom) === 0L))
+      .select(col("fp"), col("doc_id"), col("source"), col("n_re"),
+        col("score"), col("top2_frac"))
+      .as[CurateFullDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFullFn(ttl))
+      .toDF("doc_id", "source", "n_re", "score", "top2_frac")
+  }
 }

@@ -536,6 +536,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming Bloom-screened funnel: exact-path survivors minus sketch fp's, never more") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    // the sketch is learned ONCE from the static benchmark slice —
+    // bloom bits are an OR of per-item bit sets, so independently built
+    // filters over the same gram set are identical and the batch
+    // decontBloomScreen below sees the SAME sketch decisions
+    val bloom = graft.queries.TextQueries.benchBloom(spark, sf)
+    val out = StreamingCurate.curateFullBloom(spark, df, bloom)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_bloom_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("curate_bloom_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    q.stop()
+    // the exact-screen batch survivor set
+    val exact = graft.queries.TextQueries.queries("pipeline_curate_full")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // one-sided error: the sketch admits a SUBSET of the exact path
+    assert(got.nonEmpty, "the bloom funnel admitted nothing — fixture too strict")
+    assert(got.toSet.subsetOf(exact.toSet),
+      "bloom path admitted a doc the exact screen rejects — the sketch missed a hit")
+    // and exactly the subset the sketch predicts: survivors minus docs
+    // the bloom flags (fp's included), computed batch-side
+    val bloomFlagged = graft.queries.TextQueries.decontBloomScreen(spark, sf)
+      .filter(col("n_hit_bloom") > 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val want = exact.filterNot(r => bloomFlagged.contains(r._1))
+    assert(got == want)
+  }
+
   test("streaming chunker matches the batch chunk_tokens rows (stateless stage shared)") {
     // curate → chunk is the continuous training-data feed; the chunking
     // stage is stateless per doc, so the shared projection must emit
