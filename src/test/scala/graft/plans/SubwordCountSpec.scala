@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins [[SubwordCount]]'s greedy longest-match semantics on a
+  * constructed vocab, and that the generated-code path stays inside
+  * whole-stage codegen (the expression's reason to exist).
+  */
+class SubwordCountSpec extends SparkSpec {
+
+  private def counts(vocab: Set[String], maxLen: Int, texts: String*): Seq[Long] = {
+    val df = spark.sql(texts.zipWithIndex
+      .map { case (t, i) => s"($i, '${t.replace("'", "''")}')" }
+      .mkString("SELECT * FROM VALUES ", ", ", " AS t(id, s)"))
+    df.orderBy(col("id"))
+      .select(SubwordCount(col("s"), vocab, maxLen).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("greedy longest-match: vocab pieces consume, everything else is one char") {
+    // vocab {ab, cd}: "abcd" -> ab|cd = 2; "acbd" -> a|c|b|d = 4;
+    // "aabcd" -> a|ab|cd = 3 (greedy takes ab at pos 2, not a|b)
+    assert(counts(Set("ab", "cd"), 2, "abcd", "acbd", "aabcd") == Seq(2L, 4L, 3L))
+  }
+
+  test("longest match wins over shorter at the same position") {
+    // vocab {ab, abc}: "abcx" -> abc|x = 2 (not ab|c|x = 3)
+    assert(counts(Set("ab", "abc"), 3, "abcx") == Seq(2L))
+    // but a 3-piece is NOT taken when only the 2-prefix matches
+    assert(counts(Set("ab"), 3, "abcx") == Seq(3L))
+  }
+
+  test("words split on the \\S+ whitespace class; empty/whitespace-only count 0") {
+    // "ab ab\tab\nab" -> 4 pieces; whitespace never joins words into a match
+    assert(counts(Set("ab"), 2, "ab ab\tab\nab", "", "   ") == Seq(4L, 0L, 0L))
+    // "b a" with vocab {"b a"} must NOT match across the space
+    assert(counts(Set("b a"), 3, "b a") == Seq(2L))
+  }
+
+  test("interpreted eval agrees with the codegen path") {
+    val vocab = Set("th", "he", "in", "er")
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val viaExpr = df.select(SubwordCount(col("text"), vocab).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val viaDriver = df.select(col("text")).collect().map { r =>
+      val hs = new java.util.HashSet[String](); vocab.foreach(hs.add)
+      SubwordCount.count(r.getString(0), hs, 2)
+    }.sum
+    assert(viaExpr == viaDriver && viaExpr > 0)
+  }
+}
