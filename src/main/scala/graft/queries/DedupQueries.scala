@@ -497,6 +497,101 @@ object DedupQueries {
       |ORDER BY m.asset_id""".stripMargin
 
   // ========================================================================
+  // dedup_substring — EXACT duplicated-substring spans, the third text
+  // dedup granularity after whole-document (dedup_exact) and
+  // whole-document-near (MinHash/LSH): maximal token spans of length
+  // ≥ 8 that appear verbatim in ≥ 2 documents, per Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better"
+  // (arXiv:2107.06499) — boilerplate headers/licenses/templates
+  // duplicate at span level long before documents do. Suffix arrays
+  // (the paper's single-node tool) don't shard; the Spark-native shape
+  // is: positioned 8-gram fingerprints (posexplode + 7 codegen'd leads
+  // over ONE per-doc window sort — the shingleHexRows pattern) →
+  // map-side-combined fingerprint aggregation keeping cross-doc grams
+  // (distinct docs ≥ 2) → join back → per-doc gaps-and-islands merge of
+  // overlapping/adjacent duplicated windows (two windows over the SAME
+  // per-doc partitioning) → span count, duplicated-token total and
+  // fraction per affected doc. Every stage is linear; the only shuffle
+  // keys are (doc, pos) and the 16-byte gram hash. Oracle: the same
+  // pipeline over DuckDB list slices, exact integer arithmetic
+  // end-to-end (dup_frac is one rounded division of identical ints).
+  // ========================================================================
+  private val SubstrK = 8
+
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs(s, d).select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until SubstrK).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("tok"), j).over(wp))
+    }
+    val kg = leads.filter(col(s"t${SubstrK - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          col("tok") +: (1 until SubstrK).map(j => col(s"t$j")): _*)), 1, 14), 16, 10)
+          .cast("long").as("h"))
+    val dup = kg.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val dp = kg.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a position starts a new span iff it lies beyond
+    // the running max end (pos + K) of everything before it — adjacent
+    // windows (pos == prev end) merge into one contiguous region
+    val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = dp
+      .withColumn("brk", when(col("pos") >
+        coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(wp))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"))
+    val nt = docs(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp")).cast("long").as("dup_tokens"))
+      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens") / col("n_tokens"), 4).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringSql =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |kg AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(list_aggregate(t[i + 1:i + $SubstrK], 'string_agg', ' ')), 1, 14))::BIGINT AS h
+      |  FROM toks, unnest(range(0, len(t) - ${SubstrK - 1})) r(i)),
+      |dup AS (
+      |  SELECT h FROM kg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |dp AS (
+      |  SELECT kg.doc_id, kg.pos FROM kg JOIN dup USING (h)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + $SubstrK) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM dp),
+      |grpd AS (
+      |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, g, min(pos) AS sp, max(pos) + $SubstrK AS ep
+      |  FROM grpd GROUP BY doc_id, g),
+      |nt AS (
+      |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT sp.doc_id, count(*) AS n_spans,
+      |  CAST(sum(ep - sp.sp) AS BIGINT) AS dup_tokens,
+      |  any_value(nt.n_tokens) AS n_tokens,
+      |  round(CAST(sum(ep - sp.sp) AS DOUBLE) / any_value(nt.n_tokens), 4) AS dup_frac
+      |FROM spans sp JOIN nt ON nt.doc_id = sp.doc_id
+      |GROUP BY sp.doc_id
+      |ORDER BY sp.doc_id""".stripMargin
+
+  // ========================================================================
   // dedup_video_phash — near-dup CLIPS by per-frame perceptual hash:
   // the video completion of the multimodal dedup story. Every 2nd frame
   // of each mono y4m clip (REAL byte walk, planted perturbed replicas at
@@ -885,6 +980,7 @@ object DedupQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_cluster" -> (dedupImageCluster _),
     "dedup_video_phash" -> (dedupVideoPhash _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
@@ -905,6 +1001,7 @@ object DedupQueries {
     "dedup_image_phash" -> dedupImagePhashSql,
     "dedup_image_cluster" -> dedupImageClusterSql,
     "dedup_video_phash" -> dedupVideoPhashSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,

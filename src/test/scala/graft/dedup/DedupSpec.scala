@@ -165,4 +165,25 @@ class DedupSpec extends SparkSpec {
     assert(multiSet.size > one.size,
       s"expected OR-amplification to add pairs: single=${one.size} multi=${multiSet.size}")
   }
+
+  test("dedup_substring: planted shared span found with exact boundaries, overlaps merged") {
+    // two docs share one verbatim 12-token region (>= K=8), surrounded
+    // by unique filler; a third doc shares nothing. The 12-token region
+    // yields 5 overlapping duplicated 8-gram windows per doc, which
+    // must merge into ONE span of exactly 12 tokens.
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val a = s"alpha beta gamma $shared tail1 tail2"
+    val b = s"x1 x2 x3 x4 $shared y1"
+    val c = "nothing here resembles the others at all in any window of eight tokens"
+    val docsDf = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (0L, '$a', 's'), (1L, '$b', 's'), (2L, '$c', 's')
+         |  AS t(doc_id, text, source)""".stripMargin)
+    val tmp = java.nio.file.Files.createTempDirectory("ssdocs")
+    docsDf.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val out = graft.queries.DedupQueries.queries("dedup_substring")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // both sharing docs report exactly one 12-token span; doc 2 absent
+    assert(out == Seq((0L, 1L, 12L), (1L, 1L, 12L)), out.toString)
+  }
 }
