@@ -756,7 +756,11 @@ object TextQueries {
   private val Bm25B = 0.75
   private val Bm25K = 15
 
-  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc UNROUNDED BM25 score for the fixed query-term set (docs
+    * with ≥ 1 matching term) — the pre-top-k stage, shared by
+    * `bm25_topk` and the `hybrid_topk` fusion.
+    */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val dl = docs(s, d).select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
@@ -786,18 +790,26 @@ object TextQueries {
       .reduceLeft(_ + _)
     contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
       .withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+  }
+
+  def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25K)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
-  }
 
-  private val bm25TopKSql = {
+  /** The BM25 scoring pipeline as DuckDB CTEs (no WITH prefix), ending
+    * in `bm (doc_id, score_raw)` — shared by the `bm25_topk` and
+    * `hybrid_topk` oracles.
+    */
+  private val bm25CtesSql = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val caseCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
     }.mkString(", ")
     val scoreSum = Bm25Terms.indices.map(i => s"coalesce(c$i, 0.0)").mkString(" + ")
-    s"""WITH dl AS (
+    s"""dl AS (
        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
        |  FROM documents),
        |stats AS (
@@ -813,11 +825,91 @@ object TextQueries {
        |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
        |      / (CAST(tf AS DOUBLE)
        |         + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) AS contrib
-       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-       |SELECT doc_id, round($scoreSum, 4) AS score
-       |FROM (SELECT doc_id, $caseCols FROM c GROUP BY doc_id)
-       |ORDER BY $scoreSum DESC, doc_id LIMIT $Bm25K""".stripMargin
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |bm AS (
+       |  SELECT doc_id, $scoreSum AS score_raw
+       |  FROM (SELECT doc_id, $caseCols FROM c GROUP BY doc_id))""".stripMargin
   }
+
+  private val bm25TopKSql =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM bm
+       |ORDER BY score_raw DESC, doc_id LIMIT $Bm25K""".stripMargin
+
+  // ========================================================================
+  // hybrid_topk — HYBRID retrieval: the lexical (BM25) and semantic
+  // (embedding-cosine) rankings fused by Reciprocal Rank Fusion
+  // (Cormack, Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ 1/(60 + r_i)
+  // over the rankings that contain d. RRF is the standard production
+  // fusion because it needs no score normalization — only RANKS cross
+  // the fusion boundary, which is also why it verifies hash-exact
+  // cross-engine (integer ranks in, one two-term double sum out).
+  // Corpus modeling: doc_id ↔ vec_id (the driver testdata aligns them);
+  // the fixed lexical query is Bm25Terms, the fixed semantic query is
+  // vec 0's embedding. Scale shape: each side is its established
+  // pipeline (BM25's filtered explode + broadcasts; ONE broadcast query
+  // vector — no crossJoin fan-out), ranks are per-query windows, and
+  // the fusion is a full-outer join of two (id, rank) relations —
+  // nothing corpus-quadratic. With a query BATCH both windows and the
+  // join pick up q_id as a partition key unchanged.
+  // ========================================================================
+  private val RrfK = 60
+  private val HybridK = 15
+
+  def hybridTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Scores(s, d).withColumn("lex_rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"),
+        graft.sim.Similarity.norm(col("embedding")).as("q_nrm"))
+    val sem = e.crossJoin(broadcast(q))
+      .withColumn("cos", graft.sim.Similarity.dot(col("embedding"), col("q_vec"))
+        / (graft.sim.Similarity.norm(col("embedding")) * col("q_nrm")))
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= HybridK)
+      .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("rank"))
+  }
+
+  private val hybridTopKSql =
+    s"""WITH $bm25CtesSql,
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM bm),
+       |ev AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT embedding AS q_vec, nrm AS q_nrm FROM ev WHERE vec_id = 0),
+       |sem AS (
+       |  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (nrm * q_nrm) DESC,
+       |    vec_id) AS BIGINT) AS sem_rank
+       |  FROM ev CROSS JOIN qv),
+       |fused AS (
+       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
+       |FROM fused
+       |QUALIFY rank <= $HybridK
+       |ORDER BY rank""".stripMargin
 
   // ========================================================================
   // text_repetition — Gopher-style within-document repetition signals,
@@ -1413,6 +1505,7 @@ object TextQueries {
     "text_scrub" -> (textScrub _),
     "scrub_count" -> (scrubCount _),
     "bm25_topk" -> (bm25TopK _),
+    "hybrid_topk" -> (hybridTopK _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -1441,6 +1534,7 @@ object TextQueries {
     "text_scrub" -> textScrubSql,
     "scrub_count" -> scrubCountSql,
     "bm25_topk" -> bm25TopKSql,
+    "hybrid_topk" -> hybridTopKSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,
