@@ -518,7 +518,10 @@ object DedupQueries {
   // ========================================================================
   private val SubstrK = 8
 
-  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
+  /** The merged duplicated-span relation (doc_id, g, sp, ep) — shared
+    * by the span report and the span-removal transform.
+    */
+  private def substringSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = docs(s, d).select(col("doc_id"),
@@ -539,15 +542,18 @@ object DedupQueries {
     // the running max end (pos + K) of everything before it — adjacent
     // windows (pos == prev end) merge into one contiguous region
     val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
-    val spans = dp
+    dp
       .withColumn("brk", when(col("pos") >
         coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
       .withColumn("g", sum(col("brk")).over(wp))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"))
+  }
+
+  def dedupSubstring(s: SparkSession, d: String): DataFrame = {
     val nt = docs(s, d).select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-    spans.groupBy(col("doc_id"))
+    substringSpans(s, d).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("ep") - col("sp")).cast("long").as("dup_tokens"))
       .join(nt, Seq("doc_id"))
@@ -556,8 +562,12 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupSubstringSql =
-    raw"""WITH toks AS (
+  /** The duplicated-span pipeline as DuckDB CTEs (no WITH prefix),
+    * ending at `spans (doc_id, g, sp, ep)` — shared by the span REPORT
+    * (`dedup_substring`) and the span REMOVAL (`scrub_substring`).
+    */
+  private val substringCtesSql =
+    raw"""toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       |kg AS (
       |  SELECT doc_id, i AS pos,
@@ -579,7 +589,10 @@ object DedupQueries {
       |  FROM isl),
       |spans AS (
       |  SELECT doc_id, g, min(pos) AS sp, max(pos) + $SubstrK AS ep
-      |  FROM grpd GROUP BY doc_id, g),
+      |  FROM grpd GROUP BY doc_id, g)""".stripMargin
+
+  private val dedupSubstringSql =
+    raw"""WITH $substringCtesSql,
       |nt AS (
       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
       |  FROM documents)
@@ -590,6 +603,59 @@ object DedupQueries {
       |FROM spans sp JOIN nt ON nt.doc_id = sp.doc_id
       |GROUP BY sp.doc_id
       |ORDER BY sp.doc_id""".stripMargin
+
+  // ========================================================================
+  // scrub_substring — the REMOVAL transform over the duplicated-span
+  // relation: every token inside any cross-document duplicated span is
+  // dropped and the cleaned document re-emitted (as its token count and
+  // content md5 — the full-content verification pattern of text_scrub).
+  // This is the transformation Lee et al.'s exact-substring dedup
+  // actually applies to training corpora; dedup_substring is its audit
+  // view. Span positions explode to at most dup_tokens rows per doc
+  // (bounded by doc length) and anti-join the positioned tokens —
+  // nothing corpus-quadratic; the reassembly is one doc-keyed
+  // aggregation over kept tokens in position order.
+  // ========================================================================
+  def scrubSubstring(s: SparkSession, d: String): DataFrame = {
+    val spanPos = substringSpans(s, d)
+      .select(col("doc_id"), explode(sequence(col("sp"), col("ep") - 1)).as("pos"))
+    val toks = docs(s, d).select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(spanPos, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("clean_md5"))
+    docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val scrubSubstringSql =
+    raw"""WITH $substringCtesSql,
+      |sp2 AS (
+      |  SELECT doc_id, unnest(range(sp, ep)) AS pos FROM spans),
+      |tok2 AS (
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toks),
+      |kept AS (
+      |  SELECT t2.doc_id, t2.pos, t2.tok
+      |  FROM tok2 t2 LEFT JOIN sp2 ON sp2.doc_id = t2.doc_id AND sp2.pos = t2.pos
+      |  WHERE sp2.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(agg.clean_md5, md5('')) AS clean_md5
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // ========================================================================
   // dedup_video_phash — near-dup CLIPS by per-frame perceptual hash:
@@ -981,6 +1047,7 @@ object DedupQueries {
     "dedup_image_cluster" -> (dedupImageCluster _),
     "dedup_video_phash" -> (dedupVideoPhash _),
     "dedup_substring" -> (dedupSubstring _),
+    "scrub_substring" -> (scrubSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
@@ -1002,6 +1069,7 @@ object DedupQueries {
     "dedup_image_cluster" -> dedupImageClusterSql,
     "dedup_video_phash" -> dedupVideoPhashSql,
     "dedup_substring" -> dedupSubstringSql,
+    "scrub_substring" -> scrubSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
     "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,

@@ -185,5 +185,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // both sharing docs report exactly one 12-token span; doc 2 absent
     assert(out == Seq((0L, 1L, 12L), (1L, 1L, 12L)), out.toString)
+    // the removal transform drops exactly the span: doc 0 keeps its 5
+    // unique tokens, doc 1 its 5, doc 2 everything; cleaned md5 equals
+    // the md5 of the expected kept-token join
+    val scrub = graft.queries.DedupQueries.queries("scrub_substring")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    def m(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(scrub == Seq(
+      (0L, 17L, 5L, m("alpha beta gamma tail1 tail2")),
+      (1L, 17L, 5L, m("x1 x2 x3 x4 y1")),
+      (2L, 13L, 13L, m(c))), scrub.toString)
   }
 }

@@ -401,6 +401,39 @@ class PlanShapeSpec extends SparkSpec {
     assert("explode".r.findAllIn(opt).length == 1, opt)
   }
 
+  test("dedup_substring: map-side combined fingerprint agg, doc-keyed windows, no cartesian") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // every window (lead chain, gaps-and-islands) keys on the doc — a
+    // bare global sort here would serialize the corpus through one task
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("hybrid_topk: rank fusion joins stay hash/broadcast (no cartesian product)") {
+    val p = plan("hybrid_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the two ONE-ROW broadcasts (bm25's
+    // corpus stats, the single query vector) — the benign skew_report
+    // pattern; a corpus-sized BNLJ would also trip the count. Formatted
+    // mode renders every node twice (tree + detail header): 2 nodes = 4.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+  }
+
+  test("dedup_video_phash: banding joins on whole-clip keys, never clip-quadratic") {
+    val p = plan("dedup_video_phash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkey"), p) // candidates come from the band equi-join
+  }
+
+  test("token_count_subword is a pure projection over the scan (vocab rides as a literal)") {
+    val p = plan("token_count_subword")
+    assert(!p.contains("Generate"), p)          // no explode in the count path
+    assert(!p.contains("hashpartitioning"), p)  // only the presentation sort
+    assert(!p.contains("Join"), p)
+  }
+
   test("the pinned row-index input (the real code path) range-partitions with a local sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$sf/events.parquet").select(col("event_id"))
