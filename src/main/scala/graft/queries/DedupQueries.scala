@@ -381,16 +381,47 @@ object DedupQueries {
   // Scale: decode partition-local, only (id, hash) shuffles; the join is
   // (band, slice)-keyed over distinct hashes, never image-quadratic.
   // ========================================================================
+  /** One image-phash pipeline per (session, dir) — the [[lshShared]]
+    * lifecycle applied to the image family: the decode→dHash relation,
+    * the distinct-hash groups, and the verified (≤ 6 bit) near-dup
+    * pairs are each computed once and persisted; `dedup_image_phash`
+    * and `dedup_image_cluster` both derive from them (the cluster query
+    * used to re-decode the whole corpus to rebuild the same pairs).
+    */
+  private case class ImageShared(hashes: DataFrame, grp: DataFrame, pairs: DataFrame)
+  private var imageMemo: Option[((SparkSession, String), ImageShared)] = None
+  private def imageShared(s: SparkSession, d: String): ImageShared = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    imageMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        Seq(v.hashes, v.grp, v.pairs).foreach { df =>
+          if (df.storageLevel == StorageLevel.NONE) df.persist()
+        }
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try Seq(v.hashes, v.grp, v.pairs).foreach(_.unpersist(false))
+            catch { case _: IllegalStateException => () }
+        }
+        val hashes = Multimodal.dhash56(s,
+          Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF().persist()
+        val grp = hashes.groupBy(col("phash"))
+          .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
+        val pairs = Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
+          .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS BIGINT)"))
+          .filter(col("hamming") <= 6).persist()
+        val v = ImageShared(hashes, grp, pairs)
+        imageMemo = Some(((s, d), v))
+        v
+    }
+  }
+
   def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
-    val hashes = Multimodal.dhash56(s,
-      Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF()
-    val grp = hashes.groupBy(col("phash"))
-      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id"))
-    Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
-      .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS BIGINT)"))
-      .filter(col("hamming") <= 6)
-      .join(grp.select(col("phash").as("phash_a"), col("n").as("n_a")), Seq("phash_a"))
-      .join(grp.select(col("phash").as("phash_b"), col("n").as("n_b")), Seq("phash_b"))
+    val sh = imageShared(s, d)
+    sh.pairs
+      .join(sh.grp.select(col("phash").as("phash_a"), col("n").as("n_a")), Seq("phash_a"))
+      .join(sh.grp.select(col("phash").as("phash_b"), col("n").as("n_b")), Seq("phash_b"))
       .select(col("phash_a"), col("phash_b"), col("hamming"), col("n_a"), col("n_b"))
       .orderBy(col("phash_a"), col("phash_b"))
   }
@@ -454,15 +485,11 @@ object DedupQueries {
   // the hash edges + the same membership/keep-first election.
   // ========================================================================
   def dedupImageCluster(s: SparkSession, d: String): DataFrame = {
-    val hashes = Multimodal.dhash56(s,
-      Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF()
-    val grp = hashes.groupBy(col("phash")).agg(count(lit(1)).as("n"))
-    val pairs = Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
-      .filter(expr("bit_count(phash_a ^ phash_b)") <= 6)
-      .select(col("phash_a").as("id_a"), col("phash_b").as("id_b"))
+    val sh = imageShared(s, d)
+    val pairs = sh.pairs.select(col("phash_a").as("id_a"), col("phash_b").as("id_b"))
     val comp = Dedup.clusterLabels(pairs)
       .select(col("doc_id").as("phash"), col("canonical").as("clbl"))
-    val members = hashes.join(grp, Seq("phash"))
+    val members = sh.hashes.join(sh.grp.select(col("phash"), col("n")), Seq("phash"))
       .join(comp, Seq("phash"), "left")
       .filter(col("n") >= 2 || col("clbl").isNotNull)
       .withColumn("clbl", coalesce(col("clbl"), col("phash")))
