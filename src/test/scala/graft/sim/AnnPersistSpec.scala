@@ -85,6 +85,31 @@ class AnnPersistSpec extends SparkSpec {
       "no increment-slice vector in any top-k — append not visible")
   }
 
+  test("IVF-PQ codes append incrementally: base+appended equals one-pass encode") {
+    import org.apache.spark.sql.functions.expr
+    import graft.queries.SimQueries
+    val subs = 0 until SimQueries.PqSubspaces
+    val coarse = SimQueries.kmCentroids(spark, sf, SimQueries.KmPlanes, SimQueries.KmIters)
+    val books = subs.map(j => SimQueries.ivfPqCentroids(spark, sf, j))
+    // with codebooks FIXED, per-vector codes are deterministic — so a
+    // codes table built from the base slice and APPENDED with the
+    // increment's codes must serve searches identically to the
+    // in-session one-pass encode (the ann_ivf_append contract lifted to
+    // the composed index: daily increments join the compressed layout
+    // without touching base rows or re-learning any quantizer)
+    val codes = SimQueries.ivfPqCodes(spark, sf)
+    graft.operators.Scale.writeBucketed(
+      codes.filter(expr("vec_id % 5 <> 4")), "graft_test_ivfpq_codes_inc", "cell", 4)
+    graft.operators.Scale.appendBucketed(
+      codes.filter(expr("vec_id % 5 = 4")), "graft_test_ivfpq_codes_inc", "cell", 4)
+    val recon = SimQueries.ivfPqDecode(
+      spark.table("graft_test_ivfpq_codes_inc"), coarse, books)
+    val viaAppend = SimQueries.ivfPqSearch(spark, emb, recon, coarse).collect()
+    val inSession = graft.SparkEntry.queries("ann_ivf_pq")(spark, sf).collect()
+    assert(viaAppend.nonEmpty)
+    assert(viaAppend.sameElements(inSession))
+  }
+
   test("SQ8 scale constant round-trips bit-exactly through a table") {
     import spark.implicits._
     val scale = emb
