@@ -839,38 +839,44 @@ object TextQueries {
 
   // ========================================================================
   // hybrid_topk — HYBRID retrieval: the lexical (BM25) and semantic
-  // (embedding-cosine) rankings fused by Reciprocal Rank Fusion
-  // (Cormack, Clarke & Büttcher, SIGIR 2009): rrf(d) = Σ 1/(60 + r_i)
-  // over the rankings that contain d. RRF is the standard production
-  // fusion because it needs no score normalization — only RANKS cross
-  // the fusion boundary, which is also why it verifies hash-exact
-  // cross-engine (integer ranks in, one two-term double sum out).
-  // Corpus modeling: doc_id ↔ vec_id (the driver testdata aligns them);
-  // the fixed lexical query is Bm25Terms, the fixed semantic query is
-  // vec 0's embedding. Scale shape: each side is its established
-  // pipeline (BM25's filtered explode + broadcasts; ONE broadcast query
-  // vector — no crossJoin fan-out), ranks are per-query windows, and
-  // the fusion is a full-outer join of two (id, rank) relations —
-  // nothing corpus-quadratic. With a query BATCH both windows and the
-  // join pick up q_id as a partition key unchanged.
+  // (embedding-cosine) RETRIEVED LISTS fused by Reciprocal Rank Fusion
+  // (Cormack, Clarke & Büttcher, SIGIR 2009): each system contributes
+  // its top-100; rrf(d) = Σ 1/(60 + r_i) over the lists containing d.
+  // Fusing bounded lists (not full corpus rankings) is both the
+  // production semantics AND the scale contract: each top-100 plans as
+  // a distributed TakeOrderedAndProject (per-partition heaps, one
+  // bounded merge — NEVER a corpus-sized single-task window), ranks are
+  // then a window over ≤ 100 rows, and the fusion is a join of two
+  // 100-row relations. RRF needs no score normalization — only integer
+  // ranks cross the fusion boundary, which is also why it verifies
+  // hash-exact cross-engine. Corpus modeling: doc_id ↔ vec_id (the
+  // driver testdata aligns them); the fixed lexical query is Bm25Terms,
+  // the fixed semantic query is vec 0's embedding; with a query BATCH
+  // every stage picks up q_id as a partition key unchanged.
   // ========================================================================
   private val RrfK = 60
   private val HybridK = 15
+  private val HybridListN = 100
 
   def hybridTopK(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25Scores(s, d).withColumn("lex_rank",
+    // bounded retrieved lists first (distributed top-k), ranks after
+    val lexTop = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(HybridListN)
+    val lex = lexTop.withColumn("lex_rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("lex_rank"))
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("q_vec"),
         graft.sim.Similarity.norm(col("embedding")).as("q_nrm"))
-    val sem = e.crossJoin(broadcast(q))
+    val semTop = e.crossJoin(broadcast(q))
       .withColumn("cos", graft.sim.Similarity.dot(col("embedding"), col("q_vec"))
         / (graft.sim.Similarity.norm(col("embedding")) * col("q_nrm")))
-      .withColumn("sem_rank",
-        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(HybridListN)
+    val sem = semTop.withColumn("sem_rank",
+      row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .select(col("vec_id").as("doc_id"), col("sem_rank"))
     lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf",
@@ -888,7 +894,8 @@ object TextQueries {
     s"""WITH $bm25CtesSql,
        |lex AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
-       |  FROM bm),
+       |  FROM bm
+       |  QUALIFY lex_rank <= $HybridListN),
        |ev AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
@@ -899,7 +906,8 @@ object TextQueries {
        |    list_sum(list_transform(range(1, len(embedding) + 1),
        |      i -> embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (nrm * q_nrm) DESC,
        |    vec_id) AS BIGINT) AS sem_rank
-       |  FROM ev CROSS JOIN qv),
+       |  FROM ev CROSS JOIN qv
+       |  QUALIFY sem_rank <= $HybridListN),
        |fused AS (
        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
        |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)

@@ -418,6 +418,9 @@ class PlanShapeSpec extends SparkSpec {
     // pattern; a corpus-sized BNLJ would also trip the count. Formatted
     // mode renders every node twice (tree + detail header): 2 nodes = 4.
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+    // both retrieved lists must come from distributed top-k heaps, not
+    // a corpus-sized single-task ranking window
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("dedup_video_phash: banding joins on whole-clip keys, never clip-quadratic") {
