@@ -950,14 +950,38 @@ object SimQueries {
     * Coarse centroids are rounded(,6) per the Lloyd contract, so the
     * subtraction is engine-exact.
     */
-  private def ivfPqResiduals(s: SparkSession, d: String): DataFrame = {
-    val coarse = kmCentroids(s, d, KmPlanes, KmIters)
-    val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
-    emb(s, d)
-      .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
-      .withColumn("resid", zip_with(col("embedding"),
-        element_at(coarseMap, col("kcell")),
-        (x, c) => x.cast("double") - c))
+  /** PERSISTED per-(session, dir) — the [[graft.queries.DedupQueries]]
+    * memo lifecycle: all four residual codebook learnings (each driving
+    * several Lloyd scans) plus the encode pass derive from this one
+    * frame, and without the persist every consumer re-ran the
+    * full-corpus coarse assignment + residual subtraction (~5× per
+    * index build, the review-flagged multiplier on the dominant encode
+    * cost at scale).
+    */
+  private var ivfPqResidMemo: Option[((SparkSession, String), DataFrame)] = None
+  private def ivfPqResiduals(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    ivfPqResidMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        if (v.storageLevel == StorageLevel.NONE) v.persist()
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try v.unpersist(false)
+            catch { case _: IllegalStateException => () }
+        }
+        val coarse = kmCentroids(s, d, KmPlanes, KmIters)
+        val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
+        val v = emb(s, d)
+          .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
+          .withColumn("resid", zip_with(col("embedding"),
+            element_at(coarseMap, col("kcell")),
+            (x, c) => x.cast("double") - c))
+          .persist()
+        ivfPqResidMemo = Some(((s, d), v))
+        v
+    }
   }
 
   /** Per-(dir, subspace) RESIDUAL codebook memo — the [[pqMemo]] contract

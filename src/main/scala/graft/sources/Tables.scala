@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, from_utc_timestamp, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.functions.{col, date_part, expr, hour, lit, minute, timestamp_micros, unix_date}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver testdata layout
   * (`/root/testdata/sf{N}/{name}.parquet`, see repo:TESTDATA.md).
@@ -31,13 +31,21 @@ object Tables {
     *    below only fires for sessions configured outside GraftSession; it
     *    reads the NTZ wall-clock AS a UTC instant regardless of the
     *    session zone: a bare cast interprets the wall-clock in the
-    *    session zone (shifting the instant by the zone offset), so it is
-    *    routed through `from_utc_timestamp(cast, sessionZone)` which
-    *    applies the equal-and-opposite shift (TablesSpec pins instant
-    *    preservation under non-UTC zones in both hemispheres).
+    *    session zone (shifting the instant by the zone offset), and the
+    *    cast-then-cancel form (`from_utc_timestamp(cast, zone)`) drifts
+    *    an hour inside that zone's DST gap/overlap wall-clocks (the
+    *    cast's gap resolution and the cancellation read the offset at
+    *    different instants), so the conversion is pure FIELD ARITHMETIC
+    *    on the wall clock — date/hour/minute/second extraction on NTZ
+    *    is zone-free by definition, making the result independent of
+    *    the session zone everywhere, transitions included (TablesSpec
+    *    pins both hemispheres AND the Chicago spring-forward gap).
     */
   private def tsToUtcInstant(spark: SparkSession, c: Column): Column =
-    from_utc_timestamp(c.cast(TimestampType), spark.conf.get("spark.sql.session.timeZone"))
+    timestamp_micros(
+      unix_date(c.cast(DateType)) * lit(86400000000L) +
+        (hour(c) * 3600L + minute(c) * 60L) * lit(1000000L) +
+        (date_part(lit("SECOND"), c).cast("decimal(10,6)") * 1000000L).cast("long"))
 
   private[sources] def normalizeTs(spark: SparkSession, df: DataFrame, cols: String*): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df) { (d, name) =>

@@ -39,6 +39,24 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("NTZ branch is exact even for wall-clocks inside the session zone's DST transitions") {
+    // 2024-03-10 02:30:00 does not EXIST in America/Chicago (spring-
+    // forward gap) and 2024-11-03 01:30:00 exists TWICE (fall-back
+    // overlap): a cast-then-cancel conversion drifts an hour on these;
+    // the field-arithmetic path must read both as exact UTC instants.
+    for ((wall, label) <- Seq(
+        (java.time.LocalDateTime.of(2024, 3, 10, 2, 30, 0), "gap"),
+        (java.time.LocalDateTime.of(2024, 11, 3, 1, 30, 0), "overlap")))
+      withSessionTz("America/Chicago") {
+        val want = wall.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        val schema = StructType(Seq(StructField("ts", TimestampNTZType)))
+        val df = spark.createDataFrame(java.util.List.of(Row(wall)), schema)
+        val micros = Tables.normalizeTs(spark, df, "ts")
+          .select(unix_micros(col("ts"))).head().getLong(0)
+        assert(micros == want, s"$label: micros=$micros expected=$want")
+      }
+  }
+
   test("ns-INT64 branch truncates to µs via integer div (no double rounding)") {
     val df = spark.createDataFrame(
       java.util.List.of(Row(wallMicros * 1000L + 999L)),
