@@ -35,7 +35,21 @@ import org.apache.spark.sql.SparkSession
   *    lands after they decay, exactly as an idle-box re-run would. The
   *    min of old and re-passed samples is the reported time, and the
   *    headline's "repassed" list names every query that got one, so a
-  *    residual 3× outlier there is a real regression, not noise.
+  *    residual 3× outlier there is a real regression, not noise;
+  *  - a LOAD-GATED re-pass: the two mechanisms above both failed in a
+  *    round where the ENTIRE run sat under co-tenant load (recorded
+  *    mean 5.6) — min-of-3 can't help when all three samples are
+  *    loaded, and the vs-previous re-pass keys on within-run variance
+  *    that uniform load doesn't produce. A reported min is only
+  *    trusted if at least one successful sample was taken while the
+  *    1-minute load average sat at or below ~cpus/8; every query
+  *    without such a sample is re-sampled after the sweep (slowest
+  *    first, short decay sleeps between tries, bounded per-query tries
+  *    and global wall-clock budget). The headline's
+  *    "load_gated_repassed" lists every query the gate re-sampled, so
+  *    a reader can see which minima are load-validated. A below-gate
+  *    sample that comes back SLOWER than a loaded one also terminates
+  *    the loop: it proves the loaded min wasn't inflated.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,7 +67,7 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // 1-minute system load average, read immediately before each sample.
     // getSystemLoadAverage returns -1.0 where unsupported; /proc/loadavg is
@@ -162,6 +176,35 @@ object Bench {
         }
       }
     }
+    // ---- load-gated re-pass ----
+    // Trust contract: a query's reported min must be backed by at least one
+    // successful sample whose pre-sample 1-min load was at or below the
+    // gate. Queries are processed slowest-first so the minima that dominate
+    // the headline total get the retry budget; a brief sleep between tries
+    // lets the 1-minute average decay when the co-tenant burst has already
+    // ended. If the box stays saturated for the whole budget the artifact
+    // still records that fact (per-sample loads + the load summary).
+    val loadGate = math.max(2.0, Runtime.getRuntime.availableProcessors() / 8.0)
+    def hasGatedSample(name: String): Boolean =
+      perQuerySamples(name).zip(perQueryLoads(name)).exists {
+        case (s, l) => s > 0 && l >= 0 && l <= loadGate
+      }
+    val loadRepassed = scala.collection.mutable.ListBuffer.empty[String]
+    val gateT0 = System.nanoTime()
+    def gateBudgetLeft: Boolean = (System.nanoTime() - gateT0) / 1e9 < 150.0
+    perQuery.toSeq.filter(_._2 > 0).sortBy(-_._2).map(_._1).foreach { name =>
+      var tries = 0
+      var fired = false
+      while (!hasGatedSample(name) && tries < 3 && gateBudgetLeft) {
+        if (tries > 0 && loadAvg() > loadGate) Thread.sleep(3000)
+        val s = sampleOf(name)
+        tries += 1
+        fired = true
+        perQuerySamples(name) = perQuerySamples(name) :+ s
+        if (s > 0 && s < perQuery(name)) perQuery(name) = s
+      }
+      if (fired) loadRepassed += name
+    }
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     graft.queries.Registry.families.foreach { case (family, keys) =>
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
@@ -180,6 +223,7 @@ object Bench {
     val total = perQuery.values.filter(_ > 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val repassedJs = repassed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadRepassedJs = loadRepassed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val allLoads = perQueryLoads.values.flatten.filter(_ >= 0).toSeq
     val loadSummary =
       if (allLoads.isEmpty) "{}"
@@ -189,13 +233,13 @@ object Bench {
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"unknown\"")
     val diagLine =
-      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load":$loadSummary,"families":${js(perFamily, r3)}}"""
+      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"families":${js(perFamily, r3)}}"""
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load":$loadSummary,"sf":$sfNum,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"sf":$sfNum,"value":${r3(total)}}"""
     // complete full-precision artifact (samples + loads included,
     // unrounded), for readers with file access
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"repassed":$repassedJs,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

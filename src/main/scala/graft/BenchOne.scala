@@ -24,7 +24,7 @@ object BenchOne {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -534,9 +534,10 @@ object TextQueries {
   // (distinct 2-grams ≤ |charset|² — 82 on this corpus) collected to
   // the driver, the localizeCentroids contract. Oracle: re-learns the
   // vocab in SQL and replays the greedy scan as a per-word recursive
-  // CTE — the integer threshold (cnt·100 ≥ total) and character
-  // offsets are exact in both engines (ASCII corpus; see SubwordCount
-  // scaladoc for the multilingual caveat).
+  // CTE — the integer threshold (cnt·100 ≥ total) and CODEPOINT
+  // offsets are exact in both engines on any corpus (the matcher steps
+  // codepoints, matching Spark substring/length and DuckDB substr/len;
+  // SubwordSpec pins the multilingual fixtures).
   // ========================================================================
   private val subwordMemo = scala.collection.mutable.Map.empty[String, Set[String]]
   private[graft] def subwordVocab(s: SparkSession, d: String): Set[String] =
@@ -1038,16 +1039,42 @@ object TextQueries {
 
   /** (doc_id, n_hit) for corpus docs sharing ≥ 1 shingle with the
     * benchmark slice — the contamination screen's core join, shared by
-    * `decontaminate` and `pipeline_curate_full`. Bench side broadcasts;
-    * only matching (doc, gram) rows reach the per-doc count.
+    * `decontaminate`, `decontaminate_bloom` and `pipeline_curate_full`.
+    * Bench side broadcasts; only matching (doc, gram) rows reach the
+    * per-doc count.
+    *
+    * One hits relation per (session, dir), persisted — the
+    * [[graft.queries.DedupQueries]] imageShared lifecycle applied to
+    * the contamination family: three queries derive from this relation,
+    * and each used to rebuild the bench shingle set and re-run the
+    * corpus-side join per ACTION (pipeline_curate_full alone triggers
+    * it twice per run). The persisted frame is sparse by construction —
+    * only docs with ≥ 1 benchmark hit — so caching it is bench-sized,
+    * not corpus-sized, and safe at any scale.
     */
-  private def decontHits(s: SparkSession, d: String): DataFrame = {
-    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(bench), Seq("gram"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+  private var decontMemo: Option[((SparkSession, String), DataFrame)] = None
+  private def decontHits(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    decontMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        if (v.storageLevel == StorageLevel.NONE) v.persist()
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try v.unpersist(false)
+            catch { case _: IllegalStateException => () }
+        }
+        val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+          .select(explode(col("grams")).as("gram")).distinct()
+        val hits = decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(bench), Seq("gram"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+          .persist()
+        decontMemo = Some(((s, d), hits))
+        hits
+    }
   }
 
   def decontaminate(s: SparkSession, d: String): DataFrame =
@@ -1116,10 +1143,20 @@ object TextQueries {
     * is the 1/DecontBenchMod slice, and the count is an aggregate
     * action, not a collect).
     */
-  private[graft] def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = {
-    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
+  private var benchBloomMemo: Option[((SparkSession, String), org.apache.spark.util.sketch.BloomFilter)] = None
+  private[graft] def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = synchronized {
+    benchBloomMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d => v
+      case _ =>
+        val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+          .select(explode(col("grams")).as("gram")).distinct()
+        // deterministic (the filter's bits are an OR of per-item bit sets,
+        // order-independent), so memoizing cannot change any result —
+        // it only drops the per-call count + treeAggregate actions
+        val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
+        benchBloomMemo = Some(((s, d), bloom))
+        bloom
+    }
   }
 
   /** Production path of the bloom screen: ONE projection over the corpus

@@ -38,6 +38,31 @@ class SubwordCountSpec extends SparkSpec {
     assert(counts(Set("b a"), 3, "b a") == Seq(2L))
   }
 
+  test("multi-byte text counts codepoints, not UTF-16 chars (DuckDB-replayed fixtures)") {
+    // Expected values computed by a codepoint-indexed DuckDB greedy
+    // replay (recursive CTE, substr/len semantics — the same shape as
+    // tokenCountSubword's oracle), pinned here because ScalaTest can't
+    // shell out to DuckDB. Hand-derivation of the de case:
+    // über → üb|er = 2; prüfung → pr|üf|un|g = 4; größe → g|r|ö|ße = 4.
+    assert(counts(Set("üb", "er", "pr", "üf", "un", "ße"), 2,
+      "über prüfung größe") == Seq(10L))
+    // años → añ|os = 2; señal → s|e|ñ|a|l = 5; camión → c|a|m|ió|n = 5
+    assert(counts(Set("añ", "os", "ió"), 2, "años señal camión") == Seq(12L))
+    // déjà → dé|jà = 2; l'été → l|'|ét|é = 4; çà → çà = 1
+    assert(counts(Set("dé", "jà", "ét", "çà"), 2, "déjà l'été çà") == Seq(7L))
+    // 3-codepoint piece on multi-byte text: über → übe|r = 2
+    assert(counts(Set("übe"), 3, "über") == Seq(2L))
+  }
+
+  test("astral-plane codepoints: pieces slice at codepoint boundaries, fallback never splits a surrogate pair") {
+    // 𝕏 (U+1D54F) and 𝕐 (U+1D550) are surrogate PAIRS in UTF-16: a
+    // char-stepped matcher can never match the 2-codepoint piece 𝕏𝕐
+    // (it slices 2 chars = just 𝕏) and would step half-pairs. Expected
+    // (DuckDB replay): 𝕏𝕐ab → 𝕏𝕐|ab = 2; 𝕏a → 𝕏|a = 2; together 4.
+    assert(counts(Set("𝕏𝕐", "ab"), 2, "𝕏𝕐ab", "𝕏a", "𝕏𝕐ab 𝕏a")
+      == Seq(2L, 2L, 4L))
+  }
+
   test("interpreted eval agrees with the codegen path") {
     val vocab = Set("th", "he", "in", "er")
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
