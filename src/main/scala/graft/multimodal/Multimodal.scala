@@ -441,6 +441,120 @@ object Multimodal {
     None
   }
 
+  /** [[syntheticWavPayloads]]' shape WITH PLANTED NEAR-DUP CLIPS for
+    * the audio dedup path: assets whose `doc_id % 10 == 3` are
+    * PERTURBED REPLICAS of `doc_id - 1`'s clip — same sample count,
+    * rate and sample formula, plus +7000 folded into the FIRST
+    * sample's closed form (a re-encode/level-shift stand-in). The bump
+    * rides INSIDE the `% 65536` reduction so JVM arithmetic and the
+    * oracle's integer arithmetic wrap identically (the
+    * dedup_video_phash byte lesson applied to s16). Two deliberate
+    * departures from the stats corpus, both the video generator's
+    * entropy lesson:
+    *
+    *  - samples are a MIDDLE-SQUARE mix of the linear phase
+    *    (`v = (rep·31 + i·17) % 2¹⁶`, `s = (v²/7 + v·13) % 2¹⁶ −
+    *    2¹⁵`) — the linear form steps 17/65536 per sample, whose
+    *    near-monotone |envelope| collapsed 500 clips to FOUR distinct
+    *    fingerprints (measured);
+    *  - clips are 57..106 samples so every one of the fingerprint's 57
+    *    grid points maps to a DISTINCT sample: clips shorter than the
+    *    grid share length-determined forced-zero bits, and the n=10
+    *    cohort (9 free bits) alone produced ~1000 false candidate
+    *    pairs at 5000 clips (measured).
+    *
+    * Perturbing sample 0 moves only the first grid point, so at most
+    * its one boundary delta bit flips — replica Hamming ≤ 1, inside
+    * the ≤ 3 verify criterion (replicas where the comparison doesn't
+    * flip collapse to exact perceptual dups, also a valid outcome).
+    * Everything is a closed form of (rep id, i), so a SQL oracle
+    * reproduces every hash bit of originals and replicas.
+    */
+  def syntheticWavReplicaPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rep = if (id % 10 == 3) id - 1 else id
+        val n = (rep % 50 + 57).toInt
+        val rate = (8000 + (rep % 3) * 4000).toInt
+        val samples = Array.tabulate(n) { i =>
+          val bump = if (id % 10 == 3 && i == 0) 7000L else 0L
+          val v = (rep * 31 + i.toLong * 17 + bump) % 65536
+          ((v * v / 7 + v * 13) % 65536 - 32768).toShort
+        }
+        (id, wavPcm16Mono(rate, samples, infoBytes = (rep % 7).toInt))
+      }
+    }.toDF("asset_id", "payload")
+  }
+
+  case class AudioHash(asset_id: Long, n_samples: Long, ahash: Long)
+
+  /** 56-bit amplitude dHash of a mono PCM-16 WAV — [[frameDhashes]]'
+    * delta scheme applied to the waveform: the |sample| envelope is
+    * floor-resampled onto a 57-point grid (`src = j · n / 57`, the
+    * [[decodeResize]] mapping, so clips of any length hash to the same
+    * width), and bit `j` is set iff `|grid(j+1)| > |grid(j)|`. Pure
+    * integer arithmetic end to end — grid indices are floor divisions
+    * and comparisons are on exact |s16| values — so a SQL oracle
+    * reproduces every bit. A one-sample perturbation moves only the
+    * grid points that floor-map to it; those are CONSECUTIVE, equal-
+    * valued grid points, so only the two delta bits at their boundary
+    * can flip — the property that makes near-dup Hamming distance
+    * track edit size. Samples are read in place from the data chunk
+    * (no sample array materializes); only (id, n, hash) rows shuffle.
+    * Mono only — the multi-channel interleave has no single envelope —
+    * and anything non-PCM-16 or malformed quarantines via the same
+    * drop contract as [[decodeWav]].
+    */
+  def audioDhashes(spark: SparkSession, assets: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => audioDhash56(id, bytes) })
+  }
+
+  private[multimodal] def audioDhash56(id: Long, b: Array[Byte]): Option[AudioHash] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, bits)
+    while (pos + 8 <= b.length) {
+      val id4 = tag(pos)
+      val size = le32(pos + 4)
+      val body = pos + 8
+      if (body + size > b.length) return None // truncated chunk
+      id4 match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((le16(body), le16(body + 2), le16(body + 14)))
+        case "data" =>
+          val (audioFmt, ch, bits) = fmt.getOrElse(return None)
+          if (audioFmt != 1 || bits != 16 || ch != 1) return None // mono PCM-16 only
+          val n = (size / 2).toInt
+          if (n < 2 || size % 2 != 0) return None
+          def gridAbs(j: Int): Long =
+            math.abs(le16(body + 2 * ((j.toLong * n / 57).toInt)).toShort.toLong)
+          var hash = 0L
+          var last = gridAbs(0)
+          var j = 0
+          while (j < 56) {
+            val cur = gridAbs(j + 1)
+            if (cur > last) hash |= 1L << j
+            last = cur
+            j += 1
+          }
+          return Some(AudioHash(id, n.toLong, hash))
+        case _ => () // LIST/INFO/fact/...: skip
+      }
+      pos = body + size.toInt + (size & 1).toInt // chunks pad to even
+    }
+    None
+  }
+
   case class ResizeStats(asset_id: Long, src_w: Long, src_h: Long,
                          dst_w: Long, dst_h: Long,
                          sum_r: Long, sum_g: Long, sum_b: Long,

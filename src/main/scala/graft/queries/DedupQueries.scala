@@ -808,6 +808,83 @@ object DedupQueries {
       |ORDER BY v.sig_a, v.sig_b""".stripMargin
 
   // ========================================================================
+  // dedup_audio_phash — near-dup AUDIO clips by amplitude fingerprint:
+  // the third modality of the multimodal dedup story (image, video,
+  // audio). Each mono PCM-16 WAV (REAL RIFF chunk walk, planted
+  // perturbed replicas at doc_id % 10 == 3) gets a 56-bit amplitude
+  // dHash — the |sample| envelope floor-resampled to a 57-point grid,
+  // bit j = grid(j+1) > grid(j) (Multimodal.audioDhash56) — then the
+  // dedup_image_phash treatment verbatim: clips collapse to DISTINCT
+  // fingerprints, candidates come from Hamming bands over the distinct
+  // set, verified pairs carry exact bit_count distance ≤ 3.
+  //
+  // Band layout is 4 bands × 14 bits (not image's 8 × 7):
+  // pigeonhole-complete for the ≤ 3 criterion — 3 differing bits
+  // cannot touch all 4 bands, so one band's key must agree — while the
+  // 14-bit keys keep candidates sparse on waveform fingerprints, whose
+  // per-bit entropy is lower than imagery's (the dedup_video_phash
+  // low-entropy lesson: short band keys on smooth signals explode the
+  // candidate set; wider keys compose more bits into each bucket).
+  // Scale: payload bytes stay partition-local (the hash is computed
+  // inside the chunk walk — no sample array materializes); only
+  // (id, n, hash) rows shuffle; the band join is over DISTINCT
+  // fingerprints, never clip-quadratic. Oracle: the closed-form s16
+  // samples, every grid point, hash bit, band key and Hamming distance
+  // in exact integer SQL.
+  // ========================================================================
+  def dedupAudioPhash(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.audioDhashes(s,
+      Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF()
+    val grp = hashes.groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id"))
+    Dedup.hammingBandPairs(grp, "ahash", nBands = 4, bitsPerBand = 14)
+      .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .join(grp.select(col("ahash").as("ahash_a"), col("n").as("n_a")), Seq("ahash_a"))
+      .join(grp.select(col("ahash").as("ahash_b"), col("n").as("n_b")), Seq("ahash_b"))
+      .select(col("ahash_a"), col("ahash_b"), col("hamming"), col("n_a"), col("n_b"))
+      .orderBy(col("ahash_a"), col("ahash_b"))
+  }
+
+  private val dedupAudioPhashSql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
+      |  FROM documents),
+      |dims AS (SELECT asset_id, rep, rep % 50 + 57 AS n FROM p),
+      |vphase AS (
+      |  SELECT asset_id, j.j AS j,
+      |    (rep * 31 + ((j.j * n) // 57) * 17
+      |     + CASE WHEN asset_id % 10 = 3 AND (j.j * n) // 57 = 0
+      |         THEN 7000 ELSE 0 END) % 65536 AS v
+      |  FROM dims, range(0, 57) j(j)),
+      |agrid AS (
+      |  SELECT asset_id, j, abs((v * v // 7 + v * 13) % 65536 - 32768) AS av
+      |  FROM vphase),
+      |hsh AS (
+      |  SELECT a.asset_id,
+      |    CAST(sum(CASE WHEN b.av > a.av
+      |      THEN (1::BIGINT << a.j) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM agrid a JOIN agrid b ON a.asset_id = b.asset_id AND b.j = a.j + 1
+      |  WHERE a.j < 56
+      |  GROUP BY a.asset_id),
+      |grp AS (SELECT ahash, count(*) AS n FROM hsh GROUP BY ahash),
+      |bands AS (
+      |  SELECT ahash, r.b AS band, (ahash >> (14 * CAST(r.b AS INT))) & 16383 AS bkey
+      |  FROM grp, range(0, 4) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.ahash AS ahash_a, b.ahash AS ahash_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.ahash < b.ahash)
+      |SELECT c.ahash_a, c.ahash_b,
+      |  CAST(bit_count(xor(c.ahash_a, c.ahash_b)) AS BIGINT) AS hamming,
+      |  ga.n AS n_a, gb.n AS n_b
+      |FROM cand c JOIN grp ga ON ga.ahash = c.ahash_a
+      |            JOIN grp gb ON gb.ahash = c.ahash_b
+      |WHERE bit_count(xor(c.ahash_a, c.ahash_b)) <= 3
+      |ORDER BY c.ahash_a, c.ahash_b""".stripMargin
+
+  // ========================================================================
   // dedup_embedding_cosine — near-dup pairs by embedding cosine within a
   // coarse block (label = IVF-cell stand-in). Double-precision
   // left-to-right dots both sides; threshold 0.3 (this corpus has no
@@ -1073,6 +1150,7 @@ object DedupQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_cluster" -> (dedupImageCluster _),
     "dedup_video_phash" -> (dedupVideoPhash _),
+    "dedup_audio_phash" -> (dedupAudioPhash _),
     "dedup_substring" -> (dedupSubstring _),
     "scrub_substring" -> (scrubSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1095,6 +1173,7 @@ object DedupQueries {
     "dedup_image_phash" -> dedupImagePhashSql,
     "dedup_image_cluster" -> dedupImageClusterSql,
     "dedup_video_phash" -> dedupVideoPhashSql,
+    "dedup_audio_phash" -> dedupAudioPhashSql,
     "dedup_substring" -> dedupSubstringSql,
     "scrub_substring" -> scrubSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

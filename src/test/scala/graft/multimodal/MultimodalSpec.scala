@@ -347,4 +347,43 @@ class MultimodalSpec extends SparkSpec {
     val pairs = graft.SparkEntry.queries("dedup_video_phash")(spark, sf)
     assert(pairs.count() > 0)
   }
+
+  test("audio replica corpus: planted clips stay within fingerprint Hamming 1 of their originals") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val docs = Tables.documents(spark, sf)
+    val ah = Multimodal.audioDhashes(spark,
+      Multimodal.syntheticWavReplicaPayloads(spark, docs)).toDF()
+    // every clip decodes: the generator emits valid mono PCM-16 only
+    assert(ah.count() == docs.count())
+    val rep = ah.filter(col("asset_id") % 10 === 3)
+      .select(col("asset_id"), col("ahash").as("hr"))
+    val orig = ah.select((col("asset_id") + 1).as("asset_id"), col("ahash").as("ho"))
+    val joined = rep.join(orig, Seq("asset_id"))
+      .selectExpr("asset_id", "CAST(bit_count(hr ^ ho) AS BIGINT) AS hamming")
+    val n = joined.count()
+    assert(n > 0, "no replica/original alignments — fixture broken")
+    // the +7000 single-sample bump moves only the first grid point, so
+    // at most its one boundary delta bit flips
+    val worst = joined.agg(smax(col("hamming"))).head().getLong(0)
+    assert(worst <= 1, s"replica drifted beyond the single-boundary bound: $worst")
+    // and the query actually surfaces near-dup pairs on this corpus
+    val pairs = graft.SparkEntry.queries("dedup_audio_phash")(spark, sf)
+    assert(pairs.count() > 0)
+  }
+
+  test("audioDhash56 quarantines non-mono, non-PCM-16, and malformed payloads") {
+    assert(Multimodal.audioDhash56(1, null).isEmpty)
+    assert(Multimodal.audioDhash56(1, "not audio at all, just text bytes".getBytes).isEmpty)
+    val ok = Multimodal.wavPcm16Mono(8000, Array.tabulate(60)(i => (i * 321).toShort), infoBytes = 3)
+    assert(Multimodal.audioDhash56(1, ok).isDefined)
+    assert(Multimodal.audioDhash56(1, ok.dropRight(3)).isEmpty) // truncated data chunk
+    // a stereo header must quarantine: flip the channel count in `fmt `
+    val stereo = ok.clone()
+    // fmt chunk body starts at 20 (RIFF 12 + "fmt " tag 4 + size 4); channels at +2
+    stereo(22) = 2
+    assert(Multimodal.audioDhash56(1, stereo).isEmpty)
+    // mono is a hash-path restriction, not a decode restriction:
+    // decodeWav's stats contract still admits the stereo payload
+    assert(Multimodal.parseWav(1, stereo).isDefined)
+  }
 }

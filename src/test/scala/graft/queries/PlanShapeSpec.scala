@@ -430,6 +430,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bkey"), p) // candidates come from the band equi-join
   }
 
+  test("dedup_audio_phash: candidates from the band equi-join over distinct fingerprints, never clip-quadratic") {
+    val p = plan("dedup_audio_phash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bkey"), p) // candidates come from the band equi-join
+  }
+
   test("token_count_subword is a pure projection over the scan (vocab rides as a literal)") {
     val p = plan("token_count_subword")
     assert(!p.contains("Generate"), p)          // no explode in the count path
