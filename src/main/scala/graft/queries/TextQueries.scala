@@ -921,6 +921,164 @@ object TextQueries {
        |ORDER BY rank""".stripMargin
 
   // ========================================================================
+  // hybrid_topk_batch — hybrid_topk for a QUERY BATCH, proving the
+  // claim in hybrid_topk's scaladoc: with N fixed queries, every stage
+  // picks up q_id as a partition key unchanged. Production retrieval
+  // is always a batch; the single-query plan is the degenerate case.
+  //
+  // Scale shape, stage by stage (all q_id-keyed, plan-guarded):
+  //  - the query table (q_id, slot, term) and the query vectors
+  //    (q_id, vec) are SMALL by definition → both broadcast; the
+  //    corpus explodes its tokens ONCE for all queries (term filter =
+  //    the union of batch terms), and the 4-row vector fan-out is a
+  //    bounded broadcast product, partition-local;
+  //  - per-query top-100 is a rank filter over
+  //    Window.partitionBy(q_id): Spark plans it as WindowGroupLimit —
+  //    a per-PARTITION top-k heap before the q_id exchange and a final
+  //    heap after — so no stage ranks a corpus-sized partition in one
+  //    task (the single-query TakeOrderedAndProject generalized to
+  //    groups);
+  //  - fusion joins two ≤100-row-per-query lists on (q_id, doc_id) and
+  //    the final RRF rank windows over ≤200 rows per query.
+  //
+  // Determinism: each (q_id, doc, slot) holds ONE term contribution,
+  // and the per-query score adds the slot columns in fixed slot order
+  // — never a shuffle-arrival-order double sum (the bm25_topk
+  // convention, batched).
+  // ========================================================================
+  private val HybridBatch: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "hash"),
+    1 -> Seq("window", "merge"),
+    2 -> Seq("join", "filter"),
+    3 -> Seq("vector", "stream"))
+
+  def hybridTopKBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val allTerms = HybridBatch.flatMap(_._2).distinct
+    val qt = HybridBatch
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => (q.toLong, sl, t) } }
+      .toDF("q_id", "slot", "term")
+    val dl = docs(s, d).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
+      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
+    val tfT = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tfT.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tfT
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(((col("n") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
+          / (col("tf").cast("double")
+             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(when(col("slot") === 0, col("contrib"))).as("c0"),
+           sum(when(col("slot") === 1, col("contrib"))).as("c1"))
+      .withColumn("score", coalesce(col("c0"), lit(0.0)) + coalesce(col("c1"), lit(0.0)))
+    val wLex = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = scored.withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= HybridListN)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") < HybridBatch.size)
+      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec"),
+        graft.sim.Similarity.norm(col("embedding")).as("q_nrm"))
+    val wSem = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val sem = e.crossJoin(broadcast(qv))
+      .withColumn("cos", graft.sim.Similarity.dot(col("embedding"), col("q_vec"))
+        / (graft.sim.Similarity.norm(col("embedding")) * col("q_nrm")))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
+      .filter(col("sem_rank") <= HybridListN)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("sem_rank"))
+    val wRrf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wRrf).cast("long"))
+      .filter(col("rank") <= HybridK)
+      .select(col("q_id"), col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val hybridTopKBatchSql = {
+    val qtRows = HybridBatch
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => s"($q, $sl, '$t')" } }
+      .mkString(", ")
+    val terms = HybridBatch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH qt AS (
+       |  SELECT CAST(q_id AS BIGINT) AS q_id, slot, term
+       |  FROM (VALUES $qtRows) t(q_id, slot, term)),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (
+       |  SELECT qt.q_id, tf.doc_id, qt.slot,
+       |    ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
+       |      / (CAST(tf AS DOUBLE)
+       |         + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) AS contrib
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  JOIN qt ON qt.term = tf.term),
+       |bm AS (
+       |  SELECT q_id, doc_id,
+       |    coalesce(sum(CASE WHEN slot = 0 THEN contrib END), 0.0)
+       |      + coalesce(sum(CASE WHEN slot = 1 THEN contrib END), 0.0) AS score_raw
+       |  FROM c GROUP BY q_id, doc_id),
+       |lex AS (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM bm
+       |  QUALIFY lex_rank <= $HybridListN),
+       |ev AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS q_id, embedding AS q_vec, nrm AS q_nrm
+       |  FROM ev WHERE vec_id < ${HybridBatch.size}),
+       |sem AS (
+       |  SELECT qv.q_id, ev.vec_id AS doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qv.q_id ORDER BY
+       |      list_sum(list_transform(range(1, len(embedding) + 1),
+       |        i -> embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (nrm * q_nrm) DESC,
+       |      ev.vec_id) AS BIGINT) AS sem_rank
+       |  FROM ev CROSS JOIN qv
+       |  QUALIFY sem_rank <= $HybridListN),
+       |fused AS (
+       |  SELECT coalesce(lex.q_id, sem.q_id) AS q_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
+       |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)
+       |SELECT q_id, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
+       |FROM fused
+       |QUALIFY rank <= $HybridK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ========================================================================
   // text_repetition — Gopher-style within-document repetition signals,
   // the quality gate that catches boilerplate/spam which length and
   // stopword ratios miss: the most-repeated 2-gram's share of all
@@ -1551,6 +1709,7 @@ object TextQueries {
     "scrub_count" -> (scrubCount _),
     "bm25_topk" -> (bm25TopK _),
     "hybrid_topk" -> (hybridTopK _),
+    "hybrid_topk_batch" -> (hybridTopKBatch _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -1580,6 +1739,7 @@ object TextQueries {
     "scrub_count" -> scrubCountSql,
     "bm25_topk" -> bm25TopKSql,
     "hybrid_topk" -> hybridTopKSql,
+    "hybrid_topk_batch" -> hybridTopKBatchSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

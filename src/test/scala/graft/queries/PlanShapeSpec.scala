@@ -430,6 +430,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bkey"), p) // candidates come from the band equi-join
   }
 
+  test("hybrid_topk_batch: per-query top-k plans as WindowGroupLimit heaps on q_id-keyed exchanges") {
+    val p = plan("hybrid_topk_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the two BOUNDED broadcasts (the
+    // 1-row corpus stats, the |Q|-row query-vector table) — formatted
+    // mode renders each node twice (tree + detail header)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4, p)
+    // every rank filter must compile to WindowGroupLimit — the
+    // per-partition top-k heap below the q_id exchange plus the final
+    // heap above it (3 windows: lex top-100, sem top-100, rrf top-15,
+    // each Partial+Final) — so no stage ranks a corpus-sized partition
+    // in one task
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 6, p)
+    // and no corpus-sized unpartitioned window: the sole
+    // SinglePartition exchange is the 1-row stats aggregate
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 2, p)
+  }
+
   test("dedup_audio_phash: candidates from the band equi-join over distinct fingerprints, never clip-quadratic") {
     val p = plan("dedup_audio_phash")
     assert(!p.contains("CartesianProduct"), p)
