@@ -545,22 +545,35 @@ object DedupQueries {
   // ========================================================================
   private val SubstrK = 8
 
+  /** Positioned 8-gram fingerprints (doc_id, pos, h) of a document
+    * slice — posexplode + K−1 codegen'd leads over ONE per-doc window,
+    * hash = the first 56 bits of the window md5. The single definition
+    * of "span-dedup gram", shared by the full-corpus span pipeline and
+    * the incremental probe so batch and increment cannot hash
+    * different grams.
+    */
+  private def positionedGrams(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docsDf.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until SubstrK).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"t$j", lead(col("tok"), j).over(wp))
+    }
+    leads.filter(col(s"t${SubstrK - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ",
+          col("tok") +: (1 until SubstrK).map(j => col(s"t$j")): _*)), 1, 14), 16, 10)
+          .cast("long").as("h"))
+  }
+
   /** The merged duplicated-span relation (doc_id, g, sp, ep) — shared
     * by the span report and the span-removal transform.
     */
   private def substringSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs(s, d).select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-    val leads = (1 until SubstrK).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"t$j", lead(col("tok"), j).over(wp))
-    }
-    val kg = leads.filter(col(s"t${SubstrK - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(concat_ws(" ",
-          col("tok") +: (1 until SubstrK).map(j => col(s"t$j")): _*)), 1, 14), 16, 10)
-          .cast("long").as("h"))
+    val kg = positionedGrams(docs(s, d))
     val dup = kg.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -683,6 +696,132 @@ object DedupQueries {
       |  coalesce(agg.clean_md5, md5('')) AS clean_md5
       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // ========================================================================
+  // dedup_substring_incremental — the span-granularity continuation of
+  // dedup_incremental / ann_ivf_append: dedup a NEW document slice
+  // against the EXISTING corpus at Lee et al. span granularity without
+  // re-running the corpus-wide fingerprint aggregation per increment.
+  // The existing corpus' DISTINCT positioned-gram hashes are the
+  // PERSISTED INDEX (memoized per (session, dir), repartitioned on the
+  // hash BEFORE persisting — the ann_ivf_persisted lifecycle — so
+  // every probe join reuses the stored partitioning and only the
+  // increment side exchanges). Each increment doc's duplicated span is
+  // classified by provenance: dup-against-OLD (gram present in the
+  // index) and/or dup-within-INCREMENT (gram in ≥ 2 distinct new docs
+  // — an O(increment) aggregation, never touching the corpus).
+  //
+  // Union equivalence (SubstringIncrementalSpec): a gram is duplicated
+  // for an increment doc iff ≥ 2 distinct docs of old ∪ increment hold
+  // it — old-membership supplies one distinct holder, the within-
+  // increment count the rest — so the incremental spans equal the
+  // full-corpus dedup_substring spans restricted to increment docs.
+  // Everything that shuffles at probe time is O(increment +
+  // collisions): the increment's grams, its within-increment
+  // aggregation, and the duplicated positions; the corpus index
+  // shuffles ONCE at build, then serves every increment from cache
+  // (plan-guarded: the probe join's corpus side is an
+  // InMemoryTableScan with no exchange above it).
+  // ========================================================================
+  private var substrIndexMemo: Option[((SparkSession, String), DataFrame)] = None
+  private def substrIndex(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    substrIndexMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        if (v.storageLevel == StorageLevel.NONE) v.persist()
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try v.unpersist(false)
+            catch { case _: IllegalStateException => () }
+        }
+        val idx = positionedGrams(docs(s, d).filter(col("doc_id") % 3 =!= 0))
+          .select(col("h")).distinct()
+          .repartition(col("h"))
+          .persist()
+        substrIndexMemo = Some(((s, d), idx))
+        idx
+    }
+  }
+
+  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isNew = col("doc_id") % 3 === 0
+    val inc = positionedGrams(docs(s, d).filter(isNew))
+    val withinInc = inc.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("ic"))
+    val flagged = inc
+      .join(substrIndex(s, d).withColumn("o", lit(1L)), Seq("h"), "left")
+      .join(withinInc, Seq("h"), "left")
+      .filter(col("o").isNotNull || col("ic").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("o"), lit(0L)).as("o"), coalesce(col("ic"), lit(0L)).as("ic"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = flagged
+      .withColumn("brk", when(col("pos") >
+        coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(wp))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"),
+        max(col("o")).as("has_old"), max(col("ic")).as("has_inc"))
+    val nt = docs(s, d).filter(isNew).select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp")).cast("long").as("dup_tokens"),
+        sum(when(col("has_old") === 1, 1L).otherwise(0L)).as("n_spans_old"),
+        sum(when(col("has_inc") === 1, 1L).otherwise(0L)).as("n_spans_inc"))
+      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        col("n_spans_old"), col("n_spans_inc"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringIncrementalSql =
+    raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |kg AS (
+      |  SELECT doc_id, i AS pos,
+      |    ('0x' || substr(md5(list_aggregate(t[i + 1:i + $SubstrK], 'string_agg', ' ')), 1, 14))::BIGINT AS h
+      |  FROM toks, unnest(range(0, len(t) - ${SubstrK - 1})) r(i)),
+      |oldh AS (SELECT DISTINCT h FROM kg WHERE doc_id % 3 <> 0),
+      |inc AS (SELECT doc_id, pos, h FROM kg WHERE doc_id % 3 = 0),
+      |wi AS (SELECT h FROM inc GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |fl AS (
+      |  SELECT i.doc_id, i.pos,
+      |    CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END AS o,
+      |    CASE WHEN w.h IS NOT NULL THEN 1 ELSE 0 END AS ic
+      |  FROM inc i LEFT JOIN oldh o ON o.h = i.h LEFT JOIN wi w ON w.h = i.h
+      |  WHERE o.h IS NOT NULL OR w.h IS NOT NULL),
+      |isl AS (
+      |  SELECT doc_id, pos, o, ic,
+      |    CASE WHEN pos > coalesce(max(pos + $SubstrK) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM fl),
+      |grpd AS (
+      |  SELECT doc_id, pos, o, ic,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, g, min(pos) AS sp, max(pos) + $SubstrK AS ep,
+      |    max(o) AS has_old, max(ic) AS has_inc
+      |  FROM grpd GROUP BY doc_id, g),
+      |nt AS (
+      |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT sp.doc_id, count(*) AS n_spans,
+      |  CAST(sum(ep - sp.sp) AS BIGINT) AS dup_tokens,
+      |  any_value(nt.n_tokens) AS n_tokens,
+      |  CAST(sum(CASE WHEN has_old = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_old,
+      |  CAST(sum(CASE WHEN has_inc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_inc
+      |FROM spans sp JOIN nt ON nt.doc_id = sp.doc_id
+      |GROUP BY sp.doc_id
+      |ORDER BY sp.doc_id""".stripMargin
 
   // ========================================================================
   // dedup_video_phash — near-dup CLIPS by per-frame perceptual hash:
@@ -1152,6 +1291,7 @@ object DedupQueries {
     "dedup_video_phash" -> (dedupVideoPhash _),
     "dedup_audio_phash" -> (dedupAudioPhash _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_incremental" -> (dedupSubstringIncremental _),
     "scrub_substring" -> (scrubSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -1175,6 +1315,7 @@ object DedupQueries {
     "dedup_video_phash" -> dedupVideoPhashSql,
     "dedup_audio_phash" -> dedupAudioPhashSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "scrub_substring" -> scrubSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,

@@ -197,4 +197,29 @@ class DedupSpec extends SparkSpec {
       (1L, 17L, 5L, m("x1 x2 x3 x4 y1")),
       (2L, 13L, 13L, m(c))), scrub.toString)
   }
+
+  test("dedup_substring_incremental equals the full-corpus spans restricted to the increment") {
+    import org.apache.spark.sql.functions.col
+    // union equivalence: a gram is duplicated for an increment doc iff
+    // >= 2 distinct docs of old UNION increment hold it, so the
+    // incremental probe (old-index membership OR within-increment
+    // count) must reproduce the full pipeline's spans exactly for
+    // every increment doc — same span count, duplicated-token total
+    // and token denominator
+    val full = graft.queries.DedupQueries.queries("dedup_substring")(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+    val inc = graft.queries.DedupQueries.queries("dedup_substring_incremental")(spark, sf)
+    val incCore = inc.select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+    assert(full.exceptAll(incCore).count() == 0 && incCore.exceptAll(full).count() == 0,
+      "incremental spans diverge from the full-corpus restriction")
+    // every span carries at least one provenance flag, and this corpus
+    // exercises both provenances
+    val rows = inc.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("n_spans_old") + r.getAs[Long]("n_spans_inc")
+      >= r.getAs[Long]("n_spans")))
+    assert(rows.map(_.getAs[Long]("n_spans_old")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_spans_inc")).sum > 0)
+  }
 }

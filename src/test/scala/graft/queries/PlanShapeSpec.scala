@@ -430,6 +430,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bkey"), p) // candidates come from the band equi-join
   }
 
+  test("dedup_substring_incremental: probe joins the CACHED corpus index; doc-keyed windows; no cartesian") {
+    val p = plan("dedup_substring_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus gram index must be served from cache (built once,
+    // hash-partitioned, persisted) — a probe that recomputes the
+    // corpus-side fingerprint aggregation per increment defeats the
+    // incremental contract
+    assert(p.contains("InMemoryTableScan"), p)
+    // islands/lead windows key on the doc — never a global sort
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("hybrid_topk_batch: per-query top-k plans as WindowGroupLimit heaps on q_id-keyed exchanges") {
     val p = plan("hybrid_topk_batch")
     assert(!p.contains("CartesianProduct"), p)
