@@ -457,19 +457,25 @@ object SimQueries {
   private val ivfIndexMemo = scala.collection.mutable.Map.empty[String, (String, String)]
   private def ivfIndexTables(s: SparkSession, d: String): (String, String) =
     ivfIndexMemo.synchronized {
-      ivfIndexMemo.getOrElseUpdate(d, {
-        // per-dir table names: indexes for different corpora coexist
-        val suffix = java.lang.Integer.toHexString(d.hashCode)
-        val centT = s"graft_ivf_centroids_$suffix"
-        val corpT = s"graft_ivf_corpus_$suffix"
-        val cents = kmCentroids(s, d, KmPlanes, KmIters)
-        Similarity.saveCentroids(s, cents, centT)
-        graft.operators.Scale.writeBucketed(
-          emb(s, d).withColumn("kcell",
-            Similarity.nearestCentroid(col("embedding"), cents)),
-          corpT, "kcell", 8)
-        (centT, corpT)
-      })
+      // the memo is keyed by dir but records CATALOG tables: a second
+      // SparkSession in the same JVM has a fresh in-memory catalog, so
+      // a memo hit must re-verify the tables actually exist there
+      ivfIndexMemo.get(d)
+        .filter { case (c, t) => s.catalog.tableExists(c) && s.catalog.tableExists(t) }
+        .getOrElse {
+          // per-dir table names: indexes for different corpora coexist
+          val suffix = java.lang.Integer.toHexString(d.hashCode)
+          val centT = s"graft_ivf_centroids_$suffix"
+          val corpT = s"graft_ivf_corpus_$suffix"
+          val cents = kmCentroids(s, d, KmPlanes, KmIters)
+          Similarity.saveCentroids(s, cents, centT)
+          graft.operators.Scale.writeBucketed(
+            emb(s, d).withColumn("kcell",
+              Similarity.nearestCentroid(col("embedding"), cents)),
+            corpT, "kcell", 8)
+          ivfIndexMemo(d) = (centT, corpT)
+          (centT, corpT)
+        }
     }
 
   def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
@@ -503,32 +509,148 @@ object SimQueries {
   private val ivfAppendMemo = scala.collection.mutable.Map.empty[String, (String, String)]
   private def ivfAppendTables(s: SparkSession, d: String): (String, String) =
     ivfAppendMemo.synchronized {
-      ivfAppendMemo.getOrElseUpdate(d, {
-        val suffix = java.lang.Integer.toHexString(d.hashCode)
-        val centT = s"graft_ivfadd_centroids_$suffix"
-        val corpT = s"graft_ivfadd_corpus_$suffix"
-        val base = emb(s, d).filter(expr(AppendBaseWhere))
-        val cents = Similarity.collectCentroids(
-          Similarity.kmeansCentroids(base, "embedding", KmPlanes, KmIters))
-        Similarity.saveCentroids(s, cents, centT)
-        graft.operators.Scale.writeBucketed(
-          base.withColumn("kcell",
-            Similarity.nearestCentroid(col("embedding"), cents)),
-          corpT, "kcell", 8)
-        // the incremental step: assign the NEW slice against the
-        // RELOADED codebook (no re-learning) and append in place
-        val loaded = Similarity.loadCentroids(s, centT)
-        graft.operators.Scale.appendBucketed(
-          emb(s, d).filter(not(expr(AppendBaseWhere)))
-            .withColumn("kcell",
-              Similarity.nearestCentroid(col("embedding"), loaded)),
-          corpT, "kcell", 8)
-        (centT, corpT)
-      })
+      // same catalog-existence re-check as ivfIndexTables: a fresh
+      // session in this JVM must rebuild, not trust the memo
+      ivfAppendMemo.get(d)
+        .filter { case (c, t) => s.catalog.tableExists(c) && s.catalog.tableExists(t) }
+        .getOrElse(ivfAppendBuild(s, d))
     }
+
+  private def ivfAppendBuild(s: SparkSession, d: String): (String, String) = {
+    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    val centT = s"graft_ivfadd_centroids_$suffix"
+    val corpT = s"graft_ivfadd_corpus_$suffix"
+    val base = emb(s, d).filter(expr(AppendBaseWhere))
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(base, "embedding", KmPlanes, KmIters))
+    Similarity.saveCentroids(s, cents, centT)
+    graft.operators.Scale.writeBucketed(
+      base.withColumn("kcell",
+        Similarity.nearestCentroid(col("embedding"), cents)),
+      corpT, "kcell", 8)
+    // the incremental step: assign the NEW slice against the
+    // RELOADED codebook (no re-learning) and append in place
+    val loaded = Similarity.loadCentroids(s, centT)
+    graft.operators.Scale.appendBucketed(
+      emb(s, d).filter(not(expr(AppendBaseWhere)))
+        .withColumn("kcell",
+          Similarity.nearestCentroid(col("embedding"), loaded)),
+      corpT, "kcell", 8)
+    ivfAppendMemo(d) = (centT, corpT)
+    (centT, corpT)
+  }
 
   def annIvfAppend(s: SparkSession, d: String): DataFrame = {
     val (centT, corpT) = ivfAppendTables(s, d)
+    val loaded = Similarity.loadCentroids(s, centT)
+    Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
+        col("vec_id") < 10, k = 5, nProbe = 1,
+        centroids = Some(Similarity.localizeCentroids(s, loaded)))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ========================================================================
+  // ann_ivf_cells — cell-occupancy AUDIT of the appended IVF index:
+  // per-cell totals split by provenance (base vs appended increment),
+  // each cell's corpus fraction, and the global max/mean occupancy
+  // ratio — the metric that tells an operator when repeated appends
+  // (which assign against the frozen base codebook, never re-learning)
+  // have skewed the cells enough to degrade probe-1 recall and hot-spot
+  // probe work. Scale shape: one map-side-combined count over the
+  // bucketed index table; the global-stat windows run over ≤ |cells|
+  // rows (bounded by the codebook, the localizeCentroids contract).
+  // ========================================================================
+  def annIvfCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, corpT) = ivfAppendTables(s, d)
+    val wAll = Window.partitionBy()
+    s.table(corpT).groupBy(col("kcell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(expr(AppendBaseWhere), 1L).otherwise(0L)).as("n_base"))
+      .withColumn("n_inc", col("n_vecs") - col("n_base"))
+      .withColumn("frac",
+        round(col("n_vecs").cast("double") / sum(col("n_vecs")).over(wAll), 4))
+      .withColumn("skew_ratio",
+        round(max(col("n_vecs")).over(wAll).cast("double")
+          / (sum(col("n_vecs")).over(wAll).cast("double") / count(lit(1)).over(wAll)), 4))
+      .select(col("kcell").cast("long").as("kcell"), col("n_vecs"), col("n_base"),
+        col("n_inc"), col("frac"), col("skew_ratio"))
+      .orderBy(col("kcell"))
+  }
+
+  // ========================================================================
+  // ann_ivf_rebalance — the REPAIR step the audit exists for: when the
+  // appended index has drifted past policy (cell skew above SkewMax, or
+  // the appended-since-learn fraction above IncFracMax — the standard
+  // retrain trigger: a codebook learned on the base slice goes stale as
+  // appended data accumulates, regardless of how evenly it happens to
+  // land), RE-LEARN the quantizer on the full union and re-assign
+  // everything into fresh bucketed tables; below policy, the appended
+  // index is kept as-is. The decision reads the REAL audit counts (one
+  // bounded ≤|cells|-row collect). On this corpus the increment is the
+  // 20% vec_id % 5 = 4 slice, so the relearn path fires at every scale
+  // and the search result EQUALS a fresh-learned index on the union by
+  // construction — same deterministic Lloyd rounds (round(,6) means),
+  // same assignment, same probe — which is exactly what the oracle
+  // (the ann_ivf_kmeans chain) checks, and AnnPersistSpec asserts
+  // against the in-memory fresh index plus the keep path on a
+  // constructed low-drift corpus. At 100 TB: the audit is O(cells),
+  // the decision is free, and the rebuild cost is paid only when the
+  // policy says the recall degradation is worth it.
+  // ========================================================================
+  private[graft] val RebalSkewMax = 2.0
+  private[graft] val RebalIncFracMax = 0.1
+
+  /** The rebalance trigger on audit-shaped counts: per-cell totals and
+    * the appended-since-learn total. Fires on a hot cell (max/mean
+    * above SkewMax) or a stale codebook (appended fraction above
+    * IncFracMax). Pure arithmetic so the spec exercises the SAME
+    * decision the table builder takes.
+    */
+  private[graft] def rebalancePolicyFires(cellCounts: Seq[Long], nAppended: Long): Boolean = {
+    val total = cellCounts.sum
+    val skew = cellCounts.max.toDouble / (total.toDouble / cellCounts.length)
+    skew > RebalSkewMax || nAppended.toDouble / total > RebalIncFracMax
+  }
+
+  private val ivfRebalMemo = scala.collection.mutable.Map.empty[String, (String, String)]
+  /** (centroids table, corpus table) after applying the rebalance
+    * policy to the appended index — fresh `ivfreb` tables when the
+    * policy fired, the append tables unchanged otherwise. Exposed for
+    * the spec, which asserts which path fired.
+    */
+  private[graft] def ivfRebalanceTables(s: SparkSession, d: String): (String, String) =
+    ivfRebalMemo.synchronized {
+      ivfRebalMemo.get(d)
+        .filter { case (c, t) => s.catalog.tableExists(c) && s.catalog.tableExists(t) }
+        .getOrElse {
+          val (baseCentT, baseCorpT) = ivfAppendTables(s, d)
+          val cnt = s.table(baseCorpT).groupBy(col("kcell"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(expr(AppendBaseWhere), 0L).otherwise(1L)).as("n_inc"))
+            .collect()
+          val ns = cnt.map(_.getAs[Long]("n")).toSeq
+          val nAppended = cnt.map(_.getAs[Long]("n_inc")).sum
+          val t =
+            if (rebalancePolicyFires(ns, nAppended)) {
+              val suffix = java.lang.Integer.toHexString(d.hashCode)
+              val centT = s"graft_ivfreb_centroids_$suffix"
+              val corpT = s"graft_ivfreb_corpus_$suffix"
+              val cents = kmCentroids(s, d, KmPlanes, KmIters)
+              Similarity.saveCentroids(s, cents, centT)
+              graft.operators.Scale.writeBucketed(
+                emb(s, d).withColumn("kcell",
+                  Similarity.nearestCentroid(col("embedding"), cents)),
+                corpT, "kcell", 8)
+              (centT, corpT)
+            } else (baseCentT, baseCorpT)
+          ivfRebalMemo(d) = t
+          t
+        }
+    }
+
+  def annIvfRebalance(s: SparkSession, d: String): DataFrame = {
+    val (centT, corpT) = ivfRebalanceTables(s, d)
     val loaded = Similarity.loadCentroids(s, centT)
     Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
         col("vec_id") < 10, k = 5, nProbe = 1,
@@ -622,6 +744,20 @@ object SimQueries {
 
   private val annIvfKmeansSql = annIvfKmeansSqlFor(KmPlanes, KmIters)
   private val annIvfAppendSql = annIvfKmeansSqlFor(KmPlanes, KmIters, AppendBaseWhere)
+
+  private val annIvfCellsSql =
+    s"""WITH ${kmeansCtesSql(KmPlanes, KmIters, AppendBaseWhere)},
+       |cnt AS (
+       |  SELECT cell, count(*) AS n_vecs,
+       |    sum(CASE WHEN $AppendBaseWhere THEN 1 ELSE 0 END) AS n_base
+       |  FROM am GROUP BY cell)
+       |SELECT CAST(cell AS BIGINT) AS kcell,
+       |  CAST(n_vecs AS BIGINT) AS n_vecs, CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_vecs - n_base AS BIGINT) AS n_inc,
+       |  round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 4) AS frac,
+       |  round(CAST(max(n_vecs) OVER () AS DOUBLE)
+       |    / (CAST(sum(n_vecs) OVER () AS DOUBLE) / count(*) OVER ()), 4) AS skew_ratio
+       |FROM cnt ORDER BY kcell""".stripMargin
 
   // ========================================================================
   // ann_ivf_kmeans64 — the quantizer at k past the old expression-tree
@@ -1723,6 +1859,8 @@ object SimQueries {
     "ann_ivf_kmeans" -> (annIvfKmeans _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "ann_ivf_append" -> (annIvfAppend _),
+    "ann_ivf_cells" -> (annIvfCells _),
+    "ann_ivf_rebalance" -> (annIvfRebalance _),
     "ann_ivf_kmeans64" -> (annIvfKmeans64 _),
     "ann_ivf_kmeans256" -> (annIvfKmeans256 _),
     "ann_sq8" -> (annSq8 _),
@@ -1758,6 +1896,8 @@ object SimQueries {
     "ann_ivf_persisted" -> annIvfKmeansSql,
     // append = same learned-on-base pipeline with full member assignment
     "ann_ivf_append" -> annIvfAppendSql,
+    "ann_ivf_cells" -> annIvfCellsSql,
+    "ann_ivf_rebalance" -> annIvfKmeansSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,

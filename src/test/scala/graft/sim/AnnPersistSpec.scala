@@ -110,6 +110,34 @@ class AnnPersistSpec extends SparkSpec {
     assert(viaAppend.sameElements(inSession))
   }
 
+  test("ann_ivf_rebalance relearns past policy and equals the fresh-learned union index") {
+    import graft.queries.SimQueries
+    // on the driver corpus the appended slice is 20% of the index —
+    // past RebalIncFracMax — so the policy must fire the relearn path:
+    // the rebalanced tables are NOT the append tables
+    val (centT, corpT) = SimQueries.ivfRebalanceTables(spark, sf)
+    assert(centT.contains("ivfreb") && corpT.contains("ivfreb"),
+      s"relearn did not fire: policy returned ($centT, $corpT)")
+    // union equivalence: search over the rebalanced index equals the
+    // fresh in-session union-learned index exactly
+    val rebal = graft.SparkEntry.queries("ann_ivf_rebalance")(spark, sf).collect()
+    val fresh = graft.SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    assert(rebal.nonEmpty)
+    assert(rebal.sameElements(fresh))
+  }
+
+  test("the rebalance policy keeps a low-drift index as-is") {
+    import graft.queries.SimQueries
+    // the SAME decision function the table builder calls, on
+    // audit-shaped counts: balanced cells with a tiny appended
+    // fraction stay below both triggers, while either a hot cell or a
+    // large appended fraction fires
+    val fires = SimQueries.rebalancePolicyFires _
+    assert(!fires(Seq(100L, 104L, 98L, 101L), 20L)) // ~5% appended, balanced
+    assert(fires(Seq(100L, 410L, 98L, 101L), 20L))  // hot cell: skew > 2
+    assert(fires(Seq(100L, 104L, 98L, 101L), 81L))  // 20% appended
+  }
+
   test("SQ8 scale constant round-trips bit-exactly through a table") {
     import spark.implicits._
     val scale = emb
