@@ -848,49 +848,87 @@ object DedupQueries {
   // sample, every hash bit, band key, signature md5 and Hamming
   // distance in exact integer SQL.
   // ========================================================================
+  /** One video-phash pipeline per (session, dir) — the [[imageShared]]
+    * lifecycle applied to the video family: the per-frame decode→hash
+    * walk, the clip signatures, the distinct-signature groups, and the
+    * verified (total Hamming ≤ 3, aligned ≥ 2) near-dup pairs each
+    * computed once and persisted; `dedup_video_phash` and
+    * `dedup_video_cluster` both derive from them.
+    */
+  private case class VideoShared(sig: DataFrame, sgrp: DataFrame, pairs: DataFrame)
+  private var videoMemo: Option[((SparkSession, String), VideoShared)] = None
+  private def videoShared(s: SparkSession, d: String): VideoShared = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    videoMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        Seq(v.sig, v.sgrp, v.pairs).foreach { df =>
+          if (df.storageLevel == StorageLevel.NONE) df.persist()
+        }
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try Seq(v.sig, v.sgrp, v.pairs).foreach(_.unpersist(false))
+            catch { case _: IllegalStateException => () }
+        }
+        val fh = Multimodal.frameDhashes(s,
+          Multimodal.syntheticY4mReplicaPayloads(s, docs(s, d)), step = 2).toDF()
+        // ordered frame-hash list per clip (sort_array on the (idx, hash)
+        // structs makes the ordering explicit and shuffle-safe), then the
+        // clip signature and the per-band whole-clip keys derive from it
+        val lists = fh.groupBy(col("asset_id"))
+          .agg(sort_array(collect_list(struct(col("frame_idx"), col("fhash")))).as("fs"))
+        val sig = lists.select(col("asset_id"), col("fs"),
+          md5(concat_ws(",", expr("transform(fs, x -> CAST(x.fhash AS STRING))"))).as("csig"))
+          .persist()
+        val sgrp = sig.groupBy(col("csig"))
+          .agg(count(lit(1)).as("n"), min(col("asset_id")).as("rep_id")).persist()
+        // one representative (frame list) per distinct signature
+        val srep = sgrp.join(sig.select(col("asset_id").as("rep_id"), col("fs")), Seq("rep_id"))
+        val banded = srep
+          .withColumn("band", explode(sequence(lit(0), lit(3))))
+          .select(col("csig"), col("band"), concat_ws(",",
+            expr("transform(fs, x -> concat(CAST(x.frame_idx AS STRING), ':', " +
+              "CAST(shiftright(x.fhash, CAST(band * 14 AS INT)) & 16383 AS STRING)))"))
+            .as("bkey"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.csig") < col("b.csig"))
+          .select(col("a.csig").as("sig_a"), col("b.csig").as("sig_b"))
+          .distinct()
+        val sfh = srep.select(col("csig"), explode(col("fs")).as("fx"))
+          .select(col("csig"), col("fx.frame_idx").as("frame_idx"), col("fx.fhash").as("fhash"))
+        val ha = sfh.select(col("csig").as("sig_a"), col("frame_idx"), col("fhash").as("fha"))
+        val hb = sfh.select(col("csig").as("sig_b"), col("frame_idx"), col("fhash").as("fhb"))
+        val pairs = cand.join(ha, Seq("sig_a")).join(hb, Seq("sig_b", "frame_idx"))
+          .withColumn("hamming", expr("CAST(bit_count(fha ^ fhb) AS BIGINT)"))
+          .groupBy(col("sig_a"), col("sig_b"))
+          .agg(count(lit(1)).as("n_aligned"), sum(col("hamming")).as("total_hamming"))
+          .filter(col("total_hamming") <= 3 && col("n_aligned") >= 2)
+          .persist()
+        val v = VideoShared(sig, sgrp, pairs)
+        videoMemo = Some(((s, d), v))
+        v
+    }
+  }
+
   def dedupVideoPhash(s: SparkSession, d: String): DataFrame = {
-    val fh = Multimodal.frameDhashes(s,
-      Multimodal.syntheticY4mReplicaPayloads(s, docs(s, d)), step = 2).toDF()
-    // ordered frame-hash list per clip (sort_array on the (idx, hash)
-    // structs makes the ordering explicit and shuffle-safe), then the
-    // clip signature and the per-band whole-clip keys all derive from it
-    val lists = fh.groupBy(col("asset_id"))
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("fhash")))).as("fs"))
-    val sig = lists.select(col("asset_id"), col("fs"),
-      md5(concat_ws(",", expr("transform(fs, x -> CAST(x.fhash AS STRING))"))).as("csig"))
-    val sgrp = sig.groupBy(col("csig"))
-      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("rep_id"))
-    // one representative (frame list) per distinct signature
-    val srep = sgrp.join(sig.select(col("asset_id").as("rep_id"), col("fs")), Seq("rep_id"))
-    val banded = srep
-      .withColumn("band", explode(sequence(lit(0), lit(3))))
-      .select(col("csig"), col("band"), concat_ws(",",
-        expr("transform(fs, x -> concat(CAST(x.frame_idx AS STRING), ':', " +
-          "CAST(shiftright(x.fhash, CAST(band * 14 AS INT)) & 16383 AS STRING)))"))
-        .as("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.csig") < col("b.csig"))
-      .select(col("a.csig").as("sig_a"), col("b.csig").as("sig_b"))
-      .distinct()
-    val sfh = srep.select(col("csig"), explode(col("fs")).as("fx"))
-      .select(col("csig"), col("fx.frame_idx").as("frame_idx"), col("fx.fhash").as("fhash"))
-    val ha = sfh.select(col("csig").as("sig_a"), col("frame_idx"), col("fhash").as("fha"))
-    val hb = sfh.select(col("csig").as("sig_b"), col("frame_idx"), col("fhash").as("fhb"))
-    cand.join(ha, Seq("sig_a")).join(hb, Seq("sig_b", "frame_idx"))
-      .withColumn("hamming", expr("CAST(bit_count(fha ^ fhb) AS BIGINT)"))
-      .groupBy(col("sig_a"), col("sig_b"))
-      .agg(count(lit(1)).as("n_aligned"), sum(col("hamming")).as("total_hamming"))
-      .filter(col("total_hamming") <= 3 && col("n_aligned") >= 2)
-      .join(sgrp.select(col("csig").as("sig_a"), col("n").as("n_a")), Seq("sig_a"))
-      .join(sgrp.select(col("csig").as("sig_b"), col("n").as("n_b")), Seq("sig_b"))
+    val sh = videoShared(s, d)
+    sh.pairs
+      .join(sh.sgrp.select(col("csig").as("sig_a"), col("n").as("n_a")), Seq("sig_a"))
+      .join(sh.sgrp.select(col("csig").as("sig_b"), col("n").as("n_b")), Seq("sig_b"))
       .select(col("sig_a"), col("sig_b"), col("n_aligned"), col("total_hamming"),
         col("n_a"), col("n_b"))
       .orderBy(col("sig_a"), col("sig_b"))
   }
 
-  private val dedupVideoPhashSql =
-    """WITH p AS (
+  /** The video-phash pipeline CTEs (luma formula → per-frame dHash →
+    * clip signatures → signature groups → whole-clip band keys →
+    * candidates → aligned-frame verification `ver`) — shared by the
+    * pair query and the cluster resolution.
+    */
+  private val videoPhashCtesSql =
+    """p AS (
       |  SELECT doc_id AS asset_id,
       |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
       |  FROM documents),
@@ -939,12 +977,70 @@ object DedupQueries {
       |    CAST(sum(bit_count(xor(ha.fhash, hb.fhash))) AS BIGINT) AS total_hamming
       |  FROM cand c JOIN sfh ha ON ha.csig = c.sig_a
       |              JOIN sfh hb ON hb.csig = c.sig_b AND hb.f = ha.f
-      |  GROUP BY c.sig_a, c.sig_b)
+      |  GROUP BY c.sig_a, c.sig_b)""".stripMargin
+
+  private val dedupVideoPhashSql =
+    s"""WITH $videoPhashCtesSql
       |SELECT v.sig_a, v.sig_b, v.n_aligned, v.total_hamming, ga.n AS n_a, gb.n AS n_b
       |FROM ver v JOIN sgrp ga ON ga.csig = v.sig_a
       |           JOIN sgrp gb ON gb.csig = v.sig_b
       |WHERE v.total_hamming <= 3 AND v.n_aligned >= 2
       |ORDER BY v.sig_a, v.sig_b""".stripMargin
+
+  // ========================================================================
+  // dedup_video_cluster — TRANSITIVE resolution of the video near-dup
+  // graph with keep-first election: the dedup_image_cluster treatment
+  // lifted to clip signatures. Signature-level verified pairs map to
+  // their groups' NUMERIC representative ids (rep_id = min asset per
+  // distinct signature) so components form over longs via the same
+  // pointer-jumped min-label propagation; every clip then joins its
+  // signature group's component, EXACT signature dups (n ≥ 2)
+  // participate even as singleton components. Because rep_id is the
+  // min asset of its signature group and the component label is the
+  // min rep_id, the component label IS the cluster's min asset id —
+  // the canonical directly, no second election needed. Output:
+  // (asset_id, canonical, kept) for every clip in any cluster.
+  // Oracle: recursive CTE over the rep-id edges.
+  // ========================================================================
+  def dedupVideoCluster(s: SparkSession, d: String): DataFrame = {
+    val sh = videoShared(s, d)
+    val repPairs = sh.pairs
+      .join(sh.sgrp.select(col("csig").as("sig_a"), col("rep_id").as("id_a")), Seq("sig_a"))
+      .join(sh.sgrp.select(col("csig").as("sig_b"), col("rep_id").as("id_b")), Seq("sig_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = Dedup.clusterLabels(repPairs)
+      .select(col("doc_id").as("rep_id"), col("canonical").as("clbl"))
+    sh.sig.select(col("asset_id"), col("csig"))
+      .join(sh.sgrp.select(col("csig"), col("n"), col("rep_id")), Seq("csig"))
+      .join(comp, Seq("rep_id"), "left")
+      .filter(col("n") >= 2 || col("clbl").isNotNull)
+      .withColumn("canonical", coalesce(col("clbl"), col("rep_id")))
+      .select(col("asset_id"), col("canonical"),
+        when(col("asset_id") === col("canonical"), 1L).otherwise(0L).as("kept"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val dedupVideoClusterSql =
+    s"""WITH RECURSIVE $videoPhashCtesSql,
+      |vp AS (
+      |  SELECT ga.rep_id AS src, gb.rep_id AS dst
+      |  FROM ver v JOIN sgrp ga ON ga.csig = v.sig_a
+      |             JOIN sgrp gb ON gb.csig = v.sig_b
+      |  WHERE v.total_hamming <= 3 AND v.n_aligned >= 2),
+      |edges AS (SELECT src, dst FROM vp UNION SELECT dst, src FROM vp),
+      |reach AS (
+      |  SELECT src AS rid, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid),
+      |comp AS (SELECT rid AS rep_id, min(lbl) AS clbl FROM reach GROUP BY rid),
+      |members AS (
+      |  SELECT s.asset_id, coalesce(c.clbl, g.rep_id) AS canonical
+      |  FROM sig s JOIN sgrp g USING (csig) LEFT JOIN comp c ON c.rep_id = g.rep_id
+      |  WHERE g.n >= 2 OR c.clbl IS NOT NULL)
+      |SELECT asset_id, canonical,
+      |  CAST(CASE WHEN asset_id = canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM members
+      |ORDER BY asset_id""".stripMargin
 
   // ========================================================================
   // dedup_audio_phash — near-dup AUDIO clips by amplitude fingerprint:
@@ -971,22 +1067,58 @@ object DedupQueries {
   // samples, every grid point, hash bit, band key and Hamming distance
   // in exact integer SQL.
   // ========================================================================
+  /** One audio-phash pipeline per (session, dir) — the [[imageShared]]
+    * lifecycle applied to the audio family: the decode→fingerprint
+    * relation, the distinct-hash groups, and the verified (≤ 3 bit)
+    * near-dup pairs each computed once and persisted;
+    * `dedup_audio_phash` and `dedup_audio_cluster` both derive from
+    * them. Single-slot memo: see [[imageShared]]'s eviction note.
+    */
+  private case class AudioShared(hashes: DataFrame, grp: DataFrame, pairs: DataFrame)
+  private var audioMemo: Option[((SparkSession, String), AudioShared)] = None
+  private def audioShared(s: SparkSession, d: String): AudioShared = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    audioMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        Seq(v.hashes, v.grp, v.pairs).foreach { df =>
+          if (df.storageLevel == StorageLevel.NONE) df.persist()
+        }
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try Seq(v.hashes, v.grp, v.pairs).foreach(_.unpersist(false))
+            catch { case _: IllegalStateException => () }
+        }
+        val hashes = Multimodal.audioDhashes(s,
+          Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF().persist()
+        val grp = hashes.groupBy(col("ahash"))
+          .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
+        val pairs = Dedup.hammingBandPairs(grp, "ahash", nBands = 4, bitsPerBand = 14)
+          .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
+          .filter(col("hamming") <= 3).persist()
+        val v = AudioShared(hashes, grp, pairs)
+        audioMemo = Some(((s, d), v))
+        v
+    }
+  }
+
   def dedupAudioPhash(s: SparkSession, d: String): DataFrame = {
-    val hashes = Multimodal.audioDhashes(s,
-      Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF()
-    val grp = hashes.groupBy(col("ahash"))
-      .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id"))
-    Dedup.hammingBandPairs(grp, "ahash", nBands = 4, bitsPerBand = 14)
-      .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
-      .filter(col("hamming") <= 3)
-      .join(grp.select(col("ahash").as("ahash_a"), col("n").as("n_a")), Seq("ahash_a"))
-      .join(grp.select(col("ahash").as("ahash_b"), col("n").as("n_b")), Seq("ahash_b"))
+    val sh = audioShared(s, d)
+    sh.pairs
+      .join(sh.grp.select(col("ahash").as("ahash_a"), col("n").as("n_a")), Seq("ahash_a"))
+      .join(sh.grp.select(col("ahash").as("ahash_b"), col("n").as("n_b")), Seq("ahash_b"))
       .select(col("ahash_a"), col("ahash_b"), col("hamming"), col("n_a"), col("n_b"))
       .orderBy(col("ahash_a"), col("ahash_b"))
   }
 
-  private val dedupAudioPhashSql =
-    """WITH p AS (
+  /** The audio-fingerprint pipeline CTEs (sample formula → |s| envelope
+    * grid → 56-bit amplitude dHash → distinct-hash groups → Hamming
+    * bands → candidate hash pairs) — shared by the pair query and the
+    * cluster resolution, like [[imagePhashCtesSql]].
+    */
+  private val audioPhashCtesSql =
+    """p AS (
       |  SELECT doc_id AS asset_id,
       |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
       |  FROM documents),
@@ -1014,7 +1146,10 @@ object DedupQueries {
       |cand AS (
       |  SELECT DISTINCT a.ahash AS ahash_a, b.ahash AS ahash_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.ahash < b.ahash)
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.ahash < b.ahash)""".stripMargin
+
+  private val dedupAudioPhashSql =
+    s"""WITH $audioPhashCtesSql
       |SELECT c.ahash_a, c.ahash_b,
       |  CAST(bit_count(xor(c.ahash_a, c.ahash_b)) AS BIGINT) AS hamming,
       |  ga.n AS n_a, gb.n AS n_b
@@ -1022,6 +1157,61 @@ object DedupQueries {
       |            JOIN grp gb ON gb.ahash = c.ahash_b
       |WHERE bit_count(xor(c.ahash_a, c.ahash_b)) <= 3
       |ORDER BY c.ahash_a, c.ahash_b""".stripMargin
+
+  // ========================================================================
+  // dedup_audio_cluster — TRANSITIVE resolution of the audio near-dup
+  // graph with keep-first election: the dedup_image_cluster treatment
+  // applied to the amplitude-fingerprint pairs. Components form over
+  // DISTINCT fingerprints (min-label propagation, pointer-jumped);
+  // every clip then joins its fingerprint's component, EXACT
+  // fingerprint dups (groups with n ≥ 2) participate even as singleton
+  // components, and the kept clip per cluster is the smallest asset
+  // id. Output: (asset_id, canonical, kept) for every clip in any
+  // cluster. Oracle: recursive CTE over the fingerprint edges + the
+  // same membership/keep-first election. Scale: identical shape to the
+  // image cluster — components over distinct hashes (heavy exact-dup
+  // groups never re-expand), fixpoint rounds bounded by component
+  // diameter, decode shared via the persisted audioShared relation.
+  // ========================================================================
+  def dedupAudioCluster(s: SparkSession, d: String): DataFrame = {
+    val sh = audioShared(s, d)
+    val pairs = sh.pairs.select(col("ahash_a").as("id_a"), col("ahash_b").as("id_b"))
+    val comp = Dedup.clusterLabels(pairs)
+      .select(col("doc_id").as("ahash"), col("canonical").as("clbl"))
+    val members = sh.hashes.select(col("asset_id"), col("ahash"))
+      .join(sh.grp.select(col("ahash"), col("n")), Seq("ahash"))
+      .join(comp, Seq("ahash"), "left")
+      .filter(col("n") >= 2 || col("clbl").isNotNull)
+      .withColumn("clbl", coalesce(col("clbl"), col("ahash")))
+    val canon = members.groupBy(col("clbl")).agg(min(col("asset_id")).as("canonical"))
+    members.join(canon, Seq("clbl"))
+      .select(col("asset_id"), col("canonical"),
+        when(col("asset_id") === col("canonical"), 1L).otherwise(0L).as("kept"))
+      .orderBy(col("asset_id"))
+  }
+
+  private val dedupAudioClusterSql =
+    s"""WITH RECURSIVE $audioPhashCtesSql,
+      |vp AS (
+      |  SELECT ahash_a, ahash_b FROM cand
+      |  WHERE bit_count(xor(ahash_a, ahash_b)) <= 3),
+      |edges AS (
+      |  SELECT ahash_a AS src, ahash_b AS dst FROM vp
+      |  UNION SELECT ahash_b, ahash_a FROM vp),
+      |reach AS (
+      |  SELECT src AS ph, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.ph),
+      |comp AS (SELECT ph AS ahash, min(lbl) AS clbl FROM reach GROUP BY ph),
+      |members AS (
+      |  SELECT h.asset_id, coalesce(c.clbl, h.ahash) AS clbl
+      |  FROM hsh h JOIN grp g2 USING (ahash) LEFT JOIN comp c USING (ahash)
+      |  WHERE g2.n >= 2 OR c.clbl IS NOT NULL),
+      |canon AS (SELECT clbl, min(asset_id) AS canonical FROM members GROUP BY clbl)
+      |SELECT m.asset_id, c.canonical,
+      |  CAST(CASE WHEN m.asset_id = c.canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM members m JOIN canon c USING (clbl)
+      |ORDER BY m.asset_id""".stripMargin
 
   // ========================================================================
   // dedup_embedding_cosine — near-dup pairs by embedding cosine within a
@@ -1289,7 +1479,9 @@ object DedupQueries {
     "dedup_image_phash" -> (dedupImagePhash _),
     "dedup_image_cluster" -> (dedupImageCluster _),
     "dedup_video_phash" -> (dedupVideoPhash _),
+    "dedup_video_cluster" -> (dedupVideoCluster _),
     "dedup_audio_phash" -> (dedupAudioPhash _),
+    "dedup_audio_cluster" -> (dedupAudioCluster _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_incremental" -> (dedupSubstringIncremental _),
     "scrub_substring" -> (scrubSubstring _),
@@ -1313,7 +1505,9 @@ object DedupQueries {
     "dedup_image_phash" -> dedupImagePhashSql,
     "dedup_image_cluster" -> dedupImageClusterSql,
     "dedup_video_phash" -> dedupVideoPhashSql,
+    "dedup_video_cluster" -> dedupVideoClusterSql,
     "dedup_audio_phash" -> dedupAudioPhashSql,
+    "dedup_audio_cluster" -> dedupAudioClusterSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "scrub_substring" -> scrubSubstringSql,

@@ -468,6 +468,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bkey"), p) // candidates come from the band equi-join
   }
 
+  test("dedup_audio_cluster: membership joins hash/broadcast over the persisted relation, never clip-quadratic") {
+    val p = plan("dedup_audio_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // hashes/groups come from the shared persisted audio pipeline — the
+    // cluster query must not re-decode the corpus
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("dedup_video_cluster: components over numeric rep ids, joins stay equi, shared relation cached") {
+    val p = plan("dedup_video_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("token_count_subword is a pure projection over the scan (vocab rides as a literal)") {
     val p = plan("token_count_subword")
     assert(!p.contains("Generate"), p)          // no explode in the count path
