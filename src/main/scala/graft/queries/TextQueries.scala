@@ -19,6 +19,35 @@ object TextQueries {
 
   private val enStop = TextOps.LangStopwords.toMap.apply("en")
 
+  /** One corpus unigram-count relation per (session, dir), persisted —
+    * the [[graft.queries.DedupQueries]] shared-pipeline lifecycle for
+    * the token-frequency scan that `collocations` and `text_rarity`
+    * both derive from (each used to re-tokenize and re-shuffle the
+    * corpus to build the same (token, count) table). The 100 TB shape:
+    * a vocabulary-statistics run computes corpus term counts once.
+    */
+  private var uniMemo: Option[((SparkSession, String), DataFrame)] = None
+  private def unigramCounts(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    uniMemo match {
+      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
+        if (v.storageLevel == StorageLevel.NONE) v.persist()
+        v
+      case prev =>
+        prev.foreach { case ((ps, _), v) =>
+          if (!ps.sparkContext.isStopped)
+            try v.unpersist(false)
+            catch { case _: IllegalStateException => () }
+        }
+        val v = docs(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .persist()
+        uniMemo = Some(((s, d), v))
+        v
+    }
+  }
+
   // ========================================================================
   // text_stats — length/token statistics + stopword & lexical-diversity
   // ratios (quality-scoring inputs).
@@ -1687,7 +1716,163 @@ object TextQueries {
        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // sample_hash_split — deterministic, LEAKAGE-SAFE train/val/test
+  // assignment: the split key is the canonical CONTENT fingerprint
+  // (TextOps.fingerprint — lowercase, punctuation-stripped,
+  // whitespace-collapsed md5), not the doc id, so exact duplicates and
+  // near-identical re-encodes land in the SAME split — the standard
+  // guard against train/test leakage through duplicated documents
+  // (hash-bucket splitting is the industry default precisely because
+  // random assignment splits dup pairs across the boundary).
+  // bucket = hash60(fp) % 100; test < 5, val < 10, train otherwise
+  // (a 90/5/5 split). Scale: a pure scan-side projection — no shuffle,
+  // no RNG state, reproducible across runs, engines, and corpus
+  // REPARTITIONS (content-addressed, so ingest order cannot move a doc
+  // between splits).
+  // ========================================================================
+  def sampleHashSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 5, "test")
+          .when(col("bucket") < 10, "val")
+          .otherwise("train"))
+      .orderBy(col("doc_id"))
+
+  private val sampleHashSplitSql =
+    """SELECT doc_id, source, bucket,
+      |  CASE WHEN bucket < 5 THEN 'test'
+      |       WHEN bucket < 10 THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // collocations — corpus-level bigram association mining: the top-30
+  // most frequent adjacent token pairs with their pointwise mutual
+  // information, PMI = ln(p(ab) / (p(a)·p(b))) over unigram/bigram
+  // maximum-likelihood estimates. The vocabulary-analysis primitive a
+  // tokenizer-training or phrase-mining pass runs over a pre-training
+  // corpus (Mikolov et al.'s phrase detection uses exactly this
+  // statistic). Ranking is by the EXACT integer pair count (ties on the
+  // pair text), never by the transcendental PMI — so the row set and
+  // order are engine-exact and only the displayed PMI needs the
+  // round(4) convention (ln is the one last-ulp step; its argument is
+  // built from exact integers with identical operation order).
+  // Scale shape: bigrams come from one zip_with over each doc's token
+  // array (no self-join, no posexplode pairing); two map-side-combined
+  // count aggs (bigram, unigram); the unigram relation joins back by
+  // token equi-join; corpus totals are one broadcast row.
+  // ========================================================================
+  private val CollocMinCount = 5
+  private val CollocK = 30
+
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = t.select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = unigramCounts(s, d)
+    val tot = uni.agg(sum(col("c")).cast("double").as("n_tok"))
+      .crossJoin(bg.agg(sum(col("c_ab")).cast("double").as("n_bg")))
+    bg.filter(col("c_ab") >= CollocMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab") * col("n_tok") * col("n_tok")
+          / (col("n_bg") * col("c_a") * col("c_b"))), 4).as("pmi"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(CollocK)
+  }
+
+  private val collocationsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |bc AS (
+       |  SELECT w1, w2, count(*) AS c_ab
+       |  FROM (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |               unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |        FROM toks WHERE len(t) >= 2)
+       |  GROUP BY w1, w2),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS n_tok,
+       |         (SELECT CAST(sum(c_ab) AS DOUBLE) FROM bc) AS n_bg)
+       |SELECT bc.w1, bc.w2, bc.c_ab,
+       |  round(ln(bc.c_ab * n_tok * n_tok / (n_bg * ua.c * ub.c)), 4) AS pmi
+       |FROM bc JOIN uc ua ON ua.w = bc.w1
+       |        JOIN uc ub ON ub.w = bc.w2, tot
+       |WHERE bc.c_ab >= $CollocMinCount
+       |ORDER BY bc.c_ab DESC, bc.w1, bc.w2
+       |LIMIT $CollocK""".stripMargin
+
+  // ========================================================================
+  // text_rarity — corpus-frequency rarity profile per document: how
+  // "common" a document's vocabulary is against the whole corpus. Per
+  // doc: n_tok, the INTEGER sum of its tokens' corpus frequencies
+  // (order-free exact aggregation — the determinism trick: never sum
+  // doubles across a shuffle), the derived mean corpus frequency
+  // (one exact division), the count of rare tokens (corpus frequency
+  // ≤ 3), and a log-scale surprisal ln(N · n_tok / Σc) — the ln of ONE
+  // exact rational, rounded 4 per the transcendental convention. High
+  // surprisal = unusual vocabulary (OOV-heavy, noisy, or genuinely
+  // novel text); high rare_n with low score = gibberish — the quality
+  // signal complementing text_quality's shape heuristics.
+  // Scale: explode → equi-join the (token, count) relation → one
+  // integer groupBy per doc; the corpus total is one broadcast row.
+  // ========================================================================
+  private val RareCountMax = 3
+
+  def textRarity(s: SparkSession, d: String): DataFrame = {
+    val uni = unigramCounts(s, d)
+    val tot = uni.agg(sum(col("c")).cast("double").as("n_corpus"))
+    docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .join(uni, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("c")).as("sum_cnt"),
+        sum(when(col("c") <= RareCountMax, 1L).otherwise(0L)).as("rare_n"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"), col("sum_cnt"), col("rare_n"),
+        (col("sum_cnt").cast("double") / col("n_tok")).as("mean_cnt"),
+        round(log(col("n_corpus") * col("n_tok") / col("sum_cnt")), 4).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textRaritySql =
+    s"""WITH uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
+       |  GROUP BY w),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_corpus FROM uc),
+       |dt AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tok, sum(c) AS sum_cnt,
+       |    CAST(sum(CASE WHEN c <= $RareCountMax THEN 1 ELSE 0 END) AS BIGINT) AS rare_n
+       |  FROM dt JOIN uc USING (w) GROUP BY doc_id)
+       |SELECT doc_id, n_tok, sum_cnt, rare_n,
+       |  CAST(sum_cnt AS DOUBLE) / n_tok AS mean_cnt,
+       |  round(ln(n_corpus * n_tok / sum_cnt), 4) AS surprisal
+       |FROM agg, tot
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sample_hash_split" -> (sampleHashSplit _),
+    "collocations" -> (collocations _),
+    "text_rarity" -> (textRarity _),
     "pipeline_curate_full" -> (pipelineCurateFull _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
@@ -1718,6 +1903,9 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sample_hash_split" -> sampleHashSplitSql,
+    "collocations" -> collocationsSql,
+    "text_rarity" -> textRaritySql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_temperature" -> sampleTemperatureSql,

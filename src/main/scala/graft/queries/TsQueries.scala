@@ -145,7 +145,66 @@ object TsQueries {
       |ORDER BY cnt DESC, l_suppkey
       |LIMIT 5""".stripMargin
 
+  // ========================================================================
+  // ts_changepoint — CUSUM mean-shift detection per series (Page 1954):
+  // the changepoint estimate is the reading where the cumulative sum of
+  // deviations from the series mean attains its maximum magnitude —
+  // argmax_i |Σ_{j≤i}(x_j − x̄)| — the classic offline single-changepoint
+  // localizer. The QA step that answers "did this sensor's level shift,
+  // and when?" before a series is windowed into training sets.
+  //
+  // Exactness design (why this verifies hash-identical cross-engine):
+  // values enter as micro-units v_u = CAST(value AS DECIMAL(18,6))·10⁶
+  // in BIGINT, so running sums, series totals, and the scaled deviation
+  // dev_i = n·run_i − i·total (≡ n·10⁶·cusum_i) are EXACT integers —
+  // no double is ever summed across rows, the argmax ordering is pure
+  // integer comparison, and only the one reported cusum value performs
+  // float division (identical single-op IEEE both engines; round(6) is
+  // belt-and-braces). Headroom: |dev| ≤ n²·max|x|·10⁶ — for series up
+  // to ~10⁵ readings at |x| ≤ 10³ this stays under 2⁶³; beyond that,
+  // widen v_u to DECIMAL.
+  //
+  // Scale shape: ONE shuffle on the series key; the running sum, row
+  // index, series total, and count are four window expressions over the
+  // same (key, time) ordering (same-spec windows fuse); the argmax is a
+  // row_number over the same partitioning — no second exchange.
+  // ========================================================================
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
+    val sel = Window.partitionBy(col("user_id"))
+      .orderBy(abs(col("dev")).desc, col("i"))
+    evE(s, d)
+      .withColumn("v_u",
+        (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long"))
+      .withColumn("run", sum(col("v_u")).over(w))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("total", sum(col("v_u")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("dev", col("n") * col("run") - col("i") * col("total"))
+      .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("cp_event_id"), col("n"),
+        round(col("dev").cast("double") / lit(1000000.0) / col("n"), 6).as("cusum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val tsChangepointSql =
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |    sum(v_u) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS run,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS i,
+      |    sum(v_u) OVER (PARTITION BY user_id) AS total,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM (SELECT *, CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_u
+      |        FROM events)),
+      |d AS (SELECT user_id, event_id, n, i, n * run - i * total AS dev FROM r)
+      |SELECT user_id, event_id AS cp_event_id, n,
+      |  round(CAST(dev AS DOUBLE) / 1000000.0 / n, 6) AS cusum
+      |FROM d
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY abs(dev) DESC, i) = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
     "ts_zscore_anomaly" -> (tsZscoreAnomaly _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -153,6 +212,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_zscore_anomaly" -> tsZscoreAnomalySql,
     "ts_autocorr" -> tsAutocorrSql,
