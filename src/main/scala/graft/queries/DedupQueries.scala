@@ -1277,6 +1277,53 @@ object DedupQueries {
   }
 
   // ========================================================================
+  // dedup_embedding_cluster — TRANSITIVE resolution of the EMBEDDING
+  // near-dup graph: the cluster treatment every other near-dup family
+  // ships (text dedup_cluster, image/video/audio *_cluster) applied to
+  // the hyperplane-LSH verified cosine pairs. Semantic duplicates chain
+  // (A≈B≈C with cos(A,C) below threshold is one redundancy group), so
+  // keep-first must act on components, not pairs. Components form by
+  // the same pointer-jumped min-label propagation; canonical = the
+  // component's minimum vec id; output (vec_id, canonical, kept) for
+  // every vector in any component. Oracle: recursive CTE over the LSH
+  // pair edges. Scale: pair generation is the LSH-bucketed path (never
+  // all-pairs); the fixpoint is over the pair graph only (vectors
+  // without a near-dup never enter it).
+  // ========================================================================
+  def dedupEmbeddingCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.embeddingLshPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 8, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterLabels(pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical"),
+        when(col("doc_id") === col("canonical"), 1L).otherwise(0L).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupEmbeddingClusterSql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(${SimQueries.hyperplaneBitsSql(8)} AS BIGINT) AS bucket,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |vp AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+       |          UNION SELECT id_b, id_a FROM vp),
+       |reach AS (
+       |  SELECT src AS v, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.v),
+       |comp AS (SELECT v AS vec_id, min(lbl) AS canonical FROM reach GROUP BY v)
+       |SELECT vec_id, canonical,
+       |  CAST(CASE WHEN vec_id = canonical THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM comp
+       |ORDER BY vec_id""".stripMargin
+
+  // ========================================================================
   // dedup_embedding_lsh_multi — OR-amplified multi-table variant (4
   // independent plane families): recall amplification with candidates
   // deduplicated before the single exact-cosine verify per pair.
@@ -1487,6 +1534,7 @@ object DedupQueries {
     "scrub_substring" -> (scrubSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_embedding_cluster" -> (dedupEmbeddingCluster _),
     "dedup_embedding_lsh_multi" -> (dedupEmbeddingLshMulti _),
   )
 
@@ -1513,6 +1561,7 @@ object DedupQueries {
     "scrub_substring" -> scrubSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+    "dedup_embedding_cluster" -> dedupEmbeddingClusterSql,
     "dedup_embedding_lsh_multi" -> dedupEmbeddingLshMultiSql,
   )
 }

@@ -102,6 +102,78 @@ object JoinQueries {
       |ORDER BY event_id""".stripMargin
 
   // ========================================================================
+  // join_asof_nearest — BIDIRECTIONAL as-of alignment (pandas
+  // merge_asof direction='nearest'): for each purchase, the click with
+  // the smallest |Δt| in EITHER direction, ties to the earlier
+  // (backward) click. The variant a sensor-fusion pipeline needs when
+  // the reference channel may lag OR lead the aligned one. Same
+  // distributed-safe shape as join_asof: union the tagged streams once,
+  // ONE shuffle on the series key, a backward ffill frame and a forward
+  // bfill frame over the same (key, time) sort — the exchange and sort
+  // are shared by both frames — then an exact integer-µs comparison
+  // picks the side. No inequality join anywhere.
+  // ========================================================================
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        epochUs.as("e_us"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val click = col("event_type") === "click"
+    e.withColumn("bv", last(when(click, col("value")), ignoreNulls = true).over(wB))
+      .withColumn("bt", last(when(click, col("e_us")), ignoreNulls = true).over(wB))
+      .withColumn("fv", first(when(click, col("value")), ignoreNulls = true).over(wF))
+      .withColumn("ft", first(when(click, col("e_us")), ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_click_value",
+        when(col("bt").isNull, col("fv"))
+          .when(col("ft").isNull, col("bv"))
+          .when(col("e_us") - col("bt") <= col("ft") - col("e_us"), col("bv"))
+          .otherwise(col("fv")))
+      .withColumn("dt_us",
+        when(col("bt").isNull && col("ft").isNull, lit(null).cast("long"))
+          .when(col("bt").isNull, col("ft") - col("e_us"))
+          .when(col("ft").isNull, col("e_us") - col("bt"))
+          .otherwise(least(col("e_us") - col("bt"), col("ft") - col("e_us"))))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("nearest_click_value"), col("dt_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val joinAsofNearestSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS e_us
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |r AS (
+      |  SELECT event_id, user_id, event_type, value, e_us,
+      |    last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+      |    last_value(CASE WHEN event_type = 'click' THEN e_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bt,
+      |    first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv,
+      |    first_value(CASE WHEN event_type = 'click' THEN e_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ft
+      |  FROM e)
+      |SELECT event_id, user_id, value,
+      |  CASE WHEN bt IS NULL THEN fv
+      |       WHEN ft IS NULL THEN bv
+      |       WHEN e_us - bt <= ft - e_us THEN bv
+      |       ELSE fv END AS nearest_click_value,
+      |  CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+      |       WHEN bt IS NULL THEN ft - e_us
+      |       WHEN ft IS NULL THEN e_us - bt
+      |       ELSE least(e_us - bt, ft - e_us) END AS dt_us
+      |FROM r WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
   // join_semi / join_anti — EXISTS / NOT EXISTS via Spark's left_semi /
   // left_anti (no payload duplication, builds only the key set).
   // ========================================================================
@@ -264,6 +336,7 @@ object JoinQueries {
     "join_dim_broadcast" -> (joinDimBroadcast _),
     "join_time_align" -> (joinTimeAlign _),
     "join_asof" -> (joinAsof _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_range" -> (joinRange _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
@@ -276,6 +349,7 @@ object JoinQueries {
     "join_dim_broadcast" -> joinDimBroadcastSql,
     "join_time_align" -> joinTimeAlignSql,
     "join_asof" -> joinAsofSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
     "join_range" -> joinRangeSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,

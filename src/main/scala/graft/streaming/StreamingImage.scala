@@ -80,15 +80,19 @@ object StreamingImage {
     out.iterator
   }
 
-  /** Wire decode→hash→[[keepFirstFn]] over a streaming asset frame:
-    * emits one (asset_id, dup_of, phash) row per exact perceptual
-    * duplicate detected.
+  /** Keyed keep-first over ANY streaming (id, 64-bit-hash) relation —
+    * the admission stage shared by every perceptual-hash modality
+    * (image dHash, audio amplitude dHash; the video clip signature is a
+    * string — route it through [[StreamingDedup.keepFirst]]'s
+    * string-keyed form instead). Emits (asset_id, dup_of, hash) per
+    * exact duplicate.
     */
-  def phashKeepFirst(spark: SparkSession, assets: DataFrame,
-                     ttl: Option[String] = None): DataFrame = {
+  def hashKeepFirst(spark: SparkSession, hashed: DataFrame,
+                    hashCol: String, idCol: String,
+                    ttl: Option[String] = None): DataFrame = {
     import spark.implicits._
-    phashes(spark, assets)
-      .select(col("phash"), col("asset_id").as("assetId"))
+    hashed
+      .select(col(hashCol).cast("long").as("phash"), col(idCol).cast("long").as("assetId"))
       .as[PhAsset]
       .groupByKey(_.phash)
       .flatMapGroupsWithState(OutputMode.Append,
@@ -96,6 +100,27 @@ object StreamingImage {
         else GroupStateTimeout.NoTimeout)(keepFirstFn(ttl))
       .toDF("asset_id", "dup_of", "phash")
   }
+
+  /** Wire decode→hash→[[keepFirstFn]] over a streaming asset frame:
+    * emits one (asset_id, dup_of, phash) row per exact perceptual
+    * duplicate detected.
+    */
+  def phashKeepFirst(spark: SparkSession, assets: DataFrame,
+                     ttl: Option[String] = None): DataFrame =
+    hashKeepFirst(spark, phashes(spark, assets), "phash", "asset_id", ttl)
+
+  /** The AUDIO modality through the same stages: in-stream RIFF walk →
+    * 56-bit amplitude dHash ([[graft.multimodal.Multimodal.audioDhashes]],
+    * stateless mapPartitions — runs unchanged on a stream) → keyed
+    * keep-first admission. Near-dup pairs compose downstream via
+    * [[phashBandPairs]] with the audio band layout (4 × 14-bit,
+    * maxHamming 3 — the batch `dedup_audio_phash` parameters).
+    */
+  def ahashKeepFirst(spark: SparkSession, assets: DataFrame,
+                     ttl: Option[String] = None): DataFrame =
+    hashKeepFirst(spark,
+      graft.multimodal.Multimodal.audioDhashes(spark, assets).toDF(),
+      "ahash", "asset_id", ttl)
 
   case class BandedHash(band: Long, bkey: Long, phash: Long)
   case class HashPair(phash_a: Long, phash_b: Long, hamming: Long)
@@ -120,12 +145,14 @@ object StreamingImage {
   def phashBandPairs(spark: SparkSession, hashes: DataFrame,
                      nBands: Int = 8, bitsPerBand: Int = 7,
                      maxHamming: Int = 6,
-                     ttl: Option[String] = None): DataFrame = {
+                     ttl: Option[String] = None,
+                     hashCol: String = "phash"): DataFrame = {
     require(nBands > 0 && bitsPerBand > 0 && nBands * bitsPerBand <= 63,
       s"band layout must fit a positive BIGINT, got $nBands x $bitsPerBand")
     import spark.implicits._
     val mask = (1L << bitsPerBand) - 1
     hashes
+      .select(col(hashCol).cast("long").as("phash"))
       .withColumn("band", explode(sequence(lit(0L), lit(nBands - 1L))))
       .select(col("band"),
         expr(s"shiftright(phash, CAST(band * $bitsPerBand AS INT))")

@@ -484,6 +484,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("join_asof_nearest: backward and forward frames share ONE exchange on the series key") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // both window frames key on user_id; the presentation sort adds a
+    // rangepartitioning — but there must be exactly one user_id hash
+    // exchange feeding both Window nodes (formatted mode renders each
+    // Exchange node twice: tree + detail header)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("collocations / text_rarity: counts are map-side combined; joins stay equi") {
+    Seq("collocations", "text_rarity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("partial_count"), s"$q: $p") // map-side combine on the count aggs
+    }
+  }
+
   test("token_count_subword is a pure projection over the scan (vocab rides as a literal)") {
     val p = plan("token_count_subword")
     assert(!p.contains("Generate"), p)          // no explode in the count path

@@ -84,6 +84,57 @@ class StreamingImageSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => b1Set.contains(a) != b1Set.contains(b) })
   }
 
+  test("streaming audio: ahashKeepFirst + audio-layout band pairs match the batch audio pipeline") {
+    implicit val sc = spark.sqlContext
+    val wavRows = Multimodal.syntheticWavReplicaPayloads(spark, Tables.documents(spark, sf))
+      .as[(Long, Array[Byte])].collect().toSeq.sortBy(_._1)
+    val batchAudio = Multimodal.audioDhashes(spark,
+        Multimodal.syntheticWavReplicaPayloads(spark, Tables.documents(spark, sf)))
+      .collect().toSeq.map(a => (a.asset_id, a.ahash)).sortBy(_._1)
+    // stage 1: in-stream RIFF walk + keyed keep-first admission
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val df = stream.toDF().toDF("asset_id", "payload")
+    val out = StreamingImage.ahashKeepFirst(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("audkf_out").start()
+    val (b1, b2) = wavRows.splitAt(wavRows.size / 2)
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    val got = spark.table("audkf_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val want = batchAudio.groupBy(_._2).iterator.flatMap { case (h, members) =>
+      val ids = members.map(_._1).sorted
+      ids.tail.map(id => (id, ids.head, h))
+    }.toSet
+    assert(got == want)
+    // stage 2: band pairs with the audio layout (4 x 14-bit, <= 3)
+    val distinctHashes = batchAudio.map(_._2).distinct.sorted
+    val hs = MemoryStream[Long]
+    val hdf = hs.toDF().toDF("ahash")
+    val pout = StreamingImage.phashBandPairs(spark, hdf,
+      nBands = 4, bitsPerBand = 14, maxHamming = 3, hashCol = "ahash")
+    val pq = pout.writeStream.outputMode("append").format("memory")
+      .queryName("audbp_out").start()
+    val (h1, h2) = distinctHashes.splitAt(distinctHashes.size / 2)
+    hs.addData(h1)
+    pq.processAllAvailable()
+    hs.addData(h2)
+    pq.processAllAvailable()
+    val gotPairs = spark.table("audbp_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    pq.stop()
+    val wantPairs = graft.dedup.Dedup.hammingBandPairs(
+        batchAudio.toDF("asset_id", "ahash"), "ahash", nBands = 4, bitsPerBand = 14)
+      .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotPairs == wantPairs)
+    assert(gotPairs.nonEmpty) // planted replicas guarantee near-dups
+  }
+
   test("composed streaming stages reproduce batch dedup_image_cluster membership") {
     implicit val sc = spark.sqlContext
     // stage: verified hash pairs (from the band stage's parity-checked
