@@ -1511,7 +1511,58 @@ object DedupQueries {
        |LEFT JOIN nearv v ON v.new_id = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
 
+  // ========================================================================
+  // diversity_sample — SemDeDup-style semantic pruning (Abbas et al.,
+  // arXiv:2303.09540: cluster embeddings, keep one representative per
+  // cluster — removing "semantic duplicates" that no lexical dedup
+  // catches cut LAION training cost 2× at equal accuracy). Cells here
+  // are hyperplane-LSH buckets over the embedding column (deterministic
+  // and oracle-replicable, where the paper's k-means is seed-dependent);
+  // the kept representative is the cell's LONGEST document (n_chars,
+  // ties to the smaller doc_id) — the "most informative member" proxy.
+  // Output: one row per non-empty cell (bucket, kept doc, its length,
+  // cell population) — the survivor list plus the audit of how much
+  // each cell pruned.
+  //
+  // Scale shape: bucket assignment is per-row codegen
+  // ([[graft.plans.HyperplaneBuckets]], no shuffle); doc metadata joins
+  // by doc_id equi-join; the argmax and cell count are windows over the
+  // SAME bucket partitioning — one shuffle total, and only (id, bucket,
+  // n_chars) rides it, never text or vectors. At 100 TB the plane count
+  // grows with corpus size (cells ≈ corpus/expected-cell-size), keeping
+  // per-cell populations bounded.
+  // ========================================================================
+  def diversitySample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("bucket"))
+    val sel = wb.orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+      .join(docs(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("n_bucket", count(lit(1)).over(wb))
+      .withColumn("rn", row_number().over(sel))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("doc_id"), col("n_chars"), col("n_bucket"))
+      .orderBy(col("bucket"))
+  }
+
+  private val diversitySampleSql =
+    s"""WITH b AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(${SimQueries.hyperplaneBitsSql(8)} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |j AS (
+       |  SELECT b.bucket, b.doc_id, d.n_chars,
+       |    count(*) OVER (PARTITION BY b.bucket) AS n_bucket
+       |  FROM b JOIN documents d USING (doc_id))
+       |SELECT bucket, doc_id, n_chars, n_bucket
+       |FROM j
+       |QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY n_chars DESC, doc_id) = 1
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "diversity_sample" -> (diversitySample _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
@@ -1539,6 +1590,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "diversity_sample" -> diversitySampleSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,

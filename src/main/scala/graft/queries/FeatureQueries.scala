@@ -268,7 +268,83 @@ object FeatureQueries {
       |FROM u GROUP BY feature, bucket
       |ORDER BY feature, bucket""".stripMargin
 
+  // ========================================================================
+  // quantile_bucket — exact equal-frequency discretizer (the sklearn
+  // KBinsDiscretizer(strategy='quantile') / pandas qcut feature): decile
+  // buckets of l_extendedprice with per-bucket population and value
+  // range. Boundary k (k=1..9) is the smallest value whose cumulative
+  // count reaches ⌈k·n/10⌉ — a DISCRETE (type-1) quantile, chosen over
+  // interpolated percentiles because every boundary is then an actual
+  // data value and everything stays exact integer cents: no
+  // interpolation arithmetic to match cross-engine. No boundary
+  // relation is ever materialized: a value's bucket is CLOSED-FORM from
+  // its own cumulative rank — the #(boundaries strictly below v) equals
+  // #{k : prev_cum·10 ≥ k·n} = min(9, ⌊prev_cum·10/n⌋) where prev_cum
+  // = cum − cnt (the rank just before v's first occurrence) — pure
+  // ceil-free integer division, ties never straddle buckets.
+  //
+  // Scale shape: the corpus collapses to the DISTINCT-cents histogram
+  // (ONE map-side-combined agg), and the cumulative rank over it is
+  // TWO-LEVEL — a partition-friendly prefix sum, because 2-decimal
+  // prices are nearly unique and a naive `sum OVER (ORDER BY cents)`
+  // would be a single-task sort of the whole histogram (≈ the corpus).
+  // Level 1: 65536-cent coarse chunks aggregate STRAIGHT off the scan
+  // to a ≤ domain/65536-row relation whose running totals (exclusive
+  // offset + grand total) ARE allowed a single-partition window
+  // (hundreds of rows, flat in corpus size); level 2: within-chunk
+  // cumulative sums run under a window KEYED by chunk; global cum =
+  // broadcast chunk offset + local cum. The histogram is evaluated
+  // once — bucket assignment and the final rollup are projections over
+  // the same windowed relation.
+  // ========================================================================
+  private val QBuckets = 10
+
+  def quantileBucket(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val li = Tables.lineitem(s, d)
+      .select(cents.as("cents"), shiftright(cents, 16).as("chunk"))
+    val wch = Window.orderBy(col("chunk"))
+    val offs = li.groupBy(col("chunk")).agg(count(lit(1)).as("ctot"))
+      .select(col("chunk"),
+        coalesce(sum(col("ctot")).over(wch.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("coff"),
+        sum(col("ctot")).over(wch.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+    val wloc = Window.partitionBy(col("chunk")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    li.groupBy(col("chunk"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lcum", sum(col("cnt")).over(wloc))
+      .join(broadcast(offs), Seq("chunk"))
+      .select(col("cents"), col("cnt"),
+        (lit(1) + least(lit(QBuckets - 1).cast("long"),
+          expr(s"((coff + lcum - cnt) * $QBuckets) div n"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n"),
+        (min(col("cents")) / lit(100.0)).as("lo"),
+        (max(col("cents")) / lit(100.0)).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  private val quantileBucketSql =
+    s"""WITH li AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM lineitem),
+       |dv AS (SELECT cents, count(*) AS cnt FROM li GROUP BY cents),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dv),
+       |cum AS (
+       |  SELECT cents, cnt, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum
+       |  FROM dv),
+       |bkt AS (
+       |  SELECT cents, cnt,
+       |    1 + least(${QBuckets - 1}, ((cum - cnt) * $QBuckets) // n) AS bucket
+       |  FROM cum, tot)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(sum(cnt) AS BIGINT) AS n,
+       |  min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
+       |FROM bkt GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "quantile_bucket" -> (quantileBucket _),
     "cyclical_features" -> (cyclicalFeatures _),
     "plot_prep" -> (plotPrep _),
     "onehot_int" -> (onehotInt _),
@@ -282,6 +358,7 @@ object FeatureQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "quantile_bucket" -> quantileBucketSql,
     "cyclical_features" -> cyclicalFeaturesSql,
     "plot_prep" -> plotPrepSql,
     "onehot_int" -> onehotIntSql,

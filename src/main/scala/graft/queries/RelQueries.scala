@@ -370,7 +370,71 @@ object RelQueries {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ========================================================================
+  // zorder_key — Morton/Z-order multi-dimensional layout key (Morton
+  // 1966; the primitive behind Delta Lake's OPTIMIZE ZORDER BY and
+  // Hudi/Iceberg clustering): interleave the bits of two join/filter
+  // dimensions (l_partkey, l_suppkey — 10 low bits each) so that
+  // range-partitioning + sorting by the ONE derived key co-locates rows
+  // that are close in BOTH dimensions. At 100 TB this is how a table
+  // gets min-max parquet-footer pruning on two predicates from a single
+  // sort order: write with repartitionByRange($"zkey") +
+  // sortWithinPartitions($"zkey") and every file's (partkey, suppkey)
+  // ranges are narrow. The query emits the audit that proves the
+  // locality contract: grouping by the 8 leading zkey bits (256 coarse
+  // cells), each cell's span in EACH dimension is ≤ 64 of 1024 domain
+  // values — the pruning guarantee a layout job asserts before
+  // committing the rewrite (ZOrderSpec pins it).
+  //
+  // Exactness: the whole derivation is shift/mask integer arithmetic —
+  // the classic 4-step bit-spread — generated from ONE step list for
+  // both engines (spreadSql mirrors spread), so the key definition
+  // cannot diverge. No doubles anywhere.
+  //
+  // Scale shape: per-row codegen'd bit math (no shuffle to derive), one
+  // map-side-combined agg on the 256-cell key.
+  // ========================================================================
+  private val MortonSteps =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+
+  /** Spread the low 16 bits of `c` to even bit positions (Morton). */
+  private def spread(c: Column): Column =
+    MortonSteps.foldLeft(c) { case (v, (sh, m)) =>
+      v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(m))
+    }
+
+  /** DuckDB twin of [[spread]] — rendered from the same step list. */
+  private def spreadSql(e: String): String =
+    MortonSteps.foldLeft(e) { case (v, (sh, m)) => s"((($v) | (($v) << $sh)) & $m)" }
+
+  def zorderKey(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_partkey").bitwiseAND(lit(1023L))
+    val y = col("l_suppkey").bitwiseAND(lit(1023L))
+    Tables.lineitem(s, d)
+      .select(x.as("x"), y.as("y"))
+      .select(col("x"), col("y"),
+        spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)).as("zkey"))
+      .groupBy(shiftright(col("zkey"), 12).cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).cast("long").as("x_min"), max(col("x")).cast("long").as("x_max"),
+        min(col("y")).cast("long").as("y_min"), max(col("y")).cast("long").as("y_max"))
+      .orderBy(col("cell"))
+  }
+
+  private val zorderKeySql =
+    s"""WITH xy AS (
+       |  SELECT (l_partkey & 1023) AS x, (l_suppkey & 1023) AS y FROM lineitem),
+       |z AS (
+       |  SELECT x, y,
+       |    (${spreadSql("x")} | (${spreadSql("y")} << 1)) AS zkey
+       |  FROM xy)
+       |SELECT CAST(zkey >> 12 AS BIGINT) AS cell, count(*) AS n,
+       |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+       |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "zorder_key" -> (zorderKey _),
     "funnel_conversion" -> (funnelConversion _),
     "retention_cohorts" -> (retentionCohorts _),
     "q3_topk" -> (q3TopK _),
@@ -384,6 +448,7 @@ object RelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "zorder_key" -> zorderKeySql,
     "funnel_conversion" -> funnelConversionSql,
     "retention_cohorts" -> retentionCohortsSql,
     "q3_topk" -> q3TopKSql,

@@ -1869,7 +1869,85 @@ object TextQueries {
        |FROM agg, tot
        |ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // lm_score — corpus-trained bigram language-model score per document:
+  // the CCNet-style LM-perplexity quality signal (Wenzek et al.,
+  // arXiv:1911.00359 rank web text by LM perplexity; here the LM is an
+  // add-one-smoothed word bigram model trained on the corpus itself, the
+  // self-supervised variant a pipeline can run with no external model
+  // artifact). Per doc: bigram count, total negative log-likelihood, and
+  // the mean NLL — the perplexity proxy (ppl = e^mean_nll, monotone in
+  // it). High mean_nll = text the corpus' own statistics find improbable
+  // (boilerplate-free gibberish, OOV floods, shuffled tokens);
+  // complementing text_rarity (unigram surprisal) with ORDER sensitivity
+  // — a bag of common words in nonsense order scores badly here but fine
+  // there.
+  //
+  // Exactness design: each bigram's NLL = ln((c(w1)+V)/(c(w1w2)+1)) is
+  // the ln of ONE exact integer rational, immediately quantized to
+  // integer 1e-4 nats (round·cast — the ts_changepoint micro-unit
+  // trick); per-doc totals then sum EXACT integers (order-free across
+  // the shuffle), and the mean is one double division of exact operands.
+  // The only cross-engine trust is ln itself on identical doubles (the
+  // round(4) convention every transcendental in this file already
+  // carries).
+  //
+  // Scale shape: ONE tokenize pass; the per-doc bigram relation is
+  // reused for BOTH the corpus bigram counts (self-aggregation,
+  // map-side combined) and the scoring join; unigram counts ride the
+  // shared unigramCounts memo; V is one broadcast row; all joins are
+  // token-key equi-joins — nothing corpus-quadratic, no window.
+  // ========================================================================
+  private val LmScale = 10000.0
+
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val uni = unigramCounts(s, d)
+    val vocab = uni.agg(count(lit(1)).as("v_size"))
+    val bg = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c_a") + col("v_size")).cast("double") / (col("c_ab") + lit(1L)))
+          * lit(LmScale)).cast("long").as("nll_e4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"))
+      .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"),
+        round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |v AS (SELECT count(*) AS v_size FROM uc),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |  FROM toks WHERE len(t) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2),
+       |nll AS (
+       |  SELECT bg.doc_id,
+       |    CAST(round(ln((uc.c + v.v_size)::DOUBLE / (bc.c_ab + 1)) * 10000.0) AS BIGINT)
+       |      AS nll_e4
+       |  FROM bg JOIN bc USING (w1, w2) JOIN uc ON uc.w = bg.w1, v)
+       |SELECT doc_id, count(*) AS n_bg,
+       |  CAST(sum(nll_e4) AS BIGINT) AS nll_sum_e4,
+       |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
+       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "lm_score" -> (lmScore _),
     "sample_hash_split" -> (sampleHashSplit _),
     "collocations" -> (collocations _),
     "text_rarity" -> (textRarity _),
@@ -1903,6 +1981,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lm_score" -> lmScoreSql,
     "sample_hash_split" -> sampleHashSplitSql,
     "collocations" -> collocationsSql,
     "text_rarity" -> textRaritySql,

@@ -203,7 +203,61 @@ object TsQueries {
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY abs(dev) DESC, i) = 1
       |ORDER BY user_id""".stripMargin
 
+  // ========================================================================
+  // ts_seasonal — hour-of-day seasonal profile per event_type: for each
+  // (type, hour-of-day) cell the reading count, mean level, and the
+  // seasonal component (cell mean − type-wide mean). The classical
+  // periodic-baseline step of an additive decomposition (x = trend +
+  // seasonal + residual): subtracting this profile from a series is
+  // what deseasonalizes it before anomaly scoring (ts_zscore_anomaly
+  // flags level outliers; WITH a diurnal cycle present those are
+  // dominated by time-of-day unless this baseline is removed first).
+  //
+  // Exactness: values enter as the same DECIMAL(18,6) micro-units as
+  // ts_changepoint, so cell sums and type totals are exact integers;
+  // each mean is ONE double division of exact operands and the seasonal
+  // component one subtraction — identical IEEE ops both engines;
+  // round(6) is belt-and-braces. Hour-of-day is pure integer epoch
+  // arithmetic (floor(µs/3.6e9) mod 24 — never the session-zone
+  // `hour()`, which would tie the result to a timezone).
+  //
+  // Scale shape: ONE map-side-combined hash agg on (type, hour) — the
+  // corpus never shuffles more than the ≤ |types|·24-row profile; the
+  // type-total window runs over that tiny relation, not the corpus.
+  // ========================================================================
+  def tsSeasonal(s: SparkSession, d: String): DataFrame = {
+    val wt = Window.partitionBy(col("event_type"))
+    val meanCell = col("cell_u") / (col("n") * lit(1000000.0))
+    val meanType = sum(col("cell_u")).over(wt) / (sum(col("n")).over(wt) * lit(1000000.0))
+    ev(s, d)
+      .groupBy(col("event_type"),
+        pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
+          lit(24L)).as("hour"))
+      .agg(sum((col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")).as("cell_u"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(meanCell, 6).as("hour_mean"),
+        round(meanCell - meanType, 6).as("seasonal"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val tsSeasonalSql =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour,
+      |    sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS cell_u,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, hour, n,
+      |  round(cell_u / (n * 1000000.0), 6) AS hour_mean,
+      |  round(cell_u / (n * 1000000.0)
+      |    - sum(cell_u) OVER (PARTITION BY event_type)
+      |      / (sum(n) OVER (PARTITION BY event_type) * 1000000.0), 6) AS seasonal
+      |FROM h
+      |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_seasonal" -> (tsSeasonal _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
     "ts_zscore_anomaly" -> (tsZscoreAnomaly _),
@@ -212,6 +266,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_seasonal" -> tsSeasonalSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_zscore_anomaly" -> tsZscoreAnomalySql,

@@ -94,4 +94,100 @@ class NewQuerySpec extends SparkSpec {
     val highFreq = two.last
     assert(lowFreq.getDouble(5) > highFreq.getDouble(5))
   }
+
+  test("ts_seasonal: additive decomposition invariants hold (weighted seasonal sums to ~0 per type)") {
+    val out = graft.SparkEntry.queries("ts_seasonal")(spark, sf)
+    assert(out.filter(col("hour") < 0 || col("hour") > 23).count() == 0)
+    // Σ_h n_h · seasonal_h = Σ n_h·(mean_h − mean_type) = 0 exactly in
+    // real arithmetic; round(6) on each component bounds the residual
+    val resid = out.groupBy(col("event_type"))
+      .agg(sum(col("n") * col("seasonal")).as("r"), sum(col("n")).as("n_tot"))
+      .collect()
+    resid.foreach { r =>
+      assert(math.abs(r.getDouble(1)) / r.getLong(2) < 1e-5, r.toString)
+    }
+    // hour_mean − seasonal is the SAME type-wide constant on every row
+    val spread = out.select(col("event_type"),
+        round(col("hour_mean") - col("seasonal"), 4).as("tm"))
+      .distinct().groupBy(col("event_type")).count().collect()
+    spread.foreach(r => assert(r.getLong(1) == 1L, r.toString))
+  }
+
+  test("lm_score is ORDER-sensitive: shuffled tokens of in-distribution text score higher NLL") {
+    // corpus: the same sentence four times (its bigrams become "the
+    // language") plus one doc with the SAME unigrams in scrambled order
+    // — unigram rarity identical by construction, only bigram
+    // statistics differ. Replicates the query algebra over a probe
+    // frame (the registered query binds to the documents table).
+    val probe = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"), (4L, "the cat sat on the mat"),
+      (5L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val t = probe.select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("t"))
+    val bg = t.select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = t.select(explode(col("t")).as("w")).groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val v = uni.count()
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val nll = bg.join(bc, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .select(col("doc_id"),
+        log((col("c_a") + lit(v)).cast("double") / (col("c_ab") + lit(1L))).as("nll"))
+      .groupBy(col("doc_id")).agg(avg(col("nll")).as("mean_nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nll(5L) > nll(1L), s"shuffled ${nll(5L)} vs canonical ${nll(1L)}")
+    // and the registered query: one row per >=2-token doc, NLL >= 0
+    val out = graft.SparkEntry.queries("lm_score")(spark, sf)
+    val eligible = graft.sources.Tables.documents(spark, sf)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 2).count()
+    assert(out.count() == eligible)
+    assert(out.filter(col("mean_nll") < 0).count() == 0)
+  }
+
+  test("diversity_sample keeps exactly the longest doc per semantic cell and accounts for every vector") {
+    val out = graft.SparkEntry.queries("diversity_sample")(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"),
+        graft.sim.Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+      .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+    // one survivor per non-empty cell; populations account for all rows
+    assert(out.select(col("bucket")).distinct().count() == out.count())
+    assert(out.agg(sum(col("n_bucket"))).head.getLong(0) == emb.count())
+    // the survivor really is the cell argmax (n_chars desc, doc_id asc)
+    val best = emb
+      .select(col("bucket"),
+        struct(col("n_chars"), (-col("doc_id")).as("nid"), col("doc_id").as("id")).as("s"))
+      .groupBy(col("bucket")).agg(max(col("s")).as("m"))
+      .select(col("bucket"), col("m.n_chars").as("bc"), col("m.id").as("bid"))
+    val joined = out.join(best, Seq("bucket"))
+    assert(joined.filter(col("n_chars") =!= col("bc") || col("doc_id") =!= col("bid")).count() == 0)
+  }
+
+  test("quantile_bucket: equal-frequency deciles partition the column with ordered, non-overlapping ranges") {
+    val out = graft.SparkEntry.queries("quantile_bucket")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // near-equal populations (exact under no ties; synthetic prices are
+    // nearly unique): every bucket within 2% of n/10
+    out.foreach(r => assert(math.abs(r.getLong(1) - total / 10.0) < total * 0.02, r.toString))
+    // ranges ordered and disjoint: hi_k < lo_{k+1}
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) < b.getDouble(2), s"$a !< $b")
+    }
+  }
+
+  test("zorder_key cells honor the locality contract: every coarse cell spans <= 1/16 of each dimension") {
+    val out = graft.SparkEntry.queries("zorder_key")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 63, s"x span: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 63, s"y span: $r")
+    }
+    val total = graft.sources.Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total)
+  }
 }

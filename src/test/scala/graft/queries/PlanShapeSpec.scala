@@ -532,4 +532,53 @@ class PlanShapeSpec extends SparkSpec {
       org.apache.spark.sql.execution.SimpleMode)
     assert(bad.linesIterator.exists(l => l.contains("Sort [") && l.contains(", true,")), bad)
   }
+
+  test("ts_seasonal: map-side combined cell agg; the type-total window keys on event_type") {
+    val p = plan("ts_seasonal")
+    assert(p.contains("partial_sum"), p)        // corpus collapses map-side
+    assert(!p.contains("CartesianProduct"), p)
+    // the window partitions by event_type (over the tiny profile
+    // relation) — never an unpartitioned corpus window
+    assert("hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("lm_score: one tokenize scan; count aggs map-side combined; scoring joins stay equi") {
+    val p = plan("lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    // exactly one parquet scan of documents feeds both the corpus
+    // counts and the per-doc scoring (formatted mode lists scans once
+    // per node id)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 2, s"$scans document scans:\n$p")
+  }
+
+  test("diversity_sample: bucket assignment is shuffle-free; argmax and census share the bucket exchange") {
+    val p = plan("diversity_sample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // one hash exchange on bucket feeds both window functions
+    assert("hashpartitioning\\(bucket".r.findAllIn(p).length <= 2, p)
+  }
+
+  test("quantile_bucket: the histogram prefix sum is two-level — heavy windows keyed by chunk") {
+    val p = plan("quantile_bucket")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    // the within-chunk cumulative window is KEYED (hashpartitioning on
+    // chunk); the only SinglePartition window consumes the ≤
+    // domain/65536-row chunk-total relation, which sits above a
+    // HashAggregate on chunk — so no corpus-sized single-task sort
+    assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("zorder_key derives the key with pure codegen bit math: no shuffle before the cell agg") {
+    val p = plan("zorder_key")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+    // one exchange total: the 256-cell agg shuffle (formatted mode
+    // renders each Exchange twice: tree + detail header)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+  }
 }
