@@ -1946,7 +1946,47 @@ object TextQueries {
        |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // text_entropy — character-distribution Shannon entropy per document:
+  // the classic gibberish/boilerplate detector (low entropy = repeated
+  // characters, padding, template residue; anomalously high = random
+  // strings, base64/hex blobs) complementing text_repetition (n-gram
+  // level) and lm_score (token-sequence level) at the cheapest
+  // granularity — a pure per-row scan. H = ln(n) − S/(n·10⁴) where S is
+  // [[graft.plans.CharEntropySum]]'s order-free quantized integer core;
+  // the ln and the one division run on exact integer operands (the
+  // micro-unit determinism pattern).
+  //
+  // Scale shape: one codegen'd projection over the scan — no explode,
+  // no shuffle, no join; the composable per-character explode + (doc,
+  // char) groupBy it replaces would shuffle one record per CHARACTER of
+  // the corpus (plan-guarded).
+  // ========================================================================
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_calc"),
+        graft.plans.CharEntropySum(col("text")).as("ent_sum_e4"))
+      .select(col("doc_id"), col("n_chars_calc"), col("ent_sum_e4"),
+        round(log(col("n_chars_calc")) - col("ent_sum_e4") / (col("n_chars_calc") * lit(10000.0)),
+          4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  private val textEntropySql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents),
+      |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CAST(round(cnt * ln(cnt) * 10000.0) AS BIGINT)) AS BIGINT) AS ent_sum_e4,
+      |    CAST(sum(cnt) AS BIGINT) AS n_chars_calc
+      |  FROM cc GROUP BY doc_id)
+      |SELECT doc_id, n_chars_calc, ent_sum_e4,
+      |  round(ln(n_chars_calc) - ent_sum_e4 / (n_chars_calc * 10000.0), 4) AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScore _),
     "sample_hash_split" -> (sampleHashSplit _),
     "collocations" -> (collocations _),
@@ -1981,6 +2021,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
     "lm_score" -> lmScoreSql,
     "sample_hash_split" -> sampleHashSplitSql,
     "collocations" -> collocationsSql,

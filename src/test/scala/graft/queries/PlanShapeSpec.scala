@@ -572,6 +572,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("text_entropy is a pure codegen projection (no per-character explode, no shuffle)") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Generate"), p)          // no explode: the histogram is in-expression
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"), p)  // only the presentation sort
+  }
+
   test("zorder_key derives the key with pure codegen bit math: no shuffle before the cell agg") {
     val p = plan("zorder_key")
     assert(!p.contains("Join"), p)
