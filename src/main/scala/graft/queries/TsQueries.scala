@@ -204,6 +204,45 @@ object TsQueries {
       |ORDER BY user_id""".stripMargin
 
   // ========================================================================
+  // ts_rolling_median — trailing-window rolling median per series: the
+  // ROBUST smoother complementing ts_ewma (a single spike drags an
+  // exponential mean for its whole lookback but never moves the
+  // median), and the standard pre-filter before spike detection on
+  // sensor channels. Window = current + 8 trailing readings; short
+  // prefixes use the available rows with the LOWER median for even
+  // counts (type-1, an actual data value — exact element selection, no
+  // interpolated arithmetic to match cross-engine, the quantile_bucket
+  // discrete-quantile convention).
+  //
+  // Scale shape: ONE shuffle on the series key (the family's shared
+  // window partitioning); the collected window is BOUNDED (≤ 9
+  // elements) so the per-row sort is O(1) — never a corpus-sized
+  // structure.
+  // ========================================================================
+  private val MedianLookback = 8
+
+  def tsRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val wm = w.rowsBetween(-MedianLookback, 0)
+    evE(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        sort_array(collect_list(col("value")).over(wm)).as("win"))
+      .select(col("event_id"), col("user_id"),
+        element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")).as("median"))
+      .orderBy(col("event_id"))
+  }
+
+  private val tsRollingMedianSql =
+    s"""WITH r AS (
+       |  SELECT event_id, user_id,
+       |    list_sort(list(value) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id
+       |      ROWS BETWEEN $MedianLookback PRECEDING AND CURRENT ROW)) AS win
+       |  FROM events WHERE value IS NOT NULL)
+       |SELECT event_id, user_id, win[CAST((len(win) + 1) // 2 AS INTEGER)] AS median
+       |FROM r
+       |ORDER BY event_id""".stripMargin
+
+  // ========================================================================
   // ts_seasonal — hour-of-day seasonal profile per event_type: for each
   // (type, hour-of-day) cell the reading count, mean level, and the
   // seasonal component (cell mean − type-wide mean). The classical
@@ -257,6 +296,7 @@ object TsQueries {
       |ORDER BY event_type, hour""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "ts_rolling_median" -> (tsRollingMedian _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
@@ -266,6 +306,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_rolling_median" -> tsRollingMedianSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,

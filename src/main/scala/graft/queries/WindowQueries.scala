@@ -490,8 +490,13 @@ object WindowQueries {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
-  private val sessionizeSql =
-    s"""WITH e AS (
+  /** The session CTE chain — ONE rendering shared by `sessionize` and
+    * `session_concurrency` so the gap rule cannot silently diverge
+    * between the interval builder and its consumers (the lshPipelineCtes
+    * pattern).
+    */
+  private val sessionCtes =
+    s"""e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS e_us FROM events),
       |g AS (
       |  SELECT user_id, event_id, e_us,
@@ -502,15 +507,83 @@ object WindowQueries {
       |    sum(CASE WHEN gap IS NULL OR gap > $SessionGapUs THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY user_id ORDER BY e_us, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-      |  FROM g)
+      |  FROM g)""".stripMargin
+
+  private val sessionizeSql =
+    s"""WITH $sessionCtes
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |  count(*) AS n_events, min(e_us) AS start_us, max(e_us) AS end_us,
       |  max(e_us) - min(e_us) AS duration_us
       |FROM sess GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ========================================================================
+  // session_concurrency — peak simultaneous sessions per active hour:
+  // the capacity-planning view over the sessionize intervals (how many
+  // users were mid-session at once — what a serving layer provisions
+  // for). Classic boundary sweep: each [start, end] session emits
+  // (start, +1) and (end+1, −1); per-timestamp deltas aggregate FIRST
+  // (so coincident starts/ends are order-free), and the running sum of
+  // nets IS the concurrency after each boundary; per-hour peak = max
+  // over the hour's boundaries.
+  //
+  // Scale shape: the running sum is the quantile_bucket TWO-LEVEL
+  // prefix sum, not a single global window — per-hour chunk nets (tiny
+  // relation, single-partition window allowed) broadcast exclusive
+  // offsets onto chunk-KEYED local cumulative windows. Boundary deltas
+  // are map-side combined by timestamp. Hours without boundaries carry
+  // the entering concurrency unchanged and are definitionally absent
+  // (report covers ACTIVE hours). A production run over a persisted
+  // session relation would start from that table; here the interval
+  // builder is recomputed per branch (events-table scale, cheap — the
+  // memo pattern applies if it ever isn't).
+  // ========================================================================
+  def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionize(s, d).select(col("start_us"), col("end_us"))
+    val b = sess.select(explode(array(
+        struct(col("start_us").as("t"), lit(1L).as("delta")),
+        struct((col("end_us") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
+      .groupBy(col("t")).agg(sum(col("delta")).as("net"))
+      .withColumn("chunk", floor(col("t") / lit(3600000000L)).cast("long"))
+    val wch = Window.orderBy(col("chunk"))
+    val offs = b.groupBy(col("chunk")).agg(sum(col("net")).as("cnet"), count(lit(1)).as("nb"))
+      .select(col("chunk"), col("nb"),
+        coalesce(sum(col("cnet")).over(wch.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("coff"))
+    val wloc = Window.partitionBy(col("chunk")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("lrun", sum(col("net")).over(wloc))
+      .join(broadcast(offs), Seq("chunk"))
+      .groupBy(col("chunk"), col("nb"))
+      .agg(max(col("coff") + col("lrun")).as("peak"))
+      .select((col("chunk") * 3600).as("hour_s"), col("nb").as("n_boundaries"), col("peak"))
+      .orderBy(col("hour_s"))
+  }
+
+  private val sessionConcurrencySql =
+    s"""WITH $sessionCtes,
+      |iv AS (
+      |  SELECT min(e_us) AS start_us, max(e_us) AS end_us
+      |  FROM sess GROUP BY user_id, session_idx),
+      |bd AS (
+      |  SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM (
+      |    SELECT start_us AS t, 1 AS delta FROM iv
+      |    UNION ALL SELECT end_us + 1, -1 FROM iv)
+      |  GROUP BY t),
+      |run AS (
+      |  SELECT CAST(floor(t / 3600000000) AS BIGINT) AS chunk,
+      |    sum(net) OVER (ORDER BY t) AS conc
+      |  FROM bd)
+      |SELECT chunk * 3600 AS hour_s, count(*) AS n_boundaries,
+      |  CAST(max(conc) AS BIGINT) AS peak
+      |FROM run GROUP BY chunk
+      |ORDER BY hour_s""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> (sessionize _),
+    "session_concurrency" -> (sessionConcurrency _),
     "sliding_window" -> (slidingWindow _),
     "window_supervised" -> (windowSupervised _),
     "window_supervised_v2" -> (windowSupervisedV2 _),
@@ -531,6 +604,7 @@ object WindowQueries {
 
   val oracleSql: Map[String, String] = Map(
     "sessionize" -> sessionizeSql,
+    "session_concurrency" -> sessionConcurrencySql,
     "sliding_window" -> slidingWindowSql,
     "window_supervised" -> windowSupervisedSql,
     "window_supervised_v2" -> windowSupervisedV2Sql,

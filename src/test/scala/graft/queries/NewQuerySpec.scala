@@ -180,6 +180,60 @@ class NewQuerySpec extends SparkSpec {
     }
   }
 
+  test("session_concurrency: two-level sweep equals the flat running sum; invariants hold") {
+    val out = graft.SparkEntry.queries("session_concurrency")(spark, sf)
+    import org.apache.spark.sql.expressions.Window
+    // flat single-window reference: same boundaries, one global running
+    // sum (the formulation the two-level algebra must equal)
+    val sess = graft.SparkEntry.queries("sessionize")(spark, sf)
+      .select(col("start_us"), col("end_us"))
+    val bd = sess.select(explode(array(
+        struct(col("start_us").as("t"), lit(1L).as("delta")),
+        struct((col("end_us") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
+      .groupBy(col("t")).agg(sum(col("delta")).as("net"))
+    val flat = bd
+      .withColumn("conc", sum(col("net"))
+        .over(Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(floor(col("t") / lit(3600000000L)).cast("long").as("chunk"))
+      .agg(max(col("conc")).as("peak_ref"))
+    val cmp = out.withColumn("chunk", (col("hour_s") / 3600).cast("long"))
+      .join(flat, Seq("chunk"))
+    assert(cmp.filter(col("peak") =!= col("peak_ref")).count() == 0)
+    // every session closes: total net is zero; peaks within [0, #users]
+    // (0 is legitimate: an hour whose only boundaries are session ends
+    // that close the last open sessions); one user never overlaps itself
+    // (sessionize gaps split at >30 min), so #users is a hard ceiling
+    assert(bd.agg(sum(col("net"))).head.getLong(0) == 0L)
+    val users = graft.sources.Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(out.filter(col("peak") < 0 || col("peak") > users).count() == 0)
+    assert(out.agg(max(col("peak"))).head.getLong(0) >= 1L)
+  }
+
+  test("ts_rolling_median resists a spike that drags the mean, and seeds from short prefixes") {
+    val probe = spark.sql(
+      "SELECT * FROM VALUES " + (1 to 11).map { i =>
+        val v = if (i == 6) 1000.0 else 10.0  // one spike mid-series
+        s"(TIMESTAMP '2024-01-01 00:0${i / 10}:${i % 10 * 5}', $i, 1, CAST($v AS DOUBLE))"
+      }.mkString(", ") + " AS t(ts, event_id, user_id, value)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(graft.functions.TimeFns.epochMicros(col("ts")), col("event_id"))
+      .rowsBetween(-8, 0)
+    val med = probe
+      .select(col("event_id"),
+        sort_array(collect_list(col("value")).over(w)).as("win"))
+      .select(col("event_id"),
+        element_at(col("win"), ((size(col("win")) + 1) / 2).cast("int")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(med.values.forall(_ == 10.0), med.toString)  // the spike never wins
+    assert(med(1) == 10.0)                               // prefix of one row = itself
+    // registered query: one row per non-null reading
+    val out = graft.SparkEntry.queries("ts_rolling_median")(spark, sf)
+    assert(out.count() ==
+      graft.sources.Tables.events(spark, sf).filter(col("value").isNotNull).count())
+  }
+
   test("zorder_key cells honor the locality contract: every coarse cell spans <= 1/16 of each dimension") {
     val out = graft.SparkEntry.queries("zorder_key")(spark, sf).collect()
     assert(out.nonEmpty)

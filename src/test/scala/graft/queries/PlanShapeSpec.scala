@@ -572,6 +572,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("session_concurrency: the running sum is chunk-keyed (two-level), never one global corpus window") {
+    val p = plan("session_concurrency")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("partial_sum"), p)  // boundary deltas map-side combined
+  }
+
+  test("ts_rolling_median windows on the series key with a bounded frame (no global sort window)") {
+    val p = plan("ts_rolling_median")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("text_entropy is a pure codegen projection (no per-character explode, no shuffle)") {
     val p = plan("text_entropy")
     assert(!p.contains("Generate"), p)          // no explode: the histogram is in-expression
