@@ -1985,7 +1985,95 @@ object TextQueries {
       |  round(ln(n_chars_calc) - ent_sum_e4 / (n_chars_calc * 10000.0), 4) AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // lm_score_incremental — the continuous-ingestion shape of lm_score:
+  // score an ingest INCREMENT (doc_id % 3 = 0, the dedup_incremental
+  // split convention) against a FROZEN bigram LM trained only on the
+  // EXISTING corpus slice — how LM quality filtering actually deploys
+  // (CCNet scores web crawls against a reference LM trained earlier;
+  // retraining per batch would let drifting junk rescore itself as
+  // normal). Unseen events degrade gracefully under the same add-one
+  // smoothing: an unseen bigram keeps c_ab = 0 (NLL = ln(c_a + V)), an
+  // unseen head word keeps c_a = 0 (NLL = ln(V)); the reported
+  // `oov_bg` count (bigrams the frozen LM never saw) is the
+  // distribution-drift signal a continuous pipeline alerts on.
+  //
+  // Same exactness contract as lm_score (per-bigram quantized integer
+  // nats). Scale: the LM relations aggregate the EXISTING slice once;
+  // everything keyed by the increment is O(increment); left joins are
+  // token-key equi-joins; V is one broadcast row.
+  // ========================================================================
+  def lmScoreIncremental(s: SparkSession, d: String): DataFrame = {
+    val oldToks = docs(s, d).filter(col("doc_id") % 3 =!= 0)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+    val uniO = oldToks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val vocab = uniO.agg(count(lit(1)).as("v_size"))
+    val oldBg = docs(s, d).filter(col("doc_id") % 3 =!= 0)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(count(lit(1)).as("c_ab"))
+    val newBg = docs(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    newBg
+      .join(oldBg, Seq("w1", "w2"), "left")
+      .join(uniO.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c_a"), lit(0L)) + col("v_size")).cast("double")
+          / (coalesce(col("c_ab"), lit(0L)) + lit(1L))) * lit(LmScale))
+          .cast("long").as("nll_e4"),
+        when(col("c_ab").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"),
+        sum(col("oov")).as("oov_bg"))
+      .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"), col("oov_bg"),
+        round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreIncrementalSql =
+    s"""WITH oldt AS (
+       |  SELECT regexp_extract_all(text, '\\S+') AS t FROM documents WHERE doc_id % 3 <> 0),
+       |uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM oldt) GROUP BY w),
+       |v AS (SELECT count(*) AS v_size FROM uc),
+       |obc AS (
+       |  SELECT w1, w2, count(*) AS c_ab FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |    FROM oldt WHERE len(t) >= 2)
+       |  GROUP BY w1, w2),
+       |nbg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+       |        FROM documents WHERE doc_id % 3 = 0)
+       |  WHERE len(t) >= 2),
+       |nll AS (
+       |  SELECT nbg.doc_id,
+       |    CAST(round(ln((coalesce(uc.c, 0) + v.v_size)::DOUBLE
+       |      / (coalesce(obc.c_ab, 0) + 1)) * 10000.0) AS BIGINT) AS nll_e4,
+       |    CASE WHEN obc.c_ab IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM nbg LEFT JOIN obc ON obc.w1 = nbg.w1 AND obc.w2 = nbg.w2
+       |           LEFT JOIN uc ON uc.w = nbg.w1, v)
+       |SELECT doc_id, count(*) AS n_bg,
+       |  CAST(sum(nll_e4) AS BIGINT) AS nll_sum_e4,
+       |  CAST(sum(oov) AS BIGINT) AS oov_bg,
+       |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
+       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "lm_score_incremental" -> (lmScoreIncremental _),
     "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScore _),
     "sample_hash_split" -> (sampleHashSplit _),
@@ -2021,6 +2109,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,
     "lm_score" -> lmScoreSql,
     "sample_hash_split" -> sampleHashSplitSql,

@@ -180,6 +180,21 @@ class NewQuerySpec extends SparkSpec {
     }
   }
 
+  test("lm_score_incremental: frozen-LM scoring of the increment, OOV as the drift signal") {
+    val out = graft.SparkEntry.queries("lm_score_incremental")(spark, sf)
+    val eligible = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 2).count()
+    assert(out.count() == eligible)                        // only the increment is scored
+    assert(out.filter(col("doc_id") % 3 =!= 0).count() == 0)
+    assert(out.filter(col("mean_nll") < 0).count() == 0)   // add-one NLL is nonnegative
+    assert(out.filter(col("oov_bg") > col("n_bg")).count() == 0)
+    // drift signal is live on real data: some increment bigrams are
+    // unseen by the frozen LM (disjoint doc contents), but not all
+    val tot = out.agg(sum(col("oov_bg")).as("o"), sum(col("n_bg")).as("n")).head
+    assert(tot.getLong(0) > 0L && tot.getLong(0) < tot.getLong(1), tot.toString)
+  }
+
   test("session_concurrency: two-level sweep equals the flat running sum; invariants hold") {
     val out = graft.SparkEntry.queries("session_concurrency")(spark, sf)
     import org.apache.spark.sql.expressions.Window

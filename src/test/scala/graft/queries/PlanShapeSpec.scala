@@ -542,6 +542,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("lm_score_incremental: pushdown splits the slices at the scan; LM joins stay equi") {
+    val p = plan("lm_score_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    // the % 3 slice predicates reach the scans as pushed filters — the
+    // increment never reads the whole table
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("lm_score: one tokenize scan; count aggs map-side combined; scoring joins stay equi") {
     val p = plan("lm_score")
     assert(!p.contains("CartesianProduct"), p)
