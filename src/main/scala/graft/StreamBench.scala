@@ -58,6 +58,14 @@ object StreamBench {
     // the Bloom variant's sketch: learned once from the static benchmark
     // slice, rides every micro-batch as a plan literal (no per-batch join)
     val benchSketch = graft.queries.TextQueries.benchBloom(spark, sfDir)
+    // multimodal asset corpora (same synthetic generators as the batch
+    // dedup_image_phash / dedup_audio_phash pipelines)
+    val imgRows = graft.multimodal.Multimodal.syntheticPixelPayloads(
+        spark, graft.sources.Tables.documents(spark, sfDir))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val wavRows = graft.multimodal.Multimodal.syntheticWavReplicaPayloads(
+        spark, graft.sources.Tables.documents(spark, sfDir))
+      .as[(Long, Array[Byte])].collect().toSeq
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
@@ -107,6 +115,13 @@ object StreamBench {
         df => graft.streaming.StreamingResample.bucketMean(df, "ts", "value", 60)),
       run[(java.sql.Timestamp, Long, Double)]("welford_adapt", evVals, Seq("ts", "user_id", "value"),
         df => graft.streaming.StreamingResample.streamingAdapt(spark, df, "user_id", "value")),
+      // the multimodal admission stages: in-stream decode→perceptual-hash
+      // (stateless mapPartitions) + keyed keep-first — state is one row
+      // per DISTINCT hash, never per asset
+      run[(Long, Array[Byte])]("image_admit", imgRows, Seq("asset_id", "payload"),
+        df => graft.streaming.StreamingImage.phashKeepFirst(spark, df)),
+      run[(Long, Array[Byte])]("audio_admit", wavRows, Seq("asset_id", "payload"),
+        df => graft.streaming.StreamingImage.ahashKeepFirst(spark, df)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -145,6 +160,8 @@ object StreamBench {
       "pack" -> Bound(2100, _ => 64, 25, 2L << 20),          // ONE long per source shard
       "bucket_mean" -> Bound(250000, _ => 64, 500, 8L << 20), // open windows only
       "welford_adapt" -> Bound(900, r => r.rowsIn, 500),     // one row per key
+      "image_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct phash
+      "audio_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct ahash
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>
