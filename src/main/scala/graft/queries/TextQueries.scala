@@ -1923,7 +1923,10 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val lmScoreSql =
+  /** The exact-LM per-doc core (no ORDER BY) — shared by `lm_score` and
+    * `lm_gate_sketch`'s oracle so the model definition exists once.
+    */
+  private val lmScoreCoreSql =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
        |uc AS (
@@ -1944,7 +1947,9 @@ object TextQueries {
        |SELECT doc_id, count(*) AS n_bg,
        |  CAST(sum(nll_e4) AS BIGINT) AS nll_sum_e4,
        |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
-       |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM nll GROUP BY doc_id""".stripMargin
+
+  private val lmScoreSql = lmScoreCoreSql + "\nORDER BY doc_id"
 
   // ========================================================================
   // text_entropy — character-distribution Shannon entropy per document:
@@ -1984,6 +1989,75 @@ object TextQueries {
       |SELECT doc_id, n_chars_calc, ent_sum_e4,
       |  round(ln(n_chars_calc) - ent_sum_e4 / (n_chars_calc * 10000.0), 4) AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // lm_gate_sketch — the LM quality gate in its STREAMING-DEPLOYABLE
+  // form, oracle-verified the sketch_distinct way: a Count-Min sketch
+  // of the corpus bigram counts (plus the EXACT vocab-bounded unigram
+  // map) rides as ONE plan reference into the codegen'd
+  // [[graft.plans.BigramNllSketch]], so scoring is a per-row pass with
+  // no join against the corpus-sized bigram relation — what a
+  // stateless streaming admission stage needs (StreamingCurate.curateLm
+  // runs this identical expression on a stream). Per doc the query
+  // emits the EXACT path (n_bg, NLL sum, mean — DuckDB recomputes all
+  // of it via the shared lm_score core) plus two sketch-vs-exact
+  // contract flags the oracle expects as LITERAL 1s:
+  //   sketch_le      — nll_sketch ≤ nll_exact (CMS only over-counts, the
+  //                    numerator is exact, ln is increasing, and the
+  //                    quantization is the same monotone half-up round)
+  //   gate_superset  — exact-admitted ⟹ sketch-admitted at τ (the
+  //                    one-sided admission guarantee, curateFullBloom's
+  //                    symmetric twin: Bloom admits a SUBSET of clean,
+  //                    CMS admits a SUPERSET of good — both errors are
+  //                    in the direction a curation pipeline tolerates)
+  // The gate comparison is pure integers: mean ≤ 3.42 nats ⟺
+  // nll_sum_e4 ≤ n_bg · 34200.
+  // ========================================================================
+  private val GateNllE4PerBigram = 34200L
+
+  private var lmSketchMemo: Option[((SparkSession, String), graft.plans.LmSketchModel)] = None
+  private[graft] def lmSketchModel(s: SparkSession, d: String): graft.plans.LmSketchModel =
+    synchronized {
+      lmSketchMemo match {
+        case Some(((ks, kd), m)) if (ks eq s) && kd == d => m
+        case _ =>
+          val bc = docs(s, d).select(TextOps.tokens(col("text")).as("t"))
+            .filter(size(col("t")) >= 2)
+            .select(explode(expr(
+              "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+                " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+            .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+            .agg(count(lit(1)).as("c_ab"))
+          val m = graft.text.LmSketch.learn(bc, unigramCounts(s, d))
+          lmSketchMemo = Some(((s, d), m))
+          m
+      }
+    }
+
+  def lmGateSketch(s: SparkSession, d: String): DataFrame = {
+    val model = lmSketchModel(s, d)
+    val admitExact = col("nll_sum_e4") <= col("n_bg") * lit(GateNllE4PerBigram)
+    val admitSketch = col("nll_sketch_e4") <= col("n_bg") * lit(GateNllE4PerBigram)
+    val sk = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
+    lmScore(s, d).join(sk, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"), col("mean_nll"),
+        when(admitExact, 1L).otherwise(0L).as("admit_exact"),
+        when(col("nll_sketch_e4") <= col("nll_sum_e4"), 1L).otherwise(0L).as("sketch_le"),
+        when(admitExact && !admitSketch, 0L).otherwise(1L).as("gate_superset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmGateSketchSql =
+    s"""SELECT doc_id, n_bg, nll_sum_e4, mean_nll,
+       |  CAST(CASE WHEN nll_sum_e4 <= n_bg * $GateNllE4PerBigram THEN 1 ELSE 0 END AS BIGINT)
+       |    AS admit_exact,
+       |  CAST(1 AS BIGINT) AS sketch_le,
+       |  CAST(1 AS BIGINT) AS gate_superset
+       |FROM ($lmScoreCoreSql)
+       |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
   // lm_score_incremental — the continuous-ingestion shape of lm_score:
@@ -2073,6 +2147,7 @@ object TextQueries {
        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "lm_gate_sketch" -> (lmGateSketch _),
     "lm_score_incremental" -> (lmScoreIncremental _),
     "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScore _),
@@ -2109,6 +2184,7 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "lm_gate_sketch" -> lmGateSketchSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,
     "lm_score" -> lmScoreSql,

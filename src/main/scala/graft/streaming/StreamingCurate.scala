@@ -155,4 +155,29 @@ object StreamingCurate {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(keepFirstFullFn(ttl))
       .toDF("doc_id", "source", "n_re", "score", "top2_frac")
   }
+
+  /** The LM-perplexity admission gate as a CONTINUOUS stage: each
+    * arriving document is scored by the Count-Min bigram model riding
+    * the plan as one reference ([[graft.plans.BigramNllSketch]] — the
+    * identical expression the batch `lm_gate_sketch` query runs, so the
+    * admitted sets are equal by construction, asserted in
+    * StreamingSpec) and admitted iff its mean NLL is within the
+    * threshold. STATELESS — the model is a plan literal like
+    * curateFullBloom's sketch, so there is no state store at all, no
+    * per-batch join, and the one-sided contract carries over: the
+    * stream admits a SUPERSET of the exact batch gate — sketch error
+    * can only let junk through, never drop good data. Emits
+    * (doc_id, n_bg, nll_sketch_e4).
+    */
+  def curateLm(spark: SparkSession, docs: DataFrame,
+               model: graft.plans.LmSketchModel,
+               gateNllE4PerBigram: Long = 34200L): DataFrame = {
+    val toks = graft.text.TextOps.tokens(col("text"))
+    docs
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bg"),
+        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
+      .filter(col("nll_sketch_e4") <= col("n_bg") * gateNllE4PerBigram)
+  }
 }

@@ -542,6 +542,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("lm_gate_sketch: the sketch side is join-free (model is a plan reference, not a relation)") {
+    val p = plan("lm_gate_sketch")
+    assert(!p.contains("CartesianProduct"), p)
+    // the CMS column appears inside a Project — never via a join against
+    // a bigram relation (the streaming-deployability claim)
+    assert(p.contains("BigramNllSketch") || p.contains("nll_sketch_e4"), p)
+    // joins present are the exact path's token equi-joins + the final
+    // doc_id merge; a sketch-side join would add a scan: the documents
+    // table is scanned at most 3x (exact bg, exact uni via memo, sketch)
+    val scans = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 3, s"$scans document scans:\n$p")
+  }
+
   test("lm_score_incremental: pushdown splits the slices at the scan; LM joins stay equi") {
     val p = plan("lm_score_incremental")
     assert(!p.contains("CartesianProduct"), p)

@@ -576,6 +576,43 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming LM gate: admits the batch sketch set exactly, a superset of the exact gate") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    // the CMS model is learned once batch-side and rides the streaming
+    // plan as one reference — the identical expression the batch
+    // lm_gate_sketch query evaluates
+    val model = graft.queries.TextQueries.lmSketchModel(spark, sf)
+    val out = StreamingCurate.curateLm(spark, df, model)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_lm_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("curate_lm_out").collect().map(_.getLong(0)).toSet
+    q.stop()
+    val gate = graft.SparkEntry.queries("lm_gate_sketch")(spark, sf).collect()
+    val exactAdmit = gate.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
+    // batch sketch-admitted set, recomputed from the gate's own columns:
+    // a doc is sketch-admitted iff its (verified ≤ exact) sketch NLL is
+    // within τ — recompute via the model directly for independence
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val sketchAdmit = Tables.documents(spark, sf)
+      .withColumn("t", toks).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), (size(col("t")) - 1).cast("long").as("n_bg"),
+        graft.plans.BigramNllSketch(col("t"), model).as("s"))
+      .filter(col("s") <= col("n_bg") * 34200L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == sketchAdmit, "stream admitted set != batch sketch gate")
+    assert(exactAdmit.subsetOf(got), "stream dropped a doc the exact gate admits")
+    // non-trivial at this sf: the gate splits the corpus
+    assert(got.nonEmpty && got.size < docRows.size)
+  }
+
   test("streaming chunker matches the batch chunk_tokens rows (stateless stage shared)") {
     // curate → chunk is the continuous training-data feed; the chunking
     // stage is stateless per doc, so the shared projection must emit
