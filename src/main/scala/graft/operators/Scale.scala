@@ -134,4 +134,33 @@ object Scale {
     */
   def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+
+  /** Morton/Z-order key over the low 16 bits of two dimensions — the
+    * classic 4-step bit-spread interleave, pure codegen'd integer
+    * arithmetic (the `zorder_key` query audits its locality contract;
+    * RelQueries renders the same step list for the DuckDB oracle).
+    */
+  private val MortonSteps =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+
+  private def spread(c: Column): Column =
+    MortonSteps.foldLeft(c) { case (v, (sh, m)) =>
+      v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(m))
+    }
+
+  def mortonKey(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** Z-order-clustered parquet layout: range-partition + locally sort by
+    * the Morton key, so every output FILE covers a narrow range of BOTH
+    * constituent dimensions and the parquet footer min/max statistics
+    * prune files for predicates on EITHER — one sort order, two
+    * pruning dimensions (Delta's OPTIMIZE ZORDER BY; ScaleSpec proves
+    * the file-level pruning win against the natural layout). `n` sets
+    * the file count: at 100 TB pick it from the target file size
+    * (~1 GB), not the executor count.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zkey: Column, n: Int): Unit =
+    df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)
+      .write.mode("overwrite").parquet(path)
 }

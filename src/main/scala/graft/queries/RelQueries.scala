@@ -397,13 +397,9 @@ object RelQueries {
   private val MortonSteps =
     Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
 
-  /** Spread the low 16 bits of `c` to even bit positions (Morton). */
-  private def spread(c: Column): Column =
-    MortonSteps.foldLeft(c) { case (v, (sh, m)) =>
-      v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(m))
-    }
-
-  /** DuckDB twin of [[spread]] — rendered from the same step list. */
+  /** DuckDB twin of [[graft.operators.Scale.mortonKey]]'s bit-spread —
+    * rendered from the same step list.
+    */
   private def spreadSql(e: String): String =
     MortonSteps.foldLeft(e) { case (v, (sh, m)) => s"((($v) | (($v) << $sh)) & $m)" }
 
@@ -413,7 +409,7 @@ object RelQueries {
     Tables.lineitem(s, d)
       .select(x.as("x"), y.as("y"))
       .select(col("x"), col("y"),
-        spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)).as("zkey"))
+        graft.operators.Scale.mortonKey(col("x"), col("y")).as("zkey"))
       .groupBy(shiftright(col("zkey"), 12).cast("long").as("cell"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).cast("long").as("x_min"), max(col("x")).cast("long").as("x_max"),

@@ -295,7 +295,51 @@ object TsQueries {
       |FROM h
       |ORDER BY event_type, hour""".stripMargin
 
+  // ========================================================================
+  // ts_seasonal_adjust — the APPLY step of the decomposition ts_seasonal
+  // profiles: every reading minus its (type, hour-of-day) baseline mean,
+  // i.e. the deseasonalized residual. This is what anomaly scoring
+  // should run on when a diurnal cycle is present — ts_zscore_anomaly
+  // over raw values flags time-of-day, not faults. Exactness: the
+  // residual is ONE exact integer expression, v_u·n − cell_u (value and
+  // cell sum both in DECIMAL(18,6) micro-units), divided once — the
+  // same order-free contract as ts_seasonal; round(6) belt-and-braces.
+  //
+  // Scale shape: the profile is the same tiny ≤|types|·24-row relation,
+  // joined back BROADCAST onto the scan — the corpus never shuffles;
+  // the only wide agg is the map-side-combined profile build.
+  // ========================================================================
+  def tsSeasonalAdjust(s: SparkSession, d: String): DataFrame = {
+    val vU = (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")
+    val hourCol = pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
+      lit(24L))
+    val base = ev(s, d).select(col("event_id"), col("event_type"),
+      vU.as("v_u"), hourCol.as("hour"))
+    val prof = base.groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("v_u")).as("cell_u"), count(lit(1)).as("n"))
+    base.join(broadcast(prof), Seq("event_type", "hour"))
+      .select(col("event_id"), col("event_type"), col("hour"),
+        round((col("v_u") * col("n") - col("cell_u")).cast("double")
+          / (col("n") * lit(1000000.0)), 6).as("resid"))
+      .orderBy(col("event_id"))
+  }
+
+  private val tsSeasonalAdjustSql =
+    """WITH b AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_u,
+      |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type, hour, CAST(sum(v_u) AS BIGINT) AS cell_u, count(*) AS n
+      |  FROM b GROUP BY 1, 2)
+      |SELECT b.event_id, b.event_type, b.hour,
+      |  round(CAST(b.v_u * p.n - p.cell_u AS DOUBLE) / (p.n * 1000000.0), 6) AS resid
+      |FROM b JOIN p USING (event_type, hour)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_seasonal_adjust" -> (tsSeasonalAdjust _),
     "ts_rolling_median" -> (tsRollingMedian _),
     "ts_seasonal" -> (tsSeasonal _),
     "ts_changepoint" -> (tsChangepoint _),
@@ -306,6 +350,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_seasonal_adjust" -> tsSeasonalAdjustSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_seasonal" -> tsSeasonalSql,
     "ts_changepoint" -> tsChangepointSql,

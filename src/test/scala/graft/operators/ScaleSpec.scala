@@ -89,4 +89,42 @@ class ScaleSpec extends SparkSpec {
     assert(agg.count() > 0)
     spark.sql("DROP TABLE IF EXISTS orders_b")
   }
+
+  test("z-ordered layout: a two-dimensional predicate intersects FEWER files than the natural layout") {
+    // the pruning a 100 TB scan gets for free from parquet footer
+    // min/max once files cover narrow ranges of BOTH dimensions —
+    // measured here as the count of files whose per-file [min, max]
+    // envelope intersects the predicate box (exactly the decision the
+    // reader's row-group/file skipping makes from the same stats)
+    val nFiles = 8
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").bitwiseAND(lit(1023L)).as("x"),
+        col("l_suppkey").bitwiseAND(lit(1023L)).as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    li.repartition(nFiles).write.mode("overwrite").parquet(s"$base/plain")
+    Scale.writeZOrdered(li.withColumn("zkey", Scale.mortonKey(col("x"), col("y"))),
+      s"$base/zordered", col("zkey"), nFiles)
+
+    def candidateFiles(path: String, xLo: Long, xHi: Long, yLo: Long, yHi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"))
+        .filter(col("x1") >= xLo && col("x0") <= xHi && col("y1") >= yLo && col("y0") <= yHi)
+        .count()
+
+    // a selective box in both dims (x: 1/8 of the domain, y: low range)
+    val plainCand = candidateFiles(s"$base/plain", 100, 227, 0, 3)
+    val zCand = candidateFiles(s"$base/zordered", 100, 227, 0, 3)
+    // the natural layout spreads every value range across every file —
+    // all files are candidates; the z-ordered layout confines the box
+    assert(plainCand == nFiles, s"plain layout candidates: $plainCand")
+    assert(zCand < plainCand, s"z-ordered $zCand !< plain $plainCand")
+    // identical answers either way — layout never changes semantics
+    val p = spark.read.parquet(s"$base/plain")
+      .filter(col("x").between(100, 227) && col("y").between(0, 3)).count()
+    val z = spark.read.parquet(s"$base/zordered")
+      .filter(col("x").between(100, 227) && col("y").between(0, 3)).count()
+    assert(p == z)
+  }
 }

@@ -180,6 +180,17 @@ class NewQuerySpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal_adjust residuals center each (type, hour) cell on zero") {
+    val out = graft.SparkEntry.queries("ts_seasonal_adjust")(spark, sf)
+    assert(out.count() == graft.sources.Tables.events(spark, sf).count())
+    // the residual is value − cell mean, so each cell's residual sum is
+    // 0 in exact arithmetic; round(6) bounds the per-row error
+    val cells = out.groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("resid")).as("r"), count(lit(1)).as("n")).collect()
+    cells.foreach(c =>
+      assert(math.abs(c.getDouble(2)) / c.getLong(3) < 1e-5, c.toString))
+  }
+
   test("lm_score_incremental: frozen-LM scoring of the increment, OOV as the drift signal") {
     val out = graft.SparkEntry.queries("lm_score_incremental")(spark, sf)
     val eligible = graft.sources.Tables.documents(spark, sf)
