@@ -239,6 +239,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact CONTAINMENT on candidate pairs — Broder 1997's asymmetric
+    * resemblance |A∩B|/|A|: the signal Jaccard structurally under-ranks
+    * when one document is a SUBSET of another (B = A plus 20% extra has
+    * jaccard ≈ 0.83 but containment(A→B) = 1.0 — quote-expansion and
+    * boilerplate-wrapped dups). Same join shape and unrounded-quotient
+    * convention as [[pairJaccard]]; emits both directions.
+    */
+  def pairContainment(cand: DataFrame, ex: DataFrame, idCol: String): DataFrame = {
+    val sh = ex.select(col(idCol), col("h1").as("h")).distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").cast("double").as("la")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").cast("double").as("lb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / col("la")).as("cont_a"),
+        (col("inter") / col("lb")).as("cont_b"))
+  }
+
   def verifiedPairsFromParts(ex: DataFrame, sigs: DataFrame, idCol: String,
                              rowsPerBand: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "zero-intersection candidates are dropped by the verify join")

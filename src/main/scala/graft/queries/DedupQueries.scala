@@ -145,6 +145,45 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ========================================================================
+  // dedup_containment — asymmetric overlap on the SAME LSH candidates:
+  // Broder 1997's containment |A∩B|/|A|, the signal Jaccard
+  // structurally under-ranks when one doc is a SUBSET of the other
+  // (B = A + 20% boilerplate: jaccard ≈ 0.83, containment(A→B) = 1.0 —
+  // the quote-expansion / wrapper-page dup class). Both directions
+  // emitted; kept when either reaches 0.5. Candidates still come from
+  // the banded MinHash (a pair must be Jaccard-reachable to surface —
+  // full containment recall for extreme size ratios needs a bottom-k
+  // shingle index, the known Broder trade-off, noted not built: at the
+  // LSH threshold 0.3 the reachable containment pairs are those with
+  // |B| ≲ 3.3|A|, which covers the wrapper class).
+  // Scale: identical join shape to the jaccard verify — candidates ×
+  // shingle relation equi-joins, no new corpus pass (the shd/sigs
+  // relations ride the shared memo).
+  // ========================================================================
+  private val ContainmentMin = 0.5
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val sh = lshShared(s, d)
+    val cand = Dedup.lshCandidatePairs(sh.sigs, "doc_id", LshParams.RowsPerBand)
+      .select(col("id_a"), col("id_b")).distinct()
+    Dedup.pairContainment(cand, sh.ex, "doc_id")
+      .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentMin)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH $lshPipelineCtes
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont_a,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cont_b
+       |FROM cand JOIN shd a ON cand.id_a = a.doc_id
+       |          JOIN shd b ON cand.id_b = b.doc_id
+       |WHERE greatest(
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= $ContainmentMin
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ========================================================================
   // dedup_lsh_bands — the LSH band-key relation itself (doc_id, band,
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
@@ -1563,6 +1602,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "diversity_sample" -> (diversitySample _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
@@ -1591,6 +1631,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "diversity_sample" -> diversitySampleSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,

@@ -180,6 +180,29 @@ class NewQuerySpec extends SparkSpec {
     }
   }
 
+  test("dedup_containment: a planted subset doc scores containment 1.0 where jaccard under-ranks") {
+    // B = A + 25% extra tokens: jaccard well below 1, containment(A→B)
+    // exactly 1.0 — replicate the verify algebra over a constructed
+    // shingle relation (h1 per (doc, shingle), the pairJaccard shape)
+    val aSh = (1L to 20L).map(h => (1L, h))
+    val bSh = (1L to 25L).map(h => (2L, h))
+    val ex = (aSh ++ bSh).toDF("doc_id", "h1")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.pairContainment(cand, ex, "doc_id").head
+    assert(got.getDouble(2) == 1.0, s"cont_a: $got")          // A fully inside B
+    assert(got.getDouble(3) == 20.0 / 25.0, s"cont_b: $got")
+    val jac = graft.dedup.Dedup.pairJaccard(cand, ex, "doc_id").head.getDouble(2)
+    assert(jac == 0.8 && jac < got.getDouble(2))
+    // the registered query: containment dominates jaccard on every pair
+    val out = graft.SparkEntry.queries("dedup_containment")(spark, sf)
+    assert(out.filter(col("cont_a") > 1.0 || col("cont_b") > 1.0
+      || col("cont_a") < 0.0 || col("cont_b") < 0.0).count() == 0)
+    val j = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    assert(out.join(j, Seq("id_a", "id_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) < col("jaccard")).count() == 0)
+  }
+
   test("ts_seasonal_adjust residuals center each (type, hour) cell on zero") {
     val out = graft.SparkEntry.queries("ts_seasonal_adjust")(spark, sf)
     assert(out.count() == graft.sources.Tables.events(spark, sf).count())
