@@ -39,42 +39,37 @@ object DedupQueries {
     * scratch. The memo holds the two reusable stages persisted: the
     * distinct shingle-hash relation (the expensive tokenize+md5 scan,
     * root of everything) and the verified pair set (root of the pair
-    * list and the keep-first resolution). Exactly ONE entry is kept
-    * alive; it is unpersisted when the session or data dir changes.
-    * This is also the 100 TB shape: a production dedup run computes the
-    * shingle index once and derives every artifact from it.
+    * list and the keep-first resolution). Keyed by (session, dir);
+    * entries of stopped sessions are dropped, live entries are never
+    * evicted cross-session. This is also the 100 TB shape: a production
+    * dedup run computes the shingle index once and derives every
+    * artifact from it.
     */
   private case class LshShared(ex: DataFrame, sigs: DataFrame, pairs: DataFrame)
-  private var lshMemo: Option[((SparkSession, String), LshShared)] = None
+  private val lshMemo = scala.collection.mutable.Map.empty[(SparkSession, String), LshShared]
   private def lshShared(s: SparkSession, d: String): LshShared = synchronized {
     import org.apache.spark.storage.StorageLevel
-    lshMemo match {
-      // key by session REFERENCE (not a hash, which the JVM may reuse
-      // after GC) — a new session must never see plans bound to an old one
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        // an external spark.catalog.clearCache() (Bench/Verify do this
-        // between families) silently drops the blocks but leaves the
-        // persisted flag cleared — re-mark so the sharing survives
-        Seq(v.ex, v.sigs, v.pairs).foreach { df =>
-          if (df.storageLevel == StorageLevel.NONE) df.persist()
-        }
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          // previous session may already be stopped — releasing its
-          // cache is best-effort, never a failure of the NEW query
-          if (!ps.sparkContext.isStopped)
-            try Seq(v.ex, v.sigs, v.pairs).foreach(_.unpersist(false))
-            catch { case _: IllegalStateException => () }
-        }
-        val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
-        val sigs = Dedup.signaturesFromHashes(ex, "doc_id", LshParams.K).persist()
-        val pairs = Dedup.verifiedPairsFromParts(ex, sigs, "doc_id",
-          rowsPerBand = LshParams.RowsPerBand, threshold = LshParams.Threshold).persist()
-        val v = LshShared(ex, sigs, pairs)
-        lshMemo = Some(((s, d), v))
-        v
+    // keyed by session REFERENCE (tuple equality falls back to object
+    // identity for SparkSession) + dir; entries of stopped sessions are
+    // dropped, LIVE entries of OTHER sessions are never evicted — a
+    // concurrently-running session must not lose its cache (the former
+    // single-slot memo thrashed, and cross-session eviction made
+    // plan-shape assertions flaky under parallel test suites)
+    lshMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val v = lshMemo.getOrElseUpdate((s, d), {
+      val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
+      val sigs = Dedup.signaturesFromHashes(ex, "doc_id", LshParams.K).persist()
+      val pairs = Dedup.verifiedPairsFromParts(ex, sigs, "doc_id",
+        rowsPerBand = LshParams.RowsPerBand, threshold = LshParams.Threshold).persist()
+      LshShared(ex, sigs, pairs)
+    })
+    // an external spark.catalog.clearCache() (Bench/Verify do this
+    // between families) silently drops the blocks but leaves the
+    // persisted flag cleared — re-mark so the sharing survives
+    Seq(v.ex, v.sigs, v.pairs).foreach { df =>
+      if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
+    v
   }
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
@@ -428,32 +423,24 @@ object DedupQueries {
     * used to re-decode the whole corpus to rebuild the same pairs).
     */
   private case class ImageShared(hashes: DataFrame, grp: DataFrame, pairs: DataFrame)
-  private var imageMemo: Option[((SparkSession, String), ImageShared)] = None
+  private val imageMemo = scala.collection.mutable.Map.empty[(SparkSession, String), ImageShared]
   private def imageShared(s: SparkSession, d: String): ImageShared = synchronized {
     import org.apache.spark.storage.StorageLevel
-    imageMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        Seq(v.hashes, v.grp, v.pairs).foreach { df =>
-          if (df.storageLevel == StorageLevel.NONE) df.persist()
-        }
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try Seq(v.hashes, v.grp, v.pairs).foreach(_.unpersist(false))
-            catch { case _: IllegalStateException => () }
-        }
-        val hashes = Multimodal.dhash56(s,
-          Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF().persist()
-        val grp = hashes.groupBy(col("phash"))
-          .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
-        val pairs = Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
-          .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS BIGINT)"))
-          .filter(col("hamming") <= 6).persist()
-        val v = ImageShared(hashes, grp, pairs)
-        imageMemo = Some(((s, d), v))
-        v
+    imageMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val v = imageMemo.getOrElseUpdate((s, d), {
+      val hashes = Multimodal.dhash56(s,
+        Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF().persist()
+      val grp = hashes.groupBy(col("phash"))
+        .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
+      val pairs = Dedup.hammingBandPairs(grp, "phash", nBands = 8, bitsPerBand = 7)
+        .withColumn("hamming", expr("CAST(bit_count(phash_a ^ phash_b) AS BIGINT)"))
+        .filter(col("hamming") <= 6).persist()
+      ImageShared(hashes, grp, pairs)
+    })
+    Seq(v.hashes, v.grp, v.pairs).foreach { df =>
+      if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
+    v
   }
 
   def dedupImagePhash(s: SparkSession, d: String): DataFrame = {
@@ -762,26 +749,17 @@ object DedupQueries {
   // (plan-guarded: the probe join's corpus side is an
   // InMemoryTableScan with no exchange above it).
   // ========================================================================
-  private var substrIndexMemo: Option[((SparkSession, String), DataFrame)] = None
+  private val substrIndexMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def substrIndex(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
-    substrIndexMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        if (v.storageLevel == StorageLevel.NONE) v.persist()
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try v.unpersist(false)
-            catch { case _: IllegalStateException => () }
-        }
-        val idx = positionedGrams(docs(s, d).filter(col("doc_id") % 3 =!= 0))
-          .select(col("h")).distinct()
-          .repartition(col("h"))
-          .persist()
-        substrIndexMemo = Some(((s, d), idx))
-        idx
-    }
+    substrIndexMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val idx = substrIndexMemo.getOrElseUpdate((s, d),
+      positionedGrams(docs(s, d).filter(col("doc_id") % 3 =!= 0))
+        .select(col("h")).distinct()
+        .repartition(col("h"))
+        .persist())
+    if (idx.storageLevel == StorageLevel.NONE) idx.persist()
+    idx
   }
 
   def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
@@ -895,21 +873,11 @@ object DedupQueries {
     * `dedup_video_cluster` both derive from them.
     */
   private case class VideoShared(sig: DataFrame, sgrp: DataFrame, pairs: DataFrame)
-  private var videoMemo: Option[((SparkSession, String), VideoShared)] = None
+  private val videoMemo = scala.collection.mutable.Map.empty[(SparkSession, String), VideoShared]
   private def videoShared(s: SparkSession, d: String): VideoShared = synchronized {
     import org.apache.spark.storage.StorageLevel
-    videoMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        Seq(v.sig, v.sgrp, v.pairs).foreach { df =>
-          if (df.storageLevel == StorageLevel.NONE) df.persist()
-        }
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try Seq(v.sig, v.sgrp, v.pairs).foreach(_.unpersist(false))
-            catch { case _: IllegalStateException => () }
-        }
+    videoMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val memo = videoMemo.getOrElseUpdate((s, d), {
         val fh = Multimodal.frameDhashes(s,
           Multimodal.syntheticY4mReplicaPayloads(s, docs(s, d)), step = 2).toDF()
         // ordered frame-hash list per clip (sort_array on the (idx, hash)
@@ -945,10 +913,12 @@ object DedupQueries {
           .agg(count(lit(1)).as("n_aligned"), sum(col("hamming")).as("total_hamming"))
           .filter(col("total_hamming") <= 3 && col("n_aligned") >= 2)
           .persist()
-        val v = VideoShared(sig, sgrp, pairs)
-        videoMemo = Some(((s, d), v))
-        v
+        VideoShared(sig, sgrp, pairs)
+    })
+    Seq(memo.sig, memo.sgrp, memo.pairs).foreach { df =>
+      if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
+    memo
   }
 
   def dedupVideoPhash(s: SparkSession, d: String): DataFrame = {
@@ -1111,35 +1081,27 @@ object DedupQueries {
     * relation, the distinct-hash groups, and the verified (≤ 3 bit)
     * near-dup pairs each computed once and persisted;
     * `dedup_audio_phash` and `dedup_audio_cluster` both derive from
-    * them. Single-slot memo: see [[imageShared]]'s eviction note.
+    * them. Keyed (session, dir) memo: see [[lshShared]]'s note.
     */
   private case class AudioShared(hashes: DataFrame, grp: DataFrame, pairs: DataFrame)
-  private var audioMemo: Option[((SparkSession, String), AudioShared)] = None
+  private val audioMemo = scala.collection.mutable.Map.empty[(SparkSession, String), AudioShared]
   private def audioShared(s: SparkSession, d: String): AudioShared = synchronized {
     import org.apache.spark.storage.StorageLevel
-    audioMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        Seq(v.hashes, v.grp, v.pairs).foreach { df =>
-          if (df.storageLevel == StorageLevel.NONE) df.persist()
-        }
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try Seq(v.hashes, v.grp, v.pairs).foreach(_.unpersist(false))
-            catch { case _: IllegalStateException => () }
-        }
-        val hashes = Multimodal.audioDhashes(s,
-          Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF().persist()
-        val grp = hashes.groupBy(col("ahash"))
-          .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
-        val pairs = Dedup.hammingBandPairs(grp, "ahash", nBands = 4, bitsPerBand = 14)
-          .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
-          .filter(col("hamming") <= 3).persist()
-        val v = AudioShared(hashes, grp, pairs)
-        audioMemo = Some(((s, d), v))
-        v
+    audioMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val v = audioMemo.getOrElseUpdate((s, d), {
+      val hashes = Multimodal.audioDhashes(s,
+        Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF().persist()
+      val grp = hashes.groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n"), min(col("asset_id")).as("keep_id")).persist()
+      val pairs = Dedup.hammingBandPairs(grp, "ahash", nBands = 4, bitsPerBand = 14)
+        .withColumn("hamming", expr("CAST(bit_count(ahash_a ^ ahash_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3).persist()
+      AudioShared(hashes, grp, pairs)
+    })
+    Seq(v.hashes, v.grp, v.pairs).foreach { df =>
+      if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
+    v
   }
 
   def dedupAudioPhash(s: SparkSession, d: String): DataFrame = {

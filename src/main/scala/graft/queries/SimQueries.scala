@@ -1094,30 +1094,22 @@ object SimQueries {
     * index build, the review-flagged multiplier on the dominant encode
     * cost at scale).
     */
-  private var ivfPqResidMemo: Option[((SparkSession, String), DataFrame)] = None
+  private val ivfPqResidMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def ivfPqResiduals(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
-    ivfPqResidMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        if (v.storageLevel == StorageLevel.NONE) v.persist()
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try v.unpersist(false)
-            catch { case _: IllegalStateException => () }
-        }
-        val coarse = kmCentroids(s, d, KmPlanes, KmIters)
-        val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
-        val v = emb(s, d)
-          .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
-          .withColumn("resid", zip_with(col("embedding"),
-            element_at(coarseMap, col("kcell")),
-            (x, c) => x.cast("double") - c))
-          .persist()
-        ivfPqResidMemo = Some(((s, d), v))
-        v
-    }
+    ivfPqResidMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val v = ivfPqResidMemo.getOrElseUpdate((s, d), {
+      val coarse = kmCentroids(s, d, KmPlanes, KmIters)
+      val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
+      emb(s, d)
+        .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
+        .withColumn("resid", zip_with(col("embedding"),
+          element_at(coarseMap, col("kcell")),
+          (x, c) => x.cast("double") - c))
+        .persist()
+    })
+    if (v.storageLevel == StorageLevel.NONE) v.persist()
+    v
   }
 
   /** Per-(dir, subspace) RESIDUAL codebook memo — the [[pqMemo]] contract

@@ -26,26 +26,17 @@ object TextQueries {
     * corpus to build the same (token, count) table). The 100 TB shape:
     * a vocabulary-statistics run computes corpus term counts once.
     */
-  private var uniMemo: Option[((SparkSession, String), DataFrame)] = None
+  private val uniMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def unigramCounts(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
-    uniMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        if (v.storageLevel == StorageLevel.NONE) v.persist()
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try v.unpersist(false)
-            catch { case _: IllegalStateException => () }
-        }
-        val v = docs(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("c"))
-          .persist()
-        uniMemo = Some(((s, d), v))
-        v
-    }
+    uniMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val v = uniMemo.getOrElseUpdate((s, d),
+      docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .persist())
+    if (v.storageLevel == StorageLevel.NONE) v.persist()
+    v
   }
 
   // ========================================================================
@@ -1239,29 +1230,21 @@ object TextQueries {
     * only docs with ≥ 1 benchmark hit — so caching it is bench-sized,
     * not corpus-sized, and safe at any scale.
     */
-  private var decontMemo: Option[((SparkSession, String), DataFrame)] = None
+  private val decontMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def decontHits(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
-    decontMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d =>
-        if (v.storageLevel == StorageLevel.NONE) v.persist()
-        v
-      case prev =>
-        prev.foreach { case ((ps, _), v) =>
-          if (!ps.sparkContext.isStopped)
-            try v.unpersist(false)
-            catch { case _: IllegalStateException => () }
-        }
-        val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
-          .select(explode(col("grams")).as("gram")).distinct()
-        val hits = decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
-          .join(broadcast(bench), Seq("gram"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-          .persist()
-        decontMemo = Some(((s, d), hits))
-        hits
-    }
+    decontMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val hits = decontMemo.getOrElseUpdate((s, d), {
+      val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        .persist()
+    })
+    if (hits.storageLevel == StorageLevel.NONE) hits.persist()
+    hits
   }
 
   def decontaminate(s: SparkSession, d: String): DataFrame =
@@ -1330,20 +1313,18 @@ object TextQueries {
     * is the 1/DecontBenchMod slice, and the count is an aggregate
     * action, not a collect).
     */
-  private var benchBloomMemo: Option[((SparkSession, String), org.apache.spark.util.sketch.BloomFilter)] = None
+  private val benchBloomMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), org.apache.spark.util.sketch.BloomFilter]
   private[graft] def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = synchronized {
-    benchBloomMemo match {
-      case Some(((ks, kd), v)) if (ks eq s) && kd == d => v
-      case _ =>
-        val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
-          .select(explode(col("grams")).as("gram")).distinct()
-        // deterministic (the filter's bits are an OR of per-item bit sets,
-        // order-independent), so memoizing cannot change any result —
-        // it only drops the per-call count + treeAggregate actions
-        val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
-        benchBloomMemo = Some(((s, d), bloom))
-        bloom
-    }
+    benchBloomMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    benchBloomMemo.getOrElseUpdate((s, d), {
+      val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      // deterministic (the filter's bits are an OR of per-item bit sets,
+      // order-independent), so memoizing cannot change any result —
+      // it only drops the per-call count + treeAggregate actions
+      bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), BloomFpp)
+    })
   }
 
   /** Production path of the bloom screen: ONE projection over the corpus
@@ -1503,6 +1484,37 @@ object TextQueries {
        |      / $Pow60.0 AS u
        |  FROM q)
        |WHERE u < score ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // sample_reservoir — deterministic FIXED-SIZE uniform sample without
+  // replacement: the K docs with the smallest content-addressed hash
+  // (hash60 of the id — a random permutation of the corpus, frozen).
+  // The fixed-|K| complement of sample_rate/sample_weighted's
+  // rate-based draws: eval sets, human-review batches and debug slices
+  // are size-budgeted, not rate-budgeted. Reproducible (no RNG state),
+  // stable under corpus growth in the bottom-k sense (a new doc only
+  // enters by evicting the current max — exactly the mergeable bottom-k
+  // sketch semantics, so distributed union = recompute).
+  //
+  // Scale shape: global top-K by hash plans as TakeOrderedAndProject —
+  // per-partition K-heaps, merge of P·K rows at the driver side of the
+  // exchange — never a global sort (plan-guarded).
+  // ========================================================================
+  private val ReservoirK = 100
+
+  def sampleReservoir(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.hash60(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(ReservoirK)
+
+  private val sampleReservoirSql =
+    s"""SELECT doc_id, source, n_chars,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |FROM documents
+       |ORDER BY h, doc_id
+       |LIMIT $ReservoirK""".stripMargin
 
   // ========================================================================
   // sample_mix — target-share corpus mixing (domain reweighting): given
@@ -2015,12 +2027,12 @@ object TextQueries {
   // ========================================================================
   private val GateNllE4PerBigram = 34200L
 
-  private var lmSketchMemo: Option[((SparkSession, String), graft.plans.LmSketchModel)] = None
+  private val lmSketchMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), graft.plans.LmSketchModel]
   private[graft] def lmSketchModel(s: SparkSession, d: String): graft.plans.LmSketchModel =
     synchronized {
-      lmSketchMemo match {
-        case Some(((ks, kd), m)) if (ks eq s) && kd == d => m
-        case _ =>
+      lmSketchMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+      lmSketchMemo.getOrElseUpdate((s, d), {
           val bc = docs(s, d).select(TextOps.tokens(col("text")).as("t"))
             .filter(size(col("t")) >= 2)
             .select(explode(expr(
@@ -2028,10 +2040,8 @@ object TextQueries {
                 " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
             .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
             .agg(count(lit(1)).as("c_ab"))
-          val m = graft.text.LmSketch.learn(bc, unigramCounts(s, d))
-          lmSketchMemo = Some(((s, d), m))
-          m
-      }
+          graft.text.LmSketch.learn(bc, unigramCounts(s, d))
+      })
     }
 
   def lmGateSketch(s: SparkSession, d: String): DataFrame = {
@@ -2156,6 +2166,7 @@ object TextQueries {
     "text_rarity" -> (textRarity _),
     "pipeline_curate_full" -> (pipelineCurateFull _),
     "sample_weighted" -> (sampleWeighted _),
+    "sample_reservoir" -> (sampleReservoir _),
     "sample_temperature" -> (sampleTemperature _),
     "group_topk" -> (groupTopk _),
     "term_freq" -> (termFreq _),
@@ -2193,6 +2204,7 @@ object TextQueries {
     "text_rarity" -> textRaritySql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_reservoir" -> sampleReservoirSql,
     "sample_temperature" -> sampleTemperatureSql,
     "group_topk" -> groupTopkSql,
     "term_freq" -> termFreqSql,

@@ -309,15 +309,27 @@ object TsQueries {
   // joined back BROADCAST onto the scan — the corpus never shuffles;
   // the only wide agg is the map-side-combined profile build.
   // ========================================================================
+  /** The (type, hour) profile in micro-unit form (cell_u, n) — shared
+    * by the batch apply below and the streaming
+    * [[graft.streaming.StreamingResample.seasonalAdjust]] (which
+    * broadcast-joins this naturally-static relation onto a stream).
+    */
+  private[graft] def seasonalProfileU(s: SparkSession, d: String): DataFrame = {
+    val vU = (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")
+    val hourCol = pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
+      lit(24L))
+    ev(s, d).select(col("event_type"), vU.as("v_u"), hourCol.as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("v_u")).as("cell_u"), count(lit(1)).as("n"))
+  }
+
   def tsSeasonalAdjust(s: SparkSession, d: String): DataFrame = {
     val vU = (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")
     val hourCol = pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
       lit(24L))
     val base = ev(s, d).select(col("event_id"), col("event_type"),
       vU.as("v_u"), hourCol.as("hour"))
-    val prof = base.groupBy(col("event_type"), col("hour"))
-      .agg(sum(col("v_u")).as("cell_u"), count(lit(1)).as("n"))
-    base.join(broadcast(prof), Seq("event_type", "hour"))
+    base.join(broadcast(seasonalProfileU(s, d)), Seq("event_type", "hour"))
       .select(col("event_id"), col("event_type"), col("hour"),
         round((col("v_u") * col("n") - col("cell_u")).cast("double")
           / (col("n") * lit(1000000.0)), 6).as("resid"))

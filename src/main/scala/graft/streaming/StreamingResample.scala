@@ -154,4 +154,25 @@ object StreamingResample {
         intervalAuditFn(expectedSec))
       .toDF()
   }
+
+  /** Deseasonalize a stream against a BATCH-LEARNED hour-of-day profile
+    * (the `ts_seasonal` relation re-derived in micro-unit form): a
+    * stream-static broadcast join — the profile is naturally static
+    * (learned from history, refreshed by re-deploying), the stream
+    * never shuffles, and there is NO state store. The continuous
+    * counterpart of `ts_seasonal_adjust`, with the identical exact
+    * residual expression (v_u·n − cell_u, one division), so batch and
+    * stream residuals are bit-equal (StreamingSpec asserts it).
+    */
+  def seasonalAdjust(events: DataFrame, profile: DataFrame): DataFrame = {
+    val vU = (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")
+    val hourCol = pmod(
+      floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long"), lit(24L))
+    events
+      .select(col("event_id"), col("event_type"), vU.as("v_u"), hourCol.as("hour"))
+      .join(broadcast(profile), Seq("event_type", "hour"))
+      .select(col("event_id"), col("event_type"), col("hour"),
+        round((col("v_u") * col("n") - col("cell_u")).cast("double")
+          / (col("n") * lit(1000000.0)), 6).as("resid"))
+  }
 }

@@ -167,10 +167,16 @@ class PlanShapeSpec extends SparkSpec {
     // branches via InferFiltersFromGenerate) — a consistent 6x wall
     // slowdown. With the EvalOnce pins the OPTIMIZED plan must contain
     // exactly the distinct evaluations and no more.
+    // optimize the ANALYZED plan directly, bypassing withCachedData:
+    // the cache manager is shared across sessions in one context, so a
+    // concurrently-running suite persisting a plan-equal relation would
+    // otherwise splice its InMemoryRelation (whose printed cached plan
+    // re-counts the tokenizers) into this count nondeterministically
     def regexCount(name: String): Int =
       "regexp_extract_all".r.findAllIn(
-        graft.SparkEntry.queries(name)(spark, sf)
-          .queryExecution.optimizedPlan.toString).length
+        spark.sessionState.optimizer.execute(
+          graft.SparkEntry.queries(name)(spark, sf)
+            .queryExecution.analyzed).toString).length
     // pipeline_curate: whitespace tokenizer + BPE token gate
     assert(regexCount("pipeline_curate") == 2, s"pipeline_curate: ${regexCount("pipeline_curate")}")
     // pipeline_curate_full: funnel's two + repetition re-tokenize +
@@ -612,6 +618,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("ts_rolling_median")
     assert(!p.contains("CartesianProduct"), p)
     assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("sample_reservoir plans per-partition K-heaps (TakeOrderedAndProject), never a global sort") {
+    val p = plan("sample_reservoir")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
   test("text_entropy is a pure codegen projection (no per-character explode, no shuffle)") {

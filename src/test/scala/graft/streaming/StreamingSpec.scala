@@ -576,6 +576,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming seasonalAdjust residuals are bit-equal to the batch ts_seasonal_adjust") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_id", "event_type", "value")
+    // the profile is learned batch-side from history (naturally static)
+    val profile = graft.queries.TsQueries.seasonalProfileU(spark, sf)
+    val out = StreamingResample.seasonalAdjust(df, profile)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("seasonal_out").start()
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, Long, String, Double)].collect().sortBy(_._2).toSeq
+    val (first, rest) = rows.splitAt(rows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("seasonal_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    q.stop()
+    val want = graft.SparkEntry.queries("ts_seasonal_adjust")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == want)  // identical expression, identical profile: bit-equal
+  }
+
   test("streaming LM gate: admits the batch sketch set exactly, a superset of the exact gate") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String, String)]
