@@ -1711,22 +1711,62 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val pipelineCurateFullSql =
+  /** The full-funnel survivor relation as a CTE chain (no ORDER BY) —
+    * shared by `pipeline_curate_full` and the LM-gated variant.
+    */
+  private val pipelineCurateFullCoreSql =
     s"""$curateCtesSql,
        |$repCtesSql,
-       |$decontCtesSql
-       |SELECT doc_id, source, n_re, score, top2_frac FROM (
-       |  SELECT q.doc_id, q.source, q.n_re, q.fp, q.score,
-       |    CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) AS top2_frac
-       |  FROM q
-       |  JOIN rg ON rg.doc_id = q.doc_id
-       |  LEFT JOIN rtop ON rtop.doc_id = q.doc_id
-       |  WHERE q.doc_id % $DecontBenchMod <> 0
-       |    AND q.lang_pred = 'en' AND q.score >= 0.6 AND q.n_re >= 15
-       |    AND CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) <= $RepetitionCap
-       |    AND q.doc_id NOT IN (SELECT doc_id FROM hits))
-       |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+       |$decontCtesSql,
+       |pcf AS (
+       |  SELECT doc_id, source, n_re, score, top2_frac FROM (
+       |    SELECT q.doc_id, q.source, q.n_re, q.fp, q.score,
+       |      CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) AS top2_frac
+       |    FROM q
+       |    JOIN rg ON rg.doc_id = q.doc_id
+       |    LEFT JOIN rtop ON rtop.doc_id = q.doc_id
+       |    WHERE q.doc_id % $DecontBenchMod <> 0
+       |      AND q.lang_pred = 'en' AND q.score >= 0.6 AND q.n_re >= 15
+       |      AND CAST(coalesce(rtop.topc, 0) AS DOUBLE) / len(rg.g2) <= $RepetitionCap
+       |      AND q.doc_id NOT IN (SELECT doc_id FROM hits))
+       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)""".stripMargin
+
+  private val pipelineCurateFullSql =
+    s"""$pipelineCurateFullCoreSql
+       |SELECT doc_id, source, n_re, score, top2_frac FROM pcf
        |ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // pipeline_curate_lm — the full funnel with the LM quality gate
+  // COMPOSED in: benchmark exclusion → lang → quality → token bounds →
+  // repetition cap → decontamination → dedup keep-first → corpus-LM
+  // mean-NLL ≤ τ. The CCNet-style stack a production pre-training
+  // pipeline actually runs (heuristic gates first — they are cheaper —
+  // LM scoring only over the heuristic survivors). Docs with no bigram
+  // (single-token) pass the LM stage open: no evidence is not junk
+  // evidence. The integer gate inequality is shared with
+  // lm_gate_sketch; the streaming path composes the same way
+  // (curateFull → curateLm). Scale: the LM relations join only the
+  // SURVIVOR set (funnel-first ordering), everything token-keyed.
+  // ========================================================================
+  def pipelineCurateLm(s: SparkSession, d: String): DataFrame = {
+    val lm = lmScore(s, d)
+      .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"), col("mean_nll"))
+    pipelineCurateFull(s, d)
+      .join(lm, Seq("doc_id"), "left")
+      .filter(col("nll_sum_e4").isNull
+        || col("nll_sum_e4") <= col("n_bg") * lit(GateNllE4PerBigram))
+      .select(col("doc_id"), col("source"), col("score"), col("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipelineCurateLmSql =
+    s"""$pipelineCurateFullCoreSql,
+       |lm AS (SELECT * FROM ($lmScoreCoreSql))
+       |SELECT pcf.doc_id, pcf.source, pcf.score, lm.mean_nll
+       |FROM pcf LEFT JOIN lm ON lm.doc_id = pcf.doc_id
+       |WHERE lm.nll_sum_e4 IS NULL OR lm.nll_sum_e4 <= lm.n_bg * $GateNllE4PerBigram
+       |ORDER BY pcf.doc_id""".stripMargin
 
   // ========================================================================
   // sample_hash_split — deterministic, LEAKAGE-SAFE train/val/test
@@ -1938,7 +1978,9 @@ object TextQueries {
   /** The exact-LM per-doc core (no ORDER BY) — shared by `lm_score` and
     * `lm_gate_sketch`'s oracle so the model definition exists once.
     */
-  private val lmScoreCoreSql =
+  // lazy: referenced by pipelineCurateLmSql, which initializes earlier
+  // in the object (vals initialize in file order)
+  private lazy val lmScoreCoreSql =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
        |uc AS (
@@ -2025,7 +2067,9 @@ object TextQueries {
   // The gate comparison is pure integers: mean ≤ 3.42 nats ⟺
   // nll_sum_e4 ≤ n_bg · 34200.
   // ========================================================================
-  private val GateNllE4PerBigram = 34200L
+  // final: a compile-time constant, inlined — pipelineCurateLmSql
+  // initializes earlier in the object and must not read a default-0 val
+  private final val GateNllE4PerBigram = 34200L
 
   private val lmSketchMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), graft.plans.LmSketchModel]
@@ -2165,6 +2209,7 @@ object TextQueries {
     "collocations" -> (collocations _),
     "text_rarity" -> (textRarity _),
     "pipeline_curate_full" -> (pipelineCurateFull _),
+    "pipeline_curate_lm" -> (pipelineCurateLm _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_reservoir" -> (sampleReservoir _),
     "sample_temperature" -> (sampleTemperature _),
@@ -2203,6 +2248,7 @@ object TextQueries {
     "collocations" -> collocationsSql,
     "text_rarity" -> textRaritySql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
+    "pipeline_curate_lm" -> pipelineCurateLmSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_reservoir" -> sampleReservoirSql,
     "sample_temperature" -> sampleTemperatureSql,

@@ -548,6 +548,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(event_type".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("pipeline_curate_lm: funnel-first composition — LM joins ride doc_id equi, no cartesian") {
+    val p = plan("pipeline_curate_lm")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    // dedup window still keyed by fp (the funnel's shape survives composition)
+    assert(p.contains("hashpartitioning(fp"), p)
+  }
+
   test("lm_gate_sketch: the sketch side is join-free (model is a plan reference, not a relation)") {
     val p = plan("lm_gate_sketch")
     assert(!p.contains("CartesianProduct"), p)
