@@ -179,6 +179,62 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ========================================================================
+  // dedup_containment_bottomk — the candidate generator dedup_containment
+  // documents as missing: a BOTTOM-K shingle index (Broder 1997's
+  // min-wise sketch used directionally). A doc's MIN shingle hash must
+  // appear in any superset's hash set, and lands in the superset's
+  // bottom-k with probability ≈ 1 − (1−k/|B|)^|A| — high whenever
+  // k·|A| ≳ |B| — so joining each doc's min hash against every doc's
+  // bottom-16 relation surfaces contained-subset pairs at size ratios
+  // far beyond what Jaccard-threshold LSH can reach (a 5× wrapper has
+  // jaccard 0.2, invisible to banding at 0.3; its min hash is in the
+  // wrapper's bottom-16 with prob ≈ 1 − (1−16/5n)^n ≈ 0.96 already at
+  // n = |A| = 50). Candidates verify by EXACT containment ≥ 0.9.
+  //
+  // Scale: min-hash relation is 1 row/doc, bottom-k is ≤ k rows/doc
+  // (keyed window, never global); the candidate join is an equi-join on
+  // the hash value — fan-out is bounded by hash popularity (heavy
+  // exact-dup groups share a min; group by distinct hash first if a
+  // corpus makes that hot, the dedup_image_phash treatment). Verify is
+  // the shared pairContainment join; shd/ex ride the lshShared memo.
+  // ========================================================================
+  private val BottomK = 16
+  private val BottomKContainmentMin = 0.9
+
+  def dedupContainmentBottomk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = lshShared(s, d).ex
+    val sh = ex.select(col("doc_id"), col("h1").as("h")).distinct()
+    val mn = sh.groupBy(col("doc_id")).agg(min(col("h")).as("h"))
+    val wk = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    val bk = sh.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= BottomK).select(col("doc_id"), col("h"))
+    val cand = mn.select(col("doc_id").as("id_a"), col("h"))
+      .join(bk.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    Dedup.pairContainment(cand, ex, "doc_id")
+      .filter(col("cont_a") >= BottomKContainmentMin)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val dedupContainmentBottomkSql =
+    s"""WITH $lshPipelineCtes,
+       |mn AS (SELECT doc_id, list_min(sh) AS h FROM shd),
+       |bk AS (SELECT doc_id, unnest(list_sort(sh)[1:$BottomK]) AS h FROM shd),
+       |cand2 AS (
+       |  SELECT DISTINCT mn.doc_id AS id_a, bk.doc_id AS id_b
+       |  FROM mn JOIN bk ON mn.h = bk.h AND mn.doc_id <> bk.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS cont_a,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS cont_b
+       |FROM cand2 JOIN shd a ON cand2.id_a = a.doc_id
+       |           JOIN shd b ON cand2.id_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |      >= $BottomKContainmentMin
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ========================================================================
   // dedup_lsh_bands — the LSH band-key relation itself (doc_id, band,
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
@@ -1565,6 +1621,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "diversity_sample" -> (diversitySample _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_containment_bottomk" -> (dedupContainmentBottomk _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
@@ -1594,6 +1651,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "diversity_sample" -> diversitySampleSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_bottomk" -> dedupContainmentBottomkSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,

@@ -203,6 +203,33 @@ class NewQuerySpec extends SparkSpec {
       .filter(greatest(col("cont_a"), col("cont_b")) < col("jaccard")).count() == 0)
   }
 
+  test("dedup_containment_bottomk surfaces a 5x wrapper pair invisible to jaccard-threshold banding") {
+    import org.apache.spark.sql.expressions.Window
+    // A = 50 shingles fully inside B = 250 shingles: jaccard 0.2 (below
+    // the 0.3 LSH threshold), containment(A→B) = 1.0 — the bottom-k
+    // candidate join must surface (A, B)
+    val ex = ((1L to 50L).map(h => (1L, h)) ++ (1L to 250L).map(h => (2L, h)))
+      .toDF("doc_id", "h1")
+    val sh = ex.select(col("doc_id"), col("h1").as("h")).distinct()
+    val mn = sh.groupBy(col("doc_id")).agg(min(col("h")).as("h"))
+    val wk = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    val bk = sh.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 16).select(col("doc_id"), col("h"))
+    val cand = mn.select(col("doc_id").as("id_a"), col("h"))
+      .join(bk.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    assert(cand.filter(col("id_a") === 1L && col("id_b") === 2L).count() == 1)
+    val v = graft.dedup.Dedup.pairContainment(
+      cand.filter(col("id_a") === 1L && col("id_b") === 2L), ex, "doc_id").head
+    assert(v.getDouble(2) == 1.0 && v.getDouble(3) == 0.2, v.toString)
+    // the registered query finds strictly more near-containment pairs
+    // than the jaccard-reachable containment view
+    val bkOut = graft.SparkEntry.queries("dedup_containment_bottomk")(spark, sf)
+    assert(bkOut.filter(col("cont_a") < 0.9).count() == 0)
+    assert(bkOut.count() > 0)
+  }
+
   test("ts_seasonal_adjust residuals center each (type, hour) cell on zero") {
     val out = graft.SparkEntry.queries("ts_seasonal_adjust")(spark, sf)
     assert(out.count() == graft.sources.Tables.events(spark, sf).count())
