@@ -350,7 +350,57 @@ object TsQueries {
       |FROM b JOIN p USING (event_type, hour)
       |ORDER BY event_id""".stripMargin
 
+  // ========================================================================
+  // ts_acf_multi — the autocorrelation FUNCTION, lags 1..5 per series
+  // (ts_autocorr is the lag-1 point): the sampling-health profile that
+  // distinguishes white noise (all lags ≈ 0), a random walk (slow
+  // decay), and periodic structure (peak at the period) — what an
+  // analyst reads before choosing a window size for supervised
+  // examples. Pearson corr(value, lag_k value) per (series, k), n_pairs
+  // alongside; round(4) per the corr convention ts_autocorr set.
+  //
+  // Scale shape: the FIVE lag columns are same-spec window expressions
+  // over ONE series-key exchange (they fuse into a single Window exec),
+  // the five corr aggs ride ONE groupBy on the same key — no second
+  // exchange — and the wide row unpivots to (series, lag) with a
+  // stack projection, not a join.
+  // ========================================================================
+  private val AcfMaxLag = 5
+
+  def tsAcfMulti(s: SparkSession, d: String): DataFrame = {
+    val lagged = (1 to AcfMaxLag).foldLeft(evE(s, d)) { (df, k) =>
+      df.withColumn(s"v_lag$k", lag(col("value"), k).over(w))
+    }
+    val aggs = (1 to AcfMaxLag).flatMap { k =>
+      Seq(round(corr(col("value"), col(s"v_lag$k")), 4).as(s"acf$k"),
+        count(col(s"v_lag$k")).as(s"n$k"))
+    }
+    val stacked = (1 to AcfMaxLag)
+      .map(k => s"${k}L, acf$k, n$k").mkString(", ")
+    lagged.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("user_id"),
+        expr(s"stack($AcfMaxLag, $stacked) AS (lag, acf, n_pairs)"))
+      .select(col("user_id"), col("lag"), col("acf"), col("n_pairs"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
+  private val tsAcfMultiSql = {
+    val lagCols = (1 to AcfMaxLag)
+      .map(k => s"lag(value, $k) OVER $overSql AS v_lag$k").mkString(",\n      |    ")
+    val branches = (1 to AcfMaxLag).map(k =>
+      s"SELECT user_id, CAST($k AS BIGINT) AS lag, round(corr(value, v_lag$k), 4) AS acf, count(v_lag$k) AS n_pairs FROM r GROUP BY user_id")
+      .mkString("\n      |  UNION ALL ")
+    s"""WITH r AS (
+      |  SELECT user_id, value,
+      |    $lagCols
+      |  FROM events)
+      |SELECT * FROM (
+      |  $branches)
+      |ORDER BY user_id, lag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_acf_multi" -> (tsAcfMulti _),
     "ts_seasonal_adjust" -> (tsSeasonalAdjust _),
     "ts_rolling_median" -> (tsRollingMedian _),
     "ts_seasonal" -> (tsSeasonal _),
@@ -362,6 +412,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_acf_multi" -> tsAcfMultiSql,
     "ts_seasonal_adjust" -> tsSeasonalAdjustSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_seasonal" -> tsSeasonalSql,

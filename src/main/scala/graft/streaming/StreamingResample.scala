@@ -155,6 +155,50 @@ object StreamingResample {
       .toDF()
   }
 
+  case class TsEvent(key: Long, eventId: Long, eUs: Long, value: Double)
+  case class MedianOut(event_id: Long, user_id: Long, median: Double)
+
+  /** Per-key rolling-median state transition: the trailing window is
+    * ≤ lookback+1 doubles per key — O(1) state, nothing to evict by
+    * size. Within a micro-batch events sort by (event time, id) before
+    * folding (batch arrival order is nondeterministic); across batches
+    * the carried window assumes per-key time-monotonic delivery, the
+    * same in-order contract the sessionize and interval-audit stages
+    * document.
+    */
+  def rollingMedianFn(lookback: Int)(key: Long, rows: Iterator[TsEvent],
+      state: GroupState[Seq[Double]]): Iterator[MedianOut] = {
+    val sorted = rows.toSeq.sortBy(e => (e.eUs, e.eventId))
+    var window = if (state.exists) state.get else Seq.empty[Double]
+    val out = sorted.map { e =>
+      window = (window :+ e.value).takeRight(lookback + 1)
+      val srt = window.sorted
+      MedianOut(e.eventId, key, srt((srt.size + 1) / 2 - 1))
+    }
+    state.update(window)
+    out.iterator
+  }
+
+  /** Streaming counterpart of `ts_rolling_median`: the robust trailing
+    * smoother as a continuous per-key operator, lower-median semantics
+    * identical to the batch window (exact element selection — the spec
+    * asserts bit-equality).
+    */
+  def rollingMedian(spark: SparkSession, events: DataFrame,
+                    lookback: Int = 8): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("value").isNotNull)
+      .select(col("user_id").cast("long").as("key"),
+        col("event_id").cast("long").as("eventId"),
+        unix_micros(col("ts")).as("eUs"), col("value").cast("double").as("value"))
+      .as[TsEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        rollingMedianFn(lookback))
+      .toDF("event_id", "user_id", "median")
+  }
+
   /** Deseasonalize a stream against a BATCH-LEARNED hour-of-day profile
     * (the `ts_seasonal` relation re-derived in micro-unit form): a
     * stream-static broadcast join — the profile is naturally static

@@ -576,6 +576,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming rollingMedian equals the batch ts_rolling_median across batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val df = stream.toDF().toDF("ts", "event_id", "user_id", "value")
+    val out = StreamingResample.rollingMedian(spark, df)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("rolling_median_out").start()
+    // per-key time-monotonic delivery (the documented in-order contract)
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("event_id"), col("user_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Long, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._2)).toSeq
+    val (first, rest) = rows.splitAt(rows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("rolling_median_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    q.stop()
+    val want = graft.SparkEntry.queries("ts_rolling_median")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want)
+  }
+
   test("streaming seasonalAdjust residuals are bit-equal to the batch ts_seasonal_adjust") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
