@@ -399,7 +399,59 @@ object TsQueries {
       |ORDER BY user_id, lag""".stripMargin
   }
 
+  // ========================================================================
+  // fill_seasonal — gap repair by SEASONAL PROFILE: missing readings
+  // impute to their (type, hour-of-day) baseline mean instead of the
+  // neighbor-based ffill/interpolation the reference ships
+  // (pandas_utilities.py:131-152) — the right policy when gaps span
+  // hours (a meter offline overnight: carrying the last evening value
+  // forward fabricates a flat night; the hour profile restores the
+  // diurnal shape). Missingness is synthesized deterministically
+  // (event_id % 7 = 0 → null, ~14% — the fault_inject convention of a
+  // reproducible corruption) so the oracle sees identical gaps; the
+  // profile is learned from the OBSERVED readings only.
+  //
+  // Exactness: imputed values are the micro-unit profile means (one
+  // exact division, round 6); observed values pass through UNTOUCHED
+  // (no quantization round-trip). Scale: one map-side-combined profile
+  // agg + one broadcast join — the ts_seasonal_adjust shape.
+  // ========================================================================
+  def fillSeasonal(s: SparkSession, d: String): DataFrame = {
+    val vU = (col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")
+    val hourCol = pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
+      lit(24L))
+    val base = ev(s, d).select(col("event_id"), col("event_type"), col("value"),
+      when(col("event_id") % 7 =!= 0, vU).as("v_u"), hourCol.as("hour"))
+    val prof = base.filter(col("v_u").isNotNull)
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("v_u")).as("cell_u"), count(lit(1)).as("n"))
+    base.join(broadcast(prof), Seq("event_type", "hour"))
+      .select(col("event_id"), col("event_type"), col("hour"),
+        when(col("v_u").isNotNull, col("value"))
+          .otherwise(round(col("cell_u") / (col("n") * lit(1000000.0)), 6)).as("filled"),
+        when(col("v_u").isNull, 1L).otherwise(0L).as("imputed"))
+      .orderBy(col("event_id"))
+  }
+
+  private val fillSeasonalSql =
+    """WITH b AS (
+      |  SELECT event_id, event_type, value,
+      |    CASE WHEN event_id % 7 <> 0
+      |      THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS v_u,
+      |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type, hour, CAST(sum(v_u) AS BIGINT) AS cell_u, count(v_u) AS n
+      |  FROM b WHERE v_u IS NOT NULL GROUP BY 1, 2)
+      |SELECT b.event_id, b.event_type, b.hour,
+      |  CASE WHEN b.v_u IS NOT NULL THEN b.value
+      |       ELSE round(p.cell_u / (p.n * 1000000.0), 6) END AS filled,
+      |  CAST(CASE WHEN b.v_u IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
+      |FROM b JOIN p USING (event_type, hour)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fill_seasonal" -> (fillSeasonal _),
     "ts_acf_multi" -> (tsAcfMulti _),
     "ts_seasonal_adjust" -> (tsSeasonalAdjust _),
     "ts_rolling_median" -> (tsRollingMedian _),
@@ -412,6 +464,7 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "fill_seasonal" -> fillSeasonalSql,
     "ts_acf_multi" -> tsAcfMultiSql,
     "ts_seasonal_adjust" -> tsSeasonalAdjustSql,
     "ts_rolling_median" -> tsRollingMedianSql,

@@ -615,11 +615,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)  // boundary deltas map-side combined
   }
 
-  test("ts_seasonal_adjust broadcasts the profile back onto the scan (corpus never shuffles)") {
-    val p = plan("ts_seasonal_adjust")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("partial_sum"), p)  // profile build map-side combined
+  test("ts_seasonal_adjust / fill_seasonal broadcast the profile back onto the scan (corpus never shuffles)") {
+    Seq("ts_seasonal_adjust", "fill_seasonal").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(p.contains("partial_sum"), s"$q: $p")  // profile build map-side combined
+    }
   }
 
   test("ts_rolling_median windows on the series key with a bounded frame (no global sort window)") {
