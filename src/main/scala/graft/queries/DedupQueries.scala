@@ -235,6 +235,77 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ========================================================================
+  // dedup_graph_rank — centrality over the verified near-dup graph:
+  // 3 damped power-iteration rounds (PageRank, Brin & Page 1998) in
+  // EXACT INTEGER nano-units. Why a curation pipeline wants it: the
+  // keep-first convention elects the smallest id as a cluster's
+  // canonical — arbitrary; electing the highest-centrality member keeps
+  // the version most other variants derive from (the hub of a
+  // template's family), and centrality also ranks which dup clusters
+  // dominate the corpus. Degree-normalized contributions use FLOOR
+  // division ((85·pr) div (100·deg)) and the teleport term (15·10⁹) div
+  // (100·N), so every value is an exact integer at every round — sums
+  // are order-free across the shuffle, and the oracle replays the same
+  // three rounds as unrolled CTEs (mass lost to flooring is identical
+  // by construction). Fixed 3 rounds, not convergence: near-dup
+  // components are small-diameter, and a deterministic round count is
+  // what makes the result engine-exact.
+  //
+  // Scale: nodes/edges are the verified-pair graph (LSH-bounded, never
+  // all-pairs); each round is one equi-join + one map-side-combined
+  // integer agg on the node key; N and the teleport term ride one
+  // broadcast row.
+  // ========================================================================
+  def dedupGraphRank(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshShared(s, d).pairs.select(col("id_a"), col("id_b"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val nodes = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val nc = nodes.agg(count(lit(1)).as("nn"))
+    val seeded = nodes.crossJoin(broadcast(nc))
+      .select(col("id"), col("deg"), col("nn"),
+        expr("CAST(1000000000 AS BIGINT) div nn").as("pr"))
+    val ranked = (1 to 3).foldLeft(seeded) { (pr, _) =>
+      val contrib = pr.select(col("id").as("src"),
+        expr("(85 * pr) div (100 * deg)").as("c"))
+      val inbound = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        .select(col("dst").as("id"), col("cin"))
+      nodes.crossJoin(broadcast(nc)).join(inbound, Seq("id"), "left")
+        .select(col("id"), col("deg"), col("nn"),
+          (expr("CAST(150000000 AS BIGINT) div nn")
+            + coalesce(col("cin"), lit(0L))).as("pr"))
+    }
+    ranked.select(col("id"), col("deg"), col("pr").as("pr_e9"))
+      .orderBy(col("id"))
+  }
+
+  private val dedupGraphRankSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT ed.dst AS id, CAST(sum((85 * p${k - 1}.pr) // (100 * p${k - 1}.deg)) AS BIGINT) AS cin
+         |  FROM ed JOIN p${k - 1} ON p${k - 1}.id = ed.src GROUP BY ed.dst),
+         |p$k AS (
+         |  SELECT dg.id, dg.deg, nc.nn,
+         |    (CAST(150000000 AS BIGINT) // nc.nn) + coalesce(c$k.cin, 0) AS pr
+         |  FROM dg CROSS JOIN nc LEFT JOIN c$k ON c$k.id = dg.id)"""
+    s"""WITH $lshPipelineCtes,
+       |pp AS (SELECT id_a, id_b FROM ver WHERE jaccard >= ${LshParams.Threshold}),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |       UNION SELECT id_b, id_a FROM pp),
+       |dg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY src),
+       |nc AS (SELECT count(*) AS nn FROM dg),
+       |p0 AS (SELECT dg.id, dg.deg, nc.nn,
+       |         CAST(1000000000 AS BIGINT) // nc.nn AS pr FROM dg CROSS JOIN nc),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT id, deg, CAST(pr AS BIGINT) AS pr_e9 FROM p3
+       |ORDER BY id""".stripMargin
+  }
+
+  // ========================================================================
   // dedup_lsh_bands — the LSH band-key relation itself (doc_id, band,
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
@@ -1622,6 +1693,7 @@ object DedupQueries {
     "diversity_sample" -> (diversitySample _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_bottomk" -> (dedupContainmentBottomk _),
+    "dedup_graph_rank" -> (dedupGraphRank _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
@@ -1652,6 +1724,7 @@ object DedupQueries {
     "diversity_sample" -> diversitySampleSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_bottomk" -> dedupContainmentBottomkSql,
+    "dedup_graph_rank" -> dedupGraphRankSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,

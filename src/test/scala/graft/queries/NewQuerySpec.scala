@@ -203,6 +203,35 @@ class NewQuerySpec extends SparkSpec {
       .filter(greatest(col("cont_a"), col("cont_b")) < col("jaccard")).count() == 0)
   }
 
+  test("dedup_graph_rank: the hub of a star outranks its leaves; mass is conserved up to floor loss") {
+    // star: 1 — {2,3,4,5}: the template original every variant links to
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))).distinct()
+    val nodes = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val nc = nodes.agg(count(lit(1)).as("nn"))
+    val seeded = nodes.crossJoin(broadcast(nc))
+      .select(col("id"), col("deg"), col("nn"),
+        expr("CAST(1000000000 AS BIGINT) div nn").as("pr"))
+    val ranked = (1 to 3).foldLeft(seeded) { (pr, _) =>
+      val contrib = pr.select(col("id").as("src"),
+        expr("(85 * pr) div (100 * deg)").as("c"))
+      val inbound = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+        .select(col("dst").as("id"), col("cin"))
+      nodes.crossJoin(broadcast(nc)).join(inbound, Seq("id"), "left")
+        .select(col("id"), col("deg"), col("nn"),
+          (expr("CAST(150000000 AS BIGINT) div nn") + coalesce(col("cin"), lit(0L))).as("pr"))
+    }
+    val pr = ranked.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((2L to 5L).forall(l => pr(1L) > pr(l)), pr.toString)
+    assert((2L to 5L).map(pr).distinct.size == 1)  // symmetric leaves tie
+    // registered query: positive ranks, total mass <= 1e9 (floor only loses)
+    val out = graft.SparkEntry.queries("dedup_graph_rank")(spark, sf)
+    assert(out.filter(col("pr_e9") <= 0).count() == 0)
+    assert(out.agg(sum(col("pr_e9"))).head.getLong(0) <= 1000000000L)
+  }
+
   test("dedup_containment_bottomk surfaces a 5x wrapper pair invisible to jaccard-threshold banding") {
     import org.apache.spark.sql.expressions.Window
     // A = 50 shingles fully inside B = 250 shingles: jaccard 0.2 (below
