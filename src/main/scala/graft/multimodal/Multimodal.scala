@@ -1007,4 +1007,57 @@ object Multimodal {
         }
       }
   }
+
+  case class ImageEntropy(asset_id: Long, n_px: Long, ent_sum_e4: Long)
+
+  /** Luminance-histogram entropy per image — the flat-or-noise quality
+    * detector for the image modality (a solid color scores 0; synthetic
+    * noise saturates toward ln(n); real photographs sit between), the
+    * [[graft.plans.CharEntropySum]] treatment applied to pixels. Decode
+    * is the same real ImageIO path as [[decodePixels]]; luminance is
+    * the integer ITU-R 601 approximation (299r + 587g + 114b) div 1000,
+    * so the histogram — and the order-free quantized entropy core
+    * Σ round(cnt·ln(cnt)·10⁴) — is exact-integer reproducible from the
+    * closed-form pixel generator by a SQL oracle. Per-partition work;
+    * only (id, n, sum) rows shuffle.
+    */
+  def imageEntropy(spark: SparkSession, assets: DataFrame): Dataset[ImageEntropy] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img =
+            if (bytes == null) None
+            else try {
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          img.map { im =>
+            val w = im.getWidth
+            val h = im.getHeight
+            val hist = new Array[Int](256)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = im.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                  + 114 * (rgb & 0xff)) / 1000
+                hist(lum) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var acc = 0L
+            var c = 0
+            while (c < 256) {
+              val k = hist(c)
+              if (k > 1) acc += Math.round(k * Math.log(k) * 10000.0)
+              c += 1
+            }
+            ImageEntropy(id, w.toLong * h, acc)
+          }
+        }
+      }
+  }
 }

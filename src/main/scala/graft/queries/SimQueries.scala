@@ -1606,6 +1606,51 @@ object SimQueries {
       |FROM agg ORDER BY asset_id""".stripMargin
 
   // ========================================================================
+  // multimodal_image_entropy — luminance-histogram Shannon entropy per
+  // image: the flat-or-noise QUALITY detector for the image modality
+  // (solid fills and template placeholders score near 0, synthetic
+  // noise saturates toward ln(n_px)) — the text_entropy treatment
+  // applied to pixels, completing per-modality quality scoring (text:
+  // text_entropy/lm_score; audio/video: amplitude stats). Real ImageIO
+  // decode; integer ITU-R 601 luminance ((299r+587g+114b) div 1000) so
+  // the histogram and the order-free quantized entropy core are
+  // exact-integer reproducible from the closed-form pixel generator by
+  // the oracle; one partition-local pass, only (id, n, sum) shuffles.
+  // ========================================================================
+  def multimodalImageEntropy(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageEntropy(s,
+        Multimodal.syntheticPixelPayloads(s, Tables.documents(s, d)))
+      .toDF()
+      .select(col("asset_id"), col("n_px"), col("ent_sum_e4"),
+        round(log(col("n_px")) - col("ent_sum_e4") / (col("n_px") * lit(10000.0)), 6)
+          .as("entropy"))
+      .orderBy(col("asset_id"))
+
+  private val multimodalImageEntropySql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT asset_id, w, h, s.i % w AS x, s.i // w AS y
+      |  FROM p, range(0, 48) s(i) WHERE s.i < w * h),
+      |lm AS (
+      |  SELECT asset_id, w, h,
+      |    (299 * ((asset_id + 13 * x + 31 * y) % 256)
+      |     + 587 * ((2 * asset_id + 7 * x + 3 * y) % 256)
+      |     + 114 * ((5 * asset_id + 11 * x + 17 * y) % 256)) // 1000 AS lum
+      |  FROM px),
+      |hc AS (SELECT asset_id, w, h, lum, count(*) AS cnt FROM lm GROUP BY 1, 2, 3, 4),
+      |agg AS (
+      |  SELECT asset_id, CAST(max(w * h) AS BIGINT) AS n_px,
+      |    CAST(sum(CASE WHEN cnt > 1
+      |      THEN CAST(round(cnt * ln(cnt) * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS ent_sum_e4
+      |  FROM hc GROUP BY asset_id)
+      |SELECT asset_id, n_px, ent_sum_e4,
+      |  round(ln(n_px) - ent_sum_e4 / (n_px * 10000.0), 6) AS entropy
+      |FROM agg ORDER BY asset_id""".stripMargin
+
+  // ========================================================================
   // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
   // closed-form rasters as multimodal_pixels, but round-tripped through a
   // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
@@ -1865,6 +1910,7 @@ object SimQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
+    "multimodal_image_entropy" -> (multimodalImageEntropy _),
     "multimodal_pixels_jpeg" -> (multimodalPixelsJpeg _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_resize" -> (multimodalResize _),
@@ -1902,6 +1948,7 @@ object SimQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
+    "multimodal_image_entropy" -> multimodalImageEntropySql,
     "multimodal_pixels_jpeg" -> multimodalPixelsJpegSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_resize" -> multimodalResizeSql,

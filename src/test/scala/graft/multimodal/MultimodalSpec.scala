@@ -386,4 +386,20 @@ class MultimodalSpec extends SparkSpec {
     // decodeWav's stats contract still admits the stereo payload
     assert(Multimodal.parseWav(1, stereo).isDefined)
   }
+
+  test("imageEntropy: a flat fill scores 0, a gradient scores higher; real decode matches closed form") {
+    import spark.implicits._
+    // flat 4x4 (one luminance bin) vs a 4x4 with 16 distinct luminances
+    val flat = Multimodal.bmp24(4, 4, (_, _) => (100, 100, 100))
+    val grad = Multimodal.bmp24(4, 4, (x, y) => (16 * (4 * y + x), 0, 0))
+    val assets = Seq((1L, flat), (2L, grad)).toDF("asset_id", "payload")
+    val got = Multimodal.imageEntropy(spark, assets).collect()
+      .map(e => e.asset_id -> e).toMap
+    assert(got(1L).ent_sum_e4 == Math.round(16 * math.log(16) * 10000.0)) // one bin of 16
+    assert(got(2L).ent_sum_e4 < got(1L).ent_sum_e4) // more bins => smaller core => higher H
+    val h1 = math.log(16) - got(1L).ent_sum_e4 / (16 * 10000.0)
+    val h2 = math.log(16) - got(2L).ent_sum_e4 / (16 * 10000.0)
+    assert(math.abs(h1) < 1e-4)      // flat: zero entropy
+    assert(h2 > 2.0)                 // 16 near-distinct bins: ~ln(16)=2.77
+  }
 }
