@@ -1008,6 +1008,72 @@ object Multimodal {
       }
   }
 
+  case class AudioEntropy(asset_id: Long, n_samples: Long, ent_sum_e4: Long)
+
+  /** Amplitude-histogram entropy per clip — the audio modality's
+    * flat-or-noise quality gate ([[imageEntropy]]'s treatment over the
+    * PCM waveform): |s16| envelopes bin to 129 coarse levels
+    * (|s| >> 8), and the order-free quantized core
+    * Σ round(cnt·ln(cnt)·10⁴) is exact-integer reproducible from the
+    * synthetic sample generator by a SQL oracle. Silence/DC clips
+    * score 0; dithered noise saturates toward ln(min(n, 129)). Same
+    * RIFF chunk-walk contract as [[audioDhash56]] (mono PCM-16,
+    * quarantine on anything else); samples are read in place.
+    */
+  def audioEntropy(spark: SparkSession, assets: DataFrame): Dataset[AudioEntropy] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        audioAmpEntropy(id, bytes)
+      })
+  }
+
+  private[multimodal] def audioAmpEntropy(id: Long, b: Array[Byte]): Option[AudioEntropy] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i).toLong | (u8(i + 1).toLong << 8) |
+      (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    while (pos + 8 <= b.length) {
+      val id4 = tag(pos)
+      val size = le32(pos + 4)
+      val body = pos + 8
+      if (body + size > b.length) return None
+      id4 match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = Some((le16(body), le16(body + 2), le16(body + 14)))
+        case "data" =>
+          val (audioFmt, ch, bits) = fmt.getOrElse(return None)
+          if (audioFmt != 1 || bits != 16 || ch != 1) return None
+          val n = (size / 2).toInt
+          if (n < 1 || size % 2 != 0) return None
+          val hist = new Array[Int](129)
+          var i = 0
+          while (i < n) {
+            val s = le16(body + 2 * i).toShort.toInt
+            hist(math.abs(s) >> 8) += 1
+            i += 1
+          }
+          var acc = 0L
+          var c = 0
+          while (c < 129) {
+            val k = hist(c)
+            if (k > 1) acc += Math.round(k * Math.log(k) * 10000.0)
+            c += 1
+          }
+          return Some(AudioEntropy(id, n.toLong, acc))
+        case _ => ()
+      }
+      pos = body + size.toInt + (size & 1).toInt
+    }
+    None
+  }
+
   case class ImageEntropy(asset_id: Long, n_px: Long, ent_sum_e4: Long)
 
   /** Luminance-histogram entropy per image — the flat-or-noise quality

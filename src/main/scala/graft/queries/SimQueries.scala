@@ -1651,6 +1651,50 @@ object SimQueries {
       |FROM agg ORDER BY asset_id""".stripMargin
 
   // ========================================================================
+  // multimodal_audio_entropy — amplitude-histogram entropy per clip:
+  // the audio modality's flat-or-noise quality gate (silence/DC scores
+  // 0; dithered noise saturates), completing tri-modal quality scoring
+  // alongside text_entropy and multimodal_image_entropy. Real RIFF/PCM
+  // walk; |s16| >> 8 coarse bins; the order-free quantized entropy
+  // core is exact-integer reproducible from the synthetic sample
+  // generator by the oracle. Partition-local; only (id, n, sum) rows
+  // shuffle.
+  // ========================================================================
+  def multimodalAudioEntropy(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioEntropy(s,
+        Multimodal.syntheticWavReplicaPayloads(s, Tables.documents(s, d)))
+      .toDF()
+      .select(col("asset_id"), col("n_samples"), col("ent_sum_e4"),
+        round(log(col("n_samples")) - col("ent_sum_e4") / (col("n_samples") * lit(10000.0)), 6)
+          .as("entropy"))
+      .orderBy(col("asset_id"))
+
+  private val multimodalAudioEntropySql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
+      |  FROM documents),
+      |dims AS (SELECT asset_id, rep, rep % 50 + 57 AS n FROM p),
+      |smp AS (
+      |  SELECT asset_id, n,
+      |    (rep * 31 + i.i * 17
+      |     + CASE WHEN asset_id % 10 = 3 AND i.i = 0 THEN 7000 ELSE 0 END) % 65536 AS v
+      |  FROM dims, range(0, 107) i(i) WHERE i.i < n),
+      |amp AS (
+      |  SELECT asset_id, n, abs((v * v // 7 + v * 13) % 65536 - 32768) // 256 AS bin
+      |  FROM smp),
+      |hc AS (SELECT asset_id, n, bin, count(*) AS cnt FROM amp GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT asset_id, CAST(max(n) AS BIGINT) AS n_samples,
+      |    CAST(sum(CASE WHEN cnt > 1
+      |      THEN CAST(round(cnt * ln(cnt) * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS ent_sum_e4
+      |  FROM hc GROUP BY asset_id)
+      |SELECT asset_id, n_samples, ent_sum_e4,
+      |  round(ln(n_samples) - ent_sum_e4 / (n_samples * 10000.0), 6) AS entropy
+      |FROM agg ORDER BY asset_id""".stripMargin
+
+  // ========================================================================
   // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
   // closed-form rasters as multimodal_pixels, but round-tripped through a
   // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
@@ -1911,6 +1955,7 @@ object SimQueries {
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_image_entropy" -> (multimodalImageEntropy _),
+    "multimodal_audio_entropy" -> (multimodalAudioEntropy _),
     "multimodal_pixels_jpeg" -> (multimodalPixelsJpeg _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_resize" -> (multimodalResize _),
@@ -1949,6 +1994,7 @@ object SimQueries {
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
     "multimodal_image_entropy" -> multimodalImageEntropySql,
+    "multimodal_audio_entropy" -> multimodalAudioEntropySql,
     "multimodal_pixels_jpeg" -> multimodalPixelsJpegSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -402,4 +402,15 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(h1) < 1e-4)      // flat: zero entropy
     assert(h2 > 2.0)                 // 16 near-distinct bins: ~ln(16)=2.77
   }
+
+  test("audioAmpEntropy: silence scores 0; a full-range sweep scores higher") {
+    val silent = Multimodal.wavPcm16Mono(8000, Array.fill(64)(0.toShort))
+    val sweep = Multimodal.wavPcm16Mono(8000,
+      Array.tabulate(64)(i => (i * 1024 - 32768).toShort))
+    val s0 = Multimodal.audioAmpEntropy(1L, silent).get
+    val s1 = Multimodal.audioAmpEntropy(2L, sweep).get
+    assert(s0.ent_sum_e4 == Math.round(64 * math.log(64) * 10000.0)) // one bin
+    assert(s1.ent_sum_e4 < s0.ent_sum_e4)                            // spread bins
+    assert(math.abs(math.log(64) - s0.ent_sum_e4 / (64 * 10000.0)) < 1e-4)
+  }
 }
