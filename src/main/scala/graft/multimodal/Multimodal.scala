@@ -1074,6 +1074,46 @@ object Multimodal {
     None
   }
 
+  case class VideoEntropy(asset_id: Long, n_samples: Long, ent_sum_e4: Long)
+
+  /** Per-clip luminance-sample entropy — the video modality's
+    * flat-or-noise quality gate: the [[imageEntropy]] histogram over
+    * the SAME 8×8 luma grid samples the perceptual hash reads
+    * ([[frameDhashes]]'s sample points), accumulated across the
+    * step-sampled frames of a clip. A static test card scores near 0
+    * across every frame; normal footage spreads. Shares
+    * [[walkY4mMono]]'s quarantine contract; planes are read in place.
+    */
+  def videoEntropy(spark: SparkSession, assets: DataFrame, step: Int): Dataset[VideoEntropy] = {
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        val hist = new Array[Int](256)
+        walkY4mMono(bytes, step) { (w, h, body) =>
+          var j = 0
+          while (j < 8) {
+            val sy = j * h / 8
+            var i = 0
+            while (i < 8) {
+              hist(bytes(body + sy * w + i * w / 8) & 0xff) += 1
+              i += 1
+            }
+            j += 1
+          }
+          0
+        }.map { case (_, _, _, sampled) =>
+          var acc = 0L
+          var c = 0
+          while (c < 256) {
+            val k = hist(c)
+            if (k > 1) acc += Math.round(k * Math.log(k) * 10000.0)
+            c += 1
+          }
+          VideoEntropy(id, 64L * sampled.size, acc)
+        }
+      })
+  }
+
   case class ImageEntropy(asset_id: Long, n_px: Long, ent_sum_e4: Long)
 
   /** Luminance-histogram entropy per image — the flat-or-noise quality

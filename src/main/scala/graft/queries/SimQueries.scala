@@ -1695,6 +1695,57 @@ object SimQueries {
       |FROM agg ORDER BY asset_id""".stripMargin
 
   // ========================================================================
+  // multimodal_video_entropy — per-clip luminance-sample entropy over
+  // the SAME 8×8 grid points the video perceptual hash reads,
+  // accumulated across the step-2 sampled frames: the video modality's
+  // flat-or-noise gate, making quality scoring COMPLETE across all four
+  // modalities (text_entropy, image/audio/video entropy). Real y4m
+  // walk; the oracle regenerates the grid from the closed-form luma
+  // formula the video-phash CTEs already prove.
+  // ========================================================================
+  def multimodalVideoEntropy(s: SparkSession, d: String): DataFrame =
+    Multimodal.videoEntropy(s,
+        Multimodal.syntheticY4mReplicaPayloads(s, Tables.documents(s, d)), step = 2)
+      .toDF()
+      .select(col("asset_id"), col("n_samples"), col("ent_sum_e4"),
+        round(log(col("n_samples")) - col("ent_sum_e4") / (col("n_samples") * lit(10000.0)), 6)
+          .as("entropy"))
+      .orderBy(col("asset_id"))
+
+  private val multimodalVideoEntropySql =
+    """WITH p AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN doc_id - 1 ELSE doc_id END AS rep
+      |  FROM documents),
+      |dims AS (
+      |  SELECT asset_id, rep, rep % 9 + 8 AS w, rep % 5 + 8 AS h, rep % 7 + 3 AS nf
+      |  FROM p),
+      |fr AS (
+      |  SELECT asset_id, rep, w, h, f.f AS f
+      |  FROM dims, range(0, 10) f(f) WHERE f.f < nf AND f.f % 2 = 0),
+      |vg AS (
+      |  SELECT asset_id, rep, f,
+      |    ((s.i % 8) * w) // 8 AS sx, ((s.i // 8) * h) // 8 AS sy
+      |  FROM fr, range(0, 64) s(i)),
+      |vl AS (
+      |  SELECT asset_id,
+      |    ((rep * 7 + f * 19 + sx * 13 + sy * 31 + (sx * sy + 3) * (rep % 23)) % 250
+      |     + CASE WHEN asset_id % 10 = 3 AND f = 0 AND sx = 0 AND sy = 0
+      |         THEN 60 ELSE 0 END) % 250 AS lum
+      |  FROM vg),
+      |hc AS (SELECT asset_id, lum, count(*) AS cnt FROM vl GROUP BY 1, 2),
+      |nsp AS (SELECT asset_id, count(*) * 64 AS n_samples FROM fr GROUP BY asset_id),
+      |agg AS (
+      |  SELECT asset_id, CAST(sum(CASE WHEN cnt > 1
+      |    THEN CAST(round(cnt * ln(cnt) * 10000.0) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |    AS ent_sum_e4
+      |  FROM hc GROUP BY asset_id)
+      |SELECT a.asset_id, CAST(n.n_samples AS BIGINT) AS n_samples, a.ent_sum_e4,
+      |  round(ln(n.n_samples) - a.ent_sum_e4 / (n.n_samples * 10000.0), 6) AS entropy
+      |FROM agg a JOIN nsp n USING (asset_id)
+      |ORDER BY asset_id""".stripMargin
+
+  // ========================================================================
   // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
   // closed-form rasters as multimodal_pixels, but round-tripped through a
   // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
@@ -1956,6 +2007,7 @@ object SimQueries {
     "multimodal_pixels" -> (multimodalPixels _),
     "multimodal_image_entropy" -> (multimodalImageEntropy _),
     "multimodal_audio_entropy" -> (multimodalAudioEntropy _),
+    "multimodal_video_entropy" -> (multimodalVideoEntropy _),
     "multimodal_pixels_jpeg" -> (multimodalPixelsJpeg _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_resize" -> (multimodalResize _),
@@ -1995,6 +2047,7 @@ object SimQueries {
     "multimodal_pixels" -> multimodalPixelsSql,
     "multimodal_image_entropy" -> multimodalImageEntropySql,
     "multimodal_audio_entropy" -> multimodalAudioEntropySql,
+    "multimodal_video_entropy" -> multimodalVideoEntropySql,
     "multimodal_pixels_jpeg" -> multimodalPixelsJpegSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_resize" -> multimodalResizeSql,
