@@ -889,7 +889,12 @@ object DedupQueries {
     idx
   }
 
-  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+  /** The increment's merged duplicated spans (doc_id, sp, ep, has_old,
+    * has_inc) — factored so the report (`dedup_substring_incremental`)
+    * and the removal transform (`scrub_substring_incremental`) share
+    * one definition.
+    */
+  private def incrementalSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isNew = col("doc_id") % 3 === 0
     val inc = positionedGrams(docs(s, d).filter(isNew))
@@ -904,13 +909,18 @@ object DedupQueries {
         coalesce(col("o"), lit(0L)).as("o"), coalesce(col("ic"), lit(0L)).as("ic"))
     val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
-    val spans = flagged
+    flagged
       .withColumn("brk", when(col("pos") >
         coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
       .withColumn("g", sum(col("brk")).over(wp))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"),
         max(col("o")).as("has_old"), max(col("ic")).as("has_inc"))
+  }
+
+  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 3 === 0
+    val spans = incrementalSpans(s, d)
     val nt = docs(s, d).filter(isNew).select(col("doc_id"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
     spans.groupBy(col("doc_id"))
@@ -924,8 +934,11 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val dedupSubstringIncrementalSql =
-    raw"""WITH toks AS (
+  /** CTE chain to the increment's merged spans — shared by the report
+    * and the removal transform oracles.
+    */
+  private val substrIncCtesSql =
+    raw"""toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       |kg AS (
       |  SELECT doc_id, i AS pos,
@@ -954,7 +967,10 @@ object DedupQueries {
       |spans AS (
       |  SELECT doc_id, g, min(pos) AS sp, max(pos) + $SubstrK AS ep,
       |    max(o) AS has_old, max(ic) AS has_inc
-      |  FROM grpd GROUP BY doc_id, g),
+      |  FROM grpd GROUP BY doc_id, g)""".stripMargin
+
+  private val dedupSubstringIncrementalSql =
+    raw"""WITH $substrIncCtesSql,
       |nt AS (
       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
       |  FROM documents WHERE doc_id % 3 = 0)
@@ -966,6 +982,62 @@ object DedupQueries {
       |FROM spans sp JOIN nt ON nt.doc_id = sp.doc_id
       |GROUP BY sp.doc_id
       |ORDER BY sp.doc_id""".stripMargin
+
+  // ========================================================================
+  // scrub_substring_incremental — the REMOVAL transform over the
+  // incremental span report: tokens inside any duplicated span of an
+  // increment document (against the persisted corpus index OR within
+  // the increment) are dropped and the cleaned doc re-emitted as token
+  // count + content md5 — the transformation an ingest pipeline
+  // actually applies before admitting a batch (the scrub_substring
+  // treatment at the continuous-ingestion boundary). Shares ONE span
+  // definition with dedup_substring_incremental (incrementalSpans /
+  // substrIncCtesSql). Scale: span positions explode bounded by doc
+  // length and anti-join the increment's positioned tokens — O(increment).
+  // ========================================================================
+  def scrubSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % 3 === 0
+    val spanPos = incrementalSpans(s, d)
+      .select(col("doc_id"), explode(sequence(col("sp"), col("ep") - 1)).as("pos"))
+    val toks = docs(s, d).filter(isNew).select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks.join(spanPos, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("clean_md5"))
+    docs(s, d).filter(isNew).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val scrubSubstringIncrementalSql =
+    raw"""WITH $substrIncCtesSql,
+      |sp2 AS (
+      |  SELECT doc_id, unnest(range(sp, ep)) AS pos FROM spans),
+      |tok2 AS (
+      |  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos
+      |  FROM toks WHERE doc_id % 3 = 0),
+      |kept AS (
+      |  SELECT t2.doc_id, t2.pos, t2.tok
+      |  FROM tok2 t2 LEFT JOIN sp2 ON sp2.doc_id = t2.doc_id AND sp2.pos = t2.pos
+      |  WHERE sp2.doc_id IS NULL),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+      |  coalesce(agg.n_kept, 0) AS n_kept,
+      |  coalesce(agg.clean_md5, md5('')) AS clean_md5
+      |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      |WHERE d.doc_id % 3 = 0
+      |ORDER BY d.doc_id""".stripMargin
 
   // ========================================================================
   // dedup_video_phash — near-dup CLIPS by per-frame perceptual hash:
@@ -1713,6 +1785,7 @@ object DedupQueries {
     "dedup_audio_cluster" -> (dedupAudioCluster _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_incremental" -> (dedupSubstringIncremental _),
+    "scrub_substring_incremental" -> (scrubSubstringIncremental _),
     "scrub_substring" -> (scrubSubstring _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -1744,6 +1817,7 @@ object DedupQueries {
     "dedup_audio_cluster" -> dedupAudioClusterSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
+    "scrub_substring_incremental" -> scrubSubstringIncrementalSql,
     "scrub_substring" -> scrubSubstringSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
