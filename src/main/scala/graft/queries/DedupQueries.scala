@@ -1761,7 +1761,59 @@ object DedupQueries {
        |QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY n_chars DESC, doc_id) = 1
        |ORDER BY bucket""".stripMargin
 
+  // ========================================================================
+  // dedup_semantic_incremental — SemDeDup at the INGEST boundary: the
+  // diversity_sample policy applied to a corpus increment (vec_id % 3
+  // = 0, the family's split convention). The EXISTING slice's cells
+  // already have survivors (keep-first: the cell's longest incumbent);
+  // an arriving vector is admitted iff its semantic cell has NO
+  // incumbent — the keep-first admission semantics every streaming
+  // stage in this engine uses, here on hyperplane-LSH cells. Output:
+  // every increment doc with its cell, the incumbent that blocks it
+  // (if any), and the admit flag — the per-batch redundancy report an
+  // ingest pipeline acts on.
+  //
+  // Scale: cell assignment is per-row codegen; the incumbent relation
+  // aggregates the EXISTING slice once (one keyed shuffle) and joins
+  // the increment by cell equi-join — O(increment + cells), the
+  // dedup_incremental contract on the semantic axis.
+  // ========================================================================
+  def dedupSemanticIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+      .join(docs(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val sel = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val incumbents = emb.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
+      .select(col("bucket"), col("doc_id").as("incumbent"))
+    emb.filter(col("doc_id") % 3 === 0)
+      .join(incumbents, Seq("bucket"), "left")
+      .select(col("doc_id"), col("bucket"), col("n_chars"), col("incumbent"),
+        when(col("incumbent").isNull, 1L).otherwise(0L).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSemanticIncrementalSql =
+    s"""WITH b AS (
+       |  SELECT vec_id AS doc_id,
+       |    CAST(${SimQueries.hyperplaneBitsSql(8)} AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |j AS (SELECT b.bucket, b.doc_id, d.n_chars FROM b JOIN documents d USING (doc_id)),
+       |inc AS (
+       |  SELECT bucket, doc_id AS incumbent FROM (
+       |    SELECT bucket, doc_id, n_chars FROM j WHERE doc_id % 3 <> 0)
+       |  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY n_chars DESC, doc_id) = 1)
+       |SELECT j.doc_id, j.bucket, j.n_chars, inc.incumbent,
+       |  CAST(CASE WHEN inc.incumbent IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admit
+       |FROM j LEFT JOIN inc ON inc.bucket = j.bucket
+       |WHERE j.doc_id % 3 = 0
+       |ORDER BY j.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_semantic_incremental" -> (dedupSemanticIncremental _),
     "diversity_sample" -> (diversitySample _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_bottomk" -> (dedupContainmentBottomk _),
@@ -1794,6 +1846,7 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "diversity_sample" -> diversitySampleSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_bottomk" -> dedupContainmentBottomkSql,

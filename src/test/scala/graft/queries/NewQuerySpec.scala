@@ -203,6 +203,25 @@ class NewQuerySpec extends SparkSpec {
       .filter(greatest(col("cont_a"), col("cont_b")) < col("jaccard")).count() == 0)
   }
 
+  test("dedup_semantic_incremental admits exactly the increment vectors whose cell has no incumbent") {
+    val out = graft.SparkEntry.queries("dedup_semantic_incremental")(spark, sf)
+    assert(out.filter(col("doc_id") % 3 =!= 0).count() == 0)  // increment only
+    // blocked rows carry an OLD-slice incumbent; admitted rows carry none
+    assert(out.filter(col("admit") === 0 && col("incumbent").isNull).count() == 0)
+    assert(out.filter(col("admit") === 1 && col("incumbent").isNotNull).count() == 0)
+    assert(out.filter(col("incumbent").isNotNull && col("incumbent") % 3 === 0).count() == 0)
+    // cross-check against an independently computed old-cell set
+    val oldCells = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 =!= 0)
+      .select(graft.sim.Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bad = out.collect().count { r =>
+      val blocked = r.getLong(4) == 0L
+      blocked != oldCells.contains(r.getLong(1))
+    }
+    assert(bad == 0)
+  }
+
   test("dedup_graph_rank: the hub of a star outranks its leaves; mass is conserved up to floor loss") {
     // star: 1 — {2,3,4,5}: the template original every variant links to
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")

@@ -630,6 +630,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("incremental/graph dedup extensions: equi-joins only, keyed windows, no cartesian") {
+    Seq("dedup_graph_rank", "dedup_containment_bottomk", "dedup_semantic_incremental",
+        "ts_acf_multi").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      // graph_rank's BNLJ is its ONE-ROW node-count broadcast (the
+      // skew_report crossJoin(broadcast(stats)) idiom) — benign; any
+      // other nested loop is a bug
+      if (q != "dedup_graph_rank")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // acf: the five lag expressions fuse into ONE Window over user_id
+    val acf = plan("ts_acf_multi")
+    assert("hashpartitioning\\(user_id".r.findAllIn(acf).length <= 2, acf)
+  }
+
   test("sample_reservoir plans per-partition K-heaps (TakeOrderedAndProject), never a global sort") {
     val p = plan("sample_reservoir")
     assert(p.contains("TakeOrderedAndProject"), p)
