@@ -66,6 +66,9 @@ object StreamBench {
     val wavRows = graft.multimodal.Multimodal.syntheticWavReplicaPayloads(
         spark, graft.sources.Tables.documents(spark, sfDir))
       .as[(Long, Array[Byte])].collect().toSeq
+    // the CMS bigram model, learned once batch-side (a plan literal on
+    // the stream — the benchSketch lifecycle)
+    val lmModel = graft.queries.TextQueries.lmSketchModel(spark, sfDir)
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
@@ -122,6 +125,10 @@ object StreamBench {
         df => graft.streaming.StreamingImage.phashKeepFirst(spark, df)),
       run[(Long, Array[Byte])]("audio_admit", wavRows, Seq("asset_id", "payload"),
         df => graft.streaming.StreamingImage.ahashKeepFirst(spark, df)),
+      // the CMS LM gate: model as a plan reference, ZERO state rows —
+      // throughput here is pure codegen scoring cost
+      run[(Long, String, String)]("curate_lm", docRows, Seq("doc_id", "source", "text"),
+        df => graft.streaming.StreamingCurate.curateLm(spark, df, lmModel)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -162,6 +169,7 @@ object StreamBench {
       "welford_adapt" -> Bound(900, r => r.rowsIn, 500),     // one row per key
       "image_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct phash
       "audio_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct ahash
+      "curate_lm" -> Bound(600, _ => 0, 25, 1L << 20),       // STATELESS: zero state rows
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>
