@@ -1746,6 +1746,86 @@ object SimQueries {
       |ORDER BY asset_id""".stripMargin
 
   // ========================================================================
+  // embed_drift — EMBEDDING-distribution drift between the existing
+  // slice and an ingest increment (vec_id % 3, the family's split):
+  // per label, the cosine between the old slice's mean vector and the
+  // increment's, plus both counts — the vector-side drift alert
+  // completing the continuous-ingestion monitoring story (lm_score_
+  // incremental's `oov_bg` is the text side). Cosine near 1 = the
+  // increment's centroid points where the existing slice's does; a
+  // drop = upstream embedding model change or topic shift — re-learn
+  // the IVF index (ann_ivf_rebalance's policy input). On THIS
+  // synthetic corpus labels are isotropic (centroids ≈ 0), so the
+  // cosines hover near 0 — the report is the monitoring surface, not
+  // a gate; a real clustered corpus reads near 1 in steady state.
+  //
+  // Exactness: components quantize to integer micro-units at the scan
+  // (round(x·10⁶) — floats are exact in double, ONE rounding both
+  // engines agree on); per-(label, slice, dim) sums are integer;
+  // per-dim mean products re-quantize to 10⁻⁹ units before the final
+  // 64-term sums, so no double is ever summed in engine order; the one
+  // sqrt+division happens on exact operands, round(4).
+  //
+  // Scale: posexplode shuffles (label, slice, dim) keyed integer sums —
+  // map-side combined, 64·|labels|·2 result rows; everything after is
+  // tiny.
+  // ========================================================================
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    val sliceCol = when(col("vec_id") % 3 === 0, "new").otherwise("old")
+    val q = emb(s, d)
+      .select(col("label"), sliceCol.as("slice"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("slice"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * 1000000).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+    val wide = q.groupBy(col("label"), col("dim"))
+      .agg(sum(when(col("slice") === "old", col("sq"))).as("so"),
+        sum(when(col("slice") === "new", col("sq"))).as("sn"),
+        max(when(col("slice") === "old", col("n"))).as("no"),
+        max(when(col("slice") === "new", col("n"))).as("nn"))
+      .select(col("label"), col("no"), col("nn"),
+        (col("so") / (col("no") * lit(1000000.0))).as("mo"),
+        (col("sn") / (col("nn") * lit(1000000.0))).as("mn"))
+    wide
+      .select(col("label"), col("no"), col("nn"),
+        round(col("mo") * col("mn") * lit(1e9)).cast("long").as("p"),
+        round(col("mo") * col("mo") * lit(1e9)).cast("long").as("o2"),
+        round(col("mn") * col("mn") * lit(1e9)).cast("long").as("n2"))
+      .groupBy(col("label"), col("no"), col("nn"))
+      .agg(sum(col("p")).as("sp"), sum(col("o2")).as("so2"), sum(col("n2")).as("sn2"))
+      .select(col("label"), col("no").as("n_old"), col("nn").as("n_new"),
+        round(col("sp") / (sqrt(col("so2")) * sqrt(col("sn2"))), 4).as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val embedDriftSql =
+    """WITH e AS (
+      |  SELECT label, CASE WHEN vec_id % 3 = 0 THEN 'new' ELSE 'old' END AS slice,
+      |    r.i AS dim,
+      |    CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS qx
+      |  FROM embeddings, range(1, 65) r(i) WHERE r.i <= len(embedding)),
+      |q AS (
+      |  SELECT label, slice, dim, CAST(sum(qx) AS BIGINT) AS sq, count(*) AS n
+      |  FROM e GROUP BY 1, 2, 3),
+      |wide AS (
+      |  SELECT label, dim,
+      |    max(CASE WHEN slice = 'old' THEN n END) AS no,
+      |    max(CASE WHEN slice = 'new' THEN n END) AS nn,
+      |    sum(CASE WHEN slice = 'old' THEN sq END) / (max(CASE WHEN slice = 'old' THEN n END) * 1000000.0) AS mo,
+      |    sum(CASE WHEN slice = 'new' THEN sq END) / (max(CASE WHEN slice = 'new' THEN n END) * 1000000.0) AS mn
+      |  FROM q GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT label, no, nn,
+      |    CAST(round(mo * mn * 1e9) AS BIGINT) AS p,
+      |    CAST(round(mo * mo * 1e9) AS BIGINT) AS o2,
+      |    CAST(round(mn * mn * 1e9) AS BIGINT) AS n2
+      |  FROM wide)
+      |SELECT label, no AS n_old, nn AS n_new,
+      |  round(CAST(sum(p) AS DOUBLE) / (sqrt(CAST(sum(o2) AS DOUBLE)) * sqrt(CAST(sum(n2) AS DOUBLE))), 4) AS centroid_cos
+      |FROM pr GROUP BY label, no, nn
+      |ORDER BY label""".stripMargin
+
+  // ========================================================================
   // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
   // closed-form rasters as multimodal_pixels, but round-tripped through a
   // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
@@ -2005,6 +2085,7 @@ object SimQueries {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
+    "embed_drift" -> (embedDrift _),
     "multimodal_image_entropy" -> (multimodalImageEntropy _),
     "multimodal_audio_entropy" -> (multimodalAudioEntropy _),
     "multimodal_video_entropy" -> (multimodalVideoEntropy _),
@@ -2045,6 +2126,7 @@ object SimQueries {
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
+    "embed_drift" -> embedDriftSql,
     "multimodal_image_entropy" -> multimodalImageEntropySql,
     "multimodal_audio_entropy" -> multimodalAudioEntropySql,
     "multimodal_video_entropy" -> multimodalVideoEntropySql,

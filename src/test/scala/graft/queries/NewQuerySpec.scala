@@ -203,6 +203,20 @@ class NewQuerySpec extends SparkSpec {
       .filter(greatest(col("cont_a"), col("cont_b")) < col("jaccard")).count() == 0)
   }
 
+  test("embed_drift: one row per label, bounded cosine, slice counts account for every vector") {
+    val out = graft.SparkEntry.queries("embed_drift")(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(out.count() == emb.select(col("label")).distinct().count())
+    assert(out.filter(abs(col("centroid_cos")) > 1.0).count() == 0)
+    assert(out.agg(sum(col("n_old") + col("n_new"))).head.getLong(0) == emb.count())
+    // split accounting per label matches the % 3 convention
+    val want = emb.groupBy(col("label"))
+      .agg(sum(when(col("vec_id") % 3 =!= 0, 1L).otherwise(0L)).as("o"),
+        sum(when(col("vec_id") % 3 === 0, 1L).otherwise(0L)).as("n"))
+    assert(out.join(want, Seq("label"))
+      .filter(col("n_old") =!= col("o") || col("n_new") =!= col("n")).count() == 0)
+  }
+
   test("dedup_semantic_incremental admits exactly the increment vectors whose cell has no incumbent") {
     val out = graft.SparkEntry.queries("dedup_semantic_incremental")(spark, sf)
     assert(out.filter(col("doc_id") % 3 =!= 0).count() == 0)  // increment only
