@@ -2114,6 +2114,47 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // curate_report_lm — attrition for the LM-gated production funnel:
+  // per source, corpus total → full-funnel survivors (every heuristic
+  // gate + decontamination + dedup) → LM-gate survivors. The
+  // observability completion for pipeline_curate_lm — before flipping
+  // the LM gate on, a pipeline owner reads exactly this to see what
+  // the new stage would drop and from which feeds. Counts are exact
+  // integers; the funnel and LM relations are the SAME shared cores
+  // the gated pipeline runs.
+  // ========================================================================
+  def curateReportLm(s: SparkSession, d: String): DataFrame = {
+    val total = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val full = pipelineCurateFull(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_full"))
+    val lm = pipelineCurateLm(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_lm"))
+    total.join(full, Seq("source"), "left").join(lm, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"),
+        coalesce(col("n_lm"), lit(0L)).as("n_lm"))
+      .orderBy(col("source"))
+  }
+
+  // lazy: pipelineCurateFullCoreSql initializes later in the object
+  private lazy val curateReportLmSql =
+    s"""$pipelineCurateFullCoreSql,
+       |lmx AS (SELECT * FROM ($lmScoreCoreSql)),
+       |gated AS (
+       |  SELECT pcf.doc_id, pcf.source
+       |  FROM pcf LEFT JOIN lmx ON lmx.doc_id = pcf.doc_id
+       |  WHERE lmx.nll_sum_e4 IS NULL OR lmx.nll_sum_e4 <= lmx.n_bg * $GateNllE4PerBigram),
+       |tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+       |ff AS (SELECT source, count(*) AS n_full FROM pcf GROUP BY source),
+       |gg AS (SELECT source, count(*) AS n_lm FROM gated GROUP BY source)
+       |SELECT tot.source, n_total,
+       |  CAST(coalesce(n_full, 0) AS BIGINT) AS n_full,
+       |  CAST(coalesce(n_lm, 0) AS BIGINT) AS n_lm
+       |FROM tot LEFT JOIN ff ON ff.source = tot.source
+       |         LEFT JOIN gg ON gg.source = tot.source
+       |ORDER BY tot.source""".stripMargin
+
+  // ========================================================================
   // lm_score_incremental — the continuous-ingestion shape of lm_score:
   // score an ingest INCREMENT (doc_id % 3 = 0, the dedup_incremental
   // split convention) against a FROZEN bigram LM trained only on the
@@ -2202,6 +2243,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "lm_gate_sketch" -> (lmGateSketch _),
+    "curate_report_lm" -> (curateReportLm _),
     "lm_score_incremental" -> (lmScoreIncremental _),
     "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScore _),
@@ -2241,6 +2283,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "lm_gate_sketch" -> lmGateSketchSql,
+    "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,
     "lm_score" -> lmScoreSql,
