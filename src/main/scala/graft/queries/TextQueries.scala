@@ -2241,7 +2241,33 @@ object TextQueries {
        |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ========================================================================
+  // corpus_length_hist — the log2-bucketed document-length profile a
+  // corpus report leads with (every pre-training data card publishes
+  // one): per power-of-two length bucket, the doc count, character
+  // mass, and bucket extrema. The one-glance view of truncation risk
+  // (mass near the context limit) and fragment pollution (mass in the
+  // shortest buckets). Exact integers everywhere except floor(log2 n)
+  // itself, whose argument is an exact integer — libm log2 is exact at
+  // powers of two and floor absorbs everything between, so bucket
+  // boundaries are engine-stable. One map-side-combined agg.
+  // ========================================================================
+  def corpusLengthHist(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("n_chars") > 0)
+      .groupBy(floor(log2(col("n_chars"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+
+  private val corpusLengthHistSql =
+    """SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents WHERE n_chars > 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "corpus_length_hist" -> (corpusLengthHist _),
     "lm_gate_sketch" -> (lmGateSketch _),
     "curate_report_lm" -> (curateReportLm _),
     "lm_score_incremental" -> (lmScoreIncremental _),
@@ -2283,6 +2309,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "lm_gate_sketch" -> lmGateSketchSql,
+    "corpus_length_hist" -> corpusLengthHistSql,
     "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,
