@@ -10,12 +10,14 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min-Sketch bigram language model as a PLAN REFERENCE: the
   * streaming-deployable form of `lm_score`'s quality gate. The model —
-  * a depth×width CMS of corpus bigram counts, the EXACT unigram count
-  * map (vocab-bounded, the SubwordCount collect contract), and the
-  * vocab size — rides into generated code as one reference object (the
-  * [[BloomArrayHits]] pattern), so scoring a document is a single
-  * per-row pass with NO join against the corpus-sized bigram relation:
-  * exactly what a stateless streaming admission stage needs.
+  * a depth×width CMS of corpus bigram counts, the exact unigram counts
+  * of the top-`headK` HEAD words only (driver memory bounded by
+  * construction, independent of corpus vocabulary — see
+  * [[graft.text.LmSketch]] for the head/tail one-sidedness proof), and
+  * the exact vocab size — rides into generated code as one reference
+  * object (the [[BloomArrayHits]] pattern), so scoring a document is a
+  * single per-row pass with NO join against the corpus-sized bigram
+  * relation: exactly what a stateless streaming admission stage needs.
   *
   * Returns the quantized integer NLL sum Σ round(ln((c(w1)+V)/(ĉ+1))·10⁴)
   * over the text's adjacent token pairs (the lm_score micro-unit
@@ -23,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * ONE-SIDED ERROR, the curateFullBloom symmetry: CMS counters only
   * ever over-count (ĉ ≥ c true, Cormode & Muthukrishnan 2005), the
-  * unigram numerator is exact, ln is increasing and the quantization is
+  * unigram numerator never over-counts (exact for head words, the
+  * conservative 0-floor for tail/OOV), ln is increasing and the quantization is
   * the SAME monotone half-up rounding Spark's `round` applies
   * (BigDecimal.valueOf, not Math.round — they disagree on doubles whose
   * shortest decimal form sits exactly on .5), so per doc
@@ -57,8 +60,10 @@ case class BigramNllSketch(child: Expression, model: LmSketchModel)
 }
 
 /** The learned model: CMS counters (row-major depth×width), exact
-  * unigram counts, vocab size. Serializable — it ships inside the plan
-  * to every task (≤ a few hundred KB at the default 4×16384).
+  * unigram counts for the head vocabulary (≤ headK entries; absent =
+  * conservative 0), exact vocab size. Serializable — it ships inside
+  * the plan to every task (≤ a few MB at the default 4×16384 +
+  * 2¹⁶-word head).
   */
 final case class LmSketchModel(depth: Int, width: Int, counts: Array[Long],
                                uni: Map[String, Long], vSize: Long)

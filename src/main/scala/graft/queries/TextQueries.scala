@@ -1876,20 +1876,27 @@ object TextQueries {
   // doc: n_tok, the INTEGER sum of its tokens' corpus frequencies
   // (order-free exact aggregation — the determinism trick: never sum
   // doubles across a shuffle), the derived mean corpus frequency
-  // (one exact division), the count of rare tokens (corpus frequency
-  // ≤ 3), and a log-scale surprisal ln(N · n_tok / Σc) — the ln of ONE
-  // exact rational, rounded 4 per the transcendental convention. High
+  // quantized to integer 1e-4 units (mean_cnt_e4 — round·cast of ONE
+  // exact rational, the lm_score micro-unit convention), the count of
+  // rare tokens (corpus frequency ≤ 3), and an integer-nat surprisal
+  // surprisal_e4 = round(ln(N · n_tok / Σc) · 10⁴) — the ln of ONE
+  // exact integer rational (no intermediate double cast anywhere in
+  // the chain), so the only cross-engine trust is ln on identical
+  // doubles and the result column HASHES AS AN EXACT INTEGER. High
   // surprisal = unusual vocabulary (OOV-heavy, noisy, or genuinely
   // novel text); high rare_n with low score = gibberish — the quality
   // signal complementing text_quality's shape heuristics.
   // Scale: explode → equi-join the (token, count) relation → one
   // integer groupBy per doc; the corpus total is one broadcast row.
+  // The n_corpus·n_tok product is exact in BIGINT up to ~9e18; a
+  // 100 TB corpus (~10¹³ tokens × 10⁵-token docs) would widen it to
+  // decimal(38,0) — exact in both Spark and the oracle engine.
   // ========================================================================
   private val RareCountMax = 3
 
   def textRarity(s: SparkSession, d: String): DataFrame = {
     val uni = unigramCounts(s, d)
-    val tot = uni.agg(sum(col("c")).cast("double").as("n_corpus"))
+    val tot = uni.agg(sum(col("c")).as("n_corpus"))
     docs(s, d)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
       .join(uni, Seq("w"))
@@ -1898,8 +1905,9 @@ object TextQueries {
         sum(when(col("c") <= RareCountMax, 1L).otherwise(0L)).as("rare_n"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tok"), col("sum_cnt"), col("rare_n"),
-        (col("sum_cnt").cast("double") / col("n_tok")).as("mean_cnt"),
-        round(log(col("n_corpus") * col("n_tok") / col("sum_cnt")), 4).as("surprisal"))
+        round(col("sum_cnt") * lit(10000L) / col("n_tok")).cast("long").as("mean_cnt_e4"),
+        round(log((col("n_corpus") * col("n_tok")).cast("double") / col("sum_cnt"))
+          * lit(10000.0)).cast("long").as("surprisal_e4"))
       .orderBy(col("doc_id"))
   }
 
@@ -1908,7 +1916,7 @@ object TextQueries {
        |  SELECT w, count(*) AS c
        |  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents)
        |  GROUP BY w),
-       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_corpus FROM uc),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM uc),
        |dt AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
        |agg AS (
@@ -1916,8 +1924,9 @@ object TextQueries {
        |    CAST(sum(CASE WHEN c <= $RareCountMax THEN 1 ELSE 0 END) AS BIGINT) AS rare_n
        |  FROM dt JOIN uc USING (w) GROUP BY doc_id)
        |SELECT doc_id, n_tok, sum_cnt, rare_n,
-       |  CAST(sum_cnt AS DOUBLE) / n_tok AS mean_cnt,
-       |  round(ln(n_corpus * n_tok / sum_cnt), 4) AS surprisal
+       |  CAST(round(CAST(sum_cnt * 10000 AS DOUBLE) / n_tok) AS BIGINT) AS mean_cnt_e4,
+       |  CAST(round(ln(CAST(n_corpus * n_tok AS DOUBLE) / sum_cnt) * 10000.0) AS BIGINT)
+       |    AS surprisal_e4
        |FROM agg, tot
        |ORDER BY doc_id""".stripMargin
 

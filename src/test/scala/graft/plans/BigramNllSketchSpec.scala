@@ -56,4 +56,40 @@ class BigramNllSketchSpec extends SparkSpec {
     // the sketch reproduces the exact score
     assert(got(0L) == exactE4("the cat sat on the mat"))
   }
+
+  test("head-capped model: headK below vocab size keeps nll_sketch <= nll_exact and the superset gate") {
+    // the 100 TB contract — the driver-side map is bounded at headK
+    // entries INDEPENDENT of corpus vocabulary, and the one-sided
+    // inequality must survive the tail words flooring to 0
+    val texts = Seq(
+      "the cat sat on the mat", "the cat ran", "a dog sat on a log",
+      "the cat sat", "zebra quokka axolotl wombat", "the the the the")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = docs.select(graft.text.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bc = toks.select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs.select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val vocabSize = uni.count()
+    val headK = 4
+    assert(headK < vocabSize, "cap must actually bite for this pin to mean anything")
+    val capped = graft.text.LmSketch.learn(bc, uni, headK)
+    assert(capped.uni.size == headK)
+    assert(capped.vSize == vocabSize, "V stays exact under the cap")
+    val full = graft.text.LmSketch.learn(bc, uni)
+    val both = docs.select(col("doc_id"),
+        BigramNllSketch(graft.text.TextOps.tokens(col("text")), capped).as("s_cap"),
+        BigramNllSketch(graft.text.TextOps.tokens(col("text")), full).as("s_full"))
+      .collect()
+    both.foreach { r =>
+      // full model is itself <= exact (previous test); capped only
+      // lowers numerators, so capped <= full <= exact — and therefore
+      // any "mean NLL <= tau" gate admits a superset of the exact set
+      assert(r.getLong(1) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: capped ${r.getLong(1)} > full ${r.getLong(2)}")
+    }
+  }
 }

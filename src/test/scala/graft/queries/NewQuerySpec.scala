@@ -83,16 +83,16 @@ class NewQuerySpec extends SparkSpec {
 
   test("text_rarity: common-vocabulary docs score lower surprisal than rare-vocabulary docs") {
     val out = graft.SparkEntry.queries("text_rarity")(spark, sf)
-    // every doc's rare_n <= n_tok and mean_cnt >= 1 (every token occurs
-    // at least once — itself)
+    // every doc's rare_n <= n_tok and mean_cnt_e4 >= 1e4 (every token
+    // occurs at least once — itself)
     assert(out.filter(col("rare_n") > col("n_tok")).count() == 0)
-    assert(out.filter(col("mean_cnt") < 1.0).count() == 0)
+    assert(out.filter(col("mean_cnt_e4") < 10000L).count() == 0)
     // monotone signal: across docs, higher mean corpus frequency =>
     // lower surprisal (they are an exact inverse through one log)
-    val two = out.orderBy(col("mean_cnt")).collect()
+    val two = out.orderBy(col("mean_cnt_e4")).collect()
     val lowFreq = two.head
     val highFreq = two.last
-    assert(lowFreq.getDouble(5) > highFreq.getDouble(5))
+    assert(lowFreq.getLong(5) > highFreq.getLong(5))
   }
 
   test("ts_seasonal: additive decomposition invariants hold (weighted seasonal sums to ~0 per type)") {
