@@ -455,7 +455,7 @@ object SimQueries {
   // oracle is the same re-learned pipeline.
   // ========================================================================
   private val ivfIndexMemo = scala.collection.mutable.Map.empty[String, (String, String)]
-  private def ivfIndexTables(s: SparkSession, d: String): (String, String) =
+  private[graft] def ivfIndexTables(s: SparkSession, d: String): (String, String) =
     ivfIndexMemo.synchronized {
       // the memo is keyed by dir but records CATALOG tables: a second
       // SparkSession in the same JVM has a fresh in-memory catalog, so
@@ -507,7 +507,7 @@ object SimQueries {
   private val AppendBaseWhere = "vec_id % 5 <> 4"
 
   private val ivfAppendMemo = scala.collection.mutable.Map.empty[String, (String, String)]
-  private def ivfAppendTables(s: SparkSession, d: String): (String, String) =
+  private[graft] def ivfAppendTables(s: SparkSession, d: String): (String, String) =
     ivfAppendMemo.synchronized {
       // same catalog-existence re-check as ivfIndexTables: a fresh
       // session in this JVM must rebuild, not trust the memo

@@ -149,4 +149,30 @@ class AnnPersistSpec extends SparkSpec {
     assert(java.lang.Double.doubleToLongBits(back) ==
       java.lang.Double.doubleToLongBits(scale))
   }
+
+  test("stale index memo rebuilds: a memo hit whose catalog tables vanished re-persists, same results") {
+    import graft.queries.SimQueries
+    // the second-SparkSession-in-one-JVM scenario: the process-wide memo
+    // remembers (dir -> table names) but the session's catalog has no
+    // such tables (a fresh session starts with a fresh in-memory
+    // catalog). Simulated exactly by dropping the tables out from under
+    // a populated memo — the tableExists guard must fall through to a
+    // rebuild instead of handing back a dangling reference.
+    val before = graft.SparkEntry.queries("ann_ivf_append")(spark, sf).collect()
+    val (centT, corpT) = SimQueries.ivfAppendTables(spark, sf)
+    spark.sql(s"DROP TABLE $centT")
+    spark.sql(s"DROP TABLE $corpT")
+    val (centT2, corpT2) = SimQueries.ivfAppendTables(spark, sf)
+    assert(spark.catalog.tableExists(centT2) && spark.catalog.tableExists(corpT2),
+      "guard did not rebuild the dropped tables")
+    val after = graft.SparkEntry.queries("ann_ivf_append")(spark, sf).collect()
+    assert(after.sameElements(before), "rebuilt index returned different results")
+    // same drill for the build-once/query-many index
+    val (pc, pt) = SimQueries.ivfIndexTables(spark, sf)
+    spark.sql(s"DROP TABLE $pc")
+    spark.sql(s"DROP TABLE $pt")
+    val persistedBefore = graft.SparkEntry.queries("ann_ivf_persisted")(spark, sf).collect()
+    assert(spark.catalog.tableExists(pc) && spark.catalog.tableExists(pt))
+    assert(persistedBefore.nonEmpty)
+  }
 }
