@@ -50,6 +50,12 @@ import org.apache.spark.sql.SparkSession
   *    a reader can see which minima are load-validated. A below-gate
   *    sample that comes back SLOWER than a loaded one also terminates
   *    the loop: it proves the loaded min wasn't inflated.
+  *  - BEST-SAMPLE LOAD ATTRIBUTION: every reported min carries the
+  *    1-min load its winning sample ran under (bench_full.json
+  *    "queries" objects: sec / best_load / below_gate), and the
+  *    headline's "over_gate" names every query whose min stayed
+  *    above-gate after the retry budget — each of the minima is
+  *    load-validated or explicitly flagged, never silently loaded.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -192,10 +198,14 @@ object Bench {
     val loadRepassed = scala.collection.mutable.ListBuffer.empty[String]
     val gateT0 = System.nanoTime()
     def gateBudgetLeft: Boolean = (System.nanoTime() - gateT0) / 1e9 < 150.0
-    perQuery.toSeq.filter(_._2 > 0).sortBy(-_._2).map(_._1).foreach { name =>
+    perQuery.toSeq.filter(_._2 > 0).sortBy(-_._2).map(_._1).zipWithIndex.foreach {
+      case (name, rank) =>
+      // the few slowest queries dominate the headline total AND are the
+      // ones a loaded min distorts most — give them extra retry headroom
+      val maxTries = if (rank < 5) 5 else 3
       var tries = 0
       var fired = false
-      while (!hasGatedSample(name) && tries < 3 && gateBudgetLeft) {
+      while (!hasGatedSample(name) && tries < maxTries && gateBudgetLeft) {
         if (tries > 0 && loadAvg() > loadGate) Thread.sleep(3000)
         val s = sampleOf(name)
         tries += 1
@@ -205,6 +215,23 @@ object Bench {
       }
       if (fired) loadRepassed += name
     }
+    // ---- best-sample load attribution ----
+    // The trust gap the per-sample "loads" array still left: the READER had
+    // to cross-index samples/loads to find out which load the reported min
+    // ran under. Make it first-class: for every query, the 1-min load read
+    // immediately before the sample that became the reported min, plus a
+    // below-gate flag. "over_gate" in the headline names every query whose
+    // reported min was taken ABOVE the gate (i.e. the retry budget ran out
+    // under sustained load) — a flagged-or-validated contract for each of
+    // the 181 minima instead of a run-level summary.
+    val bestLoad = perQuery.map { case (name, best) =>
+      val idx = perQuerySamples(name).indexOf(best)
+      name -> (if (idx >= 0 && idx < perQueryLoads(name).size) perQueryLoads(name)(idx)
+               else -1.0)
+    }
+    val overGate = perQuery.toSeq
+      .filter { case (name, t) => t > 0 && !(bestLoad(name) >= 0 && bestLoad(name) <= loadGate) }
+      .map(_._1)
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     graft.queries.Registry.families.foreach { case (family, keys) =>
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
@@ -234,12 +261,20 @@ object Bench {
       .map(_.group(1)).getOrElse("\"unknown\"")
     val diagLine =
       s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"families":${js(perFamily, r3)}}"""
+    val overGateJs = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"sf":$sfNum,"value":${r3(total)}}"""
-    // complete full-precision artifact (samples + loads included,
-    // unrounded), for readers with file access
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"sf":$sfNum,"value":${r3(total)}}"""
+    // complete full-precision artifact for readers with file access:
+    // per-query OBJECTS — the reported min, the load its best sample ran
+    // under, and whether that load was at or below the gate — plus the
+    // raw sample/load arrays
+    val queriesFull = perQuery.map { case (name, t) =>
+      val l = bestLoad(name)
+      val gated = t > 0 && l >= 0 && l <= loadGate
+      "\"" + name + s"\":{\"sec\":$t,\"best_load\":$l,\"below_gate\":$gated}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(perQuery, identity)},"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
