@@ -302,8 +302,51 @@ object Dedup {
     * by an `observe`d label-sum metric collected inside that same
     * checkpoint job (labels only ever decrease, so the sum strictly
     * decreases until the fixpoint) — one Spark action per round total.
+    *
+    * SMALL-GRAPH FAST PATH: each fixpoint round costs a fixed scheduler
+    * latency (~0.3 s of stage round-trips at local[32]) regardless of
+    * data size, so a graph of a few hundred verified pairs pays seconds
+    * of pure orchestration for microseconds of work. When the edge list
+    * fits a guarded single-pass probe (`limit(max+1).collect()` — the
+    * FeatureSpace guarded-collect contract, bounded driver memory by
+    * construction), components resolve in-process with union-by-min +
+    * path compression and return as a local relation; the probe
+    * overflowing falls through to the distributed fixpoint. The output
+    * is IDENTICAL either way (canonical = exact min id per component),
+    * so callers and oracles cannot tell which path ran — DedupSpec pins
+    * the parity on a graph run through both.
     */
-  def clusterLabels(pairs: DataFrame): DataFrame = clusterLabelsWithRounds(pairs)._1
+  val DriverComponentsMaxEdges: Int = 1 << 20
+
+  def clusterLabels(pairs: DataFrame): DataFrame = {
+    val sel = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
+    if (probe.length > DriverComponentsMaxEdges) clusterLabelsWithRounds(pairs)._1
+    else {
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union-by-min: the root is always the component's smallest id,
+        // so find() IS the canonical election
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("doc_id", "canonical")
+    }
+  }
 
   /** [[clusterLabels]] plus the number of fixpoint rounds executed — the
     * O(log componentDiameter) convergence claim made measurable (DedupSpec

@@ -128,6 +128,27 @@ class DedupSpec extends SparkSpec {
     assert(srounds <= 3, s"star: $srounds rounds")
   }
 
+  test("driver union-find and distributed fixpoint resolve identical components") {
+    // clusterLabels takes the in-process fast path below
+    // DriverComponentsMaxEdges; its output contract (canonical = exact
+    // component min for every paired node) must be indistinguishable
+    // from the distributed fixpoint's. A mixed graph: two chains, a
+    // triangle with a chord, isolated pairs, ids out of order.
+    val edges = Seq(
+      (7L, 3L), (3L, 9L), (9L, 1L),          // chain resolving to 1
+      (20L, 22L), (22L, 24L), (20L, 24L),    // triangle
+      (24L, 21L),                            // chord extending it
+      (100L, 50L),                           // isolated pair, reversed ids
+      (6L, 6L)                               // self-loop must not corrupt
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.clusterLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusterLabelsWithRounds(edges)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, s"fast $fast != distributed $dist")
+    assert(fast(7L) == 1L && fast(21L) == 20L && fast(100L) == 50L && fast(6L) == 6L)
+  }
+
   test("chain fixture: jaccard(a,c) below threshold still resolves all of {a,b,c} to a") {
     // sliding windows over 16 distinct tokens: j(a,b)=j(b,c)=5/11 ≈ 0.45,
     // j(a,c)=2/14 ≈ 0.14 < 0.2 — the verified pairs form the chain a–b, b–c
