@@ -66,6 +66,9 @@ object StreamBench {
     val wavRows = graft.multimodal.Multimodal.syntheticWavReplicaPayloads(
         spark, graft.sources.Tables.documents(spark, sfDir))
       .as[(Long, Array[Byte])].collect().toSeq
+    val vidRows = graft.multimodal.Multimodal.syntheticY4mReplicaPayloads(
+        spark, graft.sources.Tables.documents(spark, sfDir))
+      .as[(Long, Array[Byte])].collect().toSeq
     // the CMS bigram model, learned once batch-side (a plan literal on
     // the stream — the benchSketch lifecycle)
     val lmModel = graft.queries.TextQueries.lmSketchModel(spark, sfDir)
@@ -125,6 +128,11 @@ object StreamBench {
         df => graft.streaming.StreamingImage.phashKeepFirst(spark, df)),
       run[(Long, Array[Byte])]("audio_admit", wavRows, Seq("asset_id", "payload"),
         df => graft.streaming.StreamingImage.ahashKeepFirst(spark, df)),
+      // the VIDEO modality: in-stream y4m walk → whole-clip signature
+      // (stateless, payload never shuffles) + keep-first keyed by the
+      // DISTINCT signature string — completes the four-modality funnel
+      run[(Long, Array[Byte])]("video_admit", vidRows, Seq("asset_id", "payload"),
+        df => graft.streaming.StreamingVideo.sigKeepFirst(spark, df)),
       // the CMS LM gate: model as a plan reference, ZERO state rows —
       // throughput here is pure codegen scoring cost
       run[(Long, String, String)]("curate_lm", docRows, Seq("doc_id", "source", "text"),
@@ -169,6 +177,10 @@ object StreamBench {
       "welford_adapt" -> Bound(900, r => r.rowsIn, 500),     // one row per key
       "image_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct phash
       "audio_admit" -> Bound(600, r => r.rowsIn, 25),        // one row per distinct ahash
+      // one keeper long keyed by the 32-char signature string — the
+      // per-distinct-signature state contract (bytes/row a bit above the
+      // long-keyed modalities because the key is a string)
+      "video_admit" -> Bound(900, r => r.rowsIn, 25),
       "curate_lm" -> Bound(600, _ => 0, 25, 1L << 20),       // STATELESS: zero state rows
     )
     val violations = results.flatMap { r =>

@@ -911,31 +911,70 @@ object Multimodal {
     * (id, frame, hash) rows shuffle. Malformed streams quarantine via
     * the shared walker.
     */
+  /** The per-frame 56-bit dHash core shared by [[frameDhashes]] and
+    * [[clipSignatures]] — one definition or the streaming signature and
+    * the batch hash silently diverge.
+    */
+  private def frameDhash(bytes: Array[Byte], w: Int, h: Int, body: Int): Long = {
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      var last = 0L
+      var i = 0
+      while (i < 8) {
+        val lum = (bytes(body + sy * w + i * w / 8) & 0xff).toLong
+        if (i > 0 && lum > last) hash |= 1L << (j * 7 + (i - 1))
+        last = lum
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
   def frameDhashes(spark: SparkSession, assets: DataFrame, step: Int): Dataset[FrameHash] = {
     import spark.implicits._
     require(step > 0, s"frame-sample step must be positive, got $step")
     assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) =>
-        walkY4mMono(bytes, step) { (w, h, body) =>
-          var hash = 0L
-          var j = 0
-          while (j < 8) {
-            val sy = j * h / 8
-            var last = 0L
-            var i = 0
-            while (i < 8) {
-              val lum = (bytes(body + sy * w + i * w / 8) & 0xff).toLong
-              if (i > 0 && lum > last) hash |= 1L << (j * 7 + (i - 1))
-              last = lum
-              i += 1
-            }
-            j += 1
-          }
-          hash
-        } match {
+        walkY4mMono(bytes, step)(frameDhash(bytes, _, _, _)) match {
           case None => Nil
           case Some((_, _, nf, sampled)) =>
             sampled.map { case (f, hsh) => FrameHash(id, f.toLong, nf, hsh) }
+        }
+      })
+  }
+
+  case class ClipSig(asset_id: Long, csig: String, frame_idxs: Seq[Long],
+                     fhashes: Seq[Long])
+
+  /** Whole-clip perceptual signature in ONE stateless pass: the y4m walk
+    * hashes each step-sampled frame ([[frameDhash]]) and the clip
+    * signature is the md5 hex of the comma-joined decimal hash list in
+    * frame order — BYTE-IDENTICAL to the batch
+    * `md5(concat_ws(",", transform(fs, x -> CAST(x.fhash AS STRING))))`
+    * over the sort_array'd frame structs, so a streaming admission stage
+    * keyed on `csig` agrees with the batch `dedup_video_phash` signature
+    * groups without any per-clip shuffle (the payload never leaves its
+    * partition; only the signature row moves). Malformed streams
+    * quarantine via the shared walker. The sampled frame indices and
+    * hashes ride along for the banded near-dup stage.
+    */
+  def clipSignatures(spark: SparkSession, assets: DataFrame,
+                     step: Int = 2): Dataset[ClipSig] = {
+    import spark.implicits._
+    require(step > 0, s"frame-sample step must be positive, got $step")
+    assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        walkY4mMono(bytes, step)(frameDhash(bytes, _, _, _)) match {
+          case None => Nil
+          case Some((_, _, _, sampled)) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val joined = sampled.map(_._2).mkString(",")
+            val sig = md.digest(joined.getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString
+            Seq(ClipSig(id, sig, sampled.map(_._1.toLong), sampled.map(_._2)))
         }
       })
   }

@@ -83,9 +83,8 @@ object StreamingImage {
   /** Keyed keep-first over ANY streaming (id, 64-bit-hash) relation —
     * the admission stage shared by every perceptual-hash modality
     * (image dHash, audio amplitude dHash; the video clip signature is a
-    * string — route it through [[StreamingDedup.keepFirst]]'s
-    * string-keyed form instead). Emits (asset_id, dup_of, hash) per
-    * exact duplicate.
+    * string — [[StreamingVideo.sigKeepFirst]] is its string-keyed
+    * twin). Emits (asset_id, dup_of, hash) per exact duplicate.
     */
   def hashKeepFirst(spark: SparkSession, hashed: DataFrame,
                     hashCol: String, idCol: String,
