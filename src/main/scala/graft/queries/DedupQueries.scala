@@ -306,6 +306,108 @@ object DedupQueries {
   }
 
   // ========================================================================
+  // dedup_cluster_best — QUALITY-AWARE canonical election: per near-dup
+  // cluster, keep the member that maximizes (quality, centrality,
+  // min id) instead of the arbitrary smallest id — what a production
+  // pipeline actually ships (Lee et al. arXiv:2107.06499 keep one
+  // member per cluster; keeping the BEST variant, not the first seen,
+  // is the difference between deduplication and quality regression).
+  // Composes three existing relations: the transitive components
+  // (dedup_cluster), the PageRank centralities (dedup_graph_rank), and
+  // the text_quality composite — quantized to integer 1e-6 units via
+  // floor division of the score's exact integer numerator, so every
+  // tie-break in the argmax chain (q_e6 desc, pr_e9 desc, doc_id asc)
+  // compares exact integers and the oracle agrees bit-for-bit.
+  // Output: every cluster member with its scores, the elected best_id,
+  // and the kept flag.
+  //
+  // Scale: components and centralities reuse the PERSISTED verified-pair
+  // relation (no re-shuffle of the corpus); quality is computed only for
+  // cluster members by broadcasting the (small) membership onto ONE
+  // documents scan; the election window partitions by cluster over that
+  // member relation — never corpus-wide.
+  // ========================================================================
+  def dedupClusterBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Dedup.clusterLabels(verifiedPairs(s, d))
+      .select(col("doc_id"), col("canonical").as("cluster"))
+    val pr = dedupGraphRank(s, d).select(col("id").as("doc_id"), col("pr_e9"))
+    val enStop = TextOps.LangStopwords.toMap.apply("en")
+    val scored = docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(broadcast(comp), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        TextOps.distinctCount(col("toks")).as("n_dist"))
+      .select(col("doc_id"), col("cluster"),
+        expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n")
+          .as("q_e6"))
+      .join(pr, Seq("doc_id"))
+    val win = Window.partitionBy(col("cluster"))
+      .orderBy(col("q_e6").desc, col("pr_e9").desc, col("doc_id").asc)
+    val best = scored.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("best_id"))
+    scored.join(best, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("q_e6"), col("pr_e9"), col("best_id"),
+        when(col("doc_id") === col("best_id"), 1L).otherwise(0L).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClusterBestSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT edges.dst AS id,
+         |    CAST(sum((85 * p${k - 1}.pr) // (100 * p${k - 1}.deg)) AS BIGINT) AS cin
+         |  FROM edges JOIN p${k - 1} ON p${k - 1}.id = edges.src GROUP BY edges.dst),
+         |p$k AS (
+         |  SELECT dg.id, dg.deg, nc.nn,
+         |    (CAST(150000000 AS BIGINT) // nc.nn) + coalesce(c$k.cin, 0) AS pr
+         |  FROM dg CROSS JOIN nc LEFT JOIN c$k ON c$k.id = dg.id)"""
+    s"""WITH RECURSIVE $lshPipelineCtes,
+       |vp AS (SELECT id_a, id_b FROM ver WHERE jaccard >= ${LshParams.Threshold}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM vp
+       |  UNION SELECT id_b, id_a FROM vp),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id),
+       |dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |nc AS (SELECT count(*) AS nn FROM dg),
+       |p0 AS (SELECT dg.id, dg.deg, nc.nn,
+       |         CAST(1000000000 AS BIGINT) // nc.nn AS pr FROM dg CROSS JOIN nc),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |qual AS (
+       |  SELECT doc_id,
+       |    CAST(((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) // n
+       |      AS BIGINT) AS q_e6
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n,
+       |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT)
+       |        AS n_stop,
+       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+       |    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
+       |scored AS (
+       |  SELECT comp.doc_id, comp.cluster, qual.q_e6, CAST(p3.pr AS BIGINT) AS pr_e9
+       |  FROM comp JOIN qual USING (doc_id) JOIN p3 ON p3.id = comp.doc_id),
+       |best AS (
+       |  SELECT cluster, doc_id AS best_id FROM (
+       |    SELECT cluster, doc_id, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY q_e6 DESC, pr_e9 DESC, doc_id) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster, s.q_e6, s.pr_e9, b.best_id,
+       |  CAST(CASE WHEN s.doc_id = b.best_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM scored s JOIN best b USING (cluster)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  // ========================================================================
   // dedup_lsh_bands — the LSH band-key relation itself (doc_id, band,
   // band_key): the linchpin of the dedup scale story, checked directly.
   // ========================================================================
@@ -1818,6 +1920,7 @@ object DedupQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_bottomk" -> (dedupContainmentBottomk _),
     "dedup_graph_rank" -> (dedupGraphRank _),
+    "dedup_cluster_best" -> (dedupClusterBest _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_exact" -> (dedupExact _),
@@ -1851,6 +1954,7 @@ object DedupQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_bottomk" -> dedupContainmentBottomkSql,
     "dedup_graph_rank" -> dedupGraphRankSql,
+    "dedup_cluster_best" -> dedupClusterBestSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_exact" -> dedupExactSql,

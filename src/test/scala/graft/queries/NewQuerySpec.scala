@@ -37,6 +37,36 @@ class NewQuerySpec extends SparkSpec {
     assert(out.count() == graft.sources.Tables.documents(spark, sf).count())
   }
 
+  test("dedup_cluster_best elects the argmax-(quality, centrality, id) member per cluster") {
+    val out = graft.SparkEntry.queries("dedup_cluster_best")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cluster, members) =>
+      // exactly one kept member, and it is the best_id every member names
+      val kept = members.filter(_._6 == 1L)
+      assert(kept.length == 1, s"cluster $cluster kept ${kept.length} members")
+      assert(members.map(_._5).distinct.sameElements(Array(kept.head._1)))
+      // the elected member dominates on the exact-integer argmax chain
+      val best = kept.head
+      members.foreach { m =>
+        val cmp = (best._3, best._4, -best._1)
+        val mc = (m._3, m._4, -m._1)
+        assert(Ordering[(Long, Long, Long)].gteq(cmp, mc),
+          s"cluster $cluster: member ${m._1} beats elected ${best._1}")
+      }
+    }
+    // membership equals dedup_cluster (the election changes WHO is kept,
+    // never who is IN a cluster)
+    val clusterDocs = graft.SparkEntry.queries("dedup_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == clusterDocs)
+    // non-vacuous: in some cluster the quality election disagrees with
+    // the min-id convention
+    assert(out.exists { case (_, cluster, _, _, bestId, _) => bestId != cluster })
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)
