@@ -71,7 +71,7 @@ object DedupQueries {
     }
     v
   }
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
+  private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
@@ -90,7 +90,7 @@ object DedupQueries {
     * candidate pairs → exact Jaccard verify on candidates only. Mirrors
     * [[Dedup.verifiedPairsFromHashes]] stage for stage.
     */
-  private val lshPipelineCtes =
+  private[queries] val lshPipelineCtes =
     raw"""hp AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    list_transform(range(1, len(t) - 1),

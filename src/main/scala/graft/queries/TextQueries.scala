@@ -2275,8 +2275,147 @@ object TextQueries {
       |FROM documents WHERE n_chars > 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ========================================================================
+  // data_card — the per-source corpus report every training-data release
+  // ships (the "data card": composition, length profile, language mix,
+  // quality distribution, duplication and contamination rates — e.g.
+  // Gebru et al. arXiv:1803.09010 datasheets; every LLM data paper
+  // publishes this table). One row per source: doc/char/token totals,
+  // fixed char-length bands, the predicted language mix (the lang_id
+  // heuristic — what a pipeline has when truth labels don't exist),
+  // decile-band counts of the text_quality composite in integer 1e-6
+  // units (band = q_e6 div 10⁵, clamped to 9 — fixed bands of the
+  // score's [0,1] range, exactly reproducible), the floor-division mean
+  // quality, near-dup incidence (docs in any verified LSH pair), and
+  // contamination incidence (docs sharing a 4-shingle with the held-out
+  // benchmark slice; the benchmark docs themselves are not corpus and
+  // count 0). Rates are exact-integer parts-per-million (n·10⁶ div
+  // n_docs) so the whole row hashes as integers.
+  //
+  // Scale: ONE documents scan carries every per-row signal (tokens,
+  // stopword/distinct counts, language, quality — all codegen
+  // projections); near-dup membership and contamination hits are the
+  // EXISTING persisted relations broadcast onto that scan (no corpus
+  // re-shuffle); the per-source rollup is one map-side-combined agg.
+  // ========================================================================
+  def dataCard(s: SparkSession, d: String): DataFrame = {
+    val vp = DedupQueries.verifiedPairs(s, d)
+    val dup = vp.select(col("id_a").as("doc_id"))
+      .union(vp.select(col("id_b").as("doc_id"))).distinct()
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val contam = decontHits(s, d).select(col("doc_id"), lit(1L).as("is_contam"))
+    val rows = docs(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        TextOps.distinctCount(col("toks")).as("n_dist"),
+        TextOps.langId(col("toks")).as("lang_pred"))
+      .withColumn("q_e6", when(col("n") > 0,
+        expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n"))
+        .otherwise(lit(0L)))
+      .withColumn("q_band", least(expr("q_e6 div 100000"), lit(9L)))
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+    def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("n")).as("n_tokens_total"),
+        cnt(col("n_chars") < 256).as("len_lt256"),
+        cnt(col("n_chars") >= 256 && col("n_chars") < 1024).as("len_256_1023"),
+        cnt(col("n_chars") >= 1024 && col("n_chars") < 4096).as("len_1024_4095"),
+        cnt(col("n_chars") >= 4096).as("len_ge4096")) ++
+      Seq("de", "en", "es", "fr").map(l => cnt(col("lang_pred") === l).as(s"n_$l")) ++
+      (0 to 9).map(i => cnt(col("q_band") === i).as(s"q_d$i")) ++
+      Seq(sum(col("q_e6")).as("q_sum_e6"),
+        cnt(col("is_dup") === 1L).as("n_dup"),
+        cnt(col("is_contam") === 1L).as("n_contam"))
+    rows.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("*"),
+        expr("q_sum_e6 div n_docs").as("q_mean_e6"),
+        expr("(n_dup * 1000000) div n_docs").as("dup_rate_e6"),
+        expr("(n_contam * 1000000) div n_docs").as("contam_rate_e6"))
+      .drop("q_sum_e6")
+      .orderBy(col("source"))
+  }
+
+  private val dataCardSql = {
+    def stopHits(lang: String) = {
+      val words = TextOps.LangStopwords.toMap.apply(lang)
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    }
+    val bandCols = (0 to 9)
+      .map(i => s"CAST(sum(CASE WHEN q_band = $i THEN 1 ELSE 0 END) AS BIGINT) AS q_d$i")
+      .mkString(",\n  ")
+    s"""WITH ${DedupQueries.lshPipelineCtes},
+       |vp AS (SELECT id_a, id_b FROM ver
+       |       WHERE jaccard >= ${graft.dedup.Dedup.LshParams.Threshold}),
+       |dup AS (SELECT DISTINCT doc_id FROM
+       |        (SELECT id_a AS doc_id FROM vp UNION ALL SELECT id_b FROM vp)),
+       |$decontCtesSql,
+       |rows0 AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT)
+       |      AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
+       |    ${stopHits("de")} AS s_de, ${stopHits("en")} AS s_en,
+       |    ${stopHits("es")} AS s_es, ${stopHits("fr")} AS s_fr
+       |  FROM (SELECT doc_id, source, n_chars,
+       |          regexp_extract_all(text, '\\S+') AS toks FROM documents)),
+       |rows1 AS (
+       |  SELECT doc_id, source, n_chars, n,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS lang_pred,
+       |    CASE WHEN n > 0
+       |      THEN ((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) // n
+       |      ELSE 0 END AS q_e6
+       |  FROM rows0),
+       |rows2 AS (
+       |  SELECT r.*, least(q_e6 // 100000, 9) AS q_band,
+       |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       |    CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam
+       |  FROM rows1 r LEFT JOIN dup ON dup.doc_id = r.doc_id
+       |               LEFT JOIN hits ON hits.doc_id = r.doc_id),
+       |agg AS (
+       |  SELECT source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens_total,
+       |  CAST(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END) AS BIGINT) AS len_lt256,
+       |  CAST(sum(CASE WHEN n_chars >= 256 AND n_chars < 1024 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS len_256_1023,
+       |  CAST(sum(CASE WHEN n_chars >= 1024 AND n_chars < 4096 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS len_1024_4095,
+       |  CAST(sum(CASE WHEN n_chars >= 4096 THEN 1 ELSE 0 END) AS BIGINT) AS len_ge4096,
+       |  CAST(sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       |  CAST(sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       |  $bandCols,
+       |  CAST(sum(q_e6) AS BIGINT) AS q_sum_e6,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |  CAST(sum(is_contam) AS BIGINT) AS n_contam
+       |  FROM rows2 GROUP BY source)
+       |SELECT source, n_docs, n_chars_total, n_tokens_total,
+       |  len_lt256, len_256_1023, len_1024_4095, len_ge4096,
+       |  n_de, n_en, n_es, n_fr,
+       |  ${(0 to 9).map(i => s"q_d$i").mkString(", ")},
+       |  n_dup, n_contam,
+       |  q_sum_e6 // n_docs AS q_mean_e6,
+       |  (n_dup * 1000000) // n_docs AS dup_rate_e6,
+       |  (n_contam * 1000000) // n_docs AS contam_rate_e6
+       |FROM agg
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_length_hist" -> (corpusLengthHist _),
+    "data_card" -> (dataCard _),
     "lm_gate_sketch" -> (lmGateSketch _),
     "curate_report_lm" -> (curateReportLm _),
     "lm_score_incremental" -> (lmScoreIncremental _),
@@ -2319,6 +2458,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "lm_gate_sketch" -> lmGateSketchSql,
     "corpus_length_hist" -> corpusLengthHistSql,
+    "data_card" -> dataCardSql,
     "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,

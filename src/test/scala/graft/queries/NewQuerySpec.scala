@@ -67,6 +67,31 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, cluster, _, _, bestId, _) => bestId != cluster })
   }
 
+  test("data_card: per-source partitions of the corpus are complete and internally consistent") {
+    val out = graft.SparkEntry.queries("data_card")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // every source accounted for, docs partition exactly
+    assert(out.count() == docs.select(col("source")).distinct().count())
+    assert(out.agg(sum(col("n_docs"))).head().getLong(0) == docs.count())
+    val rows = out.collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      // length bands partition n_docs; so do language counts and
+      // quality decile bands
+      assert(r.getAs[Long]("len_lt256") + r.getAs[Long]("len_256_1023")
+        + r.getAs[Long]("len_1024_4095") + r.getAs[Long]("len_ge4096") == n)
+      assert(Seq("n_de", "n_en", "n_es", "n_fr").map(r.getAs[Long]).sum == n)
+      assert((0 to 9).map(i => r.getAs[Long](s"q_d$i")).sum == n)
+      // rates are exact ppm of their counts
+      assert(r.getAs[Long]("dup_rate_e6") == r.getAs[Long]("n_dup") * 1000000L / n)
+      assert(r.getAs[Long]("contam_rate_e6") == r.getAs[Long]("n_contam") * 1000000L / n)
+      assert(r.getAs[Long]("n_dup") <= n && r.getAs[Long]("n_contam") <= n)
+    }
+    // non-vacuous: the corpus has dups and contamination somewhere
+    assert(rows.map(_.getAs[Long]("n_dup")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_contam")).sum > 0)
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)

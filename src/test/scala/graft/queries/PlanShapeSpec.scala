@@ -501,6 +501,17 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).length <= 2, p)
   }
 
+  test("data_card: one scan, broadcast membership joins, map-side-combined rollup") {
+    val p = plan("data_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // dup membership and contamination hits must ride as broadcast hash
+    // joins onto the scan, never shuffle the corpus rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the per-source rollup partially aggregates before the exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("collocations / text_rarity: counts are map-side combined; joins stay equi") {
     Seq("collocations", "text_rarity").foreach { q =>
       val p = plan(q)
