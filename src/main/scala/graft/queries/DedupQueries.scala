@@ -256,29 +256,61 @@ object DedupQueries {
   // integer agg on the node key; N and the teleport term ride one
   // broadcast row.
   // ========================================================================
+  // Small-graph fast path, the [[Dedup.clusterLabels]] treatment: the
+  // three fixed rounds are pure integer arithmetic, so when the verified
+  // pair set fits the guarded probe the whole iteration runs in-process
+  // over long maps — identical values BY CONSTRUCTION (truncating long
+  // division on positive operands IS the floor `div` both engines run)
+  // — and three rounds of distributed join+agg scheduler latency vanish.
+  // An overflowing probe falls through to the distributed plan.
   def dedupGraphRank(s: SparkSession, d: String): DataFrame = {
     val pairs = lshShared(s, d).pairs.select(col("id_a"), col("id_b"))
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-    val nodes = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val nc = nodes.agg(count(lit(1)).as("nn"))
-    val seeded = nodes.crossJoin(broadcast(nc))
-      .select(col("id"), col("deg"), col("nn"),
-        expr("CAST(1000000000 AS BIGINT) div nn").as("pr"))
-    val ranked = (1 to 3).foldLeft(seeded) { (pr, _) =>
-      val contrib = pr.select(col("id").as("src"),
-        expr("(85 * pr) div (100 * deg)").as("c"))
-      val inbound = edges.join(contrib, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-        .select(col("dst").as("id"), col("cin"))
-      nodes.crossJoin(broadcast(nc)).join(inbound, Seq("id"), "left")
+    val probe = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).collect()
+    if (probe.length <= Dedup.DriverComponentsMaxEdges) {
+      val edges = probe.flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Seq((a, b), (b, a))
+      }.distinct
+      val deg = new scala.collection.mutable.LongMap[Long]()
+      edges.foreach { case (src, _) => deg(src) = deg.getOrElse(src, 0L) + 1L }
+      val nn = deg.size.toLong
+      var pr = new scala.collection.mutable.LongMap[Long]()
+      if (nn > 0) deg.keys.foreach(id => pr(id) = 1000000000L / nn)
+      (1 to 3).foreach { _ =>
+        val cin = new scala.collection.mutable.LongMap[Long]()
+        edges.foreach { case (src, dst) =>
+          cin(dst) = cin.getOrElse(dst, 0L) + (85L * pr(src)) / (100L * deg(src))
+        }
+        val next = new scala.collection.mutable.LongMap[Long]()
+        deg.keys.foreach(id => next(id) = 150000000L / nn + cin.getOrElse(id, 0L))
+        pr = next
+      }
+      import s.implicits._
+      deg.keys.toSeq.sorted.map(id => (id, deg(id), pr(id)))
+        .toDF("id", "deg", "pr_e9")
+    } else {
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct()
+      val nodes = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val nc = nodes.agg(count(lit(1)).as("nn"))
+      val seeded = nodes.crossJoin(broadcast(nc))
         .select(col("id"), col("deg"), col("nn"),
-          (expr("CAST(150000000 AS BIGINT) div nn")
-            + coalesce(col("cin"), lit(0L))).as("pr"))
+          expr("CAST(1000000000 AS BIGINT) div nn").as("pr"))
+      val ranked = (1 to 3).foldLeft(seeded) { (pr, _) =>
+        val contrib = pr.select(col("id").as("src"),
+          expr("(85 * pr) div (100 * deg)").as("c"))
+        val inbound = edges.join(contrib, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+          .select(col("dst").as("id"), col("cin"))
+        nodes.crossJoin(broadcast(nc)).join(inbound, Seq("id"), "left")
+          .select(col("id"), col("deg"), col("nn"),
+            (expr("CAST(150000000 AS BIGINT) div nn")
+              + coalesce(col("cin"), lit(0L))).as("pr"))
+      }
+      ranked.select(col("id"), col("deg"), col("pr").as("pr_e9"))
+        .orderBy(col("id"))
     }
-    ranked.select(col("id"), col("deg"), col("pr").as("pr_e9"))
-      .orderBy(col("id"))
   }
 
   private val dedupGraphRankSql = {
@@ -344,12 +376,14 @@ object DedupQueries {
         expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n")
           .as("q_e6"))
       .join(pr, Seq("doc_id"))
-    val win = Window.partitionBy(col("cluster"))
-      .orderBy(col("q_e6").desc, col("pr_e9").desc, col("doc_id").asc)
-    val best = scored.withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("doc_id").as("best_id"))
-    scored.join(best, Seq("cluster"))
+    // single-pass election: ONE window aggregate computes the argmax
+    // struct per cluster — a row_number + join-back would consume
+    // `scored` twice and recompute its whole upstream (the rank plan,
+    // the quality scan) once per branch
+    val elected = max(struct(col("q_e6"), col("pr_e9"),
+        (-col("doc_id")).as("neg_id"), col("doc_id").as("elect_id")))
+      .over(Window.partitionBy(col("cluster")))
+    scored.withColumn("best_id", elected.getField("elect_id"))
       .select(col("doc_id"), col("cluster"), col("q_e6"), col("pr_e9"), col("best_id"),
         when(col("doc_id") === col("best_id"), 1L).otherwise(0L).as("kept"))
       .orderBy(col("doc_id"))
