@@ -1289,6 +1289,193 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // bpe_learn — byte-pair-encoding tokenizer induction (Sennrich et al.
+  // arXiv:1508.07909), the missing learner half of the tokenization
+  // story (token_count_subword APPLIES a given vocab; every pipeline
+  // that trains its own tokenizer needs this step). Classic BPE: word
+  // types become space-separated character sequences; each round merges
+  // the adjacent symbol pair with the highest frequency-weighted count
+  // (ties to the lexicographically smallest pair) everywhere at once
+  // (left-to-right non-overlapping — the contract Java's String.replace,
+  // Spark's `replace`, and DuckDB's `replace` all share, probed
+  // explicitly). Output: the learned merge table (rank, pair, merged
+  // symbol, weighted count) — the artifact a tokenizer ships.
+  //
+  // Scale: ONE corpus scan builds the word-type frequency table; the
+  // merge iteration runs over the TOP-K types by (count, word) — a
+  // bounded TakeOrdered, the LmSketch headK contract, collected once and
+  // iterated in-process (the type table is vocab-bounded by
+  // construction; tokenizer trainers operate on word counts, not the
+  // corpus — at 100 TB the scan is the distributed part and this loop
+  // is unchanged). Every count is an exact integer and the argmax
+  // tie-break is binary string order, identical in both engines for BMP
+  // text, so the oracle replays the rounds as unrolled CTEs bit-for-bit.
+  // ========================================================================
+  private[queries] val BpeVocabTypes = 4096
+  private[queries] val BpeMerges = 12
+
+  private val bpeMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
+  /** (rank, w1, w2, merged, weighted count) for the learned merges. */
+  private[queries] def bpeMergeList(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
+    synchronized {
+      bpeMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+      bpeMemo.getOrElseUpdate((s, d), {
+        val types = docs(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w"))
+          .limit(BpeVocabTypes)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
+        // one code point, so the split agrees with the oracle's
+        // regexp_extract_all(w, '(?s).'))
+        var seqs = types.map { case (w, c) =>
+          val cps = w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp))).mkString(" ")
+          (" " + cps + " ", c)
+        }
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+        (1 to BpeMerges).foreach { k =>
+          val pc = new java.util.HashMap[String, Long]()
+          seqs.foreach { case (seq, c) =>
+            val sl = seq.split(" ").filter(_.nonEmpty)
+            var i = 0
+            while (i < sl.length - 1) {
+              pc.merge(sl(i) + " " + sl(i + 1), c, Long.box(_) + Long.box(_))
+              i += 1
+            }
+          }
+          require(!pc.isEmpty, s"BPE merge round $k found no adjacent pairs")
+          // argmax by (count desc, pair asc) — binary string order, the
+          // cross-engine tie-break every ORDER BY in this file relies on
+          var best: (String, Long) = null
+          pc.forEach { (p, c) =>
+            if (best == null || c > best._2 || (c == best._2 && p < best._1))
+              best = (p, c)
+          }
+          val pair = best._1
+          val merged = pair.replace(" ", "")
+          seqs = seqs.map { case (seq, c) => (seq.replace(" " + pair + " ", " " + merged + " "), c) }
+          val Array(w1, w2) = pair.split(" ", 2)
+          merges += ((k.toLong, w1, w2, merged, best._2))
+        }
+        merges.toSeq
+      })
+    }
+
+  def bpeLearn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeMergeList(s, d).toDF("merge_rank", "w1", "w2", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  // ========================================================================
+  // bpe_token_count — the learned tokenizer APPLIED: per document, the
+  // whitespace token count and the count after running every word
+  // through the merge chain (per-word application, the standard BPE
+  // pre-tokenization contract) — the compression measurement that tells
+  // a pipeline owner what the learned merges actually buy on their
+  // corpus. The merge table rides into the PLAN as literals (the
+  // lmSketchModel lifecycle: learned once per (session, dir), a plan
+  // constant thereafter), so application is a pure per-row codegen
+  // projection — transform/aggregate higher-order functions over the
+  // token array, NO join and NO shuffle (plan-guarded). The oracle
+  // re-learns the merges from scratch in SQL and applies the identical
+  // replace chain per word.
+  // ========================================================================
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame = {
+    def sqlLit(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    var seqExpr = "concat(' ', array_join(regexp_extract_all(w, '(?s).', 0), ' '), ' ')"
+    bpeMergeList(s, d).foreach { case (_, w1, w2, m, _) =>
+      seqExpr = s"replace($seqExpr, ' ${sqlLit(w1)} ${sqlLit(w2)} ', ' ${sqlLit(m)} ')"
+    }
+    val perWord = s"size(filter(split($seqExpr, ' '), x -> x != ''))"
+    docs(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws"),
+        expr(s"CAST(aggregate(transform(toks, w -> $perWord), 0L, (acc, x) -> acc + x)" +
+          " AS BIGINT)").as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bpeTokenCountSql = {
+    // the merge-learning CTE chain is bpeLearnSql's, referenced by the
+    // mm row of per-merge scalars so the per-word lambda can close over
+    // them as plain outer columns (a subquery inside a lambda is not)
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
+         |      AS pair
+         |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
+         |          FROM s${k - 1}))
+         |  GROUP BY pair),
+         |m$k AS (SELECT pair FROM p$k ORDER BY pc DESC, pair LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT c, replace(seq, ' ' || (SELECT pair FROM m$k) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ') AS seq
+         |  FROM s${k - 1})"""
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    val mmCols = (1 to BpeMerges).map(k =>
+      s"(SELECT pair FROM m$k) AS p$k, (SELECT replace(pair, ' ', '') FROM m$k) AS r$k")
+      .mkString(",\n  ")
+    val chain = (1 to BpeMerges).foldLeft(
+      "' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' '") {
+      (e, k) => s"replace($e, ' ' || mm.p$k || ' ', ' ' || mm.r$k || ' ')"
+    }
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+       |wt AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
+       |s0 AS MATERIALIZED (
+       |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
+       |  FROM wt),
+       |$rounds,
+       |mm AS (SELECT
+       |  $mmCols),
+       |dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+       |  CAST(coalesce(list_sum(list_transform(toks, w ->
+       |    len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
+       |FROM dt, mm
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val bpeLearnSql = {
+    def round(k: Int) =
+      s"""p$k AS (
+         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
+         |      AS pair
+         |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
+         |          FROM s${k - 1}))
+         |  GROUP BY pair),
+         |m$k AS (SELECT $k AS merge_rank, pair, pc FROM p$k ORDER BY pc DESC, pair LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT c, replace(seq, ' ' || (SELECT pair FROM m$k) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ') AS seq
+         |  FROM s${k - 1})"""
+    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+    val union = (1 to BpeMerges)
+      .map(k => s"SELECT merge_rank, pair, pc FROM m$k").mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+       |wt AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
+       |s0 AS MATERIALIZED (
+       |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
+       |  FROM wt),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+       |  split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+       |  replace(pair, ' ', '') AS merged, pc AS pair_count
+       |FROM ($union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  // ========================================================================
   // decontaminate_bloom — the contamination screen through a Bloom
   // SKETCH instead of the broadcast benchmark relation. At 100 TB the
   // benchmark side can reach 10⁸–10⁹ distinct shingles: the exact
@@ -2416,6 +2603,8 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "corpus_length_hist" -> (corpusLengthHist _),
     "data_card" -> (dataCard _),
+    "bpe_learn" -> (bpeLearn _),
+    "bpe_token_count" -> (bpeTokenCount _),
     "lm_gate_sketch" -> (lmGateSketch _),
     "curate_report_lm" -> (curateReportLm _),
     "lm_score_incremental" -> (lmScoreIncremental _),
@@ -2459,6 +2648,8 @@ object TextQueries {
     "lm_gate_sketch" -> lmGateSketchSql,
     "corpus_length_hist" -> corpusLengthHistSql,
     "data_card" -> dataCardSql,
+    "bpe_learn" -> bpeLearnSql,
+    "bpe_token_count" -> bpeTokenCountSql,
     "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,

@@ -92,6 +92,37 @@ class NewQuerySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_contam")).sum > 0)
   }
 
+  test("bpe_learn: greedy merges have non-increasing counts; application compresses, never pads") {
+    val merges = graft.SparkEntry.queries("bpe_learn")(spark, sf).collect()
+    assert(merges.length == graft.queries.TextQueries.BpeMerges)
+    assert(merges.map(_.getAs[Long]("merge_rank")).toSeq == (1L to merges.length).toSeq)
+    // greedy argmax: any pair created by a merge occurs at most as often
+    // as the pair just merged, so the winning counts are non-increasing
+    val counts = merges.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.forall(_ > 0))
+    merges.foreach { m =>
+      assert(m.getAs[String]("merged") == m.getAs[String]("w1") + m.getAs[String]("w2"))
+    }
+    // application: per doc, BPE symbols number at least one per word
+    // (n_bpe >= n_ws) and at most one per character (merging only ever
+    // shrinks the spaced-codepoint expansion)
+    val applied = graft.SparkEntry.queries("bpe_token_count")(spark, sf)
+    assert(applied.filter(col("n_bpe") < col("n_ws")).count() == 0)
+    val withChars = applied.join(
+      graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          expr("size(filter(regexp_extract_all(text, '(?s)\\\\S', 0), x -> true))")
+            .cast("long").as("n_nonspace")),
+      Seq("doc_id"))
+    assert(withChars.filter(col("n_bpe") > col("n_nonspace")).count() == 0)
+    // non-vacuous: the merges actually fire on this corpus
+    val sums = applied.agg(sum(col("n_bpe")), sum(col("n_ws"))).head()
+    assert(sums.getLong(0) > sums.getLong(1), "BPE collapsed everything to one symbol per word?")
+    val charTotal = withChars.agg(sum(col("n_nonspace"))).head().getLong(0)
+    assert(sums.getLong(0) < charTotal, "no merge ever applied")
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)

@@ -520,6 +520,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bpe_token_count applies the learned merges as a pure projection (merge table is a plan literal)") {
+    val p = plan("bpe_token_count")
+    assert(!p.contains("Generate"), p)          // no explode in the apply path
+    assert(!p.contains("Join"), p)              // merges are literals, not a relation
+    // only the presentation sort partitions; the application itself is
+    // scan-side
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
   test("token_count_subword is a pure projection over the scan (vocab rides as a literal)") {
     val p = plan("token_count_subword")
     assert(!p.contains("Generate"), p)          // no explode in the count path
