@@ -857,26 +857,44 @@ object DedupQueries {
   }
 
   /** The merged duplicated-span relation (doc_id, g, sp, ep) — shared
-    * by the span report and the span-removal transform.
+    * by the span report and the span-removal transform. Memoized per
+    * (session, dir) and PERSISTED, the lshShared lifecycle: the gram
+    * index (one row per corpus TOKEN) is the expensive artifact and it
+    * feeds two plan branches (cross-doc filter + join-back), so it is
+    * cached for the build and released once the small span relation is
+    * materialized — `dedup_substring` and `scrub_substring` then both
+    * read the persisted spans instead of re-running posexplode + seven
+    * lead windows each.
     */
-  private def substringSpans(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val kg = positionedGrams(docs(s, d))
-    val dup = kg.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
-    val dp = kg.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
-    // gaps-and-islands: a position starts a new span iff it lies beyond
-    // the running max end (pos + K) of everything before it — adjacent
-    // windows (pos == prev end) merge into one contiguous region
-    val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
-    dp
-      .withColumn("brk", when(col("pos") >
-        coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
-      .withColumn("g", sum(col("brk")).over(wp))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"))
+  private val substrMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def substringSpans(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    substrMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val memo = substrMemo.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.expressions.Window
+      val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val kg = positionedGrams(docs(s, d)).persist()
+      val dup = kg.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val dp = kg.join(dup, Seq("h")).select(col("doc_id"), col("pos"))
+      // gaps-and-islands: a position starts a new span iff it lies beyond
+      // the running max end (pos + K) of everything before it — adjacent
+      // windows (pos == prev end) merge into one contiguous region
+      val wprev = wp.rowsBetween(Window.unboundedPreceding, -1)
+      val spans = dp
+        .withColumn("brk", when(col("pos") >
+          coalesce(max(col("pos") + SubstrK).over(wprev), lit(-1)), 1L).otherwise(0L))
+        .withColumn("g", sum(col("brk")).over(wp))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("pos")).as("sp"), (max(col("pos")) + SubstrK).as("ep"))
+        .persist()
+      spans.count() // materialize now so the token-level gram cache can go
+      kg.unpersist(false)
+      spans
+    })
+    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
+    memo
   }
 
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
