@@ -2148,28 +2148,51 @@ object TextQueries {
   // ========================================================================
   private val LmScale = 10000.0
 
-  def lmScore(s: SparkSession, d: String): DataFrame = {
-    val uni = unigramCounts(s, d)
-    val vocab = uni.agg(count(lit(1)).as("v_size"))
-    val bg = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
-          " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-    bg.join(bc, Seq("w1", "w2"))
-      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
-        round(log((col("c_a") + col("v_size")).cast("double") / (col("c_ab") + lit(1L)))
-          * lit(LmScale)).cast("long").as("nll_e4"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"))
-      .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"),
-        round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
-      .orderBy(col("doc_id"))
+  /** The per-doc LM score relation (doc_id, n_bg, nll_sum_e4, mean_nll),
+    * memoized per (session, dir) and PERSISTED: four queries consume it
+    * (`lm_score`, `lm_gate_sketch`'s exact side, `pipeline_curate_lm`'s
+    * gate, `curate_report_lm`'s funnel), and the expensive inputs — the
+    * per-occurrence bigram relation, used by BOTH the count aggregation
+    * and the scoring join — are cached only for the build and released
+    * once the small per-doc relation materializes.
+    */
+  private val lmScoreMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def lmScoreCore(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    lmScoreMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val memo = lmScoreMemo.getOrElseUpdate((s, d), {
+      val uni = unigramCounts(s, d)
+      val vocab = uni.agg(count(lit(1)).as("v_size"))
+      val bg = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+            " (a, b) -> struct(a AS w1, b AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      val scored = bg.join(bc, Seq("w1", "w2"))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log((col("c_a") + col("v_size")).cast("double") / (col("c_ab") + lit(1L)))
+            * lit(LmScale)).cast("long").as("nll_e4"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"))
+        .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"),
+          round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
+        .persist()
+      scored.count() // materialize so the bigram-occurrence cache can go
+      bg.unpersist(false)
+      scored
+    })
+    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
+    memo
   }
+
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreCore(s, d).orderBy(col("doc_id"))
 
   /** The exact-LM per-doc core (no ORDER BY) — shared by `lm_score` and
     * `lm_gate_sketch`'s oracle so the model definition exists once.
