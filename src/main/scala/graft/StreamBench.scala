@@ -72,16 +72,25 @@ object StreamBench {
     // the CMS bigram model, learned once batch-side (a plan literal on
     // the stream — the benchSketch lifecycle)
     val lmModel = graft.queries.TextQueries.lmSketchModel(spark, sfDir)
+    // the data card's stream-static membership relations + the 4-column
+    // doc stream it consumes (n_chars rides along for the length bands)
+    val cardDup = graft.queries.TextQueries.dataCardDup(spark, sfDir).cache()
+    val cardContam = graft.queries.TextQueries.dataCardContam(spark, sfDir).cache()
+    cardDup.count(); cardContam.count()
+    val docCardRows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, String, Long, String)].collect().toSeq
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
       * the engine's own progress counters afterwards.
       */
     def run[T: org.apache.spark.sql.Encoder](name: String, rows: Seq[T],
-        cols: Seq[String], pipe: DataFrame => DataFrame): Result = {
+        cols: Seq[String], pipe: DataFrame => DataFrame,
+        outputMode: String = "append"): Result = {
       val stream = MemoryStream[T]
       val out = pipe(stream.toDF().toDF(cols: _*))
-      val q = out.writeStream.outputMode("append").format("memory")
+      val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(s"sb_$name").start()
       val size = math.max(1, (rows.size + chunks - 1) / chunks)
       val t0 = System.nanoTime()
@@ -137,6 +146,13 @@ object StreamBench {
       // throughput here is pure codegen scoring cost
       run[(Long, String, String)]("curate_lm", docRows, Seq("doc_id", "source", "text"),
         df => graft.streaming.StreamingCurate.curateLm(spark, df, lmModel)),
+      // the live per-source data card: native stateful aggregation in
+      // complete mode — state is O(sources x counters) however many docs
+      // stream through; memberships join stream-static (batch-learned)
+      run[(Long, String, Long, String)]("data_card", docCardRows,
+        Seq("doc_id", "source", "n_chars", "text"),
+        df => graft.streaming.StreamingCurate.dataCard(spark, df, cardDup, cardContam),
+        outputMode = "complete"),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -182,6 +198,10 @@ object StreamBench {
       // long-keyed modalities because the key is a string)
       "video_admit" -> Bound(900, r => r.rowsIn, 25),
       "curate_lm" -> Bound(600, _ => 0, 25, 1L << 20),       // STATELESS: zero state rows
+      // one aggregation row per SOURCE regardless of corpus size; the
+      // absolute caps are the structural invariant (sources is a small
+      // fixed set), per-row bytes is meaningless at this cardinality
+      "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

@@ -2508,13 +2508,17 @@ object TextQueries {
   // EXISTING persisted relations broadcast onto that scan (no corpus
   // re-shuffle); the per-source rollup is one map-side-combined agg.
   // ========================================================================
-  def dataCard(s: SparkSession, d: String): DataFrame = {
-    val vp = DedupQueries.verifiedPairs(s, d)
-    val dup = vp.select(col("id_a").as("doc_id"))
-      .union(vp.select(col("id_b").as("doc_id"))).distinct()
-      .select(col("doc_id"), lit(1L).as("is_dup"))
-    val contam = decontHits(s, d).select(col("doc_id"), lit(1L).as("is_contam"))
-    val rows = docs(s, d)
+  /** The data-card per-row projection + membership joins — factored so
+    * the BATCH query and the STREAMING twin
+    * ([[graft.streaming.StreamingCurate.dataCard]]) run the identical
+    * expressions over identical relations. `docsDf` needs (doc_id,
+    * source, n_chars, text); `dup`/`contam` are (doc_id, is_dup/
+    * is_contam) membership relations, broadcast (stream-static join on
+    * the streaming side).
+    */
+  private[graft] def dataCardRows(docsDf: DataFrame, dup: DataFrame,
+                                  contam: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
         TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), col("n_chars"),
@@ -2528,6 +2532,11 @@ object TextQueries {
       .withColumn("q_band", least(expr("q_e6 div 100000"), lit(9L)))
       .join(broadcast(dup), Seq("doc_id"), "left")
       .join(broadcast(contam), Seq("doc_id"), "left")
+
+  /** The data-card per-source rollup over [[dataCardRows]] output — the
+    * single definition of every report column (shared batch/streaming).
+    */
+  private[graft] def dataCardAgg(rows: DataFrame): DataFrame = {
     def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_docs"),
@@ -2548,8 +2557,23 @@ object TextQueries {
         expr("(n_dup * 1000000) div n_docs").as("dup_rate_e6"),
         expr("(n_contam * 1000000) div n_docs").as("contam_rate_e6"))
       .drop("q_sum_e6")
-      .orderBy(col("source"))
   }
+
+  /** The dup-membership relation the data card screens against. */
+  private[graft] def dataCardDup(s: SparkSession, d: String): DataFrame = {
+    val vp = DedupQueries.verifiedPairs(s, d)
+    vp.select(col("id_a").as("doc_id"))
+      .union(vp.select(col("id_b").as("doc_id"))).distinct()
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+  }
+
+  /** The contamination-membership relation the data card screens against. */
+  private[graft] def dataCardContam(s: SparkSession, d: String): DataFrame =
+    decontHits(s, d).select(col("doc_id"), lit(1L).as("is_contam"))
+
+  def dataCard(s: SparkSession, d: String): DataFrame =
+    dataCardAgg(dataCardRows(docs(s, d), dataCardDup(s, d), dataCardContam(s, d)))
+      .orderBy(col("source"))
 
   private val dataCardSql = {
     def stopHits(lang: String) = {

@@ -180,4 +180,25 @@ object StreamingCurate {
         graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
       .filter(col("nll_sketch_e4") <= col("n_bg") * gateNllE4PerBigram)
   }
+
+  /** The per-source data-card report as a CONTINUOUS aggregation: the
+    * release observability the batch `data_card` query emits, kept live
+    * while a corpus streams in. Per-row signals (tokens, quality,
+    * language) are the IDENTICAL codegen projections the batch query
+    * runs ([[graft.queries.TextQueries.dataCardRows]] — one definition,
+    * zero drift); the dup/contamination memberships join STREAM-STATIC
+    * (broadcast, learned batch-side like curateFull's contaminated set);
+    * the rollup is Structured Streaming's native stateful aggregation in
+    * complete mode — state is O(sources × counters), a few dozen longs
+    * per source, regardless of how many documents stream through.
+    * StreamingSpec pins the final snapshot EQUAL to the batch data_card
+    * on the same corpus.
+    *
+    * `docs` needs (doc_id, source, n_chars, text) — n_chars rides the
+    * stream so the length bands agree with the batch table's column.
+    */
+  def dataCard(spark: SparkSession, docs: DataFrame,
+               dup: DataFrame, contam: DataFrame): DataFrame =
+    graft.queries.TextQueries.dataCardAgg(
+      graft.queries.TextQueries.dataCardRows(docs, dup, contam))
 }

@@ -885,4 +885,41 @@ class StreamingSpec extends SparkSpec {
     assert(run(Some(ttlUs), "sess_ttl_on") ==
       Seq((1L, 2L, 100000000L), (1L, 1L, 4000000000L)))
   }
+
+  test("streaming data card snapshot equals the batch data_card on the full corpus") {
+    implicit val sc = spark.sqlContext
+    // the dup/contamination memberships are batch-side relations joined
+    // stream-static, like curateFull's contaminated set
+    val dup = graft.queries.TextQueries.dataCardDup(spark, sf).cache()
+    val contam = graft.queries.TextQueries.dataCardContam(spark, sf).cache()
+    dup.count(); contam.count()
+    val stream = MemoryStream[(Long, String, Long, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "n_chars", "text")
+    val out = StreamingCurate.dataCard(spark, df, dup, contam)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName("card_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    // mid-stream snapshot must already be a consistent partial report
+    val mid = spark.table("card_out").collect()
+    assert(mid.map(_.getAs[Long]("n_docs")).sum == first.size)
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("card_out").collect()
+      .map(r => r.toSeq.map {
+        case null => "null"
+        case x => x.toString
+      }).toSet
+    q.stop()
+    val want = graft.SparkEntry.queries("data_card")(spark, sf).collect()
+      .map(r => r.toSeq.map {
+        case null => "null"
+        case x => x.toString
+      }).toSet
+    // column order parity: both sides come from the same dataCardAgg
+    assert(got == want, "final streaming snapshot != batch data_card")
+    dup.unpersist(); contam.unpersist()
+  }
 }
