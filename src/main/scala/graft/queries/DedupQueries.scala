@@ -367,7 +367,10 @@ object DedupQueries {
     val enStop = TextOps.LangStopwords.toMap.apply("en")
     val scored = docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .join(broadcast(comp), Seq("doc_id"))
+      // hint-free: cluster membership is dup-rate-bounded, not
+      // small-bounded — statistics/AQE broadcast it while it fits and
+      // shuffle-join when a 100 TB corpus makes it corpus-scale
+      .join(comp, Seq("doc_id"))
       .select(col("doc_id"), col("cluster"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),

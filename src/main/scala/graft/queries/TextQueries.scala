@@ -2530,8 +2530,13 @@ object TextQueries {
         expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n"))
         .otherwise(lit(0L)))
       .withColumn("q_band", least(expr("q_e6 div 100000"), lit(9L)))
-      .join(broadcast(dup), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      // NO broadcast hint: at bench scale the memberships are small and
+      // statistics pick a broadcast join on their own (plan-guarded); at
+      // 100 TB near-dup membership is dup-rate x corpus — corpus-scale —
+      // and a forced broadcast would OOM every executor. Size-based
+      // planning (plus AQE's runtime re-plan) is the correct contract.
+      .join(dup, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
 
   /** The data-card per-source rollup over [[dataCardRows]] output — the
     * single definition of every report column (shared batch/streaming).

@@ -505,8 +505,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("data_card")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // dup membership and contamination hits must ride as broadcast hash
-    // joins onto the scan, never shuffle the corpus rows
+    // dup membership and contamination hits ride as broadcast hash joins
+    // onto the scan WITHOUT a hint — statistics pick the broadcast while
+    // the memberships are small, and can fall back to a shuffle join at
+    // a scale where dup-rate x corpus no longer fits an executor
     assert(p.contains("BroadcastHashJoin"), p)
     // the per-source rollup partially aggregates before the exchange
     assert(p.contains("partial_count"), p)
