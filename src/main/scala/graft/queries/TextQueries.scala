@@ -683,7 +683,11 @@ object TextQueries {
       .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
       .select(col("doc_id"))
     val chunks = chunkTokensOn(
-      docs(s, d).join(broadcast(survivors), Seq("doc_id"), "left_semi")
+      // hint-free: the survivor set is MOST of the corpus (the curation
+      // funnel admits the majority) — statistics may broadcast it at
+      // bench scale, but a forced broadcast at 100 TB would ship nearly
+      // every doc id to every executor
+      docs(s, d).join(survivors, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("source"), col("text")),
       keep = Seq("source"))
     val wSlot = Window.partitionBy(col("source"))
@@ -1891,7 +1895,10 @@ object TextQueries {
     val rep = curateFullFeatures(docs(s, d))
     val contaminated = decontHits(s, d).select(col("doc_id"))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    rep.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // hint-free: contamination membership is rate-bounded, not
+    // small-bounded — size-based planning decides (same contract as
+    // data_card's membership joins)
+    rep.join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), col("n_re"), col("score"),
         col("top2_frac"))

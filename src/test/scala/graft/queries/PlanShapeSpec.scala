@@ -218,7 +218,9 @@ class PlanShapeSpec extends SparkSpec {
   test("pipeline_pack: two hash exchanges (fp dedup, source packing), text off the fp shuffle") {
     val p = plan("pipeline_pack")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"), p) // survivor ids broadcast to scan 2
+    // survivor ids reach scan 2 as a statistics-chosen broadcast (no
+    // hint: the survivor set is corpus-scale at 100 TB)
+    assert(p.contains("BroadcastHashJoin"), p)
     val hashes = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
     assert(hashes.sorted == Seq("fp", "source"), p) // exactly one each, nothing else
   }
@@ -262,7 +264,8 @@ class PlanShapeSpec extends SparkSpec {
   test("pipeline_curate_full joins broadcast-side and keys its dedup window on fp") {
     val p = plan("pipeline_curate_full")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastHashJoin"), p)     // survivor ids + contamination ids
+    // contamination ids: statistics-chosen broadcast, hint-free
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("hashpartitioning(fp"), p)   // the one dedup shuffle
   }
 
