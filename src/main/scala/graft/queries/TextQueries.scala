@@ -2545,10 +2545,13 @@ object TextQueries {
       .join(dup, Seq("doc_id"), "left")
       .join(contam, Seq("doc_id"), "left")
 
-  /** The data-card per-source rollup over [[dataCardRows]] output — the
-    * single definition of every report column (shared batch/streaming).
+  /** The per-source COUNTER rollup over [[dataCardRows]] output — every
+    * column an exact-integer SUM (q_sum_e6 still present), so two
+    * counter relations over disjoint doc slices MERGE by addition into
+    * exactly the full-corpus counters. The additivity is what makes the
+    * incremental card possible.
     */
-  private[graft] def dataCardAgg(rows: DataFrame): DataFrame = {
+  private[graft] def dataCardCounters(rows: DataFrame): DataFrame = {
     def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_docs"),
@@ -2564,12 +2567,23 @@ object TextQueries {
         cnt(col("is_dup") === 1L).as("n_dup"),
         cnt(col("is_contam") === 1L).as("n_contam"))
     rows.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
-      .select(col("*"),
+  }
+
+  /** Derived report columns over a counter relation (rates in exact ppm,
+    * floor-division mean) — the publication step.
+    */
+  private[graft] def dataCardFinish(counters: DataFrame): DataFrame =
+    counters.select(col("*"),
         expr("q_sum_e6 div n_docs").as("q_mean_e6"),
         expr("(n_dup * 1000000) div n_docs").as("dup_rate_e6"),
         expr("(n_contam * 1000000) div n_docs").as("contam_rate_e6"))
       .drop("q_sum_e6")
-  }
+
+  /** The data-card per-source rollup over [[dataCardRows]] output — the
+    * single definition of every report column (shared batch/streaming).
+    */
+  private[graft] def dataCardAgg(rows: DataFrame): DataFrame =
+    dataCardFinish(dataCardCounters(rows))
 
   /** The dup-membership relation the data card screens against. */
   private[graft] def dataCardDup(s: SparkSession, d: String): DataFrame = {
@@ -2586,6 +2600,49 @@ object TextQueries {
   def dataCard(s: SparkSession, d: String): DataFrame =
     dataCardAgg(dataCardRows(docs(s, d), dataCardDup(s, d), dataCardContam(s, d)))
       .orderBy(col("source"))
+
+  // ========================================================================
+  // data_card_incremental — the PUBLISHED-CARD UPDATE PATH: the base
+  // corpus's counter relation is persisted ONCE as a catalog table (the
+  // ann_ivf_persisted build-once contract), and each release scans ONLY
+  // the increment slice, aggregates the identical per-row signals, and
+  // MERGES by per-source addition — every counter is an exact-integer
+  // sum over disjoint doc slices, so the merged card equals the
+  // full-corpus data_card BIT-FOR-BIT (the oracle is literally the full
+  // card's SQL: passing it PROVES the incremental merge is exact, the
+  // dedup_incremental equivalence treatment applied to observability).
+  // At 100 TB this is the difference between an O(increment) nightly
+  // card refresh and an O(corpus) rescan. Membership relations are the
+  // same corpus-wide dup/contamination relations the full card uses —
+  // themselves incrementally maintainable (dedup_incremental,
+  // scrub_substring_incremental show the shapes).
+  // ========================================================================
+  private val CardBaseWhere = "doc_id % 3 <> 0"
+
+  private[graft] def dataCardBaseTable(s: SparkSession, d: String): String =
+    synchronized {
+      val t = s"graft_datacard_base_${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t)) {
+        val base = dataCardCounters(dataCardRows(
+          docs(s, d).filter(expr(CardBaseWhere)),
+          dataCardDup(s, d), dataCardContam(s, d)))
+        graft.operators.Scale.saveTable(base, t)
+      }
+      t
+    }
+
+  def dataCardIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = s.table(dataCardBaseTable(s, d))
+    val inc = dataCardCounters(dataCardRows(
+      docs(s, d).filter(not(expr(CardBaseWhere))),
+      dataCardDup(s, d), dataCardContam(s, d)))
+    val counterCols = base.columns.filter(_ != "source")
+    val merged = base.unionByName(inc)
+      .groupBy(col("source"))
+      .agg(sum(col(counterCols.head)).as(counterCols.head),
+        counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+    dataCardFinish(merged).orderBy(col("source"))
+  }
 
   private val dataCardSql = {
     def stopHits(lang: String) = {
@@ -2662,6 +2719,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "corpus_length_hist" -> (corpusLengthHist _),
     "data_card" -> (dataCard _),
+    "data_card_incremental" -> (dataCardIncremental _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_token_count" -> (bpeTokenCount _),
     "lm_gate_sketch" -> (lmGateSketch _),
@@ -2707,6 +2765,7 @@ object TextQueries {
     "lm_gate_sketch" -> lmGateSketchSql,
     "corpus_length_hist" -> corpusLengthHistSql,
     "data_card" -> dataCardSql,
+    "data_card_incremental" -> dataCardSql,
     "bpe_learn" -> bpeLearnSql,
     "bpe_token_count" -> bpeTokenCountSql,
     "curate_report_lm" -> curateReportLmSql,

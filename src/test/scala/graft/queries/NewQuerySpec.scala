@@ -123,6 +123,24 @@ class NewQuerySpec extends SparkSpec {
     assert(sums.getLong(0) < charTotal, "no merge ever applied")
   }
 
+  test("data_card_incremental: merged counters equal the full card; stale base table rebuilds") {
+    val full = graft.SparkEntry.queries("data_card")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(String.valueOf)).toMap
+    val inc = graft.SparkEntry.queries("data_card_incremental")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(String.valueOf)).toMap
+    // counter additivity over disjoint slices IS exactness: the update
+    // path must be indistinguishable from the full rescan
+    assert(inc == full)
+    // the second-session scenario: base table dropped out from under the
+    // publish path must rebuild, same result (the ivfAppendTables drill)
+    val t = graft.queries.TextQueries.dataCardBaseTable(spark, sf)
+    spark.sql(s"DROP TABLE $t")
+    val again = graft.SparkEntry.queries("data_card_incremental")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(String.valueOf)).toMap
+    assert(spark.catalog.tableExists(t), "publish path did not rebuild the dropped base table")
+    assert(again == full)
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)

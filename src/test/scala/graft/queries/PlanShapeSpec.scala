@@ -517,6 +517,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("data_card_incremental merges the PERSISTED base counters with an increment-only scan") {
+    val p = plan("data_card_incremental")
+    // the base card comes from the published catalog table, not a rescan
+    assert(p.contains("graft_datacard_base_"), p)
+    // the corpus scan is increment-only (the % 3 slice filter is applied)
+    assert(p.contains("% 3)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("collocations / text_rarity: counts are map-side combined; joins stay equi") {
     Seq("collocations", "text_rarity").foreach { q =>
       val p = plan(q)
