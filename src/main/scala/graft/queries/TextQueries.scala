@@ -1963,6 +1963,66 @@ object TextQueries {
        |ORDER BY pcf.doc_id""".stripMargin
 
   // ========================================================================
+  // release_manifest — WHAT ACTUALLY SHIPS: the per-(split, source)
+  // doc/token table for the documents that survive the full LM-gated
+  // curation funnel (every heuristic gate + decontamination + exact
+  // dedup + perplexity gate — the pipeline_curate_lm survivors) under
+  // the leakage-safe content-fingerprint split. This is the first table
+  // of every release note ("N train docs / M tokens per source") and
+  // the capstone composition: a reference user runs curate → gate →
+  // split → count as ONE query. Counts are exact integers; the split is
+  // the sample_hash_split assignment (content-addressed, so dup
+  // variants can't straddle splits); the funnel reuses every shared
+  // memo (decontamination relation, LM score relation, fingerprint
+  // dedup) — nothing is recomputed.
+  //
+  // Scale: the funnel is the already-audited one-scan pipeline; the
+  // split+token projection is scan-side; the final rollup aggregates
+  // (split × source) partial counts map-side. One equi-join between the
+  // survivor ids and the projection.
+  // ========================================================================
+  def releaseManifest(s: SparkSession, d: String): DataFrame = {
+    val surv = pipelineCurateLm(s, d).select(col("doc_id"), col("source"))
+    val sp = docs(s, d).select(col("doc_id"),
+        (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("split",
+        when(col("bucket") < 5, "test")
+          .when(col("bucket") < 10, "val")
+          .otherwise("train"))
+      .select(col("doc_id"), col("split"), col("n_tok"))
+    surv.join(sp, Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  private lazy val releaseManifestSql =
+    s"""$pipelineCurateFullCoreSql,
+       |lmr AS (SELECT * FROM ($lmScoreCoreSql)),
+       |surv AS (
+       |  SELECT pcf.doc_id, pcf.source
+       |  FROM pcf LEFT JOIN lmr ON lmr.doc_id = pcf.doc_id
+       |  WHERE lmr.nll_sum_e4 IS NULL OR lmr.nll_sum_e4 <= lmr.n_bg * $GateNllE4PerBigram),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bucket < 5 THEN 'test'
+       |         WHEN bucket < 10 THEN 'val'
+       |         ELSE 'train' END AS split,
+       |    n_tok
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(md5(trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))), 1, 15))::BIGINT % 100 AS bucket,
+       |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+       |    FROM documents))
+       |SELECT spl.split, surv.source, count(*) AS n_docs,
+       |  CAST(sum(spl.n_tok) AS BIGINT) AS n_tokens
+       |FROM surv JOIN spl USING (doc_id)
+       |GROUP BY spl.split, surv.source
+       |ORDER BY spl.split, surv.source""".stripMargin
+
+  // ========================================================================
   // sample_hash_split — deterministic, LEAKAGE-SAFE train/val/test
   // assignment: the split key is the canonical CONTENT fingerprint
   // (TextOps.fingerprint — lowercase, punctuation-stripped,
@@ -2720,6 +2780,7 @@ object TextQueries {
     "corpus_length_hist" -> (corpusLengthHist _),
     "data_card" -> (dataCard _),
     "data_card_incremental" -> (dataCardIncremental _),
+    "release_manifest" -> (releaseManifest _),
     "bpe_learn" -> (bpeLearn _),
     "bpe_token_count" -> (bpeTokenCount _),
     "lm_gate_sketch" -> (lmGateSketch _),
@@ -2766,6 +2827,7 @@ object TextQueries {
     "corpus_length_hist" -> corpusLengthHistSql,
     "data_card" -> dataCardSql,
     "data_card_incremental" -> dataCardSql,
+    "release_manifest" -> releaseManifestSql,
     "bpe_learn" -> bpeLearnSql,
     "bpe_token_count" -> bpeTokenCountSql,
     "curate_report_lm" -> curateReportLmSql,

@@ -141,6 +141,22 @@ class NewQuerySpec extends SparkSpec {
     assert(again == full)
   }
 
+  test("release_manifest: rollup of exactly the gated survivors, split-complete, leakage-consistent") {
+    val out = graft.SparkEntry.queries("release_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // totals equal the funnel's survivor count — nothing gained or lost
+    // in the split/rollup composition
+    val surv = graft.SparkEntry.queries("pipeline_curate_lm")(spark, sf).count()
+    assert(out.map(_._3).sum == surv)
+    // all three splits ship, train dominates (the 90/5/5 design)
+    val bySplit = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+    // every (split, source) row carries at least one token per doc
+    assert(out.forall { case (_, _, n, t) => t >= n })
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)
