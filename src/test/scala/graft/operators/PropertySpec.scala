@@ -62,6 +62,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("components: driver union-find equals distributed fixpoint on random graphs (any shape)") {
+    import graft.dedup.Dedup
+    // random sparse graphs across the shapes that stress the two paths
+    // differently: long chains (diameter), stars (degree skew), random
+    // id scatter (hash distribution). The fast path and the fixpoint
+    // must agree EXACTLY on every one.
+    val gGraph = for {
+      n <- Gen.choose(2, 60)
+      density <- Gen.choose(1, 3)
+      edges <- Gen.listOfN(n * density,
+        Gen.zip(Gen.choose(0L, 3 * n.toLong), Gen.choose(0L, 3 * n.toLong)))
+    } yield edges
+    samples(gGraph, 5).filter(_.nonEmpty).foreach { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val fast = Dedup.clusterLabels(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.clusterLabelsWithRounds(pairs)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"edges=${edges.take(20)}...")
+      // canonical is always the component min: it labels itself
+      assert(fast.values.forall(c => fast.get(c).contains(c)))
+    }
+  }
+
   test("normalize then denormalize is identity up to fp (any affine input)") {
     samples(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0.5, 50.0)), 5)
       .foreach { case (shift, scale) =>
