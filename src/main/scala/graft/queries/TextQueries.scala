@@ -1319,18 +1319,25 @@ object TextQueries {
   private[queries] val BpeMerges = 12
 
   private val bpeMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
-  /** (rank, w1, w2, merged, weighted count) for the learned merges. */
-  private[queries] def bpeMergeList(s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (Seq[(Long, String, String, String, Long)], Long)]
+  /** ((rank, w1, w2, merged, weighted count) merges, and the
+    * token-occurrence coverage of the capped type table in exact ppm) —
+    * the cap is a standard trainer bound but NEVER silent: coverage
+    * rides the query output so a reader sees what fraction of corpus
+    * tokens the learning actually saw (Zipf makes it ≈1 at any K).
+    */
+  private[queries] def bpeMergeList(s: SparkSession, d: String): (Seq[(Long, String, String, String, Long)], Long) =
     synchronized {
       bpeMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
       bpeMemo.getOrElseUpdate((s, d), {
-        val types = docs(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        // the type table rides the SHARED unigram-count memo (the
+        // collocations/text_rarity/lm relation) — no second corpus scan
+        val types = unigramCounts(s, d)
           .orderBy(col("c").desc, col("w"))
           .limit(BpeVocabTypes)
           .collect().map(r => (r.getString(0), r.getLong(1)))
+        val totalTok = unigramCounts(s, d).agg(sum(col("c"))).first().getLong(0)
+        val coverageE6 = types.map(_._2).sum * 1000000L / totalTok
         // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
         // one code point, so the split agrees with the oracle's
         // regexp_extract_all(w, '(?s).'))
@@ -1364,13 +1371,15 @@ object TextQueries {
           val Array(w1, w2) = pair.split(" ", 2)
           merges += ((k.toLong, w1, w2, merged, best._2))
         }
-        merges.toSeq
+        (merges.toSeq, coverageE6)
       })
     }
 
   def bpeLearn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    bpeMergeList(s, d).toDF("merge_rank", "w1", "w2", "merged", "pair_count")
+    val (merges, coverageE6) = bpeMergeList(s, d)
+    merges.toDF("merge_rank", "w1", "w2", "merged", "pair_count")
+      .withColumn("type_coverage_e6", lit(coverageE6))
       .orderBy(col("merge_rank"))
   }
 
@@ -1391,7 +1400,7 @@ object TextQueries {
   def bpeTokenCount(s: SparkSession, d: String): DataFrame = {
     def sqlLit(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
     var seqExpr = "concat(' ', array_join(regexp_extract_all(w, '(?s).', 0), ' '), ' ')"
-    bpeMergeList(s, d).foreach { case (_, w1, w2, m, _) =>
+    bpeMergeList(s, d)._1.foreach { case (_, w1, w2, m, _) =>
       seqExpr = s"replace($seqExpr, ' ${sqlLit(w1)} ${sqlLit(w2)} ', ' ${sqlLit(m)} ')"
     }
     val perWord = s"size(filter(split($seqExpr, ' '), x -> x != ''))"
@@ -1468,13 +1477,17 @@ object TextQueries {
        |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
        |wt AS (
        |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
+       |cov AS (
+       |  SELECT (CAST((SELECT sum(c) FROM wt) AS BIGINT) * 1000000)
+       |    // CAST((SELECT count(*) FROM toks) AS BIGINT) AS type_coverage_e6),
        |s0 AS MATERIALIZED (
        |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
        |  FROM wt),
        |$rounds
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
        |  split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
-       |  replace(pair, ' ', '') AS merged, pc AS pair_count
+       |  replace(pair, ' ', '') AS merged, pc AS pair_count,
+       |  (SELECT type_coverage_e6 FROM cov) AS type_coverage_e6
        |FROM ($union)
        |ORDER BY merge_rank""".stripMargin
   }
