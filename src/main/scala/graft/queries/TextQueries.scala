@@ -2692,13 +2692,32 @@ object TextQueries {
   // ========================================================================
   private val CardBaseWhere = "doc_id % 3 <> 0"
 
+  /** The dup/contamination membership relations PERSISTED as catalog
+    * tables next to the base counters — the refresh path screens the
+    * increment against the published artifacts, not per-session memos
+    * (a nightly job restarts its session; the artifacts must outlive
+    * it). Same tableExists rebuild guard as the IVF index tables.
+    */
+  private[graft] def dataCardMembershipTables(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val dupT = s"graft_datacard_dup_$suffix"
+      val conT = s"graft_datacard_contam_$suffix"
+      if (!s.catalog.tableExists(dupT))
+        graft.operators.Scale.saveTable(dataCardDup(s, d), dupT)
+      if (!s.catalog.tableExists(conT))
+        graft.operators.Scale.saveTable(dataCardContam(s, d), conT)
+      (dupT, conT)
+    }
+
   private[graft] def dataCardBaseTable(s: SparkSession, d: String): String =
     synchronized {
       val t = s"graft_datacard_base_${java.lang.Integer.toHexString(d.hashCode)}"
       if (!s.catalog.tableExists(t)) {
+        val (dupT, conT) = dataCardMembershipTables(s, d)
         val base = dataCardCounters(dataCardRows(
           docs(s, d).filter(expr(CardBaseWhere)),
-          dataCardDup(s, d), dataCardContam(s, d)))
+          s.table(dupT), s.table(conT)))
         graft.operators.Scale.saveTable(base, t)
       }
       t
@@ -2706,9 +2725,10 @@ object TextQueries {
 
   def dataCardIncremental(s: SparkSession, d: String): DataFrame = {
     val base = s.table(dataCardBaseTable(s, d))
+    val (dupT, conT) = dataCardMembershipTables(s, d)
     val inc = dataCardCounters(dataCardRows(
       docs(s, d).filter(not(expr(CardBaseWhere))),
-      dataCardDup(s, d), dataCardContam(s, d)))
+      s.table(dupT), s.table(conT)))
     val counterCols = base.columns.filter(_ != "source")
     val merged = base.unionByName(inc)
       .groupBy(col("source"))

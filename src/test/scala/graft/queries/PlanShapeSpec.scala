@@ -521,6 +521,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("data_card_incremental")
     // the base card comes from the published catalog table, not a rescan
     assert(p.contains("graft_datacard_base_"), p)
+    // membership screens read the published artifacts, not in-session memos
+    assert(p.contains("graft_datacard_dup_"), p)
+    assert(p.contains("graft_datacard_contam_"), p)
     // the corpus scan is increment-only (the % 3 slice filter is applied)
     assert(p.contains("% 3)"), p)
     assert(!p.contains("CartesianProduct"), p)
