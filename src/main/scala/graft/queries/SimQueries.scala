@@ -137,6 +137,86 @@ object SimQueries {
        |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ========================================================================
+  // pipeline_index — retrieval-index BUILD over curated text, the
+  // text→vector bridge the surface lacked: every chunk of every
+  // document (the chunk_tokens windows) maps to a feature-hashed signed
+  // count vector ([[graft.plans.FeatureHashVector]], the hashing trick,
+  // Weinberger et al. ICML'09 — exact INTEGER coordinates from the
+  // engine-wide 56-bit md5 hash, so both engines rebuild every
+  // coordinate bit-for-bit) and lands in its hyperplane-LSH bucket; the
+  // report is the per-bucket occupancy (chunks, distinct docs, token
+  // mass) — the layout audit an operator reads before serving a
+  // lexical-hash retrieval index, and the ann_ivf_cells treatment
+  // applied to text. Scale: the chunker's one scan; embedding+bucket
+  // are codegen projections on it (no shuffle); the occupancy rollup is
+  // ONE map-side-combined agg keyed by the 8-bit bucket.
+  // ========================================================================
+  private val FhDims = 32
+  private val FhPlanes = 8
+
+  def pipelineIndex(s: SparkSession, d: String): DataFrame =
+    TextQueries.chunkTokensOn(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.plans.FeatureHashVector(
+          graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
+      .withColumn("bucket",
+        graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("bucket"))
+
+  private val pipelineIndexSql = {
+    val C = TextQueries.ChunkC
+    val S = TextQueries.ChunkS
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |    CASE WHEN n <= $C THEN 1
+       |         ELSE CAST(ceil((n - $C) / $S.0) AS BIGINT) + 1 END AS nc
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, w, n, unnest(range(nc)) AS i FROM c),
+       |ch AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |    array_to_string(list_slice(w, i * $S + 1, i * $S + $C), ' ') AS chunk_text,
+       |    CAST(least($C, n - i * $S) AS BIGINT) AS n_tokens
+       |  FROM x),
+       |tw AS (
+       |  SELECT doc_id, chunk_idx,
+       |    unnest(regexp_extract_all(chunk_text, '\\S+')) AS w2
+       |  FROM ch),
+       |hh AS (
+       |  SELECT doc_id, chunk_idx,
+       |    ('0x' || substr(md5(w2), 1, 14))::BIGINT AS h FROM tw),
+       |cell AS (
+       |  SELECT doc_id, chunk_idx, h % $FhDims AS k,
+       |    CAST(sum(CASE WHEN (h // $FhDims) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hh GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, r.k
+       |  FROM ch, range(0, $FhDims) r(k)),
+       |vec AS (
+       |  SELECT g.doc_id, g.chunk_idx, any_value(g.n_tokens) AS n_tokens,
+       |    list(coalesce(c2.v, 0) ORDER BY g.k) AS embedding
+       |  FROM grid g LEFT JOIN cell c2
+       |    ON c2.doc_id = g.doc_id AND c2.chunk_idx = g.chunk_idx AND c2.k = g.k
+       |  GROUP BY g.doc_id, g.chunk_idx),
+       |bk AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(${hyperplaneBitsSql(FhPlanes)} AS BIGINT) AS bucket FROM vec)
+       |SELECT bucket, count(*) AS n_chunks,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM bk GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ========================================================================
   // knn_centroid — IVF-style per-cell stats (label = coarse cell): mean
   // squared distance to the cell centroid via E||x−c||² = E||x||² − ||c||²
   // — ONE aggregation: VectorSumAgg carries the per-dim sums in a single
@@ -2065,6 +2145,7 @@ object SimQueries {
     "ann_filtered" -> (annFiltered _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
+    "pipeline_index" -> (pipelineIndex _),
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
@@ -2102,6 +2183,7 @@ object SimQueries {
     // checked against the identical oracle
     "ann_cosine_sql" -> annCosineTopKSql,
     "ann_lsh_bucket" -> annLshBucketSql,
+    "pipeline_index" -> pipelineIndexSql,
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,

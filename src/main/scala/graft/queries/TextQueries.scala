@@ -430,8 +430,8 @@ object TextQueries {
   // (canonical whitespace), which is what a packing stage feeds the
   // tokenizer anyway.
   // ========================================================================
-  private val ChunkC = 32
-  private val ChunkS = 24
+  private[queries] val ChunkC = 32
+  private[queries] val ChunkS = 24
 
   /** The chunker's STATELESS per-doc stage (everything but the batch
     * presentation sort) — pure projections + one bounded explode, so it

@@ -517,6 +517,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("pipeline_index: embedding and bucket are scan-side codegen; one rollup exchange") {
+    val p = plan("pipeline_index")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    // the only hash exchanges carry the per-bucket partial aggregates
+    // (count-distinct plans a two-stage agg, both keyed by bucket)
+    val parts = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(parts.subsetOf(Set("bucket")), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("data_card_incremental merges the PERSISTED base counters with an increment-only scan") {
     val p = plan("data_card_incremental")
     // the base card comes from the published catalog table, not a rescan
