@@ -154,13 +154,33 @@ object SimQueries {
   private val FhDims = 32
   private val FhPlanes = 8
 
+  /** The feature-hashed chunk relation (doc, chunk, tokens, embedding,
+    * bucket, squared norm) — the index rows. Shared by the build audit
+    * (`pipeline_index`) and the serve path (`ann_text_topk`, which
+    * consumes it on BOTH join sides); every column is a scan-side
+    * codegen projection, memoized per (session, dir) and persisted so
+    * the chunk+hash pass runs once, not once per plan branch.
+    */
+  private val fhMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def fhChunkVecs(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    fhMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val memo = fhMemo.getOrElseUpdate((s, d),
+      TextQueries.chunkTokensOn(Tables.documents(s, d))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          graft.plans.FeatureHashVector(
+            graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
+        .withColumn("bucket",
+          graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes))
+        .withColumn("nrm2",
+          graft.plans.ArrayDotProduct.dot(col("embedding"), col("embedding")))
+        .persist())
+    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
+    memo
+  }
+
   def pipelineIndex(s: SparkSession, d: String): DataFrame =
-    TextQueries.chunkTokensOn(Tables.documents(s, d))
-      .select(col("doc_id"), col("n_tokens"),
-        graft.plans.FeatureHashVector(
-          graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
-      .withColumn("bucket",
-        graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes))
+    fhChunkVecs(s, d)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -214,6 +234,104 @@ object SimQueries {
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM bk GROUP BY bucket
        |ORDER BY bucket""".stripMargin
+  }
+
+  // ========================================================================
+  // ann_text_topk — the SERVE path of the feature-hashed text index:
+  // chunks of the query documents (doc_id < 5) retrieve their top-5
+  // nearest corpus chunks by bucket-candidate generation + exact cosine
+  // verify — the end-to-end lexical-hash retrieval a pipeline runs
+  // against the pipeline_index layout. Candidates only ever join within
+  // a hyperplane bucket (the LSH scale contract: never all-pairs); the
+  // cosine is cross-engine exact by construction — integer dot and
+  // squared norms (bounded by 32-token chunks, so double accumulation
+  // is exact), one sqrt of an exact product, one division — and the
+  // per-query top-5 ranks on (cos DESC, candidate id), all ties decided
+  // on exact values. Same-document chunks are excluded (a chunk's
+  // nearest neighbor is trivially its own doc's overlap window).
+  // ========================================================================
+  def annTextTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = fhChunkVecs(s, d).filter(col("nrm2") > 0)
+    val q = vecs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
+        col("embedding").as("q_vec"), col("bucket"), col("nrm2").as("q_nrm2"))
+    val cand = q.join(vecs, Seq("bucket"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
+        col("chunk_idx").as("n_chunk"),
+        (graft.plans.ArrayDotProduct.dot(col("q_vec"), col("embedding"))
+          / sqrt(col("q_nrm2") * col("nrm2"))).as("cos"))
+    val win = Window.partitionBy(col("q_doc"), col("q_chunk"))
+      .orderBy(col("cos").desc, col("n_doc"), col("n_chunk"))
+    cand.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("q_doc"), col("q_chunk"), col("rank"),
+        col("n_doc"), col("n_chunk"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_doc"), col("q_chunk"), col("rank"))
+  }
+
+  private val annTextTopkSql = {
+    val C = TextQueries.ChunkC
+    val S = TextQueries.ChunkS
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |    CASE WHEN n <= $C THEN 1
+       |         ELSE CAST(ceil((n - $C) / $S.0) AS BIGINT) + 1 END AS nc
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, w, n, unnest(range(nc)) AS i FROM c),
+       |ch AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |    array_to_string(list_slice(w, i * $S + 1, i * $S + $C), ' ') AS chunk_text
+       |  FROM x),
+       |tw AS (
+       |  SELECT doc_id, chunk_idx,
+       |    unnest(regexp_extract_all(chunk_text, '\\S+')) AS w2
+       |  FROM ch),
+       |hh AS (
+       |  SELECT doc_id, chunk_idx,
+       |    ('0x' || substr(md5(w2), 1, 14))::BIGINT AS h FROM tw),
+       |cell AS (
+       |  SELECT doc_id, chunk_idx, h % $FhDims AS k,
+       |    CAST(sum(CASE WHEN (h // $FhDims) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hh GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT ch.doc_id, ch.chunk_idx, r.k
+       |  FROM ch, range(0, $FhDims) r(k)),
+       |vec AS (
+       |  SELECT g.doc_id, g.chunk_idx,
+       |    list(coalesce(c2.v, 0) ORDER BY g.k) AS embedding
+       |  FROM grid g LEFT JOIN cell c2
+       |    ON c2.doc_id = g.doc_id AND c2.chunk_idx = g.chunk_idx AND c2.k = g.k
+       |  GROUP BY g.doc_id, g.chunk_idx),
+       |bk AS (
+       |  SELECT doc_id, chunk_idx, embedding,
+       |    CAST(${hyperplaneBitsSql(FhPlanes)} AS BIGINT) AS bucket,
+       |    CAST(list_sum(list_transform(embedding, v -> v * v)) AS BIGINT) AS nrm2
+       |  FROM vec),
+       |nz AS (SELECT * FROM bk WHERE nrm2 > 0),
+       |cand AS (
+       |  SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+       |    n.doc_id AS n_doc, n.chunk_idx AS n_chunk,
+       |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> q.embedding[i] * n.embedding[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.nrm2 * n.nrm2 AS DOUBLE)) AS cos
+       |  FROM nz q JOIN nz n ON n.bucket = q.bucket AND n.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 5),
+       |rk AS (
+       |  SELECT q_doc, q_chunk, n_doc, n_chunk, cos,
+       |    row_number() OVER (PARTITION BY q_doc, q_chunk
+       |      ORDER BY cos DESC, n_doc, n_chunk) AS rank
+       |  FROM cand)
+       |SELECT q_doc, q_chunk, CAST(rank AS INT) AS rank, n_doc, n_chunk,
+       |  round(cos, 4) AS cos
+       |FROM rk WHERE rank <= 5
+       |ORDER BY q_doc, q_chunk, rank""".stripMargin
   }
 
   // ========================================================================
@@ -2146,6 +2264,7 @@ object SimQueries {
     "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "pipeline_index" -> (pipelineIndex _),
+    "ann_text_topk" -> (annTextTopk _),
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
@@ -2184,6 +2303,7 @@ object SimQueries {
     "ann_cosine_sql" -> annCosineTopKSql,
     "ann_lsh_bucket" -> annLshBucketSql,
     "pipeline_index" -> pipelineIndexSql,
+    "ann_text_topk" -> annTextTopkSql,
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,

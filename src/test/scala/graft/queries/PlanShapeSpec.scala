@@ -528,6 +528,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("ann_text_topk: candidates join only within a bucket; the top-k window keys on the query") {
+    val p = plan("ann_text_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join is bucket-keyed and the rank window partitions
+    // by the query chunk — never corpus-global
+    assert(p.contains("bucket"), p)
+    val windowLine = p.linesIterator.filter(_.contains("partitionBy")).mkString
+    assert(windowLine.isEmpty || windowLine.contains("q_doc"), windowLine)
+  }
+
   test("data_card_incremental merges the PERSISTED base counters with an increment-only scan") {
     val p = plan("data_card_incremental")
     // the base card comes from the published catalog table, not a rescan
