@@ -153,13 +153,19 @@ object SimQueries {
   // ========================================================================
   private val FhDims = 32
   private val FhPlanes = 8
+  private val FhTables = 4
 
   /** The feature-hashed chunk relation (doc, chunk, tokens, embedding,
-    * bucket, squared norm) — the index rows. Shared by the build audit
-    * (`pipeline_index`) and the serve path (`ann_text_topk`, which
-    * consumes it on BOTH join sides); every column is a scan-side
-    * codegen projection, memoized per (session, dir) and persisted so
-    * the chunk+hash pass runs once, not once per plan branch.
+    * per-table LSH buckets, squared norm) — the index rows. The bucket
+    * ARRAY carries one id per OR-amplified table (disjoint plane
+    * families via planeOffset, the dedup_embedding_lsh_multi scheme —
+    * a single 8-plane table recalls ~0.24@5 on this corpus; four tables
+    * OR-amplify the S-curve). Zero vectors (chunks whose every token
+    * hashed away) are not index rows — cosine is undefined on them.
+    * Shared by the build audit (`pipeline_index`), the serve path
+    * (`ann_text_topk`, BOTH join sides), and the recall harness;
+    * memoized per (session, dir) and persisted so the chunk+hash pass
+    * runs once, not once per plan branch.
     */
   private val fhMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def fhChunkVecs(s: SparkSession, d: String): DataFrame = synchronized {
@@ -170,27 +176,97 @@ object SimQueries {
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           graft.plans.FeatureHashVector(
             graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
-        .withColumn("bucket",
-          graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes))
+        .withColumn("buckets", array((0 until FhTables).map(t =>
+          graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes,
+            t * FhPlanes)): _*))
         .withColumn("nrm2",
           graft.plans.ArrayDotProduct.dot(col("embedding"), col("embedding")))
+        .filter(col("nrm2") > 0)
         .persist())
     if (memo.storageLevel == StorageLevel.NONE) memo.persist()
     memo
   }
 
+  /** The long-form (tbl, bucket) banding of [[fhChunkVecs]] — the
+    * physical index layout (each table is a bucketed copy).
+    */
+  private def fhBanded(s: SparkSession, d: String): DataFrame =
+    fhChunkVecs(s, d).select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .withColumn("tbl", col("tbl").cast("long"))
+
   def pipelineIndex(s: SparkSession, d: String): DataFrame =
-    fhChunkVecs(s, d)
-      .groupBy(col("bucket"))
+    fhBanded(s, d)
+      .groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("doc_id")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
-      .orderBy(col("bucket"))
+      .orderBy(col("tbl"), col("bucket"))
 
-  private val pipelineIndexSql = {
+  private lazy val pipelineIndexSql =
+    s"""WITH $fhVecCtesSql
+       |SELECT tbl, bucket, count(*) AS n_chunks,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM tb GROUP BY tbl, bucket
+       |ORDER BY tbl, bucket""".stripMargin
+
+  // ========================================================================
+  // ann_text_topk — the SERVE path of the feature-hashed text index:
+  // chunks of the query documents (doc_id < 5) retrieve their top-5
+  // nearest corpus chunks by bucket-candidate generation + exact cosine
+  // verify — the end-to-end lexical-hash retrieval a pipeline runs
+  // against the pipeline_index layout. Candidates only ever join within
+  // a hyperplane bucket (the LSH scale contract: never all-pairs); the
+  // cosine is cross-engine exact by construction — integer dot and
+  // squared norms (bounded by 32-token chunks, so double accumulation
+  // is exact), one sqrt of an exact product, one division — and the
+  // per-query top-5 ranks on (cos DESC, candidate id), all ties decided
+  // on exact values. Same-document chunks are excluded (a chunk's
+  // nearest neighbor is trivially its own doc's overlap window).
+  // ========================================================================
+  def annTextTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = fhChunkVecs(s, d)
+    val banded = fhBanded(s, d).select(col("doc_id"), col("chunk_idx"),
+      col("tbl"), col("bucket"))
+    // candidate ids: any shared (table, bucket) — OR-amplification, the
+    // dedup_embedding_lsh_multi union, deduplicated before the verify
+    val qb = banded.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
+        col("tbl"), col("bucket"))
+    val pairs = qb.join(banded, Seq("tbl", "bucket"))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
+        col("chunk_idx").as("n_chunk"))
+      .distinct()
+    val qv = vecs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
+        col("embedding").as("q_vec"), col("nrm2").as("q_nrm2"))
+    val nv = vecs.select(col("doc_id").as("n_doc"), col("chunk_idx").as("n_chunk"),
+      col("embedding"), col("nrm2"))
+    val cand = pairs.join(qv, Seq("q_doc", "q_chunk")).join(nv, Seq("n_doc", "n_chunk"))
+      .select(col("q_doc"), col("q_chunk"), col("n_doc"), col("n_chunk"),
+        (graft.plans.ArrayDotProduct.dot(col("q_vec"), col("embedding"))
+          / sqrt(col("q_nrm2") * col("nrm2"))).as("cos"))
+    val win = Window.partitionBy(col("q_doc"), col("q_chunk"))
+      .orderBy(col("cos").desc, col("n_doc"), col("n_chunk"))
+    cand.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("q_doc"), col("q_chunk"), col("rank"),
+        col("n_doc"), col("n_chunk"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_doc"), col("q_chunk"), col("rank"))
+  }
+
+  /** The feature-hashed chunk-vector CTE chain (ends at `nz` — doc,
+    * chunk, n_tokens, embedding, nrm2, zero vectors dropped — and `tb`,
+    * the per-table banding) — ONE rendering shared by the build, serve,
+    * and recall oracles.
+    */
+  private lazy val fhVecCtesSql = {
     val C = TextQueries.ChunkC
     val S = TextQueries.ChunkS
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
        |  FROM documents),
@@ -227,102 +303,32 @@ object SimQueries {
        |    ON c2.doc_id = g.doc_id AND c2.chunk_idx = g.chunk_idx AND c2.k = g.k
        |  GROUP BY g.doc_id, g.chunk_idx),
        |bk AS (
-       |  SELECT doc_id, n_tokens,
-       |    CAST(${hyperplaneBitsSql(FhPlanes)} AS BIGINT) AS bucket FROM vec)
-       |SELECT bucket, count(*) AS n_chunks,
-       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-       |FROM bk GROUP BY bucket
-       |ORDER BY bucket""".stripMargin
-  }
-
-  // ========================================================================
-  // ann_text_topk — the SERVE path of the feature-hashed text index:
-  // chunks of the query documents (doc_id < 5) retrieve their top-5
-  // nearest corpus chunks by bucket-candidate generation + exact cosine
-  // verify — the end-to-end lexical-hash retrieval a pipeline runs
-  // against the pipeline_index layout. Candidates only ever join within
-  // a hyperplane bucket (the LSH scale contract: never all-pairs); the
-  // cosine is cross-engine exact by construction — integer dot and
-  // squared norms (bounded by 32-token chunks, so double accumulation
-  // is exact), one sqrt of an exact product, one division — and the
-  // per-query top-5 ranks on (cos DESC, candidate id), all ties decided
-  // on exact values. Same-document chunks are excluded (a chunk's
-  // nearest neighbor is trivially its own doc's overlap window).
-  // ========================================================================
-  def annTextTopk(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vecs = fhChunkVecs(s, d).filter(col("nrm2") > 0)
-    val q = vecs.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
-        col("embedding").as("q_vec"), col("bucket"), col("nrm2").as("q_nrm2"))
-    val cand = q.join(vecs, Seq("bucket"))
-      .filter(col("doc_id") =!= col("q_doc"))
-      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
-        col("chunk_idx").as("n_chunk"),
-        (graft.plans.ArrayDotProduct.dot(col("q_vec"), col("embedding"))
-          / sqrt(col("q_nrm2") * col("nrm2"))).as("cos"))
-    val win = Window.partitionBy(col("q_doc"), col("q_chunk"))
-      .orderBy(col("cos").desc, col("n_doc"), col("n_chunk"))
-    cand.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= 5)
-      .select(col("q_doc"), col("q_chunk"), col("rank"),
-        col("n_doc"), col("n_chunk"), round(col("cos"), 4).as("cos"))
-      .orderBy(col("q_doc"), col("q_chunk"), col("rank"))
-  }
-
-  private val annTextTopkSql = {
-    val C = TextQueries.ChunkC
-    val S = TextQueries.ChunkS
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, w, n,
-       |    CASE WHEN n <= $C THEN 1
-       |         ELSE CAST(ceil((n - $C) / $S.0) AS BIGINT) + 1 END AS nc
-       |  FROM t),
-       |x AS (
-       |  SELECT doc_id, w, n, unnest(range(nc)) AS i FROM c),
-       |ch AS (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-       |    array_to_string(list_slice(w, i * $S + 1, i * $S + $C), ' ') AS chunk_text
-       |  FROM x),
-       |tw AS (
-       |  SELECT doc_id, chunk_idx,
-       |    unnest(regexp_extract_all(chunk_text, '\\S+')) AS w2
-       |  FROM ch),
-       |hh AS (
-       |  SELECT doc_id, chunk_idx,
-       |    ('0x' || substr(md5(w2), 1, 14))::BIGINT AS h FROM tw),
-       |cell AS (
-       |  SELECT doc_id, chunk_idx, h % $FhDims AS k,
-       |    CAST(sum(CASE WHEN (h // $FhDims) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
-       |  FROM hh GROUP BY 1, 2, 3),
-       |grid AS (
-       |  SELECT ch.doc_id, ch.chunk_idx, r.k
-       |  FROM ch, range(0, $FhDims) r(k)),
-       |vec AS (
-       |  SELECT g.doc_id, g.chunk_idx,
-       |    list(coalesce(c2.v, 0) ORDER BY g.k) AS embedding
-       |  FROM grid g LEFT JOIN cell c2
-       |    ON c2.doc_id = g.doc_id AND c2.chunk_idx = g.chunk_idx AND c2.k = g.k
-       |  GROUP BY g.doc_id, g.chunk_idx),
-       |bk AS (
-       |  SELECT doc_id, chunk_idx, embedding,
-       |    CAST(${hyperplaneBitsSql(FhPlanes)} AS BIGINT) AS bucket,
+       |  SELECT doc_id, chunk_idx, n_tokens, embedding,
        |    CAST(list_sum(list_transform(embedding, v -> v * v)) AS BIGINT) AS nrm2
        |  FROM vec),
        |nz AS (SELECT * FROM bk WHERE nrm2 > 0),
+       |tb AS (
+       |  ${(0 until FhTables).map(t =>
+           s"""SELECT doc_id, chunk_idx, n_tokens, CAST($t AS BIGINT) AS tbl,
+              |    CAST(${hyperplaneBitsSql(FhPlanes, t * FhPlanes)} AS BIGINT) AS bucket
+              |  FROM nz""".stripMargin).mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
+
+  private lazy val annTextTopkSql = {
+    s"""WITH $fhVecCtesSql,
+       |cp AS (
+       |  SELECT DISTINCT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+       |    n.doc_id AS n_doc, n.chunk_idx AS n_chunk
+       |  FROM tb q JOIN tb n ON n.tbl = q.tbl AND n.bucket = q.bucket
+       |   AND n.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 5),
        |cand AS (
-       |  SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
-       |    n.doc_id AS n_doc, n.chunk_idx AS n_chunk,
+       |  SELECT p.q_doc, p.q_chunk, p.n_doc, p.n_chunk,
        |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
        |      i -> q.embedding[i] * n.embedding[i])) AS DOUBLE)
        |      / sqrt(CAST(q.nrm2 * n.nrm2 AS DOUBLE)) AS cos
-       |  FROM nz q JOIN nz n ON n.bucket = q.bucket AND n.doc_id <> q.doc_id
-       |  WHERE q.doc_id < 5),
+       |  FROM cp p JOIN nz q ON q.doc_id = p.q_doc AND q.chunk_idx = p.q_chunk
+       |            JOIN nz n ON n.doc_id = p.n_doc AND n.chunk_idx = p.n_chunk),
        |rk AS (
        |  SELECT q_doc, q_chunk, n_doc, n_chunk, cos,
        |    row_number() OVER (PARTITION BY q_doc, q_chunk
@@ -333,6 +339,94 @@ object SimQueries {
        |FROM rk WHERE rank <= 5
        |ORDER BY q_doc, q_chunk, rank""".stripMargin
   }
+
+  // ========================================================================
+  // ann_text_recall — recall@5 of the bucketed text-retrieval path
+  // against exact brute-force ground truth: per query chunk, how many
+  // of the true top-5 (exact cosine over EVERY other-doc chunk, the
+  // same deterministic tie-break) the single-bucket candidate
+  // generation actually returned — the quality lock for the
+  // pipeline_index/ann_text_topk family (the ann_recall treatment
+  // applied to text). The brute-force side is a BOUNDED eval harness
+  // (≤ |q chunks| × corpus chunks pairs with q fixed at 5 docs —
+  // constant query load at any corpus size, the dedup_lsh_recall
+  // contract); hits and recall are exact integers and one exact
+  // division.
+  // ========================================================================
+  def annTextRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = fhChunkVecs(s, d) // zero vectors already excluded
+    val q = vecs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_doc"), col("chunk_idx").as("q_chunk"),
+        col("embedding").as("q_vec"), col("nrm2").as("q_nrm2"))
+    val win = Window.partitionBy(col("q_doc"), col("q_chunk"))
+      .orderBy(col("cos").desc, col("n_doc"), col("n_chunk"))
+    val truth = broadcast(q).join(vecs, col("doc_id") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_chunk"), col("doc_id").as("n_doc"),
+        col("chunk_idx").as("n_chunk"),
+        (graft.plans.ArrayDotProduct.dot(col("q_vec"), col("embedding"))
+          / sqrt(col("q_nrm2") * col("nrm2"))).as("cos"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= 5)
+      .select(col("q_doc"), col("q_chunk"), col("n_doc"), col("n_chunk"))
+    val retrieved = annTextTopk(s, d)
+      .select(col("q_doc"), col("q_chunk"), col("n_doc"), col("n_chunk"))
+    val hits = truth.join(retrieved, Seq("q_doc", "q_chunk", "n_doc", "n_chunk"), "left_semi")
+      .groupBy(col("q_doc"), col("q_chunk")).agg(count(lit(1)).as("hits"))
+    q.select(col("q_doc"), col("q_chunk"))
+      .join(hits, Seq("q_doc", "q_chunk"), "left")
+      .select(col("q_doc"), col("q_chunk"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+      .orderBy(col("q_doc"), col("q_chunk"))
+  }
+
+  private lazy val annTextRecallSql =
+    s"""WITH $fhVecCtesSql,
+       |qq AS (SELECT doc_id AS q_doc, chunk_idx AS q_chunk, embedding AS q_vec,
+       |         nrm2 AS q_nrm2 FROM nz WHERE doc_id < 5),
+       |allp AS (
+       |  SELECT q.q_doc, q.q_chunk, n.doc_id AS n_doc, n.chunk_idx AS n_chunk,
+       |    CAST(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+       |      i -> q.q_vec[i] * n.embedding[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.q_nrm2 * n.nrm2 AS DOUBLE)) AS cos
+       |  FROM qq q JOIN nz n ON n.doc_id <> q.q_doc),
+       |truth AS (
+       |  SELECT q_doc, q_chunk, n_doc, n_chunk FROM (
+       |    SELECT q_doc, q_chunk, n_doc, n_chunk,
+       |      row_number() OVER (PARTITION BY q_doc, q_chunk
+       |        ORDER BY cos DESC, n_doc, n_chunk) AS rank
+       |    FROM allp) WHERE rank <= 5),
+       |cp AS (
+       |  SELECT DISTINCT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+       |    n.doc_id AS n_doc, n.chunk_idx AS n_chunk
+       |  FROM tb q JOIN tb n ON n.tbl = q.tbl AND n.bucket = q.bucket
+       |   AND n.doc_id <> q.doc_id
+       |  WHERE q.doc_id < 5),
+       |cand AS (
+       |  SELECT p.q_doc, p.q_chunk, p.n_doc, p.n_chunk,
+       |    CAST(list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> q.embedding[i] * n.embedding[i])) AS DOUBLE)
+       |      / sqrt(CAST(q.nrm2 * n.nrm2 AS DOUBLE)) AS cos
+       |  FROM cp p JOIN nz q ON q.doc_id = p.q_doc AND q.chunk_idx = p.q_chunk
+       |            JOIN nz n ON n.doc_id = p.n_doc AND n.chunk_idx = p.n_chunk),
+       |retr AS (
+       |  SELECT q_doc, q_chunk, n_doc, n_chunk FROM (
+       |    SELECT q_doc, q_chunk, n_doc, n_chunk,
+       |      row_number() OVER (PARTITION BY q_doc, q_chunk
+       |        ORDER BY cos DESC, n_doc, n_chunk) AS rank
+       |    FROM cand) WHERE rank <= 5),
+       |hits AS (
+       |  SELECT t.q_doc, t.q_chunk, count(*) AS hits
+       |  FROM truth t JOIN retr r
+       |    ON r.q_doc = t.q_doc AND r.q_chunk = t.q_chunk
+       |   AND r.n_doc = t.n_doc AND r.n_chunk = t.n_chunk
+       |  GROUP BY t.q_doc, t.q_chunk)
+       |SELECT q.q_doc, q.q_chunk,
+       |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM qq q LEFT JOIN hits h ON h.q_doc = q.q_doc AND h.q_chunk = q.q_chunk
+       |ORDER BY q.q_doc, q.q_chunk""".stripMargin
 
   // ========================================================================
   // knn_centroid — IVF-style per-cell stats (label = coarse cell): mean
@@ -2265,6 +2359,7 @@ object SimQueries {
     "ann_lsh_bucket" -> (annLshBucket _),
     "pipeline_index" -> (pipelineIndex _),
     "ann_text_topk" -> (annTextTopk _),
+    "ann_text_recall" -> (annTextRecall _),
     "knn_centroid" -> (knnCentroid _),
     "ann_ivf_search" -> (annIvfSearch _),
     "ann_ivf_probe2" -> (annIvfProbe2 _),
@@ -2304,6 +2399,7 @@ object SimQueries {
     "ann_lsh_bucket" -> annLshBucketSql,
     "pipeline_index" -> pipelineIndexSql,
     "ann_text_topk" -> annTextTopkSql,
+    "ann_text_recall" -> annTextRecallSql,
     "knn_centroid" -> knnCentroidSql,
     "ann_ivf_search" -> annIvfSearchSql,
     "ann_ivf_probe2" -> annIvfProbe2Sql,

@@ -157,6 +157,28 @@ class NewQuerySpec extends SparkSpec {
     assert(out.forall { case (_, _, n, t) => t >= n })
   }
 
+  test("ann_text_recall: OR-amplified retrieval clears the recall floor; serve output is sound") {
+    val recall = graft.SparkEntry.queries("ann_text_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(recall.nonEmpty)
+    recall.foreach { case (_, _, hits, rec) =>
+      assert(hits >= 0 && hits <= 5 && rec == hits / 5.0)
+    }
+    // regression lock: 4-table OR-amplification measured 0.56 mean
+    // recall@5 on this corpus (single-table was 0.24) — a banding or
+    // hashing regression drops it sharply
+    val mean = recall.map(_._4).sum / recall.length
+    assert(mean >= 0.35, f"mean recall@5 $mean%.3f below floor")
+    // serve output: ranks are 1..k contiguous per query, neighbors never
+    // from the query's own doc
+    val served = graft.SparkEntry.queries("ann_text_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    served.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    assert(served.forall { case (qd, _, _, nd) => qd != nd })
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)

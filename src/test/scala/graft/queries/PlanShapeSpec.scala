@@ -517,14 +517,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
-  test("pipeline_index: embedding and bucket are scan-side codegen; one rollup exchange") {
+  test("pipeline_index: embedding and buckets are scan-side codegen; one rollup exchange") {
     val p = plan("pipeline_index")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Join"), p)
-    // the only hash exchanges carry the per-bucket partial aggregates
-    // (count-distinct plans a two-stage agg, both keyed by bucket)
+    // the only hash exchanges carry the per-(table, bucket) partial
+    // aggregates (count-distinct plans a two-stage agg on the same keys)
     val parts = "hashpartitioning\\((\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSet
-    assert(parts.subsetOf(Set("bucket")), p)
+    assert(parts.subsetOf(Set("tbl", "bucket")), p)
     assert(p.contains("partial_"), p)
   }
 
