@@ -50,12 +50,22 @@ case class FeatureHashVector(child: Expression, dims: Int)
 }
 
 object FeatureHashVector {
+  // one digest per task thread, reset per use — a JCA getInstance per
+  // TOKEN would pay a synchronized provider lookup + allocation millions
+  // of times per scan
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 56 bits of md5 over the UTF-8 bytes — exactly
     * `('0x' || substr(md5(w), 1, 14))::BIGINT` (14 hex chars = the first
     * 7 digest bytes, big-endian). Non-negative by construction.
     */
   def hash56(w: UTF8String): Long = {
-    val dig = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes)
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(w.getBytes)
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }

@@ -1296,14 +1296,22 @@ object TextQueries {
   // bpe_learn — byte-pair-encoding tokenizer induction (Sennrich et al.
   // arXiv:1508.07909), the missing learner half of the tokenization
   // story (token_count_subword APPLIES a given vocab; every pipeline
-  // that trains its own tokenizer needs this step). Classic BPE: word
-  // types become space-separated character sequences; each round merges
-  // the adjacent symbol pair with the highest frequency-weighted count
-  // (ties to the lexicographically smallest pair) everywhere at once
-  // (left-to-right non-overlapping — the contract Java's String.replace,
-  // Spark's `replace`, and DuckDB's `replace` all share, probed
-  // explicitly). Output: the learned merge table (rank, pair, merged
-  // symbol, weighted count) — the artifact a tokenizer ships.
+  // that trains its own tokenizer needs this step). Word types become
+  // space-separated code-point sequences; each round picks the adjacent
+  // symbol pair with the highest frequency-weighted count (overlapping
+  // pairs counted, ties to the lexicographically smallest pair) and
+  // applies it everywhere via SENTINEL-SPACED string replace —
+  // left-to-right non-overlapping, the contract Java's String.replace,
+  // Spark's `replace`, and DuckDB's `replace` all share (probed
+  // explicitly). DOCUMENTED DIVERGENCE from subword-nmt: because the
+  // replace consumes the shared separator space, a run of >= 3 repeats
+  // of the merged pair under-merges relative to reference BPE
+  // (' a a a a ' -> ' aa a a ', not ' aa aa ') — the variant is
+  // deterministic and IDENTICAL in both engines (which is what the
+  // oracle certifies), but a merge table exported to an external
+  // tokenizer will disagree on degenerate run-heavy text. Output: the
+  // learned merge table (rank, pair, merged symbol, weighted count);
+  // rounds stop early (fewer rows) if the vocabulary fully collapses.
   //
   // Scale: ONE corpus scan builds the word-type frequency table; the
   // merge iteration runs over the TOP-K types by (count, word) — a
@@ -1337,7 +1345,11 @@ object TextQueries {
           .limit(BpeVocabTypes)
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val totalTok = unigramCounts(s, d).agg(sum(col("c"))).first().getLong(0)
-        val coverageE6 = types.map(_._2).sum * 1000000L / totalTok
+        // BigInt: covered*1e6 overflows a long once head tokens pass
+        // ~9.2e12 — exactly the 100 TB regime; the oracle divides in
+        // HUGEINT for the same reason
+        val coverageE6 =
+          (BigInt(types.map(_._2).sum) * 1000000 / BigInt(totalTok)).toLong
         // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
         // one code point, so the split agrees with the oracle's
         // regexp_extract_all(w, '(?s).'))
@@ -1357,19 +1369,26 @@ object TextQueries {
               i += 1
             }
           }
-          require(!pc.isEmpty, s"BPE merge round $k found no adjacent pairs")
-          // argmax by (count desc, pair asc) — binary string order, the
-          // cross-engine tie-break every ORDER BY in this file relies on
-          var best: (String, Long) = null
-          pc.forEach { (p, c) =>
-            if (best == null || c > best._2 || (c == best._2 && p < best._1))
-              best = (p, c)
+          // a fully-collapsed vocabulary (no adjacent pairs left) ends
+          // learning with the merges found so far — the oracle's empty
+          // m$k CTE contributes no row and nulls every later round's
+          // sequences, so both engines emit exactly the completed merges
+          if (!pc.isEmpty && merges.length < BpeMerges) {
+            // argmax by (count desc, pair asc) — binary string order, the
+            // cross-engine tie-break every ORDER BY in this file relies on
+            var best: (String, Long) = null
+            pc.forEach { (p, c) =>
+              if (best == null || c > best._2 || (c == best._2 && p < best._1))
+                best = (p, c)
+            }
+            val pair = best._1
+            val merged = pair.replace(" ", "")
+            seqs = seqs.map { case (seq, c) =>
+              (seq.replace(" " + pair + " ", " " + merged + " "), c)
+            }
+            val Array(w1, w2) = pair.split(" ", 2)
+            merges += ((k.toLong, w1, w2, merged, best._2))
           }
-          val pair = best._1
-          val merged = pair.replace(" ", "")
-          seqs = seqs.map { case (seq, c) => (seq.replace(" " + pair + " ", " " + merged + " "), c) }
-          val Array(w1, w2) = pair.split(" ", 2)
-          merges += ((k.toLong, w1, w2, merged, best._2))
         }
         (merges.toSeq, coverageE6)
       })
@@ -1389,27 +1408,26 @@ object TextQueries {
   // through the merge chain (per-word application, the standard BPE
   // pre-tokenization contract) — the compression measurement that tells
   // a pipeline owner what the learned merges actually buy on their
-  // corpus. The merge table rides into the PLAN as literals (the
-  // lmSketchModel lifecycle: learned once per (session, dir), a plan
-  // constant thereafter), so application is a pure per-row codegen
-  // projection — transform/aggregate higher-order functions over the
-  // token array, NO join and NO shuffle (plan-guarded). The oracle
-  // re-learns the merges from scratch in SQL and applies the identical
-  // replace chain per word.
+  // corpus. The merge table rides into the PLAN as one reference object
+  // (the lmSketchModel lifecycle: learned once per (session, dir), a
+  // plan constant thereafter) consumed by the codegen'd
+  // [[graft.plans.BpeTokenSegments]] — one JVM pass per row, NO join, NO
+  // shuffle, and no interpreted higher-order-function lambdas (the first
+  // cut evaluated ~14 interpreted string expressions per corpus token —
+  // the README's documented hot-path anti-pattern; plan-guarded). The
+  // oracle re-learns the merges from scratch in SQL and applies the
+  // identical replace chain per word.
   // ========================================================================
   def bpeTokenCount(s: SparkSession, d: String): DataFrame = {
-    def sqlLit(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-    var seqExpr = "concat(' ', array_join(regexp_extract_all(w, '(?s).', 0), ' '), ' ')"
-    bpeMergeList(s, d)._1.foreach { case (_, w1, w2, m, _) =>
-      seqExpr = s"replace($seqExpr, ' ${sqlLit(w1)} ${sqlLit(w2)} ', ' ${sqlLit(m)} ')"
-    }
-    val perWord = s"size(filter(split($seqExpr, ' '), x -> x != ''))"
+    val merges = bpeMergeList(s, d)._1
+    val model = graft.plans.BpeApplyModel(
+      merges.map { case (_, w1, w2, _, _) => s" $w1 $w2 " }.toArray,
+      merges.map { case (_, _, _, m, _) => s" $m " }.toArray)
     docs(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_ws"),
-        expr(s"CAST(aggregate(transform(toks, w -> $perWord), 0L, (acc, x) -> acc + x)" +
-          " AS BIGINT)").as("n_bpe"))
+        graft.plans.BpeTokenSegments(col("toks"), model).as("n_bpe"))
       .orderBy(col("doc_id"))
   }
 
@@ -1478,8 +1496,8 @@ object TextQueries {
        |wt AS (
        |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
        |cov AS (
-       |  SELECT (CAST((SELECT sum(c) FROM wt) AS BIGINT) * 1000000)
-       |    // CAST((SELECT count(*) FROM toks) AS BIGINT) AS type_coverage_e6),
+       |  SELECT CAST(((SELECT sum(c) FROM wt) * 1000000)
+       |    // (SELECT count(*) FROM toks) AS BIGINT) AS type_coverage_e6),
        |s0 AS MATERIALIZED (
        |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
        |  FROM wt),
