@@ -153,6 +153,13 @@ object StreamBench {
         Seq("doc_id", "source", "n_chars", "text"),
         df => graft.streaming.StreamingCurate.dataCard(spark, df, cardDup, cardContam),
         outputMode = "complete"),
+      // continuous retrieval-index admission: chunk → feature-hash embed
+      // → per-table LSH buckets, all stateless codegen — throughput is
+      // pure expression cost, zero state rows
+      run[(Long, String)]("index_admit",
+        docRows.map(t => (t._1, t._3)), Seq("doc_id", "text"),
+        df => graft.queries.SimQueries.fhChunkVecsOn(df)
+          .select(col("doc_id"), col("chunk_idx"), col("buckets"))),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -202,6 +209,7 @@ object StreamBench {
       // absolute caps are the structural invariant (sources is a small
       // fixed set), per-row bytes is meaningless at this cardinality
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
+      "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

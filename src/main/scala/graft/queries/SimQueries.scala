@@ -167,22 +167,31 @@ object SimQueries {
     * memoized per (session, dir) and persisted so the chunk+hash pass
     * runs once, not once per plan branch.
     */
+  /** The index-row projection over ANY (doc_id, text) frame — every
+    * stage is a stateless codegen expression, so the IDENTICAL pipeline
+    * runs on a STREAM (chunk → hash-embed → per-table buckets → norm
+    * filter: the continuous index-admission stage; StreamingSpec pins
+    * row parity with the batch relation, StreamBench measures it as
+    * `index_admit`).
+    */
+  def fhChunkVecsOn(docsDf: DataFrame): DataFrame =
+    TextQueries.chunkTokensOn(docsDf)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        graft.plans.FeatureHashVector(
+          graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
+      .withColumn("buckets", array((0 until FhTables).map(t =>
+        graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes,
+          t * FhPlanes)): _*))
+      .withColumn("nrm2",
+        graft.plans.ArrayDotProduct.dot(col("embedding"), col("embedding")))
+      .filter(col("nrm2") > 0)
+
   private val fhMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def fhChunkVecs(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     fhMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val memo = fhMemo.getOrElseUpdate((s, d),
-      TextQueries.chunkTokensOn(Tables.documents(s, d))
-        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
-          graft.plans.FeatureHashVector(
-            graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
-        .withColumn("buckets", array((0 until FhTables).map(t =>
-          graft.plans.HyperplaneBuckets.buckets(col("embedding"), FhPlanes,
-            t * FhPlanes)): _*))
-        .withColumn("nrm2",
-          graft.plans.ArrayDotProduct.dot(col("embedding"), col("embedding")))
-        .filter(col("nrm2") > 0)
-        .persist())
+      fhChunkVecsOn(Tables.documents(s, d)).persist())
     if (memo.storageLevel == StorageLevel.NONE) memo.persist()
     memo
   }

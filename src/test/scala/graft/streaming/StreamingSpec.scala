@@ -886,6 +886,37 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 2L, 100000000L), (1L, 1L, 4000000000L)))
   }
 
+  test("streaming index admission matches the batch feature-hashed chunk rows (stateless stage shared)") {
+    implicit val sc = spark.sqlContext
+    // chunk → hash-embed → per-table buckets is pure codegen, so the
+    // continuous index-admission stage must emit IDENTICAL rows on a
+    // stream (append mode, no state, no watermark)
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val out = graft.queries.SimQueries.fhChunkVecsOn(df)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("buckets"), col("nrm2"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("idx_admit_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("idx_admit_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    val want = graft.queries.SimQueries.fhChunkVecsOn(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("buckets"), col("nrm2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._4.exists(_ != 0L)))
+  }
+
   test("streaming data card snapshot equals the batch data_card on the full corpus") {
     implicit val sc = spark.sqlContext
     // the dup/contamination memberships are batch-side relations joined
