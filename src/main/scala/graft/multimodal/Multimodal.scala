@@ -968,13 +968,18 @@ object Multimodal {
     assets.select(col("asset_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) =>
         walkY4mMono(bytes, step)(frameDhash(bytes, _, _, _)) match {
-          case None => Nil
-          case Some((_, _, _, sampled)) =>
+          // a valid zero-frame stream emits NOTHING — frameDhashes (and
+          // therefore the batch signature groupBy it feeds) has no rows
+          // for such an asset, and an md5-of-empty signature here would
+          // make every frameless clip an "exact dup" of every other,
+          // breaking streaming/batch membership parity
+          case Some((_, _, _, sampled)) if sampled.nonEmpty =>
             val md = java.security.MessageDigest.getInstance("MD5")
             val joined = sampled.map(_._2).mkString(",")
             val sig = md.digest(joined.getBytes("UTF-8"))
               .map(b => f"${b & 0xff}%02x").mkString
             Seq(ClipSig(id, sig, sampled.map(_._1.toLong), sampled.map(_._2)))
+          case _ => Nil
         }
       })
   }

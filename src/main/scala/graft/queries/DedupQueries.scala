@@ -376,8 +376,7 @@ object DedupQueries {
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
         TextOps.distinctCount(col("toks")).as("n_dist"))
       .select(col("doc_id"), col("cluster"),
-        expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n")
-          .as("q_e6"))
+        expr(TextQueries.QualityE6Expr).as("q_e6"))
       .join(pr, Seq("doc_id"))
     // single-pass election: ONE window aggregate computes the argmax
     // struct per cluster — a row_number + join-back would consume
@@ -421,12 +420,11 @@ object DedupQueries {
        |${round(3)},
        |qual AS (
        |  SELECT doc_id,
-       |    CAST(((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) // n
-       |      AS BIGINT) AS q_e6
+       |    CAST(${TextQueries.QualityE6Sql} AS BIGINT) AS q_e6
        |  FROM (
        |    SELECT doc_id,
        |      CAST(len(toks) AS BIGINT) AS n,
-       |      CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT)
+       |      CAST(len(list_filter(toks, t -> t IN (${TextQueries.EnStopSqlList}))) AS BIGINT)
        |        AS n_stop,
        |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
        |    FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
@@ -870,10 +868,8 @@ object DedupQueries {
     * lead windows each.
     */
   private val substrMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def substringSpans(s: SparkSession, d: String): DataFrame = synchronized {
-    import org.apache.spark.storage.StorageLevel
-    substrMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val memo = substrMemo.getOrElseUpdate((s, d), {
+  private def substringSpans(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(substrMemo, (s, d)) {
       import org.apache.spark.sql.expressions.Window
       val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val kg = positionedGrams(docs(s, d)).persist()
@@ -895,10 +891,7 @@ object DedupQueries {
       spans.count() // materialize now so the token-level gram cache can go
       kg.unpersist(false)
       spans
-    })
-    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
-    memo
-  }
+    }
 
   def dedupSubstring(s: SparkSession, d: String): DataFrame = {
     val nt = docs(s, d).select(col("doc_id"),

@@ -187,14 +187,10 @@ object SimQueries {
       .filter(col("nrm2") > 0)
 
   private val fhMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def fhChunkVecs(s: SparkSession, d: String): DataFrame = synchronized {
-    import org.apache.spark.storage.StorageLevel
-    fhMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val memo = fhMemo.getOrElseUpdate((s, d),
-      fhChunkVecsOn(Tables.documents(s, d)).persist())
-    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
-    memo
-  }
+  private def fhChunkVecs(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(fhMemo, (s, d)) {
+      fhChunkVecsOn(Tables.documents(s, d)).persist()
+    }
 
   /** The long-form (tbl, bucket) banding of [[fhChunkVecs]] — the
     * physical index layout (each table is a bucketed copy).

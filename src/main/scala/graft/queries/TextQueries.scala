@@ -19,6 +19,24 @@ object TextQueries {
 
   private val enStop = TextOps.LangStopwords.toMap.apply("en")
 
+  /** The text_quality composite's exact integer NUMERATOR over per-row
+    * (n, n_stop, n_dist), and its 1e-6 floor-division quantization —
+    * ONE definition each. Four consumers (text_quality itself,
+    * dedup_cluster_best's election, the data card's quality bands, and
+    * every matching oracle rendering) must agree to the bit or they
+    * silently diverge from each other; interpolate these, never re-type
+    * the formula.
+    */
+  private[queries] val QualityNumExpr =
+    "(5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)"
+  private[queries] val QualityE6Expr = s"($QualityNumExpr * 1000) div n"
+  private[queries] val QualityE6Sql = s"($QualityNumExpr * 1000) // n"
+  /** The English stop list rendered as a SQL IN-list — the single
+    * source is [[TextOps.LangStopwords]], same as the Scala sides.
+    */
+  private[queries] val EnStopSqlList =
+    TextOps.LangStopwords.toMap.apply("en").map(w => s"'$w'").mkString(",")
+
   /** One corpus unigram-count relation per (session, dir), persisted —
     * the [[graft.queries.DedupQueries]] shared-pipeline lifecycle for
     * the token-frequency scan that `collocations` and `text_rarity`
@@ -1452,9 +1470,17 @@ object TextQueries {
     val mmCols = (1 to BpeMerges).map(k =>
       s"(SELECT pair FROM m$k) AS p$k, (SELECT replace(pair, ' ', '') FROM m$k) AS r$k")
       .mkString(",\n  ")
+    // coalesce each merge scalar to a bare space: an unproductive round
+    // leaves m$k empty (NULL scalar), and a NULL pattern would otherwise
+    // poison the whole replace chain to NULL → n_bpe silently 0 while
+    // Spark's model carries only the completed merges. The coalesced
+    // pattern '   ' (three spaces) can never occur in a single-spaced
+    // symbol sequence, so the round becomes a no-op — exactly the Spark
+    // behavior.
     val chain = (1 to BpeMerges).foldLeft(
       "' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' '") {
-      (e, k) => s"replace($e, ' ' || mm.p$k || ' ', ' ' || mm.r$k || ' ')"
+      (e, k) => s"replace($e, ' ' || coalesce(mm.p$k, ' ') || ' '," +
+        s" ' ' || coalesce(mm.r$k, ' ') || ' ')"
     }
     s"""WITH toks AS (
        |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
@@ -2256,10 +2282,8 @@ object TextQueries {
     */
   private val lmScoreMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def lmScoreCore(s: SparkSession, d: String): DataFrame = synchronized {
-    import org.apache.spark.storage.StorageLevel
-    lmScoreMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val memo = lmScoreMemo.getOrElseUpdate((s, d), {
+  private def lmScoreCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(lmScoreMemo, (s, d)) {
       val uni = unigramCounts(s, d)
       val vocab = uni.agg(count(lit(1)).as("v_size"))
       val bg = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -2284,10 +2308,7 @@ object TextQueries {
       scored.count() // materialize so the bigram-occurrence cache can go
       bg.unpersist(false)
       scored
-    })
-    if (memo.storageLevel == StorageLevel.NONE) memo.persist()
-    memo
-  }
+    }
 
   def lmScore(s: SparkSession, d: String): DataFrame =
     lmScoreCore(s, d).orderBy(col("doc_id"))
@@ -2625,7 +2646,7 @@ object TextQueries {
         TextOps.distinctCount(col("toks")).as("n_dist"),
         TextOps.langId(col("toks")).as("lang_pred"))
       .withColumn("q_e6", when(col("n") > 0,
-        expr("((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) div n"))
+        expr(QualityE6Expr))
         .otherwise(lit(0L)))
       .withColumn("q_band", least(expr("q_e6 div 100000"), lit(9L)))
       // NO broadcast hint: at bench scale the memberships are small and
@@ -2772,7 +2793,7 @@ object TextQueries {
        |rows0 AS (
        |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
        |    CAST(len(toks) AS BIGINT) AS n,
-       |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','is','a'))) AS BIGINT)
+       |    CAST(len(list_filter(toks, t -> t IN ($EnStopSqlList))) AS BIGINT)
        |      AS n_stop,
        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
        |    ${stopHits("de")} AS s_de, ${stopHits("en")} AS s_en,
@@ -2786,7 +2807,7 @@ object TextQueries {
        |         WHEN s_es >= s_fr THEN 'es'
        |         ELSE 'fr' END AS lang_pred,
        |    CASE WHEN n > 0
-       |      THEN ((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000) // n
+       |      THEN $QualityE6Sql
        |      ELSE 0 END AS q_e6
        |  FROM rows0),
        |rows2 AS (
