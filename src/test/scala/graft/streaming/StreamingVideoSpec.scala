@@ -34,6 +34,23 @@ class StreamingVideoSpec extends SparkSpec {
         md5(concat_ws(",", expr("transform(fs, x -> CAST(x.fhash AS STRING))"))).as("csig"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
 
+  test("a valid zero-frame clip emits no signature — mirrors the batch pipeline's absence") {
+    import org.apache.spark.sql.functions.col
+    // a header-only y4m stream is valid but frameless: frameDhashes (and
+    // the batch signature groupBy it feeds) has no rows for it, so the
+    // streaming walker must emit nothing too — an md5-of-empty signature
+    // would group every frameless clip as an exact dup of every other
+    val headerOnly = Multimodal.y4mMono(4, 4, Seq.empty)
+    val withFrames = Multimodal.y4mMono(4, 4, Seq(Array.fill(16)(7.toByte)))
+    val df = spark.createDataFrame(Seq((1L, headerOnly), (2L, withFrames)))
+      .toDF("asset_id", "payload")
+    val sigs = Multimodal.clipSignatures(spark, df).collect()
+    assert(sigs.map(_.asset_id).toSeq == Seq(2L))
+    val hashes = Multimodal.frameDhashes(spark, df, step = 2).toDF()
+      .select(col("asset_id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(hashes == Seq(2L))
+  }
+
   test("one-pass streaming clip signature is byte-identical to the batch md5 construction") {
     val streamed = Multimodal.clipSignatures(spark,
         Multimodal.syntheticY4mReplicaPayloads(spark, Tables.documents(spark, sf)))
