@@ -1352,6 +1352,55 @@ object TextQueries {
     * rides the query output so a reader sees what fraction of corpus
     * tokens the learning actually saw (Zipf makes it ≈1 at any K).
     */
+  /** The in-process greedy merge loop over a collected type table —
+    * pure function of the (word, count) array, shared by the full-corpus
+    * learner and the base-slice twin `bpe_drift` compares against.
+    */
+  private[queries] def bpeMergesFrom(
+      types: Array[(String, Long)]): Seq[(Long, String, String, String, Long)] = {
+    // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
+    // one code point, so the split agrees with the oracle's
+    // regexp_extract_all(w, '(?s).'))
+    var seqs = types.map { case (w, c) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).mkString(" ")
+      (" " + cps + " ", c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    (1 to BpeMerges).foreach { k =>
+      val pc = new java.util.HashMap[String, Long]()
+      seqs.foreach { case (seq, c) =>
+        val sl = seq.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < sl.length - 1) {
+          pc.merge(sl(i) + " " + sl(i + 1), c, Long.box(_) + Long.box(_))
+          i += 1
+        }
+      }
+      // a fully-collapsed vocabulary (no adjacent pairs left) ends
+      // learning with the merges found so far — the oracle's empty
+      // m$k CTE contributes no row and nulls every later round's
+      // sequences, so both engines emit exactly the completed merges
+      if (!pc.isEmpty && merges.length < BpeMerges) {
+        // argmax by (count desc, pair asc) — binary string order, the
+        // cross-engine tie-break every ORDER BY in this file relies on
+        var best: (String, Long) = null
+        pc.forEach { (p, c) =>
+          if (best == null || c > best._2 || (c == best._2 && p < best._1))
+            best = (p, c)
+        }
+        val pair = best._1
+        val merged = pair.replace(" ", "")
+        seqs = seqs.map { case (seq, c) =>
+          (seq.replace(" " + pair + " ", " " + merged + " "), c)
+        }
+        val Array(w1, w2) = pair.split(" ", 2)
+        merges += ((k.toLong, w1, w2, merged, best._2))
+      }
+    }
+    merges.toSeq
+  }
+
   private[queries] def bpeMergeList(s: SparkSession, d: String): (Seq[(Long, String, String, String, Long)], Long) =
     synchronized {
       bpeMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
@@ -1368,47 +1417,7 @@ object TextQueries {
         // HUGEINT for the same reason
         val coverageE6 =
           (BigInt(types.map(_._2).sum) * 1000000 / BigInt(totalTok)).toLong
-        // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
-        // one code point, so the split agrees with the oracle's
-        // regexp_extract_all(w, '(?s).'))
-        var seqs = types.map { case (w, c) =>
-          val cps = w.codePoints().toArray
-            .map(cp => new String(Character.toChars(cp))).mkString(" ")
-          (" " + cps + " ", c)
-        }
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-        (1 to BpeMerges).foreach { k =>
-          val pc = new java.util.HashMap[String, Long]()
-          seqs.foreach { case (seq, c) =>
-            val sl = seq.split(" ").filter(_.nonEmpty)
-            var i = 0
-            while (i < sl.length - 1) {
-              pc.merge(sl(i) + " " + sl(i + 1), c, Long.box(_) + Long.box(_))
-              i += 1
-            }
-          }
-          // a fully-collapsed vocabulary (no adjacent pairs left) ends
-          // learning with the merges found so far — the oracle's empty
-          // m$k CTE contributes no row and nulls every later round's
-          // sequences, so both engines emit exactly the completed merges
-          if (!pc.isEmpty && merges.length < BpeMerges) {
-            // argmax by (count desc, pair asc) — binary string order, the
-            // cross-engine tie-break every ORDER BY in this file relies on
-            var best: (String, Long) = null
-            pc.forEach { (p, c) =>
-              if (best == null || c > best._2 || (c == best._2 && p < best._1))
-                best = (p, c)
-            }
-            val pair = best._1
-            val merged = pair.replace(" ", "")
-            seqs = seqs.map { case (seq, c) =>
-              (seq.replace(" " + pair + " ", " " + merged + " "), c)
-            }
-            val Array(w1, w2) = pair.split(" ", 2)
-            merges += ((k.toLong, w1, w2, merged, best._2))
-          }
-        }
-        (merges.toSeq, coverageE6)
+        (bpeMergesFrom(types), coverageE6)
       })
     }
 
@@ -1498,6 +1507,85 @@ object TextQueries {
        |    len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
        |FROM dt, mm
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ========================================================================
+  // bpe_drift — tokenizer STABILITY between releases: the merge table
+  // learned on the base slice (the published tokenizer, doc_id % 3 <> 0
+  // — the data-card increment convention) compared rank-by-rank against
+  // the merge table the full corpus would learn. A pipeline owner reads
+  // this before re-releasing a tokenizer: `same = 1` everywhere means
+  // the increment did not move the learned vocabulary and the published
+  // artifact stands; an early-rank flip means retokenizing the corpus.
+  // Both learners are the identical in-process loop over their bounded
+  // type tables ([[bpeMergesFrom]] — one definition); the oracle
+  // replays BOTH unrolled chains with disjoint CTE prefixes.
+  // ========================================================================
+  def bpeDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val full = bpeMergeList(s, d)._1
+    val baseTypes = docs(s, d).filter(expr("doc_id % 3 <> 0"))
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(BpeVocabTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val base = bpeMergesFrom(baseTypes)
+    val n = math.max(full.length, base.length)
+    (1 to n).map { k =>
+      val f = full.find(_._1 == k).map(_._4).getOrElse("")
+      val b = base.find(_._1 == k).map(_._4).getOrElse("")
+      (k.toLong, b, f, if (b == f) 1L else 0L)
+    }.toDF("merge_rank", "merged_base", "merged_full", "same")
+      .orderBy(col("merge_rank"))
+  }
+
+  private val bpeDriftSql = {
+    // one local renderer, instantiated for the base slice (b_) and the
+    // full corpus (f_) with disjoint CTE prefixes
+    def chain(pfx: String, where: String) = {
+      def round(k: Int) =
+        s"""${pfx}p$k AS (
+           |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
+           |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
+           |      AS pair
+           |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
+           |          FROM ${pfx}s${k - 1}))
+           |  GROUP BY pair),
+           |${pfx}m$k AS (SELECT $k AS merge_rank, pair FROM ${pfx}p$k
+           |             ORDER BY pc DESC, pair LIMIT 1),
+           |${pfx}s$k AS MATERIALIZED (
+           |  SELECT c, replace(seq, ' ' || (SELECT pair FROM ${pfx}m$k) || ' ',
+           |    ' ' || (SELECT replace(pair, ' ', '') FROM ${pfx}m$k) || ' ') AS seq
+           |  FROM ${pfx}s${k - 1})"""
+      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
+      val union = (1 to BpeMerges)
+        .map(k => s"SELECT merge_rank, pair FROM ${pfx}m$k").mkString("\nUNION ALL\n")
+      s"""${pfx}toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents$where),
+         |${pfx}wt AS (
+         |  SELECT w, count(*) AS c FROM ${pfx}toks
+         |  GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
+         |${pfx}s0 AS MATERIALIZED (
+         |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
+         |  FROM ${pfx}wt),
+         |$rounds,
+         |${pfx}mg AS (
+         |  SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+         |    replace(pair, ' ', '') AS merged FROM ($union))""".stripMargin
+    }
+    s"""WITH ${chain("f_", "")},
+       |${chain("b_", " WHERE doc_id % 3 <> 0")},
+       |ranks AS (
+       |  SELECT DISTINCT merge_rank FROM
+       |  (SELECT merge_rank FROM f_mg UNION ALL SELECT merge_rank FROM b_mg))
+       |SELECT r.merge_rank,
+       |  coalesce(b.merged, '') AS merged_base,
+       |  coalesce(f.merged, '') AS merged_full,
+       |  CAST(CASE WHEN coalesce(b.merged, '') = coalesce(f.merged, '')
+       |    THEN 1 ELSE 0 END AS BIGINT) AS same
+       |FROM ranks r LEFT JOIN b_mg b USING (merge_rank)
+       |             LEFT JOIN f_mg f USING (merge_rank)
+       |ORDER BY r.merge_rank""".stripMargin
   }
 
   private val bpeLearnSql = {
@@ -2854,6 +2942,7 @@ object TextQueries {
     "data_card_incremental" -> (dataCardIncremental _),
     "release_manifest" -> (releaseManifest _),
     "bpe_learn" -> (bpeLearn _),
+    "bpe_drift" -> (bpeDrift _),
     "bpe_token_count" -> (bpeTokenCount _),
     "lm_gate_sketch" -> (lmGateSketch _),
     "curate_report_lm" -> (curateReportLm _),
@@ -2901,6 +2990,7 @@ object TextQueries {
     "data_card_incremental" -> dataCardSql,
     "release_manifest" -> releaseManifestSql,
     "bpe_learn" -> bpeLearnSql,
+    "bpe_drift" -> bpeDriftSql,
     "bpe_token_count" -> bpeTokenCountSql,
     "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,

@@ -179,6 +179,25 @@ class NewQuerySpec extends SparkSpec {
     assert(served.forall { case (qd, _, _, nd) => qd != nd })
   }
 
+  test("bpe_drift: base-vs-full merge comparison is rank-complete and consistent with bpe_learn") {
+    val drift = graft.SparkEntry.queries("bpe_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(drift.nonEmpty)
+    assert(drift.map(_._1).toSeq == (1L to drift.length).toSeq)
+    drift.foreach { case (_, b, f, same) =>
+      assert(same == (if (b == f) 1L else 0L))
+    }
+    // the full-corpus column IS bpe_learn's merge column, rank for rank
+    val learned = graft.SparkEntry.queries("bpe_learn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("merged"))).toMap
+    drift.foreach { case (k, _, f, _) =>
+      assert(learned.get(k).forall(_ == f), s"rank $k: $f vs ${learned.get(k)}")
+    }
+    // head merges are stable on this corpus (the base slice is 2/3 of
+    // it) — a fully-divergent table would mean the comparison is broken
+    assert(drift.take(3).forall(_._4 == 1L))
+  }
+
   test("ts_changepoint localizes a constructed mean shift at the shift point") {
     // series 1: flat 10.0 for 20 readings then flat 20.0 for 20 — the
     // max-|cusum| row is the LAST pre-shift reading (classic CUSUM)
