@@ -215,6 +215,33 @@ object Bench {
       }
       if (fired) loadRepassed += name
     }
+    // ---- final over_gate sweep ----
+    // r16 shipped with two over_gate survivors: the 150 s first-pass
+    // budget ran out while the box was still loaded, and the 3 s decay
+    // sleep is too short for a 1-minute average to fall. This dedicated
+    // second sweep exists solely to empty over_gate: its own wall-clock
+    // budget, more tries, and a real decay wait (5 s chunks while the
+    // load sits above the gate, up to 30 s per try) — the pattern of
+    // waiting out a co-tenant burst instead of sampling into it. If the
+    // box never decays inside the budget the artifact still records the
+    // honest over_gate list.
+    val sweepT0 = System.nanoTime()
+    def sweepBudgetLeft: Boolean = (System.nanoTime() - sweepT0) / 1e9 < 180.0
+    perQuery.toSeq.filter { case (n, t) => t > 0 && !hasGatedSample(n) }
+      .sortBy(-_._2).map(_._1).foreach { name =>
+        var tries = 0
+        while (!hasGatedSample(name) && tries < 8 && sweepBudgetLeft) {
+          var waited = 0
+          while (loadAvg() > loadGate && waited < 30 && sweepBudgetLeft) {
+            Thread.sleep(5000); waited += 5
+          }
+          val s = sampleOf(name)
+          tries += 1
+          perQuerySamples(name) = perQuerySamples(name) :+ s
+          if (s > 0 && s < perQuery(name)) perQuery(name) = s
+          if (!loadRepassed.contains(name)) loadRepassed += name
+        }
+      }
     // ---- best-sample load attribution ----
     // The trust gap the per-sample "loads" array still left: the READER had
     // to cross-index samples/loads to find out which load the reported min

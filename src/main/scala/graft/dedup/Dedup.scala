@@ -320,9 +320,17 @@ object Dedup {
 
   def clusterLabels(pairs: DataFrame): DataFrame = {
     val sel = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
-    if (probe.length > DriverComponentsMaxEdges) clusterLabelsWithRounds(pairs)._1
+    // cheap size gate BEFORE the row probe: the count of the limited plan
+    // ships one long to the driver, so an overflowing graph no longer pays
+    // a discarded 2^20-row collect + tens of MB of driver transfer. The
+    // small case re-executes the plan for the actual rows — callers pass
+    // the persisted pair relations (lshShared etc.), so that second read
+    // is a cache hit; an unpersisted small input pays one extra cheap job.
+    val overflow =
+      sel.limit(DriverComponentsMaxEdges + 1).count() > DriverComponentsMaxEdges
+    if (overflow) clusterLabelsWithRounds(pairs)._1
     else {
+      val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x

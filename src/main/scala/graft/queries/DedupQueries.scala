@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.dedup.Dedup
+import graft.functions.ExactRound
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.TextOps
@@ -264,9 +265,18 @@ object DedupQueries {
   // — and three rounds of distributed join+agg scheduler latency vanish.
   // An overflowing probe falls through to the distributed plan.
   def dedupGraphRank(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshShared(s, d).pairs.select(col("id_a"), col("id_b"))
-    val probe = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).collect()
-    if (probe.length <= Dedup.DriverComponentsMaxEdges) {
+    val pairs = lshShared(s, d).pairs
+      // defensive cast (the clusterLabels contract): an integer-typed id
+      // column must take the fast path, not throw in getLong
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // count-first size gate (the clusterLabels contract): overflow decides
+    // on one long, never a discarded multi-MB collect; pairs is the
+    // memoized persisted lshShared relation so the small-case re-read hits
+    // cache
+    val small = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).count() <=
+      Dedup.DriverComponentsMaxEdges
+    if (small) {
+      val probe = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).collect()
       val edges = probe.flatMap { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))
@@ -901,7 +911,11 @@ object DedupQueries {
         sum(col("ep") - col("sp")).cast("long").as("dup_tokens"))
       .join(nt, Seq("doc_id"))
       .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"),
-        round(col("dup_tokens") / col("n_tokens"), 4).as("dup_frac"))
+        // ExactRound: round(dup_tokens/n_tokens, 4) as an exact-integer
+        // half-away — the ratio lands on a representable .5 whenever
+        // n_tokens is a power of two (same class as text_rarity's red row)
+        (expr(ExactRound.spark("dup_tokens * 10000", "n_tokens")).cast("double")
+          / lit(10000.0)).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -942,7 +956,7 @@ object DedupQueries {
       |SELECT sp.doc_id, count(*) AS n_spans,
       |  CAST(sum(ep - sp.sp) AS BIGINT) AS dup_tokens,
       |  any_value(nt.n_tokens) AS n_tokens,
-      |  round(CAST(sum(ep - sp.sp) AS DOUBLE) / any_value(nt.n_tokens), 4) AS dup_frac
+      |  CAST(${ExactRound.duck("CAST(sum(ep - sp.sp) AS BIGINT) * 10000", "any_value(nt.n_tokens)")} AS DOUBLE) / 10000.0 AS dup_frac
       |FROM spans sp JOIN nt ON nt.doc_id = sp.doc_id
       |GROUP BY sp.doc_id
       |ORDER BY sp.doc_id""".stripMargin

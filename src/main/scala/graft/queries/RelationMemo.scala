@@ -13,6 +13,23 @@ import org.apache.spark.storage.StorageLevel
   * `build` must RETURN AN ALREADY-PERSISTED frame (builds often cache
   * intermediates, materialize, and release them — only the final persist
   * is this helper's concern).
+  *
+  * TWO-SESSION SAFETY (the distinction that decides whether a memo needs
+  * a catalog guard): memos here hold PLAIN VALUES or DataFrames keyed by
+  * (session, dir) — a second session never sees the first's entry, and a
+  * restarted session rebuilds from the parquet dir, so they are safe by
+  * construction. That also covers the dir-keyed VALUE memos elsewhere
+  * (`subwordMemo`, `bpeMemo`: deterministic pure functions of the dir's
+  * data — whichever session computes them, the value is identical).
+  * The one genuinely session-COUPLED kind is a memo that records "I
+  * already wrote Spark-catalog TABLES for this dir" (the IVF index
+  * memos): the table lives in the session catalog, so a memo hit from a
+  * different/previous session must re-validate with
+  * `catalog.tableExists` before trusting it (SimQueries.ivfAppendTables
+  * / ivfRebalMemo carry exactly that guard; AnnPersistSpec pins the
+  * fresh-catalog case). New memos: keyed by (session, dir) + plain
+  * value/DataFrame → no guard; records a catalog/file side effect →
+  * needs an existence re-check on hit.
   */
 private[queries] object RelationMemo {
   def relation(map: scala.collection.mutable.Map[(SparkSession, String), DataFrame],

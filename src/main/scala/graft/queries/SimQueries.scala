@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExactRound
 import graft.sources.Tables
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
@@ -865,11 +866,16 @@ object SimQueries {
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(expr(AppendBaseWhere), 1L).otherwise(0L)).as("n_base"))
       .withColumn("n_inc", col("n_vecs") - col("n_base"))
+      .withColumn("tot", sum(col("n_vecs")).over(wAll))
+      .withColumn("mx", max(col("n_vecs")).over(wAll))
+      .withColumn("ncells", count(lit(1)).over(wAll))
+      // ExactRound: both ratios are integer rationals (counts), so they
+      // can land on representable .5 halves where engine double round()
+      // semantics diverge; skew = max/(tot/cells) ≡ max·cells/tot
       .withColumn("frac",
-        round(col("n_vecs").cast("double") / sum(col("n_vecs")).over(wAll), 4))
+        expr(ExactRound.spark("n_vecs * 10000", "tot")).cast("double") / lit(10000.0))
       .withColumn("skew_ratio",
-        round(max(col("n_vecs")).over(wAll).cast("double")
-          / (sum(col("n_vecs")).over(wAll).cast("double") / count(lit(1)).over(wAll)), 4))
+        expr(ExactRound.spark("mx * ncells * 10000", "tot")).cast("double") / lit(10000.0))
       .select(col("kcell").cast("long").as("kcell"), col("n_vecs"), col("n_base"),
         col("n_inc"), col("frac"), col("skew_ratio"))
       .orderBy(col("kcell"))
@@ -1047,14 +1053,18 @@ object SimQueries {
        |cnt AS (
        |  SELECT cell, count(*) AS n_vecs,
        |    sum(CASE WHEN $AppendBaseWhere THEN 1 ELSE 0 END) AS n_base
-       |  FROM am GROUP BY cell)
+       |  FROM am GROUP BY cell),
+       |win AS (
+       |  SELECT cell, n_vecs, n_base,
+       |    sum(n_vecs) OVER () AS tot, max(n_vecs) OVER () AS mx,
+       |    count(*) OVER () AS ncells
+       |  FROM cnt)
        |SELECT CAST(cell AS BIGINT) AS kcell,
        |  CAST(n_vecs AS BIGINT) AS n_vecs, CAST(n_base AS BIGINT) AS n_base,
        |  CAST(n_vecs - n_base AS BIGINT) AS n_inc,
-       |  round(CAST(n_vecs AS DOUBLE) / sum(n_vecs) OVER (), 4) AS frac,
-       |  round(CAST(max(n_vecs) OVER () AS DOUBLE)
-       |    / (CAST(sum(n_vecs) OVER () AS DOUBLE) / count(*) OVER ()), 4) AS skew_ratio
-       |FROM cnt ORDER BY kcell""".stripMargin
+       |  CAST(${ExactRound.duck("n_vecs * 10000", "tot")} AS DOUBLE) / 10000.0 AS frac,
+       |  CAST(${ExactRound.duck("mx * ncells * 10000", "tot")} AS DOUBLE) / 10000.0 AS skew_ratio
+       |FROM win ORDER BY kcell""".stripMargin
 
   // ========================================================================
   // ann_ivf_kmeans64 — the quantizer at k past the old expression-tree
@@ -2080,14 +2090,19 @@ object SimQueries {
         sum(when(col("slice") === "new", col("sq"))).as("sn"),
         max(when(col("slice") === "old", col("n"))).as("no"),
         max(when(col("slice") === "new", col("n"))).as("nn"))
-      .select(col("label"), col("no"), col("nn"),
-        (col("so") / (col("no") * lit(1000000.0))).as("mo"),
-        (col("sn") / (col("nn") * lit(1000000.0))).as("mn"))
+    // ExactRound: round(mo·mn·10⁹) with mo = so/(no·10⁶) is
+    // round(so·sn / (no·nn·10³)) — an exact integer rational (sums of
+    // quantized components over counts) that can land on representable
+    // .5 halves. Products run in DECIMAL(38,0) (so·sn ≲ 10²² overflows
+    // BIGINT); `div` returns BIGINT, ≲10¹⁰, exact.
     wide
       .select(col("label"), col("no"), col("nn"),
-        round(col("mo") * col("mn") * lit(1e9)).cast("long").as("p"),
-        round(col("mo") * col("mo") * lit(1e9)).cast("long").as("o2"),
-        round(col("mn") * col("mn") * lit(1e9)).cast("long").as("n2"))
+        expr(ExactRound.spark("CAST(so AS DECIMAL(38,0)) * sn",
+          "CAST(no AS DECIMAL(38,0)) * nn * 1000")).as("p"),
+        expr(ExactRound.spark("CAST(so AS DECIMAL(38,0)) * so",
+          "CAST(no AS DECIMAL(38,0)) * no * 1000")).as("o2"),
+        expr(ExactRound.spark("CAST(sn AS DECIMAL(38,0)) * sn",
+          "CAST(nn AS DECIMAL(38,0)) * nn * 1000")).as("n2"))
       .groupBy(col("label"), col("no"), col("nn"))
       .agg(sum(col("p")).as("sp"), sum(col("o2")).as("so2"), sum(col("n2")).as("sn2"))
       .select(col("label"), col("no").as("n_old"), col("nn").as("n_new"),
@@ -2096,7 +2111,7 @@ object SimQueries {
   }
 
   private val embedDriftSql =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT label, CASE WHEN vec_id % 3 = 0 THEN 'new' ELSE 'old' END AS slice,
       |    r.i AS dim,
       |    CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS qx
@@ -2108,14 +2123,14 @@ object SimQueries {
       |  SELECT label, dim,
       |    max(CASE WHEN slice = 'old' THEN n END) AS no,
       |    max(CASE WHEN slice = 'new' THEN n END) AS nn,
-      |    sum(CASE WHEN slice = 'old' THEN sq END) / (max(CASE WHEN slice = 'old' THEN n END) * 1000000.0) AS mo,
-      |    sum(CASE WHEN slice = 'new' THEN sq END) / (max(CASE WHEN slice = 'new' THEN n END) * 1000000.0) AS mn
+      |    CAST(sum(CASE WHEN slice = 'old' THEN sq END) AS BIGINT) AS so,
+      |    CAST(sum(CASE WHEN slice = 'new' THEN sq END) AS BIGINT) AS sn
       |  FROM q GROUP BY 1, 2),
       |pr AS (
       |  SELECT label, no, nn,
-      |    CAST(round(mo * mn * 1e9) AS BIGINT) AS p,
-      |    CAST(round(mo * mo * 1e9) AS BIGINT) AS o2,
-      |    CAST(round(mn * mn * 1e9) AS BIGINT) AS n2
+      |    CAST(${ExactRound.duck("so::HUGEINT * sn", "no::HUGEINT * nn * 1000")} AS BIGINT) AS p,
+      |    CAST(${ExactRound.duck("so::HUGEINT * so", "no::HUGEINT * no * 1000")} AS BIGINT) AS o2,
+      |    CAST(${ExactRound.duck("sn::HUGEINT * sn", "nn::HUGEINT * nn * 1000")} AS BIGINT) AS n2
       |  FROM wide)
       |SELECT label, no AS n_old, nn AS n_new,
       |  round(CAST(sum(p) AS DOUBLE) / (sqrt(CAST(sum(o2) AS DOUBLE)) * sqrt(CAST(sum(n2) AS DOUBLE))), 4) AS centroid_cos

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ExactRound
 import graft.sources.Tables
 import graft.text.TextOps
 
@@ -519,12 +520,14 @@ object TextQueries {
     * offsets, straddle explode, per-sequence aggregation) is written
     * once.
     */
-  private def packSequencesWith(docsDf: DataFrame, nTok: Column): DataFrame = {
+  private def packSequencesWith(docsDf: DataFrame, nTok: Column,
+                                orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(orderBy.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     docsDf
-      .select(col("doc_id"), col("source"), (nTok + 1).cast("long").as("n_tok"))
+      .select(Seq(col("doc_id"), col("source"), (nTok + 1).cast("long").as("n_tok")) ++
+        orderBy.filterNot(Set("doc_id", "source", "n_tok")).map(col): _*)
       .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .select(col("source"), col("st"), col("n_tok"),
         explode(sequence(expr(s"st DIV $SeqLen"),
@@ -568,9 +571,10 @@ object TextQueries {
   // shuffle. Real LLM-pipeline token budgets are BPE-denominated;
   // whitespace counts under-estimate them, and this is the engine-side
   // counter the chunk/pack family can swap in (pack_sequences_subword
-  // below does exactly that). Learning is ONE bounded aggregation
-  // (distinct 2-grams ≤ |charset|² — 82 on this corpus) collected to
-  // the driver, the localizeCentroids contract. Oracle: re-learns the
+  // below does exactly that). Learning is ONE aggregation whose ≥1%
+  // threshold filters CLUSTER-SIDE before the collect, so the driver
+  // sees ≤ 100 survivor pieces however large the charset² histogram
+  // grows — the localizeCentroids contract. Oracle: re-learns the
   // vocab in SQL and replays the greedy scan as a per-word recursive
   // CTE — the integer threshold (cnt·100 ≥ total) and CODEPOINT
   // offsets are exact in both engines on any corpus (the matcher steps
@@ -581,15 +585,28 @@ object TextQueries {
   private[graft] def subwordVocab(s: SparkSession, d: String): Set[String] =
     subwordMemo.synchronized {
       subwordMemo.getOrElseUpdate(d, {
-        val rows = docs(s, d)
+        // The ≥1%-of-total-mass filter runs CLUSTER-SIDE against the
+        // broadcast one-row total, so the driver only ever collects the
+        // survivors — by construction ≤ 100 pieces (each holds ≥ 1% of
+        // the mass), regardless of charset. The full 2-gram histogram
+        // (charset² distinct pieces — 10⁶-10⁸ for a CJK/emoji-heavy web
+        // corpus) stays distributed; it is persisted for the duration of
+        // the two actions (total + filtered collect) so the corpus is
+        // scanned once.
+        val pieces = docs(s, d)
           .select(explode(TextOps.tokens(col("text"))).as("w"))
           .filter(length(col("w")) >= 2)
           .select(explode(expr(
             "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
           .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        val total = rows.map(_._2).sum
-        rows.filter(_._2 * 100 >= total).map(_._1).toSet
+          .persist()
+        val tot = pieces.agg(sum(col("cnt")).as("total"))
+        val vocab = pieces.crossJoin(broadcast(tot))
+          .filter(col("cnt") * 100 >= col("total"))
+          .select(col("piece"))
+          .collect().map(_.getString(0)).toSet
+        pieces.unpersist(false)
+        vocab
       })
     }
 
@@ -1338,8 +1355,9 @@ object TextQueries {
   // construction; tokenizer trainers operate on word counts, not the
   // corpus — at 100 TB the scan is the distributed part and this loop
   // is unchanged). Every count is an exact integer and the argmax
-  // tie-break is binary string order, identical in both engines for BMP
-  // text, so the oracle replays the rounds as unrolled CTEs bit-for-bit.
+  // tie-break compares UTF-8 BYTES (not Java UTF-16 code units), the
+  // identical order to DuckDB's ORDER BY on any code point incl. astral,
+  // so the oracle replays the rounds as unrolled CTEs bit-for-bit.
   // ========================================================================
   private[queries] val BpeVocabTypes = 4096
   private[queries] val BpeMerges = 12
@@ -1382,11 +1400,20 @@ object TextQueries {
       // m$k CTE contributes no row and nulls every later round's
       // sequences, so both engines emit exactly the completed merges
       if (!pc.isEmpty && merges.length < BpeMerges) {
-        // argmax by (count desc, pair asc) — binary string order, the
-        // cross-engine tie-break every ORDER BY in this file relies on
+        // argmax by (count desc, pair asc) in UTF-8 BYTE order — the
+        // order DuckDB's ORDER BY and Spark's own string sort both use.
+        // Java String '<' compares UTF-16 code units, which DISAGREES
+        // with UTF-8 byte order for astral-plane code points (surrogates
+        // 0xD800+ sort below 0xE000+ BMP chars in UTF-16 but their UTF-8
+        // encoding 0xF0.. sorts above), so a count tie involving emoji
+        // could pick a different merge per engine.
+        def utf8Less(a: String, b: String): Boolean =
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
         var best: (String, Long) = null
         pc.forEach { (p, c) =>
-          if (best == null || c > best._2 || (c == best._2 && p < best._1))
+          if (best == null || c > best._2 || (c == best._2 && utf8Less(p, best._1)))
             best = (p, c)
         }
         val pair = best._1
@@ -1853,6 +1880,81 @@ object TextQueries {
        |LIMIT $ReservoirK""".stripMargin
 
   // ========================================================================
+  // shuffle_seeded — deterministic seeded training-order shuffle: the
+  // one reference §2.6 operator that had no query key
+  // (tfdataset_utilities get_shuffled_tfdataset's buffered shuffle —
+  // reference semantics: randomize example order before batching).
+  // A buffered RNG shuffle is neither reproducible across engines nor
+  // across partitionings, so the engine ships what a pre-training
+  // pipeline actually deploys for training-order randomization: a
+  // content-addressed permutation — ORDER BY hash60(doc_id # seed).
+  // Changing the seed is a fresh epoch-order; the permutation is frozen
+  // under re-runs, append-stable (a new doc splices in without moving
+  // relative order of the rest), and cross-engine hashable (md5).
+  //
+  // Scale shape: position = the distributed two-job global index
+  // (WindowOps.withRowIdx — RangePartitioning + partition-local sort +
+  // offset add), NEVER a single-task row_number() OVER (ORDER BY …).
+  // At 100 TB the global total order is only needed when a single
+  // consumer reads sequentially; a 1000-executor trainer shards first,
+  // and the same hash key range-partitioned IS the per-shard local
+  // shuffle (pack_shuffled below consumes exactly that form).
+  // ========================================================================
+  private val ShuffleSeed = "42"
+
+  def shuffleSeeded(s: SparkSession, d: String): DataFrame = {
+    val hashed = docs(s, d).select(col("doc_id"), col("source"),
+      TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed)).as("h"))
+    graft.operators.WindowOps.withRowIdx(hashed, Seq.empty, Seq("h", "doc_id"), "position")
+      .select(col("position"), col("doc_id"), col("source"), col("h"))
+      .orderBy(col("position"))
+  }
+
+  private val shuffleSeededSql =
+    s"""SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position,
+       |  doc_id, source, h
+       |FROM (SELECT doc_id, source,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
+       |  FROM documents)
+       |ORDER BY position""".stripMargin
+
+  // ========================================================================
+  // pack_shuffled — pack_sequences consuming the seeded shuffle order:
+  // per source shard, docs concatenate in hash60(doc_id # seed) order
+  // (shuffle_seeded's permutation restricted to the shard) instead of
+  // doc_id order, then cut into fixed L-token sequences. THE form a
+  // pre-training job ships: shard-local shuffled packing — no global
+  // order dependency, identical packing algebra (packSequencesWith),
+  // one hashpartitioning(source) exchange, epoch = seed.
+  // ========================================================================
+  def packShuffled(s: SparkSession, d: String): DataFrame =
+    packSequencesWith(
+      docs(s, d).withColumn("h",
+        TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed))),
+      size(TextOps.tokens(col("text"))), orderBy = Seq("h", "doc_id"))
+
+  private val packShuffledSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM t),
+       |e AS (
+       |  SELECT source, st, n_tok,
+       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
+       |  FROM o)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
+       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
   // sample_mix — target-share corpus mixing (domain reweighting): given
   // per-source target shares w_s (here data-driven: w ∝ source index+1,
   // so the mix is deliberately non-uniform over the uniform corpus),
@@ -2304,7 +2406,10 @@ object TextQueries {
         sum(when(col("c") <= RareCountMax, 1L).otherwise(0L)).as("rare_n"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tok"), col("sum_cnt"), col("rare_n"),
-        round(col("sum_cnt") * lit(10000L) / col("n_tok")).cast("long").as("mean_cnt_e4"),
+        // Exact integer half-up: (2a+b) div 2b — no doubles, so no engine
+        // round-semantics dependence (Spark HALF_UP vs DuckDB>=1.1
+        // half-to-even diverge on exact .5 halves, e.g. n_tok a power of 2).
+        expr("(2 * sum_cnt * 10000 + n_tok) div (2 * n_tok)").as("mean_cnt_e4"),
         round(log((col("n_corpus") * col("n_tok")).cast("double") / col("sum_cnt"))
           * lit(10000.0)).cast("long").as("surprisal_e4"))
       .orderBy(col("doc_id"))
@@ -2323,7 +2428,7 @@ object TextQueries {
        |    CAST(sum(CASE WHEN c <= $RareCountMax THEN 1 ELSE 0 END) AS BIGINT) AS rare_n
        |  FROM dt JOIN uc USING (w) GROUP BY doc_id)
        |SELECT doc_id, n_tok, sum_cnt, rare_n,
-       |  CAST(round(CAST(sum_cnt * 10000 AS DOUBLE) / n_tok) AS BIGINT) AS mean_cnt_e4,
+       |  CAST((2 * sum_cnt * 10000 + n_tok) // (2 * n_tok) AS BIGINT) AS mean_cnt_e4,
        |  CAST(round(ln(CAST(n_corpus * n_tok AS DOUBLE) / sum_cnt) * 10000.0) AS BIGINT)
        |    AS surprisal_e4
        |FROM agg, tot
@@ -2391,7 +2496,10 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"))
         .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"),
-          round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
+          // exact integer half-away (ExactRound): round(nll/(n·10⁴), 4)
+          // ≡ halfAway(nll, n)/10⁴ — no double round, engine-independent
+          (expr(ExactRound.spark("nll_sum_e4", "n_bg")).cast("double")
+            / lit(LmScale)).as("mean_nll"))
         .persist()
       scored.count() // materialize so the bigram-occurrence cache can go
       bg.unpersist(false)
@@ -2426,7 +2534,8 @@ object TextQueries {
        |  FROM bg JOIN bc USING (w1, w2) JOIN uc ON uc.w = bg.w1, v)
        |SELECT doc_id, count(*) AS n_bg,
        |  CAST(sum(nll_e4) AS BIGINT) AS nll_sum_e4,
-       |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
+       |  CAST(${ExactRound.duck("CAST(sum(nll_e4) AS BIGINT)", "count(*)")} AS DOUBLE)
+       |    / 10000.0 AS mean_nll
        |FROM nll GROUP BY doc_id""".stripMargin
 
   private val lmScoreSql = lmScoreCoreSql + "\nORDER BY doc_id"
@@ -2630,7 +2739,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bg"), sum(col("nll_e4")).as("nll_sum_e4"),
         sum(col("oov")).as("oov_bg"))
       .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"), col("oov_bg"),
-        round(col("nll_sum_e4") / (col("n_bg") * lit(LmScale)), 4).as("mean_nll"))
+        (expr(ExactRound.spark("nll_sum_e4", "n_bg")).cast("double")
+          / lit(LmScale)).as("mean_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -2664,7 +2774,8 @@ object TextQueries {
        |SELECT doc_id, count(*) AS n_bg,
        |  CAST(sum(nll_e4) AS BIGINT) AS nll_sum_e4,
        |  CAST(sum(oov) AS BIGINT) AS oov_bg,
-       |  round(CAST(sum(nll_e4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_nll
+       |  CAST(${ExactRound.duck("CAST(sum(nll_e4) AS BIGINT)", "count(*)")} AS DOUBLE)
+       |    / 10000.0 AS mean_nll
        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ========================================================================
@@ -2956,6 +3067,8 @@ object TextQueries {
     "pipeline_curate_lm" -> (pipelineCurateLm _),
     "sample_weighted" -> (sampleWeighted _),
     "sample_reservoir" -> (sampleReservoir _),
+    "shuffle_seeded" -> (shuffleSeeded _),
+    "pack_shuffled" -> (packShuffled _),
     "sample_temperature" -> (sampleTemperature _),
     "group_topk" -> (groupTopk _),
     "term_freq" -> (termFreq _),
@@ -3003,6 +3116,8 @@ object TextQueries {
     "pipeline_curate_lm" -> pipelineCurateLmSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_reservoir" -> sampleReservoirSql,
+    "shuffle_seeded" -> shuffleSeededSql,
+    "pack_shuffled" -> packShuffledSql,
     "sample_temperature" -> sampleTemperatureSql,
     "group_topk" -> groupTopkSql,
     "term_freq" -> termFreqSql,

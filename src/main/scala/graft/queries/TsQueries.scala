@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TimeFns
+import graft.functions.{ExactRound, TimeFns}
 import graft.operators.TimeSeries
 import graft.sources.Tables
 
@@ -126,21 +126,29 @@ object TsQueries {
   def skewReport(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.lineitem(s, d).groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(sum(col("cnt")).as("total"),
-      count(lit(1)).cast("double").as("n_keys"))
+      count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(stats))
       .select(col("l_suppkey"), col("cnt"),
-        round(col("cnt") / col("total") * 100.0, 6).as("share_pct"),
-        round(col("cnt") * col("n_keys") / col("total"), 4).as("skew_ratio"))
+        // ExactRound: round(cnt·100/total, 6) and round(cnt·n_keys/total, 4)
+        // as pure-integer half-away divisions — counts are exact, so both
+        // ratios can land on representable .5 halves (power-of-two totals)
+        // where engines' double round() semantics diverge. Headroom:
+        // cnt·2·10⁸ — fine to ~4·10¹⁰ rows per key; widen to DECIMAL at
+        // full 100 TB key cardinalities.
+        (expr(ExactRound.spark("cnt * 100000000", "total")).cast("double")
+          / lit(1000000.0)).as("share_pct"),
+        (expr(ExactRound.spark("cnt * n_keys * 10000", "total")).cast("double")
+          / lit(10000.0)).as("skew_ratio"))
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(5)
   }
 
   private val skewReportSql =
-    """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
-      |s AS (SELECT sum(cnt) AS total, CAST(count(*) AS DOUBLE) AS n_keys FROM c)
+    s"""WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+      |s AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
       |SELECT l_suppkey, cnt,
-      |  round(cnt / total * 100.0, 6) AS share_pct,
-      |  round(cnt * n_keys / total, 4) AS skew_ratio
+      |  CAST(${ExactRound.duck("cnt * 100000000", "total")} AS DOUBLE) / 1000000.0 AS share_pct,
+      |  CAST(${ExactRound.duck("cnt * n_keys * 10000", "total")} AS DOUBLE) / 10000.0 AS skew_ratio
       |FROM c, s
       |ORDER BY cnt DESC, l_suppkey
       |LIMIT 5""".stripMargin
@@ -183,12 +191,18 @@ object TsQueries {
       .withColumn("dev", col("n") * col("run") - col("i") * col("total"))
       .withColumn("rn", row_number().over(sel)).filter(col("rn") === 1)
       .select(col("user_id"), col("event_id").as("cp_event_id"), col("n"),
-        round(col("dev").cast("double") / lit(1000000.0) / col("n"), 6).as("cusum"))
+        // ExactRound: round(dev/(10⁶·n), 6) ≡ halfAway(dev, n)/10⁶ (the
+        // 10⁶ scale cancels) — dev/n can sit exactly on a .5 half (n a
+        // power of two), where engine double-round semantics diverge.
+        // Signed: dev is a deviation. Headroom 2·|dev| — half the
+        // scaladoc bound, still ≥10⁴-reading series at |x| ≤ 10³.
+        (expr(ExactRound.spark("dev", "n")).cast("double")
+          / lit(1000000.0)).as("cusum"))
       .orderBy(col("user_id"))
   }
 
   private val tsChangepointSql =
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT user_id, event_id,
       |    sum(v_u) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS run,
       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS i,
@@ -198,7 +212,7 @@ object TsQueries {
       |        FROM events)),
       |d AS (SELECT user_id, event_id, n, i, n * run - i * total AS dev FROM r)
       |SELECT user_id, event_id AS cp_event_id, n,
-      |  round(CAST(dev AS DOUBLE) / 1000000.0 / n, 6) AS cusum
+      |  CAST(${ExactRound.duck("dev", "n")} AS DOUBLE) / 1000000.0 AS cusum
       |FROM d
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY abs(dev) DESC, i) = 1
       |ORDER BY user_id""".stripMargin
@@ -266,33 +280,45 @@ object TsQueries {
   // ========================================================================
   def tsSeasonal(s: SparkSession, d: String): DataFrame = {
     val wt = Window.partitionBy(col("event_type"))
-    val meanCell = col("cell_u") / (col("n") * lit(1000000.0))
-    val meanType = sum(col("cell_u")).over(wt) / (sum(col("n")).over(wt) * lit(1000000.0))
     ev(s, d)
       .groupBy(col("event_type"),
         pmod(floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long"),
           lit(24L)).as("hour"))
       .agg(sum((col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")).as("cell_u"),
         count(lit(1)).as("n"))
+      .withColumn("type_u", sum(col("cell_u")).over(wt))
+      .withColumn("type_n", sum(col("n")).over(wt))
+      // ExactRound: both means quantize to exact-integer micro-units via
+      // halfAway(sum_u, n) — round-THEN-subtract for `seasonal` (instead
+      // of rounding the difference) so each term stays a bounded integer
+      // rational with no cross-term product that could overflow BIGINT;
+      // both engines compute the identical integers, then one exact /10⁶.
       .select(col("event_type"), col("hour"), col("n"),
-        round(meanCell, 6).as("hour_mean"),
-        round(meanCell - meanType, 6).as("seasonal"))
+        (expr(ExactRound.spark("cell_u", "n")).cast("double")
+          / lit(1000000.0)).as("hour_mean"),
+        ((expr(ExactRound.spark("cell_u", "n"))
+          - expr(ExactRound.spark("type_u", "type_n"))).cast("double")
+          / lit(1000000.0)).as("seasonal"))
       .orderBy(col("event_type"), col("hour"))
   }
 
   private val tsSeasonalSql =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT event_type,
       |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour,
       |    sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS cell_u,
       |    count(*) AS n
-      |  FROM events GROUP BY 1, 2)
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour, n, cell_u,
+      |    sum(cell_u) OVER (PARTITION BY event_type) AS type_u,
+      |    sum(n) OVER (PARTITION BY event_type) AS type_n
+      |  FROM h)
       |SELECT event_type, hour, n,
-      |  round(cell_u / (n * 1000000.0), 6) AS hour_mean,
-      |  round(cell_u / (n * 1000000.0)
-      |    - sum(cell_u) OVER (PARTITION BY event_type)
-      |      / (sum(n) OVER (PARTITION BY event_type) * 1000000.0), 6) AS seasonal
-      |FROM h
+      |  CAST(${ExactRound.duck("cell_u", "n")} AS DOUBLE) / 1000000.0 AS hour_mean,
+      |  CAST(${ExactRound.duck("cell_u", "n")}
+      |    - ${ExactRound.duck("type_u", "type_n")} AS DOUBLE) / 1000000.0 AS seasonal
+      |FROM w
       |ORDER BY event_type, hour""".stripMargin
 
   // ========================================================================
@@ -331,13 +357,15 @@ object TsQueries {
       vU.as("v_u"), hourCol.as("hour"))
     base.join(broadcast(seasonalProfileU(s, d)), Seq("event_type", "hour"))
       .select(col("event_id"), col("event_type"), col("hour"),
-        round((col("v_u") * col("n") - col("cell_u")).cast("double")
-          / (col("n") * lit(1000000.0)), 6).as("resid"))
+        // ExactRound: round((v_u·n − cell_u)/(10⁶·n), 6) ≡
+        // halfAway(v_u·n − cell_u, n)/10⁶ — signed integer rational
+        (expr(ExactRound.spark("v_u * n - cell_u", "n")).cast("double")
+          / lit(1000000.0)).as("resid"))
       .orderBy(col("event_id"))
   }
 
   private val tsSeasonalAdjustSql =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT event_id, event_type,
       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v_u,
       |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 24 AS hour
@@ -346,7 +374,8 @@ object TsQueries {
       |  SELECT event_type, hour, CAST(sum(v_u) AS BIGINT) AS cell_u, count(*) AS n
       |  FROM b GROUP BY 1, 2)
       |SELECT b.event_id, b.event_type, b.hour,
-      |  round(CAST(b.v_u * p.n - p.cell_u AS DOUBLE) / (p.n * 1000000.0), 6) AS resid
+      |  CAST(${ExactRound.duck("b.v_u * p.n - p.cell_u", "p.n")} AS DOUBLE)
+      |    / 1000000.0 AS resid
       |FROM b JOIN p USING (event_type, hour)
       |ORDER BY event_id""".stripMargin
 
@@ -428,13 +457,14 @@ object TsQueries {
     base.join(broadcast(prof), Seq("event_type", "hour"))
       .select(col("event_id"), col("event_type"), col("hour"),
         when(col("v_u").isNotNull, col("value"))
-          .otherwise(round(col("cell_u") / (col("n") * lit(1000000.0)), 6)).as("filled"),
+          .otherwise(expr(ExactRound.spark("cell_u", "n")).cast("double")
+            / lit(1000000.0)).as("filled"),
         when(col("v_u").isNull, 1L).otherwise(0L).as("imputed"))
       .orderBy(col("event_id"))
   }
 
   private val fillSeasonalSql =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT event_id, event_type, value,
       |    CASE WHEN event_id % 7 <> 0
       |      THEN CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) END AS v_u,
@@ -445,7 +475,8 @@ object TsQueries {
       |  FROM b WHERE v_u IS NOT NULL GROUP BY 1, 2)
       |SELECT b.event_id, b.event_type, b.hour,
       |  CASE WHEN b.v_u IS NOT NULL THEN b.value
-      |       ELSE round(p.cell_u / (p.n * 1000000.0), 6) END AS filled,
+      |       ELSE CAST(${ExactRound.duck("p.cell_u", "p.n")} AS DOUBLE) / 1000000.0
+      |  END AS filled,
       |  CAST(CASE WHEN b.v_u IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
       |FROM b JOIN p USING (event_type, hour)
       |ORDER BY event_id""".stripMargin

@@ -216,7 +216,8 @@ object StreamingResample {
       .select(col("event_id"), col("event_type"), vU.as("v_u"), hourCol.as("hour"))
       .join(broadcast(profile), Seq("event_type", "hour"))
       .select(col("event_id"), col("event_type"), col("hour"),
-        round((col("v_u") * col("n") - col("cell_u")).cast("double")
-          / (col("n") * lit(1000000.0)), 6).as("resid"))
+        // identical ExactRound expression as the batch ts_seasonal_adjust
+        (expr(graft.functions.ExactRound.spark("v_u * n - cell_u", "n")).cast("double")
+          / lit(1000000.0)).as("resid"))
   }
 }

@@ -63,6 +63,26 @@ class SubwordCountSpec extends SparkSpec {
       == Seq(2L, 2L, 4L))
   }
 
+  test("bounded cluster-side vocab learn equals the full-histogram driver filter") {
+    // The production subwordVocab filters ≥1%-of-mass CLUSTER-side and
+    // collects only survivors (≤100 rows by construction); this pins it
+    // against the old unbounded path — collect the FULL piece histogram
+    // and apply the identical integer threshold driver-side.
+    import graft.text.TextOps
+    val vocab = graft.queries.TextQueries.subwordVocab(spark, sf)
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    val expected = rows.filter(_._2 * 100 >= total).map(_._1).toSet
+    assert(vocab == expected)
+    assert(vocab.nonEmpty && vocab.size <= 100)
+  }
+
   test("interpreted eval agrees with the codegen path") {
     val vocab = Set("th", "he", "in", "er")
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(50)
