@@ -950,9 +950,13 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
-  private val hybridTopKSql =
-    s"""WITH $bm25CtesSql,
-       |lex AS (
+  /** The hybrid fusion pipeline as DuckDB CTEs (no WITH prefix; assumes
+    * the `bm` CTE from [[bm25CtesSql]] precedes it), ending in
+    * `fused (doc_id, lex_rank, sem_rank, rrf)` — shared by the
+    * `hybrid_topk` and `retrieval_ndcg` oracles.
+    */
+  private val hybridFusedCtesSql =
+    s"""lex AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
        |  FROM bm
        |  QUALIFY lex_rank <= $HybridListN),
@@ -972,12 +976,126 @@ object TextQueries {
        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
        |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
        |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
-       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)""".stripMargin
+
+  private val hybridTopKSql =
+    s"""WITH $bm25CtesSql,
+       |$hybridFusedCtesSql
        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
        |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
        |FROM fused
        |QUALIFY rank <= $HybridK
        |ORDER BY rank""".stripMargin
+
+  // ========================================================================
+  // retrieval_ndcg — graded-relevance REGRESSION LOCK for the lexical
+  // retrieval family: nDCG@15 of the bm25_topk and hybrid_topk rankings
+  // against data-derived integer qrels — the lock `ann_recall*` /
+  // `ann_text_recall` provide for the ANN family (Järvelin & Kekäläinen,
+  // TOIS 2002 for nDCG). Qrels: gain(d) = total occurrences of the fixed
+  // query terms in d — an exact integer, derived from the corpus in both
+  // engines identically (the same planted term structure bm25 retrieves
+  // over), graded where a binary recall check is not: over-ranking a
+  // 2-occurrence doc above a 19-occurrence one costs score.
+  //
+  // EXACT-RATIONAL metric — no engine math anywhere: the log2 position
+  // discounts are INTEGER WEIGHT LITERALS W_i = round(2^20 / log2(i+1))
+  // computed once HERE (driver-side constants, Bm25K of them) and
+  // embedded identically into the Spark plan and the oracle SQL; then
+  // DCG = Σ gain_i·W_i is an exact BIGINT, and nDCG =
+  // halfAway(dcg·10⁶, idcg)/10⁶ via ExactRound (headroom: the ExactRound
+  // numerator is 2·dcg·10⁶ ≈ gain·2^20·15·2·10⁶ — fine to per-doc gains
+  // of ~10⁵; widen to DECIMAL(38,0) past that). The W quantization
+  // (~1e-6 relative) only perturbs the metric's 6th digit — determinism
+  // is literal-identity, not precision. The rankings REUSE the shipped
+  // rankers' exact order-by (unrounded score, doc_id), so a scoring
+  // regression in either moves this key's hash.
+  //
+  // Scale shape: gains = ONE filtered-before-shuffle token agg
+  // (O(matching tokens) exchange, never O(vocab)); both ranked lists are
+  // ≤K rows and BROADCAST into the gains join (inner + 2-row ranker seed
+  // left-join, so a hypothetical all-zero-gain ranker still emits 0
+  // rather than vanishing); IDCG = TakeOrdered(K) over gains, its rank
+  // window over K rows only.
+  // ========================================================================
+  private val NdcgScale = 1L << 20
+  private[queries] val NdcgW: Seq[Long] =
+    (1 to Bm25K).map(i => Math.round(NdcgScale.toDouble / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  def retrievalNdcg(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gains = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val bmRanked = bm25Scores(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(Bm25K)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(lit("bm25").as("ranker"), col("rank"), col("doc_id"))
+    val hyRanked = hybridTopK(s, d)
+      .select(lit("hybrid").as("ranker"), col("rank"), col("doc_id"))
+    val ranked = bmRanked.unionByName(hyRanked)
+    val dcg = gains.join(broadcast(ranked), Seq("doc_id"))
+      .select(col("ranker"),
+        (col("gain") * element_at(wArr, col("rank").cast("int"))).as("gw"))
+      .groupBy(col("ranker")).agg(sum(col("gw")).as("dcg_w"))
+    val seed = s.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("bm25"),
+        org.apache.spark.sql.Row("hybrid")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ranker",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val ideal = gains.orderBy(col("gain").desc, col("doc_id")).limit(Bm25K)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("gain").desc, col("doc_id"))).cast("int"))
+      .agg(sum(col("gain") * element_at(wArr, col("rank"))).as("idcg_w"))
+    seed.join(dcg, Seq("ranker"), "left")
+      .select(col("ranker"), coalesce(col("dcg_w"), lit(0L)).as("dcg_w"))
+      .crossJoin(broadcast(ideal))
+      .select(col("ranker"), col("dcg_w"), col("idcg_w"),
+        (expr(ExactRound.spark("dcg_w * 1000000", "idcg_w")).cast("double")
+          / lit(1000000.0)).as("ndcg"))
+      .orderBy(col("ranker"))
+  }
+
+  private val retrievalNdcgSql = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val wRows = NdcgW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH $bm25CtesSql,
+       |$hybridFusedCtesSql,
+       |hyb AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused QUALIFY rank <= $HybridK),
+       |bmr AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS rank
+       |  FROM bm QUALIFY rank <= $Bm25K),
+       |ranked AS (
+       |  SELECT 'bm25' AS ranker, rank, doc_id FROM bmr
+       |  UNION ALL
+       |  SELECT 'hybrid' AS ranker, rank, doc_id FROM hyb),
+       |g AS (
+       |  SELECT doc_id, count(*) AS gain
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY doc_id),
+       |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
+       |dcg AS (
+       |  SELECT ranker,
+       |    CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
+       |  FROM ranked LEFT JOIN g USING (doc_id) JOIN w USING (rank)
+       |  GROUP BY ranker),
+       |ideal AS (
+       |  SELECT CAST(sum(gain * wt) AS BIGINT) AS idcg_w
+       |  FROM (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS INT) AS rank
+       |        FROM g QUALIFY rank <= $Bm25K) i
+       |  JOIN w USING (rank))
+       |SELECT ranker, dcg_w, idcg_w,
+       |  CAST(${ExactRound.duck("dcg_w * 1000000", "idcg_w")} AS DOUBLE) / 1000000.0 AS ndcg
+       |FROM dcg, ideal
+       |ORDER BY ranker""".stripMargin
+  }
 
   // ========================================================================
   // hybrid_topk_batch — hybrid_topk for a QUERY BATCH, proving the
@@ -3089,6 +3207,7 @@ object TextQueries {
     "bm25_topk" -> (bm25TopK _),
     "hybrid_topk" -> (hybridTopK _),
     "hybrid_topk_batch" -> (hybridTopKBatch _),
+    "retrieval_ndcg" -> (retrievalNdcg _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3138,6 +3257,7 @@ object TextQueries {
     "bm25_topk" -> bm25TopKSql,
     "hybrid_topk" -> hybridTopKSql,
     "hybrid_topk_batch" -> hybridTopKBatchSql,
+    "retrieval_ndcg" -> retrievalNdcgSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

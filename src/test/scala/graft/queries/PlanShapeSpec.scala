@@ -727,4 +727,26 @@ class PlanShapeSpec extends SparkSpec {
     // renders each Exchange twice: tree + detail header)
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
   }
+
+  test("shuffle_seeded builds its global position distributed (pinned range RDD, no global row_number)") {
+    val p = plan("shuffle_seeded")
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("pack_shuffled adds NO exchange over pack_sequences (the shuffle key rides the same source partition)") {
+    val count = (q: String) =>
+      "Exchange hashpartitioning".r.findAllIn(plan(q)).length
+    assert(count("pack_shuffled") == count("pack_sequences"),
+      s"pack_shuffled ${count("pack_shuffled")} vs pack_sequences ${count("pack_sequences")}")
+  }
+
+  test("retrieval_ndcg: ranked lists broadcast onto the gains relation; gains partial-aggregate map-side") {
+    val p = plan("retrieval_ndcg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-sized side (token gains) combines map-side before its
+    // one exchange — the O(matching tokens) shuffle promise
+    assert(p.contains("partial_count"), p)
+  }
 }

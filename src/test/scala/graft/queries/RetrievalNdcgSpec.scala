@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Quality locks for the round-17 retrieval/ordering keys: the oracle
+  * gate proves cross-engine equality; these pin the RANKING-QUALITY and
+  * ORDERING claims — nDCG floors for the lexical family (the lock
+  * `ann_recall*` provides for ANN) and the seeded shuffle's permutation
+  * algebra.
+  */
+class RetrievalNdcgSpec extends SparkSpec {
+
+  test("retrieval_ndcg: both rankers hold their nDCG@15 floor, strictly below ideal") {
+    val rows = graft.SparkEntry.queries("retrieval_ndcg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("bm25", "hybrid"))
+    val byRanker = rows.map(r => r._1 -> r).toMap
+    // regression floors (sf0.001 actuals: bm25 0.9158, hybrid 0.5749) —
+    // a scoring/fusion regression that tanks ranking quality trips these
+    // even when it stays deterministic enough to produce SOME hash
+    assert(byRanker("bm25")._4 >= 0.85, s"bm25 nDCG ${byRanker("bm25")._4}")
+    assert(byRanker("hybrid")._4 >= 0.50, s"hybrid nDCG ${byRanker("hybrid")._4}")
+    rows.foreach { case (ranker, dcg, idcg, ndcg) =>
+      // DCG never exceeds ideal, and the metric is discriminative (not a
+      // trivially-saturated 1.0 — the gain function must separate docs)
+      assert(dcg <= idcg, s"$ranker dcg $dcg > idcg $idcg")
+      assert(ndcg < 1.0, s"$ranker nDCG saturated at 1.0 — gains not discriminative")
+      assert(math.abs(ndcg - dcg.toDouble / idcg) < 1e-6)
+    }
+    // one shared ideal: same qrels for both rankers
+    assert(rows.map(_._3).distinct.length == 1)
+  }
+
+  test("retrieval_ndcg: the lexical ranker beats the fused ranker on lexical qrels") {
+    // hybrid blends a semantic list that the lexical gain function does
+    // not reward, so pure-BM25 must dominate on these qrels — pins that
+    // the fusion actually MOVES the ranking (rrf is not a no-op passthru
+    // of the lexical list)
+    val rows = graft.SparkEntry.queries("retrieval_ndcg")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(rows("bm25") > rows("hybrid"),
+      s"bm25 ${rows("bm25")} should beat hybrid ${rows("hybrid")} on lexical gains")
+  }
+
+  test("shuffle_seeded is a complete permutation: positions 1..n, bijective on doc_id, hash-ordered") {
+    val out = graft.SparkEntry.queries("shuffle_seeded")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length == n)
+    assert(out.map(_._1).toSeq == (1L to n).toSeq, "positions are exactly 1..n in order")
+    assert(out.map(_._2).distinct.length == n, "every doc appears once")
+    // the order IS the content-addressed hash order (ties broken by id)
+    assert(out.map(t => (t._3, t._2)).toSeq == out.map(t => (t._3, t._2)).sortBy(identity).toSeq)
+    // and it is not the trivial identity order (the hash actually shuffles)
+    assert(out.map(_._2).toSeq != out.map(_._2).sorted.toSeq)
+  }
+
+  test("shuffle_seeded is append-stable: restricting the permutation to a prefix corpus preserves relative order") {
+    // content-addressed ordering means a grown corpus splices new docs in
+    // WITHOUT reordering the old ones — the property RNG shuffles lack
+    val all = graft.SparkEntry.queries("shuffle_seeded")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val subset = all.filter(_._2 % 3 == 0) // any sub-corpus
+    assert(subset.map(_._1).toSeq == subset.map(_._1).sorted.toSeq,
+      "sub-corpus relative order is the full permutation's order")
+  }
+
+  test("pack_shuffled packs the same token mass as pack_sequences, in different sequence composition") {
+    val packed = graft.SparkEntry.queries("pack_sequences")(spark, sf)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val shuffled = graft.SparkEntry.queries("pack_shuffled")(spark, sf)
+    val shuffledTok = shuffled.agg(sum("n_tokens")).collect()(0).getLong(0)
+    // identical corpus token mass — the shuffle permutes, never drops
+    assert(shuffledTok == packed)
+    // every sequence is full (SeqLen) except possibly each source's last
+    val bySrc = shuffled.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1)
+    bySrc.foreach { case (src, seqs) =>
+      val maxSeq = seqs.map(_._2).max
+      seqs.filter(_._2 < maxSeq).foreach { case (_, seqId, nTok) =>
+        assert(nTok == 256L, s"$src seq $seqId not full: $nTok")
+      }
+    }
+  }
+}
