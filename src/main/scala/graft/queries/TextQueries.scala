@@ -1189,12 +1189,16 @@ object TextQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val hybridTopKBatchSql = {
+  /** The batched hybrid pipeline as DuckDB CTEs (no WITH prefix),
+    * ending in `fused (q_id, doc_id, lex_rank, sem_rank, rrf)` — shared
+    * by the `hybrid_topk_batch` and `retrieval_ndcg_batch` oracles.
+    */
+  private val hybridBatchFusedCtesSql = {
     val qtRows = HybridBatch
       .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => s"($q, $sl, '$t')" } }
       .mkString(", ")
     val terms = HybridBatch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
-    s"""WITH qt AS (
+    s"""qt AS (
        |  SELECT CAST(q_id AS BIGINT) AS q_id, slot, term
        |  FROM (VALUES $qtRows) t(q_id, slot, term)),
        |dl AS (
@@ -1246,13 +1250,92 @@ object TextQueries {
        |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
        |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
        |  FROM lex FULL OUTER JOIN sem
-       |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)
+       |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)""".stripMargin
+  }
+
+  private val hybridTopKBatchSql =
+    s"""WITH $hybridBatchFusedCtesSql
        |SELECT q_id, CAST(row_number() OVER (
        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
        |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
        |FROM fused
        |QUALIFY rank <= $HybridK
        |ORDER BY q_id, rank""".stripMargin
+
+  // ========================================================================
+  // retrieval_ndcg_batch — the graded-relevance lock for the BATCHED
+  // ranker: per-query nDCG@15 of hybrid_topk_batch against per-query
+  // integer qrels (gain(q, d) = total occurrences of q's terms in d).
+  // Same exact-rational machinery as retrieval_ndcg (shared NdcgW
+  // integer discount literals, ExactRound quantization) with q_id as a
+  // partition key at every stage — the batch contract the ranker itself
+  // promises, extended to its evaluation: corpus tokens explode ONCE
+  // under the union-of-terms filter, the broadcast (q_id, term) map
+  // fans matches to their queries, per-query IDCG is a
+  // WindowGroupLimit top-15 heap on the q_id-keyed gains, and the
+  // ranked lists (4×15 rows) broadcast into the gains join.
+  // ========================================================================
+  def retrievalNdcgBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val allTerms = HybridBatch.flatMap(_._2).distinct
+    val qt = HybridBatch.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+      .toDF("q_id", "term")
+    val gains = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("gain"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val ranked = hybridTopKBatch(s, d).select(col("q_id"), col("rank"), col("doc_id"))
+    val dcg = gains.join(broadcast(ranked), Seq("q_id", "doc_id"))
+      .select(col("q_id"),
+        (col("gain") * element_at(wArr, col("rank").cast("int"))).as("gw"))
+      .groupBy(col("q_id")).agg(sum(col("gw")).as("dcg_w"))
+    val wIdeal = Window.partitionBy(col("q_id")).orderBy(col("gain").desc, col("doc_id"))
+    val ideal = gains.withColumn("rank", row_number().over(wIdeal).cast("int"))
+      .filter(col("rank") <= Bm25K)
+      .groupBy(col("q_id"))
+      .agg(sum(col("gain") * element_at(wArr, col("rank"))).as("idcg_w"))
+    val seed = HybridBatch.map(_._1.toLong).toDF("q_id")
+    seed.join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("dcg_w"), lit(0L)).as("dcg_w"))
+      .join(ideal, Seq("q_id"), "left")
+      .select(col("q_id"), col("dcg_w"), col("idcg_w"),
+        (expr(ExactRound.spark("dcg_w * 1000000", "idcg_w")).cast("double")
+          / lit(1000000.0)).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  private val retrievalNdcgBatchSql = {
+    val wRows = NdcgW.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH $hybridBatchFusedCtesSql,
+       |hyb AS (
+       |  SELECT q_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused QUALIFY rank <= $HybridK),
+       |g AS (
+       |  SELECT qt.q_id, t.doc_id, count(*) AS gain
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents) t
+       |  JOIN qt ON qt.term = t.term
+       |  GROUP BY qt.q_id, t.doc_id),
+       |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
+       |dcg AS (
+       |  SELECT q_id, CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
+       |  FROM hyb LEFT JOIN g USING (q_id, doc_id) JOIN w USING (rank)
+       |  GROUP BY q_id),
+       |ideal AS (
+       |  SELECT q_id, CAST(sum(gain * wt) AS BIGINT) AS idcg_w
+       |  FROM (SELECT q_id, gain, CAST(row_number() OVER (
+       |          PARTITION BY q_id ORDER BY gain DESC, doc_id) AS INT) AS rank
+       |        FROM g QUALIFY rank <= $Bm25K) i
+       |  JOIN w USING (rank)
+       |  GROUP BY q_id)
+       |SELECT q_id, dcg_w, idcg_w,
+       |  CAST(${ExactRound.duck("dcg_w * 1000000", "idcg_w")} AS DOUBLE) / 1000000.0 AS ndcg
+       |FROM dcg LEFT JOIN ideal USING (q_id)
+       |ORDER BY q_id""".stripMargin
   }
 
   // ========================================================================
@@ -3208,6 +3291,7 @@ object TextQueries {
     "hybrid_topk" -> (hybridTopK _),
     "hybrid_topk_batch" -> (hybridTopKBatch _),
     "retrieval_ndcg" -> (retrievalNdcg _),
+    "retrieval_ndcg_batch" -> (retrievalNdcgBatch _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3258,6 +3342,7 @@ object TextQueries {
     "hybrid_topk" -> hybridTopKSql,
     "hybrid_topk_batch" -> hybridTopKBatchSql,
     "retrieval_ndcg" -> retrievalNdcgSql,
+    "retrieval_ndcg_batch" -> retrievalNdcgBatchSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

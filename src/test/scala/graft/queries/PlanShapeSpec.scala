@@ -749,4 +749,14 @@ class PlanShapeSpec extends SparkSpec {
     // one exchange — the O(matching tokens) shuffle promise
     assert(p.contains("partial_count"), p)
   }
+
+  test("retrieval_ndcg_batch: per-query IDCG plans as WindowGroupLimit heaps on the q_id key") {
+    val p = plan("retrieval_ndcg_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ideal top-15 per query must never rank a corpus-sized
+    // unpartitioned window — group-limit heaps before and after the
+    // q_id exchange (the ranker's own contract, extended to its eval)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -43,6 +43,21 @@ class RetrievalNdcgSpec extends SparkSpec {
       s"bm25 ${rows("bm25")} should beat hybrid ${rows("hybrid")} on lexical gains")
   }
 
+  test("retrieval_ndcg_batch: every query in the batch holds its per-query floor") {
+    val rows = graft.SparkEntry.queries("retrieval_ndcg_batch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "one row per batch query, in order")
+    rows.foreach { case (q, dcg, idcg, ndcg) =>
+      // sf0.001 actuals: 0.566 / 0.625 / 0.658 / 0.675 — the fused
+      // ranker must stay well above random on every query, not on average
+      assert(ndcg >= 0.45, s"query $q nDCG $ndcg below floor")
+      assert(ndcg < 1.0 && dcg <= idcg, s"query $q dcg $dcg idcg $idcg")
+    }
+    // per-query ideals differ (different qrels per query) — pins that the
+    // evaluation is actually per-query, not a shared pooled ideal
+    assert(rows.map(_._3).distinct.length > 1)
+  }
+
   test("shuffle_seeded is a complete permutation: positions 1..n, bijective on doc_id, hash-ordered") {
     val out = graft.SparkEntry.queries("shuffle_seeded")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
