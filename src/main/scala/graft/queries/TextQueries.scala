@@ -2156,6 +2156,115 @@ object TextQueries {
        |ORDER BY source, seq_id""".stripMargin
 
   // ========================================================================
+  // epoch_plan — data-constrained multi-epoch budget allocation
+  // (Muennighoff et al., "Scaling Data-Constrained Language Models",
+  // arXiv:2305.16264: repeating data retains most of its value up to
+  // ~4 epochs, then decays — so a token budget larger than the unique
+  // corpus should be filled by REPEATING the best sources up to the
+  // repeat cap, best-first, not by scraping worse data). The planner a
+  // pipeline owner reads before launching a data-constrained run:
+  // per source — unique-token inventory (post exact-dedup keep-first,
+  // the same global fingerprint election as pipeline_curate), mean
+  // quality (exact integer e6), and the greedy quality-first allocation
+  // of a budget B = 2 × total unique tokens with per-source repeats
+  // capped at 4 epochs.
+  //
+  // The greedy is CLOSED-FORM per source (the quantile_bucket
+  // inequality pattern — no iterative driver loop): sources sort by
+  // (quality_e6 desc, source); with prev4 = Σ preceding 4·uniq_tok,
+  // alloc_s = clamp(B − prev4, 0, 4·uniq_s) — exactly the sequential
+  // greedy's outcome, computed in one window pass. epochs = alloc div
+  // uniq, partial_tok = alloc mod uniq (the marginal source's partial
+  // epoch), share_e6 = ExactRound(alloc·10⁶, B) in DECIMAL(38,0)/
+  // HUGEINT (overflow-proof at 100 TB token counts). Every quantity is
+  // an exact integer — the plan is engine-exact and hash-locked.
+  //
+  // Scale shape: ONE corpus scan (curateFeaturesAll projections) → one
+  // fp-keyed dedup window → one per-source agg; the allocation windows
+  // run over the ≤|sources| relation (domain-bounded, like plot_prep's
+  // envelope — thousands of rows at worst, never corpus-sized).
+  // ========================================================================
+  private val EpochBudgetMult = 2L
+  private val EpochMaxRepeat = 4L
+
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    // the same (n, n_stop, n_dist, fp) definitions as curateFeaturesAll
+    // (whose final projection collapses the counts into `score` — the
+    // quality quantization here needs the raw integers)
+    val uniq = docs(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"), col("fp"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        TextOps.distinctCount(col("toks")).as("n_dist"))
+      .withColumn("rn", row_number().over(wfp)).filter(col("rn") === 1)
+      // zero-token docs carry no budget mass and would zero-divide the
+      // quality quantization — dropped AFTER the keep-first election so
+      // the election itself matches pipeline_curate's
+      .filter(col("n") > 0)
+      .select(col("source"), col("n"), expr(QualityE6Expr).as("q_e6"))
+    val perSrc = uniq.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("uniq_tok"),
+        sum(col("q_e6")).as("q_sum"))
+      .select(col("source"), col("n_docs"), col("uniq_tok"),
+        expr(ExactRound.spark("q_sum", "n_docs")).as("quality_e6"))
+    // both windows run over the ≤|sources| relation — domain-bounded
+    val wq = Window.orderBy(col("quality_e6").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc
+      .withColumn("prev4",
+        coalesce(sum(col("uniq_tok") * lit(EpochMaxRepeat)).over(wq), lit(0L)))
+      .withColumn("budget", sum(col("uniq_tok")).over(wall) * lit(EpochBudgetMult))
+      .withColumn("alloc_tok", greatest(lit(0L),
+        least(col("uniq_tok") * lit(EpochMaxRepeat), col("budget") - col("prev4"))))
+      .select(col("source"), col("n_docs"), col("uniq_tok"), col("quality_e6"),
+        col("alloc_tok"),
+        expr("alloc_tok div uniq_tok").as("epochs"),
+        expr("alloc_tok % uniq_tok").as("partial_tok"),
+        expr(ExactRound.spark("CAST(alloc_tok AS DECIMAL(38,0)) * 1000000",
+          "CAST(budget AS DECIMAL(38,0))")).cast("long").as("share_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val epochPlanSql =
+    s"""$curateCtesSql,
+       |uq AS (
+       |  SELECT source, n,
+       |    CAST((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000 // n AS BIGINT) AS q_e6
+       |  FROM (
+       |    SELECT source, n, n_stop, n_dist,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM f)
+       |  WHERE rn = 1 AND n > 0),
+       |ps AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS uniq_tok,
+       |    CAST(${ExactRound.duck("CAST(sum(q_e6) AS BIGINT)", "count(*)")} AS BIGINT) AS quality_e6
+       |  FROM uq GROUP BY source),
+       |al AS (
+       |  SELECT source, n_docs, uniq_tok, quality_e6,
+       |    CAST(coalesce(sum(uniq_tok * $EpochMaxRepeat) OVER (
+       |      ORDER BY quality_e6 DESC, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev4,
+       |    CAST(sum(uniq_tok) OVER () * $EpochBudgetMult AS BIGINT) AS budget
+       |  FROM ps),
+       |alc AS (
+       |  SELECT source, n_docs, uniq_tok, quality_e6, budget,
+       |    greatest(0, least(uniq_tok * $EpochMaxRepeat, budget - prev4)) AS alloc_tok
+       |  FROM al)
+       |SELECT source, n_docs, uniq_tok, quality_e6,
+       |  CAST(alloc_tok AS BIGINT) AS alloc_tok,
+       |  CAST(alloc_tok // uniq_tok AS BIGINT) AS epochs,
+       |  CAST(alloc_tok % uniq_tok AS BIGINT) AS partial_tok,
+       |  CAST(${ExactRound.duck("alloc_tok::HUGEINT * 1000000", "budget::HUGEINT")} AS BIGINT) AS share_e6
+       |FROM alc ORDER BY source""".stripMargin
+
+  // ========================================================================
   // sample_mix — target-share corpus mixing (domain reweighting): given
   // per-source target shares w_s (here data-driven: w ∝ source index+1,
   // so the mix is deliberately non-uniform over the uniform corpus),
@@ -3292,6 +3401,7 @@ object TextQueries {
     "hybrid_topk_batch" -> (hybridTopKBatch _),
     "retrieval_ndcg" -> (retrievalNdcg _),
     "retrieval_ndcg_batch" -> (retrievalNdcgBatch _),
+    "epoch_plan" -> (epochPlan _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3343,6 +3453,7 @@ object TextQueries {
     "hybrid_topk_batch" -> hybridTopKBatchSql,
     "retrieval_ndcg" -> retrievalNdcgSql,
     "retrieval_ndcg_batch" -> retrievalNdcgBatchSql,
+    "epoch_plan" -> epochPlanSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

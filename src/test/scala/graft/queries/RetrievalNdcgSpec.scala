@@ -81,6 +81,33 @@ class RetrievalNdcgSpec extends SparkSpec {
       "sub-corpus relative order is the full permutation's order")
   }
 
+  test("epoch_plan: greedy quality-first allocation spends the budget exactly, repeats capped at 4") {
+    val rows = graft.SparkEntry.queries("epoch_plan")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val totalUniq = rows.map(_._3).sum
+    val budget = 2L * totalUniq
+    // budget multiplier 2 < repeat cap 4 → the budget is fully spendable
+    // and the greedy spends it EXACTLY (closed-form clamp = sequential greedy)
+    assert(rows.map(_._5).sum == budget, s"alloc ${rows.map(_._5).sum} != budget $budget")
+    rows.foreach { case (src, nDocs, uniq, _, alloc, epochs, partial, shareE6) =>
+      assert(nDocs > 0 && uniq > 0)
+      assert(epochs >= 0 && epochs <= 4, s"$src epochs $epochs")
+      assert(alloc == epochs * uniq + partial, s"$src alloc decomposition")
+      assert(partial >= 0 && partial < uniq, s"$src partial $partial")
+      assert(shareE6 >= 0 && shareE6 <= 1000000L)
+    }
+    // quality-first: in (quality desc, source) order the epoch counts are
+    // non-increasing — full repeats for the best sources, one marginal
+    // straddler, nothing for the rest
+    val byQuality = rows.sortBy(r => (-r._4, r._1)).map(_._6)
+    assert(byQuality.zip(byQuality.tail).forall { case (a, b) => a >= b },
+      s"epochs not monotone in quality order: ${byQuality.mkString(",")}")
+    // at most ONE source straddles the budget boundary with a partial epoch
+    assert(rows.count(_._7 > 0) <= 1)
+  }
+
   test("pack_shuffled packs the same token mass as pack_sequences, in different sequence composition") {
     val packed = graft.SparkEntry.queries("pack_sequences")(spark, sf)
       .agg(sum("n_tokens")).collect()(0).getLong(0)
