@@ -2265,6 +2265,67 @@ object TextQueries {
        |FROM alc ORDER BY source""".stripMargin
 
   // ========================================================================
+  // pack_curriculum — QUALITY-ANNEALED training order (curriculum
+  // learning, Bengio et al. ICML 2009 — the LLM-pipeline analog orders
+  // from highest-quality data down, e.g. quality-annealed pre-training
+  // curricula): per source shard, docs concatenate in
+  // (quality band DESC, hash60(doc_id # seed), doc_id) order — coarse
+  // 0.1-wide exact-integer quality bands (q_e6 div 10⁵, the shared
+  // QualityE6 quantization) so the anneal is band-level while WITHIN a
+  // band the order is the seeded content-addressed shuffle
+  // (shuffle_seeded's draw — unshuffled within-band order would
+  // correlate adjacent training batches by doc_id). Completes the
+  // training-order trifecta: pack_sequences (doc order), pack_shuffled
+  // (uniform seeded shuffle), pack_curriculum (annealed). Identical
+  // packing algebra (packSequencesWith), one hashpartitioning(source)
+  // exchange; the band is per-row integer arithmetic on the same scan.
+  // ========================================================================
+  def packCurriculum(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("toks", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_stop", TextOps.wordSetCount(col("toks"), enStop).cast("long"))
+      .withColumn("n_dist", TextOps.distinctCount(col("toks")))
+      // negated band so packSequencesWith's ascending orderBy anneals
+      // best-first; zero-token docs (banded -1 → neg 1) sort last
+      .withColumn("neg_band",
+        -when(col("n") > 0, expr(s"($QualityE6Expr) div 100000")).otherwise(lit(-1L)))
+      .withColumn("h", TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed)))
+    packSequencesWith(base, col("n"), orderBy = Seq("neg_band", "h", "doc_id"))
+  }
+
+  private val packCurriculumSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, h,
+       |    CAST(len(toks) AS BIGINT) AS n,
+       |    CAST(len(list_filter(toks, tk -> tk IN ($EnStopSqlList))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+       |  FROM t),
+       |b AS (
+       |  SELECT doc_id, source, h, CAST(n + 1 AS BIGINT) AS n_tok,
+       |    -(CASE WHEN n > 0 THEN $QualityE6Sql // 100000 ELSE -1 END) AS neg_band
+       |  FROM f),
+       |o AS (
+       |  SELECT source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY neg_band, h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM b),
+       |e AS (
+       |  SELECT source, st, n_tok,
+       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
+       |  FROM o)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
+       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
   // sample_mix — target-share corpus mixing (domain reweighting): given
   // per-source target shares w_s (here data-driven: w ∝ source index+1,
   // so the mix is deliberately non-uniform over the uniform corpus),
@@ -3402,6 +3463,7 @@ object TextQueries {
     "retrieval_ndcg" -> (retrievalNdcg _),
     "retrieval_ndcg_batch" -> (retrievalNdcgBatch _),
     "epoch_plan" -> (epochPlan _),
+    "pack_curriculum" -> (packCurriculum _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3454,6 +3516,7 @@ object TextQueries {
     "retrieval_ndcg" -> retrievalNdcgSql,
     "retrieval_ndcg_batch" -> retrievalNdcgBatchSql,
     "epoch_plan" -> epochPlanSql,
+    "pack_curriculum" -> packCurriculumSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -734,11 +734,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
-  test("pack_shuffled adds NO exchange over pack_sequences (the shuffle key rides the same source partition)") {
+  test("pack_shuffled / pack_curriculum add NO exchange over pack_sequences (order keys ride the same source partition)") {
     val count = (q: String) =>
       "Exchange hashpartitioning".r.findAllIn(plan(q)).length
     assert(count("pack_shuffled") == count("pack_sequences"),
       s"pack_shuffled ${count("pack_shuffled")} vs pack_sequences ${count("pack_sequences")}")
+    assert(count("pack_curriculum") == count("pack_sequences"),
+      s"pack_curriculum ${count("pack_curriculum")} vs pack_sequences ${count("pack_sequences")}")
   }
 
   test("retrieval_ndcg: ranked lists broadcast onto the gains relation; gains partial-aggregate map-side") {

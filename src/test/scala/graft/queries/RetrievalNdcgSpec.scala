@@ -108,6 +108,18 @@ class RetrievalNdcgSpec extends SparkSpec {
     assert(rows.count(_._7 > 0) <= 1)
   }
 
+  test("pack_curriculum packs the same token mass as pack_sequences, in an annealed order") {
+    val packed = graft.SparkEntry.queries("pack_sequences")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val cur = graft.SparkEntry.queries("pack_curriculum")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // same sequence ids and total token mass (the order permutes WITHIN
+    // each source's concat stream; cuts stay at the same offsets)
+    assert(cur.keySet == packed.keySet)
+    // but the composition differs: the anneal actually moved docs
+    assert(cur != packed, "curriculum order identical to doc order")
+  }
+
   test("pack_shuffled packs the same token mass as pack_sequences, in different sequence composition") {
     val packed = graft.SparkEntry.queries("pack_sequences")(spark, sf)
       .agg(sum("n_tokens")).collect()(0).getLong(0)
