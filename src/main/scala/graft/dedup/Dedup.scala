@@ -328,9 +328,14 @@ object Dedup {
     // is a cache hit; an unpersisted small input pays one extra cheap job.
     val overflow =
       sel.limit(DriverComponentsMaxEdges + 1).count() > DriverComponentsMaxEdges
-    if (overflow) clusterLabelsWithRounds(pairs)._1
+    lazy val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
+    // the collect re-checks the gate: count and collect are separate jobs,
+    // so an input whose row set grew in between (unpersisted relation over
+    // a moving source) must fall through to the distributed fixpoint
+    // rather than silently truncate at the limit
+    if (overflow || probe.length > DriverComponentsMaxEdges)
+      clusterLabelsWithRounds(pairs)._1
     else {
-      val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
       val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x

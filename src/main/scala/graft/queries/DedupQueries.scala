@@ -275,8 +275,11 @@ object DedupQueries {
     // cache
     val small = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).count() <=
       Dedup.DriverComponentsMaxEdges
-    if (small) {
-      val probe = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).collect()
+    // re-checked on the collect (the clusterLabels contract): count and
+    // collect are separate jobs, so a row set that grew in between falls
+    // through to the distributed plan instead of silently truncating
+    lazy val probe = pairs.limit(Dedup.DriverComponentsMaxEdges + 1).collect()
+    if (small && probe.length <= Dedup.DriverComponentsMaxEdges) {
       val edges = probe.flatMap { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         Seq((a, b), (b, a))

@@ -600,13 +600,13 @@ object TextQueries {
             "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
           .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
           .persist()
-        val tot = pieces.agg(sum(col("cnt")).as("total"))
-        val vocab = pieces.crossJoin(broadcast(tot))
-          .filter(col("cnt") * 100 >= col("total"))
-          .select(col("piece"))
-          .collect().map(_.getString(0)).toSet
-        pieces.unpersist(false)
-        vocab
+        try {
+          val tot = pieces.agg(sum(col("cnt")).as("total"))
+          pieces.crossJoin(broadcast(tot))
+            .filter(col("cnt") * 100 >= col("total"))
+            .select(col("piece"))
+            .collect().map(_.getString(0)).toSet
+        } finally pieces.unpersist(false) // a failed action must not pin the histogram
       })
     }
 
@@ -1082,10 +1082,13 @@ object TextQueries {
        |  WHERE term IN ($terms) GROUP BY doc_id),
        |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
        |dcg AS (
-       |  SELECT ranker,
+       |  SELECT s.ranker,
        |    CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
-       |  FROM ranked LEFT JOIN g USING (doc_id) JOIN w USING (rank)
-       |  GROUP BY ranker),
+       |  FROM (SELECT 'bm25' AS ranker UNION ALL SELECT 'hybrid') s
+       |  LEFT JOIN ranked USING (ranker)
+       |  LEFT JOIN g USING (doc_id)
+       |  LEFT JOIN w USING (rank)
+       |  GROUP BY s.ranker),
        |ideal AS (
        |  SELECT CAST(sum(gain * wt) AS BIGINT) AS idcg_w
        |  FROM (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS INT) AS rank
@@ -1310,6 +1313,7 @@ object TextQueries {
   private val retrievalNdcgBatchSql = {
     val wRows = NdcgW.zipWithIndex
       .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
+    val qSeed = HybridBatch.map { case (q, _) => s"($q::BIGINT)" }.mkString(", ")
     s"""WITH $hybridBatchFusedCtesSql,
        |hyb AS (
        |  SELECT q_id, doc_id, CAST(row_number() OVER (
@@ -1322,9 +1326,12 @@ object TextQueries {
        |  GROUP BY qt.q_id, t.doc_id),
        |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
        |dcg AS (
-       |  SELECT q_id, CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
-       |  FROM hyb LEFT JOIN g USING (q_id, doc_id) JOIN w USING (rank)
-       |  GROUP BY q_id),
+       |  SELECT s.q_id, CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
+       |  FROM (SELECT * FROM (VALUES $qSeed) AS v(q_id)) s
+       |  LEFT JOIN hyb USING (q_id)
+       |  LEFT JOIN g USING (q_id, doc_id)
+       |  LEFT JOIN w USING (rank)
+       |  GROUP BY s.q_id),
        |ideal AS (
        |  SELECT q_id, CAST(sum(gain * wt) AS BIGINT) AS idcg_w
        |  FROM (SELECT q_id, gain, CAST(row_number() OVER (
@@ -2235,7 +2242,7 @@ object TextQueries {
     s"""$curateCtesSql,
        |uq AS (
        |  SELECT source, n,
-       |    CAST((5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist) * 1000 // n AS BIGINT) AS q_e6
+       |    CAST($QualityE6Sql AS BIGINT) AS q_e6
        |  FROM (
        |    SELECT source, n, n_stop, n_dist,
        |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -2777,10 +2784,10 @@ object TextQueries {
         sum(when(col("c") <= RareCountMax, 1L).otherwise(0L)).as("rare_n"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_tok"), col("sum_cnt"), col("rare_n"),
-        // Exact integer half-up: (2a+b) div 2b — no doubles, so no engine
-        // round-semantics dependence (Spark HALF_UP vs DuckDB>=1.1
-        // half-to-even diverge on exact .5 halves, e.g. n_tok a power of 2).
-        expr("(2 * sum_cnt * 10000 + n_tok) div (2 * n_tok)").as("mean_cnt_e4"),
+        // ExactRound: no doubles, so no engine round-semantics dependence
+        // (Spark HALF_UP vs DuckDB>=1.1 half-to-even diverge on exact .5
+        // halves, e.g. n_tok a power of 2 — the r15/r16 red-row cause).
+        expr(ExactRound.spark("sum_cnt * 10000", "n_tok")).as("mean_cnt_e4"),
         round(log((col("n_corpus") * col("n_tok")).cast("double") / col("sum_cnt"))
           * lit(10000.0)).cast("long").as("surprisal_e4"))
       .orderBy(col("doc_id"))
@@ -2795,11 +2802,11 @@ object TextQueries {
        |dt AS (
        |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
        |agg AS (
-       |  SELECT doc_id, count(*) AS n_tok, sum(c) AS sum_cnt,
+       |  SELECT doc_id, count(*) AS n_tok, CAST(sum(c) AS BIGINT) AS sum_cnt,
        |    CAST(sum(CASE WHEN c <= $RareCountMax THEN 1 ELSE 0 END) AS BIGINT) AS rare_n
        |  FROM dt JOIN uc USING (w) GROUP BY doc_id)
        |SELECT doc_id, n_tok, sum_cnt, rare_n,
-       |  CAST((2 * sum_cnt * 10000 + n_tok) // (2 * n_tok) AS BIGINT) AS mean_cnt_e4,
+       |  CAST(${ExactRound.duck("sum_cnt * 10000", "n_tok")} AS BIGINT) AS mean_cnt_e4,
        |  CAST(round(ln(CAST(n_corpus * n_tok AS DOUBLE) / sum_cnt) * 10000.0) AS BIGINT)
        |    AS surprisal_e4
        |FROM agg, tot

@@ -71,14 +71,27 @@ class RetrievalNdcgSpec extends SparkSpec {
     assert(out.map(_._2).toSeq != out.map(_._2).sorted.toSeq)
   }
 
-  test("shuffle_seeded is append-stable: restricting the permutation to a prefix corpus preserves relative order") {
-    // content-addressed ordering means a grown corpus splices new docs in
-    // WITHOUT reordering the old ones — the property RNG shuffles lack
-    val all = graft.SparkEntry.queries("shuffle_seeded")(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val subset = all.filter(_._2 % 3 == 0) // any sub-corpus
-    assert(subset.map(_._1).toSeq == subset.map(_._1).sorted.toSeq,
-      "sub-corpus relative order is the full permutation's order")
+  test("shuffle_seeded's order matches an INDEPENDENT MD5 oracle (content-addressed, not RNG)") {
+    // recompute the permutation key from scratch in plain JVM MD5 — an
+    // implementation that swapped the content-addressed hash for any
+    // engine RNG (rand(seed) etc.) produces a different order and fails.
+    // Content-addressing is also exactly what makes the permutation
+    // append-stable: a doc's key depends only on (doc_id, seed), so a
+    // grown corpus splices new docs in without reordering the old ones.
+    def key(docId: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$docId#42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val out = graft.SparkEntry.queries("shuffle_seeded")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    out.foreach { case (_, docId, h) =>
+      assert(h == key(docId), s"doc $docId engine hash $h != jvm md5 ${key(docId)}")
+    }
+    val expected = out.map(_._2).sortBy(id => (key(id), id))
+    assert(out.sortBy(_._1).map(_._2).toSeq == expected.toSeq,
+      "positions are not the MD5-key order")
   }
 
   test("epoch_plan: greedy quality-first allocation spends the budget exactly, repeats capped at 4") {
