@@ -2194,13 +2194,13 @@ object TextQueries {
   private val EpochBudgetMult = 2L
   private val EpochMaxRepeat = 4L
 
-  def epochPlan(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    // the same (n, n_stop, n_dist, fp) definitions as curateFeaturesAll
-    // (whose final projection collapses the counts into `score` — the
-    // quality quantization here needs the raw integers)
-    val uniq = docs(s, d)
+  /** Per-doc inventory features — the same (n, n_stop, n_dist, fp)
+    * definitions as curateFeaturesAll (whose final projection collapses
+    * the counts into `score`; the quality quantization here needs the
+    * raw integers). Shared by the full plan and the incremental refresh.
+    */
+  private[queries] def epochDocFeatures(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), col("source"),
         graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"),
         TextOps.fingerprint(col("text")).as("fp"))
@@ -2208,18 +2208,37 @@ object TextQueries {
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
         TextOps.distinctCount(col("toks")).as("n_dist"))
-      .withColumn("rn", row_number().over(wfp)).filter(col("rn") === 1)
-      // zero-token docs carry no budget mass and would zero-divide the
-      // quality quantization — dropped AFTER the keep-first election so
-      // the election itself matches pipeline_curate's
-      .filter(col("n") > 0)
-      .select(col("source"), col("n"), expr(QualityE6Expr).as("q_e6"))
-    val perSrc = uniq.groupBy(col("source"))
+
+  /** Keep-first canonical per fingerprint (min doc_id — the
+    * pipeline_curate election) with the exact-integer quality attached.
+    * Zero-token canonicals ride through with q_e6 = 0 (they carry no
+    * budget mass — [[epochStats]] excludes them — but they must WIN
+    * their election like any other doc so the incremental path's
+    * displacement algebra matches the full plan).
+    */
+  private[queries] def epochKeepFirst(feats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    feats.withColumn("rn", row_number().over(wfp)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("fp"), col("n"),
+        when(col("n") > 0, expr(QualityE6Expr)).otherwise(lit(0L)).as("q_e6"))
+  }
+
+  /** Per-source inventory sums over the canonical relation. */
+  private[queries] def epochStats(perFp: DataFrame): DataFrame =
+    perFp.filter(col("n") > 0)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("uniq_tok"),
         sum(col("q_e6")).as("q_sum"))
+
+  /** The closed-form greedy allocation over per-source
+    * (n_docs, uniq_tok, q_sum) stats — windows run over the ≤|sources|
+    * relation (domain-bounded). */
+  private[queries] def epochAllocate(perSrcStats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = perSrcStats
       .select(col("source"), col("n_docs"), col("uniq_tok"),
         expr(ExactRound.spark("q_sum", "n_docs")).as("quality_e6"))
-    // both windows run over the ≤|sources| relation — domain-bounded
     val wq = Window.orderBy(col("quality_e6").desc, col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2236,6 +2255,85 @@ object TextQueries {
         expr(ExactRound.spark("CAST(alloc_tok AS DECIMAL(38,0)) * 1000000",
           "CAST(budget AS DECIMAL(38,0))")).cast("long").as("share_e6"))
       .orderBy(col("source"))
+  }
+
+  def epochPlan(s: SparkSession, d: String): DataFrame =
+    epochAllocate(epochStats(epochKeepFirst(epochDocFeatures(docs(s, d)))))
+
+  // ========================================================================
+  // epoch_plan_incremental — the allocator's CONTINUOUS-INGESTION path:
+  // the base corpus's per-fingerprint canonical relation and per-source
+  // inventory sums are persisted ONCE as catalog tables (the
+  // data_card_incremental build-once contract); each refresh scans ONLY
+  // the increment slice and merges by DISPLACEMENT-CORRECT deltas —
+  // the subtlety a naive additive merge misses is that unique-token
+  // inventory is a keep-first election, not a sum: an increment doc
+  // whose fingerprint already exists adds nothing, and an increment doc
+  // with a SMALLER id than the base canonical DISPLACES it (the
+  // full-corpus election is min doc_id across slices), moving the fp's
+  // mass between sources. Delta algebra per increment canonical:
+  // new fp → +inc; displaced (inc id < base id) → +inc −base; else 0 —
+  // each guarded by its own n > 0. The merged stats equal the
+  // full-corpus inventory BIT-FOR-BIT, so the oracle IS the full
+  // epoch_plan's SQL: passing it PROVES the O(increment) merge exact.
+  // Everything that shuffles is O(increment + fp lookups): the
+  // increment equi-joins the persisted fp table; the base is never
+  // rescanned.
+  // ========================================================================
+  private val EpochBaseWhere = "doc_id % 3 <> 0"
+
+  private[graft] def epochFpTable(s: SparkSession, d: String): String =
+    synchronized {
+      val t = s"graft_epochplan_fp_${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t))
+        graft.operators.Scale.saveTable(
+          epochKeepFirst(epochDocFeatures(docs(s, d).filter(expr(EpochBaseWhere)))), t)
+      t
+    }
+
+  private[graft] def epochBaseStatsTable(s: SparkSession, d: String): String =
+    synchronized {
+      val t = s"graft_epochplan_stats_${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t))
+        graft.operators.Scale.saveTable(epochStats(s.table(epochFpTable(s, d))), t)
+      t
+    }
+
+  /** The displacement-correct O(increment) stats merge — factored out of
+    * [[epochPlanIncremental]] so the displacement branch (which the
+    * synthetic corpus's slice split never exercises: no fingerprint
+    * crosses the % 3 boundary) is pinned by a hostile probe in
+    * EpochPlanSpec. Frames: `baseFp` = the base slice's per-fp canonical
+    * relation, `baseStats` = its per-source sums, `incCanon` = the
+    * increment's per-fp canonicals.
+    */
+  private[queries] def epochMergeIncrement(baseFp: DataFrame, baseStats: DataFrame,
+                                           incCanon: DataFrame): DataFrame = {
+    val joined = incCanon.as("i").join(baseFp.as("b"), Seq("fp"), "left")
+    // the increment canonical WINS when the fp is new or its id is
+    // smaller than the base canonical's (min-id election across slices)
+    val incWins = col("b.doc_id").isNull || col("i.doc_id") < col("b.doc_id")
+    val addInc = joined.filter(incWins && col("i.n") > 0)
+      .select(col("i.source").as("source"), lit(1L).as("n_docs"),
+        col("i.n").as("uniq_tok"), col("i.q_e6").as("q_sum"))
+    val subBase = joined
+      .filter(col("b.doc_id").isNotNull && col("i.doc_id") < col("b.doc_id")
+        && col("b.n") > 0)
+      .select(col("b.source").as("source"), lit(-1L).as("n_docs"),
+        (-col("b.n")).as("uniq_tok"), (-col("b.q_e6")).as("q_sum"))
+    baseStats.unionByName(addInc).unionByName(subBase)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("uniq_tok")).as("uniq_tok"),
+        sum(col("q_sum")).as("q_sum"))
+      // a source whose every unique doc was displaced away holds no mass
+      .filter(col("n_docs") > 0)
+  }
+
+  def epochPlanIncremental(s: SparkSession, d: String): DataFrame = {
+    val incCanon = epochKeepFirst(
+      epochDocFeatures(docs(s, d).filter(not(expr(EpochBaseWhere)))))
+    epochAllocate(epochMergeIncrement(
+      s.table(epochFpTable(s, d)), s.table(epochBaseStatsTable(s, d)), incCanon))
   }
 
   private val epochPlanSql =
@@ -3470,6 +3568,7 @@ object TextQueries {
     "retrieval_ndcg" -> (retrievalNdcg _),
     "retrieval_ndcg_batch" -> (retrievalNdcgBatch _),
     "epoch_plan" -> (epochPlan _),
+    "epoch_plan_incremental" -> (epochPlanIncremental _),
     "pack_curriculum" -> (packCurriculum _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
@@ -3523,6 +3622,10 @@ object TextQueries {
     "retrieval_ndcg" -> retrievalNdcgSql,
     "retrieval_ndcg_batch" -> retrievalNdcgBatchSql,
     "epoch_plan" -> epochPlanSql,
+    // the incremental refresh's oracle IS the full plan's SQL — passing
+    // it proves the O(increment) displacement-correct merge exact
+    // (the data_card_incremental treatment)
+    "epoch_plan_incremental" -> epochPlanSql,
     "pack_curriculum" -> packCurriculumSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,

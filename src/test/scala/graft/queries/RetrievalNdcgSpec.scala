@@ -121,6 +121,45 @@ class RetrievalNdcgSpec extends SparkSpec {
     assert(rows.count(_._7 > 0) <= 1)
   }
 
+  test("epoch_plan_incremental equals the full-corpus plan (the O(increment) merge is exact)") {
+    val full = graft.SparkEntry.queries("epoch_plan")(spark, sf).collect().toSeq
+    val inc = graft.SparkEntry.queries("epoch_plan_incremental")(spark, sf).collect().toSeq
+    assert(inc == full)
+  }
+
+  test("epochMergeIncrement handles DISPLACEMENT: a smaller-id increment canonical moves the fp's mass between sources") {
+    // the synthetic corpus has no cross-slice duplicate fingerprints, so
+    // the oracle gate never exercises this branch — plant it: base doc 10
+    // (srcA) and increment doc 3 share a fingerprint; the full-corpus
+    // min-id election belongs to doc 3 (srcB), so the merge must SUBTRACT
+    // srcA's copy and ADD srcB's. Also: a new-fp increment doc (srcB) and
+    // a LOSING increment dup (id 30 > base 20) that must change nothing.
+    import spark.implicits._
+    val base = Seq(
+      (10L, "srcA", "alpha beta gamma delta"),     // displaced by inc doc 3
+      (20L, "srcA", "epsilon zeta eta theta"),     // stays canonical vs inc 30
+      (11L, "srcB", "iota kappa lambda mu")
+    ).toDF("doc_id", "source", "text")
+    val incr = Seq(
+      (3L, "srcB", "alpha beta gamma delta"),      // displaces base 10
+      (30L, "srcB", "epsilon zeta eta theta"),     // loses to base 20
+      (6L, "srcB", "nu xi omicron pi rho")         // new fp
+    ).toDF("doc_id", "source", "text")
+    val baseFp = TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(base))
+    val baseStats = TextQueries.epochStats(baseFp)
+    val incCanon = TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(incr))
+    val merged = TextQueries.epochMergeIncrement(baseFp, baseStats, incCanon)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ground truth: the full-corpus election over base ∪ increment
+    val expected = TextQueries.epochStats(
+      TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(base.unionByName(incr))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == expected, s"merged $merged != full $expected")
+    // and the displacement actually moved mass: srcA lost doc 10's tokens
+    assert(expected("srcA")._1 == 1L, "srcA should hold only doc 20 after displacement")
+    assert(expected("srcB")._1 == 3L, "srcB holds docs 11, 3 (displacing), 6 (new)")
+  }
+
   test("pack_curriculum packs the same token mass as pack_sequences, in an annealed order") {
     val packed = graft.SparkEntry.queries("pack_sequences")(spark, sf)
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
