@@ -2313,15 +2313,24 @@ object TextQueries {
     // the increment canonical WINS when the fp is new or its id is
     // smaller than the base canonical's (min-id election across slices)
     val incWins = col("b.doc_id").isNull || col("i.doc_id") < col("b.doc_id")
-    val addInc = joined.filter(incWins && col("i.n") > 0)
-      .select(col("i.source").as("source"), lit(1L).as("n_docs"),
-        col("i.n").as("uniq_tok"), col("i.q_e6").as("q_sum"))
-    val subBase = joined
-      .filter(col("b.doc_id").isNotNull && col("i.doc_id") < col("b.doc_id")
-        && col("b.n") > 0)
-      .select(col("b.source").as("source"), lit(-1L).as("n_docs"),
-        (-col("b.n")).as("uniq_tok"), (-col("b.q_e6")).as("q_sum"))
-    baseStats.unionByName(addInc).unionByName(subBase)
+    val displaced = col("b.doc_id").isNotNull && col("i.doc_id") < col("b.doc_id")
+    // BOTH deltas (+inc, and −base when displaced) emit from ONE pass
+    // over the joined relation — two filtered branches would union two
+    // copies of the whole increment subplan (scan + keep-first window
+    // run twice; Spark does not dedupe shared subplans across a union)
+    val deltas = joined
+      .select(explode(array(
+        when(incWins && col("i.n") > 0,
+          struct(col("i.source").as("source"), lit(1L).as("n_docs"),
+            col("i.n").as("uniq_tok"), col("i.q_e6").as("q_sum"))),
+        when(displaced && col("b.n") > 0,
+          struct(col("b.source").as("source"), lit(-1L).as("n_docs"),
+            (-col("b.n")).as("uniq_tok"), (-col("b.q_e6")).as("q_sum")))
+      )).as("dlt"))
+      .filter(col("dlt").isNotNull)
+      .select(col("dlt.source").as("source"), col("dlt.n_docs").as("n_docs"),
+        col("dlt.uniq_tok").as("uniq_tok"), col("dlt.q_sum").as("q_sum"))
+    baseStats.unionByName(deltas)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("uniq_tok")).as("uniq_tok"),
         sum(col("q_sum")).as("q_sum"))

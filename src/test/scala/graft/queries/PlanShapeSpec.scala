@@ -752,6 +752,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("epoch_plan_incremental reads the base from catalog tables — documents scanned ONCE (increment only)") {
+    val p = plan("epoch_plan_incremental")
+    // exactly one corpus scan: the increment slice; the base inventory
+    // comes from the persisted graft_epochplan_* tables (O(increment)
+    // refresh — the base corpus is never rescanned)
+    // path-based scans print `Scan parquet  (n)` with the file only on
+    // the Location: line — count those (catalog tables print their name
+    // inline and never match documents.parquet)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"documents scanned $docScans times\n$p")
+    assert(p.contains("graft_epochplan_fp_"), p)
+    assert(p.contains("graft_epochplan_stats_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("retrieval_ndcg_batch: per-query IDCG plans as WindowGroupLimit heaps on the q_id key") {
     val p = plan("retrieval_ndcg_batch")
     assert(!p.contains("CartesianProduct"), p)
