@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExactRound
@@ -1536,6 +1537,68 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // decontaminate_report — the contamination screen FLIPPED: per
+  // BENCHMARK item, how compromised is the eval? `decontaminate` tells
+  // the trainer which corpus docs to drop; this tells the evaluator
+  // which benchmark items no longer measure generalization (their
+  // content leaked into training data) — the report that accompanies
+  // any published eval on a model trained over the corpus. Per bench
+  // doc: distinct-shingle inventory, how many of those shingles appear
+  // in ≥ 1 corpus doc (n_grams_leaked), how many corpus docs share ≥ 1
+  // shingle (n_docs_hit), and the exact-integer leak fraction
+  // (leak_e6 = leaked·10⁶ div grams). Same gram definition as the
+  // screen (decontGramsCol — batch and stream hash identical grams).
+  //
+  // Scale shape: the bench side is SMALL by definition → its exploded
+  // (bench_id, gram) relation broadcasts; the corpus side explodes
+  // per-doc distinct shingles and hash-joins WITHOUT shuffling the
+  // corpus; only matching rows — sparse by construction — reach the
+  // two-distinct-count agg, keyed by bench_id (≤ bench-sized output).
+  // ========================================================================
+  def decontaminateReport(s: SparkSession, d: String): DataFrame = {
+    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+    val benchEx = bench
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+    val matched = decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
+      .select(col("doc_id").as("cdoc"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchEx), Seq("gram"))
+    val perBench = matched.groupBy(col("bench_id"))
+      .agg(countDistinct(col("gram")).as("hit_grams"),
+        countDistinct(col("cdoc")).as("hit_docs"))
+    bench.select(col("doc_id").as("bench_id"),
+        size(col("grams")).cast("long").as("n_grams"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("n_grams_leaked"),
+        coalesce(col("hit_docs"), lit(0L)).as("n_docs_hit"))
+      .withColumn("leak_e6",
+        when(col("n_grams") > 0,
+          expr("(n_grams_leaked * 1000000) div n_grams")).otherwise(lit(0L)))
+      .orderBy(col("bench_id"))
+  }
+
+  private val decontaminateReportSql =
+    s"""WITH $decontCtesSql,
+      |bx AS (
+      |  SELECT doc_id AS bench_id, unnest(grams) AS gram FROM dg
+      |  WHERE doc_id % $DecontBenchMod = 0),
+      |cx AS (SELECT doc_id AS cdoc, unnest(grams) AS gram FROM corpus),
+      |pb AS (
+      |  SELECT bench_id, count(DISTINCT gram) AS hit_grams,
+      |    count(DISTINCT cdoc) AS hit_docs
+      |  FROM bx JOIN cx USING (gram) GROUP BY bench_id)
+      |SELECT dg.doc_id AS bench_id,
+      |  CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(hit_grams, 0) AS BIGINT) AS n_grams_leaked,
+      |  CAST(coalesce(hit_docs, 0) AS BIGINT) AS n_docs_hit,
+      |  CAST(CASE WHEN len(grams) > 0
+      |    THEN (coalesce(hit_grams, 0) * 1000000) // len(grams)
+      |    ELSE 0 END AS BIGINT) AS leak_e6
+      |FROM dg LEFT JOIN pb ON dg.doc_id = pb.bench_id
+      |WHERE dg.doc_id % $DecontBenchMod = 0
+      |ORDER BY bench_id""".stripMargin
+
+  // ========================================================================
   // bpe_learn — byte-pair-encoding tokenizer induction (Sennrich et al.
   // arXiv:1508.07909), the missing learner half of the tokenization
   // story (token_count_subword APPLIES a given vocab; every pipeline
@@ -2438,6 +2501,173 @@ object TextQueries {
        |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
        |FROM e GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
+
+  // ========================================================================
+  // shard_assign / shard_balance — token-balanced output sharding, the
+  // last-mile write step of a curation pipeline: the released corpus is
+  // emitted as N shard files per source, and data-loader workers stream
+  // one shard each, so shards must carry near-equal TOKEN mass (a
+  // doc-count round-robin leaves the long-doc shard 2-3× heavier and
+  // the epoch blocks on it). Assignment is the snake draft over the
+  // per-source (n_tok DESC, doc_id) order: pos = rank-1, band = pos div
+  // N, shard = band even ? pos mod N : N-1-(pos mod N) — each pair of
+  // bands hands every shard one long + one short doc, so imbalance
+  // cannot accumulate band over band (greedy LPT quality without LPT's
+  // sequential state). Doc counts per (source, shard) differ by ≤ 1 by
+  // construction; everything is exact integer arithmetic on an ordering
+  // both engines share (ties by doc_id).
+  //
+  // Scale shape: ONE hashpartitioning(source) exchange for the
+  // per-source rank window — the pack-family shape; the assignment is
+  // per-row integer math on the same pass. shard_balance folds the
+  // assignment into a (source, shard) partial-agg — ≤ |sources|·N rows
+  // — and the spread audit windows over THAT relation, never the
+  // corpus. At 100 TB with a skew-heavy source, rank-within-source
+  // swaps to the two-job distributed index per source slice
+  // (WindowOps.globalRowIdx); the assignment algebra is unchanged.
+  // ========================================================================
+  private val NumShards = 8L
+
+  /** (doc_id, source, n_tok, shard) — unordered; shared by both keys. */
+  private def shardAssigned(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("neg_tok", -col("n_tok"))
+    graft.operators.WindowOps
+      .withRowIdx(toks, Seq("source"), Seq("neg_tok", "doc_id"), "rn")
+      .withColumn("pos", col("rn") - 1L)
+      .withColumn("shard",
+        when(expr(s"pos div $NumShards") % 2 === 0, col("pos") % NumShards)
+          .otherwise(lit(NumShards - 1) - col("pos") % NumShards))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
+  }
+
+  def shardAssign(s: SparkSession, d: String): DataFrame =
+    shardAssigned(s, d).orderBy(col("doc_id"))
+
+  def shardBalance(s: SparkSession, d: String): DataFrame = {
+    val perShard = shardAssigned(s, d)
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val bySource = Window.partitionBy(col("source"))
+    perShard
+      .withColumn("spread_tokens",
+        max(col("n_tokens")).over(bySource) - min(col("n_tokens")).over(bySource))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  /** Shared CTEs: `sht` token counts, `shp` the snake-draft assignment. */
+  private val shardCtesSql =
+    raw"""sht AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |shp AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(CASE WHEN (pos // $NumShards) % 2 = 0 THEN pos % $NumShards
+       |         ELSE $NumShards - 1 - pos % $NumShards END AS BIGINT) AS shard
+       |  FROM (SELECT doc_id, source, n_tok,
+       |          row_number() OVER (PARTITION BY source
+       |            ORDER BY n_tok DESC, doc_id) - 1 AS pos
+       |        FROM sht))""".stripMargin
+
+  private val shardAssignSql =
+    s"""WITH $shardCtesSql
+       |SELECT doc_id, source, n_tok, shard FROM shp ORDER BY doc_id""".stripMargin
+
+  private val shardBalanceSql =
+    s"""WITH $shardCtesSql,
+       |b AS (
+       |  SELECT source, shard, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM shp GROUP BY source, shard)
+       |SELECT source, shard, n_docs, n_tokens,
+       |  CAST(max(n_tokens) OVER (PARTITION BY source)
+       |    - min(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS spread_tokens
+       |FROM b ORDER BY source, shard""".stripMargin
+
+  // ========================================================================
+  // quality_rank_corr — Spearman rank agreement between the CHEAP
+  // heuristic quality gate (QualityE6) and the EXPENSIVE corpus-LM gate
+  // (mean bigram NLL), per source. The question a pipeline owner asks
+  // before ordering the gates: if the cheap signal ranks documents the
+  // way the LM does (rho near +1), it can prefilter aggressively and
+  // the LM only scores survivors (the pipeline_curate_lm ordering); if
+  // rho is low the heuristic is NOT a proxy and both gates must run.
+  // Spearman over DISTINCT ranks is pure integer arithmetic: rank A =
+  // row_number by (quality_e6 DESC, doc_id), rank B = row_number by
+  // (mean_nll_e4 ASC, doc_id) — both tie-broken by doc_id and computed
+  // over the LM-scorable population (n >= 2 tokens), d = rA − rB,
+  // rho = 1 − 6·Σd² / (n(n²−1)), emitted as exact half-away rho_e6
+  // (ExactRound — numerator may be negative). The LM side reuses the
+  // persisted per-doc lmScoreCore relation (5th consumer); the quality
+  // side is the shared QualityE6 interpolation on the same scan shape.
+  //
+  // Scale: the two rank windows share ONE hashpartitioning(source)
+  // exchange; the per-doc LM join is doc_id-keyed; the Σd² agg
+  // partial-aggregates map-side to |sources| rows. At 100 TB the only
+  // widening is sum_d2 → DECIMAL(38,0) (n³ passes 2⁶³ near 2×10⁶ docs
+  // per source); counts here keep it in BIGINT on both engines.
+  // ========================================================================
+  def qualityRankCorr(s: SparkSession, d: String): DataFrame = {
+    val feats = docs(s, d)
+      .withColumn("toks", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n"),
+        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
+        TextOps.distinctCount(col("toks")).as("n_dist"))
+      .filter(col("n") >= 2) // the LM-scorable population, exactly
+      .withColumn("q_e6", expr(QualityE6Expr))
+    val lm = lmScoreCore(s, d).select(col("doc_id"),
+      expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = feats.join(lm, Seq("doc_id"))
+      .withColumn("r_q", row_number()
+        .over(bySrc.orderBy(col("q_e6").desc, col("doc_id"))).cast("long"))
+      .withColumn("r_l", row_number()
+        .over(bySrc.orderBy(col("mean_nll_e4").asc, col("doc_id"))).cast("long"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("r_q") - col("r_l")) * (col("r_q") - col("r_l"))).as("sum_d2"))
+      .withColumn("rho_e6",
+        when(col("n_docs") > 1, expr(ExactRound.spark(
+          "(n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1000000",
+          "n_docs * (n_docs * n_docs - 1)")))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val qualityRankCorrSql =
+    s"""WITH qf AS (
+       |  SELECT doc_id, source, $QualityE6Sql AS q_e6
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(toks) AS BIGINT) AS n,
+       |      CAST(len(list_filter(toks, tk -> tk IN ($EnStopSqlList))) AS BIGINT) AS n_stop,
+       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+       |    FROM (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks
+       |          FROM documents))
+       |  WHERE n >= 2),
+       |lmq AS (
+       |  SELECT doc_id, ${ExactRound.duck("nll_sum_e4", "n_bg")} AS mean_nll_e4
+       |  FROM ($lmScoreCoreSql)),
+       |rk AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY q_e6 DESC, doc_id) AS BIGINT) AS r_q,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY mean_nll_e4 ASC, doc_id) AS BIGINT) AS r_l
+       |  FROM qf JOIN lmq USING (doc_id)),
+       |ag AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum((r_q - r_l) * (r_q - r_l)) AS BIGINT) AS sum_d2
+       |  FROM rk GROUP BY source)
+       |SELECT source, n_docs, sum_d2,
+       |  CASE WHEN n_docs > 1 THEN ${ExactRound.duck(
+              "(n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1000000",
+              "n_docs * (n_docs * n_docs - 1)")}
+       |       ELSE NULL END AS rho_e6
+       |FROM ag ORDER BY source""".stripMargin
 
   // ========================================================================
   // sample_mix — target-share corpus mixing (domain reweighting): given
@@ -3579,6 +3809,10 @@ object TextQueries {
     "epoch_plan" -> (epochPlan _),
     "epoch_plan_incremental" -> (epochPlanIncremental _),
     "pack_curriculum" -> (packCurriculum _),
+    "shard_assign" -> (shardAssign _),
+    "shard_balance" -> (shardBalance _),
+    "quality_rank_corr" -> (qualityRankCorr _),
+    "decontaminate_report" -> (decontaminateReport _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3636,6 +3870,10 @@ object TextQueries {
     // (the data_card_incremental treatment)
     "epoch_plan_incremental" -> epochPlanSql,
     "pack_curriculum" -> packCurriculumSql,
+    "shard_assign" -> shardAssignSql,
+    "shard_balance" -> shardBalanceSql,
+    "quality_rank_corr" -> qualityRankCorrSql,
+    "decontaminate_report" -> decontaminateReportSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

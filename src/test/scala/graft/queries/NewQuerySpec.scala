@@ -543,4 +543,98 @@ class NewQuerySpec extends SparkSpec {
     val total = graft.sources.Tables.lineitem(spark, sf).count()
     assert(out.map(_.getLong(1)).sum == total)
   }
+
+  test("shard_assign is the snake draft over (n_tok desc, doc_id); shard_balance reconciles and bounds the spread") {
+    val out = graft.SparkEntry.queries("shard_assign")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(t => t._4 >= 0 && t._4 < 8), "shard out of range")
+    assert(out.map(_._1).distinct.length == out.length, "a doc assigned twice")
+    out.groupBy(_._2).foreach { case (src, ds) =>
+      // the assignment IS the snake formula over the per-source order
+      val ordered = ds.sortBy(t => (-t._3, t._1))
+      ordered.zipWithIndex.foreach { case ((id, _, _, shard), pos) =>
+        val want = if ((pos / 8) % 2 == 0) pos % 8 else 7 - pos % 8
+        assert(shard == want, s"$src doc $id pos $pos: shard $shard want $want")
+      }
+      // doc counts round-robin exactly: differ by <= 1 across shards
+      val counts = ordered.groupBy(_._4).values.map(_.size)
+      assert(counts.max - counts.min <= 1, s"$src doc counts $counts")
+      // token balance: each band pair hands every shard one long + one
+      // short doc, so the spread stays under ONE longest doc
+      val toks = ordered.groupBy(_._4).values.map(_.map(_._3).sum)
+      assert(toks.max - toks.min <= ordered.map(_._3).max,
+        s"$src spread ${toks.max - toks.min} > max doc ${ordered.map(_._3).max}")
+    }
+    // balance audit reconciles with the assignment EXACTLY
+    val bal = graft.SparkEntry.queries("shard_balance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wantBal = out.groupBy(t => (t._2, t._4)).map { case ((src, sh), ds) =>
+      (src, sh, ds.size.toLong, ds.map(_._3).sum)
+    }.toSet
+    assert(bal.map(t => (t._1, t._2, t._3, t._4)).toSet == wantBal)
+    bal.groupBy(_._1).foreach { case (src, rows) =>
+      val spread = rows.map(_._4).max - rows.map(_._4).min
+      assert(rows.forall(_._5 == spread), s"$src spread column != $spread")
+    }
+  }
+
+  test("quality_rank_corr equals an independent driver-side Spearman recomputation") {
+    def halfAway(a: Long, b: Long): Long =
+      if (a < 0) -((2 * -a + b) / (2 * b)) else (2 * a + b) / (2 * b)
+    val stop = graft.text.TextOps.LangStopwords.toMap.apply("en").toSet
+    // quality side recomputed OUTSIDE Spark expressions (plain Scala
+    // over collected text), LM side from the registered lm_score key —
+    // ranks via driver sorts, not windows
+    val qSide = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).split("\\s+").filter(_.nonEmpty)
+        val n = toks.length.toLong
+        val qE6 =
+          if (n >= 2)
+            Some((5 * n * math.min(n, 100) + 300 * (n - toks.count(stop))
+              + 200 * toks.distinct.length) * 1000 / n)
+          else None
+        (r.getLong(0), r.getString(1), qE6)
+      }.collect { case (id, src, Some(q)) => (id, src, q) }
+    val lmSide = graft.SparkEntry.queries("lm_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> halfAway(r.getLong(2), r.getLong(1))).toMap
+    val want = qSide.groupBy(_._2).map { case (src, ds) =>
+      val rq = ds.sortBy(t => (-t._3, t._1)).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+      val rl = ds.sortBy(t => (lmSide(t._1), t._1)).zipWithIndex
+        .map { case (t, i) => t._1 -> (i + 1L) }.toMap
+      val n = ds.length.toLong
+      val d2 = ds.map(t => { val d = rq(t._1) - rl(t._1); d * d }).sum
+      val den = n * (n * n - 1)
+      (src, n, d2, if (n > 1) halfAway((den - 6 * d2) * 1000000L, den) else 0L)
+    }.toSet
+    val got = graft.SparkEntry.queries("quality_rank_corr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
+    assert(got.forall(t => t._4 >= -1000000L && t._4 <= 1000000L))
+  }
+
+  test("decontaminate_report equals an independent driver-side recomputation of per-benchmark leakage") {
+    val all = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      if (w.length >= 4) w.sliding(4).map(_.mkString(" ")).toSet else Set.empty[String]
+    }
+    val bench = all.filter(_._1 % 50 == 0).map { case (id, t) => id -> grams(t) }
+    val corpus = all.filter(_._1 % 50 != 0).map { case (id, t) => id -> grams(t) }
+    assert(bench.nonEmpty && corpus.nonEmpty)
+    val want = bench.map { case (bid, g) =>
+      val hitDocs = corpus.count(c => c._2.exists(g))
+      val leaked = g.count(gr => corpus.exists(_._2(gr)))
+      (bid, g.size.toLong, leaked.toLong, hitDocs.toLong,
+        if (g.nonEmpty) leaked.toLong * 1000000L / g.size else 0L)
+    }.toSet
+    val got = graft.SparkEntry.queries("decontaminate_report")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want, s"got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
+  }
 }

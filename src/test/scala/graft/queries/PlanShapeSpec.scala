@@ -282,7 +282,7 @@ class PlanShapeSpec extends SparkSpec {
       Map("en" -> 10, "zh" -> 50), defaultPct = 25)
     val p = df.queryExecution.explainString(FormattedMode)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p) // scan-side pass only
+    assert(!p.contains("hashpartitioning("), p) // scan-side pass only
     // text column pruned out of the query's scan (never read, never moved)
     val read = plan("sample_stratified").linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("doc_id") && !read.contains("text"), read)
@@ -723,9 +723,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.contains("Generate"), p)
     assert(p.contains("partial_min") || p.contains("partial_count"), p)
-    // one exchange total: the 256-cell agg shuffle (formatted mode
-    // renders each Exchange twice: tree + detail header)
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    // one hash exchange total: the 256-cell agg shuffle (formatted mode
+    // prints the partitioning once, on the Exchange's Arguments: line)
+    assert("hashpartitioning\\(".r.findAllIn(p).length <= 1, p)
   }
 
   test("shuffle_seeded builds its global position distributed (pinned range RDD, no global row_number)") {
@@ -735,8 +735,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("pack_shuffled / pack_curriculum add NO exchange over pack_sequences (order keys ride the same source partition)") {
+    // formatted mode prints partitioning on Arguments: lines — count
+    // those (the old "Exchange hashpartitioning" literal never occurs
+    // in formatted output, making the guard vacuous 0 == 0)
     val count = (q: String) =>
-      "Exchange hashpartitioning".r.findAllIn(plan(q)).length
+      "hashpartitioning\\(source".r.findAllIn(plan(q)).length
     assert(count("pack_shuffled") == count("pack_sequences"),
       s"pack_shuffled ${count("pack_shuffled")} vs pack_sequences ${count("pack_sequences")}")
     assert(count("pack_curriculum") == count("pack_sequences"),
@@ -766,6 +769,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_epochplan_fp_"), p)
     assert(p.contains("graft_epochplan_stats_"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shard_assign/shard_balance: one hashpartitioning(source) corpus exchange; balance combines map-side") {
+    val pa = plan("shard_assign")
+    assert(!pa.contains("CartesianProduct"), pa)
+    // the rank window's source exchange is the ONLY hash exchange —
+    // the snake assignment is per-row integer math on the same pass
+    // (formatted mode prints partitioning on the Arguments: line)
+    val nEx = "hashpartitioning\\(source".r.findAllIn(pa).length
+    assert(nEx == 1, s"$nEx source hash exchanges\n$pa")
+    val pb = plan("shard_balance")
+    assert(!pb.contains("CartesianProduct"), pb)
+    // (source, shard) totals partial-aggregate before their exchange;
+    // the spread window runs over that <= |sources|*N relation only
+    assert(pb.contains("partial_count"), pb)
+  }
+
+  test("quality_rank_corr: both rank windows share ONE source exchange; no cartesian") {
+    val p = plan("quality_rank_corr")
+    assert(!p.contains("CartesianProduct"), p)
+    // the two row_number windows partition identically, so Spark plans
+    // one hashpartitioning(source) exchange feeding sort+window twice;
+    // the Σd² agg rides the same partitioning (no further exchange)
+    val srcEx = "hashpartitioning\\(source".r.findAllIn(p).length
+    assert(srcEx == 1, s"$srcEx source exchanges\n$p")
+  }
+
+  test("decontaminate_report: bench side broadcasts onto the corpus scan — corpus never shuffles before the sparse match") {
+    val p = plan("decontaminate_report")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("retrieval_ndcg_batch: per-query IDCG plans as WindowGroupLimit heaps on the q_id key") {
