@@ -2503,6 +2503,104 @@ object TextQueries {
        |ORDER BY source, seq_id""".stripMargin
 
   // ========================================================================
+  // epoch_order — the allocator's plan MATERIALIZED as the actual
+  // training order: for every source with a non-zero allocation, each
+  // epoch e = 1..epochs(+1 if a partial epoch remains) lists the
+  // canonical (post keep-first dedup) docs in that epoch's seeded
+  // shuffle order (hash60(doc_id # "e"+e) — a FRESH content-addressed
+  // permutation per epoch, the shuffle_seeded contract), and the
+  // marginal source's last epoch is the shuffled PREFIX that consumes
+  // exactly partial_tok tokens (the straddling doc contributes
+  // take_tok = partial_tok − cum_before < n_tok, the pack_sequences
+  // cut algebra). Σ take_tok per source equals alloc_tok BIT-FOR-BIT —
+  // epoch_plan tells the owner WHAT to train on; this emits the order
+  // a data loader replays.
+  //
+  // Scale shape: the canonical inventory relation is built once and
+  // persisted (epochCanonMemo — RelationMemo contract); the per-source
+  // plan is ≤ |sources| rows and broadcasts onto it; the explode fans
+  // out ≤ EpochMaxRepeat+1 rows per doc; ONE hashpartitioning(source,
+  // epoch) exchange serves both the position window and the prefix
+  // cumsum. Nothing corpus-sized crosses the driver.
+  // ========================================================================
+  private val epochCanonMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  /** Canonical per-fingerprint inventory (doc_id, source, n, q_e6),
+    * zero-token canonicals excluded — the allocator family's shared
+    * base relation, persisted per (session, dir).
+    */
+  private def epochCanon(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(epochCanonMemo, (s, d)) {
+      epochKeepFirst(epochDocFeatures(docs(s, d))).filter(col("n") > 0)
+        .select(col("doc_id"), col("source"), col("n"), col("q_e6"))
+        .persist()
+    }
+
+  def epochOrder(s: SparkSession, d: String): DataFrame = {
+    val canon = epochCanon(s, d)
+    val plan = epochAllocate(epochStats(canon))
+      .select(col("source"), col("epochs"), col("partial_tok"))
+      .withColumn("n_ep",
+        col("epochs") + when(col("partial_tok") > 0, 1L).otherwise(0L))
+      .filter(col("n_ep") > 0)
+    val w = Window.partitionBy(col("source"), col("epoch"))
+      .orderBy(col("h"), col("doc_id"))
+    canon.join(broadcast(plan), Seq("source"))
+      .select(col("source"), col("doc_id"), col("n"), col("epochs"),
+        col("partial_tok"),
+        explode(expr("sequence(CAST(1 AS BIGINT), n_ep)")).as("epoch"))
+      .withColumn("h", TextOps.hash60(col("doc_id").cast("string"),
+        concat(lit("e"), col("epoch").cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cumb", coalesce(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("epoch") <= col("epochs") || col("cumb") < col("partial_tok"))
+      .select(col("source"), col("epoch"), col("pos"), col("doc_id"),
+        col("n").as("n_tok"),
+        when(col("epoch") <= col("epochs"), col("n"))
+          .otherwise(least(col("n"), col("partial_tok") - col("cumb")))
+          .as("take_tok"))
+      .orderBy(col("source"), col("epoch"), col("pos"))
+  }
+
+  private lazy val epochOrderSql =
+    s"""$curateCtesSql,
+       |uq2 AS (
+       |  SELECT doc_id, source, n FROM (
+       |    SELECT doc_id, source, n,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM f)
+       |  WHERE rn = 1 AND n > 0),
+       |ep AS (
+       |  SELECT source, epochs, partial_tok,
+       |    epochs + CASE WHEN partial_tok > 0 THEN 1 ELSE 0 END AS n_ep
+       |  FROM ($epochPlanSql)
+       |  WHERE epochs > 0 OR partial_tok > 0),
+       |ex AS (
+       |  SELECT uq2.doc_id, uq2.source, uq2.n, ep.epochs, ep.partial_tok,
+       |    unnest(range(1, CAST(ep.n_ep AS BIGINT) + 1)) AS epoch
+       |  FROM uq2 JOIN ep USING (source)),
+       |hh AS (
+       |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |    || '#e' || epoch), 1, 15))::BIGINT AS h
+       |  FROM ex),
+       |wo AS (
+       |  SELECT source, epoch, doc_id, n, epochs, partial_tok,
+       |    CAST(row_number() OVER (PARTITION BY source, epoch
+       |      ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |    CAST(coalesce(sum(n) OVER (PARTITION BY source, epoch
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+       |  FROM hh)
+       |SELECT source, CAST(epoch AS BIGINT) AS epoch, pos, doc_id,
+       |  n AS n_tok,
+       |  CAST(CASE WHEN epoch <= epochs THEN n
+       |       ELSE least(n, partial_tok - cumb) END AS BIGINT) AS take_tok
+       |FROM wo
+       |WHERE epoch <= epochs OR cumb < partial_tok
+       |ORDER BY source, epoch, pos""".stripMargin
+
+  // ========================================================================
   // shard_assign / shard_balance — token-balanced output sharding, the
   // last-mile write step of a curation pipeline: the released corpus is
   // emitted as N shard files per source, and data-loader workers stream
@@ -3813,6 +3911,7 @@ object TextQueries {
     "shard_balance" -> (shardBalance _),
     "quality_rank_corr" -> (qualityRankCorr _),
     "decontaminate_report" -> (decontaminateReport _),
+    "epoch_order" -> (epochOrder _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3874,6 +3973,7 @@ object TextQueries {
     "shard_balance" -> shardBalanceSql,
     "quality_rank_corr" -> qualityRankCorrSql,
     "decontaminate_report" -> decontaminateReportSql,
+    "epoch_order" -> epochOrderSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -637,4 +637,43 @@ class NewQuerySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(got == want, s"got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
   }
+
+  test("epoch_order materializes the allocation exactly: take_tok sums to alloc_tok, full epochs are complete permutations, the partial epoch cuts at partial_tok") {
+    val plan = graft.SparkEntry.queries("epoch_plan")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // the data must exercise the partial branch or this test is weak
+    assert(plan.values.exists(_._5 > 0), "no source with a partial epoch")
+    val ord = graft.SparkEntry.queries("epoch_order")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(ord.nonEmpty)
+    // only sources with a non-zero allocation appear
+    assert(ord.map(_._1).toSet ==
+      plan.filter(_._2._3 > 0).keySet)
+    ord.groupBy(_._1).foreach { case (src, rows) =>
+      val (nDocs, uniq, alloc, epochs, partial) = plan(src)
+      assert(rows.map(_._6).sum == alloc, s"$src take sum != alloc $alloc")
+      rows.groupBy(_._2).foreach { case (e, er) =>
+        assert(er.map(_._3).sorted.toSeq == (1L to er.length.toLong).toSeq,
+          s"$src epoch $e positions")
+        if (e <= epochs) {
+          assert(er.length.toLong == nDocs, s"$src epoch $e incomplete")
+          assert(er.map(_._6).sum == uniq)
+          assert(er.forall(t => t._6 == t._5)) // whole docs, no cuts
+        } else {
+          assert(er.map(_._6).sum == partial, s"$src partial epoch sum")
+          // at most ONE straddling doc contributes a cut
+          assert(er.count(t => t._6 < t._5) <= 1)
+        }
+      }
+      // seed-per-epoch: two full epochs order the same docs DIFFERENTLY
+      val fulls = rows.filter(_._2 <= epochs).groupBy(_._2)
+      if (fulls.size >= 2 && nDocs > 1) {
+        val orders = fulls.values.map(_.sortBy(_._3).map(_._4).toSeq).toSeq
+        assert(orders.distinct.size == orders.size,
+          s"$src epochs replayed an identical permutation")
+      }
+    }
+  }
 }

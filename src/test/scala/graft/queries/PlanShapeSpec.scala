@@ -796,6 +796,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(srcEx == 1, s"$srcEx source exchanges\n$p")
   }
 
+  test("epoch_order: memoized canonical relation, broadcast plan join, one (source, epoch) window exchange") {
+    val p = plan("epoch_order")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // epochCanonMemo, not a rescan
+    assert(p.contains("BroadcastHashJoin"), p) // the <=|sources| plan side
+    // two source-keyed exchanges: the stats agg over the cached canon
+    // + the (source, epoch) window; nothing else corpus-sized shuffles
+    val n = "hashpartitioning\\(source".r.findAllIn(p).length
+    assert(n == 2, s"$n source exchanges\n$p")
+  }
+
   test("decontaminate_report: bench side broadcasts onto the corpus scan — corpus never shuffles before the sparse match") {
     val p = plan("decontaminate_report")
     assert(!p.contains("CartesianProduct"), p)
