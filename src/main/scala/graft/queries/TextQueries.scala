@@ -1537,6 +1537,58 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // lang_id_eval — the heuristic language-ID scored against the
+  // corpus's ANNOTATED lang column: populated confusion-matrix cells
+  // (lang → lang_pred counts) with per-lang totals and exact-integer
+  // recall_e6. The eval that decides whether the stopword heuristic is
+  // good enough to gate on — and it surfaces the classifier's coverage
+  // gap honestly: the corpus carries zh docs the 4-way (de/en/es/fr)
+  // classifier can NEVER predict, so zh recall is 0 by construction
+  // (spec-pinned), exactly the signal that tells an owner to extend
+  // the stopword table before trusting the lang gate on a zh-bearing
+  // feed. Scale: ONE map-side-combined agg to ≤ |langs|² rows; the
+  // total/diagonal windows run over that tiny relation only.
+  // ========================================================================
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val cm = docs(s, d)
+      .select(col("lang"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+    val byLang = Window.partitionBy(col("lang"))
+    cm.withColumn("lang_total", sum(col("n_docs")).over(byLang))
+      .withColumn("diag", sum(when(col("lang") === col("lang_pred"), col("n_docs"))
+        .otherwise(lit(0L))).over(byLang))
+      .withColumn("recall_e6", expr("(diag * 1000000) div lang_total"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        col("lang_total"), col("recall_e6"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val langIdEvalSql = {
+    def score(words: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val langs = TextOps.LangStopwords.toMap
+    s"""WITH lc AS (
+       |  SELECT lang,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM (
+       |    SELECT lang, ${score(langs("de"))} AS s_de, ${score(langs("en"))} AS s_en,
+       |      ${score(langs("es"))} AS s_es, ${score(langs("fr"))} AS s_fr
+       |    FROM (SELECT lang, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
+       |cm AS (
+       |  SELECT lang, lang_pred, count(*) AS n_docs
+       |  FROM lc GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n_docs,
+       |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |  CAST((sum(CASE WHEN lang = lang_pred THEN n_docs ELSE 0 END)
+       |      OVER (PARTITION BY lang) * 1000000)
+       |    // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS recall_e6
+       |FROM cm ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  // ========================================================================
   // decontaminate_report — the contamination screen FLIPPED: per
   // BENCHMARK item, how compromised is the eval? `decontaminate` tells
   // the trainer which corpus docs to drop; this tells the evaluator
@@ -3912,6 +3964,7 @@ object TextQueries {
     "quality_rank_corr" -> (qualityRankCorr _),
     "decontaminate_report" -> (decontaminateReport _),
     "epoch_order" -> (epochOrder _),
+    "lang_id_eval" -> (langIdEval _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -3974,6 +4027,7 @@ object TextQueries {
     "quality_rank_corr" -> qualityRankCorrSql,
     "decontaminate_report" -> decontaminateReportSql,
     "epoch_order" -> epochOrderSql,
+    "lang_id_eval" -> langIdEvalSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -638,6 +638,25 @@ class NewQuerySpec extends SparkSpec {
     assert(got == want, s"got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
   }
 
+  test("lang_id_eval reconciles with lang_id cell-for-cell; zh recall is zero by construction") {
+    val per = graft.SparkEntry.queries("lang_id")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = per.groupBy(identity).map { case ((l, p), xs) =>
+      (l, p, xs.length.toLong) }.toSet
+    val got = graft.SparkEntry.queries("lang_id_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == want)
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(rows.forall(_._4 == tot), s"$l totals")
+      val diag = rows.filter(t => t._1 == t._2).map(_._3).sum
+      assert(rows.forall(_._5 == diag * 1000000L / tot), s"$l recall")
+    }
+    // the 4-way classifier can never answer zh — the eval must say so
+    val zh = got.filter(_._1 == "zh")
+    assert(zh.nonEmpty && zh.forall(_._5 == 0L))
+  }
+
   test("epoch_order materializes the allocation exactly: take_tok sums to alloc_tok, full epochs are complete permutations, the partial epoch cuts at partial_tok") {
     val plan = graft.SparkEntry.queries("epoch_plan")(spark, sf).collect()
       .map(r => r.getString(0) ->
