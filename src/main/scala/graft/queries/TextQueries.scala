@@ -1808,10 +1808,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val bpeTokenCountSql = {
-    // the merge-learning CTE chain is bpeLearnSql's, referenced by the
-    // mm row of per-merge scalars so the per-word lambda can close over
-    // them as plain outer columns (a subquery inside a lambda is not)
+  /** (merge-replay CTE prefix, per-word replace-chain expression) — the
+    * merge-learning chain is bpeLearnSql's, referenced by the `mm` row
+    * of per-merge scalars so the per-word lambda can close over them as
+    * plain outer columns (a subquery inside a lambda is not). Shared by
+    * the `bpe_token_count` and `bpe_fertility` oracles — ONE rendering
+    * of the learner+applier so the two cannot diverge.
+    *
+    * Each merge scalar coalesces to a bare space: an unproductive round
+    * leaves m$k empty (NULL scalar), and a NULL pattern would otherwise
+    * poison the whole replace chain to NULL → n_bpe silently 0 while
+    * Spark's model carries only the completed merges. The coalesced
+    * pattern '   ' (three spaces) can never occur in a single-spaced
+    * symbol sequence, so the round becomes a no-op — exactly the Spark
+    * behavior.
+    */
+  private lazy val bpeReplayCore: (String, String) = {
     def round(k: Int) =
       s"""p$k AS (
          |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
@@ -1829,34 +1841,91 @@ object TextQueries {
     val mmCols = (1 to BpeMerges).map(k =>
       s"(SELECT pair FROM m$k) AS p$k, (SELECT replace(pair, ' ', '') FROM m$k) AS r$k")
       .mkString(",\n  ")
-    // coalesce each merge scalar to a bare space: an unproductive round
-    // leaves m$k empty (NULL scalar), and a NULL pattern would otherwise
-    // poison the whole replace chain to NULL → n_bpe silently 0 while
-    // Spark's model carries only the completed merges. The coalesced
-    // pattern '   ' (three spaces) can never occur in a single-spaced
-    // symbol sequence, so the round becomes a no-op — exactly the Spark
-    // behavior.
     val chain = (1 to BpeMerges).foldLeft(
       "' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' '") {
       (e, k) => s"replace($e, ' ' || coalesce(mm.p$k, ' ') || ' '," +
         s" ' ' || coalesce(mm.r$k, ' ') || ' ')"
     }
-    s"""WITH toks AS (
-       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
-       |wt AS (
-       |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
-       |s0 AS MATERIALIZED (
-       |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
-       |  FROM wt),
-       |$rounds,
-       |mm AS (SELECT
-       |  $mmCols),
+    val prefix =
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+         |wt AS (
+         |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
+         |s0 AS MATERIALIZED (
+         |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
+         |  FROM wt),
+         |$rounds,
+         |mm AS (SELECT
+         |  $mmCols)""".stripMargin
+    (prefix, chain)
+  }
+
+  private lazy val bpeTokenCountSql = {
+    val (prefix, chain) = bpeReplayCore
+    s"""$prefix,
        |dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
        |  CAST(coalesce(list_sum(list_transform(toks, w ->
        |    len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
        |FROM dt, mm
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ========================================================================
+  // bpe_fertility — tokenizer FAIRNESS across languages (fertility =
+  // subword tokens per whitespace word, the standard multilingual-
+  // tokenizer equity metric: a tokenizer learned on an en-dominant
+  // corpus fragments under-represented scripts into far more pieces,
+  // inflating their training cost and truncation rate). Per annotated
+  // lang: doc count, whitespace-token and BPE-token sums, and the
+  // exact-integer fertility_e6 = (Σ n_bpe · 10⁶) div Σ n_ws. On a real
+  // multilingual corpus an under-served script reads measurably higher
+  // — the retrain signal; on THIS synthetic corpus all slices share
+  // the generator's token distribution, so fertility is flat (~3.53)
+  // across langs — the operator is the monitoring surface, and the
+  // spec pins the ≥ 1 token/word invariant plus exact reconciliation
+  // with bpe_token_count instead of a data-dependent ordering.
+  // Applier is the same codegen BpeTokenSegments + merge-table plan
+  // literals as bpe_token_count (ONE model definition); the oracle
+  // replays the same learner+applier rendering (bpeReplayCore — one
+  // chain, two consumers). Scale: per-row codegen'd segmentation, ONE
+  // map-side-combined agg to ≤|langs| rows.
+  // ========================================================================
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergeList(s, d)._1
+    val model = graft.plans.BpeApplyModel(
+      merges.map { case (_, w1, w2, _, _) => s" $w1 $w2 " }.toArray,
+      merges.map { case (_, _, _, m, _) => s" $m " }.toArray)
+    docs(s, d)
+      .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("lang"),
+        size(col("toks")).cast("long").as("w"),
+        graft.plans.BpeTokenSegments(col("toks"), model).as("b"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_ws"), sum(col("b")).as("n_bpe"))
+      .withColumn("fertility_e6",
+        when(col("n_ws") > 0, expr("(n_bpe * 1000000) div n_ws"))
+          .otherwise(lit(0L)))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val bpeFertilitySql = {
+    val (prefix, chain) = bpeReplayCore
+    s"""$prefix,
+       |dt AS (SELECT lang, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+       |pd AS (
+       |  SELECT lang, CAST(len(toks) AS BIGINT) AS n_ws,
+       |    CAST(coalesce(list_sum(list_transform(toks, w ->
+       |      len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
+       |  FROM dt, mm)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_ws) AS BIGINT) AS n_ws,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |  CAST(CASE WHEN sum(n_ws) > 0
+       |    THEN (CAST(sum(n_bpe) AS BIGINT) * 1000000) // CAST(sum(n_ws) AS BIGINT)
+       |    ELSE 0 END AS BIGINT) AS fertility_e6
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // ========================================================================
@@ -3965,6 +4034,7 @@ object TextQueries {
     "decontaminate_report" -> (decontaminateReport _),
     "epoch_order" -> (epochOrder _),
     "lang_id_eval" -> (langIdEval _),
+    "bpe_fertility" -> (bpeFertility _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4028,6 +4098,7 @@ object TextQueries {
     "decontaminate_report" -> decontaminateReportSql,
     "epoch_order" -> epochOrderSql,
     "lang_id_eval" -> langIdEvalSql,
+    "bpe_fertility" -> bpeFertilitySql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -657,6 +657,23 @@ class NewQuerySpec extends SparkSpec {
     assert(zh.nonEmpty && zh.forall(_._5 == 0L))
   }
 
+  test("bpe_fertility reconciles with per-doc bpe_token_count sums; fertility >= 1 token/word everywhere") {
+    val langOf = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = graft.SparkEntry.queries("bpe_token_count")(spark, sf).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (l, xs) =>
+      val ws = xs.map(_._2).sum; val bpe = xs.map(_._3).sum
+      (l, xs.length.toLong, ws, bpe, if (ws > 0) bpe * 1000000L / ws else 0L)
+    }.toSet
+    val got = graft.SparkEntry.queries("bpe_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == want, s"got ${got.toSeq.sortBy(_._1)}\nwant ${want.toSeq.sortBy(_._1)}")
+    // a word is always >= 1 segment, so fertility >= 1.0 wherever words exist
+    assert(got.filter(_._3 > 0).forall(_._5 >= 1000000L))
+  }
+
   test("epoch_order materializes the allocation exactly: take_tok sums to alloc_tok, full epochs are complete permutations, the partial epoch cuts at partial_tok") {
     val plan = graft.SparkEntry.queries("epoch_plan")(spark, sf).collect()
       .map(r => r.getString(0) ->
