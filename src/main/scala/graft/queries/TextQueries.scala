@@ -1537,6 +1537,83 @@ object TextQueries {
       |ORDER BY corpus.doc_id""".stripMargin
 
   // ========================================================================
+  // corpus_growth — the Heaps-law novelty curve over ingestion rounds:
+  // docs arrive in 10 deterministic slices (doc_id % 10 — the
+  // data-card increment convention), and each round reports how much
+  // NEW material it contributed — first-seen word types and first-seen
+  // content fingerprints — plus the cumulative totals. The curve a
+  // pipeline owner reads before buying more of a feed: a flattening
+  // new_types line means additional data re-treads existing vocabulary
+  // (diminishing novelty), a flat new_fps line means it is literally
+  // re-sending old documents. First-seen attribution is an exact
+  // min-slice election per type/fp (order-free, engine-exact), the
+  // cumulative lines are running sums over the 10-row result.
+  //
+  // Scale shape: two map-side-combined aggs (token → min slice,
+  // fp → min slice) shrink the corpus to its distinct types before
+  // anything else; the per-round counts and the running-sum window run
+  // over ≤ 10 rows. No windows, joins, or sorts at corpus size.
+  // ========================================================================
+  private val GrowthSlices = 10
+
+  def corpusGrowth(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"),
+      (col("doc_id") % GrowthSlices).as("slice"))
+    val typeFirst = base
+      .select(col("slice"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("slice")).as("first_slice"))
+      .groupBy(col("first_slice")).agg(count(lit(1)).as("new_types"))
+    val fpFirst = base
+      .select(col("slice"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("slice")).as("first_slice"))
+      .groupBy(col("first_slice")).agg(count(lit(1)).as("new_fps"))
+    val docsPer = base.groupBy((col("doc_id") % GrowthSlices).as("first_slice"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wCum = Window.orderBy(col("slice"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docsPer
+      .join(typeFirst, Seq("first_slice"), "left")
+      .join(fpFirst, Seq("first_slice"), "left")
+      .select(col("first_slice").as("slice"), col("n_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("new_fps"), lit(0L)).as("new_fps"))
+      .withColumn("cum_types", sum(col("new_types")).over(wCum))
+      .withColumn("cum_fps", sum(col("new_fps")).over(wCum))
+      .orderBy(col("slice"))
+  }
+
+  private val corpusGrowthSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, doc_id % $GrowthSlices AS slice FROM documents),
+       |tf AS (
+       |  SELECT first_slice, count(*) AS new_types FROM (
+       |    SELECT w, min(slice) AS first_slice
+       |    FROM (SELECT slice, unnest(regexp_extract_all(text, '\\S+')) AS w FROM b)
+       |    GROUP BY w)
+       |  GROUP BY first_slice),
+       |ff AS (
+       |  SELECT first_slice, count(*) AS new_fps FROM (
+       |    SELECT fp, min(slice) AS first_slice
+       |    FROM (SELECT slice,
+       |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |        ' +', ' ', 'g'))) AS fp
+       |      FROM b)
+       |    GROUP BY fp)
+       |  GROUP BY first_slice),
+       |dp AS (SELECT slice AS first_slice, count(*) AS n_docs FROM b GROUP BY slice)
+       |SELECT dp.first_slice AS slice, n_docs,
+       |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+       |  CAST(coalesce(new_fps, 0) AS BIGINT) AS new_fps,
+       |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY dp.first_slice
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+       |  CAST(sum(coalesce(new_fps, 0)) OVER (ORDER BY dp.first_slice
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fps
+       |FROM dp
+       |LEFT JOIN tf ON dp.first_slice = tf.first_slice
+       |LEFT JOIN ff ON dp.first_slice = ff.first_slice
+       |ORDER BY slice""".stripMargin
+
+  // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
   // corpus's ANNOTATED lang column: populated confusion-matrix cells
   // (lang → lang_pred counts) with per-lang totals and exact-integer
@@ -4035,6 +4112,7 @@ object TextQueries {
     "epoch_order" -> (epochOrder _),
     "lang_id_eval" -> (langIdEval _),
     "bpe_fertility" -> (bpeFertility _),
+    "corpus_growth" -> (corpusGrowth _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4099,6 +4177,7 @@ object TextQueries {
     "epoch_order" -> epochOrderSql,
     "lang_id_eval" -> langIdEvalSql,
     "bpe_fertility" -> bpeFertilitySql,
+    "corpus_growth" -> corpusGrowthSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

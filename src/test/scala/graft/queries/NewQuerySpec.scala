@@ -657,6 +657,30 @@ class NewQuerySpec extends SparkSpec {
     assert(zh.nonEmpty && zh.forall(_._5 == 0L))
   }
 
+  test("corpus_growth: first-seen attribution partitions the vocab exactly; cumulative lines are monotone and close the totals") {
+    val got = graft.SparkEntry.queries("corpus_growth")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    // every doc accounted for once
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(got.map(_._2).sum == docs.count())
+    // cumulative = running sum; final row closes on the true distincts
+    got.foldLeft((0L, 0L)) { case ((ct, cf), row) =>
+      assert(row._5 == ct + row._3 && row._6 == cf + row._4, s"cum broken at ${row._1}")
+      (row._5, row._6)
+    }
+    val totalTypes = docs
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    assert(got.last._5 == totalTypes)
+    val totalFps = docs.select(graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .agg(countDistinct(col("fp"))).collect()(0).getLong(0)
+    assert(got.last._6 == totalFps)
+    // novelty declines: the first slice contributes the most new types
+    assert(got.head._3 == got.map(_._3).max)
+  }
+
   test("bpe_fertility reconciles with per-doc bpe_token_count sums; fertility >= 1 token/word everywhere") {
     val langOf = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang")).collect()
