@@ -1042,12 +1042,7 @@ object TextQueries {
       .select(col("ranker"),
         (col("gain") * element_at(wArr, col("rank").cast("int"))).as("gw"))
       .groupBy(col("ranker")).agg(sum(col("gw")).as("dcg_w"))
-    val seed = s.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row("bm25"),
-        org.apache.spark.sql.Row("hybrid")),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("ranker",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+    val seed = { import s.implicits._; Seq("bm25", "hybrid").toDF("ranker") }
     val ideal = gains.orderBy(col("gain").desc, col("doc_id")).limit(Bm25K)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("gain").desc, col("doc_id"))).cast("int"))
@@ -1479,11 +1474,22 @@ object TextQueries {
     * not corpus-sized, and safe at any scale.
     */
   private val decontMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  /** Bench-slice (bench_id, grams) relation — bench-sized by definition
+    * (1/DecontBenchMod of docs), persisted once per (session, dir) so the
+    * corpus-screen build AND the evaluator report don't each re-run the
+    * bench-side tokenize+shingle subtree (the report used to compute it
+    * in two separate plan subtrees = a third full documents scan). */
+  private val decontBenchMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def decontBench(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(decontBenchMemo, (s, d)) {
+      decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+        .select(col("doc_id").as("bench_id"), col("grams")).persist()
+    }
   private def decontHits(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     decontMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val hits = decontMemo.getOrElseUpdate((s, d), {
-      val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+      val bench = decontBench(s, d)
         .select(explode(col("grams")).as("gram")).distinct()
       decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -1567,7 +1573,7 @@ object TextQueries {
       .select(col("slice"), TextOps.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(min(col("slice")).as("first_slice"))
       .groupBy(col("first_slice")).agg(count(lit(1)).as("new_fps"))
-    val docsPer = base.groupBy((col("doc_id") % GrowthSlices).as("first_slice"))
+    val docsPer = base.groupBy(col("slice").as("first_slice"))
       .agg(count(lit(1)).as("n_docs"))
     val wCum = Window.orderBy(col("slice"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1685,16 +1691,16 @@ object TextQueries {
   // two-distinct-count agg, keyed by bench_id (≤ bench-sized output).
   // ========================================================================
   def decontaminateReport(s: SparkSession, d: String): DataFrame = {
-    val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
+    val bench = decontBench(s, d)
     val benchEx = bench
-      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+      .select(col("bench_id"), explode(col("grams")).as("gram"))
     val matched = decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
       .select(col("doc_id").as("cdoc"), explode(col("grams")).as("gram"))
       .join(broadcast(benchEx), Seq("gram"))
     val perBench = matched.groupBy(col("bench_id"))
       .agg(countDistinct(col("gram")).as("hit_grams"),
         countDistinct(col("cdoc")).as("hit_docs"))
-    bench.select(col("doc_id").as("bench_id"),
+    bench.select(col("bench_id"),
         size(col("grams")).cast("long").as("n_grams"))
       .join(perBench, Seq("bench_id"), "left")
       .select(col("bench_id"), col("n_grams"),
@@ -2901,9 +2907,11 @@ object TextQueries {
   //
   // Scale: the two rank windows share ONE hashpartitioning(source)
   // exchange; the per-doc LM join is doc_id-keyed; the Σd² agg
-  // partial-aggregates map-side to |sources| rows. At 100 TB the only
-  // widening is sum_d2 → DECIMAL(38,0) (n³ passes 2⁶³ near 2×10⁶ docs
-  // per source); counts here keep it in BIGINT on both engines.
+  // partial-aggregates map-side to |sources| rows. The rho numerator is
+  // |n(n²−1) − 6Σd²|·10⁶·2 ≤ 2n³·10⁶ — past 2⁶³ at only ~16.6k docs per
+  // source — so it runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
+  // good to n ≈ 3.7×10¹⁰ docs per source; the ≤|sources|-row agg makes
+  // the wide arithmetic free.
   // ========================================================================
   def qualityRankCorr(s: SparkSession, d: String): DataFrame = {
     val feats = docs(s, d)
@@ -2925,11 +2933,13 @@ object TextQueries {
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("r_q") - col("r_l")) * (col("r_q") - col("r_l"))).as("sum_d2"))
+      .withColumn("nd", col("n_docs").cast("decimal(38,0)"))
       .withColumn("rho_e6",
         when(col("n_docs") > 1, expr(ExactRound.spark(
-          "(n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1000000",
-          "n_docs * (n_docs * n_docs - 1)")))
+          "(nd * (nd * nd - 1) - 6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000000",
+          "nd * (nd * nd - 1)")).cast("long"))
           .otherwise(lit(null).cast("long")))
+      .drop("nd")
       .orderBy(col("source"))
   }
 
@@ -2959,9 +2969,9 @@ object TextQueries {
        |    CAST(sum((r_q - r_l) * (r_q - r_l)) AS BIGINT) AS sum_d2
        |  FROM rk GROUP BY source)
        |SELECT source, n_docs, sum_d2,
-       |  CASE WHEN n_docs > 1 THEN ${ExactRound.duck(
-              "(n_docs * (n_docs * n_docs - 1) - 6 * sum_d2) * 1000000",
-              "n_docs * (n_docs * n_docs - 1)")}
+       |  CASE WHEN n_docs > 1 THEN CAST(${ExactRound.duck(
+              "(n_docs::HUGEINT * (n_docs::HUGEINT * n_docs::HUGEINT - 1) - 6 * sum_d2::HUGEINT) * 1000000",
+              "n_docs::HUGEINT * (n_docs::HUGEINT * n_docs::HUGEINT - 1)")} AS BIGINT)
        |       ELSE NULL END AS rho_e6
        |FROM ag ORDER BY source""".stripMargin
 
