@@ -1620,6 +1620,172 @@ object TextQueries {
        |ORDER BY slice""".stripMargin
 
   // ========================================================================
+  // quality_rules_report — the Gopher rule funnel (Rae et al.,
+  // arXiv:2112.11446 §A1.1, adapted to exact integer thresholds): per
+  // source, how many docs fail each structural quality rule, and how
+  // many pass ALL of them — the per-rule attribution a curation run
+  // reads before tuning thresholds (a source failing mostly on
+  // word-count needs different handling than one failing on
+  // alpha-fraction). Rules, each an integer inequality (no doubles, so
+  // the flags hash identically cross-engine):
+  //   R1 word count        n ∈ [50, 100000]
+  //   R2 mean word length  3 ≤ nonws/n ≤ 10      (3n ≤ nonws ≤ 10n)
+  //   R3 symbol ratio      (#hash + #ellipsis)/n ≤ 0.1
+  //                        (10·(3·n_hash + d3) ≤ 3·n, d3 = 3·#ellipsis)
+  //   R4 stopword hits     ≥ 2 hits against the union stopword table
+  //   R5 alpha fraction    ascii-alpha chars ≥ 0.8·nonws (5·na ≥ 4·nonws)
+  // On this (all-ASCII synthetic) corpus R1 and R4 are the
+  // discriminative rules — ~half the docs sit under the 50-word floor
+  // and short docs miss the 2-stopword bar across every lang slice —
+  // while R3/R5 pass vacuously (no symbols, no non-ASCII text); on a
+  // real multilingual crawl R5 is what screens non-Latin scripts out
+  // of an English-centric pipeline.
+  //
+  // Scale shape: every rule input is a scan-side codegen expression
+  // (regexp_replace/length/replace/CountInSet); the only movement is
+  // the map-side-combined per-source flag sums → ≤|sources| rows. At
+  // 100 TB this is the textbook one-pass funnel report.
+  // ========================================================================
+  private val AllStop = TextOps.LangStopwords.flatMap(_._2).distinct
+  private lazy val AllStopSqlList = AllStop.map(w => s"'$w'").mkString(",")
+
+  def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
+    val f = docs(s, d).select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nonws"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("na"),
+        (length(col("text")) - length(expr("replace(text, '#', '')")))
+          .cast("long").as("n_hash"),
+        (length(col("text")) - length(expr("replace(text, '...', '')")))
+          .cast("long").as("d3"),
+        TextOps.wordSetCount(TextOps.tokens(col("text")), AllStop).as("n_stop"))
+      .select(col("source"),
+        when(col("n") < 50 || col("n") > 100000, 1L).otherwise(0L).as("f_nword"),
+        when(col("nonws") < lit(3L) * col("n")
+          || col("nonws") > lit(10L) * col("n"), 1L).otherwise(0L).as("f_wordlen"),
+        when(lit(10L) * (lit(3L) * col("n_hash") + col("d3")) > lit(3L) * col("n"),
+          1L).otherwise(0L).as("f_symbol"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("f_stop"),
+        when(lit(5L) * col("na") < lit(4L) * col("nonws"), 1L).otherwise(0L)
+          .as("f_alpha"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_nword")).as("fail_nword"),
+        sum(col("f_wordlen")).as("fail_wordlen"),
+        sum(col("f_symbol")).as("fail_symbol"),
+        sum(col("f_stop")).as("fail_stop"),
+        sum(col("f_alpha")).as("fail_alpha"),
+        sum(when(col("f_nword") + col("f_wordlen") + col("f_symbol")
+          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L))
+          .as("n_pass_all"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val qualityRulesReportSql =
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS d3,
+       |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+       |      t -> t IN ($AllStopSqlList))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |fl AS (
+       |  SELECT source,
+       |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_nword,
+       |    CASE WHEN nonws < 3 * n OR nonws > 10 * n THEN 1 ELSE 0 END AS f_wordlen,
+       |    CASE WHEN 10 * (3 * n_hash + d3) > 3 * n THEN 1 ELSE 0 END AS f_symbol,
+       |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+       |    CASE WHEN 5 * na < 4 * nonws THEN 1 ELSE 0 END AS f_alpha
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(f_nword) AS BIGINT) AS fail_nword,
+       |  CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
+       |  CAST(sum(f_symbol) AS BIGINT) AS fail_symbol,
+       |  CAST(sum(f_stop) AS BIGINT) AS fail_stop,
+       |  CAST(sum(f_alpha) AS BIGINT) AS fail_alpha,
+       |  CAST(sum(CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
+  // ========================================================================
+  // dsir_weight — Data Selection via Importance Resampling (Xie et al.,
+  // arXiv:2302.03169) restricted to unigram LMs: per doc, the
+  // log-importance weight log w(x) = Σ_w cnt_w·(ln p̂_target(w) −
+  // ln p̂_raw(w)) of the doc under a TARGET-domain unigram model (here
+  // the lang='en' slice — "select raw docs that look like the English
+  // target") against the raw-corpus model, both add-one smoothed over
+  // the shared corpus vocabulary. Docs with high logw_e4 are
+  // target-like; resampling by this weight tilts the corpus toward the
+  // target domain — the data-selection step between "crawl everything"
+  // and "train on what matters". Per-word log-ratio is quantized to
+  // integer e4 BEFORE the per-doc sum (the lm_score convention — one
+  // transcendental per VOCAB entry, never per token; round(ln·1e4) is
+  // in the audited transcendental-safe class, and both engines compute
+  // the identical (a·b)/(c·d) double before the single ln).
+  //
+  // Scale shape: the target side is one filtered-scan agg (slice-
+  // bounded); the raw side IS the persisted unigramCounts memo (6th
+  // consumer); the per-word table is vocab-sized (stats-chosen join
+  // onto the token explosion — broadcast at bench scale, shuffle at
+  // open-vocab corpus scale); the per-doc agg partial-aggregates
+  // map-side. Hashed n-gram bucketing (the paper's 10k-bucket variant)
+  // drops in by replacing w with hash60(w) % B — the join shape is
+  // unchanged.
+  // ========================================================================
+  private val DsirTargetLang = "en"
+
+  def dsirWeight(s: SparkSession, d: String): DataFrame = {
+    val corpus = unigramCounts(s, d)
+    val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val scal = corpus.agg(sum(col("c")).as("n_r"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("n_t")))
+    val llr = corpus.join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("w"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            * (col("n_r") + col("v")).cast("double"))
+            / ((col("c") + lit(1L)).cast("double")
+              * (col("n_t") + col("v")).cast("double")))
+          * lit(10000.0)).cast("long").as("llr_e4"))
+    docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .join(llr, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("llr_e4")).as("logw_e4"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val dsirWeightSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM documents),
+       |uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |tc AS (
+       |  SELECT w, count(*) AS ct
+       |  FROM (SELECT unnest(t) AS w FROM toks WHERE lang = '$DsirTargetLang')
+       |  GROUP BY w),
+       |sc AS (SELECT
+       |  (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_r,
+       |  (SELECT count(*) FROM uc) AS v,
+       |  (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS n_t),
+       |llr AS (
+       |  SELECT uc.w, CAST(round(ln(
+       |      (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) * CAST(sc.n_r + sc.v AS DOUBLE))
+       |      / (CAST(uc.c + 1 AS DOUBLE) * CAST(sc.n_t + sc.v AS DOUBLE)))
+       |    * 10000.0) AS BIGINT) AS llr_e4
+       |  FROM uc LEFT JOIN tc USING (w), sc)
+       |SELECT doc_id, count(*) AS n_tok, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
+       |FROM (SELECT doc_id, unnest(t) AS w FROM toks) x JOIN llr USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
   // corpus's ANNOTATED lang column: populated confusion-matrix cells
   // (lang → lang_pred counts) with per-lang totals and exact-integer
@@ -4123,6 +4289,8 @@ object TextQueries {
     "lang_id_eval" -> (langIdEval _),
     "bpe_fertility" -> (bpeFertility _),
     "corpus_growth" -> (corpusGrowth _),
+    "quality_rules_report" -> (qualityRulesReport _),
+    "dsir_weight" -> (dsirWeight _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4188,6 +4356,8 @@ object TextQueries {
     "lang_id_eval" -> langIdEvalSql,
     "bpe_fertility" -> bpeFertilitySql,
     "corpus_growth" -> corpusGrowthSql,
+    "quality_rules_report" -> qualityRulesReportSql,
+    "dsir_weight" -> dsirWeightSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -736,4 +736,101 @@ class NewQuerySpec extends SparkSpec {
       }
     }
   }
+
+  test("split_leak_safe: verified near-dup pairs NEVER straddle splits; full coverage") {
+    val out = graft.SparkEntry.queries("split_leak_safe")(spark, sf)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.count() == nDocs)
+    // both endpoints of every LSH-verified pair get the same split
+    val splits = out.select(col("doc_id"), col("split"))
+    val pairs = DedupQueries.verifiedPairs(spark, sf)
+    val straddle = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
+      .filter(col("sp_a") =!= col("sp_b"))
+    assert(pairs.count() > 0, "vacuous: no verified pairs at this sf")
+    assert(straddle.count() == 0)
+    // canonical agrees with dedup_cluster for clustered docs, own id otherwise
+    val cl = graft.SparkEntry.queries("dedup_cluster")(spark, sf)
+      .withColumnRenamed("canonical", "cl_canon")
+    assert(out.join(cl, Seq("doc_id"), "left")
+      .filter(col("canonical") =!= coalesce(col("cl_canon"), col("doc_id")))
+      .count() == 0)
+  }
+
+  test("split_leakage: cluster policy is leak-free, fingerprint policy measured on the same pair set") {
+    val rows = graft.SparkEntry.queries("split_leakage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("cluster", "fingerprint"))
+    val Array(clusterRow, fpRow) = rows
+    assert(clusterRow._2 == fpRow._2, "policies must audit the same pair set")
+    assert(clusterRow._2 == DedupQueries.verifiedPairs(spark, sf).count())
+    assert(clusterRow._3 == 0L, "cluster-aware split leaked a near-dup pair")
+    assert(fpRow._3 >= 0L && fpRow._3 <= fpRow._2)
+  }
+
+  test("quality_rules_report reconciles with a driver-side per-doc recompute") {
+    val out = graft.SparkEntry.queries("quality_rules_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allStop = graft.text.TextOps.LangStopwords.flatMap(_._2).distinct.toSet
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val flags = ds.map { case (_, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length.toLong
+        val nonws = text.count(!_.isWhitespace).toLong
+        val na = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+        val nHash = text.count(_ == '#').toLong
+        val d3 = (text.length - text.replace("...", "").length).toLong
+        val nStop = toks.count(allStop.contains).toLong
+        (if (n < 50 || n > 100000) 1L else 0L,
+          if (nonws < 3 * n || nonws > 10 * n) 1L else 0L,
+          if (10 * (3 * nHash + d3) > 3 * n) 1L else 0L,
+          if (nStop < 2) 1L else 0L,
+          if (5 * na < 4 * nonws) 1L else 0L)
+      }
+      src -> (ds.length.toLong, flags.map(_._1).sum, flags.map(_._2).sum,
+        flags.map(_._3).sum, flags.map(_._4).sum, flags.map(_._5).sum,
+        flags.count(f => f._1 + f._2 + f._3 + f._4 + f._5 == 0).toLong)
+    }
+    assert(out == want)
+    // non-vacuous on this corpus: at least one rule fires somewhere
+    assert(out.values.map(v => v._2 + v._5).sum > 0)
+  }
+
+  test("dsir_weight matches an exact driver-side DSIR recompute; en docs skew target-like") {
+    val out = graft.SparkEntry.queries("dsir_weight")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val corpusCnt = docs.flatMap(d => toks(d._3)).groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val tgtCnt = docs.filter(_._2 == "en").flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val nR = corpusCnt.values.sum
+    val v = corpusCnt.size.toLong
+    val nT = tgtCnt.values.sum
+    // identical arithmetic to the query: (a*b)/(c*d) as doubles, ONE ln,
+    // round half-up (Spark round on double) — Math.log IS Spark's ln
+    val llr = corpusCnt.map { case (w, c) =>
+      val num = (tgtCnt.getOrElse(w, 0L) + 1L).toDouble * (nR + v).toDouble
+      val den = (c + 1L).toDouble * (nT + v).toDouble
+      w -> BigDecimal(math.log(num / den) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = docs.map { case (id, _, text) =>
+      val ts = toks(text)
+      id -> (ts.length.toLong, ts.map(llr).sum)
+    }.toMap
+    assert(out == want)
+    // the semantic claim: target-lang docs carry higher mean weight
+    val byLang = docs.map(d => (d._2, out(d._1)._2.toDouble / out(d._1)._1))
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum / g.length }
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"en mean per-token logw not highest: $byLang")
+  }
 }

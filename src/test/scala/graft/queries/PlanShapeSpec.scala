@@ -822,4 +822,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("split_leak_safe: sparse label relation joins the pruned id scan — no cartesian, text pruned") {
+    val p = plan("split_leak_safe")
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe side reads only doc_id — the split hash never needs text
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.linesIterator.exists(l => l.contains("doc_id") && !l.contains("text")), reads)
+  }
+
+  test("split_leakage audits the bounded pair relation — no cartesian, output is 2 rows") {
+    val p = plan("split_leakage")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_rules_report: one documents scan, flags map-side partial-aggregate to <=|sources| rows") {
+    val p = plan("quality_rules_report")
+    // a single FileScan of documents — every rule input is scan-side
+    // codegen (count detail-section nodes: the tree mentions each twice)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
+  test("dsir_weight: vocab-sized llr relation joins the token explosion stats-chosen; no cartesian over corpus rows") {
+    val p = plan("dsir_weight")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the 1-row scalar attachments
+    // (n_r, v, n_t) — never a corpus-sized side
+    val nl = p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(nl <= 2, s"unexpected nested-loop fan-out ($nl)\n" + p)
+  }
 }
