@@ -1649,25 +1649,40 @@ object TextQueries {
   private val AllStop = TextOps.LangStopwords.flatMap(_._2).distinct
   private lazy val AllStopSqlList = AllStop.map(w => s"'$w'").mkString(",")
 
-  def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
-    val f = docs(s, d).select(col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n"),
-        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("nonws"),
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("na"),
-        (length(col("text")) - length(expr("replace(text, '#', '')")))
-          .cast("long").as("n_hash"),
-        (length(col("text")) - length(expr("replace(text, '...', '')")))
-          .cast("long").as("d3"),
-        TextOps.wordSetCount(TextOps.tokens(col("text")), AllStop).as("n_stop"))
-      .select(col("source"),
-        when(col("n") < 50 || col("n") > 100000, 1L).otherwise(0L).as("f_nword"),
+  /** Per-doc Gopher rule flags over any frame carrying `text` — the
+    * shared scan-side stage of the batch report AND the streaming
+    * admission gate ([[graft.streaming.StreamingCurate.rulesGate]]):
+    * one definition, so the two cannot diverge. Input columns other
+    * than `text` pass through; adds f_nword/f_wordlen/f_symbol/
+    * f_stop/f_alpha (0/1 longs). Stateless and codegen-only — exactly
+    * what makes the gate free on a stream.
+    */
+  private[graft] def qualityRuleFlags(df: DataFrame): DataFrame =
+    df.withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("nonws",
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
+      .withColumn("na",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("n_hash",
+        (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long"))
+      .withColumn("d3",
+        (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("long"))
+      .withColumn("n_stop", TextOps.wordSetCount(TextOps.tokens(col("text")), AllStop))
+      .withColumn("f_nword",
+        when(col("n") < 50 || col("n") > 100000, 1L).otherwise(0L))
+      .withColumn("f_wordlen",
         when(col("nonws") < lit(3L) * col("n")
-          || col("nonws") > lit(10L) * col("n"), 1L).otherwise(0L).as("f_wordlen"),
+          || col("nonws") > lit(10L) * col("n"), 1L).otherwise(0L))
+      .withColumn("f_symbol",
         when(lit(10L) * (lit(3L) * col("n_hash") + col("d3")) > lit(3L) * col("n"),
-          1L).otherwise(0L).as("f_symbol"),
-        when(col("n_stop") < 2, 1L).otherwise(0L).as("f_stop"),
-        when(lit(5L) * col("na") < lit(4L) * col("nonws"), 1L).otherwise(0L)
-          .as("f_alpha"))
+          1L).otherwise(0L))
+      .withColumn("f_stop", when(col("n_stop") < 2, 1L).otherwise(0L))
+      .withColumn("f_alpha",
+        when(lit(5L) * col("na") < lit(4L) * col("nonws"), 1L).otherwise(0L))
+      .drop("n", "nonws", "na", "n_hash", "d3", "n_stop")
+
+  def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
+    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
     f.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_nword")).as("fail_nword"),
@@ -1737,29 +1752,106 @@ object TextQueries {
   // ========================================================================
   private val DsirTargetLang = "en"
 
-  def dsirWeight(s: SparkSession, d: String): DataFrame = {
-    val corpus = unigramCounts(s, d)
-    val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-    val scal = corpus.agg(sum(col("c")).as("n_r"), count(lit(1)).as("v"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("n_t")))
-    val llr = corpus.join(tgt, Seq("w"), "left")
-      .crossJoin(broadcast(scal))
-      .select(col("w"),
-        round(log(
-          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
-            * (col("n_r") + col("v")).cast("double"))
-            / ((col("c") + lit(1L)).cast("double")
-              * (col("n_t") + col("v")).cast("double")))
-          * lit(10000.0)).cast("long").as("llr_e4"))
-    docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .join(llr, Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("llr_e4")).as("logw_e4"))
+  /** Per-doc DSIR weight relation, memoized+persisted per (session,
+    * dir) — shared by `dsir_weight` (the per-doc dump) and
+    * `pipeline_dsir` (the selection report): the llr table and the
+    * token-explosion join run once per corpus.
+    */
+  private val dsirMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def dsirPerDoc(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(dsirMemo, (s, d)) {
+      val corpus = unigramCounts(s, d)
+      val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      val scal = corpus.agg(sum(col("c")).as("n_r"), count(lit(1)).as("v"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("n_t")))
+      val llr = corpus.join(tgt, Seq("w"), "left")
+        .crossJoin(broadcast(scal))
+        .select(col("w"),
+          round(log(
+            ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+              * (col("n_r") + col("v")).cast("double"))
+              / ((col("c") + lit(1L)).cast("double")
+                * (col("n_t") + col("v")).cast("double")))
+            * lit(10000.0)).cast("long").as("llr_e4"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .join(llr, Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("llr_e4")).as("logw_e4"))
+        .persist()
+    }
+
+  def dsirWeight(s: SparkSession, d: String): DataFrame =
+    dsirPerDoc(s, d).select(col("doc_id"), col("n_tok"), col("logw_e4"))
       .orderBy(col("doc_id"))
-  }
+
+  // ========================================================================
+  // pipeline_dsir — the SELECTION step DSIR exists for: per source, how
+  // much of the feed is target-like (logw_e4 > 0 ⇔ the doc is likelier
+  // under the target LM than the raw LM — the zero-threshold form of
+  // the paper's importance resampling), with exact share and mean
+  // selected weight. The zero threshold is scan-side (no global sort,
+  // no top-K over the corpus — a budgeted top-K variant is TakeOrdered
+  // when K is bounded); the report aggregates map-side to ≤|sources|
+  // rows. Per-source logw sums stay in BIGINT: |logw_e4| ≤
+  // n_tok·~2·10⁵, so ~10¹⁰ docs × 10³ tokens per source fit 2⁶³.
+  // ========================================================================
+  def pipelineDsir(s: SparkSession, d: String): DataFrame =
+    dsirPerDoc(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logw_e4") > 0, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("logw_e4") > 0, col("logw_e4")).otherwise(lit(0L)))
+          .as("sel_logw_sum_e4"))
+      .withColumn("share_e6",
+        expr(ExactRound.spark("n_selected * 1000000", "n_docs")))
+      .withColumn("mean_sel_logw_e4",
+        when(col("n_selected") > 0,
+          expr(ExactRound.spark("sel_logw_sum_e4", "n_selected")))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("source"))
+
+  private lazy val pipelineDsirSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
+       |  FROM documents),
+       |uc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |tc AS (
+       |  SELECT w, count(*) AS ct
+       |  FROM (SELECT unnest(t) AS w FROM toks WHERE lang = '$DsirTargetLang')
+       |  GROUP BY w),
+       |sc AS (SELECT
+       |  (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_r,
+       |  (SELECT count(*) FROM uc) AS v,
+       |  (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS n_t),
+       |llr AS (
+       |  SELECT uc.w, CAST(round(ln(
+       |      (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) * CAST(sc.n_r + sc.v AS DOUBLE))
+       |      / (CAST(uc.c + 1 AS DOUBLE) * CAST(sc.n_t + sc.v AS DOUBLE)))
+       |    * 10000.0) AS BIGINT) AS llr_e4
+       |  FROM uc LEFT JOIN tc USING (w), sc),
+       |pd AS (
+       |  SELECT doc_id, source, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
+       |  FROM (SELECT doc_id, source, unnest(t) AS w FROM toks) x JOIN llr USING (w)
+       |  GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END) AS BIGINT)
+       |    AS sel_logw_sum_e4,
+       |  CAST(${ExactRound.duck(
+                "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) * 1000000",
+                "count(*)")} AS BIGINT) AS share_e6,
+       |  CASE WHEN sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(${ExactRound.duck(
+                  "sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END)",
+                  "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END)")} AS BIGINT)
+       |    ELSE NULL END AS mean_sel_logw_e4
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
 
   private lazy val dsirWeightSql =
     s"""WITH toks AS (
@@ -4291,6 +4383,7 @@ object TextQueries {
     "corpus_growth" -> (corpusGrowth _),
     "quality_rules_report" -> (qualityRulesReport _),
     "dsir_weight" -> (dsirWeight _),
+    "pipeline_dsir" -> (pipelineDsir _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4358,6 +4451,7 @@ object TextQueries {
     "corpus_growth" -> corpusGrowthSql,
     "quality_rules_report" -> qualityRulesReportSql,
     "dsir_weight" -> dsirWeightSql,
+    "pipeline_dsir" -> pipelineDsirSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -72,6 +72,21 @@ object StreamingCurate {
       .toDF("doc_id", "source", "n_re", "score")
   }
 
+  /** Stateless Gopher-rule admission on a document stream: evaluate
+    * the per-doc rule flags ([[graft.queries.TextQueries.qualityRuleFlags]]
+    * — the SAME scan-side expressions the batch `quality_rules_report`
+    * aggregates) and pass through docs that fail no rule. ZERO state —
+    * every rule input is a codegen projection of the row's own text,
+    * so the gate adds no store footprint and no watermark; it slots in
+    * front of any stateful stage (the cheap-gates-first ordering on a
+    * stream).
+    */
+  def rulesGate(spark: SparkSession, docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.qualityRuleFlags(docs)
+      .filter(col("f_nword") + col("f_wordlen") + col("f_symbol")
+        + col("f_stop") + col("f_alpha") === 0)
+      .drop("f_nword", "f_wordlen", "f_symbol", "f_stop", "f_alpha")
+
   case class CurateFullDoc(fp: String, doc_id: Long, source: String,
                            n_re: Long, score: Double, top2_frac: Double)
   case class CuratedFullRow(doc_id: Long, source: String, n_re: Long,

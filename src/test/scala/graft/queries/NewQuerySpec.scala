@@ -833,4 +833,21 @@ class NewQuerySpec extends SparkSpec {
     assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
       s"en mean per-token logw not highest: $byLang")
   }
+
+  test("pipeline_dsir selection report closes on the per-doc dsir_weight relation") {
+    val report = graft.SparkEntry.queries("pipeline_dsir")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val perDoc = graft.SparkEntry.queries("dsir_weight")(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("logw_e4")))
+    val want = perDoc.groupBy(_._1).map { case (src, g) =>
+      val sel = g.map(_._2).filter(_ > 0)
+      src -> (g.length.toLong, sel.length.toLong, sel.sum)
+    }
+    assert(report == want)
+    // the selection is non-trivial: some but not all docs are target-like
+    val (n, k) = (report.values.map(_._1).sum, report.values.map(_._2).sum)
+    assert(k > 0 && k < n, s"selection degenerate: $k of $n")
+  }
 }

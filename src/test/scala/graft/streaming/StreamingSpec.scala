@@ -475,6 +475,33 @@ class StreamingSpec extends SparkSpec {
     assert(updated == updated.sorted && updated.size == existing.size + fresh.size)
   }
 
+  test("streaming rules gate admits exactly the batch quality_rules_report pass-all population (zero state)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "source", "text")
+    val out = StreamingCurate.rulesGate(spark, df).select(col("doc_id"), col("source"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("rules_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("rules_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    q.stop()
+    // batch truth: per-source admitted counts must close on the report's
+    // n_pass_all column exactly (the gate and the report share one flag
+    // definition, so any drift is a real regression)
+    val want = graft.queries.TextQueries.queries("quality_rules_report")(spark, sf)
+      .select(col("source"), col("n_pass_all")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "rules gate admitted nothing — fixture too strict")
+    val gotPer = got.groupBy(_._2).map { case (src, g) => src -> g.size.toLong }
+    assert(gotPer == want.filter(_._2 > 0), s"admitted-per-source mismatch")
+  }
+
   test("streaming curate funnel matches the batch pipeline_curate survivor set") {
     // docs are fed in doc_id order across two micro-batches, so the
     // first arrival per fingerprint is the smallest id — the batch
