@@ -160,6 +160,12 @@ object StreamBench {
         docRows.map(t => (t._1, t._3)), Seq("doc_id", "text"),
         df => graft.queries.SimQueries.fhChunkVecsOn(df)
           .select(col("doc_id"), col("chunk_idx"), col("buckets"))),
+      // the Gopher structural-rule gate: every rule input is a codegen
+      // projection of the row's own text — ZERO state, the
+      // cheap-gates-first front of the streaming funnel
+      run[(Long, String, String)]("rules_gate", docRows, Seq("doc_id", "source", "text"),
+        df => graft.streaming.StreamingCurate.rulesGate(spark, df)
+          .select(col("doc_id"), col("source"))),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -210,6 +216,7 @@ object StreamBench {
       // fixed set), per-row bytes is meaningless at this cardinality
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
+      "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

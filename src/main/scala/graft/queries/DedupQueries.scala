@@ -740,8 +740,8 @@ object DedupQueries {
     s"""WITH RECURSIVE $clusterCtesSql,
        |fp AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(md5(trim(regexp_replace(regexp_replace(lower(text),
-       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))), 1, 15))::BIGINT % 100 AS bk
+       |    ('0x' || substr(md5(${TextOps.fingerprintSql("text")}), 1, 15))::BIGINT
+       |      % 100 AS bk
        |  FROM documents),
        |cb AS (
        |  SELECT d.doc_id,

@@ -3538,8 +3538,8 @@ object TextQueries {
        |    n_tok
        |  FROM (
        |    SELECT doc_id,
-       |      ('0x' || substr(md5(md5(trim(regexp_replace(regexp_replace(lower(text),
-       |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))), 1, 15))::BIGINT % 100 AS bucket,
+       |      ('0x' || substr(md5(${TextOps.fingerprintSql("text")}), 1, 15))::BIGINT
+       |        % 100 AS bucket,
        |      CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
        |    FROM documents))
        |SELECT spl.split, surv.source, count(*) AS n_docs,
@@ -3574,14 +3574,14 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   private val sampleHashSplitSql =
-    """SELECT doc_id, source, bucket,
+    raw"""SELECT doc_id, source, bucket,
       |  CASE WHEN bucket < 5 THEN 'test'
       |       WHEN bucket < 10 THEN 'val'
       |       ELSE 'train' END AS split
       |FROM (
       |  SELECT doc_id, source,
-      |    ('0x' || substr(md5(md5(trim(regexp_replace(regexp_replace(lower(text),
-      |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))), 1, 15))::BIGINT % 100 AS bucket
+      |    ('0x' || substr(md5(${TextOps.fingerprintSql("text")}), 1, 15))::BIGINT
+      |      % 100 AS bucket
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 

@@ -184,6 +184,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** DuckDB rendering of [[fingerprint]] — ONE definition for every
+    * oracle that buckets by content fingerprint (`sample_hash_split`,
+    * `split_leakage`), so the canonicalization chain cannot drift
+    * between them. `%s` is the text expression.
+    */
+  def fingerprintSql(textExpr: String): String =
+    s"md5(trim(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+
   /** Per-language stopword sets for the n-gram language-ID heuristic. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
