@@ -1696,9 +1696,13 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  private lazy val qualityRulesReportSql =
-    s"""WITH f AS (
-       |  SELECT source,
+  /** Per-doc rule-flag CTEs (`rfl` = doc_id, source, the five 0/1
+    * flags) — ONE rendering shared by the report's and the gate-eval's
+    * oracles, mirroring the single Spark-side [[qualityRuleFlags]].
+    */
+  private lazy val ruleFlagsCtesSql =
+    s"""rf AS (
+       |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n,
        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws,
        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
@@ -1707,14 +1711,18 @@ object TextQueries {
        |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
        |      t -> t IN ($AllStopSqlList))) AS BIGINT) AS n_stop
        |  FROM documents),
-       |fl AS (
-       |  SELECT source,
+       |rfl AS (
+       |  SELECT doc_id, source,
        |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_nword,
        |    CASE WHEN nonws < 3 * n OR nonws > 10 * n THEN 1 ELSE 0 END AS f_wordlen,
        |    CASE WHEN 10 * (3 * n_hash + d3) > 3 * n THEN 1 ELSE 0 END AS f_symbol,
        |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
        |    CASE WHEN 5 * na < 4 * nonws THEN 1 ELSE 0 END AS f_alpha
-       |  FROM f)
+       |  FROM rf)""".stripMargin
+
+  private lazy val qualityRulesReportSql =
+    s"""WITH $ruleFlagsCtesSql,
+       |fl AS (SELECT * FROM rfl)
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(f_nword) AS BIGINT) AS fail_nword,
        |  CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
@@ -1724,6 +1732,79 @@ object TextQueries {
        |  CAST(sum(CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
        |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
+  // ========================================================================
+  // rules_gate_eval — the cheap structural-rule gate scored against the
+  // corpus-LM gate, per source: confusion counts (both-pass,
+  // rules-only, lm-only, neither) and exact precision/recall_e6 of
+  // "passes the rules" as a predictor of "passes the LM gate". The
+  // gate-level (binary) companion of quality_rank_corr's rank-level
+  // measurement, and the third eval in the measure-your-gates family
+  // (lang_id_eval, quality_rank_corr): high precision ⇒ the free
+  // codegen gate can prefilter before the LM scores anything; low
+  // recall ⇒ the rules throw away docs the LM would keep, and the
+  // thresholds need tuning before the funnel trusts them.
+  //
+  // Scale shape: flags are scan-side codegen (the shared
+  // qualityRuleFlags projection); the LM side reuses the persisted
+  // per-doc lmScoreCore relation (doc_id-keyed join); the confusion agg
+  // partial-aggregates map-side to ≤|sources| rows, where the exact
+  // integer ratios are free.
+  // ========================================================================
+  def rulesGateEval(s: SparkSession, d: String): DataFrame = {
+    val rp = qualityRuleFlags(docs(s, d).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        when(col("f_nword") + col("f_wordlen") + col("f_symbol")
+          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L).as("rp"))
+    val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"), col("nll_sum_e4"))
+    rp.join(lm, Seq("doc_id"), "left")
+      .withColumn("lp",
+        when(col("nll_sum_e4").isNull
+          || col("nll_sum_e4") <= col("n_bg") * lit(GateNllE4PerBigram), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rp") === 1 && col("lp") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("rp") === 1 && col("lp") === 0, 1L).otherwise(0L)).as("n_rules_only"),
+        sum(when(col("rp") === 0 && col("lp") === 1, 1L).otherwise(0L)).as("n_lm_only"),
+        sum(when(col("rp") === 0 && col("lp") === 0, 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("precision_e6",
+        when(col("n_both") + col("n_rules_only") > 0,
+          expr(ExactRound.spark("n_both * 1000000", "n_both + n_rules_only")))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("recall_e6",
+        when(col("n_both") + col("n_lm_only") > 0,
+          expr(ExactRound.spark("n_both * 1000000", "n_both + n_lm_only")))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("source"))
+  }
+
+  private lazy val rulesGateEvalSql =
+    s"""WITH $ruleFlagsCtesSql,
+       |lm AS (SELECT doc_id, n_bg, nll_sum_e4 FROM ($lmScoreCoreSql)),
+       |j AS (
+       |  SELECT rfl.source,
+       |    CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
+       |      THEN 1 ELSE 0 END AS rp,
+       |    CASE WHEN lm.nll_sum_e4 IS NULL
+       |           OR lm.nll_sum_e4 <= lm.n_bg * $GateNllE4PerBigram
+       |      THEN 1 ELSE 0 END AS lp
+       |  FROM rfl LEFT JOIN lm USING (doc_id)),
+       |ag AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN rp = 1 AND lp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |    CAST(sum(CASE WHEN rp = 1 AND lp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_only,
+       |    CAST(sum(CASE WHEN rp = 0 AND lp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
+       |    CAST(sum(CASE WHEN rp = 0 AND lp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |  FROM j GROUP BY source)
+       |SELECT source, n_docs, n_both, n_rules_only, n_lm_only, n_neither,
+       |  CASE WHEN n_both + n_rules_only > 0
+       |    THEN CAST(${ExactRound.duck("n_both * 1000000", "n_both + n_rules_only")} AS BIGINT)
+       |    ELSE NULL END AS precision_e6,
+       |  CASE WHEN n_both + n_lm_only > 0
+       |    THEN CAST(${ExactRound.duck("n_both * 1000000", "n_both + n_lm_only")} AS BIGINT)
+       |    ELSE NULL END AS recall_e6
+       |FROM ag ORDER BY source""".stripMargin
 
   // ========================================================================
   // dsir_weight — Data Selection via Importance Resampling (Xie et al.,
@@ -4382,6 +4463,7 @@ object TextQueries {
     "bpe_fertility" -> (bpeFertility _),
     "corpus_growth" -> (corpusGrowth _),
     "quality_rules_report" -> (qualityRulesReport _),
+    "rules_gate_eval" -> (rulesGateEval _),
     "dsir_weight" -> (dsirWeight _),
     "pipeline_dsir" -> (pipelineDsir _),
     "text_stats" -> (textStats _),
@@ -4450,6 +4532,7 @@ object TextQueries {
     "bpe_fertility" -> bpeFertilitySql,
     "corpus_growth" -> corpusGrowthSql,
     "quality_rules_report" -> qualityRulesReportSql,
+    "rules_gate_eval" -> rulesGateEvalSql,
     "dsir_weight" -> dsirWeightSql,
     "pipeline_dsir" -> pipelineDsirSql,
     "text_stats" -> textStatsSql,

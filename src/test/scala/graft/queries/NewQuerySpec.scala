@@ -850,4 +850,23 @@ class NewQuerySpec extends SparkSpec {
     val (n, k) = (report.values.map(_._1).sum, report.values.map(_._2).sum)
     assert(k > 0 && k < n, s"selection degenerate: $k of $n")
   }
+
+  test("rules_gate_eval confusion closes on both gates' own marginals") {
+    val ev = graft.SparkEntry.queries("rules_gate_eval")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // cells partition the population
+    ev.foreach { case (src, (n, b, ro, lo, ne)) =>
+      assert(b + ro + lo + ne == n, s"$src cells don't sum")
+    }
+    // rules marginal == quality_rules_report's n_pass_all, per source
+    val rulesPass = graft.SparkEntry.queries("quality_rules_report")(spark, sf)
+      .select(col("source"), col("n_pass_all")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ev.foreach { case (src, (_, b, ro, _, _)) =>
+      assert(b + ro == rulesPass(src), s"$src rules marginal") }
+    // both marginals are non-degenerate somewhere (the eval measures
+    // a real trade-off, not two constant gates)
+    assert(ev.values.exists(v => v._3 > 0 || v._4 > 0), "gates never disagree — vacuous eval")
+  }
 }
