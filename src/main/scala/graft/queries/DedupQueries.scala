@@ -82,7 +82,7 @@ object DedupQueries {
     Dedup.exactGroups(docs(s, d), "text", "doc_id").orderBy(col("fp"))
 
   private val dedupExactSql =
-    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+    s"""SELECT ${TextOps.fingerprintSql("text")} AS fp,
       |  count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
@@ -546,7 +546,7 @@ object DedupQueries {
        |  FROM tp LEFT JOIN ct ON tp.id_a = ct.id_a AND tp.id_b = ct.id_b
        |  GROUP BY bucket),
        |efp AS (
-       |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |  SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM hp)),
        |ep AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -671,10 +671,7 @@ object DedupQueries {
       .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
       .withColumn("bucket",
         TextOps.hash60(col("canonical").cast("string")) % 100)
-      .withColumn("split",
-        when(col("bucket") < 5, "test")
-          .when(col("bucket") < 10, "val")
-          .otherwise("train"))
+      .withColumn("split", TextOps.splitOf(col("bucket")))
       .orderBy(col("doc_id"))
 
   private val splitLeakSafeSql =
@@ -688,9 +685,7 @@ object DedupQueries {
        |      AS bucket
        |  FROM asg)
        |SELECT doc_id, canonical, bucket,
-       |  CASE WHEN bucket < 5 THEN 'test'
-       |       WHEN bucket < 10 THEN 'val'
-       |       ELSE 'train' END AS split
+       |  ${TextOps.splitOfSql("bucket")} AS split
        |FROM bk ORDER BY doc_id""".stripMargin
 
   // ========================================================================
@@ -720,7 +715,7 @@ object DedupQueries {
           .cast("string")) % 100).as("bk"))
     def audit(splits: DataFrame, policy: String): DataFrame = {
       def sp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        when(c < 5, "test").when(c < 10, "val").otherwise("train")
+        TextOps.splitOf(c)
       pairs
         .join(splits.select(col("doc_id").as("id_a"), col("bk").as("bk_a")), Seq("id_a"))
         .join(splits.select(col("doc_id").as("id_b"), col("bk").as("bk_b")), Seq("id_b"))
@@ -735,8 +730,7 @@ object DedupQueries {
   }
 
   private val splitLeakageSql = {
-    def sp(c: String) =
-      s"CASE WHEN $c < 5 THEN 'test' WHEN $c < 10 THEN 'val' ELSE 'train' END"
+    def sp(c: String) = TextOps.splitOfSql(c)
     s"""WITH RECURSIVE $clusterCtesSql,
        |fp AS (
        |  SELECT doc_id,
@@ -1980,7 +1974,7 @@ object DedupQueries {
     s"""WITH $lshPipelineCtes,
        |afp AS (
        |  SELECT doc_id,
-       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |    ${TextOps.fingerprintSql("text")} AS fp
        |  FROM documents),
        |old_fp AS (
        |  SELECT fp, min(doc_id) AS exact_of FROM afp WHERE doc_id % 3 <> 0 GROUP BY fp),

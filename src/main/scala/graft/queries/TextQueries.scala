@@ -146,8 +146,8 @@ object TextQueries {
       .orderBy(col("doc_id"))
 
   private val docFingerprintSql =
-    """SELECT doc_id,
-      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    s"""SELECT doc_id,
+      |  ${TextOps.fingerprintSql("text")} AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ========================================================================
@@ -408,7 +408,7 @@ object TextQueries {
     s"""WITH t AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks,
        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re,
-       |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+       |    ${TextOps.fingerprintSql("text")} AS fp
        |  FROM documents),
        |f AS (
        |  SELECT doc_id, source, n_re, fp,
@@ -1601,8 +1601,7 @@ object TextQueries {
        |  SELECT first_slice, count(*) AS new_fps FROM (
        |    SELECT fp, min(slice) AS first_slice
        |    FROM (SELECT slice,
-       |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-       |        ' +', ' ', 'g'))) AS fp
+       |      ${TextOps.fingerprintSql("text")} AS fp
        |      FROM b)
        |    GROUP BY fp)
        |  GROUP BY first_slice),
@@ -1679,6 +1678,12 @@ object TextQueries {
       .withColumn("f_stop", when(col("n_stop") < 2, 1L).otherwise(0L))
       .withColumn("f_alpha",
         when(lit(5L) * col("na") < lit(4L) * col("nonws"), 1L).otherwise(0L))
+      // the pass-all verdict is emitted HERE, once — the report, the
+      // gate eval, and the streaming gate all consume this column, so
+      // a sixth rule added above changes all three together
+      .withColumn("pass_all",
+        when(col("f_nword") + col("f_wordlen") + col("f_symbol")
+          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L))
       .drop("n", "nonws", "na", "n_hash", "d3", "n_stop")
 
   def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
@@ -1690,9 +1695,7 @@ object TextQueries {
         sum(col("f_symbol")).as("fail_symbol"),
         sum(col("f_stop")).as("fail_stop"),
         sum(col("f_alpha")).as("fail_alpha"),
-        sum(when(col("f_nword") + col("f_wordlen") + col("f_symbol")
-          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L))
-          .as("n_pass_all"))
+        sum(col("pass_all")).as("n_pass_all"))
       .orderBy(col("source"))
   }
 
@@ -1718,20 +1721,22 @@ object TextQueries {
        |    CASE WHEN 10 * (3 * n_hash + d3) > 3 * n THEN 1 ELSE 0 END AS f_symbol,
        |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
        |    CASE WHEN 5 * na < 4 * nonws THEN 1 ELSE 0 END AS f_alpha
-       |  FROM rf)""".stripMargin
+       |  FROM rf),
+       |rflp AS (
+       |  SELECT *, CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
+       |    THEN 1 ELSE 0 END AS pass_all
+       |  FROM rfl)""".stripMargin
 
   private lazy val qualityRulesReportSql =
-    s"""WITH $ruleFlagsCtesSql,
-       |fl AS (SELECT * FROM rfl)
+    s"""WITH $ruleFlagsCtesSql
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(f_nword) AS BIGINT) AS fail_nword,
        |  CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
        |  CAST(sum(f_symbol) AS BIGINT) AS fail_symbol,
        |  CAST(sum(f_stop) AS BIGINT) AS fail_stop,
        |  CAST(sum(f_alpha) AS BIGINT) AS fail_alpha,
-       |  CAST(sum(CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
-       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+       |  CAST(sum(pass_all) AS BIGINT) AS n_pass_all
+       |FROM rflp GROUP BY source ORDER BY source""".stripMargin
 
   // ========================================================================
   // rules_gate_eval — the cheap structural-rule gate scored against the
@@ -1753,9 +1758,7 @@ object TextQueries {
   // ========================================================================
   def rulesGateEval(s: SparkSession, d: String): DataFrame = {
     val rp = qualityRuleFlags(docs(s, d).select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"),
-        when(col("f_nword") + col("f_wordlen") + col("f_symbol")
-          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L).as("rp"))
+      .select(col("doc_id"), col("source"), col("pass_all").as("rp"))
     val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"), col("nll_sum_e4"))
     rp.join(lm, Seq("doc_id"), "left")
       .withColumn("lp",
@@ -1783,13 +1786,11 @@ object TextQueries {
     s"""WITH $ruleFlagsCtesSql,
        |lm AS (SELECT doc_id, n_bg, nll_sum_e4 FROM ($lmScoreCoreSql)),
        |j AS (
-       |  SELECT rfl.source,
-       |    CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
-       |      THEN 1 ELSE 0 END AS rp,
+       |  SELECT rflp.source, rflp.pass_all AS rp,
        |    CASE WHEN lm.nll_sum_e4 IS NULL
        |           OR lm.nll_sum_e4 <= lm.n_bg * $GateNllE4PerBigram
        |      THEN 1 ELSE 0 END AS lp
-       |  FROM rfl LEFT JOIN lm USING (doc_id)),
+       |  FROM rflp LEFT JOIN lm USING (doc_id)),
        |ag AS (
        |  SELECT source, count(*) AS n_docs,
        |    CAST(sum(CASE WHEN rp = 1 AND lp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
@@ -1845,8 +1846,11 @@ object TextQueries {
       val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+      // coalesce BOTH empty-relation aggregates: an empty target slice
+      // must smooth to n_t = 0 (as the oracle's coalesce(sum(ct), 0)
+      // does), not NULL out every weight
       val scal = corpus.agg(sum(col("c")).as("n_r"), count(lit(1)).as("v"))
-        .crossJoin(tgt.agg(sum(col("ct")).as("n_t")))
+        .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t")))
       val llr = corpus.join(tgt, Seq("w"), "left")
         .crossJoin(broadcast(scal))
         .select(col("w"),
@@ -1856,12 +1860,19 @@ object TextQueries {
               / ((col("c") + lit(1L)).cast("double")
                 * (col("n_t") + col("v")).cast("double")))
             * lit(10000.0)).cast("long").as("llr_e4"))
-      docs(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(TextOps.tokens(col("text"))).as("w"))
+      val sums = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .join(llr, Seq("w"))
-        .groupBy(col("doc_id"), col("source"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tok"), sum(col("llr_e4")).as("logw_e4"))
+      // LEFT join from the id scan: a zero-token doc is a (0, 0) row,
+      // not a silently missing one — pipeline_dsir's denominators must
+      // count the same population as quality_rules_report
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("logw_e4"), lit(0L)).as("logw_e4"))
         .persist()
     }
 
@@ -1896,7 +1907,29 @@ object TextQueries {
       .orderBy(col("source"))
 
   private lazy val pipelineDsirSql =
-    s"""WITH toks AS (
+    s"""WITH $dsirCtesSql
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END) AS BIGINT)
+       |    AS sel_logw_sum_e4,
+       |  CAST(${ExactRound.duck(
+                "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) * 1000000",
+                "count(*)")} AS BIGINT) AS share_e6,
+       |  CASE WHEN sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) > 0
+       |    THEN CAST(${ExactRound.duck(
+                  "sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END)",
+                  "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END)")} AS BIGINT)
+       |    ELSE NULL END AS mean_sel_logw_e4
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  /** The DSIR smoothing/llr/per-doc CTE chain (`pd` = doc_id, source,
+    * n_tok, logw_e4 — LEFT-joined from documents so zero-token docs
+    * are (0, 0) rows) — ONE rendering shared by the `dsir_weight` and
+    * `pipeline_dsir` oracles, mirroring the single Spark-side
+    * [[dsirPerDoc]] relation.
+    */
+  private lazy val dsirCtesSql =
+    s"""toks AS (
        |  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
        |  FROM documents),
        |uc AS (
@@ -1916,47 +1949,19 @@ object TextQueries {
        |      / (CAST(uc.c + 1 AS DOUBLE) * CAST(sc.n_t + sc.v AS DOUBLE)))
        |    * 10000.0) AS BIGINT) AS llr_e4
        |  FROM uc LEFT JOIN tc USING (w), sc),
+       |dsums AS (
+       |  SELECT doc_id, count(*) AS n_tok, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) x JOIN llr USING (w)
+       |  GROUP BY doc_id),
        |pd AS (
-       |  SELECT doc_id, source, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
-       |  FROM (SELECT doc_id, source, unnest(t) AS w FROM toks) x JOIN llr USING (w)
-       |  GROUP BY doc_id, source)
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END) AS BIGINT)
-       |    AS sel_logw_sum_e4,
-       |  CAST(${ExactRound.duck(
-                "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) * 1000000",
-                "count(*)")} AS BIGINT) AS share_e6,
-       |  CASE WHEN sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) > 0
-       |    THEN CAST(${ExactRound.duck(
-                  "sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END)",
-                  "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END)")} AS BIGINT)
-       |    ELSE NULL END AS mean_sel_logw_e4
-       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+       |  SELECT d.doc_id, d.source,
+       |    CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok,
+       |    CAST(coalesce(s.logw_e4, 0) AS BIGINT) AS logw_e4
+       |  FROM documents d LEFT JOIN dsums s ON d.doc_id = s.doc_id)""".stripMargin
 
   private lazy val dsirWeightSql =
-    s"""WITH toks AS (
-       |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM documents),
-       |uc AS (
-       |  SELECT w, count(*) AS c
-       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-       |tc AS (
-       |  SELECT w, count(*) AS ct
-       |  FROM (SELECT unnest(t) AS w FROM toks WHERE lang = '$DsirTargetLang')
-       |  GROUP BY w),
-       |sc AS (SELECT
-       |  (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_r,
-       |  (SELECT count(*) FROM uc) AS v,
-       |  (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS n_t),
-       |llr AS (
-       |  SELECT uc.w, CAST(round(ln(
-       |      (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) * CAST(sc.n_r + sc.v AS DOUBLE))
-       |      / (CAST(uc.c + 1 AS DOUBLE) * CAST(sc.n_t + sc.v AS DOUBLE)))
-       |    * 10000.0) AS BIGINT) AS llr_e4
-       |  FROM uc LEFT JOIN tc USING (w), sc)
-       |SELECT doc_id, count(*) AS n_tok, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
-       |FROM (SELECT doc_id, unnest(t) AS w FROM toks) x JOIN llr USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH $dsirCtesSql
+       |SELECT doc_id, n_tok, logw_e4 FROM pd ORDER BY doc_id""".stripMargin
 
   // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
@@ -3593,10 +3598,7 @@ object TextQueries {
     val sp = docs(s, d).select(col("doc_id"),
         (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("split",
-        when(col("bucket") < 5, "test")
-          .when(col("bucket") < 10, "val")
-          .otherwise("train"))
+      .withColumn("split", TextOps.splitOf(col("bucket")))
       .select(col("doc_id"), col("split"), col("n_tok"))
     surv.join(sp, Seq("doc_id"))
       .groupBy(col("split"), col("source"))
@@ -3612,10 +3614,7 @@ object TextQueries {
        |  FROM pcf LEFT JOIN lmr ON lmr.doc_id = pcf.doc_id
        |  WHERE lmr.nll_sum_e4 IS NULL OR lmr.nll_sum_e4 <= lmr.n_bg * $GateNllE4PerBigram),
        |spl AS (
-       |  SELECT doc_id,
-       |    CASE WHEN bucket < 5 THEN 'test'
-       |         WHEN bucket < 10 THEN 'val'
-       |         ELSE 'train' END AS split,
+       |  SELECT doc_id, ${TextOps.splitOfSql("bucket")} AS split,
        |    n_tok
        |  FROM (
        |    SELECT doc_id,
@@ -3648,17 +3647,12 @@ object TextQueries {
     docs(s, d)
       .select(col("doc_id"), col("source"),
         (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 5, "test")
-          .when(col("bucket") < 10, "val")
-          .otherwise("train"))
+      .withColumn("split", TextOps.splitOf(col("bucket")))
       .orderBy(col("doc_id"))
 
   private val sampleHashSplitSql =
     raw"""SELECT doc_id, source, bucket,
-      |  CASE WHEN bucket < 5 THEN 'test'
-      |       WHEN bucket < 10 THEN 'val'
-      |       ELSE 'train' END AS split
+      |  ${TextOps.splitOfSql("bucket")} AS split
       |FROM (
       |  SELECT doc_id, source,
       |    ('0x' || substr(md5(${TextOps.fingerprintSql("text")}), 1, 15))::BIGINT

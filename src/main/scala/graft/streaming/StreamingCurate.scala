@@ -83,9 +83,8 @@ object StreamingCurate {
     */
   def rulesGate(spark: SparkSession, docs: DataFrame): DataFrame =
     graft.queries.TextQueries.qualityRuleFlags(docs)
-      .filter(col("f_nword") + col("f_wordlen") + col("f_symbol")
-        + col("f_stop") + col("f_alpha") === 0)
-      .drop("f_nword", "f_wordlen", "f_symbol", "f_stop", "f_alpha")
+      .filter(col("pass_all") === 1)
+      .drop("f_nword", "f_wordlen", "f_symbol", "f_stop", "f_alpha", "pass_all")
 
   case class CurateFullDoc(fp: String, doc_id: Long, source: String,
                            n_re: Long, score: Double, top2_frac: Double)

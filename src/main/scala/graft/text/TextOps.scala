@@ -192,6 +192,18 @@ object TextOps {
   def fingerprintSql(textExpr: String): String =
     s"md5(trim(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
 
+  /** The 5/5/90 bucket→split convention (bucket ∈ [0, 100): test < 5,
+    * val < 10, train otherwise) — ONE definition per engine for every
+    * split producer and auditor (`sample_hash_split`, `release_manifest`,
+    * `split_leak_safe`, `split_leakage`): a ratio change edits these two
+    * functions, never a scattered CASE chain.
+    */
+  def splitOf(bucket: Column): Column =
+    when(bucket < 5, "test").when(bucket < 10, "val").otherwise("train")
+
+  def splitOfSql(bucketExpr: String): String =
+    s"CASE WHEN $bucketExpr < 5 THEN 'test' WHEN $bucketExpr < 10 THEN 'val' ELSE 'train' END"
+
   /** Per-language stopword sets for the n-gram language-ID heuristic. */
   val LangStopwords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
