@@ -851,6 +851,38 @@ class NewQuerySpec extends SparkSpec {
     assert(k > 0 && k < n, s"selection degenerate: $k of $n")
   }
 
+  test("dsir_weight: empty target slice smooths to n_t = 0; zero-token docs are (0, 0) rows") {
+    // fixture with NO lang='en' doc (the target slice is empty) and one
+    // empty-text doc — pins the two edge contracts: weights stay finite
+    // (Spark coalesces the empty aggregate like the oracle does), and a
+    // token-less doc is present as (0, 0) rather than silently missing
+    val docsDf = spark.sql(
+      """SELECT * FROM VALUES
+        |  (0L, 'aaa bbb aaa', 'de', 'src0', 11L),
+        |  (1L, 'bbb ccc', 'fr', 'src0', 7L),
+        |  (2L, '', 'zh', 'src1', 0L),
+        |  (3L, 'aaa ccc ccc', 'zh', 'src1', 11L)
+        |  AS t(doc_id, text, lang, source, n_chars)""".stripMargin)
+    val tmp = java.nio.file.Files.createTempDirectory("dsirfx")
+    docsDf.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val out = graft.SparkEntry.queries("dsir_weight")(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L), "full population, including the empty doc")
+    assert(out(2L) == ((0L, 0L)))
+    // exact recompute with n_t = 0: corpus aaa:3 bbb:2 ccc:3, n_r = 8, v = 3
+    def llr(c: Long): Long = BigDecimal(
+      math.log((1.0 * (8 + 3).toDouble) / ((c + 1).toDouble * (0 + 3).toDouble)) * 10000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (la, lb, lc) = (llr(3), llr(2), llr(3))
+    assert(out(0L) == ((3L, 2 * la + lb)))
+    assert(out(1L) == ((2L, lb + lc)))
+    assert(out(3L) == ((3L, la + 2 * lc)))
+    // the selection report counts the SAME population (4 docs, empty one included)
+    val rep = graft.SparkEntry.queries("pipeline_dsir")(spark, tmp.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("src0" -> 2L, "src1" -> 2L))
+  }
+
   test("rules_gate_eval confusion closes on both gates' own marginals") {
     val ev = graft.SparkEntry.queries("rules_gate_eval")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
