@@ -74,6 +74,19 @@ object DedupQueries {
   }
   private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
+  /** Text-LSH cluster labels (doc_id, canonical), memoized + persisted
+    * per (session, dir): FOUR consumers (dedup_cluster,
+    * dedup_cluster_best, split_leak_safe, split_leakage) each re-ran
+    * the union-find probe / distributed fixpoint over the same
+    * verified pair set — the graph resolves once per corpus now, the
+    * lshShared lifecycle applied to its own derived relation.
+    */
+  private val textClusterMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def textClusterLabels(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(textClusterMemo, (s, d)) {
+      Dedup.clusterLabels(verifiedPairs(s, d)).persist()
+    }
+
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined
   // aggregation; only (fp, id) shuffles, never the text.
@@ -374,7 +387,7 @@ object DedupQueries {
   // ========================================================================
   def dedupClusterBest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = Dedup.clusterLabels(verifiedPairs(s, d))
+    val comp = textClusterLabels(s, d)
       .select(col("doc_id"), col("canonical").as("cluster"))
     val pr = dedupGraphRank(s, d).select(col("id").as("doc_id"), col("pr_e9"))
     val enStop = TextOps.LangStopwords.toMap.apply("en")
@@ -618,7 +631,7 @@ object DedupQueries {
   // Oracle: DuckDB recursive CTE computing min reachable id per node.
   // ========================================================================
   def dedupCluster(s: SparkSession, d: String): DataFrame =
-    Dedup.clusterLabels(verifiedPairs(s, d)).orderBy(col("doc_id"))
+    textClusterLabels(s, d).orderBy(col("doc_id"))
 
   private val dedupClusterSql =
     s"""WITH RECURSIVE $clusterCtesSql
@@ -667,7 +680,7 @@ object DedupQueries {
   // ========================================================================
   def splitLeakSafe(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"))
-      .join(Dedup.clusterLabels(verifiedPairs(s, d)), Seq("doc_id"), "left")
+      .join(textClusterLabels(s, d), Seq("doc_id"), "left")
       .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
       .withColumn("bucket",
         TextOps.hash60(col("canonical").cast("string")) % 100)
@@ -709,7 +722,7 @@ object DedupQueries {
     val fpSplit = docs(s, d).select(col("doc_id"),
       (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bk"))
     val clSplit = docs(s, d).select(col("doc_id"))
-      .join(Dedup.clusterLabels(pairs), Seq("doc_id"), "left")
+      .join(textClusterLabels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (TextOps.hash60(coalesce(col("canonical"), col("doc_id"))
           .cast("string")) % 100).as("bk"))
