@@ -851,6 +851,39 @@ class NewQuerySpec extends SparkSpec {
     assert(k > 0 && k < n, s"selection degenerate: $k of $n")
   }
 
+  test("quality rules: the symbol rule fires on planted #/ellipsis text (never exercised by the corpus)") {
+    // the sf corpora contain no '#' or '...' so R3 passes vacuously
+    // there — this fixture pins its integer algebra, including the
+    // overlapping-dots case ('....' = ONE non-overlapping '...' match,
+    // the same left-to-right replace semantics on both engines)
+    // letter-only filler words (digits would trip the alpha rule and
+    // muddy the attribution); 7 hashes is the exact integer boundary:
+    // 10·3·7 = 210 > 3·65 = 195 fails, while 6 would pass (180 ≤ 195)
+    val clean = Seq.fill(60)("alpha").mkString(" ") + " the and of is a"
+    val hashy = Seq.fill(53)("alpha").mkString(" ") + " " +
+      Seq.fill(7)("#").mkString(" ") + " the and of is a"
+    val dotty = Seq.fill(57)("alpha").mkString(" ") + " .... .... the and of is a"
+    val docsDf = spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (0L, '$clean', 'en', 'src0', ${clean.length}L),
+         |  (1L, '$hashy', 'en', 'src0', ${hashy.length}L),
+         |  (2L, '$dotty', 'en', 'src0', ${dotty.length}L)
+         |  AS t(doc_id, text, lang, source, n_chars)""".stripMargin)
+    val tmp = java.nio.file.Files.createTempDirectory("rulesfx")
+    docsDf.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val out = graft.SparkEntry.queries("quality_rules_report")(spark, tmp.toString)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(7))) // n_docs, fail_symbol, n_pass_all
+    assert(out.length == 1)
+    val (nDocs, failSym, passAll) = out.head
+    assert(nDocs == 3L)
+    // doc 1: 7 hashes over 65 words → 10·(3·7) = 210 > 3·65 = 195
+    // fails R3 and nothing else; doc 2: two 4-dot runs = 2
+    // non-overlapping '...' matches (each '....' loses exactly 3 chars
+    // to the left-to-right replace) → d3 = 6, 10·6 = 60 ≤ 3·64 passes.
+    assert(failSym == 1L, s"fail_symbol $failSym")
+    assert(passAll == 2L, s"n_pass_all $passAll")
+  }
+
   test("dsir_weight: empty target slice smooths to n_t = 0; zero-token docs are (0, 0) rows") {
     // fixture with NO lang='en' doc (the target slice is empty) and one
     // empty-text doc — pins the two edge contracts: weights stay finite
