@@ -74,18 +74,39 @@ object DedupQueries {
   }
   private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
-  /** Text-LSH cluster labels (doc_id, canonical), memoized + persisted
-    * per (session, dir): FOUR consumers (dedup_cluster,
-    * dedup_cluster_best, split_leak_safe, split_leakage) each re-ran
-    * the union-find probe / distributed fixpoint over the same
-    * verified pair set — the graph resolves once per corpus now, the
-    * lshShared lifecycle applied to its own derived relation.
+  /** Text-LSH cluster labels (doc_id, canonical), shared by FOUR
+    * consumers (dedup_cluster, dedup_cluster_best, split_leak_safe,
+    * split_leakage), which each used to re-run the union-find probe
+    * over the same verified pair set. Two deliberate deviations from
+    * the RelationMemo contract:
+    *  - the EAGER build (count probe + collect, or the distributed
+    *    fixpoint) runs OUTSIDE any lock — a memo whose build executes
+    *    Spark jobs under the shared map monitor would serialize
+    *    unrelated (session, dir) keys for the whole build;
+    *  - only the small-graph result (a driver-local LocalRelation —
+    *    plan-literal rows, nothing to lose) is memoized. The
+    *    distributed fixpoint result is rooted in localCheckpoint
+    *    blocks with TRUNCATED lineage: pinning it session-wide would
+    *    turn one lost executor into a sticky, unrecoverable failure
+    *    for all four consumers, so the large path rebuilds per call
+    *    (recoverable, and already the pre-memo behavior).
     */
   private val textClusterMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def textClusterLabels(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(textClusterMemo, (s, d)) {
-      Dedup.clusterLabels(verifiedPairs(s, d)).persist()
+  private def textClusterLabels(s: SparkSession, d: String): DataFrame = {
+    textClusterMemo.synchronized {
+      textClusterMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+      textClusterMemo.get((s, d))
+    } match {
+      case Some(df) => df
+      case None =>
+        val built = Dedup.clusterLabels(verifiedPairs(s, d))
+        val isDriverLocal = built.queryExecution.logical
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        if (isDriverLocal)
+          textClusterMemo.synchronized { textClusterMemo.getOrElseUpdate((s, d), built) }
+        else built
     }
+  }
 
   // ========================================================================
   // dedup_exact — canonical-fingerprint group-by: one map-side-combined

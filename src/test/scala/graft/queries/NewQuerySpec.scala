@@ -869,9 +869,8 @@ class NewQuerySpec extends SparkSpec {
          |  (1L, '$hashy', 'en', 'src0', ${hashy.length}L),
          |  (2L, '$dotty', 'en', 'src0', ${dotty.length}L)
          |  AS t(doc_id, text, lang, source, n_chars)""".stripMargin)
-    val tmp = java.nio.file.Files.createTempDirectory("rulesfx")
-    docsDf.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
-    val out = graft.SparkEntry.queries("quality_rules_report")(spark, tmp.toString)
+    val tmp = writeDocsFixture(docsDf)
+    val out = graft.SparkEntry.queries("quality_rules_report")(spark, tmp)
       .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(7))) // n_docs, fail_symbol, n_pass_all
     assert(out.length == 1)
     val (nDocs, failSym, passAll) = out.head
@@ -896,9 +895,8 @@ class NewQuerySpec extends SparkSpec {
         |  (2L, '', 'zh', 'src1', 0L),
         |  (3L, 'aaa ccc ccc', 'zh', 'src1', 11L)
         |  AS t(doc_id, text, lang, source, n_chars)""".stripMargin)
-    val tmp = java.nio.file.Files.createTempDirectory("dsirfx")
-    docsDf.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
-    val out = graft.SparkEntry.queries("dsir_weight")(spark, tmp.toString).collect()
+    val tmp = writeDocsFixture(docsDf)
+    val out = graft.SparkEntry.queries("dsir_weight")(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.keySet == Set(0L, 1L, 2L, 3L), "full population, including the empty doc")
     assert(out(2L) == ((0L, 0L)))
@@ -911,7 +909,7 @@ class NewQuerySpec extends SparkSpec {
     assert(out(1L) == ((2L, lb + lc)))
     assert(out(3L) == ((3L, la + 2 * lc)))
     // the selection report counts the SAME population (4 docs, empty one included)
-    val rep = graft.SparkEntry.queries("pipeline_dsir")(spark, tmp.toString).collect()
+    val rep = graft.SparkEntry.queries("pipeline_dsir")(spark, tmp).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == Map("src0" -> 2L, "src1" -> 2L))
   }
