@@ -1964,6 +1964,196 @@ object TextQueries {
        |SELECT doc_id, n_tok, logw_e4 FROM pd ORDER BY doc_id""".stripMargin
 
   // ========================================================================
+  // ccnet_bucket / ccnet_report — CCNet's per-language head/middle/tail
+  // perplexity partitioning (Wenzek et al., arXiv:1911.00359 §4.3): each
+  // LM-scorable doc is assigned a tertile of its LANGUAGE's model-score
+  // distribution — "head" (most fluent third) is what CCNet ships for
+  // pretraining, "tail" is what it drops, and the per-(lang, bucket)
+  // report is the mixture table an owner reads before choosing cuts.
+  // Score = the corpus bigram LM's mean NLL per bigram, quantized to
+  // integer e4 with ExactRound (the lm_score convention) so the ranking
+  // key is an exact integer on both engines.
+  //
+  // Tertiles are assigned to VALUE GROUPS, not row ranks: all docs
+  // sharing a mean_nll_e4 value get the bucket of the group's first
+  // member, bucket(v) = (3 · cum_before(v)) div n_lang. Two reasons:
+  //  - it is the scale-correct shape. The window runs over the BOUNDED
+  //    distinct-value relation (mean_nll_e4 is an integer in a few-e5
+  //    domain — the quantile_bucket adjudication), never a per-lang
+  //    global sort of corpus rows; docs then join the tiny
+  //    (lang, value) → bucket map back stats-chosen (broadcast at any
+  //    realistic distinct-value count).
+  //  - it makes bucket boundaries pure VALUE thresholds (bucket is
+  //    monotone in the value), which is what CCNet itself ships — the
+  //    paper cuts on perplexity thresholds computed offline — and what
+  //    lets a stream admit docs with zero state (compare against two
+  //    broadcast thresholds per lang; graft.streaming.StreamingCurate).
+  // Population = LM-scorable docs (≥ 2 tokens), the lm_score contract.
+  // ========================================================================
+  private val ccnetMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** Per-doc CCNet relation (doc_id, lang, n_bg, mean_nll_e4, bucket),
+    * memoized per (session, dir) and persisted — `ccnet_bucket`,
+    * `ccnet_report`, and the streaming gate's threshold build all
+    * derive from it; the expensive input is the persisted per-doc
+    * [[lmScoreCore]] relation (6th consumer), so a memo hit costs one
+    * bounded window over distinct score values plus one join.
+    */
+  private[graft] def ccnetCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(ccnetMemo, (s, d)) {
+      val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"),
+        expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
+      val ld = lm.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val vg = ld.groupBy(col("lang"), col("mean_nll_e4")).agg(count(lit(1)).as("cnt"))
+      val byLang = Window.partitionBy(col("lang")).orderBy(col("mean_nll_e4"))
+      val vbk = vg
+        .withColumn("cum_before", coalesce(sum(col("cnt"))
+          .over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+        .withColumn("bucket", expr(
+          "CASE (3 * cum_before) div n_lang WHEN 0 THEN 'head' " +
+            "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+        .select(col("lang"), col("mean_nll_e4"), col("bucket"))
+      ld.join(vbk, Seq("lang", "mean_nll_e4"))
+        .select(col("doc_id"), col("lang"), col("n_bg"),
+          col("mean_nll_e4"), col("bucket"))
+        .persist()
+    }
+
+  def ccnetBucket(s: SparkSession, d: String): DataFrame =
+    ccnetCore(s, d)
+      .select(col("doc_id"), col("lang"), col("mean_nll_e4"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  def ccnetReport(s: SparkSession, d: String): DataFrame =
+    ccnetCore(s, d).groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).as("n_bigrams"),
+        min(col("mean_nll_e4")).as("min_nll_e4"),
+        max(col("mean_nll_e4")).as("max_nll_e4"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** Per-doc CCNet CTEs (`cdoc` = doc_id, lang, n_bg, mean_nll_e4,
+    * bucket) — ONE rendering shared by both oracles, mirroring the
+    * single Spark-side [[ccnetCore]].
+    */
+  private lazy val ccnetCtesSql =
+    s"""lmc AS ($lmScoreCoreSql),
+       |cld AS (
+       |  SELECT l.doc_id, d.lang, l.n_bg,
+       |    CAST(${ExactRound.duck("l.nll_sum_e4", "l.n_bg")} AS BIGINT)
+       |      AS mean_nll_e4
+       |  FROM lmc l JOIN documents d ON l.doc_id = d.doc_id),
+       |cvg AS (
+       |  SELECT lang, mean_nll_e4, count(*) AS cnt
+       |  FROM cld GROUP BY lang, mean_nll_e4),
+       |cvb AS (
+       |  SELECT lang, mean_nll_e4,
+       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY mean_nll_e4
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM cvg),
+       |cvk AS (
+       |  SELECT lang, mean_nll_e4,
+       |    CASE (3 * cum_before) // n_lang WHEN 0 THEN 'head'
+       |      WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM cvb),
+       |cdoc AS (
+       |  SELECT cld.doc_id, cld.lang, cld.n_bg, cld.mean_nll_e4, cvk.bucket
+       |  FROM cld JOIN cvk ON cld.lang = cvk.lang
+       |    AND cld.mean_nll_e4 = cvk.mean_nll_e4)""".stripMargin
+
+  private lazy val ccnetBucketSql =
+    s"""WITH $ccnetCtesSql
+       |SELECT doc_id, lang, mean_nll_e4, bucket FROM cdoc ORDER BY doc_id""".stripMargin
+
+  private lazy val ccnetReportSql =
+    s"""WITH $ccnetCtesSql
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+       |  CAST(min(mean_nll_e4) AS BIGINT) AS min_nll_e4,
+       |  CAST(max(mean_nll_e4) AS BIGINT) AS max_nll_e4
+       |FROM cdoc GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // ========================================================================
+  // vocab_overlap — pairwise source similarity through top-K vocabulary
+  // Jaccard: for every source pair, how much of their most-frequent
+  // vocabulary is shared. The mixture-design companion to
+  // dedup_cross_source: cross-source dedup finds shared DOCUMENTS,
+  // this finds shared REGISTER (two crawls of the same domain overlap
+  // near 1.0 even when no document matches — the signal to collapse
+  // them before computing mixture weights; a source whose top-K barely
+  // overlaps anything is the distribution-shift outlier worth
+  // upweighting). K is small (15) by design: the head of a Zipfian
+  // vocabulary IS the register signature, and it keeps the measure
+  // contrastive when sources share a long tail.
+  //
+  // Scale shape: one map-side-combined (source, word) count shuffle;
+  // the rank window runs over the per-source DISTINCT-vocab relation
+  // (vocabulary-bounded, never corpus-row-bounded); top-K sets are
+  // |sources|·K rows, so the intersection self-join and the
+  // |sources|² matrix are report-sized. Exact integers end-to-end:
+  // jaccard_e6 = inter·10⁶ div (n_a + n_b − inter).
+  // ========================================================================
+  private val VocabOverlapK = 15
+
+  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val cnt = docs(s, d)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("w"))
+    val topk = cnt.withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= VocabOverlapK)
+      .select(col("source"), col("w"))
+      .persist()
+    val sizes = topk.groupBy(col("source")).agg(count(lit(1)).as("n_top"))
+    val inter = topk.select(col("source").as("src_a"), col("w"))
+      .join(topk.select(col("source").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n_top").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n_top").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val out = pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jaccard_e6",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+      .orderBy(col("src_a"), col("src_b"))
+    out
+  }
+
+  private val vocabOverlapSql =
+    s"""WITH vc AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |vr AS (
+       |  SELECT source, w,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
+       |  FROM vc),
+       |vk AS (SELECT source, w FROM vr WHERE rn <= $VocabOverlapK),
+       |vsz AS (SELECT source, count(*) AS n_top FROM vk GROUP BY source),
+       |vin AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+       |  FROM vk a JOIN vk b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY a.source, b.source),
+       |vp AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.n_top AS n_a, b.n_top AS n_b
+       |  FROM vsz a JOIN vsz b ON a.source < b.source)
+       |SELECT vp.src_a, vp.src_b, CAST(n_a AS BIGINT) AS n_a,
+       |  CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
+       |  CAST((coalesce(n_inter, 0) * 1000000) // (n_a + n_b - coalesce(n_inter, 0))
+       |    AS BIGINT) AS jaccard_e6
+       |FROM vp LEFT JOIN vin ON vp.src_a = vin.src_a AND vp.src_b = vin.src_b
+       |ORDER BY vp.src_a, vp.src_b""".stripMargin
+
+  // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
   // corpus's ANNOTATED lang column: populated confusion-matrix cells
   // (lang → lang_pred counts) with per-lang totals and exact-integer
@@ -4460,6 +4650,9 @@ object TextQueries {
     "rules_gate_eval" -> (rulesGateEval _),
     "dsir_weight" -> (dsirWeight _),
     "pipeline_dsir" -> (pipelineDsir _),
+    "ccnet_bucket" -> (ccnetBucket _),
+    "ccnet_report" -> (ccnetReport _),
+    "vocab_overlap" -> (vocabOverlap _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4529,6 +4722,9 @@ object TextQueries {
     "rules_gate_eval" -> rulesGateEvalSql,
     "dsir_weight" -> dsirWeightSql,
     "pipeline_dsir" -> pipelineDsirSql,
+    "ccnet_bucket" -> ccnetBucketSql,
+    "ccnet_report" -> ccnetReportSql,
+    "vocab_overlap" -> vocabOverlapSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -862,4 +862,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("ccnet_bucket: tertile windows run over the lang-partitioned VALUE-GROUP relation, never corpus rows") {
+    val p = plan("ccnet_bucket")
+    assert(!p.contains("CartesianProduct"), p)
+    // every window in the build is partitioned by lang — the
+    // quantile_bucket contract: the sort ranges over distinct
+    // mean_nll_e4 values, not over documents
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(lang")),
+      ws.mkString("\n"))
+    // the only nested loops are 1-row scalar attachments (the LM
+    // vocab-size crossJoin, re-rendered wherever the memoized relation
+    // appears) — never a keyed join that lost its equi-condition
+    val nl = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("- ")).toSeq
+    assert(nl.nonEmpty && nl.forall(_.contains("Cross")), nl.mkString("\n"))
+  }
+
+  test("ccnet_report aggregates the memoized per-doc bucket relation — no corpus re-scan") {
+    graft.SparkEntry.queries("ccnet_bucket")(spark, sf).count() // warm the memo
+    val p = plan("ccnet_report")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("vocab_overlap: the top-K rank plans as a WindowGroupLimit heap on the source key; intersection stays equi") {
+    val p = plan("vocab_overlap")
+    // rank <= K compiles to a group-limit heap (no full per-source sort
+    // materialization survives the limit), keyed by source
+    assert(p.contains("WindowGroupLimit"), p)
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(source")),
+      ws.mkString("\n"))
+    // the |sources|^2 matrix comes from the bounded size relation, never
+    // a corpus-side cartesian: the only join keys are w / (src_a, src_b)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
