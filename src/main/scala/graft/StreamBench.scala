@@ -80,6 +80,14 @@ object StreamBench {
     val docCardRows = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("n_chars").cast("long"), col("text"))
       .as[(Long, String, Long, String)].collect().toSeq
+    // the CCNet gate's inputs: per-lang sketch-score thresholds learned
+    // batch-side (≤|langs| rows, broadcast on the stream) and the
+    // (doc_id, lang, text) stream shape
+    val ccnetThresholds = graft.queries.TextQueries.ccnetSketchThresholds(spark, sfDir).cache()
+    ccnetThresholds.count()
+    val docLangRows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
@@ -166,6 +174,13 @@ object StreamBench {
       run[(Long, String, String)]("rules_gate", docRows, Seq("doc_id", "source", "text"),
         df => graft.streaming.StreamingCurate.rulesGate(spark, df)
           .select(col("doc_id"), col("source"))),
+      // the CCNet head/middle/tail cut: CMS scoring (plan-literal model)
+      // + two comparisons against a broadcast ≤|langs|-row threshold
+      // relation — ZERO state, pure expression cost
+      run[(Long, String, String)]("ccnet_assign",
+        docLangRows, Seq("doc_id", "lang", "text"),
+        df => graft.streaming.StreamingCurate.ccnetAssign(
+          spark, df, lmModel, ccnetThresholds)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -217,6 +232,7 @@ object StreamBench {
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
+      "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

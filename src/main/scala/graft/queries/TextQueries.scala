@@ -2000,26 +2000,65 @@ object TextQueries {
     * [[lmScoreCore]] relation (6th consumer), so a memo hit costs one
     * bounded window over distinct score values plus one join.
     */
+  /** The value-group tertile map of any (lang, mean_nll_e4, ...) frame:
+    * (lang, mean_nll_e4, bucket), bucket(v) = (3·cum_before(v)) div
+    * n_lang over per-lang value groups — ONE definition of the CCNet
+    * cut, shared by the exact batch partitioning ([[ccnetCore]]) and
+    * the sketch-score threshold learner the streaming gate broadcasts
+    * ([[ccnetSketchThresholds]]), so batch and stream cannot disagree
+    * on the algebra. The window runs over the bounded distinct-value
+    * relation only.
+    */
+  private def ccnetTertiles(ld: DataFrame): DataFrame = {
+    val vg = ld.groupBy(col("lang"), col("mean_nll_e4")).agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("mean_nll_e4"))
+    vg.withColumn("cum_before", coalesce(sum(col("cnt"))
+        .over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket", expr(
+        "CASE (3 * cum_before) div n_lang WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .select(col("lang"), col("mean_nll_e4"), col("bucket"))
+  }
+
   private[graft] def ccnetCore(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(ccnetMemo, (s, d)) {
       val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"),
         expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
       val ld = lm.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val vg = ld.groupBy(col("lang"), col("mean_nll_e4")).agg(count(lit(1)).as("cnt"))
-      val byLang = Window.partitionBy(col("lang")).orderBy(col("mean_nll_e4"))
-      val vbk = vg
-        .withColumn("cum_before", coalesce(sum(col("cnt"))
-          .over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
-        .withColumn("bucket", expr(
-          "CASE (3 * cum_before) div n_lang WHEN 0 THEN 'head' " +
-            "WHEN 1 THEN 'middle' ELSE 'tail' END"))
-        .select(col("lang"), col("mean_nll_e4"), col("bucket"))
-      ld.join(vbk, Seq("lang", "mean_nll_e4"))
+      ld.join(ccnetTertiles(ld), Seq("lang", "mean_nll_e4"))
         .select(col("doc_id"), col("lang"), col("n_bg"),
           col("mean_nll_e4"), col("bucket"))
         .persist()
     }
+
+  /** Per-lang CCNet cut thresholds IN SKETCH-SCORE UNITS for the
+    * streaming gate: every corpus doc is scored with the IDENTICAL
+    * Count-Min expression the stream evaluates
+    * ([[graft.plans.BigramNllSketch]], one model reference), the
+    * tertile algebra above assigns value-group buckets, and because the
+    * value-group contract makes bucket monotone in the value, the cut
+    * collapses to two thresholds per lang: t_head = max head value,
+    * t_mid = max middle value (null when a lang's middle is empty).
+    * Learned batch-side once; the stream joins the ≤|langs|-row result
+    * broadcast and assigns with two comparisons — zero state, and
+    * stream assignment of an in-corpus doc equals the batch sketch
+    * assignment exactly (StreamingSpec).
+    */
+  private[graft] def ccnetSketchThresholds(s: SparkSession, d: String): DataFrame = {
+    val model = lmSketchModel(s, d)
+    val toks = TextOps.tokens(col("text"))
+    val ld = docs(s, d)
+      .withColumn("t", toks).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")) - 1).cast("long").as("n_bg"),
+        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
+      .withColumn("mean_nll_e4", expr(ExactRound.spark("nll_sketch_e4", "n_bg")))
+    ccnetTertiles(ld)
+      .groupBy(col("lang"))
+      .agg(max(when(col("bucket") === "head", col("mean_nll_e4"))).as("t_head"),
+        max(when(col("bucket") === "middle", col("mean_nll_e4"))).as("t_mid"))
+  }
 
   def ccnetBucket(s: SparkSession, d: String): DataFrame =
     ccnetCore(s, d)

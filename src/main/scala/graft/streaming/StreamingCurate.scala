@@ -86,6 +86,41 @@ object StreamingCurate {
       .filter(col("pass_all") === 1)
       .drop("f_nword", "f_wordlen", "f_symbol", "f_stop", "f_alpha", "pass_all")
 
+  /** CCNet bucket assignment as a CONTINUOUS stage, ZERO state: each
+    * arriving document is scored by the Count-Min bigram model riding
+    * the plan as one reference (the identical
+    * [[graft.plans.BigramNllSketch]] expression the threshold learner
+    * evaluated batch-side), and assigned head/middle/tail with two
+    * comparisons against its language's broadcast thresholds
+    * ([[graft.queries.TextQueries.ccnetSketchThresholds]] — ≤|langs|
+    * rows, a stream-static broadcast join, no state store). Because
+    * the batch cut is value-monotone (the value-group contract), an
+    * in-corpus doc's stream bucket equals its batch sketch-side bucket
+    * exactly (StreamingSpec). Docs in a lang absent from the threshold
+    * relation are unscorable — emitted with bucket 'tail' (the
+    * conservative CCNet action: never promote what the model has not
+    * seen). Emits (doc_id, lang, mean_nll_e4, bucket).
+    */
+  def ccnetAssign(spark: SparkSession, docs: DataFrame,
+                  model: graft.plans.LmSketchModel,
+                  thresholds: DataFrame): DataFrame = {
+    val toks = graft.text.TextOps.tokens(col("text"))
+    docs
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")) - 1).cast("long").as("n_bg"),
+        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
+      .withColumn("mean_nll_e4", expr(
+        graft.functions.ExactRound.spark("nll_sketch_e4", "n_bg")))
+      .join(broadcast(thresholds), Seq("lang"), "left")
+      .withColumn("bucket",
+        when(col("t_head").isNotNull && col("mean_nll_e4") <= col("t_head"), "head")
+          .when(col("t_mid").isNotNull && col("mean_nll_e4") <= col("t_mid"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("mean_nll_e4"), col("bucket"))
+  }
+
   case class CurateFullDoc(fp: String, doc_id: Long, source: String,
                            n_re: Long, score: Double, top2_frac: Double)
   case class CuratedFullRow(doc_id: Long, source: String, n_re: Long,

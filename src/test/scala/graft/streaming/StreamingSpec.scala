@@ -502,6 +502,58 @@ class StreamingSpec extends SparkSpec {
     assert(gotPer == want.filter(_._2 > 0), s"admitted-per-source mismatch")
   }
 
+  test("streaming ccnet assignment equals the batch sketch-side buckets doc-for-doc (zero state)") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, String, String)]
+    val df = stream.toDF().toDF("doc_id", "lang", "text")
+    // model + thresholds learned once batch-side; both ride the plan
+    val model = graft.queries.TextQueries.lmSketchModel(spark, sf)
+    val thresholds = graft.queries.TextQueries.ccnetSketchThresholds(spark, sf)
+    val out = StreamingCurate.ccnetAssign(spark, df, model, thresholds)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ccnet_out").start()
+    val docRows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val (first, rest) = docRows.splitAt(docRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("ccnet_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val stateOps = q.lastProgress.stateOperators.length
+    q.stop()
+    assert(stateOps == 0, "ccnet gate must not allocate a state store")
+    // batch truth recomputed INDEPENDENTLY of the thresholds: sketch
+    // scores through the value-group tertile algebra with plain Scala
+    // sorts — proving the broadcast two-threshold comparison equals the
+    // batch tertile assignment for in-corpus docs (the value-monotone
+    // claim), not merely that the stream applied its own thresholds
+    val toks = graft.text.TextOps.tokens(col("text"))
+    def halfAway(a: Long, b: Long): Long =
+      if (a < 0) -((2 * -a + b) / (2 * b)) else (2 * a + b) / (2 * b)
+    val scored = Tables.documents(spark, sf)
+      .withColumn("t", toks).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        (size(col("t")) - 1).cast("long").as("n_bg"),
+        graft.plans.BigramNllSketch(col("t"), model).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), halfAway(r.getLong(3), r.getLong(2))))
+    val want = scored.groupBy(_._2).flatMap { case (lang, ds) =>
+      val n = ds.length.toLong
+      var cumBefore = 0L
+      ds.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (v, members) =>
+        val b = (3 * cumBefore) / n match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        cumBefore += members.length
+        members.map(m => (m._1, lang, v, b))
+      }
+    }.toSet
+    assert(got == want,
+      s"diff got-want ${(got -- want).take(5)} want-got ${(want -- got).take(5)}")
+    // the cut is non-degenerate on this corpus: all three buckets occur
+    assert(got.map(_._4) == Set("head", "middle", "tail"))
+  }
+
   test("streaming curate funnel matches the batch pipeline_curate survivor set") {
     // docs are fed in doc_id order across two micro-batches, so the
     // first arrival per fingerprint is the smallest id — the batch
