@@ -2138,6 +2138,108 @@ object SimQueries {
       |ORDER BY label""".stripMargin
 
   // ========================================================================
+  // embed_outlier — embedding-space outlier triage, per label: the K
+  // vectors furthest from their label's centroid, with the exact ratio
+  // of each one's squared distance to the label mean. Anomalously far
+  // vectors are the mislabeled / corrupted / wrong-model-version rows
+  // an embedding corpus accretes (the vector-side companion of the
+  // text quality gates; what they poison is exactly the IVF index's
+  // cell balance and any centroid-seeded dedup). A top-K list rather
+  // than a threshold count: on unit-normalized embeddings the distance
+  // distribution concentrates hard around its mean (measured p99/p50 ≈
+  // 1.08 on this corpus), so any fixed multiplicative cut is either
+  // vacuous or noise — the triage list is non-vacuous by construction
+  // and is what an operator actually reviews.
+  //
+  // Exactness: components quantize to integer micro-units at the scan
+  // (the embed_drift convention); with S_ld = Σ qx and n_l the label
+  // count, D_v = Σ_d (n_l·qx_vd − S_ld)² is an exact integer (clearing
+  // the rational centroid the way quality_rank_corr clears rank means),
+  // so the (D_v desc, vec_id) ranking and ratio_ppm = n_l·D_v·10⁶ div
+  // ΣD are engine-independent. Products run in DECIMAL(38,0) /
+  // HUGEINT (n_l·D·10⁶ ≲ 10³³ overflows BIGINT).
+  //
+  // Scale shape: ONE map-side-combined exchange builds the
+  // 64·|labels|-row centroid relation carrying (Σqx, Σqx², n); it folds
+  // to |labels| rows of (svec[64], n_l, ΣD, n_vecs) — the label's TOTAL
+  // squared distance comes free from the sufficient statistics,
+  // ΣD = Σ_d (n²·ssq_d − n·S_d²), so the corpus is read exactly twice
+  // (count scan + distance scan) and the distance subtree runs ONCE.
+  // The |labels|-row relation BROADCASTS back onto the scan, where the
+  // per-vector distance is a scan-side zip_with/aggregate fold over the
+  // embedding array — the corpus never shuffles for the distance; the
+  // per-label top-K plans as a two-phase WindowGroupLimit heap (each
+  // task keeps ≤ K rows per label before the exchange).
+  // ========================================================================
+  private val EmbedOutlierK = 5
+
+  def embedOutlier(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("qx"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("sd"),
+        sum(expr("CAST(qx AS DECIMAL(38,0)) * qx")).as("ssq"),
+        count(lit(1)).as("n"))
+    // fold to one row per label: dim-ordered sum array + the label total
+    // ΣD from the sufficient statistics (no second distance pass)
+    val cen = e.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sd))), t -> t.sd)")
+        .as("svec"), max(col("n")).as("n_l"),
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n * ssq" +
+          " - CAST(n AS DECIMAL(38,0)) * sd * sd")).as("sum_d"))
+    val dv = emb(s, d).join(broadcast(cen), Seq("label"))
+      .select(col("vec_id"), col("label"), col("n_l"), col("sum_d"),
+        expr("""aggregate(
+            zip_with(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                     svec, (q, s) -> CAST(n_l AS DECIMAL(20,0)) * q - s),
+            CAST(0 AS DECIMAL(38,0)), (acc, t) -> acc + CAST(t AS DECIMAL(38,0)) * t)""")
+          .as("dist"))
+    val byLabel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    dv.withColumn("rk", row_number().over(byLabel))
+      .filter(col("rk") <= EmbedOutlierK)
+      .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
+        col("n_l").as("n_vecs"),
+        expr("(CAST(n_l AS DECIMAL(38,0)) * dist * 1000000) div sum_d")
+          .as("ratio_ppm"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  private val embedOutlierSql =
+    s"""WITH e AS (
+      |  SELECT vec_id, label, r.i AS dim,
+      |    CAST(round(embedding[r.i]::DOUBLE * 1000000) AS BIGINT) AS qx
+      |  FROM embeddings, range(1, 65) r(i) WHERE r.i <= len(embedding)),
+      |cen AS (
+      |  SELECT label, dim, CAST(sum(qx) AS HUGEINT) AS sd,
+      |    CAST(sum(qx::HUGEINT * qx) AS HUGEINT) AS ssq, count(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT label, max(n) AS n_l,
+      |    sum(n::HUGEINT * n * ssq - n::HUGEINT * sd * sd) AS sum_d
+      |  FROM cen GROUP BY 1),
+      |dv AS (
+      |  SELECT e.vec_id, e.label, cl.n_l, cl.sum_d,
+      |    sum((cl.n_l::HUGEINT * e.qx - cen.sd) * (cl.n_l::HUGEINT * e.qx - cen.sd))
+      |      AS dist
+      |  FROM e JOIN cen ON e.label = cen.label AND e.dim = cen.dim
+      |       JOIN cl ON e.label = cl.label
+      |  GROUP BY 1, 2, 3, 4),
+      |rk AS (
+      |  SELECT vec_id, label, n_l, sum_d, dist,
+      |    row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+      |  FROM dv)
+      |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+      |  CAST(n_l AS BIGINT) AS n_vecs,
+      |  CAST((n_l::HUGEINT * dist * 1000000) // sum_d AS BIGINT) AS ratio_ppm
+      |FROM rk
+      |WHERE rk <= $EmbedOutlierK
+      |ORDER BY label, rk""".stripMargin
+
+  // ========================================================================
   // multimodal_pixels_jpeg — REAL lossy decode, bound-verified: the same
   // closed-form rasters as multimodal_pixels, but round-tripped through a
   // TRUE JPEG encode (ImageIO writer, explicit quality) and decode — the
@@ -2401,6 +2503,7 @@ object SimQueries {
     "multimodal_dims" -> (multimodalDims _),
     "multimodal_pixels" -> (multimodalPixels _),
     "embed_drift" -> (embedDrift _),
+    "embed_outlier" -> (embedOutlier _),
     "multimodal_image_entropy" -> (multimodalImageEntropy _),
     "multimodal_audio_entropy" -> (multimodalAudioEntropy _),
     "multimodal_video_entropy" -> (multimodalVideoEntropy _),
@@ -2445,6 +2548,7 @@ object SimQueries {
     "multimodal_dims" -> multimodalDimsSql,
     "multimodal_pixels" -> multimodalPixelsSql,
     "embed_drift" -> embedDriftSql,
+    "embed_outlier" -> embedOutlierSql,
     "multimodal_image_entropy" -> multimodalImageEntropySql,
     "multimodal_audio_entropy" -> multimodalAudioEntropySql,
     "multimodal_video_entropy" -> multimodalVideoEntropySql,

@@ -887,6 +887,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("embed_outlier: map-side Partial top-K heap before the label exchange; distances scan-side (no corpus shuffle)") {
+    val p = plan("embed_outlier")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-label top-K runs as the two-phase WindowGroupLimit: each
+    // task keeps <= K rows per label BEFORE the exchange, so the
+    // corpus-sized distance relation never fully shuffles
+    assert(p.contains("WindowGroupLimit") && p.contains("row_number(), 5, Partial"),
+      p.linesIterator.filter(_.contains("WindowGroupLimit")).mkString("\n"))
+    // every window keyed by label — never a global sort
+    val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("windowspecdefinition(label")),
+      ws.mkString("\n"))
+    // centroid arrays and label means attach by BROADCAST, the
+    // embed_drift contract for <=|labels|-row relations
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("vocab_overlap: the top-K rank plans as a WindowGroupLimit heap on the source key; intersection stays equi") {
     val p = plan("vocab_overlap")
     // rank <= K compiles to a group-limit heap (no full per-source sort

@@ -349,4 +349,42 @@ class SimilaritySpec extends SparkSpec {
     assert(postFiltered.count() < filtered.count(),
       "post-filter kept full k for every query — fixture no longer demonstrates the bug")
   }
+
+  test("embed_outlier equals a driver-side exact-integer distance recompute; triage list well-formed") {
+    // independent side: BigInt arithmetic over the raw float components,
+    // quantized with the same e6 convention — the n_l²-scaled squared
+    // distance D_v = Σ_d (n_l·qx − S_ld)², ranked (D desc, vec_id)
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => BigInt(math.round(x.toDouble * 1000000))).toVector))
+    val want = rows.groupBy(_._2).flatMap { case (label, vs) =>
+      val nL = BigInt(vs.length)
+      val dims = vs.head._3.indices
+      val s = dims.map(d => vs.map(_._3(d)).sum)
+      val dv = vs.map { case (id, _, q) =>
+        id -> dims.map(d => { val t = nL * q(d) - s(d); t * t }).sum
+      }
+      val sumD = dv.map(_._2).sum
+      dv.sortBy { case (id, dist) => (-dist, id) }.take(5).zipWithIndex.map {
+        case ((id, dist), i) =>
+          (label, (i + 1).toLong, id, vs.length.toLong,
+            ((nL * dist * 1000000) / sumD).toLong)
+      }.toSeq
+    }.toSet
+    val got = graft.SparkEntry.queries("embed_outlier")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want,
+      s"diff got-want ${(got -- want).take(5)} want-got ${(want -- got).take(5)}")
+    // well-formed triage list: exactly K rows per label, ratios
+    // non-increasing in rank, and the top row is at or above the mean
+    got.groupBy(_._1).foreach { case (label, g) =>
+      assert(g.size == 5, s"label $label: ${g.size} rows")
+      val byRk = g.toSeq.sortBy(_._2).map(_._5)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b },
+        s"label $label ratios not non-increasing: $byRk")
+      assert(byRk.head >= 1000000L, s"label $label max below mean")
+    }
+  }
 }
