@@ -2203,7 +2203,11 @@ object SimQueries {
       .filter(col("rk") <= EmbedOutlierK)
       .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
         col("n_l").as("n_vecs"),
-        expr("(CAST(n_l AS DECIMAL(38,0)) * dist * 1000000) div sum_d")
+        // degenerate label (all vectors identical — exactly the corrupt
+        // export this triages): every dist and ΣD are 0; emit ratio 0,
+        // never a NULL from the zero divisor
+        when(col("sum_d") === 0, 0L)
+          .otherwise(expr("(CAST(n_l AS DECIMAL(38,0)) * dist * 1000000) div sum_d"))
           .as("ratio_ppm"))
       .orderBy(col("label"), col("rk"))
   }
@@ -2234,7 +2238,8 @@ object SimQueries {
       |  FROM dv)
       |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
       |  CAST(n_l AS BIGINT) AS n_vecs,
-      |  CAST((n_l::HUGEINT * dist * 1000000) // sum_d AS BIGINT) AS ratio_ppm
+      |  CAST(CASE WHEN sum_d = 0 THEN 0
+      |    ELSE (n_l::HUGEINT * dist * 1000000) // sum_d END AS BIGINT) AS ratio_ppm
       |FROM rk
       |WHERE rk <= $EmbedOutlierK
       |ORDER BY label, rk""".stripMargin

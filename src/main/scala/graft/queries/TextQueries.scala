@@ -1993,13 +1993,6 @@ object TextQueries {
   private val ccnetMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
-  /** Per-doc CCNet relation (doc_id, lang, n_bg, mean_nll_e4, bucket),
-    * memoized per (session, dir) and persisted — `ccnet_bucket`,
-    * `ccnet_report`, and the streaming gate's threshold build all
-    * derive from it; the expensive input is the persisted per-doc
-    * [[lmScoreCore]] relation (6th consumer), so a memo hit costs one
-    * bounded window over distinct score values plus one join.
-    */
   /** The value-group tertile map of any (lang, mean_nll_e4, ...) frame:
     * (lang, mean_nll_e4, bucket), bucket(v) = (3·cum_before(v)) div
     * n_lang over per-lang value groups — ONE definition of the CCNet
@@ -2021,6 +2014,15 @@ object TextQueries {
       .select(col("lang"), col("mean_nll_e4"), col("bucket"))
   }
 
+  /** Per-doc CCNet relation (doc_id, lang, n_bg, mean_nll_e4, bucket),
+    * memoized per (session, dir) and persisted — `ccnet_bucket` and
+    * `ccnet_report` both derive from it; the expensive input is the
+    * persisted per-doc [[lmScoreCore]] relation (6th consumer), so a
+    * memo hit costs one bounded window over distinct score values plus
+    * one join. (The streaming gate's thresholds do NOT read this
+    * relation — they re-score with the CMS sketch, see
+    * [[ccnetSketchThresholds]] — but share [[ccnetTertiles]].)
+    */
   private[graft] def ccnetCore(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(ccnetMemo, (s, d)) {
       val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"),
@@ -2045,15 +2047,29 @@ object TextQueries {
     * stream assignment of an in-corpus doc equals the batch sketch
     * assignment exactly (StreamingSpec).
     */
-  private[graft] def ccnetSketchThresholds(s: SparkSession, d: String): DataFrame = {
-    val model = lmSketchModel(s, d)
-    val toks = TextOps.tokens(col("text"))
-    val ld = docs(s, d)
-      .withColumn("t", toks).filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        (size(col("t")) - 1).cast("long").as("n_bg"),
-        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
+  /** The CMS sketch-scoring projection of any frame carrying `text`
+    * (tokenize → ≥2-token filter → n_bg → [[graft.plans
+    * .BigramNllSketch]] → ExactRound mean in e4 units) — ONE
+    * definition shared by the batch threshold learner below and the
+    * streaming gate ([[graft.streaming.StreamingCurate.ccnetAssign]]),
+    * so the doc-for-doc stream/batch equality is structural, not a
+    * textual coincidence (the ccnetTertiles treatment applied to the
+    * scoring side). Input columns other than `text` pass through;
+    * adds n_bg, nll_sketch_e4, mean_nll_e4 and drops text/t.
+    */
+  private[graft] def sketchScore(df: DataFrame,
+                                 model: graft.plans.LmSketchModel): DataFrame =
+    df.withColumn("t", TextOps.tokens(col("text")))
+      .filter(size(col("t")) >= 2)
+      .withColumn("n_bg", (size(col("t")) - 1).cast("long"))
+      .withColumn("nll_sketch_e4", graft.plans.BigramNllSketch(col("t"), model))
       .withColumn("mean_nll_e4", expr(ExactRound.spark("nll_sketch_e4", "n_bg")))
+      .drop("text", "t")
+
+  private[graft] def ccnetSketchThresholds(s: SparkSession, d: String): DataFrame = {
+    val ld = sketchScore(
+      docs(s, d).select(col("doc_id"), col("lang"), col("text")),
+      lmSketchModel(s, d))
     ccnetTertiles(ld)
       .groupBy(col("lang"))
       .agg(max(when(col("bucket") === "head", col("mean_nll_e4"))).as("t_head"),
@@ -2138,16 +2154,30 @@ object TextQueries {
   // ========================================================================
   private val VocabOverlapK = 15
 
+  /** Per-source top-K vocabulary sets (|sources|·K rows), memoized per
+    * (session, dir) + persisted (the RelationMemo contract) — three
+    * consumers in one query tree (sizes + both intersection sides)
+    * would otherwise each re-run the corpus count shuffle, and repeat
+    * invocations (Verify, Bench laps, specs) would pile up anonymous
+    * pinned copies.
+    */
+  private val vocabTopkMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(vocabTopkMemo, (s, d)) {
+      val cnt = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("w"))
+      cnt.withColumn("rn", row_number().over(bySrc))
+        .filter(col("rn") <= VocabOverlapK)
+        .select(col("source"), col("w"))
+        .persist()
+    }
+
   def vocabOverlap(s: SparkSession, d: String): DataFrame = {
-    val cnt = docs(s, d)
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-    val bySrc = Window.partitionBy(col("source"))
-      .orderBy(col("c").desc, col("w"))
-    val topk = cnt.withColumn("rn", row_number().over(bySrc))
-      .filter(col("rn") <= VocabOverlapK)
-      .select(col("source"), col("w"))
-      .persist()
+    val topk = vocabTopk(s, d)
     val sizes = topk.groupBy(col("source")).agg(count(lit(1)).as("n_top"))
     val inter = topk.select(col("source").as("src_a"), col("w"))
       .join(topk.select(col("source").as("src_b"), col("w")), Seq("w"))

@@ -88,9 +88,10 @@ object StreamingCurate {
 
   /** CCNet bucket assignment as a CONTINUOUS stage, ZERO state: each
     * arriving document is scored by the Count-Min bigram model riding
-    * the plan as one reference (the identical
-    * [[graft.plans.BigramNllSketch]] expression the threshold learner
-    * evaluated batch-side), and assigned head/middle/tail with two
+    * the plan as one reference — the SAME
+    * [[graft.queries.TextQueries.sketchScore]] projection the
+    * threshold learner ran batch-side (one definition, so the scoring
+    * sides cannot drift) — and assigned head/middle/tail with two
     * comparisons against its language's broadcast thresholds
     * ([[graft.queries.TextQueries.ccnetSketchThresholds]] — ≤|langs|
     * rows, a stream-static broadcast join, no state store). Because
@@ -104,15 +105,7 @@ object StreamingCurate {
   def ccnetAssign(spark: SparkSession, docs: DataFrame,
                   model: graft.plans.LmSketchModel,
                   thresholds: DataFrame): DataFrame = {
-    val toks = graft.text.TextOps.tokens(col("text"))
-    docs
-      .withColumn("t", toks)
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        (size(col("t")) - 1).cast("long").as("n_bg"),
-        graft.plans.BigramNllSketch(col("t"), model).as("nll_sketch_e4"))
-      .withColumn("mean_nll_e4", expr(
-        graft.functions.ExactRound.spark("nll_sketch_e4", "n_bg")))
+    graft.queries.TextQueries.sketchScore(docs, model)
       .join(broadcast(thresholds), Seq("lang"), "left")
       .withColumn("bucket",
         when(col("t_head").isNotNull && col("mean_nll_e4") <= col("t_head"), "head")

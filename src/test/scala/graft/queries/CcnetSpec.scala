@@ -12,31 +12,17 @@ import graft.SparkSpec
   */
 class CcnetSpec extends SparkSpec {
 
-  private def halfAway(a: Long, b: Long): Long =
-    if (a < 0) -((2 * -a + b) / (2 * b)) else (2 * a + b) / (2 * b)
-
   test("ccnet_bucket equals a driver-side tertile recompute; buckets are value-monotone with non-empty heads") {
     // independent side: per-doc mean_nll_e4 from the registered lm_score
     // key (the quality_rank_corr convention), langs from the raw table,
-    // value-group tertiles recomputed with plain Scala sorts
+    // value-group tertiles via the shared driver-side fold
     val lm = graft.SparkEntry.queries("lm_score")(spark, sf).collect()
       .map(r => r.getLong(0) -> halfAway(r.getLong(2), r.getLong(1))).toMap
     val langOf = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val docs = lm.toSeq.map { case (id, v) => (id, langOf(id), v) }
-    val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
-      val n = ds.size.toLong
-      val groups = ds.groupBy(_._3).toSeq.sortBy(_._1) // value groups, ascending
-      var cumBefore = 0L
-      groups.flatMap { case (v, members) =>
-        val b = (3 * cumBefore) / n match {
-          case 0 => "head"; case 1 => "middle"; case _ => "tail"
-        }
-        cumBefore += members.size
-        members.map(m => (m._1, lang, v, b))
-      }
-    }.toSet
+    val want = valueGroupTertiles(
+      lm.toSeq.map { case (id, v) => (id, langOf(id), v) })
     val got = graft.SparkEntry.queries("ccnet_bucket")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(got == want,

@@ -354,10 +354,13 @@ class SimilaritySpec extends SparkSpec {
     // independent side: BigInt arithmetic over the raw float components,
     // quantized with the same e6 convention — the n_l²-scaled squared
     // distance D_v = Σ_d (n_l·qx − S_ld)², ranked (D desc, vec_id)
+    // quantizer matches the engines' round (half-AWAY-from-zero on
+    // exact halves), not math.round's half-toward-+infinity
+    def q6(x: Float): BigInt = BigInt(new java.math.BigDecimal(x.toDouble * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
     val rows = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getInt(1),
-        r.getSeq[Float](2).map(x => BigInt(math.round(x.toDouble * 1000000))).toVector))
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(q6).toVector))
     val want = rows.groupBy(_._2).flatMap { case (label, vs) =>
       val nL = BigInt(vs.length)
       val dims = vs.head._3.indices
@@ -369,7 +372,7 @@ class SimilaritySpec extends SparkSpec {
       dv.sortBy { case (id, dist) => (-dist, id) }.take(5).zipWithIndex.map {
         case ((id, dist), i) =>
           (label, (i + 1).toLong, id, vs.length.toLong,
-            ((nL * dist * 1000000) / sumD).toLong)
+            if (sumD == 0) 0L else ((nL * dist * 1000000) / sumD).toLong)
       }.toSeq
     }.toSet
     val got = graft.SparkEntry.queries("embed_outlier")(spark, sf).collect()
@@ -386,5 +389,24 @@ class SimilaritySpec extends SparkSpec {
         s"label $label ratios not non-increasing: $byRk")
       assert(byRk.head >= 1000000L, s"label $label max below mean")
     }
+  }
+
+  test("embed_outlier degenerate label (all vectors identical) emits ratio 0, never NULL") {
+    import spark.implicits._
+    // label 0 = a corrupted export writing one vector 6 times (ΣD = 0);
+    // label 1 = two distinct vectors so the normal path runs alongside
+    val same = Array.fill(4)(0.25f)
+    val rows = (0L until 6L).map(i => (i, same, 0)) ++
+      Seq((10L, Array(1f, 0f, 0f, 0f), 1), (11L, Array(0f, 1f, 0f, 0f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eo_fixture")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    tmp.toFile.deleteOnExit()
+    val out = graft.SparkEntry.queries("embed_outlier")(spark, tmp.toString).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    val deg = out.filter(_._1 == 0)
+    assert(deg.length == 5 && deg.forall(_._3 == 0L), deg.mkString(","))
+    // the live label still reports real ratios (both vectors at the mean)
+    assert(out.filter(_._1 == 1).forall(_._3 == 1000000L), out.mkString(","))
   }
 }

@@ -529,25 +529,13 @@ class StreamingSpec extends SparkSpec {
     // batch tertile assignment for in-corpus docs (the value-monotone
     // claim), not merely that the stream applied its own thresholds
     val toks = graft.text.TextOps.tokens(col("text"))
-    def halfAway(a: Long, b: Long): Long =
-      if (a < 0) -((2 * -a + b) / (2 * b)) else (2 * a + b) / (2 * b)
     val scored = Tables.documents(spark, sf)
       .withColumn("t", toks).filter(size(col("t")) >= 2)
       .select(col("doc_id"), col("lang"),
         (size(col("t")) - 1).cast("long").as("n_bg"),
         graft.plans.BigramNllSketch(col("t"), model).as("s"))
       .collect().map(r => (r.getLong(0), r.getString(1), halfAway(r.getLong(3), r.getLong(2))))
-    val want = scored.groupBy(_._2).flatMap { case (lang, ds) =>
-      val n = ds.length.toLong
-      var cumBefore = 0L
-      ds.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (v, members) =>
-        val b = (3 * cumBefore) / n match {
-          case 0 => "head"; case 1 => "middle"; case _ => "tail"
-        }
-        cumBefore += members.length
-        members.map(m => (m._1, lang, v, b))
-      }
-    }.toSet
+    val want = valueGroupTertiles(scored.toSeq)
     assert(got == want,
       s"diff got-want ${(got -- want).take(5)} want-got ${(want -- got).take(5)}")
     // the cut is non-degenerate on this corpus: all three buckets occur
