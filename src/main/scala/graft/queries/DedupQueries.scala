@@ -595,6 +595,64 @@ object DedupQueries {
        |ORDER BY bucket""".stripMargin
 
   // ========================================================================
+  // dedup_lsh_precision — candidate-efficiency lock for the LSH banding,
+  // the third leg of the dedup quality triangle: dedup_minhash_est locks
+  // the ESTIMATOR, dedup_lsh_recall locks what the bands CATCH, this
+  // locks what they WASTE. Exact Jaccard for EVERY candidate pair (the
+  // unthresholded production verify join), histogrammed by decile, plus
+  // a summary row (bucket −1) with total candidates, verified survivors
+  // at τ, and exact-integer precision_e6 — a band-key or hash-family
+  // regression that floods verification with junk pairs collapses
+  // precision here long before recall moves, and precision is what
+  // prices the verify stage at corpus scale (candidates × shingle-join
+  // cost). Scale: the exact verify over candidates is the cost the
+  // production pair list already pays; the histogram adds one
+  // map-side-combined aggregation over the collision-sparse candidate
+  // set — never corpus-sized. Zero-overlap candidates (banded but
+  // shingle-disjoint) count at jaccard 0 — they are exactly the waste
+  // the lock exists to expose (Spark left-joins them back; DuckDB's ver
+  // keeps them inherently).
+  // ========================================================================
+  def dedupLshPrecision(s: SparkSession, d: String): DataFrame = {
+    val shd = lshShared(s, d)
+    val cand = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val cj = cand
+      .join(Dedup.pairJaccard(cand, shd.ex, "doc_id"), Seq("id_a", "id_b"), "left")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("j"))
+    val binned = cj
+      .withColumn("bucket", least(floor(col("j") * 10), lit(9.0)).cast("long"))
+      .withColumn("ok", when(col("j") >= LshParams.Threshold, 1L).otherwise(0L))
+    val hist = binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("ok")).as("n_verified"))
+    val total = binned
+      .agg(count(lit(1)).as("n_cand"), sum(col("ok")).as("n_verified"))
+      .select(lit(-1L).as("bucket"), col("n_cand"), col("n_verified"))
+      .filter(col("n_cand") > 0) // a candidate-free corpus emits nothing, not 0/0
+    hist.unionByName(total)
+      .withColumn("precision_e6", expr("(n_verified * 1000000) div n_cand"))
+      .orderBy(col("bucket"))
+  }
+
+  private val dedupLshPrecisionSql =
+    s"""WITH $lshPipelineCtes,
+       |cj AS (SELECT jaccard AS j FROM ver),
+       |cb AS (
+       |  SELECT CAST(least(floor(j * 10), CAST(9 AS DOUBLE)) AS BIGINT) AS bucket,
+       |    CASE WHEN j >= ${LshParams.Threshold} THEN 1 ELSE 0 END AS ok
+       |  FROM cj),
+       |h AS (
+       |  SELECT bucket, count(*) AS n_cand, CAST(sum(ok) AS BIGINT) AS n_verified
+       |  FROM cb GROUP BY bucket),
+       |t AS (
+       |  SELECT CAST(-1 AS BIGINT) AS bucket, count(*) AS n_cand,
+       |    CAST(coalesce(sum(ok), 0) AS BIGINT) AS n_verified
+       |  FROM cb HAVING count(*) > 0)
+       |SELECT bucket, n_cand, n_verified,
+       |  CAST((n_verified * 1000000) // n_cand AS BIGINT) AS precision_e6
+       |FROM (SELECT * FROM h UNION ALL SELECT * FROM t)
+       |ORDER BY bucket""".stripMargin
+
+  // ========================================================================
   // dedup_cross_source — duplication provenance: which source pairs
   // share verified near-dups, how many, and how close. The corpus-
   // analysis view a curation team reads before deciding which feed to
@@ -2151,6 +2209,7 @@ object DedupQueries {
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
+    "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_cluster" -> (dedupCluster _),
     "split_leak_safe" -> (splitLeakSafe _),
     "split_leakage" -> (splitLeakage _),
@@ -2187,6 +2246,7 @@ object DedupQueries {
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
+    "dedup_lsh_precision" -> dedupLshPrecisionSql,
     "dedup_cluster" -> dedupClusterSql,
     "split_leak_safe" -> splitLeakSafeSql,
     "split_leakage" -> splitLeakageSql,

@@ -564,6 +564,66 @@ object TextQueries {
        |ORDER BY source, seq_id""".stripMargin
 
   // ========================================================================
+  // pack_report — packing efficiency + quality per shard, the report a
+  // pipeline owner reads before choosing L and the packing policy:
+  // per source, sequence count, packed tokens, exact fill_e6 =
+  // tokens·10⁶ div (n_seqs·L) (concat-and-cut wastes only the ragged
+  // shard tail, so fill quantifies the tail cost of small shards), and
+  // the QUALITY price — n_straddle / straddle_ppm, documents cut
+  // across a sequence boundary (attention sees truncated context for
+  // those docs; the doc-boundary-respecting policies trade fill for
+  // fewer straddles, and this report prices both sides). Derived from
+  // the SAME offset algebra as pack_sequences (a doc straddles iff its
+  // [st, st+n_tok) span crosses a multiple of L) but needs NO explode:
+  // one hashpartitioning(source) exchange for the cumsum window, then
+  // a map-side-combined agg to |sources| rows.
+  // ========================================================================
+  def packReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
+      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(expr(s"st DIV $SeqLen") =!= expr(s"(st + n_tok - 1) DIV $SeqLen"), 1L)
+          .otherwise(0L)).as("n_straddle"))
+      .withColumn("n_seqs", expr(s"(n_tokens + ${SeqLen - 1}) DIV $SeqLen"))
+      .withColumn("fill_e6", expr(
+        s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div (n_seqs * $SeqLen) AS BIGINT)"))
+      .withColumn("straddle_ppm", expr("(n_straddle * 1000000) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_seqs"), col("n_tokens"),
+        col("fill_e6"), col("n_straddle"), col("straddle_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val packReportSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM t),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN st // $SeqLen <> (st + n_tok - 1) // $SeqLen
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+       |  FROM o GROUP BY source)
+       |SELECT source, n_docs,
+       |  (n_tokens + ${SeqLen - 1}) // $SeqLen AS n_seqs, n_tokens,
+       |  CAST((n_tokens::HUGEINT * 1000000) // (((n_tokens + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+       |    AS BIGINT) AS fill_e6,
+       |  n_straddle,
+       |  CAST((n_straddle * 1000000) // n_docs AS BIGINT) AS straddle_ppm
+       |FROM a ORDER BY source""".stripMargin
+
+  // ========================================================================
   // token_count_subword — SUBWORD-denominated token counts: greedy
   // longest-match against a corpus-learned piece vocab (character
   // 2-grams holding ≥ 1% of all 2-gram mass; single-char fallback) via
@@ -2221,6 +2281,53 @@ object TextQueries {
        |    AS BIGINT) AS jaccard_e6
        |FROM vp LEFT JOIN vin ON vp.src_a = vin.src_a AND vp.src_b = vin.src_b
        |ORDER BY vp.src_a, vp.src_b""".stripMargin
+
+  // ========================================================================
+  // corpus_diversity — distinct-n lexical diversity per source (Li et
+  // al. arXiv:1510.03055's distinct-1/2/3, lifted from generations to
+  // corpus health): for n ∈ {1,2,3}, total n-grams, distinct n-grams,
+  // and exact-integer distinct_e6 = distinct·10⁶ div total. The
+  // degeneracy dial the dedup/repetition gates don't read: a source
+  // whose distinct-2 collapses is templated boilerplate even when no
+  // document-level dup fires (every page unique, every sentence the
+  // same), and a distinct-1 near 1.0 on a large source is OCR noise or
+  // id-spam (every token unique). Scale: ONE documents scan explodes
+  // ~3× tokens rows tagged by n; count + count-distinct per (source, n)
+  // plan as two-level partial aggregations over (source, n, gram) —
+  // report is |sources|·3 rows, nothing corpus-sized crosses the
+  // exchange except the gram partials. DECIMAL(38,0)/HUGEINT ratio
+  // arithmetic (the embed_outlier convention) so a 10¹³-gram source
+  // cannot overflow the e6 numerator.
+  // ========================================================================
+  def corpusDiversity(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .select(col("source"), TextOps.tokens(col("text")).as("t"))
+      .select(col("source"), explode(expr(
+        """flatten(transform(filter(array(1, 2, 3), n -> size(t) >= n),
+          |  n -> transform(sequence(1, size(t) - n + 1),
+          |    i -> struct(CAST(n AS BIGINT) AS n,
+          |                concat_ws(' ', slice(t, i, n)) AS g))))""".stripMargin)).as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+    grams.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_e6",
+        expr("CAST((CAST(n_distinct AS DECIMAL(38,0)) * 1000000) div n_grams AS BIGINT)"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  private val corpusDiversitySql =
+    raw"""WITH tk AS (
+       |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents),
+       |gm AS (
+       |  SELECT source, n,
+       |    unnest(list_transform(range(1, len(t) - n + 2),
+       |      i -> array_to_string(t[i:i+n-1], ' '))) AS g
+       |  FROM tk, range(1, 4) r(n))
+       |SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_grams,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       |  CAST((count(DISTINCT g)::HUGEINT * 1000000) // count(*) AS BIGINT)
+       |    AS distinct_e6
+       |FROM gm GROUP BY source, n ORDER BY source, n""".stripMargin
 
   // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
@@ -4722,6 +4829,8 @@ object TextQueries {
     "ccnet_bucket" -> (ccnetBucket _),
     "ccnet_report" -> (ccnetReport _),
     "vocab_overlap" -> (vocabOverlap _),
+    "corpus_diversity" -> (corpusDiversity _),
+    "pack_report" -> (packReport _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4794,6 +4903,8 @@ object TextQueries {
     "ccnet_bucket" -> ccnetBucketSql,
     "ccnet_report" -> ccnetReportSql,
     "vocab_overlap" -> vocabOverlapSql,
+    "corpus_diversity" -> corpusDiversitySql,
+    "pack_report" -> packReportSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

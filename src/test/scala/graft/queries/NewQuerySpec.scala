@@ -932,4 +932,85 @@ class NewQuerySpec extends SparkSpec {
     // a real trade-off, not two constant gates)
     assert(ev.values.exists(v => v._3 > 0 || v._4 > 0), "gates never disagree — vacuous eval")
   }
+
+  test("dedup_lsh_precision: summary closes on the deciles, verified total ties to the pair list") {
+    val rows = graft.SparkEntry.queries("dedup_lsh_precision")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (summary, deciles) = rows.partition(_._1 == -1L)
+    assert(summary.length == 1 && deciles.nonEmpty)
+    val (_, nCand, nVer, precE6) = summary.head
+    // the summary row is exactly the column sums of the decile rows
+    assert(nCand == deciles.map(_._2).sum && nVer == deciles.map(_._3).sum)
+    // τ = 0.2 aligns with the decile boundary: buckets ≥ 2 are verified
+    // wholesale, buckets < 2 contribute nothing
+    deciles.foreach { case (b, c, v, _) =>
+      assert(if (b >= 2) v == c else v == 0L, s"bucket $b: $v of $c") }
+    // exact-integer ratio, and the verified total IS the production pair
+    // list (dedup_ngram_jaccard = the thresholded verify, oracle-locked)
+    assert(precE6 == nVer * 1000000L / nCand)
+    val nPairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count()
+    assert(nVer == nPairs, s"summary $nVer vs pair list $nPairs")
+    // the lock is non-vacuous on this corpus: real dups AND real waste
+    assert(nVer > 0 && nCand > nVer, s"n_cand=$nCand n_verified=$nVer")
+  }
+
+  test("pack_report closes on pack_sequences and a driver-side straddle recompute") {
+    val packs = graft.SparkEntry.queries("pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))) // source, seq_id, n_tokens
+    val rep = graft.SparkEntry.queries("pack_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // n_seqs / n_tokens tie exactly to the packer's own output
+    packs.groupBy(_._1).foreach { case (src, seqs) =>
+      val (_, nSeqs, nTokens, fill, _, _) = rep(src)
+      assert(nSeqs == seqs.map(_._2).max + 1 && nSeqs == seqs.length.toLong, src)
+      assert(nTokens == seqs.map(_._3).sum, src)
+      assert(fill == BigInt(nTokens) * 1000000 / (nSeqs * 256), src)
+    }
+    // straddle recompute: cumsum the (+1 EOD) counts in doc_id order,
+    // count docs whose span crosses a multiple of L
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong + 1))
+    raw.groupBy(_._1).foreach { case (src, ds) =>
+      var st = 0L
+      var straddle = 0L
+      ds.sortBy(_._2).foreach { case (_, _, n) =>
+        if (st / 256 != (st + n - 1) / 256) straddle += 1
+        st += n
+      }
+      val (nDocs, _, _, _, nStraddle, ppm) = rep(src)
+      assert(nDocs == ds.length.toLong && nStraddle == straddle, src)
+      assert(ppm == straddle * 1000000L / ds.length, src)
+    }
+    // non-vacuous: this corpus has straddling docs and a ragged tail
+    assert(rep.values.exists(_._5 > 0) && rep.values.exists(_._4 < 1000000L))
+  }
+
+  test("corpus_diversity equals a driver-side distinct-n recompute") {
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = raw.groupBy(_._1).flatMap { case (src, ds) =>
+      (1 to 3).flatMap { n =>
+        val grams = ds.flatMap(d => d._2.split("\\s+").filter(_.nonEmpty)
+          .sliding(n).filter(_.length == n).map(_.mkString(" ")))
+        if (grams.isEmpty) Nil
+        else Seq((src, n.toLong, grams.length.toLong, grams.distinct.length.toLong,
+          (BigInt(grams.distinct.length) * 1000000 / grams.length).toLong))
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("corpus_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"diff got-want ${(got -- want).take(5)} want-got ${(want -- got).take(5)}")
+    // diversity strictly increases with n per source (longer grams are
+    // rarer), and ratios are sane fractions of 1e6
+    got.groupBy(_._1).foreach { case (src, rs) =>
+      val byN = rs.toSeq.sortBy(_._2).map(_._5)
+      assert(byN == byN.sorted && byN.distinct == byN, s"$src not increasing: $byN")
+      assert(rs.forall(r => r._5 > 0 && r._5 <= 1000000L), s"$src out of range")
+    }
+  }
 }

@@ -916,4 +916,35 @@ class PlanShapeSpec extends SparkSpec {
     // a corpus-side cartesian: the only join keys are w / (src_a, src_b)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("corpus_diversity: one documents scan, partial aggregation, no gram-side join") {
+    val p = plan("corpus_diversity")
+    // the 3 gram lengths ride one exploded projection over ONE scan —
+    // a per-n union would read the corpus three times
+    // count detail-section nodes: the tree mentions each scan twice
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"$scans parquet scans\n$p")
+    // count + count-distinct partial-aggregate map-side before any
+    // exchange; the report never joins
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("pack_report: the cumsum's one source exchange serves the final agg too (no second corpus shuffle)") {
+    val p = plan("pack_report")
+    // exactly one corpus-side hashpartitioning — on source, shared by
+    // the offset window and the per-source aggregation (the final
+    // ORDER BY's range exchange moves only |sources| rows)
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("source")), hashEx.mkString("\n"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_lsh_precision: every join is equi (band/shingle/pair keys) — no cartesian, no nested loop") {
+    val p = plan("dedup_lsh_precision")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the histogram aggregates partial before its exchange
+    assert(p.contains("partial_count"), p)
+  }
 }
