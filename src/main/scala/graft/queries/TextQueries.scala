@@ -2299,8 +2299,12 @@ object TextQueries {
   // arithmetic (the embed_outlier convention) so a 10¹³-gram source
   // cannot overflow the e6 numerator.
   // ========================================================================
-  def corpusDiversity(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d)
+  /** (source, n, g) for n ∈ {1,2,3} — all gram lengths in ONE exploded
+    * projection over one scan of `docsDf`; shared by the full report
+    * and the incremental refresh so the gram definition exists once.
+    */
+  private def gramRelation(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("source"), TextOps.tokens(col("text")).as("t"))
       .select(col("source"), explode(expr(
         """flatten(transform(filter(array(1, 2, 3), n -> size(t) >= n),
@@ -2308,12 +2312,19 @@ object TextQueries {
           |    i -> struct(CAST(n AS BIGINT) AS n,
           |                concat_ws(' ', slice(t, i, n)) AS g))))""".stripMargin)).as("x"))
       .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
-    grams.groupBy(col("source"), col("n"))
-      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+
+  private def diversityFinish(stats: DataFrame): DataFrame =
+    stats
       .withColumn("distinct_e6",
         expr("CAST((CAST(n_distinct AS DECIMAL(38,0)) * 1000000) div n_grams AS BIGINT)"))
+      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+        col("distinct_e6"))
       .orderBy(col("source"), col("n"))
-  }
+
+  def corpusDiversity(s: SparkSession, d: String): DataFrame =
+    diversityFinish(
+      gramRelation(docs(s, d)).groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct")))
 
   private val corpusDiversitySql =
     raw"""WITH tk AS (
@@ -2328,6 +2339,61 @@ object TextQueries {
        |  CAST((count(DISTINCT g)::HUGEINT * 1000000) // count(*) AS BIGINT)
        |    AS distinct_e6
        |FROM gm GROUP BY source, n ORDER BY source, n""".stripMargin
+
+  // ========================================================================
+  // corpus_diversity_incremental — the diversity report's UPDATE PATH:
+  // the base slice's (source, n, g, c) gram-count relation is persisted
+  // ONCE as a catalog table (the data_card_incremental build-once
+  // contract; gram counts are the report's exact sufficient statistic,
+  // the way the corpus fingerprint relation is for substring dedup),
+  // and each release scans ONLY the increment. Totals add; the distinct
+  // count is NOT slice-additive, so new distincts come from ONE
+  // anti-join of the increment's (vocabulary-sized) gram set against
+  // the published relation — stats-chosen broadcast at bench scale,
+  // shuffle join at corpus scale. Refresh cost is O(increment +
+  // gram-vocabulary touched); the corpus TEXT is never re-read or
+  // re-tokenized. The oracle is literally the full report's SQL:
+  // passing it proves the merge is exact (n_distinct_merged =
+  // n_distinct_base + |increment grams ∉ base|, over the same
+  // doc_id % 3 slice convention the data-card refresh uses).
+  // ========================================================================
+  private[graft] def diversityBaseTable(s: SparkSession, d: String): String =
+    synchronized {
+      val t = s"graft_div_base_${java.lang.Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t))
+        graft.operators.Scale.saveTable(
+          gramRelation(docs(s, d).filter(expr(CardBaseWhere)))
+            .groupBy(col("source"), col("n"), col("g"))
+            .agg(count(lit(1)).as("c")), t)
+      t
+    }
+
+  def corpusDiversityIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = s.table(diversityBaseTable(s, d))
+    val baseStats = base.groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("b_grams"), count(lit(1)).as("b_distinct"))
+    // both increment deltas in ONE pass over the joined relation (the
+    // epoch_plan_incremental treatment): a left join marks which
+    // increment grams the published base already holds, then one agg
+    // emits the total AND the new-distinct count — the increment is
+    // scanned once, not once per delta
+    val incStats = gramRelation(docs(s, d).filter(not(expr(CardBaseWhere))))
+      .groupBy(col("source"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .join(base.select(col("source"), col("n"), col("g"), lit(1L).as("in_base")),
+        Seq("source", "n", "g"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("i_grams"),
+        sum(when(col("in_base").isNull, 1L).otherwise(0L)).as("i_new"))
+    val merged = baseStats
+      .join(incStats, Seq("source", "n"), "full_outer")
+      .select(col("source"), col("n"),
+        (coalesce(col("b_grams"), lit(0L)) + coalesce(col("i_grams"), lit(0L)))
+          .as("n_grams"),
+        (coalesce(col("b_distinct"), lit(0L)) + coalesce(col("i_new"), lit(0L)))
+          .as("n_distinct"))
+    diversityFinish(merged)
+  }
 
   // ========================================================================
   // lang_id_eval — the heuristic language-ID scored against the
@@ -4831,6 +4897,7 @@ object TextQueries {
     "vocab_overlap" -> (vocabOverlap _),
     "corpus_diversity" -> (corpusDiversity _),
     "pack_report" -> (packReport _),
+    "corpus_diversity_incremental" -> (corpusDiversityIncremental _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4905,6 +4972,9 @@ object TextQueries {
     "vocab_overlap" -> vocabOverlapSql,
     "corpus_diversity" -> corpusDiversitySql,
     "pack_report" -> packReportSql,
+    // the full report's SQL IS the incremental oracle: equality proves
+    // the base+increment merge exact (the data_card_incremental treatment)
+    "corpus_diversity_incremental" -> corpusDiversitySql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

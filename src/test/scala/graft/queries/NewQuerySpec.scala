@@ -988,6 +988,19 @@ class NewQuerySpec extends SparkSpec {
     assert(rep.values.exists(_._5 > 0) && rep.values.exists(_._4 < 1000000L))
   }
 
+  test("corpus_diversity_incremental merge equals the full report bit-for-bit") {
+    val full = graft.SparkEntry.queries("corpus_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val inc = graft.SparkEntry.queries("corpus_diversity_incremental")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(inc == full,
+      s"diff inc-full ${(inc -- full).take(5)} full-inc ${(full -- inc).take(5)}")
+    // the published base relation landed as a catalog table (the
+    // build-once contract a session-restarting nightly job needs)
+    assert(spark.catalog.tableExists(
+      graft.queries.TextQueries.diversityBaseTable(spark, sf)))
+  }
+
   test("corpus_diversity equals a driver-side distinct-n recompute") {
     val raw = graft.sources.Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()

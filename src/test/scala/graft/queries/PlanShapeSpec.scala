@@ -930,6 +930,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("corpus_diversity_incremental reads the base from a catalog table — documents scanned ONCE (increment only)") {
+    graft.queries.TextQueries.diversityBaseTable(spark, sf) // publish the base
+    val p = plan("corpus_diversity_incremental")
+    // exactly one corpus scan (the increment slice, counted on the
+    // Location: lines — the epoch_plan_incremental convention); the base
+    // rides in as the persisted graft_div_base_* gram-count relation,
+    // never re-tokenized
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(docScans == 1, s"documents scanned $docScans times\n$p")
+    assert(p.contains("graft_div_base_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pack_report: the cumsum's one source exchange serves the final agg too (no second corpus shuffle)") {
     val p = plan("pack_report")
     // exactly one corpus-side hashpartitioning — on source, shared by
