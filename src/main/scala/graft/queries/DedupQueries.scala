@@ -624,10 +624,13 @@ object DedupQueries {
       .withColumn("ok", when(col("j") >= LshParams.Threshold, 1L).otherwise(0L))
     val hist = binned.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_cand"), sum(col("ok")).as("n_verified"))
-    val total = binned
-      .agg(count(lit(1)).as("n_cand"), sum(col("ok")).as("n_verified"))
+    // the summary derives from the <=10 decile rows — never a second
+    // run of the candidate + verify subtree (a candidate-free corpus
+    // sums to null and the filter emits nothing, not 0/0)
+    val total = hist
+      .agg(sum(col("n_cand")).as("n_cand"), sum(col("n_verified")).as("n_verified"))
       .select(lit(-1L).as("bucket"), col("n_cand"), col("n_verified"))
-      .filter(col("n_cand") > 0) // a candidate-free corpus emits nothing, not 0/0
+      .filter(col("n_cand") > 0)
     hist.unionByName(total)
       .withColumn("precision_e6", expr("(n_verified * 1000000) div n_cand"))
       .orderBy(col("bucket"))
@@ -644,9 +647,9 @@ object DedupQueries {
        |  SELECT bucket, count(*) AS n_cand, CAST(sum(ok) AS BIGINT) AS n_verified
        |  FROM cb GROUP BY bucket),
        |t AS (
-       |  SELECT CAST(-1 AS BIGINT) AS bucket, count(*) AS n_cand,
-       |    CAST(coalesce(sum(ok), 0) AS BIGINT) AS n_verified
-       |  FROM cb HAVING count(*) > 0)
+       |  SELECT CAST(-1 AS BIGINT) AS bucket, CAST(sum(n_cand) AS BIGINT) AS n_cand,
+       |    CAST(sum(n_verified) AS BIGINT) AS n_verified
+       |  FROM h HAVING coalesce(sum(n_cand), 0) > 0)
        |SELECT bucket, n_cand, n_verified,
        |  CAST((n_verified * 1000000) // n_cand AS BIGINT) AS precision_e6
        |FROM (SELECT * FROM h UNION ALL SELECT * FROM t)

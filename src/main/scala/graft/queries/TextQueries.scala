@@ -521,8 +521,14 @@ object TextQueries {
     * offsets, straddle explode, per-sequence aggregation) is written
     * once.
     */
-  private def packSequencesWith(docsDf: DataFrame, nTok: Column,
-                                orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
+  /** The packing OFFSET algebra — the (+1 EOD) token projection and the
+    * per-shard cumsum start offset — as its own relation (source,
+    * n_tok, st [, order cols]): ONE definition serving the packer and
+    * [[packReport]], so the EOD convention and the shard order cannot
+    * silently diverge between what gets packed and what gets priced.
+    */
+  private def packOffsets(docsDf: DataFrame, nTok: Column,
+                          orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(orderBy.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -530,6 +536,11 @@ object TextQueries {
       .select(Seq(col("doc_id"), col("source"), (nTok + 1).cast("long").as("n_tok")) ++
         orderBy.filterNot(Set("doc_id", "source", "n_tok")).map(col): _*)
       .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+  }
+
+  private def packSequencesWith(docsDf: DataFrame, nTok: Column,
+                                orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
+    packOffsets(docsDf, nTok, orderBy)
       .select(col("source"), col("st"), col("n_tok"),
         explode(sequence(expr(s"st DIV $SeqLen"),
           expr(s"(st + n_tok - 1) DIV $SeqLen"))).as("seq_id"))
@@ -543,8 +554,12 @@ object TextQueries {
   def packSequences(s: SparkSession, d: String): DataFrame =
     packSequencesWith(docs(s, d), size(TextOps.tokens(col("text"))))
 
-  private val packSequencesSql =
-    s"""WITH t AS (
+  /** The packOffsets algebra rendered once for DuckDB — shared by the
+    * packer's oracle and pack_report's so the two SQL sides price the
+    * identical offsets, mirroring the Spark-side sharing.
+    */
+  private val packOffsetsCtes =
+    s"""t AS (
        |  SELECT doc_id, source,
        |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
        |  FROM documents),
@@ -552,7 +567,10 @@ object TextQueries {
        |  SELECT source, n_tok,
        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM t),
+       |  FROM t)""".stripMargin
+
+  private val packSequencesSql =
+    s"""WITH $packOffsetsCtes,
        |e AS (
        |  SELECT source, st, n_tok,
        |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
@@ -569,27 +587,24 @@ object TextQueries {
   // per source, sequence count, packed tokens, exact fill_e6 =
   // tokens·10⁶ div (n_seqs·L) (concat-and-cut wastes only the ragged
   // shard tail, so fill quantifies the tail cost of small shards), and
-  // the QUALITY price — n_straddle / straddle_ppm, documents cut
-  // across a sequence boundary (attention sees truncated context for
-  // those docs; the doc-boundary-respecting policies trade fill for
-  // fewer straddles, and this report prices both sides). Derived from
-  // the SAME offset algebra as pack_sequences (a doc straddles iff its
-  // [st, st+n_tok) span crosses a multiple of L) but needs NO explode:
-  // one hashpartitioning(source) exchange for the cumsum window, then
-  // a map-side-combined agg to |sources| rows.
+  // the QUALITY price — n_straddle / straddle_ppm, documents whose
+  // CONTENT is cut across a sequence boundary (attention sees truncated
+  // context for those docs; the doc-boundary-respecting policies trade
+  // fill for fewer straddles, and this report prices both sides). The
+  // straddle predicate spans the content tokens only, [st, st+n_tok−2]:
+  // a doc whose content ends flush at a boundary with only its EOD
+  // separator spilling over is NOT truncated and must not count.
+  // Derived from the SAME packOffsets algebra as pack_sequences but
+  // needs NO explode: one hashpartitioning(source) exchange for the
+  // cumsum window, then a map-side-combined agg to |sources| rows.
   // ========================================================================
   def packReport(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs(s, d)
-      .select(col("doc_id"), col("source"),
-        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("n_tok"))
-      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    packOffsets(docs(s, d), size(TextOps.tokens(col("text"))))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
-        sum(when(expr(s"st DIV $SeqLen") =!= expr(s"(st + n_tok - 1) DIV $SeqLen"), 1L)
+        sum(when(col("n_tok") >= 2 &&
+            expr(s"st DIV $SeqLen") =!= expr(s"(st + n_tok - 2) DIV $SeqLen"), 1L)
           .otherwise(0L)).as("n_straddle"))
       .withColumn("n_seqs", expr(s"(n_tokens + ${SeqLen - 1}) DIV $SeqLen"))
       .withColumn("fill_e6", expr(
@@ -601,18 +616,10 @@ object TextQueries {
   }
 
   private val packReportSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
-       |  FROM documents),
-       |o AS (
-       |  SELECT source, n_tok,
-       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM t),
+    s"""WITH $packOffsetsCtes,
        |a AS (
        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       |    CAST(sum(CASE WHEN st // $SeqLen <> (st + n_tok - 1) // $SeqLen
+       |    CAST(sum(CASE WHEN n_tok >= 2 AND st // $SeqLen <> (st + n_tok - 2) // $SeqLen
        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
        |  FROM o GROUP BY source)
        |SELECT source, n_docs,
@@ -2094,19 +2101,6 @@ object TextQueries {
         .persist()
     }
 
-  /** Per-lang CCNet cut thresholds IN SKETCH-SCORE UNITS for the
-    * streaming gate: every corpus doc is scored with the IDENTICAL
-    * Count-Min expression the stream evaluates
-    * ([[graft.plans.BigramNllSketch]], one model reference), the
-    * tertile algebra above assigns value-group buckets, and because the
-    * value-group contract makes bucket monotone in the value, the cut
-    * collapses to two thresholds per lang: t_head = max head value,
-    * t_mid = max middle value (null when a lang's middle is empty).
-    * Learned batch-side once; the stream joins the ≤|langs|-row result
-    * broadcast and assigns with two comparisons — zero state, and
-    * stream assignment of an in-corpus doc equals the batch sketch
-    * assignment exactly (StreamingSpec).
-    */
   /** The CMS sketch-scoring projection of any frame carrying `text`
     * (tokenize → ≥2-token filter → n_bg → [[graft.plans
     * .BigramNllSketch]] → ExactRound mean in e4 units) — ONE
@@ -2126,6 +2120,18 @@ object TextQueries {
       .withColumn("mean_nll_e4", expr(ExactRound.spark("nll_sketch_e4", "n_bg")))
       .drop("text", "t")
 
+  /** Per-lang CCNet cut thresholds IN SKETCH-SCORE UNITS for the
+    * streaming gate: every corpus doc is scored with the IDENTICAL
+    * Count-Min expression the stream evaluates ([[sketchScore]], one
+    * model reference), the tertile algebra above assigns value-group
+    * buckets, and because the value-group contract makes bucket
+    * monotone in the value, the cut collapses to two thresholds per
+    * lang: t_head = max head value, t_mid = max middle value (null when
+    * a lang's middle is empty). Learned batch-side once; the stream
+    * joins the ≤|langs|-row result broadcast and assigns with two
+    * comparisons — zero state, and stream assignment of an in-corpus
+    * doc equals the batch sketch assignment exactly (StreamingSpec).
+    */
   private[graft] def ccnetSketchThresholds(s: SparkSession, d: String): DataFrame = {
     val ld = sketchScore(
       docs(s, d).select(col("doc_id"), col("lang"), col("text")),
@@ -2357,8 +2363,13 @@ object TextQueries {
   // n_distinct_base + |increment grams ∉ base|, over the same
   // doc_id % 3 slice convention the data-card refresh uses).
   // ========================================================================
+  // dedicated monitor: the base build runs a corpus-scale Spark job —
+  // holding the shared TextQueries lock for it would serialize every
+  // unrelated synchronized path in the object (the textClusterLabels
+  // lesson); this lock only ever serializes diversity-base publishers
+  private[this] val divBaseLock = new Object
   private[graft] def diversityBaseTable(s: SparkSession, d: String): String =
-    synchronized {
+    divBaseLock.synchronized {
       val t = s"graft_div_base_${java.lang.Integer.toHexString(d.hashCode)}"
       if (!s.catalog.tableExists(t))
         graft.operators.Scale.saveTable(

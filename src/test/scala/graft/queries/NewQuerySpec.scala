@@ -968,7 +968,8 @@ class NewQuerySpec extends SparkSpec {
       assert(fill == BigInt(nTokens) * 1000000 / (nSeqs * 256), src)
     }
     // straddle recompute: cumsum the (+1 EOD) counts in doc_id order,
-    // count docs whose span crosses a multiple of L
+    // count docs whose CONTENT span [st, st+n-2] crosses a multiple of
+    // L (an EOD-only spill is not truncated context)
     val raw = graft.sources.Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("text")).collect()
       .map(r => (r.getString(0), r.getLong(1),
@@ -977,7 +978,7 @@ class NewQuerySpec extends SparkSpec {
       var st = 0L
       var straddle = 0L
       ds.sortBy(_._2).foreach { case (_, _, n) =>
-        if (st / 256 != (st + n - 1) / 256) straddle += 1
+        if (n >= 2 && st / 256 != (st + n - 2) / 256) straddle += 1
         st += n
       }
       val (nDocs, _, _, _, nStraddle, ppm) = rep(src)
