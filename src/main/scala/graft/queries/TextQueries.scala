@@ -2219,6 +2219,7 @@ object TextQueries {
   // jaccard_e6 = inter·10⁶ div (n_a + n_b − inter).
   // ========================================================================
   private val VocabOverlapK = 15
+  private val ZipfK = 64
 
   /** Per-source top-K vocabulary sets (|sources|·K rows), memoized per
     * (session, dir) + persisted (the RelationMemo contract) — three
@@ -2229,7 +2230,12 @@ object TextQueries {
     */
   private val vocabTopkMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+  /** Per-source ranked vocabulary head (source, w, c, rn), rn ≤ the
+    * LARGEST head any consumer needs (ZipfK) — `vocab_overlap` slices
+    * rn ≤ 15, `zipf_fit` reads all 64 — so one corpus count shuffle and
+    * one |sources|·64-row persisted relation serve both families.
+    */
+  private def vocabRanked(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(vocabTopkMemo, (s, d)) {
       val cnt = docs(s, d)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
@@ -2237,10 +2243,12 @@ object TextQueries {
       val bySrc = Window.partitionBy(col("source"))
         .orderBy(col("c").desc, col("w"))
       cnt.withColumn("rn", row_number().over(bySrc))
-        .filter(col("rn") <= VocabOverlapK)
-        .select(col("source"), col("w"))
+        .filter(col("rn") <= ZipfK)
         .persist()
     }
+  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+    vocabRanked(s, d).filter(col("rn") <= VocabOverlapK)
+      .select(col("source"), col("w"))
 
   def vocabOverlap(s: SparkSession, d: String): DataFrame = {
     val topk = vocabTopk(s, d)
@@ -2287,6 +2295,83 @@ object TextQueries {
        |    AS BIGINT) AS jaccard_e6
        |FROM vp LEFT JOIN vin ON vp.src_a = vin.src_a AND vp.src_b = vin.src_b
        |ORDER BY vp.src_a, vp.src_b""".stripMargin
+
+  // ========================================================================
+  // zipf_fit — per-source Zipf exponent over the top-K=64 vocabulary
+  // head: the OLS slope of ln(freq) on ln(rank) (Zipf 1949; natural
+  // text sits near −1). The corpus-health dial the shape heuristics
+  // miss: machine-generated/spam text flattens the head (slope → 0),
+  // id-spam and OCR noise steepen it — a source whose slope drifts
+  // between releases changed its generator, not just its volume.
+  //
+  // Cross-engine exactness (the surprisal_e4 treatment): each term
+  // x = ln(rank), y = ln(count) is the ln of ONE exact integer, so
+  // both engines see identical input doubles, and each term quantizes
+  // to integer e6 units BEFORE any aggregation — the OLS sums are then
+  // exact DECIMAL(38,0)/HUGEINT arithmetic (order-independent), and
+  // slope_e6 = (K·Σxy − Σx·Σy)·10⁶ / (K·Σxx − Σx²) is one sign-safe
+  // integer division (negative numerator handled with the explicit
+  // truncate-toward-zero CASE both engines agree on — Spark div and
+  // DuckDB // disagree on negative operands otherwise). A source with
+  // one vocabulary type has a degenerate denominator: slope 0,
+  // flagged by k_used = 1.
+  //
+  // Scale: rides the memoized vocabRanked head — one corpus count
+  // shuffle shared with vocab_overlap, then OLS over ≤ 64 rows per
+  // source; the report is |sources| rows.
+  // ========================================================================
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val terms = vocabRanked(s, d)
+      .select(col("source"),
+        expr("CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+    terms
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(k_used AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(k_used AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_e6", expr(
+        """CAST(CASE WHEN den = 0 THEN 0
+          |  WHEN num < 0 THEN -((-num * 1000000) div den)
+          |  ELSE (num * 1000000) div den END AS BIGINT)""".stripMargin))
+      .select(col("source"), col("k_used"), col("slope_e6"))
+      .orderBy(col("source"))
+  }
+
+  private val zipfFitSql =
+    raw"""WITH vc AS (
+       |  SELECT source, w, count(*) AS c
+       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+       |        FROM documents)
+       |  GROUP BY source, w),
+       |vr AS (
+       |  SELECT source, c,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
+       |  FROM vc),
+       |tm AS (
+       |  SELECT source,
+       |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+       |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM vr WHERE rn <= $ZipfK),
+       |ag AS (
+       |  SELECT source, count(*) AS k_used,
+       |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+       |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+       |  FROM tm GROUP BY source),
+       |sl AS (
+       |  SELECT source, k_used,
+       |    k_used * sxy - sx * sy AS num, k_used * sxx - sx * sx AS den
+       |  FROM ag)
+       |SELECT source, k_used,
+       |  CAST(CASE WHEN den = 0 THEN 0
+       |    WHEN num < 0 THEN -((-num * 1000000) // den)
+       |    ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6
+       |FROM sl ORDER BY source""".stripMargin
 
   // ========================================================================
   // corpus_diversity — distinct-n lexical diversity per source (Li et
@@ -4909,6 +4994,7 @@ object TextQueries {
     "corpus_diversity" -> (corpusDiversity _),
     "pack_report" -> (packReport _),
     "corpus_diversity_incremental" -> (corpusDiversityIncremental _),
+    "zipf_fit" -> (zipfFit _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -4986,6 +5072,7 @@ object TextQueries {
     // the full report's SQL IS the incremental oracle: equality proves
     // the base+increment merge exact (the data_card_incremental treatment)
     "corpus_diversity_incremental" -> corpusDiversitySql,
+    "zipf_fit" -> zipfFitSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -989,6 +989,35 @@ class NewQuerySpec extends SparkSpec {
     assert(rep.values.exists(_._5 > 0) && rep.values.exists(_._4 < 1000000L))
   }
 
+  test("zipf_fit equals a driver-side exact-integer OLS recompute; natural slopes are negative") {
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def q6ln(v: Long): BigInt =
+      BigInt(new java.math.BigDecimal(math.log(v.toDouble) * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+    val want = raw.groupBy(_._1).map { case (src, ds) =>
+      val counts = ds.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+      val head = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(64)
+      val terms = head.zipWithIndex.map { case ((_, c), i) => (q6ln(i + 1L), q6ln(c)) }
+      val k = BigInt(terms.length)
+      val (sx, sy) = (terms.map(_._1).sum, terms.map(_._2).sum)
+      val sxy = terms.map(t => t._1 * t._2).sum
+      val sxx = terms.map(t => t._1 * t._1).sum
+      val (num, den) = (k * sxy - sx * sy, k * sxx - sx * sx)
+      val slope = if (den == 0) BigInt(0)
+        else if (num < 0) -((-num * 1000000) / den) else (num * 1000000) / den
+      (src, terms.length.toLong, slope.toLong)
+    }.toSet
+    val got = graft.SparkEntry.queries("zipf_fit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"diff got-want ${(got -- want).take(5)} want-got ${(want -- got).take(5)}")
+    // natural text's head decays: every source slopes negative here
+    assert(got.forall(_._3 < 0L))
+  }
+
   test("corpus_diversity_incremental merge equals the full report bit-for-bit") {
     val full = graft.SparkEntry.queries("corpus_diversity")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet

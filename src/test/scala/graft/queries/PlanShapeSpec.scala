@@ -930,6 +930,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("zipf_fit rides the memoized vocab head — OLS over the persisted |sources|x64 relation, no corpus re-scan") {
+    graft.SparkEntry.queries("vocab_overlap")(spark, sf).count() // warm the shared memo
+    val p = plan("zipf_fit")
+    assert(p.contains("InMemoryTableScan"), p)
+    // every corpus access sits INSIDE the cached relation's stored
+    // lineage (rendered under InMemoryRelation) — no execution-side
+    // parquet scan precedes the InMemoryTableScan node
+    val scanAt = p.indexOf("Scan parquet")
+    assert(scanAt < 0 || p.indexOf("InMemoryTableScan") < scanAt, p)
+  }
+
   test("corpus_diversity_incremental reads the base from a catalog table — documents scanned ONCE (increment only)") {
     graft.queries.TextQueries.diversityBaseTable(spark, sf) // publish the base
     val p = plan("corpus_diversity_incremental")
