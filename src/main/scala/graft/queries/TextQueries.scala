@@ -631,6 +631,79 @@ object TextQueries {
        |FROM a ORDER BY source""".stripMargin
 
   // ========================================================================
+  // pack_buckets — length-bucketed padding packing, the OTHER side of
+  // the trade pack_report prices: concat-and-cut fills ~100% but cuts
+  // straddle_ppm docs mid-content; bucketed packing pads instead of
+  // cutting (ZERO straddles by construction) and this report prices
+  // what that costs in fill. Each doc (content tokens + 1 EOD, the
+  // pack-family accounting) splits into T div 256 full-length pieces
+  // plus one remainder piece routed to the smallest power-of-two bucket
+  // that holds it (16..256 — the fixed ladder every production
+  // multi-bin packer uses); a bucket-b sequence carries 256 div b
+  // pieces, so per (source, bucket): n_seqs = ceil-div of the piece
+  // count and exact fill_e6 = tokens·10⁶ div (n_seqs·256). A reader
+  // compares fill_e6 here against pack_report's to choose the policy
+  // per source.
+  //
+  // Scale shape: ONE documents scan; the per-doc (bucket, pieces,
+  // tokens) contributions are a scan-side 2-row stack (codegen
+  // generator, no shuffle), the only movement is the map-side-combined
+  // (source, bucket) agg to ≤|sources|·6 rows — NO window, NO join, no
+  // per-sequence explosion (the bucket algebra is exact without
+  // materializing assignments, the pack_report treatment).
+  // ========================================================================
+  def packBuckets(s: SparkSession, d: String): DataFrame = {
+    val bucketCase =
+      "CASE WHEN rem <= 16 THEN 16L WHEN rem <= 32 THEN 32L WHEN rem <= 64 THEN 64L " +
+        "WHEN rem <= 128 THEN 128L ELSE 256L END"
+    docs(s, d)
+      .select(col("source"),
+        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("t"))
+      .withColumn("rem", expr(s"t % $SeqLen"))
+      .selectExpr("source",
+        s"stack(2, ${SeqLen}L, t div $SeqLen, (t div $SeqLen) * ${SeqLen}L, " +
+          s"$bucketCase, CASE WHEN rem > 0 THEN 1L ELSE 0L END, rem) " +
+          "AS (bucket, pieces, toks)")
+      .filter(col("pieces") > 0)
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("pieces")).as("n_pieces"), sum(col("toks")).as("n_tokens"))
+      .withColumn("n_seqs", expr(
+        s"(n_pieces + ($SeqLen div bucket) - 1) div ($SeqLen div bucket)"))
+      .withColumn("fill_e6",
+        expr(s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div (n_seqs * $SeqLen) AS BIGINT)"))
+      .select(col("source"), col("bucket"), col("n_pieces"), col("n_tokens"),
+        col("n_seqs"), col("fill_e6"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private val packBucketsSql =
+    s"""WITH tt AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS t
+       |  FROM documents),
+       |pc AS (
+       |  SELECT source, CAST($SeqLen AS BIGINT) AS bucket,
+       |    t // $SeqLen AS pieces, (t // $SeqLen) * $SeqLen AS toks
+       |  FROM tt WHERE t >= $SeqLen
+       |  UNION ALL
+       |  SELECT source,
+       |    CAST(CASE WHEN t % $SeqLen <= 16 THEN 16 WHEN t % $SeqLen <= 32 THEN 32
+       |      WHEN t % $SeqLen <= 64 THEN 64 WHEN t % $SeqLen <= 128 THEN 128
+       |      ELSE $SeqLen END AS BIGINT),
+       |    CAST(1 AS BIGINT), t % $SeqLen
+       |  FROM tt WHERE t % $SeqLen > 0),
+       |ag AS (
+       |  SELECT source, bucket, CAST(sum(pieces) AS BIGINT) AS n_pieces,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens
+       |  FROM pc GROUP BY source, bucket)
+       |SELECT source, bucket, n_pieces, n_tokens,
+       |  (n_pieces + ($SeqLen // bucket) - 1) // ($SeqLen // bucket) AS n_seqs,
+       |  CAST((n_tokens::HUGEINT * 1000000)
+       |    // (((n_pieces + ($SeqLen // bucket) - 1) // ($SeqLen // bucket)) * $SeqLen)
+       |    AS BIGINT) AS fill_e6
+       |FROM ag ORDER BY source, bucket""".stripMargin
+
+  // ========================================================================
   // token_count_subword — SUBWORD-denominated token counts: greedy
   // longest-match against a corpus-learned piece vocab (character
   // 2-grams holding ≥ 1% of all 2-gram mass; single-char fallback) via
@@ -1873,6 +1946,72 @@ object TextQueries {
        |    THEN CAST(${ExactRound.duck("n_both * 1000000", "n_both + n_lm_only")} AS BIGINT)
        |    ELSE NULL END AS recall_e6
        |FROM ag ORDER BY source""".stripMargin
+
+  // ========================================================================
+  // rules_ablation — per-rule marginal contribution of the Gopher gate:
+  // for each rule, how many docs it fails (n_fail, the report's
+  // attribution) and how many it is the ONLY rule to fail (n_solo) —
+  // exactly the docs that would be newly ADMITTED if that one rule were
+  // dropped, i.e. the leave-one-out ablation a threshold-tuning run
+  // reads. quality_rules_report's fail counts can't answer "which rule
+  // is doing unique work": a rule whose failures are all shadowed by
+  // other rules (n_solo = 0) can be removed without changing the
+  // funnel's output, while a high-solo rule is load-bearing. solo_ppm =
+  // n_solo·10⁶ div n_docs prices the ablation in corpus fraction (floor
+  // div, the straddle_ppm convention). Long format (source, rule) so a
+  // sixth rule adds rows, not columns.
+  //
+  // Scale shape: the flags are the SAME scan-side codegen projection
+  // the report and the streaming gate share (qualityRuleFlags — one
+  // definition, the three cannot diverge); the only movement is the
+  // map-side-combined per-source agg to ≤|sources| rows, where the
+  // 5-row stack reshape and the ppm are free. ONE documents scan, ONE
+  // exchange, no join.
+  // ========================================================================
+  def rulesAblation(s: SparkSession, d: String): DataFrame = {
+    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
+      .withColumn("ft", col("f_nword") + col("f_wordlen") + col("f_symbol")
+        + col("f_stop") + col("f_alpha"))
+    val rules = Seq("alpha", "nword", "stop", "symbol", "wordlen")
+    val ag = f.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      rules.flatMap { r =>
+        Seq(sum(col(s"f_$r")).as(s"fl_$r"),
+          sum(when(col(s"f_$r") === 1 && col("ft") === 1, 1L).otherwise(0L))
+            .as(s"so_$r"))
+      }: _*)
+    val stackArgs = rules.map(r => s"'$r', fl_$r, so_$r").mkString(", ")
+    ag.selectExpr("source", "n_docs",
+        s"stack(${rules.length}, $stackArgs) AS (rule, n_fail, n_solo)")
+      .withColumn("solo_ppm", expr("(n_solo * 1000000) div n_docs"))
+      .select(col("source"), col("rule"), col("n_fail"), col("n_solo"),
+        col("solo_ppm"))
+      .orderBy(col("source"), col("rule"))
+  }
+
+  private lazy val rulesAblationSql = {
+    val rules = Seq("alpha", "nword", "stop", "symbol", "wordlen")
+    val legs = rules.map { r =>
+      s"SELECT source, '$r' AS rule, fl_$r AS n_fail, so_$r AS n_solo, n_docs FROM ag"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $ruleFlagsCtesSql,
+       |ftot AS (
+       |  SELECT source, f_nword, f_wordlen, f_symbol, f_stop, f_alpha,
+       |    f_nword + f_wordlen + f_symbol + f_stop + f_alpha AS ft
+       |  FROM rfl),
+       |ag AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    ${rules.map(r =>
+             s"CAST(sum(f_$r) AS BIGINT) AS fl_$r, " +
+             s"CAST(sum(CASE WHEN f_$r = 1 AND ft = 1 THEN 1 ELSE 0 END) AS BIGINT) AS so_$r")
+             .mkString(",\n       |    ")}
+       |  FROM ftot GROUP BY source),
+       |lg AS (
+       |  $legs)
+       |SELECT source, rule, n_fail, n_solo,
+       |  CAST((n_solo * 1000000) // n_docs AS BIGINT) AS solo_ppm
+       |FROM lg ORDER BY source, rule""".stripMargin
+  }
 
   // ========================================================================
   // dsir_weight — Data Selection via Importance Resampling (Xie et al.,
@@ -4986,6 +5125,7 @@ object TextQueries {
     "corpus_growth" -> (corpusGrowth _),
     "quality_rules_report" -> (qualityRulesReport _),
     "rules_gate_eval" -> (rulesGateEval _),
+    "rules_ablation" -> (rulesAblation _),
     "dsir_weight" -> (dsirWeight _),
     "pipeline_dsir" -> (pipelineDsir _),
     "ccnet_bucket" -> (ccnetBucket _),
@@ -4993,6 +5133,7 @@ object TextQueries {
     "vocab_overlap" -> (vocabOverlap _),
     "corpus_diversity" -> (corpusDiversity _),
     "pack_report" -> (packReport _),
+    "pack_buckets" -> (packBuckets _),
     "corpus_diversity_incremental" -> (corpusDiversityIncremental _),
     "zipf_fit" -> (zipfFit _),
     "text_stats" -> (textStats _),
@@ -5062,6 +5203,7 @@ object TextQueries {
     "corpus_growth" -> corpusGrowthSql,
     "quality_rules_report" -> qualityRulesReportSql,
     "rules_gate_eval" -> rulesGateEvalSql,
+    "rules_ablation" -> rulesAblationSql,
     "dsir_weight" -> dsirWeightSql,
     "pipeline_dsir" -> pipelineDsirSql,
     "ccnet_bucket" -> ccnetBucketSql,
@@ -5069,6 +5211,7 @@ object TextQueries {
     "vocab_overlap" -> vocabOverlapSql,
     "corpus_diversity" -> corpusDiversitySql,
     "pack_report" -> packReportSql,
+    "pack_buckets" -> packBucketsSql,
     // the full report's SQL IS the incremental oracle: equality proves
     // the base+increment merge exact (the data_card_incremental treatment)
     "corpus_diversity_incremental" -> corpusDiversitySql,

@@ -989,6 +989,83 @@ class NewQuerySpec extends SparkSpec {
     assert(rep.values.exists(_._5 > 0) && rep.values.exists(_._4 < 1000000L))
   }
 
+  test("pack_buckets: bucket algebra equals a driver recompute; tokens reconcile with pack_report") {
+    val out = graft.SparkEntry.queries("pack_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1).split("\\s+").count(_.nonEmpty).toLong + 1))
+    def bucketOf(rem: Long): Long =
+      if (rem <= 16) 16L else if (rem <= 32) 32L else if (rem <= 64) 64L
+      else if (rem <= 128) 128L else 256L
+    val want = raw.flatMap { case (src, t) =>
+      val full = if (t >= 256) Seq(((src, 256L), (t / 256, (t / 256) * 256L))) else Nil
+      val rem = t % 256
+      full ++ (if (rem > 0) Seq(((src, bucketOf(rem)), (1L, rem))) else Nil)
+    }.groupBy(_._1).map { case (k @ (_, b), vs) =>
+      val pieces = vs.map(_._2._1).sum
+      val toks = vs.map(_._2._2).sum
+      val perSeq = 256L / b
+      val nSeqs = (pieces + perSeq - 1) / perSeq
+      k -> (pieces, toks, nSeqs, (BigInt(toks) * 1000000 / (nSeqs * 256)).toLong)
+    }
+    assert(out == want)
+    // padding never overfills, and every source's bucketed tokens equal
+    // pack_report's n_tokens (same +1-EOD accounting, different policy)
+    assert(out.values.forall(_._4 <= 1000000L))
+    val rep = graft.SparkEntry.queries("pack_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val bySrc = out.toSeq.groupBy(_._1._1).map { case (s, vs) => s -> vs.map(_._2._2).sum }
+    assert(bySrc == rep)
+  }
+
+  test("rules_ablation: n_fail ties to quality_rules_report; solo counts match a per-doc joint recompute") {
+    val out = graft.SparkEntry.queries("rules_ablation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val rep = graft.SparkEntry.queries("quality_rules_report")(spark, sf).collect()
+      .map(r => r.getString(0) -> Map(
+        "nword" -> r.getLong(2), "wordlen" -> r.getLong(3), "symbol" -> r.getLong(4),
+        "stop" -> r.getLong(5), "alpha" -> r.getLong(6))).toMap
+    rep.foreach { case (src, fails) =>
+      fails.foreach { case (rule, n) => assert(out((src, rule))._1 == n, s"$src/$rule") }
+    }
+    // per-doc joint flags decide solo: recompute with the report spec's rules
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allStop = graft.text.TextOps.LangStopwords.flatMap(_._2).distinct.toSet
+    val soloWant = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val flags = ds.map { case (_, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length.toLong
+        val nonws = text.count(!_.isWhitespace).toLong
+        val na = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+        val nHash = text.count(_ == '#').toLong
+        val d3 = (text.length - text.replace("...", "").length).toLong
+        val nStop = toks.count(allStop.contains).toLong
+        Map("nword" -> (if (n < 50 || n > 100000) 1L else 0L),
+          "wordlen" -> (if (nonws < 3 * n || nonws > 10 * n) 1L else 0L),
+          "symbol" -> (if (10 * (3 * nHash + d3) > 3 * n) 1L else 0L),
+          "stop" -> (if (nStop < 2) 1L else 0L),
+          "alpha" -> (if (5 * na < 4 * nonws) 1L else 0L))
+      }
+      Seq("alpha", "nword", "stop", "symbol", "wordlen").map { rule =>
+        (src, rule) -> flags.count(f => f(rule) == 1L && f.values.sum == 1L).toLong
+      }
+    }
+    soloWant.foreach { case (k, solo) =>
+      assert(out(k)._2 == solo, s"$k")
+      assert(out(k)._3 == solo * 1000000L / docs.count(_._1 == k._1), s"$k ppm")
+    }
+    // non-vacuous: somewhere a rule does unique work, and somewhere a
+    // rule's failures are fully shadowed (solo = 0 with n_fail > 0)
+    assert(out.values.exists(_._2 > 0))
+    assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
+  }
+
   test("zipf_fit equals a driver-side exact-integer OLS recompute; natural slopes are negative") {
     val raw = graft.sources.Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()

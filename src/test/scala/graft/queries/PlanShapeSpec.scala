@@ -930,6 +930,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("pack_buckets: one documents scan, no join/window — scan-side stack straight into one partial agg") {
+    val p = plan("pack_buckets")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("rules_ablation: one documents scan, no join — codegen rule flags into one per-source agg") {
+    val p = plan("rules_ablation")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("zipf_fit rides the memoized vocab head — OLS over the persisted |sources|x64 relation, no corpus re-scan") {
     graft.SparkEntry.queries("vocab_overlap")(spark, sf).count() // warm the shared memo
     val p = plan("zipf_fit")
