@@ -296,6 +296,64 @@ object JoinQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ========================================================================
+  // join_interval — interval-overlap join WITHOUT a nested loop: 7-day
+  // order-activity windows (every 101st order) against 10-day promo
+  // windows (every 89th order), overlap when a_lo < b_hi AND b_lo <
+  // a_hi — the validity-interval × validity-interval shape
+  // (concurrent-session attribution, flight × campaign overlap) that a
+  // bare predicate plans as a BroadcastNestedLoopJoin. RangeJoin
+  // .intervalOverlap explodes BOTH sides to 14-day buckets,
+  // hash-equi-joins on the bucket id, and emits each qualifying pair
+  // exactly once (only in the bucket holding its overlap start), so no
+  // dedup shuffle follows. Aggregated per activity window: overlap
+  // count and exact total overlap seconds (least(hi)−greatest(lo),
+  // pure long arithmetic). The oracle states the overlap predicate
+  // directly — DuckDB's optimizer handles the small oracle input,
+  // Spark runs the plan that survives 100 TB.
+  // ========================================================================
+  private val IvalASecs = 604800L  // 7 days
+  private val IvalBSecs = 864000L  // 10 days
+  private val IvalBucketSecs = 1209600L // 14 days: each window spans <= 2 buckets
+
+  def joinInterval(s: SparkSession, d: String): DataFrame = {
+    def epochSecs(c: Column): Column =
+      (TimeFns.epochMicros(c.cast("timestamp")) / lit(1000000L)).cast("long")
+    val a = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey").as("window_a"),
+        epochSecs(col("o_orderdate")).as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + IvalASecs)
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("window_b"),
+        epochSecs(col("o_orderdate")).as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + IvalBSecs)
+    graft.operators.RangeJoin
+      .intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", IvalBucketSecs)
+      .groupBy(col("window_a"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+          .as("sum_overlap_s"))
+      .orderBy(col("window_a"))
+  }
+
+  private val joinIntervalSql =
+    s"""WITH a AS (
+      |  SELECT o_orderkey AS window_a,
+      |    epoch_us(o_orderdate) // 1000000 AS a_lo,
+      |    epoch_us(o_orderdate) // 1000000 + $IvalASecs AS a_hi
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |b AS (
+      |  SELECT o_orderkey AS window_b,
+      |    epoch_us(o_orderdate) // 1000000 AS b_lo,
+      |    epoch_us(o_orderdate) // 1000000 + $IvalBSecs AS b_hi
+      |  FROM orders WHERE o_orderkey % 89 = 0)
+      |SELECT window_a, count(*) AS n_overlap,
+      |  CAST(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS BIGINT) AS sum_overlap_s
+      |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ========================================================================
   // join_salted — skew-salted fact ⋈ dim on a deliberately hot key: the
   // derived key collapses every 4th user onto key 0, so ~25% of all
   // events share one join key — the 100 TB fusion-join failure mode
@@ -338,6 +396,7 @@ object JoinQueries {
     "join_asof" -> (joinAsof _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_range" -> (joinRange _),
+    "join_interval" -> (joinInterval _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "union_append" -> (unionAppend _),
@@ -351,6 +410,7 @@ object JoinQueries {
     "join_asof" -> joinAsofSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_range" -> joinRangeSql,
+    "join_interval" -> joinIntervalSql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "union_append" -> unionAppendSql,

@@ -42,6 +42,73 @@ object RelQueries {
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   // ========================================================================
+  // cube_agg — full cross-dimensional totals: all 4 grouping sets of
+  // (returnflag, linestatus), with the grouping_id bitmask so a
+  // consumer can tell a cube-generated NULL from a data NULL (both
+  // engines emit the same mask: leftmost column = most significant
+  // bit). rollup_agg gives the hierarchy; CUBE adds the
+  // linestatus-only marginals a rollup skips. Plan: one Expand to the
+  // 4 sets, map-side partial agg per set, ONE shuffle — the expand
+  // multiplies rows BEFORE the partial agg, so 100 TB cost is 4× the
+  // map-side combine input, never 4 scans.
+  // ========================================================================
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("grp_id"), count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("grp_id").cast("long").as("grp_id"), col("n"), col("sum_price"))
+      .orderBy(col("grp_id"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val cubeAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY grp_id, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ========================================================================
+  // unpivot_long — wide → long reshape (pivot_wide's inverse): the four
+  // lineitem measures melt into (metric, val) rows via Spark's native
+  // unpivot (Expand under the hood — a scan-side generator, rows
+  // multiply AFTER the pushed filter and column pruning, never a
+  // shuffle). The shape feature/metric stores ingest; keyed by
+  // (orderkey, linenumber, metric). Decimals cast to DOUBLE first so
+  // the melted value column has one type (both engines' DECIMAL(18,2)
+  // → DOUBLE conversion is correctly rounded, the dsum convention).
+  // ========================================================================
+  def unpivotLong(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"),
+        col("l_tax").cast("double").as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  private val unpivotLongSql =
+    """SELECT l_orderkey, l_linenumber, metric, val
+      |FROM (
+      |  UNPIVOT (
+      |    SELECT l_orderkey, l_linenumber,
+      |      CAST(l_quantity AS DOUBLE) AS quantity,
+      |      CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+      |      CAST(l_discount AS DOUBLE) AS discount,
+      |      CAST(l_tax AS DOUBLE) AS tax
+      |    FROM lineitem WHERE l_orderkey % 50 = 0)
+      |  ON quantity, extendedprice, discount, tax
+      |  INTO NAME metric VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // ========================================================================
   // pivot_wide — event_type × user bucket value means as a wide matrix.
   // The pivot values are declared (deterministic column set), so Spark
   // skips the extra distinct scan; oracle is conditional aggregation.
@@ -438,6 +505,8 @@ object RelQueries {
     "sketch_quantiles" -> (sketchQuantiles _),
     "q5_multi_join" -> (q5MultiJoin _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
+    "unpivot_long" -> (unpivotLong _),
     "pivot_wide" -> (pivotWide _),
     "set_except" -> (setExcept _),
     "dedup_keep_first" -> (dedupKeepFirst _),
@@ -450,6 +519,8 @@ object RelQueries {
     "q3_topk" -> q3TopKSql,
     "q5_multi_join" -> q5MultiJoinSql,
     "rollup_agg" -> rollupAggSql,
+    "cube_agg" -> cubeAggSql,
+    "unpivot_long" -> unpivotLongSql,
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,
     "dedup_keep_first" -> dedupKeepFirstSql,

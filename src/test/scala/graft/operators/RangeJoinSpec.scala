@@ -55,6 +55,64 @@ class RangeJoinSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  // left intervals of assorted spans vs right intervals, including pairs
+  // sharing multiple buckets (both straddle), touching-not-overlapping
+  // (a_hi == b_lo), identical ranges, and degenerate inputs
+  private lazy val leftIv = Seq(
+    (1L, 0L, 12L),   // crosses one boundary
+    (2L, 5L, 40L),   // straddles 4 buckets
+    (3L, 20L, 20L),  // empty
+    (4L, 90L, 80L),  // inverted
+    (5L, 55L, 95L)   // straddles 4+ buckets
+  ).toDF("a_id", "a_lo", "a_hi")
+  private lazy val rightIv = Seq(
+    (10L, 12L, 15L), // touches a_id=1 at the boundary: NOT an overlap
+    (11L, 11L, 13L), // overlaps a_id=1 by one unit
+    (12L, 5L, 40L),  // identical to a_id=2: shares 4 buckets, must meet once
+    (13L, 30L, 60L), // overlaps both 2 and 5
+    (14L, 200L, 210L) // disjoint
+  ).toDF("b_id", "b_lo", "b_hi")
+
+  test("intervalOverlap equals the cross-join reference, each pair exactly once") {
+    val got = RangeJoin.intervalOverlap(leftIv, rightIv, "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // NB the bare predicate alone would claim the EMPTY interval [20,20)
+    // "overlaps" [5,40) — it is only equivalent to nonempty intersection
+    // when both intervals are themselves nonempty
+    val want = leftIv.crossJoin(rightIv)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+        && col("a_hi") > col("a_lo") && col("b_hi") > col("b_lo"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted)
+    assert(got.size == got.distinct.size, "an (a, b) pair met in more than one bucket")
+    val pairs = got.toSet
+    assert(!pairs.contains((1L, 10L)), "half-open: touching intervals do not overlap")
+    assert(pairs.contains((1L, 11L)))
+    assert(pairs.contains((2L, 12L)) && pairs.contains((2L, 13L)) && pairs.contains((5L, 13L)))
+    assert(!got.exists(p => p._1 == 3L || p._1 == 4L), "empty + inverted drop")
+    assert(!got.exists(_._2 == 14L))
+  }
+
+  test("intervalOverlap: bucket width does not change the result") {
+    def run(w: Long) = RangeJoin.intervalOverlap(leftIv, rightIv, "a_lo", "a_hi", "b_lo", "b_hi", w)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val base = run(10L)
+    assert(run(1L) == base)
+    assert(run(7L) == base)
+    assert(run(1000L) == base)
+  }
+
+  test("intervalOverlap on negative domains (floor bucketing) matches the cross-join reference") {
+    val l = Seq((1L, -25L, -4L), (2L, -5L, 6L)).toDF("a_id", "a_lo", "a_hi")
+    val r = Seq((10L, -30L, -24L), (11L, -10L, 2L)).toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(l, r, "a_lo", "a_hi", "b_lo", "b_hi", 10L)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = l.crossJoin(r)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got.sorted == want.sorted && got.size == got.distinct.size)
+  }
+
   test("negative domains bucket correctly (floor, not truncate-toward-zero)") {
     val pts = (-30L to 30L).toDF("pt")
     val ivs = Seq((1L, -25L, -4L), (2L, -5L, 6L)).toDF("iv_id", "lo", "hi")

@@ -1066,6 +1066,61 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("join_interval equals a driver-side all-pairs overlap recompute") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("lo_us"))
+      .collect().map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 1000000L)))
+    val a = orders.filter(_._1 % 101 == 0).map { case (k, lo) => (k, lo, lo + 604800L) }
+    val b = orders.filter(_._1 % 89 == 0).map { case (k, lo) => (k, lo, lo + 864000L) }
+    val want = (for {
+      (ak, alo, ahi) <- a
+      (_, blo, bhi) <- b
+      if alo < bhi && blo < ahi
+    } yield (ak, math.min(ahi, bhi) - math.max(alo, blo)))
+      .groupBy(_._1).map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2).sum) }
+    val got = graft.SparkEntry.queries("join_interval")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "vacuous: no overlapping windows at this sf")
+  }
+
+  test("cube_agg grouping sets are mutually consistent (marginals close on the cells)") {
+    val rows = graft.SparkEntry.queries("cube_agg")(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    val cells = rows.filter(_._3 == 0L)
+    // grand total (grp_id=3) = sum of the finest cells; each marginal
+    // (grp_id 1/2) = sum of its slice; the bitmask tags which column
+    // was rolled away (leftmost = most significant bit)
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._1.isEmpty && total.head._2.isEmpty)
+    assert(total.head._4 == cells.map(_._4).sum)
+    rows.filter(_._3 == 1L).foreach { case (rf, ls, _, n) =>
+      assert(ls.isEmpty && n == cells.filter(_._1 == rf).map(_._4).sum, s"rf=$rf")
+    }
+    rows.filter(_._3 == 2L).foreach { case (rf, ls, _, n) =>
+      assert(rf.isEmpty && n == cells.filter(_._2 == ls).map(_._4).sum, s"ls=$ls")
+    }
+    assert(cells.forall(r => r._1.nonEmpty && r._2.nonEmpty))
+  }
+
+  test("unpivot_long is the exact long reshape of the filtered wide rows") {
+    val wide = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"), col("l_tax").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        Map("quantity" -> r.getDouble(2), "extendedprice" -> r.getDouble(3),
+          "discount" -> r.getDouble(4), "tax" -> r.getDouble(5))))
+    val want = wide.flatMap { case (ok, ln, ms) => ms.map { case (m, v) => (ok, ln, m, v) } }.toSet
+    val out = graft.SparkEntry.queries("unpivot_long")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getDouble(3)))
+    assert(out.length == wide.length * 4)
+    assert(out.toSet == want)
+  }
+
   test("zipf_fit equals a driver-side exact-integer OLS recompute; natural slopes are negative") {
     val raw = graft.sources.Tables.documents(spark, sf)
       .select(col("source"), col("text")).collect()

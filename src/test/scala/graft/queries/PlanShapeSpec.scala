@@ -46,6 +46,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("join_interval plans a hash equi-join on the bucket key (no nested loop, no cartesian)") {
+    val p = plan("join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bkt"), p)
+  }
+
+  test("cube_agg expands to the 4 grouping sets once and partial-aggregates map-side") {
+    val p = plan("cube_agg")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Expand.*""")) == 1, p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+  }
+
+  test("unpivot_long pushes the key filter into the scan and reads only the melted columns") {
+    val p = plan("unpivot_long")
+    assert(p.contains("PushedFilters"), p)
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_quantity") && !read.contains("l_shipdate")
+      && !read.contains("l_comment"), read)
+    // the melt is an Expand generator, never a join or a per-metric re-scan
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("join_salted spreads the hot key over (key, salt) partitions in a shuffle join") {
     val p = plan("join_salted")
     // never a broadcast (no skew to spread) and never a nested loop
