@@ -1066,6 +1066,22 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("join_bucketed equals the same join over the raw parquet (bucketing is layout, not semantics)") {
+    val got = graft.SparkEntry.queries("join_bucketed")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val raw = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == raw)
+    assert(got.nonEmpty)
+  }
+
   test("join_interval equals a driver-side all-pairs overlap recompute") {
     val orders = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderkey"),

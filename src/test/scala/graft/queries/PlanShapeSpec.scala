@@ -46,6 +46,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("join_bucketed: sort-merge join over the bucketed tables with NO exchange on either input") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    // neither join key is hash-partitioned at read time — the bucketed
+    // layout already provides the distribution; the only exchanges left
+    // are the post-join agg and the final ordering
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("hashpartitioning(o_orderkey"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("join_interval plans a hash equi-join on the bucket key (no nested loop, no cartesian)") {
     val p = plan("join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
