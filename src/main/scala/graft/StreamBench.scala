@@ -88,6 +88,12 @@ object StreamBench {
     val docLangRows = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)].collect().toSeq
+    // the full event feed (the stream-stream join's single firehose),
+    // time-ordered so the watermark advances monotonically per chunk
+    val evFullRows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect()
+      .sortBy(e => (e._1.getTime, e._3)).toSeq
 
     /** Feed `rows` to `pipe`'s input stream in `chunks` micro-batches,
       * draining each before the next (the steady-state regime), and pull
@@ -181,6 +187,12 @@ object StreamBench {
         docLangRows, Seq("doc_id", "lang", "text"),
         df => graft.streaming.StreamingCurate.ccnetAssign(
           spark, df, lmModel, ccnetThresholds)),
+      // the stream-stream shape: dual-watermark interval self-join —
+      // state is BOTH join buffers, finite only because the time-range
+      // condition lets the engine evict (the bound below pins that)
+      run[(java.sql.Timestamp, Long, Long, String, Double)]("join_attrib",
+        evFullRows, Seq("ts", "user_id", "event_id", "event_type", "value"),
+        df => graft.streaming.StreamingJoin.attributedPurchases(df, tolSec = 3600L)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -233,6 +245,13 @@ object StreamBench {
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
+      // join buffers must EVICT: without the time-range condition state
+      // would hold every purchase/click ever seen (~40% of rowsIn);
+      // rowsIn/10 only passes when the watermark horizon works. Measured
+      // state is ~80 rows (sf0.1) — fixed per-partition store overhead
+      // dominates bytes/row at that cardinality, so like pack/bucket_mean
+      // the absolute byte cap is the meaningful size invariant
+      "join_attrib" -> Bound(1 << 20, r => r.rowsIn / 10, 250, 8L << 20),
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

@@ -1020,4 +1020,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "final streaming snapshot != batch data_card")
     dup.unpersist(); contam.unpersist()
   }
+
+  test("stream-stream attribution join matches the batch join; watermark evicts the buffers") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val out = StreamingJoin.attributedPurchases(df, tolSec = 3600L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("attrib_out").start()
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1.getTime, r._3)).toSeq
+    // several micro-batches so the watermark actually advances mid-stream
+    rows.grouped(math.max(1, rows.size / 5)).foreach { g =>
+      stream.addData(g: _*); q.processAllAvailable()
+    }
+    val got = spark.table("attrib_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val stateRows = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.map(_.numRowsTotal).getOrElse(0L)
+    q.stop()
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("user_id") === col("c_user")
+          && col("c_ts") <= col("p_ts")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS"))
+      .select(col("purchase_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"stream join emitted ${got.size} pairs, batch ${want.size}")
+    assert(want.nonEmpty, "vacuous: no attributable purchases at this sf")
+    // the time-range condition + watermark must have evicted most of the
+    // buffered rows by end-of-stream — unbounded buffers would hold every
+    // purchase/click row ever seen
+    val joinInput = rows.count(r => r._4 == "purchase" || r._4 == "click").toLong
+    assert(stateRows < joinInput / 2,
+      s"state rows $stateRows suggest the join buffers are not evicting (input $joinInput)")
+  }
 }
