@@ -656,6 +656,167 @@ object DedupQueries {
        |ORDER BY bucket""".stripMargin
 
   // ========================================================================
+  // dedup_lsh_tuning — the banding PARAMETER SWEEP: precision and recall
+  // for every rows-per-band config the K=8 signature supports (r ∈
+  // {1,2,4,8} → 8/4/2/1 bands), measured on the same bounded corpus
+  // slice as dedup_lsh_recall. The recall/precision locks pin ONE
+  // config; this is the table an operator reads to CHOOSE it — the
+  // S-curve trade made concrete: r=1 (8 bands of 1) catches everything
+  // and floods the verifier (precision→0), r=8 (1 band of 8) verifies
+  // almost nothing it catches is wrong but misses most true pairs. The
+  // production config (r=2) should dominate the corners — the spec pins
+  // the monotonicity (n_cand non-increasing, recall non-increasing in
+  // r).
+  //
+  // Scale: a TUNING HARNESS, slice-bounded like dedup_lsh_recall — at
+  // 100 TB this is exactly how banding is tuned (sample a slice, sweep
+  // configs on the sample, ship the winner). The slice must CONTAIN
+  // near-dups to discriminate (a plain id-range sample goes vacuous at
+  // sf0.1 — dup partners spread across the id space), so it seeds with
+  // the docs of the first 30 verified pairs (deterministic order) plus
+  // the id<60 filler: ≤120 docs, ≤7140 truth pairs, constant in corpus
+  // size. Within the slice the truth is the exact all-pairs Jaccard —
+  // the seed only decides WHICH docs are measurable, not how their
+  // pairs score. Every per-config candidate set and verify join is
+  // slice-bounded; the signature relation is the memoized corpus one
+  // (semi-join pushdown, no re-hash). Exact-integer
+  // precision_e6/recall_e6 (div floor, NULL-guarded for candidate-free
+  // configs).
+  // ========================================================================
+  def dedupLshTuning(s: SparkSession, d: String): DataFrame = {
+    val SliceMax = 60
+    val SeedPairs = 30
+    val shd = lshShared(s, d)
+    // Driver-side fast path (the clusterLabels / recall-truth-set
+    // precedent): the whole sweep input is structurally bounded — ≤ 60
+    // seed-pair docs + ≤ 60 id-range docs — so a distributed plan pays
+    // ~12 slice-sized shuffle branches (measured 26 s at local[32]) for
+    // microseconds of work. Three bounded collects against the memoized
+    // persisted relations, then the sweep runs in-process; the four
+    // result rows return as a local relation (plan-guarded).
+    val seedIds = shd.pairs.orderBy(col("id_a"), col("id_b")).limit(SeedPairs)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    val rangeIds = shd.ex.select(col("doc_id")).filter(col("doc_id") < SliceMax)
+      .distinct().collect().map(_.getLong(0))
+    val ids = (seedIds ++ rangeIds).distinct.sorted
+    val sigRows = shd.sigs.filter(col("doc_id").isInCollection(ids))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shRows = shd.ex.filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"), col("h1")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh: Map[Long, Set[Long]] =
+      shRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val sigs: Map[Long, Seq[(Long, Long)]] =
+      sigRows.groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).sortBy(_._1) }
+    // identical doubles to both engines: integer inter/union, one division
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sh(a), sh(b))
+      val inter = (x & y).size
+      inter.toDouble / (x.size + y.size - inter)
+    }
+    val docIds = sh.keySet.toSeq.sorted
+    val truth = (for {
+      i <- docIds.indices.iterator
+      j <- (i + 1) until docIds.length
+      if jac(docIds(i), docIds(j)) >= LshParams.Threshold
+    } yield (docIds(i), docIds(j))).toSet
+    // TextOps.hash60 replicated bit-for-bit (md5 hex, first 15 chars,
+    // base-16) so the in-process band keys equal the pipeline's and the
+    // oracle's — tuple equality alone would diverge on a (2^-60) hash
+    // collision the hashed engines would both admit
+    def hash60(str: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val out = Seq(1, 2, 4, 8).map { rpb =>
+      val cand = sigs.toSeq
+        .flatMap { case (id, sv) =>
+          sv.groupBy { case (i, _) => i / rpb }.map { case (band, g) =>
+            ((band, hash60(g.sortBy(_._1).map(_._2).mkString(","))), id)
+          }
+        }
+        .groupBy(_._1).values.flatMap { g =>
+          val in = g.map(_._2).distinct.sorted
+          for { i <- in.indices; j <- (i + 1) until in.length } yield (in(i), in(j))
+        }.toSet
+      val nCand = cand.size.toLong
+      val nVer = cand.count { case (a, b) => jac(a, b) >= LshParams.Threshold }.toLong
+      val nCaught = truth.count(cand.contains).toLong
+      val nTrue = truth.size.toLong
+      (rpb.toLong, (LshParams.K / rpb).toLong, nCand, nVer,
+        if (nCand > 0) Some(nVer * 1000000L / nCand) else None,
+        nTrue, nCaught,
+        if (nTrue > 0) Some(nCaught * 1000000L / nTrue) else None)
+    }
+    import s.implicits._
+    out.toDF("rows_per_band", "n_bands", "n_cand", "n_verified",
+        "precision_e6", "n_true", "n_caught", "recall_e6")
+      .orderBy(col("rows_per_band"))
+  }
+
+  private val dedupLshTuningSql =
+    s"""WITH $lshPipelineCtes,
+       |sp AS (
+       |  SELECT id_a, id_b FROM ver WHERE jaccard >= ${LshParams.Threshold}
+       |  ORDER BY id_a, id_b LIMIT 30),
+       |sid AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id FROM sp
+       |    UNION ALL SELECT id_b FROM sp
+       |    UNION ALL SELECT doc_id FROM hp WHERE doc_id < 60)),
+       |ssig AS (SELECT s.doc_id, s.i, s.minh FROM sig s JOIN sid USING (doc_id)),
+       |ssh AS (SELECT s.doc_id, s.sh FROM shd s JOIN sid USING (doc_id)),
+       |tp AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    >= ${LshParams.Threshold}),
+       |nt AS (SELECT count(*) AS n_true FROM tp),
+       |cfg AS (SELECT * FROM (VALUES (1), (2), (4), (8)) c(rpb)),
+       |bnd AS (
+       |  SELECT c.rpb, s.doc_id, s.i // c.rpb AS band,
+       |    ('0x' || substr(md5(string_agg(s.minh, ',' ORDER BY s.i)), 1, 15))::BIGINT AS band_key
+       |  FROM ssig s, cfg c GROUP BY c.rpb, s.doc_id, s.i // c.rpb),
+       |cnd AS (
+       |  SELECT DISTINCT a.rpb, a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.rpb = b.rpb AND a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |vc AS (
+       |  SELECT cnd.rpb,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+       |  FROM cnd JOIN ssh a ON cnd.id_a = a.doc_id
+       |           JOIN ssh b ON cnd.id_b = b.doc_id),
+       |cs AS (
+       |  SELECT rpb, count(*) AS n_cand,
+       |    CAST(sum(CASE WHEN j >= ${LshParams.Threshold} THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_verified
+       |  FROM vc GROUP BY rpb),
+       |ct AS (
+       |  SELECT rpb, count(*) AS n_caught
+       |  FROM cnd JOIN tp ON cnd.id_a = tp.id_a AND cnd.id_b = tp.id_b
+       |  GROUP BY rpb)
+       |SELECT CAST(c.rpb AS BIGINT) AS rows_per_band,
+       |  CAST(${LshParams.K} // c.rpb AS BIGINT) AS n_bands,
+       |  CAST(coalesce(cs.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(coalesce(cs.n_verified, 0) AS BIGINT) AS n_verified,
+       |  CASE WHEN coalesce(cs.n_cand, 0) > 0
+       |    THEN CAST((cs.n_verified * 1000000) // cs.n_cand AS BIGINT) END AS precision_e6,
+       |  CAST(nt.n_true AS BIGINT) AS n_true,
+       |  CAST(coalesce(ct.n_caught, 0) AS BIGINT) AS n_caught,
+       |  CASE WHEN nt.n_true > 0
+       |    THEN CAST((coalesce(ct.n_caught, 0) * 1000000) // nt.n_true AS BIGINT) END AS recall_e6
+       |FROM cfg c
+       |LEFT JOIN cs ON cs.rpb = c.rpb
+       |LEFT JOIN ct ON ct.rpb = c.rpb
+       |CROSS JOIN nt
+       |ORDER BY rows_per_band""".stripMargin
+
+  // ========================================================================
   // dedup_cross_source — duplication provenance: which source pairs
   // share verified near-dups, how many, and how close. The corpus-
   // analysis view a curation team reads before deciding which feed to
@@ -2213,6 +2374,7 @@ object DedupQueries {
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
+    "dedup_lsh_tuning" -> (dedupLshTuning _),
     "dedup_cluster" -> (dedupCluster _),
     "split_leak_safe" -> (splitLeakSafe _),
     "split_leakage" -> (splitLeakage _),
@@ -2250,6 +2412,7 @@ object DedupQueries {
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
     "dedup_lsh_precision" -> dedupLshPrecisionSql,
+    "dedup_lsh_tuning" -> dedupLshTuningSql,
     "dedup_cluster" -> dedupClusterSql,
     "split_leak_safe" -> splitLeakSafeSql,
     "split_leakage" -> splitLeakageSql,

@@ -1066,6 +1066,30 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("dedup_lsh_tuning: sweep is monotone in rows-per-band and discriminates both corners") {
+    val rows = graft.SparkEntry.queries("dedup_lsh_tuning")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getLong(5), r.getLong(6),
+        Option(r.get(7)).map(_.asInstanceOf[Long])))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    rows.foreach { r => assert(r._1 * r._2 == graft.dedup.Dedup.LshParams.K.toLong) }
+    // the truth set is banding-independent: identical n_true on every row
+    assert(rows.map(_._6).distinct.length == 1 && rows.head._6 > 0)
+    // more rows per band = stricter banding: candidates and caught-true
+    // both non-increasing
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse, rows.toSeq.toString)
+    assert(rows.map(_._7).toSeq == rows.map(_._7).toSeq.sorted.reverse, rows.toSeq.toString)
+    // verified survivors never exceed candidates; caught never exceeds true
+    rows.foreach { r => assert(r._4 <= r._3 && r._7 <= r._6) }
+    // the table discriminates BOTH corners on this corpus: some config
+    // wastes verification (precision < 1) and some config misses true
+    // pairs (recall < 1) — a sweep where every row is 1.0/1.0 teaches
+    // nothing
+    assert(rows.exists(r => r._5.exists(_ < 1000000L)), rows.toSeq.toString)
+    assert(rows.exists(r => r._8.exists(_ < 1000000L)), rows.toSeq.toString)
+  }
+
   test("join_bucketed equals the same join over the raw parquet (bucketing is layout, not semantics)") {
     val got = graft.SparkEntry.queries("join_bucketed")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq

@@ -46,6 +46,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("dedup_lsh_tuning returns a local relation (sweep ran in-process over the bounded slice)") {
+    val p = plan("dedup_lsh_tuning")
+    // the eval-harness contract: the query-time plan is the 4 result
+    // rows — the bounded collects against the memoized signature/shingle
+    // relations happened at build time, the cluster does zero sweep work
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("join_bucketed: sort-merge join over the bucketed tables with NO exchange on either input") {
     val p = plan("join_bucketed")
     assert(p.contains("SortMergeJoin"), p)
