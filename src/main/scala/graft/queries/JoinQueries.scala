@@ -411,6 +411,36 @@ object JoinQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ========================================================================
+  // join_fuzzy — edit-distance self-join WITHOUT the quadratic
+  // comparison: customer names within levenshtein 1 of each other (the
+  // entity-resolution shape — near-identical names from dirty feeds),
+  // through FuzzyJoin.selfJoinLev1's deletion-neighborhood blocking
+  // (SymSpell): explode each name to itself + its delete-1 variants,
+  // hash-equi-join on the variant, dedup, refine with the exact
+  // distance. A bare levenshtein predicate plans a nested loop — O(n²)
+  // distance evaluations; the blocked form is O(n·len + candidates).
+  // Measured on a fixed slice (every 7th customer) so the ORACLE's
+  // deliberately-quadratic reference join stays bounded — the operator
+  // itself is the corpus-scale path. The oracle states the predicate
+  // directly; both engines' levenshtein is the standard
+  // unit-cost edit distance, integer-exact.
+  // ========================================================================
+  def joinFuzzy(s: SparkSession, d: String): DataFrame =
+    graft.operators.FuzzyJoin.selfJoinLev1(
+        Tables.customer(s, d).filter(col("c_custkey") % 7 === 0),
+        "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val joinFuzzySql =
+    """WITH s AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM s a JOIN s b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ========================================================================
   // join_salted — skew-salted fact ⋈ dim on a deliberately hot key: the
   // derived key collapses every 4th user onto key 0, so ~25% of all
   // events share one join key — the 100 TB fusion-join failure mode
@@ -455,6 +485,7 @@ object JoinQueries {
     "join_range" -> (joinRange _),
     "join_interval" -> (joinInterval _),
     "join_bucketed" -> (joinBucketed _),
+    "join_fuzzy" -> (joinFuzzy _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "union_append" -> (unionAppend _),
@@ -470,6 +501,7 @@ object JoinQueries {
     "join_range" -> joinRangeSql,
     "join_interval" -> joinIntervalSql,
     "join_bucketed" -> joinBucketedSql,
+    "join_fuzzy" -> joinFuzzySql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "union_append" -> unionAppendSql,

@@ -66,6 +66,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("join_fuzzy plans a hash equi-join on the deletion-variant key (no nested loop)") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__v"), p)
+    // the slice predicate reaches both scans
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("join_interval plans a hash equi-join on the bucket key (no nested loop, no cartesian)") {
     val p = plan("join_interval")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
