@@ -109,6 +109,53 @@ object RelQueries {
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
   // ========================================================================
+  // event_transitions — the first-order Markov transition matrix over
+  // per-user event sequences: for each (from_type, to_type) pair of
+  // CONSECUTIVE events in a user's (ts, event_id)-ordered stream, the
+  // transition count and the exact conditional probability
+  // p_e6 = n·10⁶ div Σ_to n (row-normalized, floor div). The behavioral
+  // fingerprint funnel/retention queries summarize away: which step
+  // actually follows which — "view → purchase" density is the
+  // conversion signal, a heavy "error → error" diagonal is a retry
+  // storm.
+  //
+  // Scale shape: ONE shuffle on the series key (user_id) for the lead
+  // window, then a map-side-combined agg to ≤|types|² rows; the
+  // row-normalizing window runs over that tiny relation, never the
+  // corpus.
+  // ========================================================================
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(graft.functions.TimeFns.epochMicros(col("ts")), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    tr.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p_e6", expr("(n * 1000000) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_e6
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // ========================================================================
   // pivot_wide — event_type × user bucket value means as a wide matrix.
   // The pivot values are declared (deterministic column set), so Spark
   // skips the extra distinct scan; oracle is conditional aggregation.
@@ -506,6 +553,7 @@ object RelQueries {
     "q5_multi_join" -> (q5MultiJoin _),
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
+    "event_transitions" -> (eventTransitions _),
     "unpivot_long" -> (unpivotLong _),
     "pivot_wide" -> (pivotWide _),
     "set_except" -> (setExcept _),
@@ -520,6 +568,7 @@ object RelQueries {
     "q5_multi_join" -> q5MultiJoinSql,
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
+    "event_transitions" -> eventTransitionsSql,
     "unpivot_long" -> unpivotLongSql,
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,

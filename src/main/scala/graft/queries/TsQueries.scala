@@ -481,12 +481,81 @@ object TsQueries {
       |FROM b JOIN p USING (event_type, hour)
       |ORDER BY event_id""".stripMargin
 
+  // ========================================================================
+  // ts_forecast_eval — the forecast-baseline scorecard per event_type:
+  // seasonal-naive (ŷ_t = y_{t−24h}, the diurnal repeat) scored against
+  // the plain naive (ŷ_t = y_{t−1h}) on the hourly mean series, with
+  // mase_e6 = SAE_seasonal·10⁶ div SAE_naive — Hyndman & Koehler's MASE
+  // idea (naive error as the scale unit): mase < 10⁶ means the series
+  // HAS exploitable diurnal structure (deseasonalize before anomaly
+  // scoring, ts_seasonal's premise); ≥ 10⁶ means last-value is already
+  // the better baseline and a seasonal model earns nothing. The cheap
+  // go/no-go a forecasting pipeline reads before fitting anything.
+  //
+  // Exactness: hourly means quantize to integer micro-units via
+  // ExactRound BEFORE any comparison (the ts_seasonal convention);
+  // absolute errors and their sums are then exact integers, and mase is
+  // one integer division. Evaluated only on buckets where BOTH lags
+  // exist (gap hours drop out of the equi-joins) so the two methods
+  // score the same points.
+  //
+  // Scale shape: ONE map-side-combined (type, hour-bucket) agg collapses
+  // the corpus to the hourly relation (|types|·hours rows — time-
+  // bounded, tiny at any corpus size); the two lag equi-joins and the
+  // final per-type agg run over that relation only.
+  // ========================================================================
+  def tsForecastEval(s: SparkSession, d: String): DataFrame = {
+    val hourly = ev(s, d)
+      .groupBy(col("event_type"),
+        floor(TimeFns.epochMicros(col("ts")) / lit(3600000000L)).cast("long").as("b"))
+      .agg(sum((col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")).as("sum_u"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("b"),
+        expr(ExactRound.spark("sum_u", "n")).cast("long").as("m_u"))
+    val s24 = hourly.select(col("event_type"), (col("b") + 24).as("b"), col("m_u").as("m24_u"))
+    val s1 = hourly.select(col("event_type"), (col("b") + 1).as("b"), col("m_u").as("m1_u"))
+    hourly.join(s24, Seq("event_type", "b")).join(s1, Seq("event_type", "b"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("m_u") - col("m24_u"))).as("sae_seasonal_u"),
+        sum(abs(col("m_u") - col("m1_u"))).as("sae_naive_u"))
+      .withColumn("mase_e6", expr(
+        "CASE WHEN sae_naive_u > 0 THEN (sae_seasonal_u * 1000000) div sae_naive_u END")
+        .cast("long"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsForecastEvalSql =
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS sum_u,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, b,
+      |    CAST(${ExactRound.duck("sum_u", "n")} AS BIGINT) AS m_u
+      |  FROM h),
+      |j AS (
+      |  SELECT c.event_type, c.m_u, a.m_u AS m24_u, p.m_u AS m1_u
+      |  FROM m c
+      |  JOIN m a ON a.event_type = c.event_type AND a.b = c.b - 24
+      |  JOIN m p ON p.event_type = c.event_type AND p.b = c.b - 1)
+      |SELECT event_type, count(*) AS n_eval,
+      |  CAST(sum(abs(m_u - m24_u)) AS BIGINT) AS sae_seasonal_u,
+      |  CAST(sum(abs(m_u - m1_u)) AS BIGINT) AS sae_naive_u,
+      |  CASE WHEN sum(abs(m_u - m1_u)) > 0
+      |    THEN CAST((sum(abs(m_u - m24_u)) * 1000000) // sum(abs(m_u - m1_u)) AS BIGINT)
+      |  END AS mase_e6
+      |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "fill_seasonal" -> (fillSeasonal _),
     "ts_acf_multi" -> (tsAcfMulti _),
     "ts_seasonal_adjust" -> (tsSeasonalAdjust _),
     "ts_rolling_median" -> (tsRollingMedian _),
     "ts_seasonal" -> (tsSeasonal _),
+    "ts_forecast_eval" -> (tsForecastEval _),
     "ts_changepoint" -> (tsChangepoint _),
     "ts_ewma" -> (tsEwma _),
     "ts_zscore_anomaly" -> (tsZscoreAnomaly _),
@@ -500,6 +569,7 @@ object TsQueries {
     "ts_seasonal_adjust" -> tsSeasonalAdjustSql,
     "ts_rolling_median" -> tsRollingMedianSql,
     "ts_seasonal" -> tsSeasonalSql,
+    "ts_forecast_eval" -> tsForecastEvalSql,
     "ts_changepoint" -> tsChangepointSql,
     "ts_ewma" -> tsEwmaSql,
     "ts_zscore_anomaly" -> tsZscoreAnomalySql,

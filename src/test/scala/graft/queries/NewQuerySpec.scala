@@ -1066,6 +1066,61 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("event_transitions equals a driver-side sequence recompute; rows are near-stochastic") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("e_us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val want = counts.map { case ((f, t), n) =>
+      (f, t, n, n * 1000000L / fromTotals(f))
+    }.toSet
+    val got = graft.SparkEntry.queries("event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // row-normalization: each from_type's probabilities floor-sum to
+    // within |types| ppm of 1
+    got.groupBy(_._1).foreach { case (f, rows) =>
+      // toSeq first: mapping the Set would collapse equal p_e6 values
+      val s = rows.toSeq.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - 25L, s"$f sums to $s")
+    }
+  }
+
+  test("ts_forecast_eval: BigInt recompute of the lag algebra from Spark-quantized hourly sums") {
+    // trust Spark only for the input quantization (cross-checked by the
+    // DuckDB oracle); every downstream step — half-away mean, the two
+    // lag joins, SAE sums, the MASE division — recomputes here in BigInt
+    val hours = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+          .cast("long").as("b"))
+      .agg(sum((col("value").cast("decimal(18,6)") * lit(1000000)).cast("long")).as("su"),
+        count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(r.getLong(2)), BigInt(r.getLong(3))))
+    def halfAway(num: BigInt, den: BigInt): BigInt =
+      if (num < 0) -((2 * -num + den) / (2 * den)) else (2 * num + den) / (2 * den)
+    val m = hours.map { case (t, b, su, n) => (t, b) -> halfAway(su, n) }.toMap
+    val want = hours.groupBy(_._1).flatMap { case (t, rows) =>
+      val pts = rows.map(_._2).filter(b => m.contains((t, b - 24)) && m.contains((t, b - 1)))
+      if (pts.isEmpty) None else {
+        val saeS = pts.map(b => (m((t, b)) - m((t, b - 24))).abs).sum
+        val saeN = pts.map(b => (m((t, b)) - m((t, b - 1))).abs).sum
+        Some((t, pts.size.toLong, saeS.toLong, saeN.toLong,
+          if (saeN > 0) Some((saeS * 1000000 / saeN).toLong) else None))
+      }
+    }.toSet
+    val got = graft.SparkEntry.queries("ts_forecast_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
+
   test("dedup_lsh_tuning: sweep is monotone in rows-per-band and discriminates both corners") {
     val rows = graft.SparkEntry.queries("dedup_lsh_tuning")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

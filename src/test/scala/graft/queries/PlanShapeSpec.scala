@@ -66,6 +66,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("event_transitions: the lead window is keyed on user_id, the normalizer runs post-agg") {
+    val p = plan("event_transitions")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+  }
+
+  test("ts_forecast_eval: corpus collapses to the hourly relation before any join") {
+    val p = plan("ts_forecast_eval")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_fuzzy plans a hash equi-join on the deletion-variant key (no nested loop)") {
     val p = plan("join_fuzzy")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
