@@ -109,6 +109,111 @@ object RelQueries {
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
   // ========================================================================
+  // merge_upsert / snapshot_diff — the table-maintenance pair every
+  // warehouse runs nightly, composed from plain joins (no Delta/Iceberg
+  // dependency): MERGE a changeset (upserts + tombstones) into a base
+  // snapshot, and DIFF two snapshots back into a changeset.
+  //
+  // Fixture (deterministic slices of orders): base = keys % 3 ≠ 0
+  // ("yesterday"); upserts = keys % 7 = 0 ∧ % 11 ≠ 0 with doubled
+  // price (overlapping base keys become updates, fresh keys inserts);
+  // tombstones = keys % 11 = 0. Upsert and tombstone key sets are
+  // DISJOINT by construction, so precedence never matters.
+  //
+  // merge shape — how MERGE INTO compiles without a lakehouse layer:
+  // base anti-join changeset keys (two key-only anti-joins — the wide
+  // rows never ride a shuffle wider than the key; a small changeset
+  // broadcasts by stats), union the upsert rows back. Output: per-status
+  // counts + exact decimal price sums (any wrong row lands in the sums).
+  //
+  // diff shape: narrow (key, compared columns) projections of the two
+  // snapshots, ONE full outer join on the key, classify
+  // added/removed/changed/unchanged — changed compares the DECIMAL
+  // price directly (engine-exact); at 100 TB the compared columns
+  // generalize to a content fingerprint. Diffing base against the
+  // merge's own output must recover exactly the changeset — the pair is
+  // self-verifying, and the spec pins that closure.
+  // ========================================================================
+  private def ordersBase(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  private def ordersUpserts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+  private def ordersDeletes(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"))
+
+  /** The merged "today" snapshot — shared by both keys so the diff
+    * provably runs against the merge's real output, not a re-derivation.
+    */
+  private def ordersMerged(s: SparkSession, d: String): DataFrame =
+    ordersBase(s, d)
+      .join(ordersUpserts(s, d).select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .join(ordersDeletes(s, d), Seq("o_orderkey"), "left_anti")
+      .unionByName(ordersUpserts(s, d))
+
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    ordersMerged(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private val mergeCtesSql =
+    """b AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |u AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0),
+      |dl AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0),
+      |m AS (
+      |  SELECT * FROM b
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM dl)
+      |  UNION ALL SELECT * FROM u)""".stripMargin
+
+  private val mergeUpsertSql =
+    s"""WITH $mergeCtesSql
+      |SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val b = ordersBase(s, d).select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("b_p"))
+    val t = ordersMerged(s, d).select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("t_p"))
+    b.join(t, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("b_p").isNull, "added")
+          .when(col("t_p").isNull, "removed")
+          .when(col("b_p") =!= col("t_p"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH $mergeCtesSql,
+      |bb AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS b_p FROM b),
+      |tt AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS t_p FROM m),
+      |j AS (
+      |  SELECT coalesce(bb.o_orderkey, tt.o_orderkey) AS k,
+      |    CASE WHEN bb.o_orderkey IS NULL THEN 'added'
+      |         WHEN tt.o_orderkey IS NULL THEN 'removed'
+      |         WHEN bb.b_p <> tt.t_p THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM bb FULL OUTER JOIN tt ON bb.o_orderkey = tt.o_orderkey)
+      |SELECT status, count(*) AS n,
+      |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  // ========================================================================
   // event_transitions — the first-order Markov transition matrix over
   // per-user event sequences: for each (from_type, to_type) pair of
   // CONSECUTIVE events in a user's (ts, event_id)-ordered stream, the
@@ -554,6 +659,8 @@ object RelQueries {
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
     "event_transitions" -> (eventTransitions _),
+    "merge_upsert" -> (mergeUpsert _),
+    "snapshot_diff" -> (snapshotDiff _),
     "unpivot_long" -> (unpivotLong _),
     "pivot_wide" -> (pivotWide _),
     "set_except" -> (setExcept _),
@@ -569,6 +676,8 @@ object RelQueries {
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
     "event_transitions" -> eventTransitionsSql,
+    "merge_upsert" -> mergeUpsertSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "unpivot_long" -> unpivotLongSql,
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,

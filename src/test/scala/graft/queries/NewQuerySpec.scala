@@ -1066,6 +1066,41 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("merge_upsert / snapshot_diff close on the changeset: the diff recovers exactly what the merge applied") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val base = orders.filter(_._1 % 3 != 0)
+    val baseKeys = base.map(_._1).toSet
+    val ups = orders.filter(o => o._1 % 7 == 0 && o._1 % 11 != 0)
+      .map(o => (o._1, o._2, o._3 * 2))
+    val upKeys = ups.map(_._1).toSet
+    val delKeys = orders.filter(_._1 % 11 == 0).map(_._1).toSet
+    val merged = base.filter(o => !upKeys(o._1) && !delKeys(o._1)) ++ ups
+    // merge summary ties to the driver merge
+    val gotMerge = graft.SparkEntry.queries("merge_upsert")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val wantMerge = merged.groupBy(_._2).map { case (st, rows) =>
+      st -> (rows.length.toLong,
+        rows.map(r => BigDecimal(r._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }
+    assert(gotMerge == wantMerge)
+    // diff closure: added = fresh upsert keys, changed = overlapping
+    // upsert keys whose doubled price differs, removed = tombstoned base
+    // keys, unchanged = the rest of base
+    val basePrice = base.map(o => o._1 -> o._3).toMap
+    val added = ups.count(o => !baseKeys(o._1)).toLong
+    val changed = ups.count(o => baseKeys(o._1) && o._3 != basePrice(o._1)).toLong
+    val removed = delKeys.count(baseKeys).toLong
+    val unchanged = base.length - changed - removed
+    val gotDiff = graft.SparkEntry.queries("snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotDiff == Map("added" -> added, "changed" -> changed,
+      "removed" -> removed, "unchanged" -> unchanged.toLong))
+    // non-vacuous: every status class is exercised at this sf
+    assert(Seq(added, changed, removed, unchanged.toLong).forall(_ > 0))
+  }
+
   test("event_transitions equals a driver-side sequence recompute; rows are near-stochastic") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("e_us"),

@@ -66,6 +66,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("merge_upsert: key-only anti-joins, no cartesian, no nested loop") {
+    val p = plan("merge_upsert")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("snapshot_diff: one full outer join on the key over narrow projections") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // only the key and compared column ride the diff join
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("o_orderpriority") && !read.contains("o_custkey"), read)
+  }
+
   test("event_transitions: the lead window is keyed on user_id, the normalizer runs post-agg") {
     val p = plan("event_transitions")
     assert(p.contains("hashpartitioning(user_id"), p)
