@@ -92,7 +92,10 @@ object RelQueries {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
         "metric", "val")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+      // val breaks ties: (orderkey, linenumber) is NOT unique in this
+      // synthetic lineitem (1161 dup pairs at sf0.001), and the driver's
+      // compare is positional — an underdetermined order hash-mismatches
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
 
   private val unpivotLongSql =
     """SELECT l_orderkey, l_linenumber, metric, val
@@ -106,7 +109,7 @@ object RelQueries {
       |    FROM lineitem WHERE l_orderkey % 50 = 0)
       |  ON quantity, extendedprice, discount, tax
       |  INTO NAME metric VALUE val)
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
 
   // ========================================================================
   // merge_upsert / snapshot_diff — the table-maintenance pair every
