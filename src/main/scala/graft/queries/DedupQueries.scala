@@ -817,6 +817,63 @@ object DedupQueries {
        |ORDER BY rows_per_band""".stripMargin
 
   // ========================================================================
+  // decontaminate_fuzzy — NEAR-DUP benchmark contamination with
+  // provenance: the exact-shingle screens (`decontaminate`,
+  // `decontaminate_bloom`, TextQueries) catch verbatim leakage; a
+  // paraphrased or lightly-edited benchmark item shares few exact
+  // 4-grams yet still leaks the answer. This key reports every corpus
+  // doc whose verified near-dup pair (3-gram Jaccard ≥ the LSH
+  // threshold) STRADDLES the benchmark boundary (the same deterministic
+  // doc_id % 50 = 0 slice the exact screens use), keeping per doc its
+  // worst match: (doc_id, bench_id, jaccard) — the evidence row a
+  // removal decision audits, not just a flag.
+  //
+  // Scale shape: a pure reshape of the memoized verified-pair relation
+  // (lshShared — banding is corpus-linear, the pair set
+  // collision-sparse); the boundary filter, worst-match window (keyed
+  // by doc_id over the sparse pair set) and ordering never touch the
+  // corpus. At 100 TB with an EXTERNAL benchmark set, the same shape
+  // holds: bench docs are signature rows unioned into the banding —
+  // still one corpus pass.
+  // ========================================================================
+  private val FuzzyBenchMod = 50
+
+  def decontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def isBench(c: org.apache.spark.sql.Column) = c % FuzzyBenchMod === 0
+    val straddle = verifiedPairs(s, d)
+      .filter(isBench(col("id_a")) =!= isBench(col("id_b")))
+      .select(
+        when(isBench(col("id_a")), col("id_b")).otherwise(col("id_a")).as("doc_id"),
+        when(isBench(col("id_a")), col("id_a")).otherwise(col("id_b")).as("bench_id"),
+        col("jaccard"))
+    straddle
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("bench_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateFuzzySql =
+    s"""WITH $lshPipelineCtes,
+       |vp AS (SELECT id_a, id_b, jaccard FROM ver
+       |       WHERE jaccard >= ${LshParams.Threshold}),
+       |st AS (
+       |  SELECT CASE WHEN id_a % $FuzzyBenchMod = 0 THEN id_b ELSE id_a END AS doc_id,
+       |         CASE WHEN id_a % $FuzzyBenchMod = 0 THEN id_a ELSE id_b END AS bench_id,
+       |         jaccard
+       |  FROM vp
+       |  WHERE (id_a % $FuzzyBenchMod = 0) <> (id_b % $FuzzyBenchMod = 0)),
+       |rk AS (
+       |  SELECT doc_id, bench_id, jaccard,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY jaccard DESC, bench_id) AS rn
+       |  FROM st)
+       |SELECT doc_id, bench_id, jaccard FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
   // dedup_cross_source — duplication provenance: which source pairs
   // share verified near-dups, how many, and how close. The corpus-
   // analysis view a curation team reads before deciding which feed to
@@ -2372,6 +2429,7 @@ object DedupQueries {
     "dedup_lsh_bands" -> (dedupLshBands _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_cross_source" -> (dedupCrossSource _),
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_lsh_tuning" -> (dedupLshTuning _),
@@ -2410,6 +2468,7 @@ object DedupQueries {
     "dedup_lsh_bands" -> dedupLshBandsSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
+    "decontaminate_fuzzy" -> decontaminateFuzzySql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
     "dedup_lsh_precision" -> dedupLshPrecisionSql,
     "dedup_lsh_tuning" -> dedupLshTuningSql,

@@ -1066,6 +1066,23 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("decontaminate_fuzzy: worst straddling match recomputed from the verified pair list") {
+    val pairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def bench(id: Long) = id % 50 == 0
+    val want = pairs.filter(p => bench(p._1) != bench(p._2))
+      .map { case (a, b, j) => if (bench(a)) (b, a, j) else (a, b, j) }
+      .groupBy(_._1).map { case (docId, ms) =>
+        val best = ms.minBy(m => (-m._3, m._2))
+        (docId, best._2, best._3)
+      }.toSet
+    val got = graft.SparkEntry.queries("decontaminate_fuzzy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // non-vacuous, and no bench doc ever appears on the doc side
+    assert(got.nonEmpty && got.forall(r => !bench(r._1) && bench(r._2)))
+  }
+
   test("merge_upsert / snapshot_diff close on the changeset: the diff recovers exactly what the merge applied") {
     val orders = graft.sources.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")).collect()

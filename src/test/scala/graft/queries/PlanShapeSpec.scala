@@ -46,6 +46,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("decontaminate_fuzzy is a reshape of the memoized verified-pair relation — no corpus re-scan") {
+    graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count() // warm the shared memo
+    val p = plan("decontaminate_fuzzy")
+    assert(p.contains("InMemoryTableScan"), p)
+    val scanAt = p.indexOf("Scan parquet")
+    assert(scanAt < 0 || p.indexOf("InMemoryTableScan") < scanAt, p)
+    // the worst-match window is keyed by doc_id over the sparse pair set
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("dedup_lsh_tuning returns a local relation (sweep ran in-process over the bounded slice)") {
     val p = plan("dedup_lsh_tuning")
     // the eval-harness contract: the query-time plan is the 4 result
