@@ -193,6 +193,13 @@ object StreamBench {
       run[(java.sql.Timestamp, Long, Long, String, Double)]("join_attrib",
         evFullRows, Seq("ts", "user_id", "event_id", "event_type", "value"),
         df => graft.streaming.StreamingJoin.attributedPurchases(df, tolSec = 3600L)),
+      // EVENT-TIME bounded dedup: the engine's dropDuplicatesWithinWatermark
+      // — state is the horizon's keys, evicted natively; contrasts with
+      // dedup_keep_first's forever-state exact dedup above
+      run[(java.sql.Timestamp, Long, Long, String, Double)]("dedup_ttl",
+        evFullRows, Seq("ts", "user_id", "event_id", "event_type", "value"),
+        df => graft.streaming.StreamingDedup.keepFirstWithinWatermark(
+          df, Seq("user_id", "event_type"), "ts", "1 hour")),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -252,6 +259,10 @@ object StreamBench {
       // dominates bytes/row at that cardinality, so like pack/bucket_mean
       // the absolute byte cap is the meaningful size invariant
       "join_attrib" -> Bound(1 << 20, r => r.rowsIn / 10, 250, 8L << 20),
+      // horizon keys only — eviction working means state ≪ stream keys;
+      // per-row bytes meaningless at that cardinality (the join_attrib
+      // rationale), absolute cap is the size invariant
+      "dedup_ttl" -> Bound(1 << 20, r => r.rowsIn / 10, 250, 8L << 20),
     )
     val violations = results.flatMap { r =>
       bounds.get(r.name).toSeq.flatMap { b =>

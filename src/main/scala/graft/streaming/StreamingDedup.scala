@@ -94,6 +94,23 @@ object StreamingDedup {
       .toDF("doc_id", "dup_of")
   }
 
+  /** EVENT-TIME bounded dedup through the engine's native
+    * `dropDuplicatesWithinWatermark` — the production complement of
+    * [[keepFirst]]'s processing-time TTL: state is keyed rows inside the
+    * watermark horizon and the ENGINE evicts them (no custom state
+    * function), so an infinite stream holds O(keys-per-horizon) state
+    * however long it runs. Semantics (the engine's one-sided guarantee,
+    * asserted in StreamingSpec): a key's first event always emits;
+    * a duplicate arriving within `delay` of the kept event never emits;
+    * two emitted events of one key are ≥ `delay` apart in event time.
+    * The shape a crawl-recency dedup wants — re-admit a fingerprint
+    * after the horizon (content may have changed), dedup inside it.
+    */
+  def keepFirstWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                               tsCol: String, delay: String): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class BandedDoc(band: Long, bandKey: Long, docId: Long)
 
   /** Streaming MinHash-LSH near-dup candidate generation — the

@@ -1021,6 +1021,48 @@ class StreamingSpec extends SparkSpec {
     dup.unpersist(); contam.unpersist()
   }
 
+  test("keepFirstWithinWatermark: first always emits, horizon dups never, emitted gaps >= delay, state evicts") {
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val out = StreamingDedup.keepFirstWithinWatermark(
+      df, Seq("user_id", "event_type"), "ts", "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ddww_out").start()
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+      .as[(java.sql.Timestamp, Long, Long, String)].collect()
+      .sortBy(r => (r._1.getTime, r._3)).toSeq
+    rows.grouped(math.max(1, rows.size / 5)).foreach { g =>
+      stream.addData(g: _*); q.processAllAvailable()
+    }
+    val got = spark.table("ddww_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getString(3)))
+    val stateRows = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.map(_.numRowsTotal).getOrElse(0L)
+    q.stop()
+    val inputIds = rows.map(_._3).toSet
+    assert(got.forall(r => inputIds(r._3)), "emitted a row not in the input")
+    assert(got.map(_._3).distinct.length == got.length, "same event emitted twice")
+    // the globally-first event of every key emits
+    val firstByKey = rows.groupBy(r => (r._2, r._4))
+      .map { case (_, g) => g.minBy(r => (r._1.getTime, r._3))._3 }.toSet
+    val gotIds = got.map(_._3).toSet
+    assert(firstByKey.subsetOf(gotIds), "a key's first event was dropped")
+    // engine guarantee: two emitted events of one key are >= delay apart
+    val DelayMs = 3600L * 1000
+    got.groupBy(r => (r._2, r._4)).foreach { case (k, es) =>
+      val ts = es.map(_._1).sorted
+      ts.zip(ts.tail).foreach { case (a, b) =>
+        assert(b - a >= DelayMs, s"key $k emitted twice ${b - a} ms apart")
+      }
+    }
+    // state is the horizon's keys, not the stream's: it must have evicted
+    val nKeys = rows.map(r => (r._2, r._4)).distinct.size
+    assert(stateRows < nKeys, s"state $stateRows >= total keys $nKeys — no eviction")
+  }
+
   test("stream-stream attribution join matches the batch join; watermark evicts the buffers") {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, Long, String, Double)]
