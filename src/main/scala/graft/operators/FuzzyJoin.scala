@@ -32,12 +32,13 @@ object FuzzyJoin {
     * distance. Null names match nothing (dropped before the explode).
     */
   def selfJoinLev1(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val variants: Column = expr(
-      s"""array_union(
-         |  array($nameCol),
-         |  transform(sequence(1, length($nameCol)),
-         |    i -> concat(substr($nameCol, 1, i - 1),
-         |                substr($nameCol, i + 1, length($nameCol)))))""".stripMargin)
+    // Column API, not an interpolated expr: a name needing backticks
+    // ("first name", reserved words) must resolve like any other column
+    val n = col(nameCol)
+    val variants: Column = array_union(
+      array(n),
+      transform(sequence(lit(1), length(n)),
+        i => concat(n.substr(lit(1), i - 1), n.substr(i + 1, length(n)))))
     val v = df.select(col(idCol), col(nameCol))
       .filter(col(nameCol).isNotNull)
       .withColumn("__v", explode(variants))

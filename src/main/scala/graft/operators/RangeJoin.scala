@@ -66,8 +66,14 @@ object RangeJoin {
     * cover it, and the guard keeps exactly one meeting. Work is
     * O(Σ spans/width + matches), shuffle-partitioned on the bucket key.
     *
-    * Column names must be disjoint across the two inputs (the join
-    * emits both sides' columns). Empty/inverted intervals match
+    * All four range columns must be INTEGRAL (epoch seconds/micros,
+    * offsets…), the [[pointInInterval]] contract: the explode covers
+    * `bkt(lo)..bkt(hi − 1)` and the dedup guard keys on the bucket of
+    * `max(loL, loR)`, both of which assume `hi − 1` is "the last value
+    * inside the interval" — fractional bounds would mis-bucket and
+    * silently drop overlapping pairs. `bucketWidth` is in the same
+    * unit. Column names must be disjoint across the two inputs (the
+    * join emits both sides' columns). Empty/inverted intervals match
     * nothing and are dropped before the explode.
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,

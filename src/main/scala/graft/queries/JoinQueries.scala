@@ -23,6 +23,13 @@ object JoinQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private val epochUs: Column = TimeFns.epochMicros(col("ts"))
+  /** Date column -> epoch seconds: the dates are TIMESTAMP_NTZ in the
+    * parquet and the session runs UTC (GraftSession), so the cast is
+    * instant-preserving and matches DuckDB's naive-as-UTC epoch_us //
+    * 1e6. TimeFns.epochSeconds FLOORS, agreeing with the oracle's `//`
+    * on negative epochs too (pre-1970 dates).
+    */
+  private def epochSecs(c: Column): Column = TimeFns.epochSeconds(c.cast("timestamp"))
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
   // ========================================================================
@@ -264,11 +271,6 @@ object JoinQueries {
   private val RangeBucketSecs = 345600L // 4 days: each window spans <= 2 buckets
 
   def joinRange(s: SparkSession, d: String): DataFrame = {
-    // order/ship dates are TIMESTAMP_NTZ in the parquet; the session runs
-    // UTC (GraftSession), so the cast to TIMESTAMP is instant-preserving
-    // and matches DuckDB's naive-as-UTC epoch_us
-    def epochSecs(c: Column): Column =
-      (TimeFns.epochMicros(c.cast("timestamp")) / lit(1000000L)).cast("long")
     val win = Tables.orders(s, d)
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey").as("window_id"),
@@ -373,8 +375,6 @@ object JoinQueries {
   private val IvalBucketSecs = 1209600L // 14 days: each window spans <= 2 buckets
 
   def joinInterval(s: SparkSession, d: String): DataFrame = {
-    def epochSecs(c: Column): Column =
-      (TimeFns.epochMicros(c.cast("timestamp")) / lit(1000000L)).cast("long")
     val a = Tables.orders(s, d)
       .filter(col("o_orderkey") % 101 === 0)
       .select(col("o_orderkey").as("window_a"),

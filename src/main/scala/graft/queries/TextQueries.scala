@@ -2407,16 +2407,24 @@ object TextQueries {
     out
   }
 
-  private val vocabOverlapSql =
-    s"""WITH vc AS (
+  /** Per-source ranked-vocabulary CTEs (`vr` = source, w, c, rn) — ONE
+    * rendering shared by the vocab_overlap and zipf_fit oracles,
+    * mirroring the single Spark-side [[vocabRanked]] memo both ride: a
+    * tokenization or tie-break change edits one string, not two.
+    */
+  private lazy val vocabRankedCtesSql =
+    raw"""vc AS (
        |  SELECT source, w, count(*) AS c
-       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
        |        FROM documents)
        |  GROUP BY source, w),
        |vr AS (
-       |  SELECT source, w,
+       |  SELECT source, w, c,
        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
-       |  FROM vc),
+       |  FROM vc)""".stripMargin
+
+  private val vocabOverlapSql =
+    s"""WITH $vocabRankedCtesSql,
        |vk AS (SELECT source, w FROM vr WHERE rn <= $VocabOverlapK),
        |vsz AS (SELECT source, count(*) AS n_top FROM vk GROUP BY source),
        |vin AS (
@@ -2482,16 +2490,8 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
-  private val zipfFitSql =
-    raw"""WITH vc AS (
-       |  SELECT source, w, count(*) AS c
-       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
-       |        FROM documents)
-       |  GROUP BY source, w),
-       |vr AS (
-       |  SELECT source, c,
-       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
-       |  FROM vc),
+  private lazy val zipfFitSql =
+    s"""WITH $vocabRankedCtesSql,
        |tm AS (
        |  SELECT source,
        |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,

@@ -519,8 +519,14 @@ object TsQueries {
       .agg(count(lit(1)).as("n_eval"),
         sum(abs(col("m_u") - col("m24_u"))).as("sae_seasonal_u"),
         sum(abs(col("m_u") - col("m1_u"))).as("sae_naive_u"))
+      // DECIMAL(38,0) widening before the ·10⁶ (the pack_buckets/zipf_fit
+      // convention): sae is micro-unit-scaled, so a bare Long multiply
+      // could wrap on large-value corpora while the HUGEINT oracle stays
+      // exact
       .withColumn("mase_e6", expr(
-        "CASE WHEN sae_naive_u > 0 THEN (sae_seasonal_u * 1000000) div sae_naive_u END")
+        """CASE WHEN sae_naive_u > 0
+          |THEN (CAST(sae_seasonal_u AS DECIMAL(38,0)) * 1000000) div sae_naive_u
+          |END""".stripMargin)
         .cast("long"))
       .orderBy(col("event_type"))
   }
