@@ -817,6 +817,40 @@ object DedupQueries {
        |ORDER BY rows_per_band""".stripMargin
 
   // ========================================================================
+  // dedup_graph_degree — degree distribution of the verified near-dup
+  // graph: for each degree, how many docs have exactly that many
+  // verified partners. The graph-health dial the cluster keys
+  // summarize away: a heavy tail (one doc with hundreds of partners)
+  // means a template/boilerplate hub that will dominate cluster sizes
+  // and skew the banding buckets — the signal to add a shingle
+  // stop-list or cap cluster size BEFORE the component resolution pays
+  // for it. Exact integers end-to-end.
+  //
+  // Scale shape: a reshape of the memoized verified-pair relation
+  // (collision-sparse); degrees = one union + one count agg keyed by
+  // doc id, the histogram a second map-side-combined agg over the
+  // ≤|distinct degrees| relation. The corpus is never touched.
+  // ========================================================================
+  def dedupGraphDegree(s: SparkSession, d: String): DataFrame = {
+    val pairs = verifiedPairs(s, d)
+    pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  private val dedupGraphDegreeSql =
+    s"""WITH $lshPipelineCtes,
+       |vp AS (SELECT id_a, id_b FROM ver WHERE jaccard >= ${LshParams.Threshold}),
+       |dg AS (
+       |  SELECT id, count(*) AS degree
+       |  FROM (SELECT id_a AS id FROM vp UNION ALL SELECT id_b FROM vp)
+       |  GROUP BY id)
+       |SELECT degree, count(*) AS n_nodes
+       |FROM dg GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ========================================================================
   // decontaminate_fuzzy — NEAR-DUP benchmark contamination with
   // provenance: the exact-shingle screens (`decontaminate`,
   // `decontaminate_bloom`, TextQueries) catch verbatim leakage; a
@@ -2430,6 +2464,7 @@ object DedupQueries {
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "decontaminate_fuzzy" -> (decontaminateFuzzy _),
+    "dedup_graph_degree" -> (dedupGraphDegree _),
     "dedup_lsh_recall" -> (dedupLshRecall _),
     "dedup_lsh_precision" -> (dedupLshPrecision _),
     "dedup_lsh_tuning" -> (dedupLshTuning _),
@@ -2469,6 +2504,7 @@ object DedupQueries {
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "decontaminate_fuzzy" -> decontaminateFuzzySql,
+    "dedup_graph_degree" -> dedupGraphDegreeSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
     "dedup_lsh_precision" -> dedupLshPrecisionSql,
     "dedup_lsh_tuning" -> dedupLshTuningSql,

@@ -556,6 +556,72 @@ object RelQueries {
       |FROM u""".stripMargin
 
   // ========================================================================
+  // window_funnel — the TIME-HORIZON funnel (ClickHouse windowFunnel's
+  // semantics): the deepest view → click → purchase chain each user
+  // completes where every later step lands within 24 h OF THE FIRST
+  // step, steps strictly ordered. funnel_conversion counts unbounded
+  // completion ("ever converted"); this is the campaign-attribution
+  // variant ("converted within the window") — the two disagree exactly
+  // on slow converters, which is the point. Output: users per deepest
+  // step (0 = active but never viewed).
+  //
+  // Scale shape: same stacked conditional-min windows as
+  // funnel_conversion — t1 is per-partition constant after the first
+  // window, so t2/t3 reference it for free; ONE hash shuffle on
+  // user_id, unordered frames (no sort), then a per-user reduce and a
+  // ≤4-row histogram. Exact integer epoch-µs comparisons throughout.
+  // ========================================================================
+  private val FunnelHorizonUs = 86400L * 1000000L // 24 h
+
+  def windowFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      graft.functions.TimeFns.epochMicros(col("ts")).as("e_us"))
+    val staged = e
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("e_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("e_us") > col("t1")
+          && col("e_us") <= col("t1") + FunnelHorizonUs, col("e_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("e_us") > col("t2")
+          && col("e_us") <= col("t1") + FunnelHorizonUs, col("e_us"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .select(when(col("t3").isNotNull, 3L)
+        .when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L)
+        .otherwise(0L).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("step"))
+  }
+
+  private val windowFunnelSql =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS e_us FROM events),
+      |s1 AS (
+      |  SELECT user_id, event_type, e_us,
+      |    min(CASE WHEN event_type = 'view' THEN e_us END)
+      |      OVER (PARTITION BY user_id) AS t1
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND e_us > t1
+      |      AND e_us <= t1 + $FunnelHorizonUs THEN e_us END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND e_us > t2
+      |      AND e_us <= t1 + $FunnelHorizonUs THEN e_us END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (
+      |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      |  FROM s3 GROUP BY user_id)
+      |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS step,
+      |  count(*) AS n_users
+      |FROM u GROUP BY 1 ORDER BY step""".stripMargin
+
+  // ========================================================================
   // retention_cohorts — classic cohort retention: users grouped by the
   // epoch-day of their FIRST event; for each (cohort, day-offset) the
   // count of distinct users active that day. One per-user min window
@@ -662,6 +728,7 @@ object RelQueries {
     "rollup_agg" -> (rollupAgg _),
     "cube_agg" -> (cubeAgg _),
     "event_transitions" -> (eventTransitions _),
+    "window_funnel" -> (windowFunnel _),
     "merge_upsert" -> (mergeUpsert _),
     "snapshot_diff" -> (snapshotDiff _),
     "unpivot_long" -> (unpivotLong _),
@@ -679,6 +746,7 @@ object RelQueries {
     "rollup_agg" -> rollupAggSql,
     "cube_agg" -> cubeAggSql,
     "event_transitions" -> eventTransitionsSql,
+    "window_funnel" -> windowFunnelSql,
     "merge_upsert" -> mergeUpsertSql,
     "snapshot_diff" -> snapshotDiffSql,
     "unpivot_long" -> unpivotLongSql,

@@ -1066,6 +1066,49 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("window_funnel equals a driver recompute; horizon only ever removes vs funnel_conversion") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("e_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val T = 86400L * 1000000L
+    val want = ev.groupBy(_._1).values.map { rows =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => rows.filter(r =>
+        r._2 == "click" && r._3 > a && r._3 <= a + T).map(_._3).minOption)
+      val t3 = (t1, t2) match {
+        case (Some(a), Some(b)) => rows.filter(r =>
+          r._2 == "purchase" && r._3 > b && r._3 <= a + T).map(_._3).minOption
+        case _ => None
+      }
+      if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L
+    }.groupBy(identity).map { case (s0, g) => s0 -> g.size.toLong }
+    val got = graft.SparkEntry.queries("window_funnel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // the horizon can only REMOVE conversions relative to the unbounded funnel
+    val fc = graft.SparkEntry.queries("funnel_conversion")(spark, sf).collect().head
+    val (nViewClick, nFull) = (fc.getLong(2), fc.getLong(3))
+    assert(got.filter(_._1 >= 2L).values.sum <= nViewClick)
+    assert(got.getOrElse(3L, 0L) <= nFull)
+    assert(got.values.sum == ev.map(_._1).distinct.length.toLong)
+  }
+
+  test("dedup_graph_degree closes on the verified pair list (handshake lemma)") {
+    val pairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).map { case (d0, g) => d0 -> g.size.toLong }
+    val got = graft.SparkEntry.queries("dedup_graph_degree")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // Σ degree·n_nodes = 2·|edges| — the handshake lemma ties the
+    // histogram to the pair list it claims to summarize
+    assert(got.map { case (d0, n) => d0 * n }.sum == 2L * pairs.length)
+    assert(got.nonEmpty)
+  }
+
   test("decontaminate_fuzzy: worst straddling match recomputed from the verified pair list") {
     val pairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

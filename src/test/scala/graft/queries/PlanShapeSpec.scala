@@ -46,6 +46,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("window_funnel: one user_id shuffle, unordered window frames (no sort inside the window)") {
+    val p = plan("window_funnel")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_graph_degree is a reshape of the memoized pair relation — no corpus re-scan") {
+    graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count() // warm the shared memo
+    val p = plan("dedup_graph_degree")
+    assert(p.contains("InMemoryTableScan"), p)
+    val scanAt = p.indexOf("Scan parquet")
+    assert(scanAt < 0 || p.indexOf("InMemoryTableScan") < scanAt, p)
+  }
+
   test("decontaminate_fuzzy is a reshape of the memoized verified-pair relation — no corpus re-scan") {
     graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).count() // warm the shared memo
     val p = plan("decontaminate_fuzzy")
