@@ -601,6 +601,83 @@ object SimQueries {
   // as ONE division of identical ints (never a rounded small-denominator
   // rational — x/5 sits exactly on half-boundaries).
   // ========================================================================
+  // ========================================================================
+  // knn_accuracy — k-NN label-prediction accuracy per class: each query
+  // vector's label predicted by the majority vote of its 5 exact
+  // nearest neighbors (self excluded; vote ties to the smaller label,
+  // cosine ties to the smaller id — fully deterministic), scored
+  // against the query's own label. The EMBEDDING-QUALITY eval the
+  // recall locks don't give: ann_recall measures whether the INDEX
+  // finds the true neighbors, this measures whether the true neighbors
+  // MEAN anything — an embedding regression (bad normalization, a
+  // broken projection) tanks knn accuracy while index recall stays
+  // perfect. Completes the embedding-eval family (recall / drift /
+  // outlier / accuracy). Exact-integer acc_e6 per label.
+  //
+  // Scale shape: the ann_recall harness contract — a BOUNDED query set
+  // (vec_id < 40) brute-forced against the corpus (the deliberate
+  // crossJoin IS the truth-set cost, constant in corpus size); votes
+  // and accuracy aggregate over queries×k rows.
+  // ========================================================================
+  private val KnnAccQ = 40
+  private val KnnAccK = 5
+
+  def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
+    val topk = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      col("vec_id") < KnnAccQ, KnnAccK)
+    val votes = topk
+      .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cnt").desc, col("n_label"))
+    val pred = votes.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred"))
+    pred
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("true_label")), Seq("q_id"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_q"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_e6", expr("(n_correct * 1000000) div n_q"))
+      .select(col("true_label").as("label"), col("n_q"), col("n_correct"), col("acc_e6"))
+      .orderBy(col("label"))
+  }
+
+  private val knnAccuracySql =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |bf AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |        c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id < $KnnAccQ AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= $KnnAccK),
+      |v AS (
+      |  SELECT bf.q_id, e.label AS n_label, count(*) AS cnt
+      |  FROM bf JOIN e ON e.vec_id = bf.n_id
+      |  GROUP BY bf.q_id, e.label),
+      |p AS (
+      |  SELECT q_id, n_label AS pred FROM (
+      |    SELECT q_id, n_label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) AS rn
+      |    FROM v)
+      |  WHERE rn = 1),
+      |sc AS (
+      |  SELECT e.label AS label, count(*) AS n_q,
+      |    CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |  FROM p JOIN e ON e.vec_id = p.q_id
+      |  GROUP BY e.label)
+      |SELECT label, n_q, n_correct,
+      |  CAST((n_correct * 1000000) // n_q AS BIGINT) AS acc_e6
+      |FROM sc ORDER BY label""".stripMargin
+
   def annRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
@@ -2503,6 +2580,7 @@ object SimQueries {
     "ann_recall_pq" -> (annRecallPq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
+    "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dims" -> (multimodalDims _),
@@ -2548,6 +2626,7 @@ object SimQueries {
     "ann_recall_pq" -> annRecallPqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
+    "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_dims" -> multimodalDimsSql,

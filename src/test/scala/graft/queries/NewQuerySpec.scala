@@ -1066,6 +1066,30 @@ class NewQuerySpec extends SparkSpec {
     assert(out.exists { case (_, (f, s0, _)) => f > 0 && s0 == 0 })
   }
 
+  test("knn_accuracy: vote/argmax/accuracy algebra recomputed from the brute-force top-k itself") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val labels = e.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val topk = graft.sim.Similarity
+      .bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 40, 5)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pred = topk.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, g) => (l, g.size) }
+      q -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+    }
+    val want = pred.groupBy { case (q, _) => labels(q) }.map { case (l, qs) =>
+      val correct = qs.count { case (q, p) => p == labels(q) }.toLong
+      l -> (qs.size.toLong, correct, correct * 1000000L / qs.size)
+    }
+    val got = graft.SparkEntry.queries("knn_accuracy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // every query with a label is scored exactly once
+    assert(got.values.map(_._1).sum == pred.size.toLong && got.nonEmpty)
+  }
+
   test("window_funnel equals a driver recompute; horizon only ever removes vs funnel_conversion") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
