@@ -86,6 +86,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlap == cross-join reference for ANY random intervals and bucket width") {
+    val ivGen = Gen.listOfN(25, Gen.zip(Gen.choose(-50L, 100L), Gen.choose(-5L, 40L)))
+    samples(Gen.zip(ivGen, ivGen, Gen.choose(1L, 30L)), 5).foreach { case (ls, rs, w) =>
+      val l = ls.zipWithIndex.map { case ((lo, span), i) => (i.toLong, lo, lo + span) }
+        .toDF("a_id", "a_lo", "a_hi")
+      val r = rs.zipWithIndex.map { case ((lo, span), i) => (100L + i, lo, lo + span) }
+        .toDF("b_id", "b_lo", "b_hi")
+      val got = RangeJoin.intervalOverlap(l, r, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      // nonempty-interval guard: the bare predicate alone miscounts
+      // empty intervals as overlapping
+      val want = l.crossJoin(r)
+        .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi")
+          && col("a_hi") > col("a_lo") && col("b_hi") > col("b_lo"))
+        .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got.sorted == want.sorted, s"w=$w")
+      assert(got.size == got.distinct.size, s"w=$w: a pair met in more than one bucket")
+    }
+  }
+
+  test("selfJoinLev1 == cross-join levenshtein reference for ANY random short strings") {
+    val strGen = Gen.listOfN(30, Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    samples(strGen, 5).foreach { ss =>
+      val df = ss.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }.toDF("id", "name")
+      val got = FuzzyJoin.selfJoinLev1(df, "id", "name")
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = df.select(col("id").as("id_a"), col("name").as("na"))
+        .crossJoin(df.select(col("id").as("id_b"), col("name").as("nb")))
+        .filter(col("id_a") < col("id_b") && levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("id_a"), col("id_b"), levenshtein(col("na"), col("nb")).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"strings=${ss.take(10)}...")
+    }
+  }
+
   test("normalize then denormalize is identity up to fp (any affine input)") {
     samples(Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(0.5, 50.0)), 5)
       .foreach { case (shift, scale) =>
