@@ -46,6 +46,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__bkt"), p)
   }
 
+  test("knn_accuracy: bounded query side broadcasts; vote window keyed by q_id") {
+    val p = plan("knn_accuracy")
+    // the crossJoin is the bounded eval harness — its query side (≤40
+    // rows) must ride a broadcast, never shuffle the corpus against it
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("hashpartitioning(q_id"), p)
+  }
+
   test("window_funnel: one user_id shuffle, unordered window frames (no sort inside the window)") {
     val p = plan("window_funnel")
     assert(p.contains("hashpartitioning(user_id"), p)
