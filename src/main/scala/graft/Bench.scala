@@ -56,6 +56,32 @@ import org.apache.spark.sql.SparkSession
   *    headline's "over_gate" names every query whose min stayed
   *    above-gate after the retry budget — each of the minima is
   *    load-validated or explicitly flagged, never silently loaded.
+  *  - BELOW-GATE HEADLINE RULE (r18): the reported `sec` is the best
+  *    below-gate successful sample when one exists — a minimum recorded
+  *    under load stays in the samples array but never becomes the
+  *    headline number (r17's data_card_incremental shipped a min taken
+  *    at load 9.2; per the artifact's own trust rules that number was
+  *    unusable for regression tracking). Every reported sec therefore
+  *    has below_gate=true or the key sits in over_gate.
+  *  - MEMO-BUILD ATTRIBUTION (r18): ~15 expensive relations (LSH pair
+  *    lists, unigram counts, IVF indexes, image/video pipelines) are
+  *    session-memoized and shared across consumers; their build cost
+  *    lands on whichever query runs first — and after each
+  *    between-family cache clear, on whichever triggers the lazy
+  *    re-persist. Every memoized builder reports build/re-persist
+  *    events to [[graft.queries.MemoTrace]]; Bench drains the trace
+  *    around each sample and stamps the WINNING sample's events into
+  *    bench_full.json ("memo_build" flag + "builds" labels per query,
+  *    raw per-sample events under "builds", headline list
+  *    "memo_built"). A ≥1.5× round-over-round delta with
+  *    memo_build=true is attribution drift, not a regression — the r17
+  *    adjudication that previously needed a manual diff of the round's
+  *    code changes.
+  *  - HARNESS SPLIT (r18): Registry.harnessKeys tags eval-harness
+  *    queries (recall/precision/accuracy locks, sweeps, audits);
+  *    bench_full carries per-query "harness" flags, "families_op"
+  *    (family totals excluding harnesses) and "harness_total", so the
+  *    operator-vs-measurement cost split is readable from the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -101,6 +127,12 @@ object Bench {
     // previously required an idle-box re-run
     val perQuerySamples = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val perQueryLoads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-sample shared-relation build events (MemoTrace): which memoized
+    // builds/re-persists the sample paid for. The winning sample's flag
+    // lands in bench_full.json so a reader can tell a real regression
+    // from "this run happened to be charged the shared build" (the r17
+    // attribution gap: 8 keys regressed ≥1.5× with zero code change).
+    val perQueryBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Seq[String]]]
     // a query whose EVERY attempt throws must not read as a fast success:
     // its best time is negated and its name listed under "failed". A
     // per-attempt failure negates only THAT attempt's sample, so a
@@ -109,10 +141,13 @@ object Bench {
     def sampleOf(name: String): Double = {
       val fn = SparkEntry.queries(name)
       perQueryLoads(name) = perQueryLoads.getOrElse(name, Seq.empty) :+ loadAvg()
+      graft.queries.MemoTrace.drain() // discard events from outside the sample
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      perQueryBuilds(name) =
+        perQueryBuilds.getOrElse(name, Seq.empty) :+ graft.queries.MemoTrace.drain()
       if (ok) elapsed else -elapsed
     }
     graft.queries.Registry.families.foreach { case (_, keys) =>
@@ -242,32 +277,58 @@ object Bench {
           if (!loadRepassed.contains(name)) loadRepassed += name
         }
       }
-    // ---- best-sample load attribution ----
-    // The trust gap the per-sample "loads" array still left: the READER had
-    // to cross-index samples/loads to find out which load the reported min
-    // ran under. Make it first-class: for every query, the 1-min load read
-    // immediately before the sample that became the reported min, plus a
-    // below-gate flag for that sample. "over_gate" in the headline names
-    // every query with NO below-gate successful sample at all — the exact
-    // condition under which the load-gated retry loop gave up (a query
-    // whose best sample happens to be a loaded one is still validated if
-    // a below-gate sample confirmed the ballpark; the per-query best_load
-    // lets a reader see that case). A flagged-or-validated contract for
-    // each minimum instead of a run-level summary.
-    val bestLoad = perQuery.map { case (name, best) =>
-      // ties: several samples can equal the min — attribute the LOWEST
-      // load among them (indexOf-first would mis-attribute arbitrarily)
-      val loads = perQuerySamples(name).zip(perQueryLoads(name))
-        .collect { case (smp, l) if smp == best && l >= 0 => l }
-      name -> (if (loads.nonEmpty) loads.min else -1.0)
+    // ---- reported-minimum selection + best-sample attribution ----
+    // Trust rule (r18, closing VERDICT r17's "bench trust, last mile"):
+    // the reported `sec` is the best BELOW-GATE successful sample when
+    // one exists — a minimum recorded under load stays in the samples
+    // array but is never the headline number, so every reported sec in
+    // bench_full.json carries below_gate:true or the query is honestly
+    // in over_gate (no below-gate success at all; only then does the
+    // raw minimum stand, flagged). For each query the winning sample's
+    // pre-sample load AND its MemoTrace build events are attributed
+    // first-class: memo_build=true says the number includes a shared-
+    // relation build/re-persist and is expected to exceed the
+    // steady-state cost other rounds may have recorded.
+    val bestLoad = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val bestBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    perQuery.keys.toSeq.foreach { name =>
+      val triples = perQuerySamples(name).lazyZip(perQueryLoads(name))
+        .lazyZip(perQueryBuilds(name)).toSeq
+      val gatedGood = triples.filter { case (s, l, _) => s > 0 && l >= 0 && l <= loadGate }
+      val good = triples.filter(_._1 > 0)
+      val pool = if (gatedGood.nonEmpty) gatedGood else good
+      if (pool.nonEmpty) {
+        val best = pool.map(_._1).min
+        // ties: several samples can equal the min — attribute the LOWEST
+        // load among them (indexOf-first would mis-attribute arbitrarily)
+        val winners = pool.filter(_._1 == best)
+        val winner = winners.minBy(_._2)
+        perQuery(name) = best
+        bestLoad(name) = winner._2
+        bestBuilds(name) = winner._3
+      } else {
+        // every attempt failed: keep the negated-minimum convention
+        perQuery(name) = perQuerySamples(name).min
+        bestLoad(name) = -1.0
+        bestBuilds(name) = Seq.empty
+      }
     }
     val overGate = perQuery.toSeq
       .filter { case (name, t) => t > 0 && !hasGatedSample(name) }
       .map(_._1)
     val perFamily = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // family totals EXCLUDING eval-harness keys (Registry.harnessKeys):
+    // the operator-vs-measurement split — harness keys (recall locks,
+    // confusion matrices, parameter sweeps) dominate the top-10 and a
+    // 2×-vs-baseline argument should be readable on operator keys alone
+    val perFamilyOp = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val harness = graft.queries.Registry.harnessKeys
     graft.queries.Registry.families.foreach { case (family, keys) =>
       perFamily(family) = keys.map(k => math.max(perQuery(k), 0.0)).sum
+      perFamilyOp(family) =
+        keys.filterNot(harness).map(k => math.max(perQuery(k), 0.0)).sum
     }
+    val harnessTotal = harness.toSeq.map(k => math.max(perQuery(k), 0.0)).sum
     def r3(v: Double) = math.rint(v * 1000) / 1000
     // failed queries carry a NEGATED time; a sub-5ms failure must not
     // round to -0.0 (sign-invisible in the headline map), so rounded
@@ -291,22 +352,33 @@ object Bench {
     // or a silently wrong literal 0 — fall back to a quoted marker
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"unknown\"")
+    // keys whose REPORTED sample paid a shared-relation build/re-persist
+    // — the round-over-round comparability caveat, surfaced by name
+    val memoBuiltJs = bestBuilds.collect { case (n, bs) if bs.nonEmpty => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val diagLine =
-      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"families":${js(perFamily, r3)}}"""
+      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"memo_built":$memoBuiltJs,"harness_total":${r3(harnessTotal)},"families_op":${js(perFamilyOp, r3)},"families":${js(perFamily, r3)}}"""
     val overGateJs = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"sf":$sfNum,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"harness_total":${r3(harnessTotal)},"sf":$sfNum,"value":${r3(total)}}"""
     // complete full-precision artifact for readers with file access:
-    // per-query OBJECTS — the reported min, the load its best sample ran
-    // under, and whether that load was at or below the gate — plus the
-    // raw sample/load arrays
+    // per-query OBJECTS — the reported sec, the load its winning sample
+    // ran under, whether that load was at or below the gate, whether the
+    // winning sample paid a memoized shared-relation build (and which),
+    // and the eval-harness flag — plus the raw sample/load/build arrays
     val queriesFull = perQuery.map { case (name, t) =>
       val l = bestLoad(name)
       val gated = t > 0 && l >= 0 && l <= loadGate
-      "\"" + name + s"\":{\"sec\":$t,\"best_load\":$l,\"below_gate\":$gated}"
+      val builds = bestBuilds(name).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val h = harness.contains(name)
+      "\"" + name + s"\":{\"sec\":$t,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"harness\":$h}"
     }.mkString("{", ",", "}")
+    val buildsFull = perQueryBuilds
+      .map { case (k, vs) => "\"" + k + "\":" + vs.map(
+        _.map("\"" + _ + "\"").mkString("[", ",", "]")).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"families":${js(perFamily, identity)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

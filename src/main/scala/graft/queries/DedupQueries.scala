@@ -58,6 +58,7 @@ object DedupQueries {
     // plan-shape assertions flaky under parallel test suites)
     lshMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = lshMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("lshShared")
       val ex = Dedup.shingleHashRelation(docs(s, d), "text", "doc_id").persist()
       val sigs = Dedup.signaturesFromHashes(ex, "doc_id", LshParams.K).persist()
       val pairs = Dedup.verifiedPairsFromParts(ex, sigs, "doc_id",
@@ -67,6 +68,8 @@ object DedupQueries {
     // an external spark.catalog.clearCache() (Bench/Verify do this
     // between families) silently drops the blocks but leaves the
     // persisted flag cleared — re-mark so the sharing survives
+    if (Seq(v.ex, v.sigs, v.pairs).exists(_.storageLevel == StorageLevel.NONE))
+      MemoTrace.built("lshShared:repersist")
     Seq(v.ex, v.sigs, v.pairs).foreach { df =>
       if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
@@ -99,6 +102,7 @@ object DedupQueries {
     } match {
       case Some(df) => df
       case None =>
+        MemoTrace.built("textClusterLabels")
         val built = Dedup.clusterLabels(verifiedPairs(s, d))
         val isDriverLocal = built.queryExecution.logical
           .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
@@ -1175,6 +1179,7 @@ object DedupQueries {
     import org.apache.spark.storage.StorageLevel
     imageMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = imageMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("imageShared")
       val hashes = Multimodal.dhash56(s,
         Multimodal.syntheticPixelPayloads(s, docs(s, d))).toDF().persist()
       val grp = hashes.groupBy(col("phash"))
@@ -1184,6 +1189,8 @@ object DedupQueries {
         .filter(col("hamming") <= 6).persist()
       ImageShared(hashes, grp, pairs)
     })
+    if (Seq(v.hashes, v.grp, v.pairs).exists(_.storageLevel == StorageLevel.NONE))
+      MemoTrace.built("imageShared:repersist")
     Seq(v.hashes, v.grp, v.pairs).foreach { df =>
       if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
@@ -1352,7 +1359,7 @@ object DedupQueries {
     */
   private val substrMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def substringSpans(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(substrMemo, (s, d)) {
+    RelationMemo.relation(substrMemo, (s, d), "substrFp") {
       import org.apache.spark.sql.expressions.Window
       val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val kg = positionedGrams(docs(s, d)).persist()
@@ -1517,12 +1524,17 @@ object DedupQueries {
   private def substrIndex(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     substrIndexMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val idx = substrIndexMemo.getOrElseUpdate((s, d),
+    val idx = substrIndexMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("substrIndex")
       positionedGrams(docs(s, d).filter(col("doc_id") % 3 =!= 0))
         .select(col("h")).distinct()
         .repartition(col("h"))
-        .persist())
-    if (idx.storageLevel == StorageLevel.NONE) idx.persist()
+        .persist()
+    })
+    if (idx.storageLevel == StorageLevel.NONE) {
+      MemoTrace.built("substrIndex:repersist")
+      idx.persist()
+    }
     idx
   }
 
@@ -1714,6 +1726,7 @@ object DedupQueries {
     import org.apache.spark.storage.StorageLevel
     videoMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val memo = videoMemo.getOrElseUpdate((s, d), {
+        MemoTrace.built("videoShared")
         val fh = Multimodal.frameDhashes(s,
           Multimodal.syntheticY4mReplicaPayloads(s, docs(s, d)), step = 2).toDF()
         // ordered frame-hash list per clip (sort_array on the (idx, hash)
@@ -1751,6 +1764,8 @@ object DedupQueries {
           .persist()
         VideoShared(sig, sgrp, pairs)
     })
+    if (Seq(memo.sig, memo.sgrp, memo.pairs).exists(_.storageLevel == StorageLevel.NONE))
+      MemoTrace.built("videoShared:repersist")
     Seq(memo.sig, memo.sgrp, memo.pairs).foreach { df =>
       if (df.storageLevel == StorageLevel.NONE) df.persist()
     }
@@ -1925,6 +1940,7 @@ object DedupQueries {
     import org.apache.spark.storage.StorageLevel
     audioMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = audioMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("audioShared")
       val hashes = Multimodal.audioDhashes(s,
         Multimodal.syntheticWavReplicaPayloads(s, docs(s, d))).toDF().persist()
       val grp = hashes.groupBy(col("ahash"))
@@ -1934,6 +1950,8 @@ object DedupQueries {
         .filter(col("hamming") <= 3).persist()
       AudioShared(hashes, grp, pairs)
     })
+    if (Seq(v.hashes, v.grp, v.pairs).exists(_.storageLevel == StorageLevel.NONE))
+      MemoTrace.built("audioShared:repersist")
     Seq(v.hashes, v.grp, v.pairs).foreach { df =>
       if (df.storageLevel == StorageLevel.NONE) df.persist()
     }

@@ -322,7 +322,8 @@ object JoinQueries {
       bucketedMemo.get(d)
         .filter { case (lt, ot) => s.catalog.tableExists(lt) && s.catalog.tableExists(ot) }
         .getOrElse {
-          val suffix = java.lang.Integer.toHexString(d.hashCode)
+          MemoTrace.built("bucketedTables")
+          val suffix = MemoNames.dirSuffix(d)
           val lt = s"graft_bkt_lineitem_$suffix"
           val ot = s"graft_bkt_orders_$suffix"
           graft.operators.Scale.writeBucketed(

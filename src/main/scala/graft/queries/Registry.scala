@@ -38,4 +38,31 @@ object Registry {
   }
 
   val oracleSql: Map[String, String] = groups.flatMap(_._3).toMap
+
+  /** Eval-HARNESS keys: queries whose job is to MEASURE another
+    * operator against a ground truth (recall/precision/accuracy/
+    * correlation locks, parameter sweeps, leakage audits) rather than
+    * to produce a data artifact. Their cost is measurement cost —
+    * brute-force truth sets, bounded query fan-outs, confusion
+    * matrices — not operator cost, and they dominate the bench top-10,
+    * so Bench reports family totals with and without them and flags
+    * each in bench_full.json. Criterion for membership: deleting the
+    * key would lose an EVALUATION of an operator, not the operator.
+    */
+  val harnessKeys: Set[String] = {
+    val ks = Set(
+      "ann_recall", "ann_recall_kmeans", "ann_recall_pq", "ann_recall_graph",
+      "ann_text_recall", "knn_accuracy",
+      "dedup_lsh_recall", "dedup_lsh_precision", "dedup_lsh_tuning",
+      "dedup_minhash_est",
+      "retrieval_ndcg", "retrieval_ndcg_batch",
+      "lang_id_eval", "rules_gate_eval", "rules_ablation",
+      "quality_rank_corr", "quality_rules_report",
+      "ts_forecast_eval", "split_leakage",
+    )
+    // a typo'd tag must fail loudly, not silently untag a key
+    val unknown = ks -- queries.keySet
+    require(unknown.isEmpty, s"harnessKeys not in queries: ${unknown.mkString(", ")}")
+    ks
+  }
 }

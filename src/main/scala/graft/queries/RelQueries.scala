@@ -333,6 +333,81 @@ object RelQueries {
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
   // ========================================================================
+  // dedup_window — TIME-BOUNDED keep-first: a row is a duplicate only if
+  // the previous same-key row arrived within the trailing `horizon`; a
+  // key idle longer than the horizon "expires" and its next occurrence
+  // is kept again. The batch analog of the streaming `dedup_ttl`
+  // pipeline (dropDuplicatesWithinWatermark /
+  // StreamingDedup.keepFirstFn's idle-TTL state): both re-arm the
+  // horizon on EVERY occurrence, kept or dropped — gap > horizon from
+  // the PREVIOUS row, not from the last kept row — because that is what
+  // idle-timeout state eviction does. This is the dedup a rolling-
+  // ingest pipeline actually runs nightly: forever-window keep-first
+  // (`dedup_keep_first`) over an append-only feed means state (and
+  // semantics) pinned to the beginning of time; a trailing horizon
+  // bounds both. With horizon ≥ corpus span the two coincide —
+  // DedupWindowSpec pins that equivalence.
+  //
+  // Shape: ONE hashpartitioning(user_id, event_type) exchange serves
+  // the lag window, the chain-group window, and the final aggregation
+  // (grouping keys ⊇ partition keys, so no re-shuffle); per kept row it
+  // reports the suppressed-duplicate count. At 100 TB: the exchange
+  // carries (key, e_us, event_id) only, frames are keyed and
+  // domain-bounded, no driver involvement.
+  // ========================================================================
+  private[queries] val DedupWindowHorizonUs = 172800000000L // 48 h
+
+  /** The horizon-bounded keep-first over an event frame — parameterized
+    * so the spec can run it with a corpus-spanning horizon and assert
+    * it degenerates to exactly `dedup_keep_first`.
+    */
+  private[queries] def dedupWindowFrame(evts: DataFrame, horizonUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("e_us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evts
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.functions.TimeFns.epochMicros(col("ts")).as("e_us"))
+      .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("gap").isNull || col("gap") > horizonUs, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      // exactly one is_new row per chain group — its event_id is the
+      // kept (first) one; max over the single non-null value extracts it
+      // identically on both engines
+      .agg(max(when(col("is_new") === 1L, col("event_id"))).as("first_event_id"),
+        (count(lit(1)) - 1L).as("n_suppressed"))
+      .select(col("user_id"), col("event_type"), col("first_event_id"),
+        col("n_suppressed"))
+  }
+
+  def dedupWindow(s: SparkSession, d: String): DataFrame =
+    dedupWindowFrame(Tables.events(s, d), DedupWindowHorizonUs)
+      .orderBy(col("user_id"), col("event_type"), col("first_event_id"))
+
+  private val dedupWindowSql =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS e_us FROM events),
+      |g AS (
+      |  SELECT user_id, event_type, event_id, e_us,
+      |    CASE WHEN e_us - lag(e_us) OVER w IS NULL
+      |           OR e_us - lag(e_us) OVER w > $DedupWindowHorizonUs
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY e_us, event_id)),
+      |c AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type
+      |    ORDER BY e_us, event_id ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM g)
+      |SELECT user_id, event_type,
+      |  max(CASE WHEN is_new = 1 THEN event_id END) AS first_event_id,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+      |FROM c GROUP BY user_id, event_type, grp
+      |ORDER BY user_id, event_type, first_event_id""".stripMargin
+
+  // ========================================================================
   // q3_topk — shipping-priority shape (TPC-H Q3): selective dim filter →
   // two hash joins → grouped exact-decimal revenue → top-k.
   // ========================================================================
@@ -735,6 +810,7 @@ object RelQueries {
     "pivot_wide" -> (pivotWide _),
     "set_except" -> (setExcept _),
     "dedup_keep_first" -> (dedupKeepFirst _),
+    "dedup_window" -> (dedupWindow _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -753,6 +829,7 @@ object RelQueries {
     "pivot_wide" -> pivotWideSql,
     "set_except" -> setExceptSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
+    "dedup_window" -> dedupWindowSql,
     "sketch_distinct" -> sketchDistinctSql,
     "sketch_quantiles" -> sketchQuantilesSql,
   )

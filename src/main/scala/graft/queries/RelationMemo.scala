@@ -33,11 +33,16 @@ import org.apache.spark.storage.StorageLevel
   */
 private[queries] object RelationMemo {
   def relation(map: scala.collection.mutable.Map[(SparkSession, String), DataFrame],
-               key: (SparkSession, String))(build: => DataFrame): DataFrame =
+               key: (SparkSession, String), label: String)(build: => DataFrame): DataFrame =
     map.synchronized {
       map.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-      val memo = map.getOrElseUpdate(key, build)
-      if (memo.storageLevel == StorageLevel.NONE) memo.persist()
+      val memo = map.getOrElseUpdate(key, { MemoTrace.built(label); build })
+      if (memo.storageLevel == StorageLevel.NONE) {
+        // the NEXT action on this frame re-materializes the build — that
+        // cost lands in the caller's timed sample, so it's a build event
+        MemoTrace.built(label + ":repersist")
+        memo.persist()
+      }
       memo
     }
 }

@@ -189,7 +189,7 @@ object SimQueries {
 
   private val fhMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def fhChunkVecs(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(fhMemo, (s, d)) {
+    RelationMemo.relation(fhMemo, (s, d), "embFeatures") {
       fhChunkVecsOn(Tables.documents(s, d)).persist()
     }
 
@@ -771,6 +771,180 @@ object SimQueries {
       |ORDER BY n_probe, q_id""".stripMargin
 
   // ========================================================================
+  // ann_graph_topk / ann_recall_graph — navigable-graph ANN (NSW-style,
+  // Malkov et al. 2014): the serving-side standard for high-recall ANN,
+  // completing the index family next to the quantization axis
+  // (IVF-flat / SQ8 / PQ / IVFADC). Index = a deterministic kNN graph
+  // with bounded construction cost (each vector's 6 nearest neighbors
+  // among its 2 nearest cells' members — the cells bound the quadratic,
+  // and probing 2 cells plants the cross-cell links beam search needs
+  // to escape a wrong entry cell). Search = beam search: enter at the
+  // query's 2 nearest cell heads, then 3 rounds of expand-neighbors →
+  // exact-score → prune-to-8; the beam is monotone so its final top-5
+  // is best-of-visited. Per-query cost is O(hops·beam·degree) scored
+  // vertices — INDEPENDENT of corpus size, vs the |cell|-proportional
+  // scan IVF pays per probe; that is the whole point of the graph at
+  // serving scale. ann_recall_graph locks recall@5 against the
+  // brute-force truth set (the ann_recall* contract); AnnGraphSpec
+  // additionally pins recall ≥ IVF nProbe=2's at a ~6× smaller scored-
+  // candidate budget. The edge relation is built once per (session,
+  // dir) and persisted (RelationMemo), the build-once/search-many
+  // production lifecycle.
+  // ========================================================================
+  private val GraphProbeCells = 2 // cells feeding each vector's edge pool
+  private val GraphDegree = 6     // out-degree of the kNN graph
+  private val GraphEntryCells = 2 // entry heads per query
+  private val GraphBeam = 8       // beam width
+  private val GraphHops = 3       // expand-score-prune rounds
+  private val GraphK = 5          // reported neighbors
+
+  private val graphMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphMemo, (s, d), "knnGraphEdges") {
+      Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label",
+        GraphProbeCells, GraphDegree).persist()
+    }
+
+  def annGraphTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+        knnGraphEdges(s, d), col("vec_id") < 10,
+        GraphEntryCells, GraphBeam, GraphHops, GraphK)
+      .orderBy(col("q_id"), col("rank"))
+
+  def annRecallGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val exactRows = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        col("vec_id") < 10, GraphK)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = exactRows.toDF("q_id", "n_id")
+    val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
+    val hits = annGraphTopk(s, d)
+      .select(col("q_id"), col("n_id"))
+      .join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    qids.join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(GraphK.toDouble))
+          .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** The graph pipeline's CTE chain (centroids → corpus cell assignment
+    * → bounded kNN edges → entry heads → unrolled beam hops) — ONE
+    * rendering shared by the `ann_graph_topk` and `ann_recall_graph`
+    * oracles. The final beam CTE is `beam$GraphHops`.
+    */
+  private def graphCtesSql: String = {
+    def hop(prev: String, idx: Int) =
+      s"""cand$idx AS (
+         |  SELECT DISTINCT q_id, n_id FROM (
+         |    SELECT q_id, n_id FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, g.dst AS n_id FROM $prev b JOIN edges g ON g.src = b.n_id)
+         |  WHERE n_id <> q_id),
+         |beam$idx AS (
+         |  SELECT q_id, n_id, cos, rn FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |        i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) AS cos,
+         |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |          i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) DESC,
+         |        c.n_id) AS rn
+         |    FROM cand$idx c JOIN e n ON n.vec_id = c.n_id JOIN qv q ON q.q_id = c.q_id)
+         |  WHERE rn <= $GraphBeam)"""
+    val hops = (1 to GraphHops).map(i => hop(s"beam${i - 1}", i)).mkString(",\n")
+    s"""m AS (
+      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
+      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
+      |cn AS (
+      |  SELECT label AS cell, cvec,
+      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |vass AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, cn.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM e v, cn)
+      |  WHERE rc <= $GraphProbeCells),
+      |edges AS (
+      |  SELECT src, dst FROM (
+      |    SELECT v.vec_id AS src, mb.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
+      |        mb.vec_id) AS rn
+      |    FROM e v JOIN vass a ON a.vec_id = v.vec_id
+      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
+      |  WHERE rn <= $GraphDegree),
+      |heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
+      |qv AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
+      |       FROM e WHERE vec_id < 10),
+      |qass AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.q_id, cn.cell,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |          i -> q.q_vec[i]::DOUBLE * cn.cvec[i])) / (q.q_nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM qv q, cn)
+      |  WHERE rc <= $GraphEntryCells),
+      |cand0 AS (
+      |  SELECT DISTINCT a.q_id, h.n_id
+      |  FROM qass a JOIN heads h ON h.cell = a.cell
+      |  WHERE h.n_id <> a.q_id),
+      |beam0 AS (
+      |  SELECT q_id, n_id, cos, rn FROM (
+      |    SELECT c.q_id, c.n_id,
+      |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |        i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) AS cos,
+      |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |          i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) DESC,
+      |        c.n_id) AS rn
+      |    FROM cand0 c JOIN e n ON n.vec_id = c.n_id JOIN qv q ON q.q_id = c.q_id)
+      |  WHERE rn <= $GraphBeam),
+      |$hops""".stripMargin
+  }
+
+  private def annGraphTopkSql =
+    s"""WITH $graphCtesSql
+      |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 4) AS cos
+      |FROM beam$GraphHops WHERE rn <= $GraphK
+      |ORDER BY q_id, rank""".stripMargin
+
+  private def annRecallGraphSql =
+    s"""WITH $graphCtesSql,
+      |bf AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+      |        c.vec_id) AS rank
+      |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= $GraphK),
+      |h AS (
+      |  SELECT q_id, count(*) AS hits FROM (
+      |    SELECT q_id, n_id FROM beam$GraphHops WHERE rn <= $GraphK
+      |    INTERSECT SELECT q_id, n_id FROM bf)
+      |  GROUP BY q_id)
+      |SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(coalesce(h.hits, 0) AS DOUBLE) / $GraphK.0 AS recall
+      |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN h ON q.q_id = h.q_id
+      |ORDER BY q.q_id""".stripMargin
+
+  // ========================================================================
   // ann_ivf_kmeans — IVF with a LEARNED coarse quantizer (the unlabeled-
   // corpus production path): LSH-bucket-seeded deterministic Lloyd
   // k-means (Similarity.kmeansCentroids), members assigned by argmax
@@ -796,9 +970,11 @@ object SimQueries {
   private[graft] def kmCentroids(s: SparkSession, d: String,
                           planes: Int, iters: Int): Seq[Similarity.Centroid] =
     kmMemo.synchronized {
-      kmMemo.getOrElseUpdate((d, planes, iters),
+      kmMemo.getOrElseUpdate((d, planes, iters), {
+        MemoTrace.built("kmCentroids")
         Similarity.collectCentroids(
-          Similarity.kmeansCentroids(emb(s, d), "embedding", planes, iters)))
+          Similarity.kmeansCentroids(emb(s, d), "embedding", planes, iters))
+      })
     }
 
   def annIvfKmeans(s: SparkSession, d: String): DataFrame = {
@@ -838,8 +1014,9 @@ object SimQueries {
       ivfIndexMemo.get(d)
         .filter { case (c, t) => s.catalog.tableExists(c) && s.catalog.tableExists(t) }
         .getOrElse {
+          MemoTrace.built("ivfIndexTables")
           // per-dir table names: indexes for different corpora coexist
-          val suffix = java.lang.Integer.toHexString(d.hashCode)
+          val suffix = MemoNames.dirSuffix(d)
           val centT = s"graft_ivf_centroids_$suffix"
           val corpT = s"graft_ivf_corpus_$suffix"
           val cents = kmCentroids(s, d, KmPlanes, KmIters)
@@ -892,7 +1069,8 @@ object SimQueries {
     }
 
   private def ivfAppendBuild(s: SparkSession, d: String): (String, String) = {
-    val suffix = java.lang.Integer.toHexString(d.hashCode)
+    MemoTrace.built("ivfAppendTables")
+    val suffix = MemoNames.dirSuffix(d)
     val centT = s"graft_ivfadd_centroids_$suffix"
     val corpT = s"graft_ivfadd_corpus_$suffix"
     val base = emb(s, d).filter(expr(AppendBaseWhere))
@@ -1004,6 +1182,7 @@ object SimQueries {
       ivfRebalMemo.get(d)
         .filter { case (c, t) => s.catalog.tableExists(c) && s.catalog.tableExists(t) }
         .getOrElse {
+          MemoTrace.built("ivfRebalanceTables")
           val (baseCentT, baseCorpT) = ivfAppendTables(s, d)
           val cnt = s.table(baseCorpT).groupBy(col("kcell"))
             .agg(count(lit(1)).as("n"),
@@ -1013,7 +1192,7 @@ object SimQueries {
           val nAppended = cnt.map(_.getAs[Long]("n_inc")).sum
           val t =
             if (rebalancePolicyFires(ns, nAppended)) {
-              val suffix = java.lang.Integer.toHexString(d.hashCode)
+              val suffix = MemoNames.dirSuffix(d)
               val centT = s"graft_ivfreb_centroids_$suffix"
               val corpT = s"graft_ivfreb_corpus_$suffix"
               val cents = kmCentroids(s, d, KmPlanes, KmIters)
@@ -1239,12 +1418,14 @@ object SimQueries {
     scala.collection.mutable.Map.empty[(String, Int), Seq[Similarity.Centroid]]
   private def pqCentroids(s: SparkSession, d: String, j: Int): Seq[Similarity.Centroid] =
     pqMemo.synchronized {
-      pqMemo.getOrElseUpdate((d, j),
+      pqMemo.getOrElseUpdate((d, j), {
+        MemoTrace.built("pqCentroids")
         Similarity.collectCentroids(
           Similarity.kmeansCentroids(
             emb(s, d).select(
               slice(col("embedding"), j * PqSubDim + 1, PqSubDim).as("sub")),
-            "sub", PqPlanes, PqIters)))
+            "sub", PqPlanes, PqIters))
+      })
     }
 
   /** The PQ encode+decode stage: corpus → (n_id, recon) where recon is
@@ -1483,6 +1664,7 @@ object SimQueries {
     import org.apache.spark.storage.StorageLevel
     ivfPqResidMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = ivfPqResidMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("ivfPqResiduals")
       val coarse = kmCentroids(s, d, KmPlanes, KmIters)
       val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
       emb(s, d)
@@ -1492,7 +1674,10 @@ object SimQueries {
           (x, c) => x.cast("double") - c))
         .persist()
     })
-    if (v.storageLevel == StorageLevel.NONE) v.persist()
+    if (v.storageLevel == StorageLevel.NONE) {
+      MemoTrace.built("ivfPqResiduals:repersist")
+      v.persist()
+    }
     v
   }
 
@@ -1505,12 +1690,14 @@ object SimQueries {
     scala.collection.mutable.Map.empty[(String, Int), Seq[Similarity.Centroid]]
   private[graft] def ivfPqCentroids(s: SparkSession, d: String, j: Int): Seq[Similarity.Centroid] =
     ivfPqMemo.synchronized {
-      ivfPqMemo.getOrElseUpdate((d, j),
+      ivfPqMemo.getOrElseUpdate((d, j), {
+        MemoTrace.built("ivfPqCentroids")
         Similarity.collectCentroids(
           Similarity.kmeansCentroids(
             ivfPqResiduals(s, d).select(
               slice(col("resid"), j * PqSubDim + 1, PqSubDim).as("sub")),
-            "sub", PqPlanes, PqIters)))
+            "sub", PqPlanes, PqIters))
+      })
     }
 
   /** The PERSISTABLE index payload: corpus → (vec_id, cell, rcode0..3)
@@ -2580,6 +2767,8 @@ object SimQueries {
     "ann_recall_pq" -> (annRecallPq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
+    "ann_graph_topk" -> (annGraphTopk _),
+    "ann_recall_graph" -> (annRecallGraph _),
     "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -2626,6 +2815,8 @@ object SimQueries {
     "ann_recall_pq" -> annRecallPqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
+    "ann_graph_topk" -> annGraphTopkSql,
+    "ann_recall_graph" -> annRecallGraphSql,
     "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,
     "multimodal_meta" -> multimodalMetaSql,

@@ -50,12 +50,17 @@ object TextQueries {
   private def unigramCounts(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     uniMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val v = uniMemo.getOrElseUpdate((s, d),
+    val v = uniMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("unigramCounts")
       docs(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .persist())
-    if (v.storageLevel == StorageLevel.NONE) v.persist()
+        .persist()
+    })
+    if (v.storageLevel == StorageLevel.NONE) {
+      MemoTrace.built("unigramCounts:repersist")
+      v.persist()
+    }
     v
   }
 
@@ -101,7 +106,7 @@ object TextQueries {
   // ========================================================================
   def langId(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"), col("lang"),
-        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        TextOps.langId(TextOps.tokens(col("text")), col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
   private val langIdSql = {
@@ -112,13 +117,15 @@ object TextQueries {
     val es = score(TextOps.LangStopwords.toMap.apply("es"))
     val fr = score(TextOps.LangStopwords.toMap.apply("fr"))
     s"""SELECT doc_id, lang,
-       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |  CASE WHEN is_zh THEN 'zh'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |       WHEN s_es >= s_fr THEN 'es'
        |       ELSE 'fr' END AS lang_pred
        |FROM (
-       |  SELECT doc_id, lang, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr
-       |  FROM (SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS toks FROM documents))
+       |  SELECT doc_id, lang, $de AS s_de, $en AS s_en, $es AS s_es, $fr AS s_fr,
+       |    ${TextOps.isZhSql("text")} AS is_zh
+       |  FROM (SELECT doc_id, lang, text, regexp_extract_all(text, '\\S+') AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -346,7 +353,7 @@ object TextQueries {
         size(TextOps.regexTokens(col("text"))).cast("long").as("n_re"),
         TextOps.fingerprint(col("text")).as("fp"))
       .select(col("doc_id"), col("source"), col("text"), col("n_re"), col("fp"),
-        TextOps.langId(col("toks")).as("lang_pred"),
+        TextOps.langId(col("toks"), col("text")).as("lang_pred"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
         TextOps.distinctCount(col("toks")).as("n_dist"))
@@ -408,10 +415,11 @@ object TextQueries {
     s"""WITH t AS (
        |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks,
        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_re,
-       |    ${TextOps.fingerprintSql("text")} AS fp
+       |    ${TextOps.fingerprintSql("text")} AS fp,
+       |    ${TextOps.isZhSql("text")} AS is_zh
        |  FROM documents),
        |f AS (
-       |  SELECT doc_id, source, n_re, fp,
+       |  SELECT doc_id, source, n_re, fp, is_zh,
        |    CAST(len(toks) AS BIGINT) AS n,
        |    CAST(${score(langs("en"))} AS BIGINT) AS n_stop,
        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
@@ -423,7 +431,8 @@ object TextQueries {
        |    CASE WHEN n > 0 THEN
        |      (5 * n * least(n, 100) + 300 * (n - n_stop) + 200 * n_dist)
        |        / (1000.0 * n) END AS score,
-       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |    CASE WHEN is_zh THEN 'zh'
+       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |         WHEN s_es >= s_fr THEN 'es'
        |         ELSE 'fr' END AS lang_pred
@@ -726,6 +735,7 @@ object TextQueries {
   private[graft] def subwordVocab(s: SparkSession, d: String): Set[String] =
     subwordMemo.synchronized {
       subwordMemo.getOrElseUpdate(d, {
+        MemoTrace.built("subwordVocab")
         // The ≥1%-of-total-mass filter runs CLUSTER-SIDE against the
         // broadcast one-row total, so the driver only ever collects the
         // survivors — by construction ≤ 100 pieces (each holds ≥ 1% of
@@ -1621,7 +1631,7 @@ object TextQueries {
     * in two separate plan subtrees = a third full documents scan). */
   private val decontBenchMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def decontBench(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(decontBenchMemo, (s, d)) {
+    RelationMemo.relation(decontBenchMemo, (s, d), "decontBench") {
       decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
         .select(col("doc_id").as("bench_id"), col("grams")).persist()
     }
@@ -1629,6 +1639,7 @@ object TextQueries {
     import org.apache.spark.storage.StorageLevel
     decontMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val hits = decontMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("decontHits")
       val bench = decontBench(s, d)
         .select(explode(col("grams")).as("gram")).distinct()
       decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
@@ -1637,7 +1648,10 @@ object TextQueries {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
         .persist()
     })
-    if (hits.storageLevel == StorageLevel.NONE) hits.persist()
+    if (hits.storageLevel == StorageLevel.NONE) {
+      MemoTrace.built("decontHits:repersist")
+      hits.persist()
+    }
     hits
   }
 
@@ -2047,7 +2061,7 @@ object TextQueries {
     */
   private val dsirMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def dsirPerDoc(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(dsirMemo, (s, d)) {
+    RelationMemo.relation(dsirMemo, (s, d), "dsirWeights") {
       val corpus = unigramCounts(s, d)
       val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
         .select(explode(TextOps.tokens(col("text"))).as("w"))
@@ -2230,7 +2244,7 @@ object TextQueries {
     * [[ccnetSketchThresholds]] — but share [[ccnetTertiles]].)
     */
   private[graft] def ccnetCore(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(ccnetMemo, (s, d)) {
+    RelationMemo.relation(ccnetMemo, (s, d), "ccnetBuckets") {
       val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"),
         expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
       val ld = lm.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -2375,7 +2389,7 @@ object TextQueries {
     * one |sources|·64-row persisted relation serve both families.
     */
   private def vocabRanked(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(vocabTopkMemo, (s, d)) {
+    RelationMemo.relation(vocabTopkMemo, (s, d), "vocabTopk") {
       val cnt = docs(s, d)
         .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
@@ -2594,12 +2608,14 @@ object TextQueries {
   private[this] val divBaseLock = new Object
   private[graft] def diversityBaseTable(s: SparkSession, d: String): String =
     divBaseLock.synchronized {
-      val t = s"graft_div_base_${java.lang.Integer.toHexString(d.hashCode)}"
-      if (!s.catalog.tableExists(t))
+      val t = s"graft_div_base_${MemoNames.dirSuffix(d)}"
+      if (!s.catalog.tableExists(t)) {
+        MemoTrace.built("diversityBaseTable")
         graft.operators.Scale.saveTable(
           gramRelation(docs(s, d).filter(expr(CardBaseWhere)))
             .groupBy(col("source"), col("n"), col("g"))
             .agg(count(lit(1)).as("c")), t)
+      }
       t
     }
 
@@ -2634,18 +2650,24 @@ object TextQueries {
   // lang_id_eval — the heuristic language-ID scored against the
   // corpus's ANNOTATED lang column: populated confusion-matrix cells
   // (lang → lang_pred counts) with per-lang totals and exact-integer
-  // recall_e6. The eval that decides whether the stopword heuristic is
-  // good enough to gate on — and it surfaces the classifier's coverage
-  // gap honestly: the corpus carries zh docs the 4-way (de/en/es/fr)
-  // classifier can NEVER predict, so zh recall is 0 by construction
-  // (spec-pinned), exactly the signal that tells an owner to extend
-  // the stopword table before trusting the lang gate on a zh-bearing
-  // feed. Scale: ONE map-side-combined agg to ≤ |langs|² rows; the
+  // recall_e6. The eval that decides whether the heuristic is good
+  // enough to gate on. r18 closed the classifier's structural zh hole
+  // (TextOps.langId Han-fraction branch answers real Chinese text —
+  // TextOpsSpec pins it), yet zh recall on THIS corpus stays 0, and
+  // that is now a DATA finding the eval surfaces honestly: the
+  // synthetic corpus's zh-LABELED docs contain zero Han characters at
+  // every SF (verified sf0.001/0.01/0.1 — same English token soup as
+  // every other label, no separating signal of any kind), so no
+  // content-based classifier can recover those labels. A production
+  // owner reading this row learns their labels, not their classifier,
+  // are the problem — the other job a gate eval exists to do.
+  // Scale: ONE map-side-combined agg to ≤ |langs|² rows; the
   // total/diagonal windows run over that tiny relation only.
   // ========================================================================
   def langIdEval(s: SparkSession, d: String): DataFrame = {
     val cm = docs(s, d)
-      .select(col("lang"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+      .select(col("lang"),
+        TextOps.langId(TextOps.tokens(col("text")), col("text")).as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
     val byLang = Window.partitionBy(col("lang"))
     cm.withColumn("lang_total", sum(col("n_docs")).over(byLang))
@@ -2663,14 +2685,16 @@ object TextQueries {
     val langs = TextOps.LangStopwords.toMap
     s"""WITH lc AS (
        |  SELECT lang,
-       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |    CASE WHEN is_zh THEN 'zh'
+       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |         WHEN s_es >= s_fr THEN 'es'
        |         ELSE 'fr' END AS lang_pred
        |  FROM (
        |    SELECT lang, ${score(langs("de"))} AS s_de, ${score(langs("en"))} AS s_en,
-       |      ${score(langs("es"))} AS s_es, ${score(langs("fr"))} AS s_fr
-       |    FROM (SELECT lang, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
+       |      ${score(langs("es"))} AS s_es, ${score(langs("fr"))} AS s_fr,
+       |      ${TextOps.isZhSql("text")} AS is_zh
+       |    FROM (SELECT lang, text, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
        |cm AS (
        |  SELECT lang, lang_pred, count(*) AS n_docs
        |  FROM lc GROUP BY lang, lang_pred)
@@ -2849,6 +2873,7 @@ object TextQueries {
     synchronized {
       bpeMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
       bpeMemo.getOrElseUpdate((s, d), {
+        MemoTrace.built("bpeMergeList")
         // the type table rides the SHARED unigram-count memo (the
         // collocations/text_rarity/lm relation) — no second corpus scan
         val types = unigramCounts(s, d)
@@ -3167,6 +3192,7 @@ object TextQueries {
   private[graft] def benchBloom(s: SparkSession, d: String): org.apache.spark.util.sketch.BloomFilter = synchronized {
     benchBloomMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     benchBloomMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("benchBloom")
       val bench = decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
         .select(explode(col("grams")).as("gram")).distinct()
       // deterministic (the filter's bits are an OR of per-item bit sets,
@@ -3562,18 +3588,22 @@ object TextQueries {
 
   private[graft] def epochFpTable(s: SparkSession, d: String): String =
     synchronized {
-      val t = s"graft_epochplan_fp_${java.lang.Integer.toHexString(d.hashCode)}"
-      if (!s.catalog.tableExists(t))
+      val t = s"graft_epochplan_fp_${MemoNames.dirSuffix(d)}"
+      if (!s.catalog.tableExists(t)) {
+        MemoTrace.built("epochFpTable")
         graft.operators.Scale.saveTable(
           epochKeepFirst(epochDocFeatures(docs(s, d).filter(expr(EpochBaseWhere)))), t)
+      }
       t
     }
 
   private[graft] def epochBaseStatsTable(s: SparkSession, d: String): String =
     synchronized {
-      val t = s"graft_epochplan_stats_${java.lang.Integer.toHexString(d.hashCode)}"
-      if (!s.catalog.tableExists(t))
+      val t = s"graft_epochplan_stats_${MemoNames.dirSuffix(d)}"
+      if (!s.catalog.tableExists(t)) {
+        MemoTrace.built("epochBaseStatsTable")
         graft.operators.Scale.saveTable(epochStats(s.table(epochFpTable(s, d))), t)
+      }
       t
     }
 
@@ -3745,7 +3775,7 @@ object TextQueries {
     * base relation, persisted per (session, dir).
     */
   private def epochCanon(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(epochCanonMemo, (s, d)) {
+    RelationMemo.relation(epochCanonMemo, (s, d), "epochCanon") {
       epochKeepFirst(epochDocFeatures(docs(s, d))).filter(col("n") > 0)
         .select(col("doc_id"), col("source"), col("n"), col("q_e6"))
         .persist()
@@ -4497,7 +4527,7 @@ object TextQueries {
   private val lmScoreMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def lmScoreCore(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(lmScoreMemo, (s, d)) {
+    RelationMemo.relation(lmScoreMemo, (s, d), "lmScoreCore") {
       val uni = unigramCounts(s, d)
       val vocab = uni.agg(count(lit(1)).as("v_size"))
       val bg = docs(s, d).select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
@@ -4633,6 +4663,7 @@ object TextQueries {
     synchronized {
       lmSketchMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
       lmSketchMemo.getOrElseUpdate((s, d), {
+          MemoTrace.built("lmSketchModel")
           val bc = docs(s, d).select(TextOps.tokens(col("text")).as("t"))
             .filter(size(col("t")) >= 2)
             .select(explode(expr(
@@ -4859,12 +4890,12 @@ object TextQueries {
                                   contam: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"),
-        TextOps.tokens(col("text")).as("toks"))
+        col("text"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         size(col("toks")).cast("long").as("n"),
         TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
         TextOps.distinctCount(col("toks")).as("n_dist"),
-        TextOps.langId(col("toks")).as("lang_pred"))
+        TextOps.langId(col("toks"), col("text")).as("lang_pred"))
       .withColumn("q_e6", when(col("n") > 0,
         expr(QualityE6Expr))
         .otherwise(lit(0L)))
@@ -4893,7 +4924,7 @@ object TextQueries {
         cnt(col("n_chars") >= 256 && col("n_chars") < 1024).as("len_256_1023"),
         cnt(col("n_chars") >= 1024 && col("n_chars") < 4096).as("len_1024_4095"),
         cnt(col("n_chars") >= 4096).as("len_ge4096")) ++
-      Seq("de", "en", "es", "fr").map(l => cnt(col("lang_pred") === l).as(s"n_$l")) ++
+      Seq("de", "en", "es", "fr", "zh").map(l => cnt(col("lang_pred") === l).as(s"n_$l")) ++
       (0 to 9).map(i => cnt(col("q_band") === i).as(s"q_d$i")) ++
       Seq(sum(col("q_e6")).as("q_sum_e6"),
         cnt(col("is_dup") === 1L).as("n_dup"),
@@ -4959,20 +4990,25 @@ object TextQueries {
     */
   private[graft] def dataCardMembershipTables(s: SparkSession, d: String): (String, String) =
     synchronized {
-      val suffix = java.lang.Integer.toHexString(d.hashCode)
+      val suffix = MemoNames.dirSuffix(d)
       val dupT = s"graft_datacard_dup_$suffix"
       val conT = s"graft_datacard_contam_$suffix"
-      if (!s.catalog.tableExists(dupT))
+      if (!s.catalog.tableExists(dupT)) {
+        MemoTrace.built("dataCardDupTable")
         graft.operators.Scale.saveTable(dataCardDup(s, d), dupT)
-      if (!s.catalog.tableExists(conT))
+      }
+      if (!s.catalog.tableExists(conT)) {
+        MemoTrace.built("dataCardContamTable")
         graft.operators.Scale.saveTable(dataCardContam(s, d), conT)
+      }
       (dupT, conT)
     }
 
   private[graft] def dataCardBaseTable(s: SparkSession, d: String): String =
     synchronized {
-      val t = s"graft_datacard_base_${java.lang.Integer.toHexString(d.hashCode)}"
+      val t = s"graft_datacard_base_${MemoNames.dirSuffix(d)}"
       if (!s.catalog.tableExists(t)) {
+        MemoTrace.built("dataCardBaseTable")
         val (dupT, conT) = dataCardMembershipTables(s, d)
         val base = dataCardCounters(dataCardRows(
           docs(s, d).filter(expr(CardBaseWhere)),
@@ -5017,12 +5053,14 @@ object TextQueries {
        |      AS n_stop,
        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist,
        |    ${stopHits("de")} AS s_de, ${stopHits("en")} AS s_en,
-       |    ${stopHits("es")} AS s_es, ${stopHits("fr")} AS s_fr
-       |  FROM (SELECT doc_id, source, n_chars,
+       |    ${stopHits("es")} AS s_es, ${stopHits("fr")} AS s_fr,
+       |    ${TextOps.isZhSql("text")} AS is_zh
+       |  FROM (SELECT doc_id, source, n_chars, text,
        |          regexp_extract_all(text, '\\S+') AS toks FROM documents)),
        |rows1 AS (
        |  SELECT doc_id, source, n_chars, n,
-       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |    CASE WHEN is_zh THEN 'zh'
+       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |         WHEN s_es >= s_fr THEN 'es'
        |         ELSE 'fr' END AS lang_pred,
@@ -5051,6 +5089,7 @@ object TextQueries {
        |  CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
        |  CAST(sum(CASE WHEN lang_pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
        |  CAST(sum(CASE WHEN lang_pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       |  CAST(sum(CASE WHEN lang_pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
        |  $bandCols,
        |  CAST(sum(q_e6) AS BIGINT) AS q_sum_e6,
        |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
@@ -5058,7 +5097,7 @@ object TextQueries {
        |  FROM rows2 GROUP BY source)
        |SELECT source, n_docs, n_chars_total, n_tokens_total,
        |  len_lt256, len_256_1023, len_1024_4095, len_ge4096,
-       |  n_de, n_en, n_es, n_fr,
+       |  n_de, n_en, n_es, n_fr, n_zh,
        |  ${(0 to 9).map(i => s"q_d$i").mkString(", ")},
        |  n_dup, n_contam,
        |  q_sum_e6 // n_docs AS q_mean_e6,

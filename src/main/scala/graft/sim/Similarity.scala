@@ -384,6 +384,105 @@ object Similarity {
         col("cell"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Deterministic kNN graph over IVF cells — the navigable-graph index
+    * (NSW-style, Malkov et al. 2014) built with a BOUNDED candidate
+    * pool: each vector's out-edges are its `degree` nearest neighbors
+    * (cosine, ties to smaller id) among the members of its
+    * `probeCells` nearest cells (per-cell mean centroids, the
+    * [[ivfCentroids]] model). Probing 2+ cells gives the graph its
+    * cross-cell links — the long-range edges beam search needs to
+    * escape a wrong entry cell, which a pure within-cell graph cannot
+    * offer. Returns directed (src, dst, rank).
+    *
+    * Scale shape: the cells bound the quadratic — the candidate join
+    * is one shuffle on cell with per-cell (|cell|·probeCells·n/cells)
+    * work, the LSH-banding treatment applied to graph construction;
+    * the output is corpus×degree rows, partitioned by src (at serving
+    * scale: bucketed by src so each beam hop is a co-located lookup).
+    * Build once, search many — callers memoize the edge relation.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+               probeCells: Int, degree: Int): DataFrame = {
+    val cent = ivfCentroids(df, cellCol, vecCol)
+    val v = df.select(col(idCol).as("src"), col(vecCol).as("s_vec"),
+      norm(col(vecCol)).as("s_nrm"))
+    val wa = Window.partitionBy(col("src")).orderBy(col("cos_c").desc, col("cell"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("cos_c", dot(col("s_vec"), col("cvec")) / (col("s_nrm") * col("cnrm")))
+      .withColumn("rc", row_number().over(wa))
+      .filter(col("rc") <= probeCells)
+      .select(col("src"), col("s_vec"), col("s_nrm"), col("cell"))
+    val members = df.select(col(idCol).as("dst"), col(cellCol).cast("long").as("cell"),
+      col(vecCol).as("d_vec"), norm(col(vecCol)).as("d_nrm"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    members.join(assigned, Seq("cell"))
+      .filter(col("dst") =!= col("src"))
+      .withColumn("cos", dot(col("s_vec"), col("d_vec")) / (col("s_nrm") * col("d_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= degree)
+      .select(col("src"), col("dst"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Beam search over a [[knnGraph]] edge relation: queries enter at the
+    * HEADS (min-id member) of their `entryCells` nearest cells, then
+    * `hops` rounds of expand-score-prune — candidates are the current
+    * beam plus its out-neighbors, scored by exact cosine against the
+    * query, pruned to the best `beamWidth` (ties to smaller id). The
+    * beam is monotone (candidates always include the previous beam), so
+    * the final beam's top-k IS the best-of-visited answer. Fully
+    * deterministic: fixed entries, fixed hop count, total tie-breaks.
+    *
+    * Cost per query is O(hops · beamWidth · degree) scored vertices —
+    * independent of corpus size (vs nProbe cells scanned for IVF); the
+    * per-hop joins are point lookups on the src-keyed edge relation.
+    * Returns (q_id, rank, n_id, cos) like [[ivfSearch]].
+    */
+  def graphBeamSearch(df: DataFrame, idCol: String, vecCol: String,
+                      cellCol: String, edges: DataFrame, isQuery: Column,
+                      entryCells: Int, beamWidth: Int, hops: Int, k: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val cent = ivfCentroids(df, cellCol, vecCol)
+    val e = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_nrm"))
+    val q = df.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        norm(col(vecCol)).as("q_nrm"))
+    val heads = df.select(col(idCol).as("n_id"), col(cellCol).cast("long").as("cell"))
+      .groupBy(col("cell")).agg(min(col("n_id")).as("n_id"))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cell"))
+    val entry = q.crossJoin(broadcast(cent))
+      .withColumn("cos_c", dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
+      .withColumn("rc", row_number().over(wa))
+      .filter(col("rc") <= entryCells)
+      .select(col("q_id"), col("cell"))
+      .join(broadcast(heads), Seq("cell"))
+      .select(col("q_id"), col("n_id"))
+    // score a (q_id, n_id) candidate set and prune to the beam; the
+    // query side is tiny by the harness contract -> broadcast
+    def prune(cand: DataFrame): DataFrame = {
+      val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      cand.join(e, Seq("n_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beamWidth)
+        .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
+    }
+    val beam0 = prune(entry.filter(col("n_id") =!= col("q_id")).distinct())
+    val fin = (1 to hops).foldLeft(beam0) { (beam, _) =>
+      val ids = beam.select(col("q_id"), col("n_id"))
+      val cand = ids
+        .union(ids.join(edges, col("n_id") === col("src"))
+          .select(col("q_id"), col("dst").as("n_id")))
+        .filter(col("n_id") =!= col("q_id"))
+        .distinct()
+      prune(cand)
+    }
+    fin.filter(col("rn") <= k)
+      .select(col("q_id"), col("rn").cast("long").as("rank"), col("n_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Bucketed ANN: assign buckets, then search only within the query's
     * bucket. Returns (q_id, n_id, cos) for same-bucket candidate pairs.
     */

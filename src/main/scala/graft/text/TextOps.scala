@@ -212,10 +212,29 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "la", "un"),
   )
 
-  /** Heuristic language-ID: most stopword hits wins; ties break to the
-    * lexicographically first language code (deterministic).
+  /** CJK Unified Ideographs block (U+4E00–U+9FFF) — the Han-codepoint
+    * class the zh branch of [[langId]] keys on. Limited to the BMP
+    * unified block: it covers essentially all running Chinese text, and
+    * Java's util.regex and DuckDB's RE2 accept the identical `\x{...}`
+    * character class, so the branch mirrors cross-engine exactly.
     */
-  def langId(toks: Column): Column = {
+  val HanRx = "[\\x{4E00}-\\x{9FFF}]"
+
+  /** Heuristic language-ID: a Han-codepoint-fraction zh branch, then
+    * most stopword hits wins; stopword ties break to the
+    * lexicographically first language code (deterministic).
+    *
+    * zh branch (r18, closing VERDICT r17 "What's wrong" #2): stopword
+    * tables structurally cannot answer Chinese — running zh text has no
+    * whitespace-delimited function words to table — so a doc whose Han
+    * character count is ≥ 10% of its non-whitespace characters is
+    * classified zh before the vote. The `> 0` guard keeps empty /
+    * whitespace-only docs in the vote path (0 ≥ 0 would otherwise label
+    * them zh). Exact integer arithmetic (han·10 ≥ nonspace), no floats.
+    * Both operands are cheap codegen'd length/regexp projections; the
+    * Han count is bound once via [[bindOnce]].
+    */
+  def langId(toks: Column, text: Column): Column = {
     // max over (score, rank, lang) structs — Spark compares structs
     // field-by-field, so the highest score wins and ties fall to the
     // higher rank = lexicographically FIRST language code.
@@ -223,7 +242,21 @@ object TextOps {
       struct(wordSetCount(toks, words).as("score"),
         lit(LangStopwords.size - 1 - i).as("rank"), lit(lang).as("lang"))
     }
-    array_max(array(ranked: _*)).getField("lang")
+    val vote = array_max(array(ranked: _*)).getField("lang")
+    bindOnce(length(text) - length(regexp_replace(text, HanRx, ""))) { han =>
+      when(han > 0 && han * 10 >= length(regexp_replace(text, "\\s", "")),
+        lit("zh")).otherwise(vote)
+    }
+  }
+
+  /** DuckDB rendering of [[langId]]'s zh branch — ONE definition for
+    * every oracle that mirrors the language CASE, so the threshold and
+    * the character class cannot drift between the sites. `%s` is the
+    * text expression.
+    */
+  def isZhSql(textExpr: String): String = {
+    val han = s"(length($textExpr) - length(regexp_replace($textExpr, '$HanRx', '', 'g')))"
+    s"($han > 0 AND $han * 10 >= length(regexp_replace($textExpr, '\\s', '', 'g')))"
   }
 
   /** Composite quality score in [0,1]:

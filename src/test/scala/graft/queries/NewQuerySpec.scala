@@ -80,7 +80,7 @@ class NewQuerySpec extends SparkSpec {
       // quality decile bands
       assert(r.getAs[Long]("len_lt256") + r.getAs[Long]("len_256_1023")
         + r.getAs[Long]("len_1024_4095") + r.getAs[Long]("len_ge4096") == n)
-      assert(Seq("n_de", "n_en", "n_es", "n_fr").map(r.getAs[Long]).sum == n)
+      assert(Seq("n_de", "n_en", "n_es", "n_fr", "n_zh").map(r.getAs[Long]).sum == n)
       assert((0 to 9).map(i => r.getAs[Long](s"q_d$i")).sum == n)
       // rates are exact ppm of their counts
       assert(r.getAs[Long]("dup_rate_e6") == r.getAs[Long]("n_dup") * 1000000L / n)
@@ -652,7 +652,13 @@ class NewQuerySpec extends SparkSpec {
       val diag = rows.filter(t => t._1 == t._2).map(_._3).sum
       assert(rows.forall(_._5 == diag * 1000000L / tot), s"$l recall")
     }
-    // the 4-way classifier can never answer zh — the eval must say so
+    // zh recall on THIS corpus is honestly zero — not a classifier hole
+    // anymore (the Han-fraction branch answers real Chinese text,
+    // TextOpsSpec pins it) but a DATA fact: the synthetic corpus's
+    // zh-LABELED docs contain no Han characters at any SF (verified
+    // sf0.001/0.01/0.1 — they are the same English token soup as every
+    // other label), so no content-based classifier can separate them.
+    // The eval keeps saying so rather than flattering the gate.
     val zh = got.filter(_._1 == "zh")
     assert(zh.nonEmpty && zh.forall(_._5 == 0L))
   }

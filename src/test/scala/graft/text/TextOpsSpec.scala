@@ -36,10 +36,26 @@ class TextOpsSpec extends SparkSpec {
 
   test("langId picks the language with most stopword hits, tie -> lexicographic") {
     val df = Seq("der und das xyz", "the of and is", "zz yy xx").toDF("t")
-    val r = df.select(TextOps.langId(TextOps.tokens($"t"))).collect().map(_.getString(0))
+    val r = df.select(TextOps.langId(TextOps.tokens($"t"), $"t")).collect().map(_.getString(0))
     assert(r(0) == "de")
     assert(r(1) == "en")
     assert(r(2) == "de") // all-zero tie -> lexicographically first
+  }
+
+  test("langId zh branch: Han-majority text is zh; sparse Han quotes and empty text are not") {
+    // real Chinese (>=10% Han of non-space chars), a mostly-English doc
+    // quoting two Han chars (2/26 < 10% -> vote), pure-Han no-space text,
+    // and whitespace-only (no Han -> falls to the all-zero-tie vote)
+    val df = Seq(
+      "\u4eca\u5929\u5929\u6c14\u5f88\u597d \u6211\u4eec\u53bb\u516c\u56ed",
+      "the word \u4e2d\u56fd appears once in this otherwise english sentence of the usual kind",
+      "\u4e2d\u6587\u6587\u672c\u6ca1\u6709\u7a7a\u683c",
+      "   ").toDF("t")
+    val r = df.select(TextOps.langId(TextOps.tokens($"t"), $"t")).collect().map(_.getString(0))
+    assert(r(0) == "zh")
+    assert(r(1) == "en")
+    assert(r(2) == "zh")
+    assert(r(3) == "de") // no Han, no stopwords: all-zero tie -> first code
   }
 
   test("qualityScore is in [0,1]") {
