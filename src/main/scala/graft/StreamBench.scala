@@ -83,7 +83,7 @@ object StreamBench {
     // the CCNet gate's inputs: per-lang sketch-score thresholds learned
     // batch-side (≤|langs| rows, broadcast on the stream) and the
     // (doc_id, lang, text) stream shape
-    val ccnetThresholds = graft.queries.TextQueries.ccnetSketchThresholds(spark, sfDir).cache()
+    val ccnetThresholds = graft.queries.TextLm.ccnetSketchThresholds(spark, sfDir).cache()
     ccnetThresholds.count()
     val docLangRows = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))

@@ -319,20 +319,29 @@ object Dedup {
   val DriverComponentsMaxEdges: Int = 1 << 20
 
   def clusterLabels(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val sel = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val lim = sel.limit(DriverComponentsMaxEdges + 1)
     // cheap size gate BEFORE the row probe: the count of the limited plan
     // ships one long to the driver, so an overflowing graph no longer pays
-    // a discarded 2^20-row collect + tens of MB of driver transfer. The
-    // small case re-executes the plan for the actual rows — callers pass
-    // the persisted pair relations (lshShared etc.), so that second read
-    // is a cache hit; an unpersisted small input pays one extra cheap job.
-    val overflow =
-      sel.limit(DriverComponentsMaxEdges + 1).count() > DriverComponentsMaxEdges
-    lazy val probe = sel.limit(DriverComponentsMaxEdges + 1).collect()
-    // the collect re-checks the gate: count and collect are separate jobs,
-    // so an input whose row set grew in between (unpersisted relation over
-    // a moving source) must fall through to the distributed fixpoint
-    // rather than silently truncate at the limit
+    // a discarded 2^20-row collect + tens of MB of driver transfer.
+    // For an UNPERSISTED input the gate's count and the small-path
+    // collect used to re-run the pair subtree twice, and the
+    // grow-between-jobs re-check could not catch a shrink-then-grow race
+    // (ADVICE r17): pinning the LIMITED probe relation — bounded at
+    // ≤ 2^20+1 narrow rows by construction, never the corpus-scale edge
+    // list — makes both jobs read the same materialized rows: one
+    // subtree execution, race closed. Persisted inputs (the lshShared
+    // callers) already serve both jobs from cache; no extra pin.
+    val pinned = pairs.storageLevel == StorageLevel.NONE
+    if (pinned) lim.persist()
+    try {
+    val overflow = lim.count() > DriverComponentsMaxEdges
+    lazy val probe = lim.collect()
+    // the collect re-checks the gate: for a persisted (unpinned) input
+    // count and collect are separate jobs, so a row set that grew in
+    // between (moving source) must fall through to the distributed
+    // fixpoint rather than silently truncate at the limit
     if (overflow || probe.length > DriverComponentsMaxEdges)
       clusterLabelsWithRounds(pairs)._1
     else {
@@ -359,6 +368,7 @@ object Dedup {
       import spark.implicits._
       parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("doc_id", "canonical")
     }
+    } finally if (pinned) lim.unpersist(false)
   }
 
   /** [[clusterLabels]] plus the number of fixpoint rounds executed — the

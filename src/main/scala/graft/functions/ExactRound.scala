@@ -32,13 +32,36 @@ object ExactRound {
 
   /** Spark SQL fragment: round-half-away(num/den) as BIGINT; den > 0.
     * `num`/`den` are SQL sub-expressions of integral (or DECIMAL(38,0))
-    * type; parenthesized on substitution so operators can't rebind. */
+    * type; parenthesized on substitution so operators can't rebind.
+    *
+    * WIDENING (r18, ADVICE r17): the fragment doubles the numerator
+    * (`2·num + den`), so a caller who provisioned BIGINT headroom for
+    * `num` itself could still silently wrap inside the helper at
+    * extreme cardinalities (skewReport's `cnt·n_keys·10⁴`,
+    * rulesGateEval's `n_both·10⁶`). Both operands are therefore cast to
+    * the engine's exact wide type BEFORE the doubling — DECIMAL(38,0)
+    * on Spark, HUGEINT on DuckDB — and the result is cast back to
+    * BIGINT, pinning the output type either way. DuckDB deliberately
+    * does NOT use DECIMAL(38,0): its decimal multiply promotes through
+    * DOUBLE when precision would exceed 38, silently losing exactness
+    * past 2^53 (probed: 2·DECIMAL(2^62)+3 // 6 came back 85 LOW);
+    * HUGEINT (int128) arithmetic is exact. Remaining caller-side
+    * contract: `num`/`den` must themselves be computed without
+    * overflow — widening inside the fragment cannot repair a product
+    * that already wrapped before the cast; provision the FIRST factor
+    * (`CAST(cnt AS DECIMAL(38,0)) * n_keys * 10000`) when operand
+    * magnitudes can exceed 2^62.
+    */
   def spark(num: String, den: String): String =
-    s"(CASE WHEN ($num) < 0 THEN -((2 * -($num) + ($den)) div (2 * ($den))) " +
-      s"ELSE (2 * ($num) + ($den)) div (2 * ($den)) END)"
+    "CAST((CASE WHEN (" + num + ") < 0 " +
+      s"THEN -((2 * CAST(-($num) AS DECIMAL(38,0)) + ($den)) div (2 * CAST(($den) AS DECIMAL(38,0)))) " +
+      s"ELSE (2 * CAST(($num) AS DECIMAL(38,0)) + ($den)) div (2 * CAST(($den) AS DECIMAL(38,0))) END) AS BIGINT)"
 
-  /** DuckDB fragment mirroring [[spark]] — `//` instead of `div`. */
+  /** DuckDB fragment mirroring [[spark]] — `//` and HUGEINT (see the
+    * widening note above for why not DECIMAL).
+    */
   def duck(num: String, den: String): String =
-    s"(CASE WHEN ($num) < 0 THEN -((2 * -($num) + ($den)) // (2 * ($den))) " +
-      s"ELSE (2 * ($num) + ($den)) // (2 * ($den)) END)"
+    "CAST((CASE WHEN (" + num + ") < 0 " +
+      s"THEN -((2 * CAST(-($num) AS HUGEINT) + ($den)) // (2 * CAST(($den) AS HUGEINT))) " +
+      s"ELSE (2 * CAST(($num) AS HUGEINT) + ($den)) // (2 * CAST(($den) AS HUGEINT)) END) AS BIGINT)"
 }

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact integer floor-division bucketing: `floor(c / width)` computed
+    * entirely in LONG arithmetic — `pmod` shifts the value down to the
+    * nearest multiple of the width, and SQL `div` (integral divide)
+    * recovers the bucket id exactly. The previous
+    * `floor(c.cast("double") / width)` lost precision for integral
+    * bounds beyond 2^53 (epoch NANOS are ~2^60) and could silently
+    * mis-bucket — dropping or double-emitting overlapping pairs
+    * (ADVICE r17). RangeJoinSpec pins a beyond-2^53 fixture.
+    */
+  private def bucketOf(width: Long)(c: Column): Column = {
+    val cl = c.cast("long")
+    call_function("div", cl - pmod(cl, lit(width)), lit(width))
+  }
+
   /** Join `probe` rows to every `intervals` row whose `[lo, hi)` range
     * contains the probe's `point`. All three range columns must be
     * integral (epoch seconds/micros, offsets…); `bucketWidth` is in the
@@ -41,7 +55,7 @@ object RangeJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def bkt(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
+    val bkt = bucketOf(bucketWidth) _
     val iv = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__bkt", explode(sequence(bkt(col(loCol)), bkt(col(hiCol) - 1))))
@@ -80,7 +94,7 @@ object RangeJoin {
                       loL: String, hiL: String, loR: String, hiR: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def bkt(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
+    val bkt = bucketOf(bucketWidth) _
     val l = left.filter(col(hiL) > col(loL))
       .withColumn("__bkt", explode(sequence(bkt(col(loL)), bkt(col(hiL) - 1))))
     val r = right.filter(col(hiR) > col(loR))

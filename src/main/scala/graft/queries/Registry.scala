@@ -19,6 +19,11 @@ object Registry {
       ("window", WindowQueries.queries, WindowQueries.oracleSql),
       ("join", JoinQueries.queries, JoinQueries.oracleSql),
       ("text", TextQueries.queries, TextQueries.oracleSql),
+      ("text", TextRetrieval.queries, TextRetrieval.oracleSql),
+      ("text", TextPack.queries, TextPack.oracleSql),
+      ("text", TextLm.queries, TextLm.oracleSql),
+      ("text", TextEval.queries, TextEval.oracleSql),
+      ("text", TextCorpus.queries, TextCorpus.oracleSql),
       ("dedup", DedupQueries.queries, DedupQueries.oracleSql),
       ("sim", SimQueries.queries, SimQueries.oracleSql),
       ("rel", RelQueries.queries, RelQueries.oracleSql),
@@ -27,9 +32,21 @@ object Registry {
 
   /** (family name, alphabetically ordered query keys) in declared group
     * order — the canonical execution order for Bench and Verify.
+    *
+    * Multiple GROUPS may share one family name (TextQueries is split
+    * across source files purely for maintainability — the split must
+    * not change execution order, cache-clear boundaries, or family
+    * totals, all keyed by family name): same-named groups merge into
+    * one family whose keys sort alphabetically ACROSS the merged set,
+    * exactly the pre-split order.
     */
-  val families: Seq[(String, Seq[String])] =
-    groups.map { case (name, qs, _) => name -> qs.keys.toSeq.sorted }
+  val families: Seq[(String, Seq[String])] = {
+    val order = groups.map(_._1).distinct
+    val byName = groups.groupBy(_._1)
+    order.map { name =>
+      name -> byName(name).flatMap(_._2.keys).sorted
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = groups.flatMap(_._2)

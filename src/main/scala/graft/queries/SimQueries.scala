@@ -176,7 +176,7 @@ object SimQueries {
     * `index_admit`).
     */
   def fhChunkVecsOn(docsDf: DataFrame): DataFrame =
-    TextQueries.chunkTokensOn(docsDf)
+    TextPack.chunkTokensOn(docsDf)
       .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
         graft.plans.FeatureHashVector(
           graft.text.TextOps.tokens(col("chunk_text")), FhDims).as("embedding"))
@@ -270,8 +270,8 @@ object SimQueries {
     * and recall oracles.
     */
   private lazy val fhVecCtesSql = {
-    val C = TextQueries.ChunkC
-    val S = TextQueries.ChunkS
+    val C = TextPack.ChunkC
+    val S = TextPack.ChunkS
     s"""t AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
@@ -791,11 +791,11 @@ object SimQueries {
   // dir) and persisted (RelationMemo), the build-once/search-many
   // production lifecycle.
   // ========================================================================
-  private val GraphProbeCells = 2 // cells feeding each vector's edge pool
-  private val GraphDegree = 6     // out-degree of the kNN graph
-  private val GraphEntryCells = 2 // entry heads per query
-  private val GraphBeam = 8       // beam width
-  private val GraphHops = 3       // expand-score-prune rounds
+  private val GraphProbeCells = 3 // cells feeding each vector's edge pool
+  private val GraphDegree = 12    // out-degree of the kNN graph
+  private val GraphEntryCells = 3 // entry heads per query
+  private val GraphBeam = 16      // beam width
+  private val GraphHops = 5       // expand-score-prune rounds
   private val GraphK = 5          // reported neighbors
 
   private val graphMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
@@ -845,7 +845,7 @@ object SimQueries {
          |    UNION ALL
          |    SELECT b.q_id, g.dst AS n_id FROM $prev b JOIN edges g ON g.src = b.n_id)
          |  WHERE n_id <> q_id),
-         |beam$idx AS (
+         |beam$idx AS MATERIALIZED (
          |  SELECT q_id, n_id, cos, rn FROM (
          |    SELECT c.q_id, c.n_id,
          |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
@@ -860,15 +860,15 @@ object SimQueries {
     s"""m AS (
       |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
       |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
-      |cn AS (
+      |cn AS MATERIALIZED (
       |  SELECT label AS cell, cvec,
       |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
       |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT vec_id, label, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM embeddings),
-      |vass AS (
+      |vass AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
       |    SELECT v.vec_id, cn.cell,
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -877,7 +877,7 @@ object SimQueries {
       |        cn.cell) AS rc
       |    FROM e v, cn)
       |  WHERE rc <= $GraphProbeCells),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT src, dst FROM (
       |    SELECT v.vec_id AS src, mb.vec_id AS dst,
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -888,7 +888,7 @@ object SimQueries {
       |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
       |  WHERE rn <= $GraphDegree),
       |heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
-      |qv AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
+      |qv AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
       |       FROM e WHERE vec_id < 10),
       |qass AS (
       |  SELECT q_id, cell FROM (
@@ -903,7 +903,7 @@ object SimQueries {
       |  SELECT DISTINCT a.q_id, h.n_id
       |  FROM qass a JOIN heads h ON h.cell = a.cell
       |  WHERE h.n_id <> a.q_id),
-      |beam0 AS (
+      |beam0 AS MATERIALIZED (
       |  SELECT q_id, n_id, cos, rn FROM (
       |    SELECT c.q_id, c.n_id,
       |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
@@ -925,7 +925,7 @@ object SimQueries {
 
   private def annRecallGraphSql =
     s"""WITH $graphCtesSql,
-      |bf AS (
+      |bf AS MATERIALIZED (
       |  SELECT q_id, n_id FROM (
       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY

@@ -19,7 +19,7 @@ object TextQueries {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  private val enStop = TextOps.LangStopwords.toMap.apply("en")
+  private[queries] val enStop = TextOps.LangStopwords.toMap.apply("en")
 
   /** The text_quality composite's exact integer NUMERATOR over per-row
     * (n, n_stop, n_dist), and its 1e-6 floor-division quantization —
@@ -47,7 +47,7 @@ object TextQueries {
     * a vocabulary-statistics run computes corpus term counts once.
     */
   private val uniMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def unigramCounts(s: SparkSession, d: String): DataFrame = synchronized {
+  private[queries] def unigramCounts(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.storage.StorageLevel
     uniMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = uniMemo.getOrElseUpdate((s, d), {
@@ -408,7 +408,7 @@ object TextQueries {
     * shared by the `pipeline_curate` and `curate_report` oracles so the
     * two SQL mirrors of [[curateFeaturesAll]] cannot drift.
     */
-  private val curateCtesSql = {
+  private[queries] val curateCtesSql = {
     def score(words: Seq[String]) =
       s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
     val langs = TextOps.LangStopwords.toMap
@@ -446,1050 +446,6 @@ object TextQueries {
        |WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
        |ORDER BY doc_id""".stripMargin
-
-  // ========================================================================
-  // chunk_tokens — fixed-size overlapping token windows per document,
-  // the standard pre-training prep step (context-window packing input):
-  // chunk i covers tokens [i·S+1, i·S+C] (C = 32, stride S = 24, i.e.
-  // 8-token overlap); every doc yields ≥ 1 chunk, the last chunk is the
-  // ragged remainder. Scale shape: one scan, one per-row tokenizer run
-  // (EvalOnce-pinned against InferFiltersFromGenerate's synthesized
-  // filters), one explode whose fan-out is n/S — no shuffle except the
-  // presentation sort. The chunk text is rebuilt with single spaces
-  // (canonical whitespace), which is what a packing stage feeds the
-  // tokenizer anyway.
-  // ========================================================================
-  private[queries] val ChunkC = 32
-  private[queries] val ChunkS = 24
-
-  /** The chunker's STATELESS per-doc stage (everything but the batch
-    * presentation sort) — pure projections + one bounded explode, so it
-    * runs UNCHANGED on a document stream (parity asserted in
-    * StreamingSpec): curate → chunk is the continuous training-data
-    * feed. Same cannot-drift contract as [[curateFeatures]].
-    */
-  def chunkTokensOn(docsDf: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val k = keep.map(col)
-    docsDf
-      .select(col("doc_id") +: graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks") +: k: _*)
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("nc", when(col("n") <= ChunkC, lit(1L))
-        .otherwise(ceil((col("n") - ChunkC) / lit(ChunkS.toDouble)).cast("long") + 1L))
-      .select(col("doc_id") +: col("toks") +: col("n") +:
-        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_idx") +: k: _*)
-      .select(col("doc_id") +: col("chunk_idx") +:
-        array_join(slice(col("toks"), (col("chunk_idx") * ChunkS + 1L).cast("int"),
-          lit(ChunkC)), " ").as("chunk_text") +:
-        least(lit(ChunkC.toLong), col("n") - col("chunk_idx") * ChunkS).as("n_tokens") +: k: _*)
-  }
-
-  def chunkTokens(s: SparkSession, d: String): DataFrame =
-    chunkTokensOn(docs(s, d)).orderBy(col("doc_id"), col("chunk_idx"))
-
-  private val chunkTokensSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, w, n,
-       |    CASE WHEN n <= $ChunkC THEN 1
-       |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
-       |  FROM t),
-       |x AS (
-       |  SELECT doc_id, w, n, unnest(range(nc)) AS i FROM c)
-       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-       |  array_to_string(list_slice(w, i * $ChunkS + 1, i * $ChunkS + $ChunkC), ' ') AS chunk_text,
-       |  CAST(least($ChunkC, n - i * $ChunkS) AS BIGINT) AS n_tokens
-       |FROM x
-       |ORDER BY doc_id, chunk_idx""".stripMargin
-
-  // ========================================================================
-  // pack_sequences — concat-and-cut sequence packing, the step after
-  // chunking that actually fills the training context window: per
-  // source shard, documents (plus one EOD separator token each) are
-  // concatenated in doc_id order and cut into fixed L=256-token
-  // sequences; docs straddle cuts. Reports per (source, seq) how many
-  // docs it touches and its token count (= L everywhere but each
-  // shard's ragged tail — the packing-efficiency signal).
-  //
-  // Scale shape: packing is PER SHARD (source), so there is no global
-  // order dependency — one hashpartitioning(source) exchange serves
-  // both the offset cumsum window and (being a superset clustering)
-  // the (source, seq_id) aggregation; the explode fan-out is
-  // ceil(n_tok/L)+1 per doc. At 100 TB each shard packs
-  // independently — the shape a 1000-executor run needs. Plan-guarded
-  // to exactly one hash exchange.
-  // ========================================================================
-  private val SeqLen = 256
-
-  /** The packer parameterized over its token denominator: `nTok` is the
-    * per-document token count Column (+1 EOD separator applied here).
-    * `pack_sequences` feeds the whitespace count; the subword variant
-    * feeds [[graft.plans.SubwordCount]] — the packing algebra (cumsum
-    * offsets, straddle explode, per-sequence aggregation) is written
-    * once.
-    */
-  /** The packing OFFSET algebra — the (+1 EOD) token projection and the
-    * per-shard cumsum start offset — as its own relation (source,
-    * n_tok, st [, order cols]): ONE definition serving the packer and
-    * [[packReport]], so the EOD convention and the shard order cannot
-    * silently diverge between what gets packed and what gets priced.
-    */
-  private def packOffsets(docsDf: DataFrame, nTok: Column,
-                          orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(orderBy.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docsDf
-      .select(Seq(col("doc_id"), col("source"), (nTok + 1).cast("long").as("n_tok")) ++
-        orderBy.filterNot(Set("doc_id", "source", "n_tok")).map(col): _*)
-      .withColumn("st", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-  }
-
-  private def packSequencesWith(docsDf: DataFrame, nTok: Column,
-                                orderBy: Seq[String] = Seq("doc_id")): DataFrame = {
-    packOffsets(docsDf, nTok, orderBy)
-      .select(col("source"), col("st"), col("n_tok"),
-        explode(sequence(expr(s"st DIV $SeqLen"),
-          expr(s"(st + n_tok - 1) DIV $SeqLen"))).as("seq_id"))
-      .groupBy(col("source"), col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(least(col("st") + col("n_tok"), (col("seq_id") + 1L) * SeqLen) -
-          greatest(col("st"), col("seq_id") * lit(SeqLen.toLong))).as("n_tokens"))
-      .orderBy(col("source"), col("seq_id"))
-  }
-
-  def packSequences(s: SparkSession, d: String): DataFrame =
-    packSequencesWith(docs(s, d), size(TextOps.tokens(col("text"))))
-
-  /** The packOffsets algebra rendered once for DuckDB — shared by the
-    * packer's oracle and pack_report's so the two SQL sides price the
-    * identical offsets, mirroring the Spark-side sharing.
-    */
-  private val packOffsetsCtes =
-    s"""t AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok
-       |  FROM documents),
-       |o AS (
-       |  SELECT source, n_tok,
-       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM t)""".stripMargin
-
-  private val packSequencesSql =
-    s"""WITH $packOffsetsCtes,
-       |e AS (
-       |  SELECT source, st, n_tok,
-       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
-       |  FROM o)
-       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
-       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
-       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
-       |FROM e GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
-
-  // ========================================================================
-  // pack_report — packing efficiency + quality per shard, the report a
-  // pipeline owner reads before choosing L and the packing policy:
-  // per source, sequence count, packed tokens, exact fill_e6 =
-  // tokens·10⁶ div (n_seqs·L) (concat-and-cut wastes only the ragged
-  // shard tail, so fill quantifies the tail cost of small shards), and
-  // the QUALITY price — n_straddle / straddle_ppm, documents whose
-  // CONTENT is cut across a sequence boundary (attention sees truncated
-  // context for those docs; the doc-boundary-respecting policies trade
-  // fill for fewer straddles, and this report prices both sides). The
-  // straddle predicate spans the content tokens only, [st, st+n_tok−2]:
-  // a doc whose content ends flush at a boundary with only its EOD
-  // separator spilling over is NOT truncated and must not count.
-  // Derived from the SAME packOffsets algebra as pack_sequences but
-  // needs NO explode: one hashpartitioning(source) exchange for the
-  // cumsum window, then a map-side-combined agg to |sources| rows.
-  // ========================================================================
-  def packReport(s: SparkSession, d: String): DataFrame = {
-    packOffsets(docs(s, d), size(TextOps.tokens(col("text"))))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).as("n_tokens"),
-        sum(when(col("n_tok") >= 2 &&
-            expr(s"st DIV $SeqLen") =!= expr(s"(st + n_tok - 2) DIV $SeqLen"), 1L)
-          .otherwise(0L)).as("n_straddle"))
-      .withColumn("n_seqs", expr(s"(n_tokens + ${SeqLen - 1}) DIV $SeqLen"))
-      .withColumn("fill_e6", expr(
-        s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div (n_seqs * $SeqLen) AS BIGINT)"))
-      .withColumn("straddle_ppm", expr("(n_straddle * 1000000) div n_docs"))
-      .select(col("source"), col("n_docs"), col("n_seqs"), col("n_tokens"),
-        col("fill_e6"), col("n_straddle"), col("straddle_ppm"))
-      .orderBy(col("source"))
-  }
-
-  private val packReportSql =
-    s"""WITH $packOffsetsCtes,
-       |a AS (
-       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-       |    CAST(sum(CASE WHEN n_tok >= 2 AND st // $SeqLen <> (st + n_tok - 2) // $SeqLen
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
-       |  FROM o GROUP BY source)
-       |SELECT source, n_docs,
-       |  (n_tokens + ${SeqLen - 1}) // $SeqLen AS n_seqs, n_tokens,
-       |  CAST((n_tokens::HUGEINT * 1000000) // (((n_tokens + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
-       |    AS BIGINT) AS fill_e6,
-       |  n_straddle,
-       |  CAST((n_straddle * 1000000) // n_docs AS BIGINT) AS straddle_ppm
-       |FROM a ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // pack_buckets — length-bucketed padding packing, the OTHER side of
-  // the trade pack_report prices: concat-and-cut fills ~100% but cuts
-  // straddle_ppm docs mid-content; bucketed packing pads instead of
-  // cutting (ZERO straddles by construction) and this report prices
-  // what that costs in fill. Each doc (content tokens + 1 EOD, the
-  // pack-family accounting) splits into T div 256 full-length pieces
-  // plus one remainder piece routed to the smallest power-of-two bucket
-  // that holds it (16..256 — the fixed ladder every production
-  // multi-bin packer uses); a bucket-b sequence carries 256 div b
-  // pieces, so per (source, bucket): n_seqs = ceil-div of the piece
-  // count and exact fill_e6 = tokens·10⁶ div (n_seqs·256). A reader
-  // compares fill_e6 here against pack_report's to choose the policy
-  // per source.
-  //
-  // Scale shape: ONE documents scan; the per-doc (bucket, pieces,
-  // tokens) contributions are a scan-side 2-row stack (codegen
-  // generator, no shuffle), the only movement is the map-side-combined
-  // (source, bucket) agg to ≤|sources|·6 rows — NO window, NO join, no
-  // per-sequence explosion (the bucket algebra is exact without
-  // materializing assignments, the pack_report treatment).
-  // ========================================================================
-  def packBuckets(s: SparkSession, d: String): DataFrame = {
-    val bucketCase =
-      "CASE WHEN rem <= 16 THEN 16L WHEN rem <= 32 THEN 32L WHEN rem <= 64 THEN 64L " +
-        "WHEN rem <= 128 THEN 128L ELSE 256L END"
-    docs(s, d)
-      .select(col("source"),
-        (size(TextOps.tokens(col("text"))) + 1).cast("long").as("t"))
-      .withColumn("rem", expr(s"t % $SeqLen"))
-      .selectExpr("source",
-        s"stack(2, ${SeqLen}L, t div $SeqLen, (t div $SeqLen) * ${SeqLen}L, " +
-          s"$bucketCase, CASE WHEN rem > 0 THEN 1L ELSE 0L END, rem) " +
-          "AS (bucket, pieces, toks)")
-      .filter(col("pieces") > 0)
-      .groupBy(col("source"), col("bucket"))
-      .agg(sum(col("pieces")).as("n_pieces"), sum(col("toks")).as("n_tokens"))
-      .withColumn("n_seqs", expr(
-        s"(n_pieces + ($SeqLen div bucket) - 1) div ($SeqLen div bucket)"))
-      .withColumn("fill_e6",
-        expr(s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div (n_seqs * $SeqLen) AS BIGINT)"))
-      .select(col("source"), col("bucket"), col("n_pieces"), col("n_tokens"),
-        col("n_seqs"), col("fill_e6"))
-      .orderBy(col("source"), col("bucket"))
-  }
-
-  private val packBucketsSql =
-    s"""WITH tt AS (
-       |  SELECT source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS t
-       |  FROM documents),
-       |pc AS (
-       |  SELECT source, CAST($SeqLen AS BIGINT) AS bucket,
-       |    t // $SeqLen AS pieces, (t // $SeqLen) * $SeqLen AS toks
-       |  FROM tt WHERE t >= $SeqLen
-       |  UNION ALL
-       |  SELECT source,
-       |    CAST(CASE WHEN t % $SeqLen <= 16 THEN 16 WHEN t % $SeqLen <= 32 THEN 32
-       |      WHEN t % $SeqLen <= 64 THEN 64 WHEN t % $SeqLen <= 128 THEN 128
-       |      ELSE $SeqLen END AS BIGINT),
-       |    CAST(1 AS BIGINT), t % $SeqLen
-       |  FROM tt WHERE t % $SeqLen > 0),
-       |ag AS (
-       |  SELECT source, bucket, CAST(sum(pieces) AS BIGINT) AS n_pieces,
-       |    CAST(sum(toks) AS BIGINT) AS n_tokens
-       |  FROM pc GROUP BY source, bucket)
-       |SELECT source, bucket, n_pieces, n_tokens,
-       |  (n_pieces + ($SeqLen // bucket) - 1) // ($SeqLen // bucket) AS n_seqs,
-       |  CAST((n_tokens::HUGEINT * 1000000)
-       |    // (((n_pieces + ($SeqLen // bucket) - 1) // ($SeqLen // bucket)) * $SeqLen)
-       |    AS BIGINT) AS fill_e6
-       |FROM ag ORDER BY source, bucket""".stripMargin
-
-  // ========================================================================
-  // token_count_subword — SUBWORD-denominated token counts: greedy
-  // longest-match against a corpus-learned piece vocab (character
-  // 2-grams holding ≥ 1% of all 2-gram mass; single-char fallback) via
-  // the codegen SubwordCount expression — the vocab rides as ONE plan
-  // reference (the BloomArrayHits pattern), no join, no explode, no
-  // shuffle. Real LLM-pipeline token budgets are BPE-denominated;
-  // whitespace counts under-estimate them, and this is the engine-side
-  // counter the chunk/pack family can swap in (pack_sequences_subword
-  // below does exactly that). Learning is ONE aggregation whose ≥1%
-  // threshold filters CLUSTER-SIDE before the collect, so the driver
-  // sees ≤ 100 survivor pieces however large the charset² histogram
-  // grows — the localizeCentroids contract. Oracle: re-learns the
-  // vocab in SQL and replays the greedy scan as a per-word recursive
-  // CTE — the integer threshold (cnt·100 ≥ total) and CODEPOINT
-  // offsets are exact in both engines on any corpus (the matcher steps
-  // codepoints, matching Spark substring/length and DuckDB substr/len;
-  // SubwordSpec pins the multilingual fixtures).
-  // ========================================================================
-  private val subwordMemo = scala.collection.mutable.Map.empty[String, Set[String]]
-  private[graft] def subwordVocab(s: SparkSession, d: String): Set[String] =
-    subwordMemo.synchronized {
-      subwordMemo.getOrElseUpdate(d, {
-        MemoTrace.built("subwordVocab")
-        // The ≥1%-of-total-mass filter runs CLUSTER-SIDE against the
-        // broadcast one-row total, so the driver only ever collects the
-        // survivors — by construction ≤ 100 pieces (each holds ≥ 1% of
-        // the mass), regardless of charset. The full 2-gram histogram
-        // (charset² distinct pieces — 10⁶-10⁸ for a CJK/emoji-heavy web
-        // corpus) stays distributed; it is persisted for the duration of
-        // the two actions (total + filtered collect) so the corpus is
-        // scanned once.
-        val pieces = docs(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("w"))
-          .filter(length(col("w")) >= 2)
-          .select(explode(expr(
-            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("piece"))
-          .groupBy(col("piece")).agg(count(lit(1)).as("cnt"))
-          .persist()
-        try {
-          val tot = pieces.agg(sum(col("cnt")).as("total"))
-          pieces.crossJoin(broadcast(tot))
-            .filter(col("cnt") * 100 >= col("total"))
-            .select(col("piece"))
-            .collect().map(_.getString(0)).toSet
-        } finally pieces.unpersist(false) // a failed action must not pin the histogram
-      })
-    }
-
-  def tokenCountSubword(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
-        graft.plans.SubwordCount(col("text"), subwordVocab(s, d)).as("n_subword"))
-      .orderBy(col("doc_id"))
-
-  /** Vocab learning + per-doc greedy subword count as DuckDB CTEs (no
-    * WITH prefix; needs WITH RECURSIVE): `swt` word instances, `svc`
-    * piece counts, `svoc` the ≥1%-mass vocab, `srec` the greedy scan
-    * (one recursion step per consumed piece), `sntok` per-doc totals
-    * (LEFT JOIN so token-less docs count 0).
-    */
-  private val subwordCtesSql =
-    raw"""swt AS (
-      |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS wid
-      |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents)),
-      |svc AS (
-      |  SELECT piece, count(*) AS cnt FROM (
-      |    SELECT unnest(list_transform(range(1, len(w)),
-      |      i -> substr(w, CAST(i AS INT), 2))) AS piece
-      |    FROM swt)
-      |  GROUP BY piece),
-      |svoc AS (SELECT piece FROM svc WHERE cnt * 100 >= (SELECT sum(cnt) FROM svc)),
-      |srec AS (
-      |  SELECT doc_id, wid, w, 1 AS pos, 0 AS cnt FROM swt
-      |  UNION ALL
-      |  SELECT r.doc_id, r.wid, r.w,
-      |    r.pos + CASE WHEN r.pos < len(r.w) AND EXISTS (
-      |        SELECT 1 FROM svoc v WHERE v.piece = substr(r.w, CAST(r.pos AS INT), 2))
-      |      THEN 2 ELSE 1 END,
-      |    r.cnt + 1
-      |  FROM srec r WHERE r.pos <= len(r.w)),
-      |swc AS (SELECT doc_id, wid, cnt AS n_pieces FROM srec WHERE pos > len(w)),
-      |sntok AS (
-      |  SELECT d.doc_id, CAST(coalesce(sum(w2.n_pieces), 0) AS BIGINT) AS n_subword
-      |  FROM documents d LEFT JOIN swc w2 ON w2.doc_id = d.doc_id
-      |  GROUP BY d.doc_id)""".stripMargin
-
-  private val tokenCountSubwordSql =
-    s"""WITH RECURSIVE $subwordCtesSql
-       |SELECT d.doc_id,
-       |  CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok,
-       |  ns.n_subword
-       |FROM documents d JOIN sntok ns USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
-
-  // ========================================================================
-  // pack_sequences_subword — the packer with its token budget
-  // SUBWORD-denominated: identical packing algebra (packSequencesWith),
-  // n_tok = greedy subword count + 1 EOD. The pair (pack_sequences,
-  // pack_sequences_subword) is the whitespace-vs-BPE budget delta made
-  // queryable — sequence counts grow by exactly the subword inflation.
-  // ========================================================================
-  def packSequencesSubword(s: SparkSession, d: String): DataFrame =
-    packSequencesWith(docs(s, d),
-      graft.plans.SubwordCount(col("text"), subwordVocab(s, d)))
-
-  private val packSequencesSubwordSql =
-    s"""WITH RECURSIVE $subwordCtesSql,
-       |t AS (
-       |  SELECT d.doc_id, d.source, ns.n_subword + 1 AS n_tok
-       |  FROM documents d JOIN sntok ns USING (doc_id)),
-       |o AS (
-       |  SELECT source, n_tok,
-       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM t),
-       |e AS (
-       |  SELECT source, st, n_tok,
-       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
-       |  FROM o)
-       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
-       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
-       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
-       |FROM e GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
-
-  // ========================================================================
-  // pipeline_pack — the COMPLETE pre-training prep job in one
-  // declarative plan: curation funnel (lang → quality → token bounds →
-  // exact-dedup keep-first) → overlapping token chunking of the
-  // survivors → length-grouped fixed-slot packing of the chunks into
-  // 8-slot/256-token-capacity training sequences. Unlike
-  // pack_sequences' concat-and-cut (docs straddle cuts), chunks here
-  // are ATOMIC training samples: each occupies one of 8 padded 32-token
-  // slots, and slots are filled in (n_tokens, doc_id, chunk_idx) order
-  // — length-grouping, the standard trick that co-locates short ragged
-  // chunks so padding waste concentrates in few sequences instead of
-  // smearing over all of them. `pad_frac` = 1 − filled/256 is the waste
-  // metric (exact: /256 is a power-of-two division).
-  //
-  // Scale shape (composes the proven stage shapes): funnel survivors
-  // are IDs only — text never rides the fp dedup shuffle; scan 2
-  // re-reads text for the broadcast survivor-id set (the
-  // pipeline_curate_full pattern); chunking is a per-row explode; the
-  // slot ranking reuses ONE hashpartitioning(source) for both its
-  // window and the (source, seq_id) aggregation. Two hash exchanges
-  // total — fp and source — both plan-guarded.
-  // ========================================================================
-  private val PackSlots = 8
-
-  def pipelinePack(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val survivors = curateFeatures(docs(s, d))
-      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
-      .select(col("doc_id"))
-    val chunks = chunkTokensOn(
-      // hint-free: the survivor set is MOST of the corpus (the curation
-      // funnel admits the majority) — statistics may broadcast it at
-      // bench scale, but a forced broadcast at 100 TB would ship nearly
-      // every doc id to every executor
-      docs(s, d).join(survivors, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("source"), col("text")),
-      keep = Seq("source"))
-    val wSlot = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"), col("chunk_idx"))
-    chunks
-      .withColumn("slot", row_number().over(wSlot).cast("long") - 1L)
-      .withColumn("seq_id", expr(s"slot DIV $PackSlots"))
-      .groupBy(col("source"), col("seq_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).as("n_tokens"))
-      .withColumn("pad_frac",
-        lit(1.0) - col("n_tokens").cast("double") / lit((PackSlots * ChunkC).toDouble))
-      .orderBy(col("source"), col("seq_id"))
-  }
-
-  private val pipelinePackSql =
-    s"""$curateCtesSql,
-       |surv AS (
-       |  SELECT doc_id FROM q
-       |  WHERE lang_pred = 'en' AND score >= 0.6 AND n_re >= 15
-       |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
-       |ct AS (
-       |  SELECT d.doc_id, d.source, regexp_extract_all(d.text, '\\S+') AS w,
-       |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n
-       |  FROM documents d JOIN surv USING (doc_id)),
-       |cc AS (
-       |  SELECT doc_id, source, n,
-       |    CASE WHEN n <= $ChunkC THEN 1
-       |         ELSE CAST(ceil((n - $ChunkC) / $ChunkS.0) AS BIGINT) + 1 END AS nc
-       |  FROM ct),
-       |cx AS (
-       |  SELECT doc_id, source, n, unnest(range(nc)) AS i FROM cc),
-       |ch AS (
-       |  SELECT doc_id, source, CAST(i AS BIGINT) AS chunk_idx,
-       |    CAST(least($ChunkC, n - i * $ChunkS) AS BIGINT) AS n_tokens
-       |  FROM cx),
-       |sl AS (
-       |  SELECT source, n_tokens,
-       |    row_number() OVER (PARTITION BY source
-       |      ORDER BY n_tokens, doc_id, chunk_idx) - 1 AS slot
-       |  FROM ch)
-       |SELECT source, CAST(slot // $PackSlots AS BIGINT) AS seq_id,
-       |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(1 AS DOUBLE) - CAST(sum(n_tokens) AS DOUBLE) / ${PackSlots * ChunkC} AS pad_frac
-       |FROM sl GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
-
-  // ========================================================================
-  // term_freq — corpus term frequencies with document frequency: explode
-  // tokens → two hash aggregations (map-side combined), top-k by count.
-  // The scalable tf/df primitive for vocabulary building and IDF.
-  // ========================================================================
-  def termFreq(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-      .orderBy(col("tf").desc, col("term"))
-      .limit(20)
-
-  private val termFreqSql =
-    """SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
-      |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
-      |GROUP BY term ORDER BY tf DESC, term LIMIT 20""".stripMargin
-
-  // ========================================================================
-  // bm25_topk — ranked retrieval over the corpus for a FIXED query-term
-  // set: the scoring layer on top of the tf/df primitives (term_freq),
-  // used in training-data curation for quality filtering and
-  // contamination lookup. Okapi BM25 with the Lucene idf variant,
-  // k1 = 1.2, b = 0.75.
-  //
-  // Scale + determinism design:
-  //  - tokens explode once, filtered to the query terms BEFORE the
-  //    shuffle, so only (doc, query-term) rows move — work is
-  //    O(corpus tokens) map-side, O(matches) shuffle, never O(vocab);
-  //  - df (≤ |Q| rows) and the corpus stats (1 row) broadcast;
-  //  - avgdl is an exact long sum divided ONCE (bit-equal cross-engine,
-  //    see the README rounding conventions) — never an order-dependent
-  //    double sum;
-  //  - the per-doc score sums its ≤|Q| term contributions in FIXED
-  //    textual term order via conditional aggregation (one column per
-  //    query term), not in shuffle arrival order — double addition is
-  //    non-associative, so arrival-order sums are nondeterministic;
-  //  - ln() is the one engine-dependent step (last-ulp), so the score
-  //    ships rounded to 4 digits, and the top-k ORDER BY uses the
-  //    UNROUNDED score (distinct docs differ by ≫ 1 ulp; structurally
-  //    identical docs tie exactly in both engines and break on doc_id).
-  // ========================================================================
-  private val Bm25Terms = Seq("spark", "hash", "window", "merge")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
-  private val Bm25K = 15
-
-  /** Per-doc UNROUNDED BM25 score for the fixed query-term set (docs
-    * with ≥ 1 matching term) — the pre-top-k stage, shared by
-    * `bm25_topk` and the `hybrid_topk` fusion.
-    */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val dl = docs(s, d).select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(((col("n") - col("df")).cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
-          / (col("tf").cast("double")
-             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
-    }
-    val score = Bm25Terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduceLeft(_ + _)
-    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
-      .withColumn("score", score)
-      .select(col("doc_id"), col("score"))
-  }
-
-  def bm25TopK(s: SparkSession, d: String): DataFrame =
-    bm25Scores(s, d)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(Bm25K)
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
-
-  /** The BM25 scoring pipeline as DuckDB CTEs (no WITH prefix), ending
-    * in `bm (doc_id, score_raw)` — shared by the `bm25_topk` and
-    * `hybrid_topk` oracles.
-    */
-  private val bm25CtesSql = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    val caseCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN term = '$t' THEN contrib END) AS c$i"
-    }.mkString(", ")
-    val scoreSum = Bm25Terms.indices.map(i => s"coalesce(c$i, 0.0)").mkString(" + ")
-    s"""dl AS (
-       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
-       |  FROM documents),
-       |stats AS (
-       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM dl),
-       |tf AS (
-       |  SELECT doc_id, term, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
-       |  WHERE term IN ($terms) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |c AS (
-       |  SELECT doc_id, term,
-       |    ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-       |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
-       |      / (CAST(tf AS DOUBLE)
-       |         + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) AS contrib
-       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-       |bm AS (
-       |  SELECT doc_id, $scoreSum AS score_raw
-       |  FROM (SELECT doc_id, $caseCols FROM c GROUP BY doc_id))""".stripMargin
-  }
-
-  private val bm25TopKSql =
-    s"""WITH $bm25CtesSql
-       |SELECT doc_id, round(score_raw, 4) AS score
-       |FROM bm
-       |ORDER BY score_raw DESC, doc_id LIMIT $Bm25K""".stripMargin
-
-  // ========================================================================
-  // hybrid_topk — HYBRID retrieval: the lexical (BM25) and semantic
-  // (embedding-cosine) RETRIEVED LISTS fused by Reciprocal Rank Fusion
-  // (Cormack, Clarke & Büttcher, SIGIR 2009): each system contributes
-  // its top-100; rrf(d) = Σ 1/(60 + r_i) over the lists containing d.
-  // Fusing bounded lists (not full corpus rankings) is both the
-  // production semantics AND the scale contract: each top-100 plans as
-  // a distributed TakeOrderedAndProject (per-partition heaps, one
-  // bounded merge — NEVER a corpus-sized single-task window), ranks are
-  // then a window over ≤ 100 rows, and the fusion is a join of two
-  // 100-row relations. RRF needs no score normalization — only integer
-  // ranks cross the fusion boundary, which is also why it verifies
-  // hash-exact cross-engine. Corpus modeling: doc_id ↔ vec_id (the
-  // driver testdata aligns them); the fixed lexical query is Bm25Terms,
-  // the fixed semantic query is vec 0's embedding; with a query BATCH
-  // every stage picks up q_id as a partition key unchanged.
-  // ========================================================================
-  private val RrfK = 60
-  private val HybridK = 15
-  private val HybridListN = 100
-
-  def hybridTopK(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // bounded retrieved lists first (distributed top-k), ranks after
-    val lexTop = bm25Scores(s, d)
-      .orderBy(col("score").desc, col("doc_id")).limit(HybridListN)
-    val lex = lexTop.withColumn("lex_rank",
-      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(col("doc_id"), col("lex_rank"))
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_vec"),
-        graft.sim.Similarity.norm(col("embedding")).as("q_nrm"))
-    val semTop = e.crossJoin(broadcast(q))
-      .withColumn("cos", graft.sim.Similarity.dot(col("embedding"), col("q_vec"))
-        / (graft.sim.Similarity.norm(col("embedding")) * col("q_nrm")))
-      .select(col("vec_id"), col("cos"))
-      .orderBy(col("cos").desc, col("vec_id")).limit(HybridListN)
-    val sem = semTop.withColumn("sem_rank",
-      row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-      .select(col("vec_id").as("doc_id"), col("sem_rank"))
-    lex.join(sem, Seq("doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= HybridK)
-      .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
-        col("lex_rank"), col("sem_rank"))
-      .orderBy(col("rank"))
-  }
-
-  /** The hybrid fusion pipeline as DuckDB CTEs (no WITH prefix; assumes
-    * the `bm` CTE from [[bm25CtesSql]] precedes it), ending in
-    * `fused (doc_id, lex_rank, sem_rank, rrf)` — shared by the
-    * `hybrid_topk` and `retrieval_ndcg` oracles.
-    */
-  private val hybridFusedCtesSql =
-    s"""lex AS (
-       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
-       |  FROM bm
-       |  QUALIFY lex_rank <= $HybridListN),
-       |ev AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-       |  FROM embeddings),
-       |qv AS (SELECT embedding AS q_vec, nrm AS q_nrm FROM ev WHERE vec_id = 0),
-       |sem AS (
-       |  SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY
-       |    list_sum(list_transform(range(1, len(embedding) + 1),
-       |      i -> embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (nrm * q_nrm) DESC,
-       |    vec_id) AS BIGINT) AS sem_rank
-       |  FROM ev CROSS JOIN qv
-       |  QUALIFY sem_rank <= $HybridListN),
-       |fused AS (
-       |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
-       |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
-       |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
-       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)""".stripMargin
-
-  private val hybridTopKSql =
-    s"""WITH $bm25CtesSql,
-       |$hybridFusedCtesSql
-       |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-       |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
-       |FROM fused
-       |QUALIFY rank <= $HybridK
-       |ORDER BY rank""".stripMargin
-
-  // ========================================================================
-  // retrieval_ndcg — graded-relevance REGRESSION LOCK for the lexical
-  // retrieval family: nDCG@15 of the bm25_topk and hybrid_topk rankings
-  // against data-derived integer qrels — the lock `ann_recall*` /
-  // `ann_text_recall` provide for the ANN family (Järvelin & Kekäläinen,
-  // TOIS 2002 for nDCG). Qrels: gain(d) = total occurrences of the fixed
-  // query terms in d — an exact integer, derived from the corpus in both
-  // engines identically (the same planted term structure bm25 retrieves
-  // over), graded where a binary recall check is not: over-ranking a
-  // 2-occurrence doc above a 19-occurrence one costs score.
-  //
-  // EXACT-RATIONAL metric — no engine math anywhere: the log2 position
-  // discounts are INTEGER WEIGHT LITERALS W_i = round(2^20 / log2(i+1))
-  // computed once HERE (driver-side constants, Bm25K of them) and
-  // embedded identically into the Spark plan and the oracle SQL; then
-  // DCG = Σ gain_i·W_i is an exact BIGINT, and nDCG =
-  // halfAway(dcg·10⁶, idcg)/10⁶ via ExactRound (headroom: the ExactRound
-  // numerator is 2·dcg·10⁶ ≈ gain·2^20·15·2·10⁶ — fine to per-doc gains
-  // of ~10⁵; widen to DECIMAL(38,0) past that). The W quantization
-  // (~1e-6 relative) only perturbs the metric's 6th digit — determinism
-  // is literal-identity, not precision. The rankings REUSE the shipped
-  // rankers' exact order-by (unrounded score, doc_id), so a scoring
-  // regression in either moves this key's hash.
-  //
-  // Scale shape: gains = ONE filtered-before-shuffle token agg
-  // (O(matching tokens) exchange, never O(vocab)); both ranked lists are
-  // ≤K rows and BROADCAST into the gains join (inner + 2-row ranker seed
-  // left-join, so a hypothetical all-zero-gain ranker still emits 0
-  // rather than vanishing); IDCG = TakeOrdered(K) over gains, its rank
-  // window over K rows only.
-  // ========================================================================
-  private val NdcgScale = 1L << 20
-  private[queries] val NdcgW: Seq[Long] =
-    (1 to Bm25K).map(i => Math.round(NdcgScale.toDouble / (Math.log(i + 1.0) / Math.log(2.0))))
-
-  def retrievalNdcg(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gains = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
-    val wArr = array(NdcgW.map(lit): _*)
-    val bmRanked = bm25Scores(s, d)
-      .orderBy(col("score").desc, col("doc_id")).limit(Bm25K)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select(lit("bm25").as("ranker"), col("rank"), col("doc_id"))
-    val hyRanked = hybridTopK(s, d)
-      .select(lit("hybrid").as("ranker"), col("rank"), col("doc_id"))
-    val ranked = bmRanked.unionByName(hyRanked)
-    val dcg = gains.join(broadcast(ranked), Seq("doc_id"))
-      .select(col("ranker"),
-        (col("gain") * element_at(wArr, col("rank").cast("int"))).as("gw"))
-      .groupBy(col("ranker")).agg(sum(col("gw")).as("dcg_w"))
-    val seed = { import s.implicits._; Seq("bm25", "hybrid").toDF("ranker") }
-    val ideal = gains.orderBy(col("gain").desc, col("doc_id")).limit(Bm25K)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("gain").desc, col("doc_id"))).cast("int"))
-      .agg(sum(col("gain") * element_at(wArr, col("rank"))).as("idcg_w"))
-    seed.join(dcg, Seq("ranker"), "left")
-      .select(col("ranker"), coalesce(col("dcg_w"), lit(0L)).as("dcg_w"))
-      .crossJoin(broadcast(ideal))
-      .select(col("ranker"), col("dcg_w"), col("idcg_w"),
-        (expr(ExactRound.spark("dcg_w * 1000000", "idcg_w")).cast("double")
-          / lit(1000000.0)).as("ndcg"))
-      .orderBy(col("ranker"))
-  }
-
-  private val retrievalNdcgSql = {
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    val wRows = NdcgW.zipWithIndex
-      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
-    s"""WITH $bm25CtesSql,
-       |$hybridFusedCtesSql,
-       |hyb AS (
-       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-       |  FROM fused QUALIFY rank <= $HybridK),
-       |bmr AS (
-       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS BIGINT) AS rank
-       |  FROM bm QUALIFY rank <= $Bm25K),
-       |ranked AS (
-       |  SELECT 'bm25' AS ranker, rank, doc_id FROM bmr
-       |  UNION ALL
-       |  SELECT 'hybrid' AS ranker, rank, doc_id FROM hyb),
-       |g AS (
-       |  SELECT doc_id, count(*) AS gain
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
-       |  WHERE term IN ($terms) GROUP BY doc_id),
-       |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
-       |dcg AS (
-       |  SELECT s.ranker,
-       |    CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
-       |  FROM (SELECT 'bm25' AS ranker UNION ALL SELECT 'hybrid') s
-       |  LEFT JOIN ranked USING (ranker)
-       |  LEFT JOIN g USING (doc_id)
-       |  LEFT JOIN w USING (rank)
-       |  GROUP BY s.ranker),
-       |ideal AS (
-       |  SELECT CAST(sum(gain * wt) AS BIGINT) AS idcg_w
-       |  FROM (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS INT) AS rank
-       |        FROM g QUALIFY rank <= $Bm25K) i
-       |  JOIN w USING (rank))
-       |SELECT ranker, dcg_w, idcg_w,
-       |  CAST(${ExactRound.duck("dcg_w * 1000000", "idcg_w")} AS DOUBLE) / 1000000.0 AS ndcg
-       |FROM dcg, ideal
-       |ORDER BY ranker""".stripMargin
-  }
-
-  // ========================================================================
-  // hybrid_topk_batch — hybrid_topk for a QUERY BATCH, proving the
-  // claim in hybrid_topk's scaladoc: with N fixed queries, every stage
-  // picks up q_id as a partition key unchanged. Production retrieval
-  // is always a batch; the single-query plan is the degenerate case.
-  //
-  // Scale shape, stage by stage (all q_id-keyed, plan-guarded):
-  //  - the query table (q_id, slot, term) and the query vectors
-  //    (q_id, vec) are SMALL by definition → both broadcast; the
-  //    corpus explodes its tokens ONCE for all queries (term filter =
-  //    the union of batch terms), and the 4-row vector fan-out is a
-  //    bounded broadcast product, partition-local;
-  //  - per-query top-100 is a rank filter over
-  //    Window.partitionBy(q_id): Spark plans it as WindowGroupLimit —
-  //    a per-PARTITION top-k heap before the q_id exchange and a final
-  //    heap after — so no stage ranks a corpus-sized partition in one
-  //    task (the single-query TakeOrderedAndProject generalized to
-  //    groups);
-  //  - fusion joins two ≤100-row-per-query lists on (q_id, doc_id) and
-  //    the final RRF rank windows over ≤200 rows per query.
-  //
-  // Determinism: each (q_id, doc, slot) holds ONE term contribution,
-  // and the per-query score adds the slot columns in fixed slot order
-  // — never a shuffle-arrival-order double sum (the bm25_topk
-  // convention, batched).
-  // ========================================================================
-  private val HybridBatch: Seq[(Int, Seq[String])] = Seq(
-    0 -> Seq("spark", "hash"),
-    1 -> Seq("window", "merge"),
-    2 -> Seq("join", "filter"),
-    3 -> Seq("vector", "stream"))
-
-  def hybridTopKBatch(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val allTerms = HybridBatch.flatMap(_._2).distinct
-    val qt = HybridBatch
-      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => (q.toLong, sl, t) } }
-      .toDF("q_id", "slot", "term")
-    val dl = docs(s, d).select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
-    val tfT = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tfT.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tfT
-      .join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(((col("n") - col("df")).cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
-          / (col("tf").cast("double")
-             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-      .join(broadcast(qt), Seq("term"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(when(col("slot") === 0, col("contrib"))).as("c0"),
-           sum(when(col("slot") === 1, col("contrib"))).as("c1"))
-      .withColumn("score", coalesce(col("c0"), lit(0.0)) + coalesce(col("c1"), lit(0.0)))
-    val wLex = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
-    val lex = scored.withColumn("lex_rank", row_number().over(wLex).cast("long"))
-      .filter(col("lex_rank") <= HybridListN)
-      .select(col("q_id"), col("doc_id"), col("lex_rank"))
-    val e = Tables.embeddings(s, d)
-    val qv = e.filter(col("vec_id") < HybridBatch.size)
-      .select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec"),
-        graft.sim.Similarity.norm(col("embedding")).as("q_nrm"))
-    val wSem = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val sem = e.crossJoin(broadcast(qv))
-      .withColumn("cos", graft.sim.Similarity.dot(col("embedding"), col("q_vec"))
-        / (graft.sim.Similarity.norm(col("embedding")) * col("q_nrm")))
-      .select(col("q_id"), col("vec_id"), col("cos"))
-      .withColumn("sem_rank", row_number().over(wSem).cast("long"))
-      .filter(col("sem_rank") <= HybridListN)
-      .select(col("q_id"), col("vec_id").as("doc_id"), col("sem_rank"))
-    val wRrf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("doc_id"))
-    lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(RrfK) + col("sem_rank")), lit(0.0)))
-      .withColumn("rank", row_number().over(wRrf).cast("long"))
-      .filter(col("rank") <= HybridK)
-      .select(col("q_id"), col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
-        col("lex_rank"), col("sem_rank"))
-      .orderBy(col("q_id"), col("rank"))
-  }
-
-  /** The batched hybrid pipeline as DuckDB CTEs (no WITH prefix),
-    * ending in `fused (q_id, doc_id, lex_rank, sem_rank, rrf)` — shared
-    * by the `hybrid_topk_batch` and `retrieval_ndcg_batch` oracles.
-    */
-  private val hybridBatchFusedCtesSql = {
-    val qtRows = HybridBatch
-      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => s"($q, $sl, '$t')" } }
-      .mkString(", ")
-    val terms = HybridBatch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
-    s"""qt AS (
-       |  SELECT CAST(q_id AS BIGINT) AS q_id, slot, term
-       |  FROM (VALUES $qtRows) t(q_id, slot, term)),
-       |dl AS (
-       |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
-       |  FROM documents),
-       |stats AS (
-       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n FROM dl),
-       |tf AS (
-       |  SELECT doc_id, term, count(*) AS tf
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents)
-       |  WHERE term IN ($terms) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |c AS (
-       |  SELECT qt.q_id, tf.doc_id, qt.slot,
-       |    ln((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-       |      * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1})
-       |      / (CAST(tf AS DOUBLE)
-       |         + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * CAST(dl AS DOUBLE) / avgdl)) AS contrib
-       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-       |  JOIN qt ON qt.term = tf.term),
-       |bm AS (
-       |  SELECT q_id, doc_id,
-       |    coalesce(sum(CASE WHEN slot = 0 THEN contrib END), 0.0)
-       |      + coalesce(sum(CASE WHEN slot = 1 THEN contrib END), 0.0) AS score_raw
-       |  FROM c GROUP BY q_id, doc_id),
-       |lex AS (
-       |  SELECT q_id, doc_id, CAST(row_number() OVER (
-       |    PARTITION BY q_id ORDER BY score_raw DESC, doc_id) AS BIGINT) AS lex_rank
-       |  FROM bm
-       |  QUALIFY lex_rank <= $HybridListN),
-       |ev AS (
-       |  SELECT vec_id, embedding,
-       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-       |  FROM embeddings),
-       |qv AS (
-       |  SELECT CAST(vec_id AS BIGINT) AS q_id, embedding AS q_vec, nrm AS q_nrm
-       |  FROM ev WHERE vec_id < ${HybridBatch.size}),
-       |sem AS (
-       |  SELECT qv.q_id, ev.vec_id AS doc_id, CAST(row_number() OVER (
-       |    PARTITION BY qv.q_id ORDER BY
-       |      list_sum(list_transform(range(1, len(embedding) + 1),
-       |        i -> embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (nrm * q_nrm) DESC,
-       |      ev.vec_id) AS BIGINT) AS sem_rank
-       |  FROM ev CROSS JOIN qv
-       |  QUALIFY sem_rank <= $HybridListN),
-       |fused AS (
-       |  SELECT coalesce(lex.q_id, sem.q_id) AS q_id,
-       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
-       |    coalesce(1.0 / ($RrfK + lex_rank), 0.0)
-       |      + coalesce(1.0 / ($RrfK + sem_rank), 0.0) AS rrf
-       |  FROM lex FULL OUTER JOIN sem
-       |    ON lex.q_id = sem.q_id AND lex.doc_id = sem.doc_id)""".stripMargin
-  }
-
-  private val hybridTopKBatchSql =
-    s"""WITH $hybridBatchFusedCtesSql
-       |SELECT q_id, CAST(row_number() OVER (
-       |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-       |  doc_id, round(rrf, 6) AS rrf, lex_rank, sem_rank
-       |FROM fused
-       |QUALIFY rank <= $HybridK
-       |ORDER BY q_id, rank""".stripMargin
-
-  // ========================================================================
-  // retrieval_ndcg_batch — the graded-relevance lock for the BATCHED
-  // ranker: per-query nDCG@15 of hybrid_topk_batch against per-query
-  // integer qrels (gain(q, d) = total occurrences of q's terms in d).
-  // Same exact-rational machinery as retrieval_ndcg (shared NdcgW
-  // integer discount literals, ExactRound quantization) with q_id as a
-  // partition key at every stage — the batch contract the ranker itself
-  // promises, extended to its evaluation: corpus tokens explode ONCE
-  // under the union-of-terms filter, the broadcast (q_id, term) map
-  // fans matches to their queries, per-query IDCG is a
-  // WindowGroupLimit top-15 heap on the q_id-keyed gains, and the
-  // ranked lists (4×15 rows) broadcast into the gains join.
-  // ========================================================================
-  def retrievalNdcgBatch(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val allTerms = HybridBatch.flatMap(_._2).distinct
-    val qt = HybridBatch.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
-      .toDF("q_id", "term")
-    val gains = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .join(broadcast(qt), Seq("term"))
-      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("gain"))
-    val wArr = array(NdcgW.map(lit): _*)
-    val ranked = hybridTopKBatch(s, d).select(col("q_id"), col("rank"), col("doc_id"))
-    val dcg = gains.join(broadcast(ranked), Seq("q_id", "doc_id"))
-      .select(col("q_id"),
-        (col("gain") * element_at(wArr, col("rank").cast("int"))).as("gw"))
-      .groupBy(col("q_id")).agg(sum(col("gw")).as("dcg_w"))
-    val wIdeal = Window.partitionBy(col("q_id")).orderBy(col("gain").desc, col("doc_id"))
-    val ideal = gains.withColumn("rank", row_number().over(wIdeal).cast("int"))
-      .filter(col("rank") <= Bm25K)
-      .groupBy(col("q_id"))
-      .agg(sum(col("gain") * element_at(wArr, col("rank"))).as("idcg_w"))
-    val seed = HybridBatch.map(_._1.toLong).toDF("q_id")
-    seed.join(dcg, Seq("q_id"), "left")
-      .select(col("q_id"), coalesce(col("dcg_w"), lit(0L)).as("dcg_w"))
-      .join(ideal, Seq("q_id"), "left")
-      .select(col("q_id"), col("dcg_w"), col("idcg_w"),
-        (expr(ExactRound.spark("dcg_w * 1000000", "idcg_w")).cast("double")
-          / lit(1000000.0)).as("ndcg"))
-      .orderBy(col("q_id"))
-  }
-
-  private val retrievalNdcgBatchSql = {
-    val wRows = NdcgW.zipWithIndex
-      .map { case (w, i) => s"(${i + 1}, ${w}::BIGINT)" }.mkString(", ")
-    val qSeed = HybridBatch.map { case (q, _) => s"($q::BIGINT)" }.mkString(", ")
-    s"""WITH $hybridBatchFusedCtesSql,
-       |hyb AS (
-       |  SELECT q_id, doc_id, CAST(row_number() OVER (
-       |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-       |  FROM fused QUALIFY rank <= $HybridK),
-       |g AS (
-       |  SELECT qt.q_id, t.doc_id, count(*) AS gain
-       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents) t
-       |  JOIN qt ON qt.term = t.term
-       |  GROUP BY qt.q_id, t.doc_id),
-       |w AS (SELECT * FROM (VALUES $wRows) AS t(rank, wt)),
-       |dcg AS (
-       |  SELECT s.q_id, CAST(coalesce(sum(g.gain * w.wt), 0) AS BIGINT) AS dcg_w
-       |  FROM (SELECT * FROM (VALUES $qSeed) AS v(q_id)) s
-       |  LEFT JOIN hyb USING (q_id)
-       |  LEFT JOIN g USING (q_id, doc_id)
-       |  LEFT JOIN w USING (rank)
-       |  GROUP BY s.q_id),
-       |ideal AS (
-       |  SELECT q_id, CAST(sum(gain * wt) AS BIGINT) AS idcg_w
-       |  FROM (SELECT q_id, gain, CAST(row_number() OVER (
-       |          PARTITION BY q_id ORDER BY gain DESC, doc_id) AS INT) AS rank
-       |        FROM g QUALIFY rank <= $Bm25K) i
-       |  JOIN w USING (rank)
-       |  GROUP BY q_id)
-       |SELECT q_id, dcg_w, idcg_w,
-       |  CAST(${ExactRound.duck("dcg_w * 1000000", "idcg_w")} AS DOUBLE) / 1000000.0 AS ndcg
-       |FROM dcg LEFT JOIN ideal USING (q_id)
-       |ORDER BY q_id""".stripMargin
-  }
 
   // ========================================================================
   // text_repetition — Gopher-style within-document repetition signals,
@@ -1571,7 +527,7 @@ object TextQueries {
   // verified result, not an absence.
   // ========================================================================
   private val DecontShingle = 4
-  private val DecontBenchMod = 50
+  private[queries] val DecontBenchMod = 50
 
   /** Per-doc distinct decontamination shingles (doc_id, grams) of the
     * `keep` slice of the corpus. Two structural protections:
@@ -1602,7 +558,7 @@ object TextQueries {
     graft.plans.EvalOnce(TextOps.bindOnce(TextOps.tokens(text))(w =>
       array_distinct(TextOps.shinglesN(w, DecontShingle))))
 
-  private def decontGrams(s: SparkSession, d: String, keep: Column): DataFrame =
+  private[queries] def decontGrams(s: SparkSession, d: String, keep: Column): DataFrame =
     docs(s, d).filter(keep)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), graft.plans.EvalOnce(
@@ -1630,7 +586,7 @@ object TextQueries {
     * bench-side tokenize+shingle subtree (the report used to compute it
     * in two separate plan subtrees = a third full documents scan). */
   private val decontBenchMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def decontBench(s: SparkSession, d: String): DataFrame =
+  private[queries] def decontBench(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(decontBenchMemo, (s, d), "decontBench") {
       decontGrams(s, d, col("doc_id") % DecontBenchMod === 0)
         .select(col("doc_id").as("bench_id"), col("grams")).persist()
@@ -1668,7 +624,7 @@ object TextQueries {
     * `bench`/`corpus` split → `hits`) — shared by the `decontaminate`
     * and `pipeline_curate_full` oracles.
     */
-  private val decontCtesSql =
+  private[queries] val decontCtesSql =
     s"""dt AS (
       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
       |dg AS (
@@ -1696,1473 +652,6 @@ object TextQueries {
       |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
       |ORDER BY corpus.doc_id""".stripMargin
 
-  // ========================================================================
-  // corpus_growth — the Heaps-law novelty curve over ingestion rounds:
-  // docs arrive in 10 deterministic slices (doc_id % 10 — the
-  // data-card increment convention), and each round reports how much
-  // NEW material it contributed — first-seen word types and first-seen
-  // content fingerprints — plus the cumulative totals. The curve a
-  // pipeline owner reads before buying more of a feed: a flattening
-  // new_types line means additional data re-treads existing vocabulary
-  // (diminishing novelty), a flat new_fps line means it is literally
-  // re-sending old documents. First-seen attribution is an exact
-  // min-slice election per type/fp (order-free, engine-exact), the
-  // cumulative lines are running sums over the 10-row result.
-  //
-  // Scale shape: two map-side-combined aggs (token → min slice,
-  // fp → min slice) shrink the corpus to its distinct types before
-  // anything else; the per-round counts and the running-sum window run
-  // over ≤ 10 rows. No windows, joins, or sorts at corpus size.
-  // ========================================================================
-  private val GrowthSlices = 10
-
-  def corpusGrowth(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d).select(col("doc_id"), col("text"),
-      (col("doc_id") % GrowthSlices).as("slice"))
-    val typeFirst = base
-      .select(col("slice"), explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(min(col("slice")).as("first_slice"))
-      .groupBy(col("first_slice")).agg(count(lit(1)).as("new_types"))
-    val fpFirst = base
-      .select(col("slice"), TextOps.fingerprint(col("text")).as("fp"))
-      .groupBy(col("fp")).agg(min(col("slice")).as("first_slice"))
-      .groupBy(col("first_slice")).agg(count(lit(1)).as("new_fps"))
-    val docsPer = base.groupBy(col("slice").as("first_slice"))
-      .agg(count(lit(1)).as("n_docs"))
-    val wCum = Window.orderBy(col("slice"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docsPer
-      .join(typeFirst, Seq("first_slice"), "left")
-      .join(fpFirst, Seq("first_slice"), "left")
-      .select(col("first_slice").as("slice"), col("n_docs"),
-        coalesce(col("new_types"), lit(0L)).as("new_types"),
-        coalesce(col("new_fps"), lit(0L)).as("new_fps"))
-      .withColumn("cum_types", sum(col("new_types")).over(wCum))
-      .withColumn("cum_fps", sum(col("new_fps")).over(wCum))
-      .orderBy(col("slice"))
-  }
-
-  private val corpusGrowthSql =
-    s"""WITH b AS (
-       |  SELECT doc_id, text, doc_id % $GrowthSlices AS slice FROM documents),
-       |tf AS (
-       |  SELECT first_slice, count(*) AS new_types FROM (
-       |    SELECT w, min(slice) AS first_slice
-       |    FROM (SELECT slice, unnest(regexp_extract_all(text, '\\S+')) AS w FROM b)
-       |    GROUP BY w)
-       |  GROUP BY first_slice),
-       |ff AS (
-       |  SELECT first_slice, count(*) AS new_fps FROM (
-       |    SELECT fp, min(slice) AS first_slice
-       |    FROM (SELECT slice,
-       |      ${TextOps.fingerprintSql("text")} AS fp
-       |      FROM b)
-       |    GROUP BY fp)
-       |  GROUP BY first_slice),
-       |dp AS (SELECT slice AS first_slice, count(*) AS n_docs FROM b GROUP BY slice)
-       |SELECT dp.first_slice AS slice, n_docs,
-       |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
-       |  CAST(coalesce(new_fps, 0) AS BIGINT) AS new_fps,
-       |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY dp.first_slice
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
-       |  CAST(sum(coalesce(new_fps, 0)) OVER (ORDER BY dp.first_slice
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fps
-       |FROM dp
-       |LEFT JOIN tf ON dp.first_slice = tf.first_slice
-       |LEFT JOIN ff ON dp.first_slice = ff.first_slice
-       |ORDER BY slice""".stripMargin
-
-  // ========================================================================
-  // quality_rules_report — the Gopher rule funnel (Rae et al.,
-  // arXiv:2112.11446 §A1.1, adapted to exact integer thresholds): per
-  // source, how many docs fail each structural quality rule, and how
-  // many pass ALL of them — the per-rule attribution a curation run
-  // reads before tuning thresholds (a source failing mostly on
-  // word-count needs different handling than one failing on
-  // alpha-fraction). Rules, each an integer inequality (no doubles, so
-  // the flags hash identically cross-engine):
-  //   R1 word count        n ∈ [50, 100000]
-  //   R2 mean word length  3 ≤ nonws/n ≤ 10      (3n ≤ nonws ≤ 10n)
-  //   R3 symbol ratio      (#hash + #ellipsis)/n ≤ 0.1
-  //                        (10·(3·n_hash + d3) ≤ 3·n, d3 = 3·#ellipsis)
-  //   R4 stopword hits     ≥ 2 hits against the union stopword table
-  //   R5 alpha fraction    ascii-alpha chars ≥ 0.8·nonws (5·na ≥ 4·nonws)
-  // On this (all-ASCII synthetic) corpus R1 and R4 are the
-  // discriminative rules — ~half the docs sit under the 50-word floor
-  // and short docs miss the 2-stopword bar across every lang slice —
-  // while R3/R5 pass vacuously (no symbols, no non-ASCII text); on a
-  // real multilingual crawl R5 is what screens non-Latin scripts out
-  // of an English-centric pipeline.
-  //
-  // Scale shape: every rule input is a scan-side codegen expression
-  // (regexp_replace/length/replace/CountInSet); the only movement is
-  // the map-side-combined per-source flag sums → ≤|sources| rows. At
-  // 100 TB this is the textbook one-pass funnel report.
-  // ========================================================================
-  private val AllStop = TextOps.LangStopwords.flatMap(_._2).distinct
-  private lazy val AllStopSqlList = AllStop.map(w => s"'$w'").mkString(",")
-
-  /** Per-doc Gopher rule flags over any frame carrying `text` — the
-    * shared scan-side stage of the batch report AND the streaming
-    * admission gate ([[graft.streaming.StreamingCurate.rulesGate]]):
-    * one definition, so the two cannot diverge. Input columns other
-    * than `text` pass through; adds f_nword/f_wordlen/f_symbol/
-    * f_stop/f_alpha (0/1 longs). Stateless and codegen-only — exactly
-    * what makes the gate free on a stream.
-    */
-  private[graft] def qualityRuleFlags(df: DataFrame): DataFrame =
-    df.withColumn("n", size(TextOps.tokens(col("text"))).cast("long"))
-      .withColumn("nonws",
-        length(regexp_replace(col("text"), "\\s", "")).cast("long"))
-      .withColumn("na",
-        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
-      .withColumn("n_hash",
-        (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long"))
-      .withColumn("d3",
-        (length(col("text")) - length(expr("replace(text, '...', '')"))).cast("long"))
-      .withColumn("n_stop", TextOps.wordSetCount(TextOps.tokens(col("text")), AllStop))
-      .withColumn("f_nword",
-        when(col("n") < 50 || col("n") > 100000, 1L).otherwise(0L))
-      .withColumn("f_wordlen",
-        when(col("nonws") < lit(3L) * col("n")
-          || col("nonws") > lit(10L) * col("n"), 1L).otherwise(0L))
-      .withColumn("f_symbol",
-        when(lit(10L) * (lit(3L) * col("n_hash") + col("d3")) > lit(3L) * col("n"),
-          1L).otherwise(0L))
-      .withColumn("f_stop", when(col("n_stop") < 2, 1L).otherwise(0L))
-      .withColumn("f_alpha",
-        when(lit(5L) * col("na") < lit(4L) * col("nonws"), 1L).otherwise(0L))
-      // the pass-all verdict is emitted HERE, once — the report, the
-      // gate eval, and the streaming gate all consume this column, so
-      // a sixth rule added above changes all three together
-      .withColumn("pass_all",
-        when(col("f_nword") + col("f_wordlen") + col("f_symbol")
-          + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L))
-      .drop("n", "nonws", "na", "n_hash", "d3", "n_stop")
-
-  def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
-    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
-    f.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("f_nword")).as("fail_nword"),
-        sum(col("f_wordlen")).as("fail_wordlen"),
-        sum(col("f_symbol")).as("fail_symbol"),
-        sum(col("f_stop")).as("fail_stop"),
-        sum(col("f_alpha")).as("fail_alpha"),
-        sum(col("pass_all")).as("n_pass_all"))
-      .orderBy(col("source"))
-  }
-
-  /** Per-doc rule-flag CTEs (`rfl` = doc_id, source, the five 0/1
-    * flags) — ONE rendering shared by the report's and the gate-eval's
-    * oracles, mirroring the single Spark-side [[qualityRuleFlags]].
-    */
-  private lazy val ruleFlagsCtesSql =
-    s"""rf AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n,
-       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonws,
-       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS na,
-       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-       |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS d3,
-       |    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
-       |      t -> t IN ($AllStopSqlList))) AS BIGINT) AS n_stop
-       |  FROM documents),
-       |rfl AS (
-       |  SELECT doc_id, source,
-       |    CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_nword,
-       |    CASE WHEN nonws < 3 * n OR nonws > 10 * n THEN 1 ELSE 0 END AS f_wordlen,
-       |    CASE WHEN 10 * (3 * n_hash + d3) > 3 * n THEN 1 ELSE 0 END AS f_symbol,
-       |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
-       |    CASE WHEN 5 * na < 4 * nonws THEN 1 ELSE 0 END AS f_alpha
-       |  FROM rf),
-       |rflp AS (
-       |  SELECT *, CASE WHEN f_nword + f_wordlen + f_symbol + f_stop + f_alpha = 0
-       |    THEN 1 ELSE 0 END AS pass_all
-       |  FROM rfl)""".stripMargin
-
-  private lazy val qualityRulesReportSql =
-    s"""WITH $ruleFlagsCtesSql
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(f_nword) AS BIGINT) AS fail_nword,
-       |  CAST(sum(f_wordlen) AS BIGINT) AS fail_wordlen,
-       |  CAST(sum(f_symbol) AS BIGINT) AS fail_symbol,
-       |  CAST(sum(f_stop) AS BIGINT) AS fail_stop,
-       |  CAST(sum(f_alpha) AS BIGINT) AS fail_alpha,
-       |  CAST(sum(pass_all) AS BIGINT) AS n_pass_all
-       |FROM rflp GROUP BY source ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // rules_gate_eval — the cheap structural-rule gate scored against the
-  // corpus-LM gate, per source: confusion counts (both-pass,
-  // rules-only, lm-only, neither) and exact precision/recall_e6 of
-  // "passes the rules" as a predictor of "passes the LM gate". The
-  // gate-level (binary) companion of quality_rank_corr's rank-level
-  // measurement, and the third eval in the measure-your-gates family
-  // (lang_id_eval, quality_rank_corr): high precision ⇒ the free
-  // codegen gate can prefilter before the LM scores anything; low
-  // recall ⇒ the rules throw away docs the LM would keep, and the
-  // thresholds need tuning before the funnel trusts them.
-  //
-  // Scale shape: flags are scan-side codegen (the shared
-  // qualityRuleFlags projection); the LM side reuses the persisted
-  // per-doc lmScoreCore relation (doc_id-keyed join); the confusion agg
-  // partial-aggregates map-side to ≤|sources| rows, where the exact
-  // integer ratios are free.
-  // ========================================================================
-  def rulesGateEval(s: SparkSession, d: String): DataFrame = {
-    val rp = qualityRuleFlags(docs(s, d).select(col("doc_id"), col("source"), col("text")))
-      .select(col("doc_id"), col("source"), col("pass_all").as("rp"))
-    val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"), col("nll_sum_e4"))
-    rp.join(lm, Seq("doc_id"), "left")
-      .withColumn("lp",
-        when(col("nll_sum_e4").isNull
-          || col("nll_sum_e4") <= col("n_bg") * lit(GateNllE4PerBigram), 1L)
-          .otherwise(0L))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("rp") === 1 && col("lp") === 1, 1L).otherwise(0L)).as("n_both"),
-        sum(when(col("rp") === 1 && col("lp") === 0, 1L).otherwise(0L)).as("n_rules_only"),
-        sum(when(col("rp") === 0 && col("lp") === 1, 1L).otherwise(0L)).as("n_lm_only"),
-        sum(when(col("rp") === 0 && col("lp") === 0, 1L).otherwise(0L)).as("n_neither"))
-      .withColumn("precision_e6",
-        when(col("n_both") + col("n_rules_only") > 0,
-          expr(ExactRound.spark("n_both * 1000000", "n_both + n_rules_only")))
-          .otherwise(lit(null).cast("long")))
-      .withColumn("recall_e6",
-        when(col("n_both") + col("n_lm_only") > 0,
-          expr(ExactRound.spark("n_both * 1000000", "n_both + n_lm_only")))
-          .otherwise(lit(null).cast("long")))
-      .orderBy(col("source"))
-  }
-
-  private lazy val rulesGateEvalSql =
-    s"""WITH $ruleFlagsCtesSql,
-       |lm AS (SELECT doc_id, n_bg, nll_sum_e4 FROM ($lmScoreCoreSql)),
-       |j AS (
-       |  SELECT rflp.source, rflp.pass_all AS rp,
-       |    CASE WHEN lm.nll_sum_e4 IS NULL
-       |           OR lm.nll_sum_e4 <= lm.n_bg * $GateNllE4PerBigram
-       |      THEN 1 ELSE 0 END AS lp
-       |  FROM rflp LEFT JOIN lm USING (doc_id)),
-       |ag AS (
-       |  SELECT source, count(*) AS n_docs,
-       |    CAST(sum(CASE WHEN rp = 1 AND lp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-       |    CAST(sum(CASE WHEN rp = 1 AND lp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_only,
-       |    CAST(sum(CASE WHEN rp = 0 AND lp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
-       |    CAST(sum(CASE WHEN rp = 0 AND lp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
-       |  FROM j GROUP BY source)
-       |SELECT source, n_docs, n_both, n_rules_only, n_lm_only, n_neither,
-       |  CASE WHEN n_both + n_rules_only > 0
-       |    THEN CAST(${ExactRound.duck("n_both * 1000000", "n_both + n_rules_only")} AS BIGINT)
-       |    ELSE NULL END AS precision_e6,
-       |  CASE WHEN n_both + n_lm_only > 0
-       |    THEN CAST(${ExactRound.duck("n_both * 1000000", "n_both + n_lm_only")} AS BIGINT)
-       |    ELSE NULL END AS recall_e6
-       |FROM ag ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // rules_ablation — per-rule marginal contribution of the Gopher gate:
-  // for each rule, how many docs it fails (n_fail, the report's
-  // attribution) and how many it is the ONLY rule to fail (n_solo) —
-  // exactly the docs that would be newly ADMITTED if that one rule were
-  // dropped, i.e. the leave-one-out ablation a threshold-tuning run
-  // reads. quality_rules_report's fail counts can't answer "which rule
-  // is doing unique work": a rule whose failures are all shadowed by
-  // other rules (n_solo = 0) can be removed without changing the
-  // funnel's output, while a high-solo rule is load-bearing. solo_ppm =
-  // n_solo·10⁶ div n_docs prices the ablation in corpus fraction (floor
-  // div, the straddle_ppm convention). Long format (source, rule) so a
-  // sixth rule adds rows, not columns.
-  //
-  // Scale shape: the flags are the SAME scan-side codegen projection
-  // the report and the streaming gate share (qualityRuleFlags — one
-  // definition, the three cannot diverge); the only movement is the
-  // map-side-combined per-source agg to ≤|sources| rows, where the
-  // 5-row stack reshape and the ppm are free. ONE documents scan, ONE
-  // exchange, no join.
-  // ========================================================================
-  def rulesAblation(s: SparkSession, d: String): DataFrame = {
-    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
-      .withColumn("ft", col("f_nword") + col("f_wordlen") + col("f_symbol")
-        + col("f_stop") + col("f_alpha"))
-    val rules = Seq("alpha", "nword", "stop", "symbol", "wordlen")
-    val ag = f.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      rules.flatMap { r =>
-        Seq(sum(col(s"f_$r")).as(s"fl_$r"),
-          sum(when(col(s"f_$r") === 1 && col("ft") === 1, 1L).otherwise(0L))
-            .as(s"so_$r"))
-      }: _*)
-    val stackArgs = rules.map(r => s"'$r', fl_$r, so_$r").mkString(", ")
-    ag.selectExpr("source", "n_docs",
-        s"stack(${rules.length}, $stackArgs) AS (rule, n_fail, n_solo)")
-      .withColumn("solo_ppm", expr("(n_solo * 1000000) div n_docs"))
-      .select(col("source"), col("rule"), col("n_fail"), col("n_solo"),
-        col("solo_ppm"))
-      .orderBy(col("source"), col("rule"))
-  }
-
-  private lazy val rulesAblationSql = {
-    val rules = Seq("alpha", "nword", "stop", "symbol", "wordlen")
-    val legs = rules.map { r =>
-      s"SELECT source, '$r' AS rule, fl_$r AS n_fail, so_$r AS n_solo, n_docs FROM ag"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $ruleFlagsCtesSql,
-       |ftot AS (
-       |  SELECT source, f_nword, f_wordlen, f_symbol, f_stop, f_alpha,
-       |    f_nword + f_wordlen + f_symbol + f_stop + f_alpha AS ft
-       |  FROM rfl),
-       |ag AS (
-       |  SELECT source, count(*) AS n_docs,
-       |    ${rules.map(r =>
-             s"CAST(sum(f_$r) AS BIGINT) AS fl_$r, " +
-             s"CAST(sum(CASE WHEN f_$r = 1 AND ft = 1 THEN 1 ELSE 0 END) AS BIGINT) AS so_$r")
-             .mkString(",\n       |    ")}
-       |  FROM ftot GROUP BY source),
-       |lg AS (
-       |  $legs)
-       |SELECT source, rule, n_fail, n_solo,
-       |  CAST((n_solo * 1000000) // n_docs AS BIGINT) AS solo_ppm
-       |FROM lg ORDER BY source, rule""".stripMargin
-  }
-
-  // ========================================================================
-  // dsir_weight — Data Selection via Importance Resampling (Xie et al.,
-  // arXiv:2302.03169) restricted to unigram LMs: per doc, the
-  // log-importance weight log w(x) = Σ_w cnt_w·(ln p̂_target(w) −
-  // ln p̂_raw(w)) of the doc under a TARGET-domain unigram model (here
-  // the lang='en' slice — "select raw docs that look like the English
-  // target") against the raw-corpus model, both add-one smoothed over
-  // the shared corpus vocabulary. Docs with high logw_e4 are
-  // target-like; resampling by this weight tilts the corpus toward the
-  // target domain — the data-selection step between "crawl everything"
-  // and "train on what matters". Per-word log-ratio is quantized to
-  // integer e4 BEFORE the per-doc sum (the lm_score convention — one
-  // transcendental per VOCAB entry, never per token; round(ln·1e4) is
-  // in the audited transcendental-safe class, and both engines compute
-  // the identical (a·b)/(c·d) double before the single ln).
-  //
-  // Scale shape: the target side is one filtered-scan agg (slice-
-  // bounded); the raw side IS the persisted unigramCounts memo (6th
-  // consumer); the per-word table is vocab-sized (stats-chosen join
-  // onto the token explosion — broadcast at bench scale, shuffle at
-  // open-vocab corpus scale); the per-doc agg partial-aggregates
-  // map-side. Hashed n-gram bucketing (the paper's 10k-bucket variant)
-  // drops in by replacing w with hash60(w) % B — the join shape is
-  // unchanged.
-  // ========================================================================
-  private val DsirTargetLang = "en"
-
-  /** Per-doc DSIR weight relation, memoized+persisted per (session,
-    * dir) — shared by `dsir_weight` (the per-doc dump) and
-    * `pipeline_dsir` (the selection report): the llr table and the
-    * token-explosion join run once per corpus.
-    */
-  private val dsirMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def dsirPerDoc(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(dsirMemo, (s, d), "dsirWeights") {
-      val corpus = unigramCounts(s, d)
-      val tgt = docs(s, d).filter(col("lang") === DsirTargetLang)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("ct"))
-      // coalesce BOTH empty-relation aggregates: an empty target slice
-      // must smooth to n_t = 0 (as the oracle's coalesce(sum(ct), 0)
-      // does), not NULL out every weight
-      val scal = corpus.agg(sum(col("c")).as("n_r"), count(lit(1)).as("v"))
-        .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t")))
-      val llr = corpus.join(tgt, Seq("w"), "left")
-        .crossJoin(broadcast(scal))
-        .select(col("w"),
-          round(log(
-            ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
-              * (col("n_r") + col("v")).cast("double"))
-              / ((col("c") + lit(1L)).cast("double")
-                * (col("n_t") + col("v")).cast("double")))
-            * lit(10000.0)).cast("long").as("llr_e4"))
-      val sums = docs(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .join(llr, Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"), sum(col("llr_e4")).as("logw_e4"))
-      // LEFT join from the id scan: a zero-token doc is a (0, 0) row,
-      // not a silently missing one — pipeline_dsir's denominators must
-      // count the same population as quality_rules_report
-      docs(s, d).select(col("doc_id"), col("source"))
-        .join(sums, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          coalesce(col("n_tok"), lit(0L)).as("n_tok"),
-          coalesce(col("logw_e4"), lit(0L)).as("logw_e4"))
-        .persist()
-    }
-
-  def dsirWeight(s: SparkSession, d: String): DataFrame =
-    dsirPerDoc(s, d).select(col("doc_id"), col("n_tok"), col("logw_e4"))
-      .orderBy(col("doc_id"))
-
-  // ========================================================================
-  // pipeline_dsir — the SELECTION step DSIR exists for: per source, how
-  // much of the feed is target-like (logw_e4 > 0 ⇔ the doc is likelier
-  // under the target LM than the raw LM — the zero-threshold form of
-  // the paper's importance resampling), with exact share and mean
-  // selected weight. The zero threshold is scan-side (no global sort,
-  // no top-K over the corpus — a budgeted top-K variant is TakeOrdered
-  // when K is bounded); the report aggregates map-side to ≤|sources|
-  // rows. Per-source logw sums stay in BIGINT: |logw_e4| ≤
-  // n_tok·~2·10⁵, so ~10¹⁰ docs × 10³ tokens per source fit 2⁶³.
-  // ========================================================================
-  def pipelineDsir(s: SparkSession, d: String): DataFrame =
-    dsirPerDoc(s, d)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("logw_e4") > 0, 1L).otherwise(0L)).as("n_selected"),
-        sum(when(col("logw_e4") > 0, col("logw_e4")).otherwise(lit(0L)))
-          .as("sel_logw_sum_e4"))
-      .withColumn("share_e6",
-        expr(ExactRound.spark("n_selected * 1000000", "n_docs")))
-      .withColumn("mean_sel_logw_e4",
-        when(col("n_selected") > 0,
-          expr(ExactRound.spark("sel_logw_sum_e4", "n_selected")))
-          .otherwise(lit(null).cast("long")))
-      .orderBy(col("source"))
-
-  private lazy val pipelineDsirSql =
-    s"""WITH $dsirCtesSql
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-       |  CAST(sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END) AS BIGINT)
-       |    AS sel_logw_sum_e4,
-       |  CAST(${ExactRound.duck(
-                "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) * 1000000",
-                "count(*)")} AS BIGINT) AS share_e6,
-       |  CASE WHEN sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END) > 0
-       |    THEN CAST(${ExactRound.duck(
-                  "sum(CASE WHEN logw_e4 > 0 THEN logw_e4 ELSE 0 END)",
-                  "sum(CASE WHEN logw_e4 > 0 THEN 1 ELSE 0 END)")} AS BIGINT)
-       |    ELSE NULL END AS mean_sel_logw_e4
-       |FROM pd GROUP BY source ORDER BY source""".stripMargin
-
-  /** The DSIR smoothing/llr/per-doc CTE chain (`pd` = doc_id, source,
-    * n_tok, logw_e4 — LEFT-joined from documents so zero-token docs
-    * are (0, 0) rows) — ONE rendering shared by the `dsir_weight` and
-    * `pipeline_dsir` oracles, mirroring the single Spark-side
-    * [[dsirPerDoc]] relation.
-    */
-  private lazy val dsirCtesSql =
-    s"""toks AS (
-       |  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
-       |  FROM documents),
-       |uc AS (
-       |  SELECT w, count(*) AS c
-       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
-       |tc AS (
-       |  SELECT w, count(*) AS ct
-       |  FROM (SELECT unnest(t) AS w FROM toks WHERE lang = '$DsirTargetLang')
-       |  GROUP BY w),
-       |sc AS (SELECT
-       |  (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS n_r,
-       |  (SELECT count(*) FROM uc) AS v,
-       |  (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS n_t),
-       |llr AS (
-       |  SELECT uc.w, CAST(round(ln(
-       |      (CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) * CAST(sc.n_r + sc.v AS DOUBLE))
-       |      / (CAST(uc.c + 1 AS DOUBLE) * CAST(sc.n_t + sc.v AS DOUBLE)))
-       |    * 10000.0) AS BIGINT) AS llr_e4
-       |  FROM uc LEFT JOIN tc USING (w), sc),
-       |dsums AS (
-       |  SELECT doc_id, count(*) AS n_tok, CAST(sum(llr_e4) AS BIGINT) AS logw_e4
-       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) x JOIN llr USING (w)
-       |  GROUP BY doc_id),
-       |pd AS (
-       |  SELECT d.doc_id, d.source,
-       |    CAST(coalesce(s.n_tok, 0) AS BIGINT) AS n_tok,
-       |    CAST(coalesce(s.logw_e4, 0) AS BIGINT) AS logw_e4
-       |  FROM documents d LEFT JOIN dsums s ON d.doc_id = s.doc_id)""".stripMargin
-
-  private lazy val dsirWeightSql =
-    s"""WITH $dsirCtesSql
-       |SELECT doc_id, n_tok, logw_e4 FROM pd ORDER BY doc_id""".stripMargin
-
-  // ========================================================================
-  // ccnet_bucket / ccnet_report — CCNet's per-language head/middle/tail
-  // perplexity partitioning (Wenzek et al., arXiv:1911.00359 §4.3): each
-  // LM-scorable doc is assigned a tertile of its LANGUAGE's model-score
-  // distribution — "head" (most fluent third) is what CCNet ships for
-  // pretraining, "tail" is what it drops, and the per-(lang, bucket)
-  // report is the mixture table an owner reads before choosing cuts.
-  // Score = the corpus bigram LM's mean NLL per bigram, quantized to
-  // integer e4 with ExactRound (the lm_score convention) so the ranking
-  // key is an exact integer on both engines.
-  //
-  // Tertiles are assigned to VALUE GROUPS, not row ranks: all docs
-  // sharing a mean_nll_e4 value get the bucket of the group's first
-  // member, bucket(v) = (3 · cum_before(v)) div n_lang. Two reasons:
-  //  - it is the scale-correct shape. The window runs over the BOUNDED
-  //    distinct-value relation (mean_nll_e4 is an integer in a few-e5
-  //    domain — the quantile_bucket adjudication), never a per-lang
-  //    global sort of corpus rows; docs then join the tiny
-  //    (lang, value) → bucket map back stats-chosen (broadcast at any
-  //    realistic distinct-value count).
-  //  - it makes bucket boundaries pure VALUE thresholds (bucket is
-  //    monotone in the value), which is what CCNet itself ships — the
-  //    paper cuts on perplexity thresholds computed offline — and what
-  //    lets a stream admit docs with zero state (compare against two
-  //    broadcast thresholds per lang; graft.streaming.StreamingCurate).
-  // Population = LM-scorable docs (≥ 2 tokens), the lm_score contract.
-  // ========================================================================
-  private val ccnetMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
-  /** The value-group tertile map of any (lang, mean_nll_e4, ...) frame:
-    * (lang, mean_nll_e4, bucket), bucket(v) = (3·cum_before(v)) div
-    * n_lang over per-lang value groups — ONE definition of the CCNet
-    * cut, shared by the exact batch partitioning ([[ccnetCore]]) and
-    * the sketch-score threshold learner the streaming gate broadcasts
-    * ([[ccnetSketchThresholds]]), so batch and stream cannot disagree
-    * on the algebra. The window runs over the bounded distinct-value
-    * relation only.
-    */
-  private def ccnetTertiles(ld: DataFrame): DataFrame = {
-    val vg = ld.groupBy(col("lang"), col("mean_nll_e4")).agg(count(lit(1)).as("cnt"))
-    val byLang = Window.partitionBy(col("lang")).orderBy(col("mean_nll_e4"))
-    vg.withColumn("cum_before", coalesce(sum(col("cnt"))
-        .over(byLang.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
-      .withColumn("bucket", expr(
-        "CASE (3 * cum_before) div n_lang WHEN 0 THEN 'head' " +
-          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
-      .select(col("lang"), col("mean_nll_e4"), col("bucket"))
-  }
-
-  /** Per-doc CCNet relation (doc_id, lang, n_bg, mean_nll_e4, bucket),
-    * memoized per (session, dir) and persisted — `ccnet_bucket` and
-    * `ccnet_report` both derive from it; the expensive input is the
-    * persisted per-doc [[lmScoreCore]] relation (6th consumer), so a
-    * memo hit costs one bounded window over distinct score values plus
-    * one join. (The streaming gate's thresholds do NOT read this
-    * relation — they re-score with the CMS sketch, see
-    * [[ccnetSketchThresholds]] — but share [[ccnetTertiles]].)
-    */
-  private[graft] def ccnetCore(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(ccnetMemo, (s, d), "ccnetBuckets") {
-      val lm = lmScoreCore(s, d).select(col("doc_id"), col("n_bg"),
-        expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
-      val ld = lm.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      ld.join(ccnetTertiles(ld), Seq("lang", "mean_nll_e4"))
-        .select(col("doc_id"), col("lang"), col("n_bg"),
-          col("mean_nll_e4"), col("bucket"))
-        .persist()
-    }
-
-  /** The CMS sketch-scoring projection of any frame carrying `text`
-    * (tokenize → ≥2-token filter → n_bg → [[graft.plans
-    * .BigramNllSketch]] → ExactRound mean in e4 units) — ONE
-    * definition shared by the batch threshold learner below and the
-    * streaming gate ([[graft.streaming.StreamingCurate.ccnetAssign]]),
-    * so the doc-for-doc stream/batch equality is structural, not a
-    * textual coincidence (the ccnetTertiles treatment applied to the
-    * scoring side). Input columns other than `text` pass through;
-    * adds n_bg, nll_sketch_e4, mean_nll_e4 and drops text/t.
-    */
-  private[graft] def sketchScore(df: DataFrame,
-                                 model: graft.plans.LmSketchModel): DataFrame =
-    df.withColumn("t", TextOps.tokens(col("text")))
-      .filter(size(col("t")) >= 2)
-      .withColumn("n_bg", (size(col("t")) - 1).cast("long"))
-      .withColumn("nll_sketch_e4", graft.plans.BigramNllSketch(col("t"), model))
-      .withColumn("mean_nll_e4", expr(ExactRound.spark("nll_sketch_e4", "n_bg")))
-      .drop("text", "t")
-
-  /** Per-lang CCNet cut thresholds IN SKETCH-SCORE UNITS for the
-    * streaming gate: every corpus doc is scored with the IDENTICAL
-    * Count-Min expression the stream evaluates ([[sketchScore]], one
-    * model reference), the tertile algebra above assigns value-group
-    * buckets, and because the value-group contract makes bucket
-    * monotone in the value, the cut collapses to two thresholds per
-    * lang: t_head = max head value, t_mid = max middle value (null when
-    * a lang's middle is empty). Learned batch-side once; the stream
-    * joins the ≤|langs|-row result broadcast and assigns with two
-    * comparisons — zero state, and stream assignment of an in-corpus
-    * doc equals the batch sketch assignment exactly (StreamingSpec).
-    */
-  private[graft] def ccnetSketchThresholds(s: SparkSession, d: String): DataFrame = {
-    val ld = sketchScore(
-      docs(s, d).select(col("doc_id"), col("lang"), col("text")),
-      lmSketchModel(s, d))
-    ccnetTertiles(ld)
-      .groupBy(col("lang"))
-      .agg(max(when(col("bucket") === "head", col("mean_nll_e4"))).as("t_head"),
-        max(when(col("bucket") === "middle", col("mean_nll_e4"))).as("t_mid"))
-  }
-
-  def ccnetBucket(s: SparkSession, d: String): DataFrame =
-    ccnetCore(s, d)
-      .select(col("doc_id"), col("lang"), col("mean_nll_e4"), col("bucket"))
-      .orderBy(col("doc_id"))
-
-  def ccnetReport(s: SparkSession, d: String): DataFrame =
-    ccnetCore(s, d).groupBy(col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_bg")).as("n_bigrams"),
-        min(col("mean_nll_e4")).as("min_nll_e4"),
-        max(col("mean_nll_e4")).as("max_nll_e4"))
-      .orderBy(col("lang"), col("bucket"))
-
-  /** Per-doc CCNet CTEs (`cdoc` = doc_id, lang, n_bg, mean_nll_e4,
-    * bucket) — ONE rendering shared by both oracles, mirroring the
-    * single Spark-side [[ccnetCore]].
-    */
-  private lazy val ccnetCtesSql =
-    s"""lmc AS ($lmScoreCoreSql),
-       |cld AS (
-       |  SELECT l.doc_id, d.lang, l.n_bg,
-       |    CAST(${ExactRound.duck("l.nll_sum_e4", "l.n_bg")} AS BIGINT)
-       |      AS mean_nll_e4
-       |  FROM lmc l JOIN documents d ON l.doc_id = d.doc_id),
-       |cvg AS (
-       |  SELECT lang, mean_nll_e4, count(*) AS cnt
-       |  FROM cld GROUP BY lang, mean_nll_e4),
-       |cvb AS (
-       |  SELECT lang, mean_nll_e4,
-       |    CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY mean_nll_e4
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS cum_before,
-       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
-       |  FROM cvg),
-       |cvk AS (
-       |  SELECT lang, mean_nll_e4,
-       |    CASE (3 * cum_before) // n_lang WHEN 0 THEN 'head'
-       |      WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
-       |  FROM cvb),
-       |cdoc AS (
-       |  SELECT cld.doc_id, cld.lang, cld.n_bg, cld.mean_nll_e4, cvk.bucket
-       |  FROM cld JOIN cvk ON cld.lang = cvk.lang
-       |    AND cld.mean_nll_e4 = cvk.mean_nll_e4)""".stripMargin
-
-  private lazy val ccnetBucketSql =
-    s"""WITH $ccnetCtesSql
-       |SELECT doc_id, lang, mean_nll_e4, bucket FROM cdoc ORDER BY doc_id""".stripMargin
-
-  private lazy val ccnetReportSql =
-    s"""WITH $ccnetCtesSql
-       |SELECT lang, bucket, count(*) AS n_docs,
-       |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
-       |  CAST(min(mean_nll_e4) AS BIGINT) AS min_nll_e4,
-       |  CAST(max(mean_nll_e4) AS BIGINT) AS max_nll_e4
-       |FROM cdoc GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
-
-  // ========================================================================
-  // vocab_overlap — pairwise source similarity through top-K vocabulary
-  // Jaccard: for every source pair, how much of their most-frequent
-  // vocabulary is shared. The mixture-design companion to
-  // dedup_cross_source: cross-source dedup finds shared DOCUMENTS,
-  // this finds shared REGISTER (two crawls of the same domain overlap
-  // near 1.0 even when no document matches — the signal to collapse
-  // them before computing mixture weights; a source whose top-K barely
-  // overlaps anything is the distribution-shift outlier worth
-  // upweighting). K is small (15) by design: the head of a Zipfian
-  // vocabulary IS the register signature, and it keeps the measure
-  // contrastive when sources share a long tail.
-  //
-  // Scale shape: one map-side-combined (source, word) count shuffle;
-  // the rank window runs over the per-source DISTINCT-vocab relation
-  // (vocabulary-bounded, never corpus-row-bounded); top-K sets are
-  // |sources|·K rows, so the intersection self-join and the
-  // |sources|² matrix are report-sized. Exact integers end-to-end:
-  // jaccard_e6 = inter·10⁶ div (n_a + n_b − inter).
-  // ========================================================================
-  private val VocabOverlapK = 15
-  private val ZipfK = 64
-
-  /** Per-source top-K vocabulary sets (|sources|·K rows), memoized per
-    * (session, dir) + persisted (the RelationMemo contract) — three
-    * consumers in one query tree (sizes + both intersection sides)
-    * would otherwise each re-run the corpus count shuffle, and repeat
-    * invocations (Verify, Bench laps, specs) would pile up anonymous
-    * pinned copies.
-    */
-  private val vocabTopkMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  /** Per-source ranked vocabulary head (source, w, c, rn), rn ≤ the
-    * LARGEST head any consumer needs (ZipfK) — `vocab_overlap` slices
-    * rn ≤ 15, `zipf_fit` reads all 64 — so one corpus count shuffle and
-    * one |sources|·64-row persisted relation serve both families.
-    */
-  private def vocabRanked(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(vocabTopkMemo, (s, d), "vocabTopk") {
-      val cnt = docs(s, d)
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
-      val bySrc = Window.partitionBy(col("source"))
-        .orderBy(col("c").desc, col("w"))
-      cnt.withColumn("rn", row_number().over(bySrc))
-        .filter(col("rn") <= ZipfK)
-        .persist()
-    }
-  private def vocabTopk(s: SparkSession, d: String): DataFrame =
-    vocabRanked(s, d).filter(col("rn") <= VocabOverlapK)
-      .select(col("source"), col("w"))
-
-  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
-    val topk = vocabTopk(s, d)
-    val sizes = topk.groupBy(col("source")).agg(count(lit(1)).as("n_top"))
-    val inter = topk.select(col("source").as("src_a"), col("w"))
-      .join(topk.select(col("source").as("src_b"), col("w")), Seq("w"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
-    val pairs = sizes.select(col("source").as("src_a"), col("n_top").as("n_a"))
-      .crossJoin(sizes.select(col("source").as("src_b"), col("n_top").as("n_b")))
-      .filter(col("src_a") < col("src_b"))
-    val out = pairs.join(inter, Seq("src_a", "src_b"), "left")
-      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
-      .withColumn("jaccard_e6",
-        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
-      .orderBy(col("src_a"), col("src_b"))
-    out
-  }
-
-  /** Per-source ranked-vocabulary CTEs (`vr` = source, w, c, rn) — ONE
-    * rendering shared by the vocab_overlap and zipf_fit oracles,
-    * mirroring the single Spark-side [[vocabRanked]] memo both ride: a
-    * tokenization or tie-break change edits one string, not two.
-    */
-  private lazy val vocabRankedCtesSql =
-    raw"""vc AS (
-       |  SELECT source, w, count(*) AS c
-       |  FROM (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
-       |        FROM documents)
-       |  GROUP BY source, w),
-       |vr AS (
-       |  SELECT source, w, c,
-       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
-       |  FROM vc)""".stripMargin
-
-  private val vocabOverlapSql =
-    s"""WITH $vocabRankedCtesSql,
-       |vk AS (SELECT source, w FROM vr WHERE rn <= $VocabOverlapK),
-       |vsz AS (SELECT source, count(*) AS n_top FROM vk GROUP BY source),
-       |vin AS (
-       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
-       |  FROM vk a JOIN vk b ON a.w = b.w AND a.source < b.source
-       |  GROUP BY a.source, b.source),
-       |vp AS (
-       |  SELECT a.source AS src_a, b.source AS src_b,
-       |    a.n_top AS n_a, b.n_top AS n_b
-       |  FROM vsz a JOIN vsz b ON a.source < b.source)
-       |SELECT vp.src_a, vp.src_b, CAST(n_a AS BIGINT) AS n_a,
-       |  CAST(n_b AS BIGINT) AS n_b,
-       |  CAST(coalesce(n_inter, 0) AS BIGINT) AS n_inter,
-       |  CAST((coalesce(n_inter, 0) * 1000000) // (n_a + n_b - coalesce(n_inter, 0))
-       |    AS BIGINT) AS jaccard_e6
-       |FROM vp LEFT JOIN vin ON vp.src_a = vin.src_a AND vp.src_b = vin.src_b
-       |ORDER BY vp.src_a, vp.src_b""".stripMargin
-
-  // ========================================================================
-  // zipf_fit — per-source Zipf exponent over the top-K=64 vocabulary
-  // head: the OLS slope of ln(freq) on ln(rank) (Zipf 1949; natural
-  // text sits near −1). The corpus-health dial the shape heuristics
-  // miss: machine-generated/spam text flattens the head (slope → 0),
-  // id-spam and OCR noise steepen it — a source whose slope drifts
-  // between releases changed its generator, not just its volume.
-  //
-  // Cross-engine exactness (the surprisal_e4 treatment): each term
-  // x = ln(rank), y = ln(count) is the ln of ONE exact integer, so
-  // both engines see identical input doubles, and each term quantizes
-  // to integer e6 units BEFORE any aggregation — the OLS sums are then
-  // exact DECIMAL(38,0)/HUGEINT arithmetic (order-independent), and
-  // slope_e6 = (K·Σxy − Σx·Σy)·10⁶ / (K·Σxx − Σx²) is one sign-safe
-  // integer division (negative numerator handled with the explicit
-  // truncate-toward-zero CASE both engines agree on — Spark div and
-  // DuckDB // disagree on negative operands otherwise). A source with
-  // one vocabulary type has a degenerate denominator: slope 0,
-  // flagged by k_used = 1.
-  //
-  // Scale: rides the memoized vocabRanked head — one corpus count
-  // shuffle shared with vocab_overlap, then OLS over ≤ 64 rows per
-  // source; the report is |sources| rows.
-  // ========================================================================
-  def zipfFit(s: SparkSession, d: String): DataFrame = {
-    val terms = vocabRanked(s, d)
-      .select(col("source"),
-        expr("CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
-        expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
-    terms
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("k_used"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
-      .withColumn("num", expr(
-        "CAST(k_used AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
-      .withColumn("den", expr(
-        "CAST(k_used AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-      .withColumn("slope_e6", expr(
-        """CAST(CASE WHEN den = 0 THEN 0
-          |  WHEN num < 0 THEN -((-num * 1000000) div den)
-          |  ELSE (num * 1000000) div den END AS BIGINT)""".stripMargin))
-      .select(col("source"), col("k_used"), col("slope_e6"))
-      .orderBy(col("source"))
-  }
-
-  private lazy val zipfFitSql =
-    s"""WITH $vocabRankedCtesSql,
-       |tm AS (
-       |  SELECT source,
-       |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-       |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
-       |  FROM vr WHERE rn <= $ZipfK),
-       |ag AS (
-       |  SELECT source, count(*) AS k_used,
-       |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
-       |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
-       |  FROM tm GROUP BY source),
-       |sl AS (
-       |  SELECT source, k_used,
-       |    k_used * sxy - sx * sy AS num, k_used * sxx - sx * sx AS den
-       |  FROM ag)
-       |SELECT source, k_used,
-       |  CAST(CASE WHEN den = 0 THEN 0
-       |    WHEN num < 0 THEN -((-num * 1000000) // den)
-       |    ELSE (num * 1000000) // den END AS BIGINT) AS slope_e6
-       |FROM sl ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // corpus_diversity — distinct-n lexical diversity per source (Li et
-  // al. arXiv:1510.03055's distinct-1/2/3, lifted from generations to
-  // corpus health): for n ∈ {1,2,3}, total n-grams, distinct n-grams,
-  // and exact-integer distinct_e6 = distinct·10⁶ div total. The
-  // degeneracy dial the dedup/repetition gates don't read: a source
-  // whose distinct-2 collapses is templated boilerplate even when no
-  // document-level dup fires (every page unique, every sentence the
-  // same), and a distinct-1 near 1.0 on a large source is OCR noise or
-  // id-spam (every token unique). Scale: ONE documents scan explodes
-  // ~3× tokens rows tagged by n; count + count-distinct per (source, n)
-  // plan as two-level partial aggregations over (source, n, gram) —
-  // report is |sources|·3 rows, nothing corpus-sized crosses the
-  // exchange except the gram partials. DECIMAL(38,0)/HUGEINT ratio
-  // arithmetic (the embed_outlier convention) so a 10¹³-gram source
-  // cannot overflow the e6 numerator.
-  // ========================================================================
-  /** (source, n, g) for n ∈ {1,2,3} — all gram lengths in ONE exploded
-    * projection over one scan of `docsDf`; shared by the full report
-    * and the incremental refresh so the gram definition exists once.
-    */
-  private def gramRelation(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("source"), TextOps.tokens(col("text")).as("t"))
-      .select(col("source"), explode(expr(
-        """flatten(transform(filter(array(1, 2, 3), n -> size(t) >= n),
-          |  n -> transform(sequence(1, size(t) - n + 1),
-          |    i -> struct(CAST(n AS BIGINT) AS n,
-          |                concat_ws(' ', slice(t, i, n)) AS g))))""".stripMargin)).as("x"))
-      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
-
-  private def diversityFinish(stats: DataFrame): DataFrame =
-    stats
-      .withColumn("distinct_e6",
-        expr("CAST((CAST(n_distinct AS DECIMAL(38,0)) * 1000000) div n_grams AS BIGINT)"))
-      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
-        col("distinct_e6"))
-      .orderBy(col("source"), col("n"))
-
-  def corpusDiversity(s: SparkSession, d: String): DataFrame =
-    diversityFinish(
-      gramRelation(docs(s, d)).groupBy(col("source"), col("n"))
-        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct")))
-
-  private val corpusDiversitySql =
-    raw"""WITH tk AS (
-       |  SELECT source, regexp_extract_all(text, '\S+') AS t FROM documents),
-       |gm AS (
-       |  SELECT source, n,
-       |    unnest(list_transform(range(1, len(t) - n + 2),
-       |      i -> array_to_string(t[i:i+n-1], ' '))) AS g
-       |  FROM tk, range(1, 4) r(n))
-       |SELECT source, CAST(n AS BIGINT) AS n, count(*) AS n_grams,
-       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
-       |  CAST((count(DISTINCT g)::HUGEINT * 1000000) // count(*) AS BIGINT)
-       |    AS distinct_e6
-       |FROM gm GROUP BY source, n ORDER BY source, n""".stripMargin
-
-  // ========================================================================
-  // corpus_diversity_incremental — the diversity report's UPDATE PATH:
-  // the base slice's (source, n, g, c) gram-count relation is persisted
-  // ONCE as a catalog table (the data_card_incremental build-once
-  // contract; gram counts are the report's exact sufficient statistic,
-  // the way the corpus fingerprint relation is for substring dedup),
-  // and each release scans ONLY the increment. Totals add; the distinct
-  // count is NOT slice-additive, so new distincts come from ONE
-  // anti-join of the increment's (vocabulary-sized) gram set against
-  // the published relation — stats-chosen broadcast at bench scale,
-  // shuffle join at corpus scale. Refresh cost is O(increment +
-  // gram-vocabulary touched); the corpus TEXT is never re-read or
-  // re-tokenized. The oracle is literally the full report's SQL:
-  // passing it proves the merge is exact (n_distinct_merged =
-  // n_distinct_base + |increment grams ∉ base|, over the same
-  // doc_id % 3 slice convention the data-card refresh uses).
-  // ========================================================================
-  // dedicated monitor: the base build runs a corpus-scale Spark job —
-  // holding the shared TextQueries lock for it would serialize every
-  // unrelated synchronized path in the object (the textClusterLabels
-  // lesson); this lock only ever serializes diversity-base publishers
-  private[this] val divBaseLock = new Object
-  private[graft] def diversityBaseTable(s: SparkSession, d: String): String =
-    divBaseLock.synchronized {
-      val t = s"graft_div_base_${MemoNames.dirSuffix(d)}"
-      if (!s.catalog.tableExists(t)) {
-        MemoTrace.built("diversityBaseTable")
-        graft.operators.Scale.saveTable(
-          gramRelation(docs(s, d).filter(expr(CardBaseWhere)))
-            .groupBy(col("source"), col("n"), col("g"))
-            .agg(count(lit(1)).as("c")), t)
-      }
-      t
-    }
-
-  def corpusDiversityIncremental(s: SparkSession, d: String): DataFrame = {
-    val base = s.table(diversityBaseTable(s, d))
-    val baseStats = base.groupBy(col("source"), col("n"))
-      .agg(sum(col("c")).as("b_grams"), count(lit(1)).as("b_distinct"))
-    // both increment deltas in ONE pass over the joined relation (the
-    // epoch_plan_incremental treatment): a left join marks which
-    // increment grams the published base already holds, then one agg
-    // emits the total AND the new-distinct count — the increment is
-    // scanned once, not once per delta
-    val incStats = gramRelation(docs(s, d).filter(not(expr(CardBaseWhere))))
-      .groupBy(col("source"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .join(base.select(col("source"), col("n"), col("g"), lit(1L).as("in_base")),
-        Seq("source", "n", "g"), "left")
-      .groupBy(col("source"), col("n"))
-      .agg(sum(col("c")).as("i_grams"),
-        sum(when(col("in_base").isNull, 1L).otherwise(0L)).as("i_new"))
-    val merged = baseStats
-      .join(incStats, Seq("source", "n"), "full_outer")
-      .select(col("source"), col("n"),
-        (coalesce(col("b_grams"), lit(0L)) + coalesce(col("i_grams"), lit(0L)))
-          .as("n_grams"),
-        (coalesce(col("b_distinct"), lit(0L)) + coalesce(col("i_new"), lit(0L)))
-          .as("n_distinct"))
-    diversityFinish(merged)
-  }
-
-  // ========================================================================
-  // lang_id_eval — the heuristic language-ID scored against the
-  // corpus's ANNOTATED lang column: populated confusion-matrix cells
-  // (lang → lang_pred counts) with per-lang totals and exact-integer
-  // recall_e6. The eval that decides whether the heuristic is good
-  // enough to gate on. r18 closed the classifier's structural zh hole
-  // (TextOps.langId Han-fraction branch answers real Chinese text —
-  // TextOpsSpec pins it), yet zh recall on THIS corpus stays 0, and
-  // that is now a DATA finding the eval surfaces honestly: the
-  // synthetic corpus's zh-LABELED docs contain zero Han characters at
-  // every SF (verified sf0.001/0.01/0.1 — same English token soup as
-  // every other label, no separating signal of any kind), so no
-  // content-based classifier can recover those labels. A production
-  // owner reading this row learns their labels, not their classifier,
-  // are the problem — the other job a gate eval exists to do.
-  // Scale: ONE map-side-combined agg to ≤ |langs|² rows; the
-  // total/diagonal windows run over that tiny relation only.
-  // ========================================================================
-  def langIdEval(s: SparkSession, d: String): DataFrame = {
-    val cm = docs(s, d)
-      .select(col("lang"),
-        TextOps.langId(TextOps.tokens(col("text")), col("text")).as("lang_pred"))
-      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
-    val byLang = Window.partitionBy(col("lang"))
-    cm.withColumn("lang_total", sum(col("n_docs")).over(byLang))
-      .withColumn("diag", sum(when(col("lang") === col("lang_pred"), col("n_docs"))
-        .otherwise(lit(0L))).over(byLang))
-      .withColumn("recall_e6", expr("(diag * 1000000) div lang_total"))
-      .select(col("lang"), col("lang_pred"), col("n_docs"),
-        col("lang_total"), col("recall_e6"))
-      .orderBy(col("lang"), col("lang_pred"))
-  }
-
-  private val langIdEvalSql = {
-    def score(words: Seq[String]) =
-      s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
-    val langs = TextOps.LangStopwords.toMap
-    s"""WITH lc AS (
-       |  SELECT lang,
-       |    CASE WHEN is_zh THEN 'zh'
-       |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-       |         WHEN s_es >= s_fr THEN 'es'
-       |         ELSE 'fr' END AS lang_pred
-       |  FROM (
-       |    SELECT lang, ${score(langs("de"))} AS s_de, ${score(langs("en"))} AS s_en,
-       |      ${score(langs("es"))} AS s_es, ${score(langs("fr"))} AS s_fr,
-       |      ${TextOps.isZhSql("text")} AS is_zh
-       |    FROM (SELECT lang, text, regexp_extract_all(text, '\\S+') AS toks FROM documents))),
-       |cm AS (
-       |  SELECT lang, lang_pred, count(*) AS n_docs
-       |  FROM lc GROUP BY lang, lang_pred)
-       |SELECT lang, lang_pred, n_docs,
-       |  CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
-       |  CAST((sum(CASE WHEN lang = lang_pred THEN n_docs ELSE 0 END)
-       |      OVER (PARTITION BY lang) * 1000000)
-       |    // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS recall_e6
-       |FROM cm ORDER BY lang, lang_pred""".stripMargin
-  }
-
-  // ========================================================================
-  // decontaminate_report — the contamination screen FLIPPED: per
-  // BENCHMARK item, how compromised is the eval? `decontaminate` tells
-  // the trainer which corpus docs to drop; this tells the evaluator
-  // which benchmark items no longer measure generalization (their
-  // content leaked into training data) — the report that accompanies
-  // any published eval on a model trained over the corpus. Per bench
-  // doc: distinct-shingle inventory, how many of those shingles appear
-  // in ≥ 1 corpus doc (n_grams_leaked), how many corpus docs share ≥ 1
-  // shingle (n_docs_hit), and the exact-integer leak fraction
-  // (leak_e6 = leaked·10⁶ div grams). Same gram definition as the
-  // screen (decontGramsCol — batch and stream hash identical grams).
-  //
-  // Scale shape: the bench side is SMALL by definition → its exploded
-  // (bench_id, gram) relation broadcasts; the corpus side explodes
-  // per-doc distinct shingles and hash-joins WITHOUT shuffling the
-  // corpus; only matching rows — sparse by construction — reach the
-  // two-distinct-count agg, keyed by bench_id (≤ bench-sized output).
-  // ========================================================================
-  def decontaminateReport(s: SparkSession, d: String): DataFrame = {
-    val bench = decontBench(s, d)
-    val benchEx = bench
-      .select(col("bench_id"), explode(col("grams")).as("gram"))
-    val matched = decontGrams(s, d, col("doc_id") % DecontBenchMod =!= 0)
-      .select(col("doc_id").as("cdoc"), explode(col("grams")).as("gram"))
-      .join(broadcast(benchEx), Seq("gram"))
-    val perBench = matched.groupBy(col("bench_id"))
-      .agg(countDistinct(col("gram")).as("hit_grams"),
-        countDistinct(col("cdoc")).as("hit_docs"))
-    bench.select(col("bench_id"),
-        size(col("grams")).cast("long").as("n_grams"))
-      .join(perBench, Seq("bench_id"), "left")
-      .select(col("bench_id"), col("n_grams"),
-        coalesce(col("hit_grams"), lit(0L)).as("n_grams_leaked"),
-        coalesce(col("hit_docs"), lit(0L)).as("n_docs_hit"))
-      .withColumn("leak_e6",
-        when(col("n_grams") > 0,
-          expr("(n_grams_leaked * 1000000) div n_grams")).otherwise(lit(0L)))
-      .orderBy(col("bench_id"))
-  }
-
-  private val decontaminateReportSql =
-    s"""WITH $decontCtesSql,
-      |bx AS (
-      |  SELECT doc_id AS bench_id, unnest(grams) AS gram FROM dg
-      |  WHERE doc_id % $DecontBenchMod = 0),
-      |cx AS (SELECT doc_id AS cdoc, unnest(grams) AS gram FROM corpus),
-      |pb AS (
-      |  SELECT bench_id, count(DISTINCT gram) AS hit_grams,
-      |    count(DISTINCT cdoc) AS hit_docs
-      |  FROM bx JOIN cx USING (gram) GROUP BY bench_id)
-      |SELECT dg.doc_id AS bench_id,
-      |  CAST(len(grams) AS BIGINT) AS n_grams,
-      |  CAST(coalesce(hit_grams, 0) AS BIGINT) AS n_grams_leaked,
-      |  CAST(coalesce(hit_docs, 0) AS BIGINT) AS n_docs_hit,
-      |  CAST(CASE WHEN len(grams) > 0
-      |    THEN (coalesce(hit_grams, 0) * 1000000) // len(grams)
-      |    ELSE 0 END AS BIGINT) AS leak_e6
-      |FROM dg LEFT JOIN pb ON dg.doc_id = pb.bench_id
-      |WHERE dg.doc_id % $DecontBenchMod = 0
-      |ORDER BY bench_id""".stripMargin
-
-  // ========================================================================
-  // bpe_learn — byte-pair-encoding tokenizer induction (Sennrich et al.
-  // arXiv:1508.07909), the missing learner half of the tokenization
-  // story (token_count_subword APPLIES a given vocab; every pipeline
-  // that trains its own tokenizer needs this step). Word types become
-  // space-separated code-point sequences; each round picks the adjacent
-  // symbol pair with the highest frequency-weighted count (overlapping
-  // pairs counted, ties to the lexicographically smallest pair) and
-  // applies it everywhere via SENTINEL-SPACED string replace —
-  // left-to-right non-overlapping, the contract Java's String.replace,
-  // Spark's `replace`, and DuckDB's `replace` all share (probed
-  // explicitly). DOCUMENTED DIVERGENCE from subword-nmt: because the
-  // replace consumes the shared separator space, a run of >= 3 repeats
-  // of the merged pair under-merges relative to reference BPE
-  // (' a a a a ' -> ' aa a a ', not ' aa aa ') — the variant is
-  // deterministic and IDENTICAL in both engines (which is what the
-  // oracle certifies), but a merge table exported to an external
-  // tokenizer will disagree on degenerate run-heavy text. Output: the
-  // learned merge table (rank, pair, merged symbol, weighted count);
-  // rounds stop early (fewer rows) if the vocabulary fully collapses.
-  //
-  // Scale: ONE corpus scan builds the word-type frequency table; the
-  // merge iteration runs over the TOP-K types by (count, word) — a
-  // bounded TakeOrdered, the LmSketch headK contract, collected once and
-  // iterated in-process (the type table is vocab-bounded by
-  // construction; tokenizer trainers operate on word counts, not the
-  // corpus — at 100 TB the scan is the distributed part and this loop
-  // is unchanged). Every count is an exact integer and the argmax
-  // tie-break compares UTF-8 BYTES (not Java UTF-16 code units), the
-  // identical order to DuckDB's ORDER BY on any code point incl. astral,
-  // so the oracle replays the rounds as unrolled CTEs bit-for-bit.
-  // ========================================================================
-  private[queries] val BpeVocabTypes = 4096
-  private[queries] val BpeMerges = 12
-
-  private val bpeMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), (Seq[(Long, String, String, String, Long)], Long)]
-  /** ((rank, w1, w2, merged, weighted count) merges, and the
-    * token-occurrence coverage of the capped type table in exact ppm) —
-    * the cap is a standard trainer bound but NEVER silent: coverage
-    * rides the query output so a reader sees what fraction of corpus
-    * tokens the learning actually saw (Zipf makes it ≈1 at any K).
-    */
-  /** The in-process greedy merge loop over a collected type table —
-    * pure function of the (word, count) array, shared by the full-corpus
-    * learner and the base-slice twin `bpe_drift` compares against.
-    */
-  private[queries] def bpeMergesFrom(
-      types: Array[(String, Long)]): Seq[(Long, String, String, String, Long)] = {
-    // space-joined CODE POINTS (Java regex '.' and RE2 '.' both match
-    // one code point, so the split agrees with the oracle's
-    // regexp_extract_all(w, '(?s).'))
-    var seqs = types.map { case (w, c) =>
-      val cps = w.codePoints().toArray
-        .map(cp => new String(Character.toChars(cp))).mkString(" ")
-      (" " + cps + " ", c)
-    }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    (1 to BpeMerges).foreach { k =>
-      val pc = new java.util.HashMap[String, Long]()
-      seqs.foreach { case (seq, c) =>
-        val sl = seq.split(" ").filter(_.nonEmpty)
-        var i = 0
-        while (i < sl.length - 1) {
-          pc.merge(sl(i) + " " + sl(i + 1), c, Long.box(_) + Long.box(_))
-          i += 1
-        }
-      }
-      // a fully-collapsed vocabulary (no adjacent pairs left) ends
-      // learning with the merges found so far — the oracle's empty
-      // m$k CTE contributes no row and nulls every later round's
-      // sequences, so both engines emit exactly the completed merges
-      if (!pc.isEmpty && merges.length < BpeMerges) {
-        // argmax by (count desc, pair asc) in UTF-8 BYTE order — the
-        // order DuckDB's ORDER BY and Spark's own string sort both use.
-        // Java String '<' compares UTF-16 code units, which DISAGREES
-        // with UTF-8 byte order for astral-plane code points (surrogates
-        // 0xD800+ sort below 0xE000+ BMP chars in UTF-16 but their UTF-8
-        // encoding 0xF0.. sorts above), so a count tie involving emoji
-        // could pick a different merge per engine.
-        def utf8Less(a: String, b: String): Boolean =
-          java.util.Arrays.compareUnsigned(
-            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
-        var best: (String, Long) = null
-        pc.forEach { (p, c) =>
-          if (best == null || c > best._2 || (c == best._2 && utf8Less(p, best._1)))
-            best = (p, c)
-        }
-        val pair = best._1
-        val merged = pair.replace(" ", "")
-        seqs = seqs.map { case (seq, c) =>
-          (seq.replace(" " + pair + " ", " " + merged + " "), c)
-        }
-        val Array(w1, w2) = pair.split(" ", 2)
-        merges += ((k.toLong, w1, w2, merged, best._2))
-      }
-    }
-    merges.toSeq
-  }
-
-  private[queries] def bpeMergeList(s: SparkSession, d: String): (Seq[(Long, String, String, String, Long)], Long) =
-    synchronized {
-      bpeMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-      bpeMemo.getOrElseUpdate((s, d), {
-        MemoTrace.built("bpeMergeList")
-        // the type table rides the SHARED unigram-count memo (the
-        // collocations/text_rarity/lm relation) — no second corpus scan
-        val types = unigramCounts(s, d)
-          .orderBy(col("c").desc, col("w"))
-          .limit(BpeVocabTypes)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        val totalTok = unigramCounts(s, d).agg(sum(col("c"))).first().getLong(0)
-        // BigInt: covered*1e6 overflows a long once head tokens pass
-        // ~9.2e12 — exactly the 100 TB regime; the oracle divides in
-        // HUGEINT for the same reason
-        val coverageE6 =
-          (BigInt(types.map(_._2).sum) * 1000000 / BigInt(totalTok)).toLong
-        (bpeMergesFrom(types), coverageE6)
-      })
-    }
-
-  def bpeLearn(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val (merges, coverageE6) = bpeMergeList(s, d)
-    merges.toDF("merge_rank", "w1", "w2", "merged", "pair_count")
-      .withColumn("type_coverage_e6", lit(coverageE6))
-      .orderBy(col("merge_rank"))
-  }
-
-  // ========================================================================
-  // bpe_token_count — the learned tokenizer APPLIED: per document, the
-  // whitespace token count and the count after running every word
-  // through the merge chain (per-word application, the standard BPE
-  // pre-tokenization contract) — the compression measurement that tells
-  // a pipeline owner what the learned merges actually buy on their
-  // corpus. The merge table rides into the PLAN as one reference object
-  // (the lmSketchModel lifecycle: learned once per (session, dir), a
-  // plan constant thereafter) consumed by the codegen'd
-  // [[graft.plans.BpeTokenSegments]] — one JVM pass per row, NO join, NO
-  // shuffle, and no interpreted higher-order-function lambdas (the first
-  // cut evaluated ~14 interpreted string expressions per corpus token —
-  // the README's documented hot-path anti-pattern; plan-guarded). The
-  // oracle re-learns the merges from scratch in SQL and applies the
-  // identical replace chain per word.
-  // ========================================================================
-  def bpeTokenCount(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergeList(s, d)._1
-    val model = graft.plans.BpeApplyModel(
-      merges.map { case (_, w1, w2, _, _) => s" $w1 $w2 " }.toArray,
-      merges.map { case (_, _, _, m, _) => s" $m " }.toArray)
-    docs(s, d)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_ws"),
-        graft.plans.BpeTokenSegments(col("toks"), model).as("n_bpe"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** (merge-replay CTE prefix, per-word replace-chain expression) — the
-    * merge-learning chain is bpeLearnSql's, referenced by the `mm` row
-    * of per-merge scalars so the per-word lambda can close over them as
-    * plain outer columns (a subquery inside a lambda is not). Shared by
-    * the `bpe_token_count` and `bpe_fertility` oracles — ONE rendering
-    * of the learner+applier so the two cannot diverge.
-    *
-    * Each merge scalar coalesces to a bare space: an unproductive round
-    * leaves m$k empty (NULL scalar), and a NULL pattern would otherwise
-    * poison the whole replace chain to NULL → n_bpe silently 0 while
-    * Spark's model carries only the completed merges. The coalesced
-    * pattern '   ' (three spaces) can never occur in a single-spaced
-    * symbol sequence, so the round becomes a no-op — exactly the Spark
-    * behavior.
-    */
-  private lazy val bpeReplayCore: (String, String) = {
-    def round(k: Int) =
-      s"""p$k AS (
-         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
-         |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
-         |      AS pair
-         |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
-         |          FROM s${k - 1}))
-         |  GROUP BY pair),
-         |m$k AS (SELECT pair FROM p$k ORDER BY pc DESC, pair LIMIT 1),
-         |s$k AS MATERIALIZED (
-         |  SELECT c, replace(seq, ' ' || (SELECT pair FROM m$k) || ' ',
-         |    ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ') AS seq
-         |  FROM s${k - 1})"""
-    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
-    val mmCols = (1 to BpeMerges).map(k =>
-      s"(SELECT pair FROM m$k) AS p$k, (SELECT replace(pair, ' ', '') FROM m$k) AS r$k")
-      .mkString(",\n  ")
-    val chain = (1 to BpeMerges).foldLeft(
-      "' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' '") {
-      (e, k) => s"replace($e, ' ' || coalesce(mm.p$k, ' ') || ' '," +
-        s" ' ' || coalesce(mm.r$k, ' ') || ' ')"
-    }
-    val prefix =
-      s"""WITH toks AS (
-         |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
-         |wt AS (
-         |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
-         |s0 AS MATERIALIZED (
-         |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
-         |  FROM wt),
-         |$rounds,
-         |mm AS (SELECT
-         |  $mmCols)""".stripMargin
-    (prefix, chain)
-  }
-
-  private lazy val bpeTokenCountSql = {
-    val (prefix, chain) = bpeReplayCore
-    s"""$prefix,
-       |dt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents)
-       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
-       |  CAST(coalesce(list_sum(list_transform(toks, w ->
-       |    len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
-       |FROM dt, mm
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  // ========================================================================
-  // bpe_fertility — tokenizer FAIRNESS across languages (fertility =
-  // subword tokens per whitespace word, the standard multilingual-
-  // tokenizer equity metric: a tokenizer learned on an en-dominant
-  // corpus fragments under-represented scripts into far more pieces,
-  // inflating their training cost and truncation rate). Per annotated
-  // lang: doc count, whitespace-token and BPE-token sums, and the
-  // exact-integer fertility_e6 = (Σ n_bpe · 10⁶) div Σ n_ws. On a real
-  // multilingual corpus an under-served script reads measurably higher
-  // — the retrain signal; on THIS synthetic corpus all slices share
-  // the generator's token distribution, so fertility is flat (~3.53)
-  // across langs — the operator is the monitoring surface, and the
-  // spec pins the ≥ 1 token/word invariant plus exact reconciliation
-  // with bpe_token_count instead of a data-dependent ordering.
-  // Applier is the same codegen BpeTokenSegments + merge-table plan
-  // literals as bpe_token_count (ONE model definition); the oracle
-  // replays the same learner+applier rendering (bpeReplayCore — one
-  // chain, two consumers). Scale: per-row codegen'd segmentation, ONE
-  // map-side-combined agg to ≤|langs| rows.
-  // ========================================================================
-  def bpeFertility(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergeList(s, d)._1
-    val model = graft.plans.BpeApplyModel(
-      merges.map { case (_, w1, w2, _, _) => s" $w1 $w2 " }.toArray,
-      merges.map { case (_, _, _, m, _) => s" $m " }.toArray)
-    docs(s, d)
-      .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("lang"),
-        size(col("toks")).cast("long").as("w"),
-        graft.plans.BpeTokenSegments(col("toks"), model).as("b"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("w")).as("n_ws"), sum(col("b")).as("n_bpe"))
-      .withColumn("fertility_e6",
-        when(col("n_ws") > 0, expr("(n_bpe * 1000000) div n_ws"))
-          .otherwise(lit(0L)))
-      .orderBy(col("lang"))
-  }
-
-  private lazy val bpeFertilitySql = {
-    val (prefix, chain) = bpeReplayCore
-    s"""$prefix,
-       |dt AS (SELECT lang, regexp_extract_all(text, '\\S+') AS toks FROM documents),
-       |pd AS (
-       |  SELECT lang, CAST(len(toks) AS BIGINT) AS n_ws,
-       |    CAST(coalesce(list_sum(list_transform(toks, w ->
-       |      len(list_filter(string_split($chain, ' '), x -> x <> '')))), 0) AS BIGINT) AS n_bpe
-       |  FROM dt, mm)
-       |SELECT lang, count(*) AS n_docs,
-       |  CAST(sum(n_ws) AS BIGINT) AS n_ws,
-       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
-       |  CAST(CASE WHEN sum(n_ws) > 0
-       |    THEN (CAST(sum(n_bpe) AS BIGINT) * 1000000) // CAST(sum(n_ws) AS BIGINT)
-       |    ELSE 0 END AS BIGINT) AS fertility_e6
-       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
-  }
-
-  // ========================================================================
-  // bpe_drift — tokenizer STABILITY between releases: the merge table
-  // learned on the base slice (the published tokenizer, doc_id % 3 <> 0
-  // — the data-card increment convention) compared rank-by-rank against
-  // the merge table the full corpus would learn. A pipeline owner reads
-  // this before re-releasing a tokenizer: `same = 1` everywhere means
-  // the increment did not move the learned vocabulary and the published
-  // artifact stands; an early-rank flip means retokenizing the corpus.
-  // Both learners are the identical in-process loop over their bounded
-  // type tables ([[bpeMergesFrom]] — one definition); the oracle
-  // replays BOTH unrolled chains with disjoint CTE prefixes.
-  // ========================================================================
-  def bpeDrift(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val full = bpeMergeList(s, d)._1
-    val baseTypes = docs(s, d).filter(expr("doc_id % 3 <> 0"))
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(BpeVocabTypes)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val base = bpeMergesFrom(baseTypes)
-    val n = math.max(full.length, base.length)
-    (1 to n).map { k =>
-      val f = full.find(_._1 == k).map(_._4).getOrElse("")
-      val b = base.find(_._1 == k).map(_._4).getOrElse("")
-      (k.toLong, b, f, if (b == f) 1L else 0L)
-    }.toDF("merge_rank", "merged_base", "merged_full", "same")
-      .orderBy(col("merge_rank"))
-  }
-
-  private val bpeDriftSql = {
-    // one local renderer, instantiated for the base slice (b_) and the
-    // full corpus (f_) with disjoint CTE prefixes
-    def chain(pfx: String, where: String) = {
-      def round(k: Int) =
-        s"""${pfx}p$k AS (
-           |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
-           |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
-           |      AS pair
-           |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
-           |          FROM ${pfx}s${k - 1}))
-           |  GROUP BY pair),
-           |${pfx}m$k AS (SELECT $k AS merge_rank, pair FROM ${pfx}p$k
-           |             ORDER BY pc DESC, pair LIMIT 1),
-           |${pfx}s$k AS MATERIALIZED (
-           |  SELECT c, replace(seq, ' ' || (SELECT pair FROM ${pfx}m$k) || ' ',
-           |    ' ' || (SELECT replace(pair, ' ', '') FROM ${pfx}m$k) || ' ') AS seq
-           |  FROM ${pfx}s${k - 1})"""
-      val rounds = (1 to BpeMerges).map(round).mkString(",\n")
-      val union = (1 to BpeMerges)
-        .map(k => s"SELECT merge_rank, pair FROM ${pfx}m$k").mkString("\nUNION ALL\n")
-      s"""${pfx}toks AS (
-         |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents$where),
-         |${pfx}wt AS (
-         |  SELECT w, count(*) AS c FROM ${pfx}toks
-         |  GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
-         |${pfx}s0 AS MATERIALIZED (
-         |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
-         |  FROM ${pfx}wt),
-         |$rounds,
-         |${pfx}mg AS (
-         |  SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
-         |    replace(pair, ' ', '') AS merged FROM ($union))""".stripMargin
-    }
-    s"""WITH ${chain("f_", "")},
-       |${chain("b_", " WHERE doc_id % 3 <> 0")},
-       |ranks AS (
-       |  SELECT DISTINCT merge_rank FROM
-       |  (SELECT merge_rank FROM f_mg UNION ALL SELECT merge_rank FROM b_mg))
-       |SELECT r.merge_rank,
-       |  coalesce(b.merged, '') AS merged_base,
-       |  coalesce(f.merged, '') AS merged_full,
-       |  CAST(CASE WHEN coalesce(b.merged, '') = coalesce(f.merged, '')
-       |    THEN 1 ELSE 0 END AS BIGINT) AS same
-       |FROM ranks r LEFT JOIN b_mg b USING (merge_rank)
-       |             LEFT JOIN f_mg f USING (merge_rank)
-       |ORDER BY r.merge_rank""".stripMargin
-  }
-
-  private val bpeLearnSql = {
-    def round(k: Int) =
-      s"""p$k AS (
-         |  SELECT pair, CAST(sum(c) AS BIGINT) AS pc FROM (
-         |    SELECT c, unnest(list_transform(range(1, len(sl)), i -> sl[i] || ' ' || sl[i+1]))
-         |      AS pair
-         |    FROM (SELECT c, list_filter(string_split(seq, ' '), x -> x <> '') AS sl
-         |          FROM s${k - 1}))
-         |  GROUP BY pair),
-         |m$k AS (SELECT $k AS merge_rank, pair, pc FROM p$k ORDER BY pc DESC, pair LIMIT 1),
-         |s$k AS MATERIALIZED (
-         |  SELECT c, replace(seq, ' ' || (SELECT pair FROM m$k) || ' ',
-         |    ' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ') AS seq
-         |  FROM s${k - 1})"""
-    val rounds = (1 to BpeMerges).map(round).mkString(",\n")
-    val union = (1 to BpeMerges)
-      .map(k => s"SELECT merge_rank, pair, pc FROM m$k").mkString("\nUNION ALL\n")
-    s"""WITH toks AS (
-       |  SELECT unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
-       |wt AS (
-       |  SELECT w, count(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT $BpeVocabTypes),
-       |cov AS (
-       |  SELECT CAST(((SELECT sum(c) FROM wt) * 1000000)
-       |    // (SELECT count(*) FROM toks) AS BIGINT) AS type_coverage_e6),
-       |s0 AS MATERIALIZED (
-       |  SELECT c, ' ' || array_to_string(regexp_extract_all(w, '(?s).'), ' ') || ' ' AS seq
-       |  FROM wt),
-       |$rounds
-       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
-       |  split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
-       |  replace(pair, ' ', '') AS merged, pc AS pair_count,
-       |  (SELECT type_coverage_e6 FROM cov) AS type_coverage_e6
-       |FROM ($union)
-       |ORDER BY merge_rank""".stripMargin
-  }
-
-  // ========================================================================
   // decontaminate_bloom — the contamination screen through a Bloom
   // SKETCH instead of the broadcast benchmark relation. At 100 TB the
   // benchmark side can reach 10⁸–10⁹ distinct shingles: the exact
@@ -3230,58 +719,6 @@ object TextQueries {
       |FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
       |ORDER BY corpus.doc_id""".stripMargin
 
-  // ========================================================================
-  // tfidf_topk — top-3 characteristic terms per document by smoothed
-  // TF-IDF. The keyword-extraction pass a corpus-exploration / topic-
-  // tagging step runs; also the textbook shape for "rank within group
-  // after two grouped aggs". Shuffle budget: explode → map-side-combined
-  // (doc,term) counts (ONE shuffle of the tf relation, far smaller than
-  // raw tokens), then document frequency as a count window OVER the tf
-  // relation partitioned by term — NOT a separate groupBy+self-join,
-  // which would leave "does tokenize+explode run once or twice?" to the
-  // optimizer's exchange-reuse heuristics (r13 judge flagged the
-  // unguarded double-tokenize risk; the window derives df from the one
-  // tf subtree by construction). Broadcast one-row corpus count, then a
-  // doc-keyed window for the top-3. Ranking uses the ROUNDED score
-  // (ties broken by term asc) so cross-engine rank flips require the
-  // rounded score itself to differ.
-  // ========================================================================
-  private val TfidfK = 3
-
-  def tfidfTopK(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val n = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
-    val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"), col("tf"),
-        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4).as("score"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TfidfK)
-      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
-      .orderBy(col("doc_id"), col("rank"))
-  }
-
-  private val tfidfTopKSql =
-    s"""WITH dt AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term FROM documents),
-      |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
-      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-      |scored AS (
-      |  SELECT doc_id, term, tf,
-      |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS score
-      |  FROM tf JOIN dfreq USING (term), n),
-      |r AS (SELECT *, CAST(row_number() OVER (
-      |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
-      |  FROM scored)
-      |SELECT doc_id, rank, term, tf, score FROM r
-      |WHERE rank <= $TfidfK
-      |ORDER BY doc_id, rank""".stripMargin
 
   // ========================================================================
   // curate_report — per-source, per-stage attrition through the curation
@@ -3331,829 +768,6 @@ object TextQueries {
        |FROM r LEFT JOIN u ON r.source = u.source
        |ORDER BY r.source""".stripMargin
 
-  // ========================================================================
-  // sample_weighted — quality-weighted content-addressed sampling: keep
-  // each document with probability equal to its quality score, decided
-  // by comparing the score against a uniform deterministic hash of the
-  // doc id (u = hash60(id)/2^60 ∈ [0,1)). The corpus-mixing primitive
-  // for quality-proportional selection at 100 TB: a pure scan-side
-  // filter — no shuffle, no RNG state, reproducible across runs and
-  // engines (2^60 is a power of two, so u is one EXACT division; the
-  // score is the funnel's exact-integer rational).
-  // ========================================================================
-  private val Pow60 = 1152921504606846976L // 2^60
-
-  def sampleWeighted(s: SparkSession, d: String): DataFrame =
-    curateFeaturesAll(docs(s, d))
-      .withColumn("u",
-        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
-      .filter(col("u") < col("score"))
-      .select(col("doc_id"), col("source"), col("score"), col("u"))
-      .orderBy(col("doc_id"))
-
-  private val sampleWeightedSql =
-    s"""$curateCtesSql
-       |SELECT doc_id, source, score, u FROM (
-       |  SELECT doc_id, source, score,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |      / $Pow60.0 AS u
-       |  FROM q)
-       |WHERE u < score ORDER BY doc_id""".stripMargin
-
-  // ========================================================================
-  // sample_reservoir — deterministic FIXED-SIZE uniform sample without
-  // replacement: the K docs with the smallest content-addressed hash
-  // (hash60 of the id — a random permutation of the corpus, frozen).
-  // The fixed-|K| complement of sample_rate/sample_weighted's
-  // rate-based draws: eval sets, human-review batches and debug slices
-  // are size-budgeted, not rate-budgeted. Reproducible (no RNG state),
-  // stable under corpus growth in the bottom-k sense (a new doc only
-  // enters by evicting the current max — exactly the mergeable bottom-k
-  // sketch semantics, so distributed union = recompute).
-  //
-  // Scale shape: global top-K by hash plans as TakeOrderedAndProject —
-  // per-partition K-heaps, merge of P·K rows at the driver side of the
-  // exchange — never a global sort (plan-guarded).
-  // ========================================================================
-  private val ReservoirK = 100
-
-  def sampleReservoir(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        TextOps.hash60(col("doc_id").cast("string")).as("h"))
-      .orderBy(col("h"), col("doc_id"))
-      .limit(ReservoirK)
-
-  private val sampleReservoirSql =
-    s"""SELECT doc_id, source, n_chars,
-       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |FROM documents
-       |ORDER BY h, doc_id
-       |LIMIT $ReservoirK""".stripMargin
-
-  // ========================================================================
-  // shuffle_seeded — deterministic seeded training-order shuffle: the
-  // one reference §2.6 operator that had no query key
-  // (tfdataset_utilities get_shuffled_tfdataset's buffered shuffle —
-  // reference semantics: randomize example order before batching).
-  // A buffered RNG shuffle is neither reproducible across engines nor
-  // across partitionings, so the engine ships what a pre-training
-  // pipeline actually deploys for training-order randomization: a
-  // content-addressed permutation — ORDER BY hash60(doc_id # seed).
-  // Changing the seed is a fresh epoch-order; the permutation is frozen
-  // under re-runs, append-stable (a new doc splices in without moving
-  // relative order of the rest), and cross-engine hashable (md5).
-  //
-  // Scale shape: position = the distributed two-job global index
-  // (WindowOps.withRowIdx — RangePartitioning + partition-local sort +
-  // offset add), NEVER a single-task row_number() OVER (ORDER BY …).
-  // At 100 TB the global total order is only needed when a single
-  // consumer reads sequentially; a 1000-executor trainer shards first,
-  // and the same hash key range-partitioned IS the per-shard local
-  // shuffle (pack_shuffled below consumes exactly that form).
-  // ========================================================================
-  private val ShuffleSeed = "42"
-
-  def shuffleSeeded(s: SparkSession, d: String): DataFrame = {
-    val hashed = docs(s, d).select(col("doc_id"), col("source"),
-      TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed)).as("h"))
-    graft.operators.WindowOps.withRowIdx(hashed, Seq.empty, Seq("h", "doc_id"), "position")
-      .select(col("position"), col("doc_id"), col("source"), col("h"))
-      .orderBy(col("position"))
-  }
-
-  private val shuffleSeededSql =
-    s"""SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS position,
-       |  doc_id, source, h
-       |FROM (SELECT doc_id, source,
-       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
-       |  FROM documents)
-       |ORDER BY position""".stripMargin
-
-  // ========================================================================
-  // pack_shuffled — pack_sequences consuming the seeded shuffle order:
-  // per source shard, docs concatenate in hash60(doc_id # seed) order
-  // (shuffle_seeded's permutation restricted to the shard) instead of
-  // doc_id order, then cut into fixed L-token sequences. THE form a
-  // pre-training job ships: shard-local shuffled packing — no global
-  // order dependency, identical packing algebra (packSequencesWith),
-  // one hashpartitioning(source) exchange, epoch = seed.
-  // ========================================================================
-  def packShuffled(s: SparkSession, d: String): DataFrame =
-    packSequencesWith(
-      docs(s, d).withColumn("h",
-        TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed))),
-      size(TextOps.tokens(col("text"))), orderBy = Seq("h", "doc_id"))
-
-  private val packShuffledSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\\S+')) + 1 AS BIGINT) AS n_tok,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
-       |  FROM documents),
-       |o AS (
-       |  SELECT source, n_tok,
-       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM t),
-       |e AS (
-       |  SELECT source, st, n_tok,
-       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
-       |  FROM o)
-       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
-       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
-       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
-       |FROM e GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
-
-  // ========================================================================
-  // epoch_plan — data-constrained multi-epoch budget allocation
-  // (Muennighoff et al., "Scaling Data-Constrained Language Models",
-  // arXiv:2305.16264: repeating data retains most of its value up to
-  // ~4 epochs, then decays — so a token budget larger than the unique
-  // corpus should be filled by REPEATING the best sources up to the
-  // repeat cap, best-first, not by scraping worse data). The planner a
-  // pipeline owner reads before launching a data-constrained run:
-  // per source — unique-token inventory (post exact-dedup keep-first,
-  // the same global fingerprint election as pipeline_curate), mean
-  // quality (exact integer e6), and the greedy quality-first allocation
-  // of a budget B = 2 × total unique tokens with per-source repeats
-  // capped at 4 epochs.
-  //
-  // The greedy is CLOSED-FORM per source (the quantile_bucket
-  // inequality pattern — no iterative driver loop): sources sort by
-  // (quality_e6 desc, source); with prev4 = Σ preceding 4·uniq_tok,
-  // alloc_s = clamp(B − prev4, 0, 4·uniq_s) — exactly the sequential
-  // greedy's outcome, computed in one window pass. epochs = alloc div
-  // uniq, partial_tok = alloc mod uniq (the marginal source's partial
-  // epoch), share_e6 = ExactRound(alloc·10⁶, B) in DECIMAL(38,0)/
-  // HUGEINT (overflow-proof at 100 TB token counts). Every quantity is
-  // an exact integer — the plan is engine-exact and hash-locked.
-  //
-  // Scale shape: ONE corpus scan (curateFeaturesAll projections) → one
-  // fp-keyed dedup window → one per-source agg; the allocation windows
-  // run over the ≤|sources| relation (domain-bounded, like plot_prep's
-  // envelope — thousands of rows at worst, never corpus-sized).
-  // ========================================================================
-  private val EpochBudgetMult = 2L
-  private val EpochMaxRepeat = 4L
-
-  /** Per-doc inventory features — the same (n, n_stop, n_dist, fp)
-    * definitions as curateFeaturesAll (whose final projection collapses
-    * the counts into `score`; the quality quantization here needs the
-    * raw integers). Shared by the full plan and the incremental refresh.
-    */
-  private[queries] def epochDocFeatures(docsDf: DataFrame): DataFrame =
-    docsDf
-      .select(col("doc_id"), col("source"),
-        graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"),
-        TextOps.fingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), col("source"), col("fp"),
-        size(col("toks")).cast("long").as("n"),
-        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
-        TextOps.distinctCount(col("toks")).as("n_dist"))
-
-  /** Keep-first canonical per fingerprint (min doc_id — the
-    * pipeline_curate election) with the exact-integer quality attached.
-    * Zero-token canonicals ride through with q_e6 = 0 (they carry no
-    * budget mass — [[epochStats]] excludes them — but they must WIN
-    * their election like any other doc so the incremental path's
-    * displacement algebra matches the full plan).
-    */
-  private[queries] def epochKeepFirst(feats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    feats.withColumn("rn", row_number().over(wfp)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("source"), col("fp"), col("n"),
-        when(col("n") > 0, expr(QualityE6Expr)).otherwise(lit(0L)).as("q_e6"))
-  }
-
-  /** Per-source inventory sums over the canonical relation. */
-  private[queries] def epochStats(perFp: DataFrame): DataFrame =
-    perFp.filter(col("n") > 0)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("uniq_tok"),
-        sum(col("q_e6")).as("q_sum"))
-
-  /** The closed-form greedy allocation over per-source
-    * (n_docs, uniq_tok, q_sum) stats — windows run over the ≤|sources|
-    * relation (domain-bounded). */
-  private[queries] def epochAllocate(perSrcStats: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perSrc = perSrcStats
-      .select(col("source"), col("n_docs"), col("uniq_tok"),
-        expr(ExactRound.spark("q_sum", "n_docs")).as("quality_e6"))
-    val wq = Window.orderBy(col("quality_e6").desc, col("source"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perSrc
-      .withColumn("prev4",
-        coalesce(sum(col("uniq_tok") * lit(EpochMaxRepeat)).over(wq), lit(0L)))
-      .withColumn("budget", sum(col("uniq_tok")).over(wall) * lit(EpochBudgetMult))
-      .withColumn("alloc_tok", greatest(lit(0L),
-        least(col("uniq_tok") * lit(EpochMaxRepeat), col("budget") - col("prev4"))))
-      .select(col("source"), col("n_docs"), col("uniq_tok"), col("quality_e6"),
-        col("alloc_tok"),
-        expr("alloc_tok div uniq_tok").as("epochs"),
-        expr("alloc_tok % uniq_tok").as("partial_tok"),
-        expr(ExactRound.spark("CAST(alloc_tok AS DECIMAL(38,0)) * 1000000",
-          "CAST(budget AS DECIMAL(38,0))")).cast("long").as("share_e6"))
-      .orderBy(col("source"))
-  }
-
-  def epochPlan(s: SparkSession, d: String): DataFrame =
-    epochAllocate(epochStats(epochKeepFirst(epochDocFeatures(docs(s, d)))))
-
-  // ========================================================================
-  // epoch_plan_incremental — the allocator's CONTINUOUS-INGESTION path:
-  // the base corpus's per-fingerprint canonical relation and per-source
-  // inventory sums are persisted ONCE as catalog tables (the
-  // data_card_incremental build-once contract); each refresh scans ONLY
-  // the increment slice and merges by DISPLACEMENT-CORRECT deltas —
-  // the subtlety a naive additive merge misses is that unique-token
-  // inventory is a keep-first election, not a sum: an increment doc
-  // whose fingerprint already exists adds nothing, and an increment doc
-  // with a SMALLER id than the base canonical DISPLACES it (the
-  // full-corpus election is min doc_id across slices), moving the fp's
-  // mass between sources. Delta algebra per increment canonical:
-  // new fp → +inc; displaced (inc id < base id) → +inc −base; else 0 —
-  // each guarded by its own n > 0. The merged stats equal the
-  // full-corpus inventory BIT-FOR-BIT, so the oracle IS the full
-  // epoch_plan's SQL: passing it PROVES the O(increment) merge exact.
-  // Everything that shuffles is O(increment + fp lookups): the
-  // increment equi-joins the persisted fp table; the base is never
-  // rescanned.
-  // ========================================================================
-  private val EpochBaseWhere = "doc_id % 3 <> 0"
-
-  private[graft] def epochFpTable(s: SparkSession, d: String): String =
-    synchronized {
-      val t = s"graft_epochplan_fp_${MemoNames.dirSuffix(d)}"
-      if (!s.catalog.tableExists(t)) {
-        MemoTrace.built("epochFpTable")
-        graft.operators.Scale.saveTable(
-          epochKeepFirst(epochDocFeatures(docs(s, d).filter(expr(EpochBaseWhere)))), t)
-      }
-      t
-    }
-
-  private[graft] def epochBaseStatsTable(s: SparkSession, d: String): String =
-    synchronized {
-      val t = s"graft_epochplan_stats_${MemoNames.dirSuffix(d)}"
-      if (!s.catalog.tableExists(t)) {
-        MemoTrace.built("epochBaseStatsTable")
-        graft.operators.Scale.saveTable(epochStats(s.table(epochFpTable(s, d))), t)
-      }
-      t
-    }
-
-  /** The displacement-correct O(increment) stats merge — factored out of
-    * [[epochPlanIncremental]] so the displacement branch (which the
-    * synthetic corpus's slice split never exercises: no fingerprint
-    * crosses the % 3 boundary) is pinned by a hostile probe in
-    * EpochPlanSpec. Frames: `baseFp` = the base slice's per-fp canonical
-    * relation, `baseStats` = its per-source sums, `incCanon` = the
-    * increment's per-fp canonicals.
-    */
-  private[queries] def epochMergeIncrement(baseFp: DataFrame, baseStats: DataFrame,
-                                           incCanon: DataFrame): DataFrame = {
-    val joined = incCanon.as("i").join(baseFp.as("b"), Seq("fp"), "left")
-    // the increment canonical WINS when the fp is new or its id is
-    // smaller than the base canonical's (min-id election across slices)
-    val incWins = col("b.doc_id").isNull || col("i.doc_id") < col("b.doc_id")
-    val displaced = col("b.doc_id").isNotNull && col("i.doc_id") < col("b.doc_id")
-    // BOTH deltas (+inc, and −base when displaced) emit from ONE pass
-    // over the joined relation — two filtered branches would union two
-    // copies of the whole increment subplan (scan + keep-first window
-    // run twice; Spark does not dedupe shared subplans across a union)
-    val deltas = joined
-      .select(explode(array(
-        when(incWins && col("i.n") > 0,
-          struct(col("i.source").as("source"), lit(1L).as("n_docs"),
-            col("i.n").as("uniq_tok"), col("i.q_e6").as("q_sum"))),
-        when(displaced && col("b.n") > 0,
-          struct(col("b.source").as("source"), lit(-1L).as("n_docs"),
-            (-col("b.n")).as("uniq_tok"), (-col("b.q_e6")).as("q_sum")))
-      )).as("dlt"))
-      .filter(col("dlt").isNotNull)
-      .select(col("dlt.source").as("source"), col("dlt.n_docs").as("n_docs"),
-        col("dlt.uniq_tok").as("uniq_tok"), col("dlt.q_sum").as("q_sum"))
-    baseStats.unionByName(deltas)
-      .groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("uniq_tok")).as("uniq_tok"),
-        sum(col("q_sum")).as("q_sum"))
-      // a source whose every unique doc was displaced away holds no mass
-      .filter(col("n_docs") > 0)
-  }
-
-  def epochPlanIncremental(s: SparkSession, d: String): DataFrame = {
-    val incCanon = epochKeepFirst(
-      epochDocFeatures(docs(s, d).filter(not(expr(EpochBaseWhere)))))
-    epochAllocate(epochMergeIncrement(
-      s.table(epochFpTable(s, d)), s.table(epochBaseStatsTable(s, d)), incCanon))
-  }
-
-  private val epochPlanSql =
-    s"""$curateCtesSql,
-       |uq AS (
-       |  SELECT source, n,
-       |    CAST($QualityE6Sql AS BIGINT) AS q_e6
-       |  FROM (
-       |    SELECT source, n, n_stop, n_dist,
-       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-       |    FROM f)
-       |  WHERE rn = 1 AND n > 0),
-       |ps AS (
-       |  SELECT source, count(*) AS n_docs,
-       |    CAST(sum(n) AS BIGINT) AS uniq_tok,
-       |    CAST(${ExactRound.duck("CAST(sum(q_e6) AS BIGINT)", "count(*)")} AS BIGINT) AS quality_e6
-       |  FROM uq GROUP BY source),
-       |al AS (
-       |  SELECT source, n_docs, uniq_tok, quality_e6,
-       |    CAST(coalesce(sum(uniq_tok * $EpochMaxRepeat) OVER (
-       |      ORDER BY quality_e6 DESC, source
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev4,
-       |    CAST(sum(uniq_tok) OVER () * $EpochBudgetMult AS BIGINT) AS budget
-       |  FROM ps),
-       |alc AS (
-       |  SELECT source, n_docs, uniq_tok, quality_e6, budget,
-       |    greatest(0, least(uniq_tok * $EpochMaxRepeat, budget - prev4)) AS alloc_tok
-       |  FROM al)
-       |SELECT source, n_docs, uniq_tok, quality_e6,
-       |  CAST(alloc_tok AS BIGINT) AS alloc_tok,
-       |  CAST(alloc_tok // uniq_tok AS BIGINT) AS epochs,
-       |  CAST(alloc_tok % uniq_tok AS BIGINT) AS partial_tok,
-       |  CAST(${ExactRound.duck("alloc_tok::HUGEINT * 1000000", "budget::HUGEINT")} AS BIGINT) AS share_e6
-       |FROM alc ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // pack_curriculum — QUALITY-ANNEALED training order (curriculum
-  // learning, Bengio et al. ICML 2009 — the LLM-pipeline analog orders
-  // from highest-quality data down, e.g. quality-annealed pre-training
-  // curricula): per source shard, docs concatenate in
-  // (quality band DESC, hash60(doc_id # seed), doc_id) order — coarse
-  // 0.1-wide exact-integer quality bands (q_e6 div 10⁵, the shared
-  // QualityE6 quantization) so the anneal is band-level while WITHIN a
-  // band the order is the seeded content-addressed shuffle
-  // (shuffle_seeded's draw — unshuffled within-band order would
-  // correlate adjacent training batches by doc_id). Completes the
-  // training-order trifecta: pack_sequences (doc order), pack_shuffled
-  // (uniform seeded shuffle), pack_curriculum (annealed). Identical
-  // packing algebra (packSequencesWith), one hashpartitioning(source)
-  // exchange; the band is per-row integer arithmetic on the same scan.
-  // ========================================================================
-  def packCurriculum(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
-      .withColumn("toks", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .withColumn("n_stop", TextOps.wordSetCount(col("toks"), enStop).cast("long"))
-      .withColumn("n_dist", TextOps.distinctCount(col("toks")))
-      // negated band so packSequencesWith's ascending orderBy anneals
-      // best-first; zero-token docs (banded -1 → neg 1) sort last
-      .withColumn("neg_band",
-        -when(col("n") > 0, expr(s"($QualityE6Expr) div 100000")).otherwise(lit(-1L)))
-      .withColumn("h", TextOps.hash60(col("doc_id").cast("string"), lit(ShuffleSeed)))
-    packSequencesWith(base, col("n"), orderBy = Seq("neg_band", "h", "doc_id"))
-  }
-
-  private val packCurriculumSql =
-    s"""WITH t AS (
-       |  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#$ShuffleSeed'), 1, 15))::BIGINT AS h
-       |  FROM documents),
-       |f AS (
-       |  SELECT doc_id, source, h,
-       |    CAST(len(toks) AS BIGINT) AS n,
-       |    CAST(len(list_filter(toks, tk -> tk IN ($EnStopSqlList))) AS BIGINT) AS n_stop,
-       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
-       |  FROM t),
-       |b AS (
-       |  SELECT doc_id, source, h, CAST(n + 1 AS BIGINT) AS n_tok,
-       |    -(CASE WHEN n > 0 THEN $QualityE6Sql // 100000 ELSE -1 END) AS neg_band
-       |  FROM f),
-       |o AS (
-       |  SELECT source, n_tok,
-       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
-       |      ORDER BY neg_band, h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM b),
-       |e AS (
-       |  SELECT source, st, n_tok,
-       |    unnest(generate_series(st // $SeqLen, (st + n_tok - 1) // $SeqLen)) AS seq_id
-       |  FROM o)
-       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
-       |  CAST(sum(least(st + n_tok, (seq_id + 1) * $SeqLen)
-       |    - greatest(st, seq_id * $SeqLen)) AS BIGINT) AS n_tokens
-       |FROM e GROUP BY source, seq_id
-       |ORDER BY source, seq_id""".stripMargin
-
-  // ========================================================================
-  // epoch_order — the allocator's plan MATERIALIZED as the actual
-  // training order: for every source with a non-zero allocation, each
-  // epoch e = 1..epochs(+1 if a partial epoch remains) lists the
-  // canonical (post keep-first dedup) docs in that epoch's seeded
-  // shuffle order (hash60(doc_id # "e"+e) — a FRESH content-addressed
-  // permutation per epoch, the shuffle_seeded contract), and the
-  // marginal source's last epoch is the shuffled PREFIX that consumes
-  // exactly partial_tok tokens (the straddling doc contributes
-  // take_tok = partial_tok − cum_before < n_tok, the pack_sequences
-  // cut algebra). Σ take_tok per source equals alloc_tok BIT-FOR-BIT —
-  // epoch_plan tells the owner WHAT to train on; this emits the order
-  // a data loader replays.
-  //
-  // Scale shape: the canonical inventory relation is built once and
-  // persisted (epochCanonMemo — RelationMemo contract); the per-source
-  // plan is ≤ |sources| rows and broadcasts onto it; the explode fans
-  // out ≤ EpochMaxRepeat+1 rows per doc; ONE hashpartitioning(source,
-  // epoch) exchange serves both the position window and the prefix
-  // cumsum. Nothing corpus-sized crosses the driver.
-  // ========================================================================
-  private val epochCanonMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  /** Canonical per-fingerprint inventory (doc_id, source, n, q_e6),
-    * zero-token canonicals excluded — the allocator family's shared
-    * base relation, persisted per (session, dir).
-    */
-  private def epochCanon(s: SparkSession, d: String): DataFrame =
-    RelationMemo.relation(epochCanonMemo, (s, d), "epochCanon") {
-      epochKeepFirst(epochDocFeatures(docs(s, d))).filter(col("n") > 0)
-        .select(col("doc_id"), col("source"), col("n"), col("q_e6"))
-        .persist()
-    }
-
-  def epochOrder(s: SparkSession, d: String): DataFrame = {
-    val canon = epochCanon(s, d)
-    val plan = epochAllocate(epochStats(canon))
-      .select(col("source"), col("epochs"), col("partial_tok"))
-      .withColumn("n_ep",
-        col("epochs") + when(col("partial_tok") > 0, 1L).otherwise(0L))
-      .filter(col("n_ep") > 0)
-    val w = Window.partitionBy(col("source"), col("epoch"))
-      .orderBy(col("h"), col("doc_id"))
-    canon.join(broadcast(plan), Seq("source"))
-      .select(col("source"), col("doc_id"), col("n"), col("epochs"),
-        col("partial_tok"),
-        explode(expr("sequence(CAST(1 AS BIGINT), n_ep)")).as("epoch"))
-      .withColumn("h", TextOps.hash60(col("doc_id").cast("string"),
-        concat(lit("e"), col("epoch").cast("string"))))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .withColumn("cumb", coalesce(
-        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("epoch") <= col("epochs") || col("cumb") < col("partial_tok"))
-      .select(col("source"), col("epoch"), col("pos"), col("doc_id"),
-        col("n").as("n_tok"),
-        when(col("epoch") <= col("epochs"), col("n"))
-          .otherwise(least(col("n"), col("partial_tok") - col("cumb")))
-          .as("take_tok"))
-      .orderBy(col("source"), col("epoch"), col("pos"))
-  }
-
-  private lazy val epochOrderSql =
-    s"""$curateCtesSql,
-       |uq2 AS (
-       |  SELECT doc_id, source, n FROM (
-       |    SELECT doc_id, source, n,
-       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-       |    FROM f)
-       |  WHERE rn = 1 AND n > 0),
-       |ep AS (
-       |  SELECT source, epochs, partial_tok,
-       |    epochs + CASE WHEN partial_tok > 0 THEN 1 ELSE 0 END AS n_ep
-       |  FROM ($epochPlanSql)
-       |  WHERE epochs > 0 OR partial_tok > 0),
-       |ex AS (
-       |  SELECT uq2.doc_id, uq2.source, uq2.n, ep.epochs, ep.partial_tok,
-       |    unnest(range(1, CAST(ep.n_ep AS BIGINT) + 1)) AS epoch
-       |  FROM uq2 JOIN ep USING (source)),
-       |hh AS (
-       |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-       |    || '#e' || epoch), 1, 15))::BIGINT AS h
-       |  FROM ex),
-       |wo AS (
-       |  SELECT source, epoch, doc_id, n, epochs, partial_tok,
-       |    CAST(row_number() OVER (PARTITION BY source, epoch
-       |      ORDER BY h, doc_id) AS BIGINT) AS pos,
-       |    CAST(coalesce(sum(n) OVER (PARTITION BY source, epoch
-       |      ORDER BY h, doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
-       |  FROM hh)
-       |SELECT source, CAST(epoch AS BIGINT) AS epoch, pos, doc_id,
-       |  n AS n_tok,
-       |  CAST(CASE WHEN epoch <= epochs THEN n
-       |       ELSE least(n, partial_tok - cumb) END AS BIGINT) AS take_tok
-       |FROM wo
-       |WHERE epoch <= epochs OR cumb < partial_tok
-       |ORDER BY source, epoch, pos""".stripMargin
-
-  // ========================================================================
-  // shard_assign / shard_balance — token-balanced output sharding, the
-  // last-mile write step of a curation pipeline: the released corpus is
-  // emitted as N shard files per source, and data-loader workers stream
-  // one shard each, so shards must carry near-equal TOKEN mass (a
-  // doc-count round-robin leaves the long-doc shard 2-3× heavier and
-  // the epoch blocks on it). Assignment is the snake draft over the
-  // per-source (n_tok DESC, doc_id) order: pos = rank-1, band = pos div
-  // N, shard = band even ? pos mod N : N-1-(pos mod N) — each pair of
-  // bands hands every shard one long + one short doc, so imbalance
-  // cannot accumulate band over band (greedy LPT quality without LPT's
-  // sequential state). Doc counts per (source, shard) differ by ≤ 1 by
-  // construction; everything is exact integer arithmetic on an ordering
-  // both engines share (ties by doc_id).
-  //
-  // Scale shape: ONE hashpartitioning(source) exchange for the
-  // per-source rank window — the pack-family shape; the assignment is
-  // per-row integer math on the same pass. shard_balance folds the
-  // assignment into a (source, shard) partial-agg — ≤ |sources|·N rows
-  // — and the spread audit windows over THAT relation, never the
-  // corpus. At 100 TB with a skew-heavy source, rank-within-source
-  // swaps to the two-job distributed index per source slice
-  // (WindowOps.globalRowIdx); the assignment algebra is unchanged.
-  // ========================================================================
-  private val NumShards = 8L
-
-  /** (doc_id, source, n_tok, shard) — unordered; shared by both keys. */
-  private def shardAssigned(s: SparkSession, d: String): DataFrame = {
-    val toks = docs(s, d).select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .withColumn("neg_tok", -col("n_tok"))
-    graft.operators.WindowOps
-      .withRowIdx(toks, Seq("source"), Seq("neg_tok", "doc_id"), "rn")
-      .withColumn("pos", col("rn") - 1L)
-      .withColumn("shard",
-        when(expr(s"pos div $NumShards") % 2 === 0, col("pos") % NumShards)
-          .otherwise(lit(NumShards - 1) - col("pos") % NumShards))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
-  }
-
-  def shardAssign(s: SparkSession, d: String): DataFrame =
-    shardAssigned(s, d).orderBy(col("doc_id"))
-
-  def shardBalance(s: SparkSession, d: String): DataFrame = {
-    val perShard = shardAssigned(s, d)
-      .groupBy(col("source"), col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val bySource = Window.partitionBy(col("source"))
-    perShard
-      .withColumn("spread_tokens",
-        max(col("n_tokens")).over(bySource) - min(col("n_tokens")).over(bySource))
-      .orderBy(col("source"), col("shard"))
-  }
-
-  /** Shared CTEs: `sht` token counts, `shp` the snake-draft assignment. */
-  private val shardCtesSql =
-    raw"""sht AS (
-       |  SELECT doc_id, source,
-       |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
-       |  FROM documents),
-       |shp AS (
-       |  SELECT doc_id, source, n_tok,
-       |    CAST(CASE WHEN (pos // $NumShards) % 2 = 0 THEN pos % $NumShards
-       |         ELSE $NumShards - 1 - pos % $NumShards END AS BIGINT) AS shard
-       |  FROM (SELECT doc_id, source, n_tok,
-       |          row_number() OVER (PARTITION BY source
-       |            ORDER BY n_tok DESC, doc_id) - 1 AS pos
-       |        FROM sht))""".stripMargin
-
-  private val shardAssignSql =
-    s"""WITH $shardCtesSql
-       |SELECT doc_id, source, n_tok, shard FROM shp ORDER BY doc_id""".stripMargin
-
-  private val shardBalanceSql =
-    s"""WITH $shardCtesSql,
-       |b AS (
-       |  SELECT source, shard, count(*) AS n_docs,
-       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
-       |  FROM shp GROUP BY source, shard)
-       |SELECT source, shard, n_docs, n_tokens,
-       |  CAST(max(n_tokens) OVER (PARTITION BY source)
-       |    - min(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS spread_tokens
-       |FROM b ORDER BY source, shard""".stripMargin
-
-  // ========================================================================
-  // quality_rank_corr — Spearman rank agreement between the CHEAP
-  // heuristic quality gate (QualityE6) and the EXPENSIVE corpus-LM gate
-  // (mean bigram NLL), per source. The question a pipeline owner asks
-  // before ordering the gates: if the cheap signal ranks documents the
-  // way the LM does (rho near +1), it can prefilter aggressively and
-  // the LM only scores survivors (the pipeline_curate_lm ordering); if
-  // rho is low the heuristic is NOT a proxy and both gates must run.
-  // Spearman over DISTINCT ranks is pure integer arithmetic: rank A =
-  // row_number by (quality_e6 DESC, doc_id), rank B = row_number by
-  // (mean_nll_e4 ASC, doc_id) — both tie-broken by doc_id and computed
-  // over the LM-scorable population (n >= 2 tokens), d = rA − rB,
-  // rho = 1 − 6·Σd² / (n(n²−1)), emitted as exact half-away rho_e6
-  // (ExactRound — numerator may be negative). The LM side reuses the
-  // persisted per-doc lmScoreCore relation (5th consumer); the quality
-  // side is the shared QualityE6 interpolation on the same scan shape.
-  //
-  // Scale: the two rank windows share ONE hashpartitioning(source)
-  // exchange; the per-doc LM join is doc_id-keyed; the Σd² agg
-  // partial-aggregates map-side to |sources| rows. The rho numerator is
-  // |n(n²−1) − 6Σd²|·10⁶·2 ≤ 2n³·10⁶ — past 2⁶³ at only ~16.6k docs per
-  // source — so it runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB),
-  // good to n ≈ 3.7×10¹⁰ docs per source; the ≤|sources|-row agg makes
-  // the wide arithmetic free.
-  // ========================================================================
-  def qualityRankCorr(s: SparkSession, d: String): DataFrame = {
-    val feats = docs(s, d)
-      .withColumn("toks", graft.plans.EvalOnce(TextOps.tokens(col("text"))))
-      .select(col("doc_id"), col("source"),
-        size(col("toks")).cast("long").as("n"),
-        TextOps.wordSetCount(col("toks"), enStop).cast("long").as("n_stop"),
-        TextOps.distinctCount(col("toks")).as("n_dist"))
-      .filter(col("n") >= 2) // the LM-scorable population, exactly
-      .withColumn("q_e6", expr(QualityE6Expr))
-    val lm = lmScoreCore(s, d).select(col("doc_id"),
-      expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("mean_nll_e4"))
-    val bySrc = Window.partitionBy(col("source"))
-    val ranked = feats.join(lm, Seq("doc_id"))
-      .withColumn("r_q", row_number()
-        .over(bySrc.orderBy(col("q_e6").desc, col("doc_id"))).cast("long"))
-      .withColumn("r_l", row_number()
-        .over(bySrc.orderBy(col("mean_nll_e4").asc, col("doc_id"))).cast("long"))
-    ranked.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum((col("r_q") - col("r_l")) * (col("r_q") - col("r_l"))).as("sum_d2"))
-      .withColumn("nd", col("n_docs").cast("decimal(38,0)"))
-      .withColumn("rho_e6",
-        when(col("n_docs") > 1, expr(ExactRound.spark(
-          "(nd * (nd * nd - 1) - 6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000000",
-          "nd * (nd * nd - 1)")).cast("long"))
-          .otherwise(lit(null).cast("long")))
-      .drop("nd")
-      .orderBy(col("source"))
-  }
-
-  private lazy val qualityRankCorrSql =
-    s"""WITH qf AS (
-       |  SELECT doc_id, source, $QualityE6Sql AS q_e6
-       |  FROM (
-       |    SELECT doc_id, source,
-       |      CAST(len(toks) AS BIGINT) AS n,
-       |      CAST(len(list_filter(toks, tk -> tk IN ($EnStopSqlList))) AS BIGINT) AS n_stop,
-       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
-       |    FROM (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks
-       |          FROM documents))
-       |  WHERE n >= 2),
-       |lmq AS (
-       |  SELECT doc_id, ${ExactRound.duck("nll_sum_e4", "n_bg")} AS mean_nll_e4
-       |  FROM ($lmScoreCoreSql)),
-       |rk AS (
-       |  SELECT source,
-       |    CAST(row_number() OVER (PARTITION BY source
-       |      ORDER BY q_e6 DESC, doc_id) AS BIGINT) AS r_q,
-       |    CAST(row_number() OVER (PARTITION BY source
-       |      ORDER BY mean_nll_e4 ASC, doc_id) AS BIGINT) AS r_l
-       |  FROM qf JOIN lmq USING (doc_id)),
-       |ag AS (
-       |  SELECT source, count(*) AS n_docs,
-       |    CAST(sum((r_q - r_l) * (r_q - r_l)) AS BIGINT) AS sum_d2
-       |  FROM rk GROUP BY source)
-       |SELECT source, n_docs, sum_d2,
-       |  CASE WHEN n_docs > 1 THEN CAST(${ExactRound.duck(
-              "(n_docs::HUGEINT * (n_docs::HUGEINT * n_docs::HUGEINT - 1) - 6 * sum_d2::HUGEINT) * 1000000",
-              "n_docs::HUGEINT * (n_docs::HUGEINT * n_docs::HUGEINT - 1)")} AS BIGINT)
-       |       ELSE NULL END AS rho_e6
-       |FROM ag ORDER BY source""".stripMargin
-
-  // ========================================================================
-  // sample_mix — target-share corpus mixing (domain reweighting): given
-  // per-source target shares w_s (here data-driven: w ∝ source index+1,
-  // so the mix is deliberately non-uniform over the uniform corpus),
-  // find the largest feasible sample T = min_s(n_s / w_s) that hits the
-  // target mix without oversampling any source, keep each doc with
-  // probability rate_s = w_s·T / n_s via the content-addressed
-  // hash60(doc_id)/2^60 draw (the sample_weighted convention — same
-  // hash, so mixing composes with quality sampling), and report
-  // achieved vs target share. THE knob a pre-training run turns to
-  // rebalance web/books/code/wiki proportions.
-  //
-  // Scale shape: rates come from one tiny per-source count agg
-  // (broadcast back onto the scan); the keep decision is a scan-side
-  // filter — no corpus shuffle, text pruned from every scan; only
-  // per-source partial counts move. All arithmetic is IEEE-exact and
-  // identically ordered on both engines (single divisions/multiplies of
-  // exact integers), so shares ship unrounded.
-  // ========================================================================
-  private val MixWeightDen = 210.0 // sum of (i+1) over the 20 sources
-
-  def sampleMix(s: SparkSession, d: String): DataFrame = {
-    val counts = docs(s, d).groupBy(col("source"))
-      .agg(count(lit(1)).as("n_total"))
-      .withColumn("w",
-        // try_cast, not cast: under ANSI mode a malformed source name must
-        // null out (as the DuckDB oracle's TRY_CAST does), not crash the job
-        (expr("try_cast(substring(source, 4, 10) AS int)") + 1).cast("double") / lit(MixWeightDen))
-    val t = counts.agg(min(col("n_total").cast("double") / col("w")).as("t"))
-    val rates = counts.crossJoin(broadcast(t))
-      .withColumn("rate",
-        least(lit(1.0), col("w") * col("t") / col("n_total").cast("double")))
-      .select(col("source"), col("n_total"), col("w").as("target_share"), col("rate"))
-    val kept = docs(s, d).select(col("doc_id"), col("source"))
-      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
-      .withColumn("u",
-        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
-      .filter(col("u") < col("rate"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    val totalKept = kept.agg(sum(col("n_kept")).as("total_kept"))
-    rates.join(kept, Seq("source"), "left")
-      .crossJoin(broadcast(totalKept))
-      .select(col("source"), col("n_total"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        col("target_share"),
-        (coalesce(col("n_kept"), lit(0L)).cast("double") /
-          col("total_kept").cast("double")).as("achieved_share"))
-      .orderBy(col("source"))
-  }
-
-  private val sampleMixSql =
-    s"""WITH c AS (
-       |  SELECT source, count(*) AS n_total,
-       |    CAST(TRY_CAST(substr(source, 4) AS INTEGER) + 1 AS DOUBLE) / $MixWeightDen AS w
-       |  FROM documents GROUP BY source),
-       |tt AS (SELECT min(CAST(n_total AS DOUBLE) / w) AS t FROM c),
-       |r AS (
-       |  SELECT source, n_total, w AS target_share,
-       |    least(CAST(1 AS DOUBLE), w * t / CAST(n_total AS DOUBLE)) AS rate
-       |  FROM c, tt),
-       |k AS (
-       |  SELECT d.source, count(*) AS n_kept
-       |  FROM documents d JOIN r ON d.source = r.source
-       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |        / $Pow60.0 < rate
-       |  GROUP BY d.source),
-       |tk AS (SELECT CAST(sum(n_kept) AS BIGINT) AS total_kept FROM k)
-       |SELECT r.source, r.n_total, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-       |  target_share,
-       |  CAST(coalesce(k.n_kept, 0) AS DOUBLE) / total_kept AS achieved_share
-       |FROM r LEFT JOIN k ON r.source = k.source, tk
-       |ORDER BY r.source""".stripMargin
-
-  // ========================================================================
-  // sample_temperature — temperature-flattened corpus mixing (the
-  // multilingual-LLM sampling scheme: expected kept docs per stratum
-  // ∝ n^alpha, alpha = 0.5): per-(source, lang) stratum the keep rate is
-  // sqrt(min_n / n) — 1 for the smallest stratum, shrinking for larger
-  // ones — and each doc's keep decision is the same content-addressed
-  // u < rate test as sample_weighted. Scale shape: ONE tiny stratum-count
-  // aggregation broadcasts back onto the scan; the corpus itself never
-  // shuffles. All rate arithmetic is integer-count division + IEEE sqrt
-  // (correctly rounded, engine-identical).
-  // ========================================================================
-  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
-    val c = docs(s, d).groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-    val mn = c.agg(min(col("n")).as("mn"))
-    val rates = c.crossJoin(broadcast(mn))
-      .select(col("source"), col("lang"),
-        sqrt(col("mn").cast("double") / col("n")).as("rate"))
-    docs(s, d).select(col("doc_id"), col("source"), col("lang"))
-      .join(broadcast(rates), Seq("source", "lang"))
-      .withColumn("u",
-        TextOps.hash60(col("doc_id").cast("string")).cast("double") / lit(Pow60.toDouble))
-      .filter(col("u") < col("rate"))
-      .select(col("doc_id"), col("source"), col("lang"), col("rate"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val sampleTemperatureSql =
-    s"""WITH c AS (
-       |  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
-       |mn AS (SELECT min(n) AS mn FROM c),
-       |r AS (
-       |  SELECT source, lang, sqrt(CAST(mn AS DOUBLE) / n) AS rate FROM c, mn)
-       |SELECT d.doc_id, d.source, d.lang, r.rate
-       |FROM documents d JOIN r ON d.source = r.source AND d.lang = r.lang
-       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |        / $Pow60.0 < r.rate
-       |ORDER BY d.doc_id""".stripMargin
-
-  // ========================================================================
-  // group_topk — per-group top-k (top-3 docs per source by quality
-  // score): the generic "best exemplars per group" primitive (curation
-  // review samples, per-domain spot checks). One hash-partitioned
-  // window; ties break on doc_id (scores are exact rationals, so ties
-  // are engine-identical).
-  // ========================================================================
-  def groupTopk(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
-    curateFeaturesAll(docs(s, d))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-      .select(col("source"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("score"))
-      .orderBy(col("source"), col("rank"))
-  }
-
-  private val groupTopkSql =
-    s"""$curateCtesSql
-       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
-       |  SELECT source, doc_id, score,
-       |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
-       |  FROM q)
-       |WHERE rank <= 3 ORDER BY source, rank""".stripMargin
-
-  // ========================================================================
   // pipeline_curate_full — the curation funnel with EVERY gate this
   // engine ships: benchmark exclusion → lang-ID → quality → token
   // bounds → repetition cap (top-2-gram share ≤ 0.2) → decontamination
@@ -4325,39 +939,6 @@ object TextQueries {
        |GROUP BY spl.split, surv.source
        |ORDER BY spl.split, surv.source""".stripMargin
 
-  // ========================================================================
-  // sample_hash_split — deterministic, LEAKAGE-SAFE train/val/test
-  // assignment: the split key is the canonical CONTENT fingerprint
-  // (TextOps.fingerprint — lowercase, punctuation-stripped,
-  // whitespace-collapsed md5), not the doc id, so exact duplicates and
-  // near-identical re-encodes land in the SAME split — the standard
-  // guard against train/test leakage through duplicated documents
-  // (hash-bucket splitting is the industry default precisely because
-  // random assignment splits dup pairs across the boundary).
-  // bucket = hash60(fp) % 100; test < 5, val < 10, train otherwise
-  // (a 90/5/5 split). Scale: a pure scan-side projection — no shuffle,
-  // no RNG state, reproducible across runs, engines, and corpus
-  // REPARTITIONS (content-addressed, so ingest order cannot move a doc
-  // between splits).
-  // ========================================================================
-  def sampleHashSplit(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), col("source"),
-        (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"))
-      .withColumn("split", TextOps.splitOf(col("bucket")))
-      .orderBy(col("doc_id"))
-
-  private val sampleHashSplitSql =
-    raw"""SELECT doc_id, source, bucket,
-      |  ${TextOps.splitOfSql("bucket")} AS split
-      |FROM (
-      |  SELECT doc_id, source,
-      |    ('0x' || substr(md5(${TextOps.fingerprintSql("text")}), 1, 15))::BIGINT
-      |      % 100 AS bucket
-      |  FROM documents)
-      |ORDER BY doc_id""".stripMargin
-
-  // ========================================================================
   // collocations — corpus-level bigram association mining: the top-30
   // most frequent adjacent token pairs with their pointwise mutual
   // information, PMI = ln(p(ab) / (p(a)·p(b))) over unigram/bigram
@@ -4526,7 +1107,7 @@ object TextQueries {
     */
   private val lmScoreMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def lmScoreCore(s: SparkSession, d: String): DataFrame =
+  private[queries] def lmScoreCore(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(lmScoreMemo, (s, d), "lmScoreCore") {
       val uni = unigramCounts(s, d)
       val vocab = uni.agg(count(lit(1)).as("v_size"))
@@ -4565,7 +1146,7 @@ object TextQueries {
     */
   // lazy: referenced by pipelineCurateLmSql, which initializes earlier
   // in the object (vals initialize in file order)
-  private lazy val lmScoreCoreSql =
+  private[queries] lazy val lmScoreCoreSql =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
        |uc AS (
@@ -4655,7 +1236,7 @@ object TextQueries {
   // ========================================================================
   // final: a compile-time constant, inlined — pipelineCurateLmSql
   // initializes earlier in the object and must not read a default-0 val
-  private final val GateNllE4PerBigram = 34200L
+  private[queries] final val GateNllE4PerBigram = 34200L
 
   private val lmSketchMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), graft.plans.LmSketchModel]
@@ -4980,7 +1561,7 @@ object TextQueries {
   // themselves incrementally maintainable (dedup_incremental,
   // scrub_substring_incremental show the shapes).
   // ========================================================================
-  private val CardBaseWhere = "doc_id % 3 <> 0"
+  private[queries] val CardBaseWhere = "doc_id % 3 <> 0"
 
   /** The dup/contamination membership relations PERSISTED as catalog
     * tables next to the base counters — the refresh path screens the
@@ -5112,69 +1693,22 @@ object TextQueries {
     "data_card" -> (dataCard _),
     "data_card_incremental" -> (dataCardIncremental _),
     "release_manifest" -> (releaseManifest _),
-    "bpe_learn" -> (bpeLearn _),
-    "bpe_drift" -> (bpeDrift _),
-    "bpe_token_count" -> (bpeTokenCount _),
     "lm_gate_sketch" -> (lmGateSketch _),
     "curate_report_lm" -> (curateReportLm _),
     "lm_score_incremental" -> (lmScoreIncremental _),
     "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScore _),
-    "sample_hash_split" -> (sampleHashSplit _),
     "collocations" -> (collocations _),
     "text_rarity" -> (textRarity _),
     "pipeline_curate_full" -> (pipelineCurateFull _),
     "pipeline_curate_lm" -> (pipelineCurateLm _),
-    "sample_weighted" -> (sampleWeighted _),
-    "sample_reservoir" -> (sampleReservoir _),
-    "shuffle_seeded" -> (shuffleSeeded _),
-    "pack_shuffled" -> (packShuffled _),
-    "sample_temperature" -> (sampleTemperature _),
-    "group_topk" -> (groupTopk _),
-    "term_freq" -> (termFreq _),
-    "chunk_tokens" -> (chunkTokens _),
-    "pack_sequences" -> (packSequences _),
-    "token_count_subword" -> (tokenCountSubword _),
-    "pack_sequences_subword" -> (packSequencesSubword _),
-    "pipeline_pack" -> (pipelinePack _),
-    "sample_mix" -> (sampleMix _),
     "pipeline_curate" -> (pipelineCurate _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
-    "tfidf_topk" -> (tfidfTopK _),
     "curate_report" -> (curateReport _),
     "text_scrub" -> (textScrub _),
     "scrub_count" -> (scrubCount _),
-    "bm25_topk" -> (bm25TopK _),
-    "hybrid_topk" -> (hybridTopK _),
-    "hybrid_topk_batch" -> (hybridTopKBatch _),
-    "retrieval_ndcg" -> (retrievalNdcg _),
-    "retrieval_ndcg_batch" -> (retrievalNdcgBatch _),
-    "epoch_plan" -> (epochPlan _),
-    "epoch_plan_incremental" -> (epochPlanIncremental _),
-    "pack_curriculum" -> (packCurriculum _),
-    "shard_assign" -> (shardAssign _),
-    "shard_balance" -> (shardBalance _),
-    "quality_rank_corr" -> (qualityRankCorr _),
-    "decontaminate_report" -> (decontaminateReport _),
-    "epoch_order" -> (epochOrder _),
-    "lang_id_eval" -> (langIdEval _),
-    "bpe_fertility" -> (bpeFertility _),
-    "corpus_growth" -> (corpusGrowth _),
-    "quality_rules_report" -> (qualityRulesReport _),
-    "rules_gate_eval" -> (rulesGateEval _),
-    "rules_ablation" -> (rulesAblation _),
-    "dsir_weight" -> (dsirWeight _),
-    "pipeline_dsir" -> (pipelineDsir _),
-    "ccnet_bucket" -> (ccnetBucket _),
-    "ccnet_report" -> (ccnetReport _),
-    "vocab_overlap" -> (vocabOverlap _),
-    "corpus_diversity" -> (corpusDiversity _),
-    "pack_report" -> (packReport _),
-    "pack_buckets" -> (packBuckets _),
-    "corpus_diversity_incremental" -> (corpusDiversityIncremental _),
-    "zipf_fit" -> (zipfFit _),
     "text_stats" -> (textStats _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
@@ -5188,73 +1722,26 @@ object TextQueries {
     "data_card" -> dataCardSql,
     "data_card_incremental" -> dataCardSql,
     "release_manifest" -> releaseManifestSql,
-    "bpe_learn" -> bpeLearnSql,
-    "bpe_drift" -> bpeDriftSql,
-    "bpe_token_count" -> bpeTokenCountSql,
     "curate_report_lm" -> curateReportLmSql,
     "lm_score_incremental" -> lmScoreIncrementalSql,
     "text_entropy" -> textEntropySql,
     "lm_score" -> lmScoreSql,
-    "sample_hash_split" -> sampleHashSplitSql,
     "collocations" -> collocationsSql,
     "text_rarity" -> textRaritySql,
     "pipeline_curate_full" -> pipelineCurateFullSql,
     "pipeline_curate_lm" -> pipelineCurateLmSql,
-    "sample_weighted" -> sampleWeightedSql,
-    "sample_reservoir" -> sampleReservoirSql,
-    "shuffle_seeded" -> shuffleSeededSql,
-    "pack_shuffled" -> packShuffledSql,
-    "sample_temperature" -> sampleTemperatureSql,
-    "group_topk" -> groupTopkSql,
-    "term_freq" -> termFreqSql,
-    "chunk_tokens" -> chunkTokensSql,
-    "pack_sequences" -> packSequencesSql,
-    "token_count_subword" -> tokenCountSubwordSql,
-    "pack_sequences_subword" -> packSequencesSubwordSql,
-    "pipeline_pack" -> pipelinePackSql,
-    "sample_mix" -> sampleMixSql,
     "pipeline_curate" -> pipelineCurateSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "decontaminate_bloom" -> decontaminateBloomSql,
-    "tfidf_topk" -> tfidfTopKSql,
     "curate_report" -> curateReportSql,
     "text_scrub" -> textScrubSql,
     "scrub_count" -> scrubCountSql,
-    "bm25_topk" -> bm25TopKSql,
-    "hybrid_topk" -> hybridTopKSql,
-    "hybrid_topk_batch" -> hybridTopKBatchSql,
-    "retrieval_ndcg" -> retrievalNdcgSql,
-    "retrieval_ndcg_batch" -> retrievalNdcgBatchSql,
-    "epoch_plan" -> epochPlanSql,
     // the incremental refresh's oracle IS the full plan's SQL — passing
     // it proves the O(increment) displacement-correct merge exact
     // (the data_card_incremental treatment)
-    "epoch_plan_incremental" -> epochPlanSql,
-    "pack_curriculum" -> packCurriculumSql,
-    "shard_assign" -> shardAssignSql,
-    "shard_balance" -> shardBalanceSql,
-    "quality_rank_corr" -> qualityRankCorrSql,
-    "decontaminate_report" -> decontaminateReportSql,
-    "epoch_order" -> epochOrderSql,
-    "lang_id_eval" -> langIdEvalSql,
-    "bpe_fertility" -> bpeFertilitySql,
-    "corpus_growth" -> corpusGrowthSql,
-    "quality_rules_report" -> qualityRulesReportSql,
-    "rules_gate_eval" -> rulesGateEvalSql,
-    "rules_ablation" -> rulesAblationSql,
-    "dsir_weight" -> dsirWeightSql,
-    "pipeline_dsir" -> pipelineDsirSql,
-    "ccnet_bucket" -> ccnetBucketSql,
-    "ccnet_report" -> ccnetReportSql,
-    "vocab_overlap" -> vocabOverlapSql,
-    "corpus_diversity" -> corpusDiversitySql,
-    "pack_report" -> packReportSql,
-    "pack_buckets" -> packBucketsSql,
     // the full report's SQL IS the incremental oracle: equality proves
     // the base+increment merge exact (the data_card_incremental treatment)
-    "corpus_diversity_incremental" -> corpusDiversitySql,
-    "zipf_fit" -> zipfFitSql,
     "text_stats" -> textStatsSql,
     "lang_id" -> langIdSql,
     "token_count" -> tokenCountSql,

@@ -73,7 +73,7 @@ object StreamingCurate {
   }
 
   /** Stateless Gopher-rule admission on a document stream: evaluate
-    * the per-doc rule flags ([[graft.queries.TextQueries.qualityRuleFlags]]
+    * the per-doc rule flags ([[graft.queries.TextEval.qualityRuleFlags]]
     * — the SAME scan-side expressions the batch `quality_rules_report`
     * aggregates) and pass through docs that fail no rule. ZERO state —
     * every rule input is a codegen projection of the row's own text,
@@ -82,18 +82,18 @@ object StreamingCurate {
     * stream).
     */
   def rulesGate(spark: SparkSession, docs: DataFrame): DataFrame =
-    graft.queries.TextQueries.qualityRuleFlags(docs)
+    graft.queries.TextEval.qualityRuleFlags(docs)
       .filter(col("pass_all") === 1)
       .drop("f_nword", "f_wordlen", "f_symbol", "f_stop", "f_alpha", "pass_all")
 
   /** CCNet bucket assignment as a CONTINUOUS stage, ZERO state: each
     * arriving document is scored by the Count-Min bigram model riding
     * the plan as one reference — the SAME
-    * [[graft.queries.TextQueries.sketchScore]] projection the
+    * [[graft.queries.TextLm.sketchScore]] projection the
     * threshold learner ran batch-side (one definition, so the scoring
     * sides cannot drift) — and assigned head/middle/tail with two
     * comparisons against its language's broadcast thresholds
-    * ([[graft.queries.TextQueries.ccnetSketchThresholds]] — ≤|langs|
+    * ([[graft.queries.TextLm.ccnetSketchThresholds]] — ≤|langs|
     * rows, a stream-static broadcast join, no state store). Because
     * the batch cut is value-monotone (the value-group contract), an
     * in-corpus doc's stream bucket equals its batch sketch-side bucket
@@ -105,7 +105,7 @@ object StreamingCurate {
   def ccnetAssign(spark: SparkSession, docs: DataFrame,
                   model: graft.plans.LmSketchModel,
                   thresholds: DataFrame): DataFrame = {
-    graft.queries.TextQueries.sketchScore(docs, model)
+    graft.queries.TextLm.sketchScore(docs, model)
       .join(broadcast(thresholds), Seq("lang"), "left")
       .withColumn("bucket",
         when(col("t_head").isNotNull && col("mean_nll_e4") <= col("t_head"), "head")

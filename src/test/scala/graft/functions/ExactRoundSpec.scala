@@ -48,9 +48,25 @@ class ExactRoundSpec extends SparkSpec {
     }
   }
 
-  test("the duck fragment is textually the spark fragment with // for div") {
+  test("the duck fragment is textually the spark fragment with // for div and HUGEINT for DECIMAL(38,0)") {
     // one algebra, two spellings — a drift between them would silently
-    // desynchronize every Spark/oracle pair using the helper
-    assert(ExactRound.duck("a", "b") == ExactRound.spark("a", "b").replace(" div ", " // "))
+    // desynchronize every Spark/oracle pair using the helper. The wide
+    // types differ per engine deliberately: DuckDB's decimal multiply
+    // loses exactness past 2^53 (promotes through DOUBLE when precision
+    // would exceed 38), so it widens via HUGEINT instead.
+    assert(ExactRound.duck("a", "b") ==
+      ExactRound.spark("a", "b").replace(" div ", " // ")
+        .replace("AS DECIMAL(38,0)", "AS HUGEINT"))
+  }
+
+  test("no internal wrap at extreme numerators (the 2*num doubling is widened)") {
+    // num = 2^62: 2*num wraps a BIGINT; the DECIMAL(38,0)-widened
+    // fragment must return the exact floor((2*num + den) / (2*den))
+    val got = spark.sql(
+      s"SELECT ${ExactRound.spark("4611686018427387904", "3")} AS r").head().getLong(0)
+    assert(got == 1537228672809129301L) // (2^63 + 3) div 6, exact
+    val neg = spark.sql(
+      s"SELECT ${ExactRound.spark("-4611686018427387904", "3")} AS r").head().getLong(0)
+    assert(neg == -1537228672809129301L)
   }
 }

@@ -124,4 +124,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
     assert(got.size == got.distinct.size)
   }
+
+  test("bucketing is exact beyond 2^53 (epoch-nanosecond bounds)") {
+    // doubles have 53 mantissa bits: around 2^60 the old
+    // floor(double / width) bucketing collapsed adjacent values into
+    // the wrong bucket. Adjacent 1-wide intervals at ~1.15e18 (epoch
+    // nanos, 2036-ish) with bucketWidth 1: overlapping pairs must all
+    // be found exactly once, non-overlapping ones not at all.
+    val base = 1152921504606846976L // 2^60
+    val l = Seq((1L, base, base + 2L), (2L, base + 5L, base + 7L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val r = Seq((10L, base + 1L, base + 3L), (11L, base + 3L, base + 5L),
+        (12L, base + 6L, base + 9L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(l, r, "a_lo", "a_hi", "b_lo", "b_hi", 1L)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = l.crossJoin(r)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(want.nonEmpty && got.sorted == want.sorted)
+    assert(got.size == got.distinct.size)
+    // point lookup at the same magnitude
+    val pts = Seq(base, base + 1L, base + 6L).toDF("pt")
+    val hit = RangeJoin.pointInInterval(pts, l, "pt", "a_lo", "a_hi", 1L)
+      .select("a_id", "pt").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(hit.sorted == Seq((1L, base), (1L, base + 1L), (2L, base + 6L)))
+  }
 }

@@ -57,7 +57,7 @@ class ScaleSpec extends SparkSpec {
     // curated output lands hive-partitioned on the provenance column, so
     // a per-source consumer (re-train on one crawl, audit one vendor)
     // scans ONLY its slice — asserted at planning time, not hoped.
-    val cur = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+    val cur = graft.queries.Registry.queries("pipeline_curate")(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_curate_part").toString + "/curated"
     Scale.writePartitioned(cur, dir, Seq("source"))
     val srcs = cur.select("source").distinct().collect().map(_.getString(0)).sorted

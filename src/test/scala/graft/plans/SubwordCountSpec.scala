@@ -69,7 +69,7 @@ class SubwordCountSpec extends SparkSpec {
     // against the old unbounded path — collect the FULL piece histogram
     // and apply the identical integer threshold driver-side.
     import graft.text.TextOps
-    val vocab = graft.queries.TextQueries.subwordVocab(spark, sf)
+    val vocab = graft.queries.TextPack.subwordVocab(spark, sf)
     val rows = graft.sources.Tables.documents(spark, sf)
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)

@@ -94,7 +94,7 @@ class NewQuerySpec extends SparkSpec {
 
   test("bpe_learn: greedy merges have non-increasing counts; application compresses, never pads") {
     val merges = graft.SparkEntry.queries("bpe_learn")(spark, sf).collect()
-    assert(merges.length == graft.queries.TextQueries.BpeMerges)
+    assert(merges.length == graft.queries.TextLm.BpeMerges)
     assert(merges.map(_.getAs[Long]("merge_rank")).toSeq == (1L to merges.length).toSeq)
     // greedy argmax: any pair created by a merge occurs at most as often
     // as the pair just merged, so the winning counts are non-increasing
@@ -1380,7 +1380,7 @@ class NewQuerySpec extends SparkSpec {
     // the published base relation landed as a catalog table (the
     // build-once contract a session-restarting nightly job needs)
     assert(spark.catalog.tableExists(
-      graft.queries.TextQueries.diversityBaseTable(spark, sf)))
+      graft.queries.TextCorpus.diversityBaseTable(spark, sf)))
   }
 
   test("corpus_diversity equals a driver-side distinct-n recompute") {

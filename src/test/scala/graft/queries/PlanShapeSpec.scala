@@ -1071,7 +1071,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("corpus_diversity_incremental reads the base from a catalog table — documents scanned ONCE (increment only)") {
-    graft.queries.TextQueries.diversityBaseTable(spark, sf) // publish the base
+    graft.queries.TextCorpus.diversityBaseTable(spark, sf) // publish the base
     val p = plan("corpus_diversity_incremental")
     // exactly one corpus scan (the increment slice, counted on the
     // Location: lines — the epoch_plan_incremental convention); the base
@@ -1100,5 +1100,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the histogram aggregates partial before its exchange
     assert(p.contains("partial_count"), p)
+  }
+
+  test("dedup_window: ONE (user_id, event_type) hash exchange serves lag, chain window, and the group agg") {
+    val p = plan("dedup_window")
+    val hashEx = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(hashEx.size == 1, p)
+    assert(hashEx.head.contains("user_id") && hashEx.head.contains("event_type"), hashEx.head)
+    // the only other exchange is the final ORDER BY's range partitioning
+    assert(p.linesIterator.count(_.contains("rangepartitioning")) == 1, p)
+    // the final agg reuses the window's partitioning: map-side partials
+    // only, never a second wide exchange of the event rows
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ann_graph_topk: centroid/entry/query sides broadcast; per-hop scoring windows keyed by q_id; no cartesian") {
+    val p = plan("ann_graph_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("hashpartitioning(q_id"), p)
+    // the memoized edge relation serves the hops from cache, not by
+    // re-running the bounded per-cell candidate join per hop
+    assert(p.contains("InMemoryTableScan"), p)
   }
 }

@@ -145,14 +145,14 @@ class RetrievalNdcgSpec extends SparkSpec {
       (30L, "srcB", "epsilon zeta eta theta"),     // loses to base 20
       (6L, "srcB", "nu xi omicron pi rho")         // new fp
     ).toDF("doc_id", "source", "text")
-    val baseFp = TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(base))
-    val baseStats = TextQueries.epochStats(baseFp)
-    val incCanon = TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(incr))
-    val merged = TextQueries.epochMergeIncrement(baseFp, baseStats, incCanon)
+    val baseFp = TextPack.epochKeepFirst(TextPack.epochDocFeatures(base))
+    val baseStats = TextPack.epochStats(baseFp)
+    val incCanon = TextPack.epochKeepFirst(TextPack.epochDocFeatures(incr))
+    val merged = TextPack.epochMergeIncrement(baseFp, baseStats, incCanon)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // ground truth: the full-corpus election over base ∪ increment
-    val expected = TextQueries.epochStats(
-      TextQueries.epochKeepFirst(TextQueries.epochDocFeatures(base.unionByName(incr))))
+    val expected = TextPack.epochStats(
+      TextPack.epochKeepFirst(TextPack.epochDocFeatures(base.unionByName(incr))))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(merged == expected, s"merged $merged != full $expected")
     // and the displacement actually moved mass: srcA lost doc 10's tokens

@@ -494,7 +494,7 @@ class StreamingSpec extends SparkSpec {
     // batch truth: per-source admitted counts must close on the report's
     // n_pass_all column exactly (the gate and the report share one flag
     // definition, so any drift is a real regression)
-    val want = graft.queries.TextQueries.queries("quality_rules_report")(spark, sf)
+    val want = graft.queries.Registry.queries("quality_rules_report")(spark, sf)
       .select(col("source"), col("n_pass_all")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty, "rules gate admitted nothing — fixture too strict")
@@ -508,7 +508,7 @@ class StreamingSpec extends SparkSpec {
     val df = stream.toDF().toDF("doc_id", "lang", "text")
     // model + thresholds learned once batch-side; both ride the plan
     val model = graft.queries.TextQueries.lmSketchModel(spark, sf)
-    val thresholds = graft.queries.TextQueries.ccnetSketchThresholds(spark, sf)
+    val thresholds = graft.queries.TextLm.ccnetSketchThresholds(spark, sf)
     val out = StreamingCurate.ccnetAssign(spark, df, model, thresholds)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("ccnet_out").start()
@@ -564,7 +564,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1).toSeq
     q.stop()
-    val want = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+    val want = graft.queries.Registry.queries("pipeline_curate")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSeq
@@ -578,7 +578,7 @@ class StreamingSpec extends SparkSpec {
     val df = stream.toDF().toDF("doc_id", "source", "text")
     // the contamination screen is static by nature (it depends only on
     // the benchmark corpus) — derive it batch-side from the screen query
-    val contaminated = graft.queries.TextQueries.queries("decontaminate")(spark, sf)
+    val contaminated = graft.queries.Registry.queries("decontaminate")(spark, sf)
       .filter(col("contaminated") === 1).select(col("doc_id"))
     val out = StreamingCurate.curateFull(spark, df, contaminated)
     val q = out.writeStream.outputMode("append").format("memory")
@@ -594,7 +594,7 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(4)))
       .sortBy(_._1).toSeq
     q.stop()
-    val want = graft.queries.TextQueries.queries("pipeline_curate_full")(spark, sf)
+    val want = graft.queries.Registry.queries("pipeline_curate_full")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4)))
@@ -626,7 +626,7 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(4))).sortBy(_._1).toSeq
     q.stop()
     // the exact-screen batch survivor set
-    val exact = graft.queries.TextQueries.queries("pipeline_curate_full")(spark, sf)
+    val exact = graft.queries.Registry.queries("pipeline_curate_full")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
         r.getDouble(4))).toSeq
@@ -733,7 +733,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
     val df = stream.toDF().toDF("doc_id", "text")
-    val out = graft.queries.TextQueries.chunkTokensOn(df)
+    val out = graft.queries.TextPack.chunkTokensOn(df)
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("chunk_out").start()
     val docRows = Tables.documents(spark, sf)
@@ -746,7 +746,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2)).toSeq
     q.stop()
-    val want = graft.queries.TextQueries.queries("chunk_tokens")(spark, sf)
+    val want = graft.queries.Registry.queries("chunk_tokens")(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -827,7 +827,7 @@ class StreamingSpec extends SparkSpec {
     // parity target: batch funnel over the same corpus. doc_ids within
     // one micro-batch admit smallest-first, and here ALL files land in
     // one batch, so keepers match the batch min-id tie-break
-    val want = graft.queries.TextQueries.queries("pipeline_curate")(spark, sf)
+    val want = graft.queries.Registry.queries("pipeline_curate")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(got.nonEmpty && got == want)
   }
