@@ -867,31 +867,133 @@ object SimQueries {
         GraphEntryCells, GraphBeam, GraphHops, GraphK)
       .orderBy(col("q_id"), col("rank"))
 
+  // ========================================================================
+  // ann_graph_append — INCREMENTAL update of the graph index: a new
+  // vector batch (vec_id % 5 = 4, the ann_ivf_append slice convention)
+  // is linked into the EXISTING graph without recomputing base edges or
+  // re-learning the quantizer: base edges are built over the base slice
+  // with base-learned centroids; each increment vector gets its
+  // out-edges against the FULL member set (base + the whole batch —
+  // batch insertion, deterministic, no sequential order dependence);
+  // search runs over the unioned edge relation with the same frozen
+  // centroids. At 100 TB this is an O(increment · cell) nightly index
+  // update vs an O(corpus²/cells) rebuild. HONEST LIMITATION, measured
+  // not hidden: base vertices gain NO back-edges toward the increment
+  // (true NSW insertion adds them; batch-append trades that for
+  // determinism), so increment vectors are reachable only via entry
+  // heads or other increment vertices — AnnGraphSpec measures the
+  // appended graph's recall against the full rebuild's and pins the
+  // floor. Oracle: the same CTE chain with the edge build split
+  // base/increment and the centroid CTE restricted to the base slice.
+  // ========================================================================
+  private val graphAppendMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def graphAppendEdges(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphAppendMemo, (s, d), "graphAppendEdges") {
+      val full = emb(s, d)
+      val base = full.filter(expr(AppendBaseWhere))
+      val cents = Similarity.ivfCentroids(base, "label", "embedding")
+      val baseEdges = Similarity.knnGraph(base, "vec_id", "embedding", "label",
+        GraphProbeCells, GraphDegree, centroids = Some(cents))
+      val incEdges = Similarity.knnGraph(full, "vec_id", "embedding", "label",
+        GraphProbeCells, GraphDegree, centroids = Some(cents),
+        isSrc = not(expr(AppendBaseWhere)))
+      baseEdges.unionByName(incEdges).persist()
+    }
+
+  def annGraphAppend(s: SparkSession, d: String): DataFrame = {
+    val baseCents = Similarity.ivfCentroids(
+      emb(s, d).filter(expr(AppendBaseWhere)), "label", "embedding")
+    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+        graphAppendEdges(s, d), col("vec_id") < 10,
+        GraphEntryCells, GraphBeam, GraphHops, GraphK,
+        centroids = Some(baseCents))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Appended-graph oracle CTEs: base-slice centroids, base-member edge
+    * build for base sources, full-member edge build for increment
+    * sources, union — then the shared [[beamChainSql]].
+    */
+  private def graphAppendCtesSql: String =
+    s"""m AS (
+      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
+      |  FROM embeddings, range(1, 65) r(i)
+      |  WHERE $AppendBaseWhere GROUP BY label, i),
+      |cn AS MATERIALIZED (
+      |  SELECT label AS cell, cvec,
+      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
+      |e AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings),
+      |vassb AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, cn.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM e v, cn WHERE v.$AppendBaseWhere)
+      |  WHERE rc <= $GraphProbeCells),
+      |edgesb AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT v.vec_id AS src, mb.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
+      |        mb.vec_id) AS rn
+      |    FROM e v JOIN vassb a ON a.vec_id = v.vec_id
+      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id
+      |               AND mb.$AppendBaseWhere)
+      |  WHERE rn <= $GraphDegree),
+      |vassi AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, cn.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM e v, cn WHERE NOT (v.$AppendBaseWhere))
+      |  WHERE rc <= $GraphProbeCells),
+      |edgesi AS MATERIALIZED (
+      |  SELECT src, dst FROM (
+      |    SELECT v.vec_id AS src, mb.vec_id AS dst,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
+      |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
+      |        mb.vec_id) AS rn
+      |    FROM e v JOIN vassi a ON a.vec_id = v.vec_id
+      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
+      |  WHERE rn <= $GraphDegree),
+      |edges AS MATERIALIZED (
+      |  SELECT src, dst FROM edgesb UNION ALL SELECT src, dst FROM edgesi),
+      |heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
+      |qv AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
+      |       FROM e WHERE vec_id < 10),
+      |qass AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.q_id, cn.cell,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
+      |          i -> q.q_vec[i]::DOUBLE * cn.cvec[i])) / (q.q_nrm * cn.cnrm) DESC,
+      |        cn.cell) AS rc
+      |    FROM qv q, cn)
+      |  WHERE rc <= $GraphEntryCells),
+      |$beamChainSql""".stripMargin
+
+  private def annGraphAppendSql =
+    s"""WITH $graphAppendCtesSql
+      |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 4) AS cos
+      |FROM beam$GraphHops WHERE rn <= $GraphK
+      |ORDER BY q_id, rank""".stripMargin
+
   /** The graph pipeline's CTE chain (centroids → corpus cell assignment
     * → bounded kNN edges → entry heads → unrolled beam hops) — ONE
     * rendering shared by the `ann_graph_topk` and `ann_recall_graph`
     * oracles. The final beam CTE is `beam$GraphHops`.
     */
   private def graphCtesSql: String = {
-    def hop(prev: String, idx: Int) =
-      s"""cand$idx AS (
-         |  SELECT DISTINCT q_id, n_id FROM (
-         |    SELECT q_id, n_id FROM $prev
-         |    UNION ALL
-         |    SELECT b.q_id, g.dst AS n_id FROM $prev b JOIN edges g ON g.src = b.n_id)
-         |  WHERE n_id <> q_id),
-         |beam$idx AS MATERIALIZED (
-         |  SELECT q_id, n_id, cos, rn FROM (
-         |    SELECT c.q_id, c.n_id,
-         |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
-         |        i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) AS cos,
-         |      row_number() OVER (PARTITION BY c.q_id ORDER BY
-         |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
-         |          i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) DESC,
-         |        c.n_id) AS rn
-         |    FROM cand$idx c JOIN e n ON n.vec_id = c.n_id JOIN qv q ON q.q_id = c.q_id)
-         |  WHERE rn <= $GraphBeam)"""
-    val hops = (1 to GraphHops).map(i => hop(s"beam${i - 1}", i)).mkString(",\n")
     s"""m AS (
       |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
       |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
@@ -934,7 +1036,35 @@ object SimQueries {
       |        cn.cell) AS rc
       |    FROM qv q, cn)
       |  WHERE rc <= $GraphEntryCells),
-      |cand0 AS (
+      |$beamChainSql""".stripMargin
+  }
+
+  /** The entry + unrolled beam-hop CTE chain — shared verbatim by the
+    * full-graph and appended-graph oracles (both define `edges`,
+    * `heads`, `qv`, `qass`, `e` upstream; the chain only consumes
+    * those names). Final CTE: `beam$GraphHops`.
+    */
+  private def beamChainSql: String = {
+    def hop(prev: String, idx: Int) =
+      s"""cand$idx AS (
+         |  SELECT DISTINCT q_id, n_id FROM (
+         |    SELECT q_id, n_id FROM $prev
+         |    UNION ALL
+         |    SELECT b.q_id, g.dst AS n_id FROM $prev b JOIN edges g ON g.src = b.n_id)
+         |  WHERE n_id <> q_id),
+         |beam$idx AS MATERIALIZED (
+         |  SELECT q_id, n_id, cos, rn FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |        i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) AS cos,
+         |      row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
+         |          i -> q.q_vec[i]::DOUBLE * n.embedding[i]::DOUBLE)) / (q.q_nrm * n.nrm) DESC,
+         |        c.n_id) AS rn
+         |    FROM cand$idx c JOIN e n ON n.vec_id = c.n_id JOIN qv q ON q.q_id = c.q_id)
+         |  WHERE rn <= $GraphBeam)"""
+    val hops = (1 to GraphHops).map(i => hop(s"beam${i - 1}", i)).mkString(",\n")
+    s"""cand0 AS (
       |  SELECT DISTINCT a.q_id, h.n_id
       |  FROM qass a JOIN heads h ON h.cell = a.cell
       |  WHERE h.n_id <> a.q_id),
@@ -2804,6 +2934,7 @@ object SimQueries {
     "ann_recall" -> (annRecall _),
     "ann_graph_topk" -> (annGraphTopk _),
     "ann_graph_persisted" -> (annGraphPersisted _),
+    "ann_graph_append" -> (annGraphAppend _),
     "ann_recall_graph" -> (annRecallGraph _),
     "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
@@ -2853,6 +2984,7 @@ object SimQueries {
     "ann_recall" -> annRecallSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_persisted" -> annGraphTopkSql,
+    "ann_graph_append" -> annGraphAppendSql,
     "ann_recall_graph" -> annRecallGraphSql,
     "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,

@@ -402,9 +402,15 @@ object Similarity {
     * Build once, search many — callers memoize the edge relation.
     */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-               probeCells: Int, degree: Int): DataFrame = {
-    val cent = ivfCentroids(df, cellCol, vecCol)
-    val v = df.select(col(idCol).as("src"), col(vecCol).as("s_vec"),
+               probeCells: Int, degree: Int,
+               centroids: Option[DataFrame] = None,
+               isSrc: Column = lit(true)): DataFrame = {
+    // `centroids`: a frozen quantizer (the append path learns on the
+    // base slice only — the ann_ivf_append no-relearn contract).
+    // `isSrc`: restrict which vectors get OUT-edges (an increment batch
+    // links into the full member set without recomputing base edges).
+    val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
+    val v = df.filter(isSrc).select(col(idCol).as("src"), col(vecCol).as("s_vec"),
       norm(col(vecCol)).as("s_nrm"))
     val wa = Window.partitionBy(col("src")).orderBy(col("cos_c").desc, col("cell"))
     val assigned = v.crossJoin(broadcast(cent))
@@ -443,12 +449,21 @@ object Similarity {
     * independent of corpus size (vs nProbe cells scanned for IVF); the
     * per-hop joins are point lookups on the src-keyed edge relation.
     * Returns (q_id, rank, n_id, cos) like [[ivfSearch]].
+    *
+    * ENTRY DEGENERACY: entries exclude the query itself, and a corpus
+    * query CAN be its own cell's head — with `entryCells = 1` such a
+    * query gets no entry and silently returns no rows. A vector belongs
+    * to exactly one cell, so it can equal at most ONE head: pass
+    * `entryCells >= 2` to guarantee a non-self entry (AnnGraphSpec pins
+    * the complete-graph ≡ brute-force equivalence under exactly this
+    * contract; the registered keys use 3).
     */
   def graphBeamSearch(df: DataFrame, idCol: String, vecCol: String,
                       cellCol: String, edges: DataFrame, isQuery: Column,
-                      entryCells: Int, beamWidth: Int, hops: Int, k: Int): DataFrame = {
+                      entryCells: Int, beamWidth: Int, hops: Int, k: Int,
+                      centroids: Option[DataFrame] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
-    val cent = ivfCentroids(df, cellCol, vecCol)
+    val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
     val e = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"))
     val q = df.filter(isQuery)
