@@ -88,6 +88,19 @@ object StreamBench {
     val docLangRows = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)].collect().toSeq
+    // graph-index admission inputs: base-slice centroids (plan literals)
+    // + base member relation (stream-static side), increment vectors as
+    // the stream — the online half of ann_graph_append
+    val graphBase = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 5 <> 4"))
+    val graphCents = graft.sim.Similarity.collectCentroids(
+      graft.sim.Similarity.ivfCentroids(graphBase, "label", "embedding"))
+    val graphMembers = graft.queries.SimQueries.graphAdmitMembers(graphBase).cache()
+    graphMembers.count()
+    val embIncRows = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(expr("vec_id % 5 = 4"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
     // the full event feed (the stream-stream join's single firehose),
     // time-ordered so the watermark advances monotonically per chunk
     val evFullRows = graft.sources.Tables.events(spark, sfDir)
@@ -193,6 +206,15 @@ object StreamBench {
       run[(java.sql.Timestamp, Long, Long, String, Double)]("join_attrib",
         evFullRows, Seq("ts", "user_id", "event_id", "event_type", "value"),
         df => graft.streaming.StreamingJoin.attributedPurchases(df, tolSec = 3600L)),
+      // continuous graph-index admission: assign primary cell (plan-
+      // literal centroids) → score against that cell's members
+      // (stream-static join) → emit scored candidate edges; the batch
+      // compaction (ann_graph_append) finalizes top-degree selection.
+      // ZERO state; rows_out fans out by the cell size.
+      run[(Long, Array[Float])]("graph_admit",
+        embIncRows, Seq("vec_id", "embedding"),
+        df => graft.queries.SimQueries.graphAdmitCandidates(
+          df, graphCents, graphMembers)),
       // EVENT-TIME bounded dedup: the engine's dropDuplicatesWithinWatermark
       // — state is the horizon's keys, evicted natively; contrasts with
       // dedup_keep_first's forever-state exact dedup above
@@ -250,6 +272,7 @@ object StreamBench {
       // fixed set), per-row bytes is meaningless at this cardinality
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
+      "graph_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
       // join buffers must EVICT: without the time-range condition state

@@ -910,6 +910,37 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Streaming graph-index ADMISSION — the online stage of
+    * [[annGraphAppend]]: each arriving vector is assigned its primary
+    * cell (centroids ride the plan as literals — the benchSketch
+    * lifecycle) and scored against that cell's members via a
+    * stream-static equi-join; the stage emits scored candidate edges
+    * and the nightly batch compaction (multi-cell probing + top-degree
+    * selection, `ann_graph_append`) finalizes the graph. ZERO state —
+    * assignment and scoring are pure codegen projections, the join is
+    * stream-static. `members` comes from [[graphAdmitMembers]].
+    * StreamBench drives it as `graph_admit`; StreamingSpec pins the
+    * candidate set against an independently-computed batch expectation.
+    */
+  def graphAdmitCandidates(stream: DataFrame, cents: Seq[Similarity.Centroid],
+                           members: DataFrame): DataFrame =
+    stream
+      .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), cents))
+      .withColumn("s_nrm", Similarity.norm(col("embedding")))
+      .join(members, Seq("kcell"))
+      .filter(col("dst") =!= col("vec_id"))
+      .select(col("vec_id").as("src"), col("dst"),
+        round(Similarity.dot(col("embedding"), col("d_vec"))
+          / (col("s_nrm") * col("d_nrm")), 4).as("cos"))
+
+  /** The static member side of [[graphAdmitCandidates]]: (kcell, dst,
+    * d_vec, d_nrm) over the base index corpus.
+    */
+  def graphAdmitMembers(base: DataFrame): DataFrame =
+    base.select(col("label").cast("long").as("kcell"),
+      col("vec_id").as("dst"), col("embedding").as("d_vec"),
+      Similarity.norm(col("embedding")).as("d_nrm"))
+
   /** Appended-graph oracle CTEs: base-slice centroids, base-member edge
     * build for base sources, full-member edge build for increment
     * sources, union — then the shared [[beamChainSql]].

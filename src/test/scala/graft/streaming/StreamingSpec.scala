@@ -1104,4 +1104,43 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows < joinInput / 2,
       s"state rows $stateRows suggest the join buffers are not evicting (input $joinInput)")
   }
+
+  test("streaming graph-index admission: candidate edges match the independent batch expectation, zero state") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sf).filter(expr("vec_id % 5 <> 4"))
+    val cents = graft.sim.Similarity.collectCentroids(
+      graft.sim.Similarity.ivfCentroids(base, "label", "embedding"))
+    val members = graft.queries.SimQueries.graphAdmitMembers(base)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val out = graft.queries.SimQueries.graphAdmitCandidates(
+      stream.toDF().toDF("vec_id", "embedding"), cents, members)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graph_admit_out").start()
+    val incRows = Tables.embeddings(spark, sf).filter(expr("vec_id % 5 = 4"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (first, rest) = incRows.splitAt(incRows.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(rest); q.processAllAvailable()
+    val got = spark.table("graph_admit_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // independent expectation: for each increment vector, candidates =
+    // base members of its ARGMAX cell (computed via a different path:
+    // per-cell cosine rank over the collected centroids, driver-side)
+    val baseCells = base.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = incRows.flatMap { case (vid, emb) =>
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x.toDouble).sum)
+      val best = cents.map { c =>
+        val cos = emb.zip(c.cvec).map { case (x, y) => x.toDouble * y }.sum / (nrm * c.cnrm)
+        (-cos, c.cell) // min by (-cos, cell) = max cos, ties to smaller cell
+      }.min._2
+      baseCells.collect { case (m, cell) if cell == best && m != vid => (vid, m) }
+    }.toSet
+    assert(got.nonEmpty && got == want)
+    assert(stateRows == 0L, s"admission must be stateless, saw $stateRows state rows")
+  }
 }
