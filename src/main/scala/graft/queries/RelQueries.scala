@@ -361,7 +361,7 @@ object RelQueries {
     * so the spec can run it with a corpus-spanning horizon and assert
     * it degenerates to exactly `dedup_keep_first`.
     */
-  private[queries] def dedupWindowFrame(evts: DataFrame, horizonUs: Long): DataFrame = {
+  private[graft] def dedupWindowFrame(evts: DataFrame, horizonUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("e_us"), col("event_id"))

@@ -136,4 +136,39 @@ class PropertySpec extends SparkSpec {
         assert(err < 1e-9 * math.max(1.0, math.abs(shift) + scale), s"shift=$shift scale=$scale")
       }
   }
+
+  test("dedup_window chain semantics on random inputs match a driver-side reference (any horizon)") {
+    // random (key, ts) events with deliberate clustering so horizons
+    // actually split chains; the reference walks each key's sorted
+    // history applying the idle-TTL rule directly
+    val rnd = new scala.util.Random(4242)
+    val events = (1 to 400).map { i =>
+      val key = rnd.nextInt(12).toLong
+      val typ = if (rnd.nextBoolean()) "a" else "b"
+      val ts = rnd.nextInt(40) * 25L + rnd.nextInt(7) // microseconds, clustered
+      (key, typ, i.toLong, ts)
+    }
+    val df = spark.createDataFrame(
+      events.map { case (u, t, id, us) => (u, t, id,
+        java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(us * 1000)))
+      }).toDF("user_id", "event_type", "event_id", "ts")
+    samples(Gen.choose(0L, 300L), 6).foreach { h =>
+      val got = graft.queries.RelQueries.dedupWindowFrame(df, h)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val want = events.groupBy(e => (e._1, e._2)).flatMap { case ((u, t), es) =>
+        val ordered = es.map(e => (e._4, e._3)).sorted // (ts, id)
+        val kept = scala.collection.mutable.ListBuffer.empty[(Long, Long)] // (firstId, nSupp)
+        var prevTs = Long.MinValue
+        var started = false
+        ordered.foreach { case (ts, id) =>
+          if (!started || ts - prevTs > h) { kept += ((id, 0L)); started = true }
+          else { val (fid, n) = kept.last; kept(kept.size - 1) = (fid, n + 1) }
+          prevTs = ts // re-arm on EVERY occurrence, kept or dropped
+        }
+        kept.map { case (fid, n) => (u, t, fid, n) }
+      }.toSet
+      assert(got == want, s"horizon=$h")
+    }
+  }
 }
