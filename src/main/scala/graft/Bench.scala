@@ -297,8 +297,15 @@ object Bench {
     def gatedCleanSample(name: String): Boolean =
       perQuerySamples(name).lazyZip(perQueryLoads(name)).lazyZip(perQueryBuilds(name))
         .exists { case (s, l, b) => s > 0 && l >= 0 && l <= loadGate && b.isEmpty }
+    // ...but only for keys where a build-free sample is POSSIBLE: a key
+    // that fired a build on EVERY sample pays that cost inherently
+    // (e.g. the per-call small-graph clusterLabels resolution) — no
+    // number of retries produces a clean sample, so don't burn budget
+    def anyCleanSample(name: String): Boolean =
+      perQuerySamples(name).lazyZip(perQueryBuilds(name))
+        .exists { case (s, b) => s > 0 && b.isEmpty }
     perQuery.toSeq.filter { case (n, t) =>
-        t > 0 && hasGatedSample(n) && !gatedCleanSample(n)
+        t > 0 && hasGatedSample(n) && !gatedCleanSample(n) && anyCleanSample(n)
       }.sortBy(-_._2).map(_._1).foreach { name =>
         var tries = 0
         while (!gatedCleanSample(name) && tries < 3 && memoBudgetLeft) {
