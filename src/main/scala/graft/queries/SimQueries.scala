@@ -910,6 +910,74 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ========================================================================
+  // ann_graph_stats — graph-index OBSERVABILITY: per source cell, the
+  // vertex/edge counts plus the two fractions that decide whether beam
+  // search can actually navigate: CROSS-CELL edges (the long-range
+  // links that let a query escape a wrong entry cell — a graph built
+  // with probeCells = 1 would show 0 here and silently degenerate to
+  // IVF nProbe=1) and RECIPROCAL edges (mutual kNN pairs — low
+  // reciprocity marks hub-dominated cells where beam paths funnel
+  // through few vertices). The dedup_graph_degree treatment applied to
+  // the ANN index: a pure reshape of the memoized edge relation plus
+  // two id-keyed label lookups and one self-semi-join on the reversed
+  // pair — the corpus embeddings are never re-scored. Exact-integer
+  // ppm fractions (ExactRound not needed: plain floor div, no halves
+  // hashed). Scale: the edge relation is corpus×degree rows; every
+  // join is an equi-join on vec ids or the reversed (dst, src) pair.
+  // ========================================================================
+  def annGraphStats(s: SparkSession, d: String): DataFrame = {
+    val edges = knnGraphEdges(s, d).select(col("src"), col("dst"))
+    val lbl = emb(s, d).select(col("vec_id"), col("label").cast("long"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val annotated = edges
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("src_cell")), Seq("src"))
+      .join(lbl.select(col("vec_id").as("dst"), col("label").as("dst_cell")), Seq("dst"))
+    val recip = edges.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("n_recip"))
+    annotated
+      .groupBy(col("src"), col("src_cell"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(when(col("src_cell") =!= col("dst_cell"), 1L).otherwise(0L)).as("n_cross"))
+      .join(recip, Seq("src"), "left")
+      .groupBy(col("src_cell").as("cell"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("n_out")).as("n_edges"),
+        sum(col("n_cross")).as("n_cross_cell"),
+        sum(coalesce(col("n_recip"), lit(0L))).as("n_reciprocal"))
+      .withColumn("cross_e6", expr("(n_cross_cell * 1000000) div n_edges"))
+      .withColumn("recip_e6", expr("(n_reciprocal * 1000000) div n_edges"))
+      .orderBy(col("cell"))
+  }
+
+  private def annGraphStatsSql =
+    s"""WITH $graphEdgeCtesSql,
+      |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |ann AS (
+      |  SELECT e.src, e.dst, ls.label AS src_cell, ld.label AS dst_cell
+      |  FROM edges e JOIN lbl ls ON ls.vec_id = e.src
+      |               JOIN lbl ld ON ld.vec_id = e.dst),
+      |recip AS (
+      |  SELECT e.src, count(*) AS n_recip
+      |  FROM edges e WHERE EXISTS (
+      |    SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+      |  GROUP BY e.src),
+      |per_src AS (
+      |  SELECT a.src, a.src_cell, count(*) AS n_out,
+      |    CAST(sum(CASE WHEN a.src_cell <> a.dst_cell THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cross
+      |  FROM ann a GROUP BY a.src, a.src_cell)
+      |SELECT p.src_cell AS cell,
+      |  count(*) AS n_vertices,
+      |  CAST(sum(p.n_out) AS BIGINT) AS n_edges,
+      |  CAST(sum(p.n_cross) AS BIGINT) AS n_cross_cell,
+      |  CAST(sum(coalesce(r.n_recip, 0)) AS BIGINT) AS n_reciprocal,
+      |  CAST((sum(p.n_cross) * 1000000) // sum(p.n_out) AS BIGINT) AS cross_e6,
+      |  CAST((sum(coalesce(r.n_recip, 0)) * 1000000) // sum(p.n_out) AS BIGINT) AS recip_e6
+      |FROM per_src p LEFT JOIN recip r ON r.src = p.src
+      |GROUP BY p.src_cell
+      |ORDER BY cell""".stripMargin
+
   /** Streaming graph-index ADMISSION — the online stage of
     * [[annGraphAppend]]: each arriving vector is assigned its primary
     * cell (centroids ride the plan as literals — the benchSketch
@@ -1024,7 +1092,14 @@ object SimQueries {
     * rendering shared by the `ann_graph_topk` and `ann_recall_graph`
     * oracles. The final beam CTE is `beam$GraphHops`.
     */
-  private def graphCtesSql: String = {
+  private def graphCtesSql: String =
+    s"$graphEdgeCtesSql,\n$graphSearchCtesSql"
+
+  /** Edge-build half of the graph oracle (centroids → assignment →
+    * bounded kNN edges) — consumed alone by `ann_graph_stats`, which
+    * must not drag the unused beam CTEs into its query.
+    */
+  private def graphEdgeCtesSql: String = {
     s"""m AS (
       |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
       |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
@@ -1054,8 +1129,12 @@ object SimQueries {
       |        mb.vec_id) AS rn
       |    FROM e v JOIN vass a ON a.vec_id = v.vec_id
       |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
-      |  WHERE rn <= $GraphDegree),
-      |heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
+      |  WHERE rn <= $GraphDegree)""".stripMargin
+  }
+
+  /** Search half (entry heads → query assignment → beam chain). */
+  private def graphSearchCtesSql: String =
+    s"""heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
       |qv AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
       |       FROM e WHERE vec_id < 10),
       |qass AS (
@@ -1068,7 +1147,6 @@ object SimQueries {
       |    FROM qv q, cn)
       |  WHERE rc <= $GraphEntryCells),
       |$beamChainSql""".stripMargin
-  }
 
   /** The entry + unrolled beam-hop CTE chain — shared verbatim by the
     * full-graph and appended-graph oracles (both define `edges`,
@@ -2966,6 +3044,7 @@ object SimQueries {
     "ann_graph_topk" -> (annGraphTopk _),
     "ann_graph_persisted" -> (annGraphPersisted _),
     "ann_graph_append" -> (annGraphAppend _),
+    "ann_graph_stats" -> (annGraphStats _),
     "ann_recall_graph" -> (annRecallGraph _),
     "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
@@ -3016,6 +3095,7 @@ object SimQueries {
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_persisted" -> annGraphTopkSql,
     "ann_graph_append" -> annGraphAppendSql,
+    "ann_graph_stats" -> annGraphStatsSql,
     "ann_recall_graph" -> annRecallGraphSql,
     "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,

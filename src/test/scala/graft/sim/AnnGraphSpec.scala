@@ -99,6 +99,24 @@ class AnnGraphSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("graph stats: conservation vs the edge relation, and the navigability cross-links exist") {
+    val stats = graft.SparkEntry.queries("ann_graph_stats")(spark, sf).collect()
+    val edges = graft.queries.SimQueries.knnGraphEdges(spark, sf)
+    assert(stats.map(_.getAs[Long]("n_vertices")).sum == emb.count())
+    assert(stats.map(_.getAs[Long]("n_edges")).sum == edges.count())
+    stats.foreach { r =>
+      val (e, x, p) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_cross_cell"),
+        r.getAs[Long]("n_reciprocal"))
+      assert(x <= e && p <= e)
+      assert(r.getAs[Long]("cross_e6") == x * 1000000L / e)
+      assert(r.getAs[Long]("recip_e6") == p * 1000000L / e)
+      // the property beam search NEEDS: every cell has long-range links
+      // out of itself (probeCells = 1 construction would zero this and
+      // the index would silently degenerate to IVF nProbe=1)
+      assert(x > 0, s"cell ${r.getAs[Long]("cell")} has no cross-cell edges")
+    }
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
     val b = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
