@@ -93,9 +93,11 @@ object StreamBench {
     // the stream — the online half of ann_graph_append
     val graphBase = graft.sources.Tables.embeddings(spark, sfDir)
       .filter(expr("vec_id % 5 <> 4"))
-    val graphCents = graft.sim.Similarity.collectCentroids(
-      graft.sim.Similarity.ivfCentroids(graphBase, "label", "embedding"))
-    val graphMembers = graft.queries.SimQueries.graphAdmitMembers(graphBase).cache()
+    // the frozen base-learned adaptive-plane quantizer — the SAME codebook
+    // the nightly ann_graph_append compaction assigns with
+    val graphCents = graft.queries.SimQueries.graphAppendCents(spark, sfDir)
+    val graphMembers = graft.queries.SimQueries.graphAdmitMembers(
+      graphBase, graphCents).cache()
     graphMembers.count()
     val embIncRows = graft.sources.Tables.embeddings(spark, sfDir)
       .filter(expr("vec_id % 5 = 4"))

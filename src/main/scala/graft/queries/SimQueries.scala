@@ -775,40 +775,80 @@ object SimQueries {
   // Malkov et al. 2014): the serving-side standard for high-recall ANN,
   // completing the index family next to the quantization axis
   // (IVF-flat / SQ8 / PQ / IVFADC). Index = a deterministic kNN graph
-  // with bounded construction cost (each vector's 6 nearest neighbors
-  // among its 2 nearest cells' members — the cells bound the quadratic,
-  // and probing 2 cells plants the cross-cell links beam search needs
-  // to escape a wrong entry cell). Search = beam search: enter at the
-  // query's 2 nearest cell heads, then 3 rounds of expand-neighbors →
-  // exact-score → prune-to-8; the beam is monotone so its final top-5
+  // with SUB-QUADRATIC construction: the cells bounding each vector's
+  // candidate pool come from a LEARNED quantizer whose cell count
+  // scales as √N (Similarity.adaptivePlanes → 2^planes LSH-seeded
+  // cells, one Lloyd round — the ann_ivf_kmeans machinery), so each
+  // vector scores probeCells·N/√N = O(√N) candidates and the whole
+  // build is O(N^1.5) pairs at ANY corpus size (the r18 label-cell
+  // build was O(N²/10) — fixed cell count let per-cell size, and with
+  // it both build cost and recall dilution, grow linearly with N).
+  // Each vector keeps its GraphDegree nearest among its GraphProbeCells
+  // nearest cells' members; probing 3 cells plants the cross-cell links
+  // beam search needs to escape a wrong entry cell. Search = beam
+  // search: enter at the query's GraphEntryCells (3) nearest cell
+  // heads, then GraphHops (5) rounds of expand-neighbors → exact-score
+  // → prune-to-GraphBeam (16); the beam is monotone so its final top-5
   // is best-of-visited. Per-query cost is O(hops·beam·degree) scored
   // vertices — INDEPENDENT of corpus size, vs the |cell|-proportional
   // scan IVF pays per probe; that is the whole point of the graph at
   // serving scale. ann_recall_graph locks recall@5 against the
-  // brute-force truth set (the ann_recall* contract); AnnGraphSpec
-  // additionally pins recall ≥ IVF nProbe=2's at a ~6× smaller scored-
-  // candidate budget. The edge relation is built once per (session,
-  // dir) and persisted (RelationMemo), the build-once/search-many
-  // production lifecycle.
+  // brute-force truth set (the ann_recall* contract); AnnGraphSpec pins
+  // absolute per-sf recall floors plus dominance over IVF nProbe=2 at a
+  // smaller scored-candidate budget. The edge relation is built once
+  // per (session, dir) and persisted (RelationMemo), the build-once/
+  // search-many production lifecycle. The oracle re-learns the SAME
+  // quantizer in SQL — the plane count is derived from count(*) with
+  // integer-exact arithmetic, so the CTE chain scales its cells with
+  // the corpus exactly like the Spark side.
   // ========================================================================
-  private val GraphProbeCells = 3 // cells feeding each vector's edge pool
-  private val GraphDegree = 12    // out-degree of the kNN graph
-  private val GraphEntryCells = 3 // entry heads per query
-  private val GraphBeam = 16      // beam width
-  private val GraphHops = 5       // expand-score-prune rounds
-  private val GraphK = 5          // reported neighbors
+  // Tuned on the measured recall/cost frontier (r19 sweep over
+  // probe×degree×beam×hops at all three sfs): degree dominates — 24
+  // out-edges from the ~3·√N-candidate pool hold recall@5 at
+  // 0.94/0.96/0.92 (sf0.001/0.01/0.1), FLAT in corpus size, where the
+  // r18 label-cell index decayed 0.84→0.48. Per-query serving budget
+  // stays O(hops·beam·degree) = 3840 scored vertices — constant in N.
+  private[graft] val GraphProbeCells = 3 // cells feeding each vector's edge pool
+  private[graft] val GraphDegree = 24    // out-degree of the kNN graph
+  private[graft] val GraphEntryCells = 3 // entry heads per query
+  private[graft] val GraphBeam = 32      // beam width
+  private[graft] val GraphHops = 5       // expand-score-prune rounds
+  private[graft] val GraphK = 5          // reported neighbors
+  private[graft] val GraphIters = 1      // Lloyd rounds of the graph quantizer
+
+  /** The graph family's learned quantizer: adaptive-plane (cells ≈ √N)
+    * LSH-seeded Lloyd k-means over the full corpus — shares kmCentroids'
+    * memo, so the plane-count probe (one count job) is paid once per dir.
+    */
+  private val graphPlanesMemo = scala.collection.mutable.Map.empty[String, Int]
+  private[graft] def graphPlanes(s: SparkSession, d: String): Int =
+    graphPlanesMemo.synchronized {
+      graphPlanesMemo.getOrElseUpdate(d,
+        Similarity.adaptivePlanes(emb(s, d).count()))
+    }
+  private[graft] def graphCents(s: SparkSession, d: String): Seq[Similarity.Centroid] =
+    kmCentroids(s, d, graphPlanes(s, d), GraphIters)
+
+  /** Corpus with the graph quantizer's cell assignment attached — a pure
+    * NearestCentroid projection (zero exchanges at any cell count).
+    */
+  private def graphCorpus(s: SparkSession, d: String): DataFrame =
+    emb(s, d).withColumn("gcell",
+      Similarity.nearestCentroid(col("embedding"), graphCents(s, d)))
 
   private val graphMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(graphMemo, (s, d), "knnGraphEdges") {
-      Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label",
-        GraphProbeCells, GraphDegree).persist()
+      Similarity.knnGraph(graphCorpus(s, d), "vec_id", "embedding", "gcell",
+        GraphProbeCells, GraphDegree,
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d)))).persist()
     }
 
   def annGraphTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+    Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
         knnGraphEdges(s, d), col("vec_id") < 10,
-        GraphEntryCells, GraphBeam, GraphHops, GraphK)
+        GraphEntryCells, GraphBeam, GraphHops, GraphK,
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))))
       .orderBy(col("q_id"), col("rank"))
 
   def annRecallGraph(s: SparkSession, d: String): DataFrame = {
@@ -862,53 +902,82 @@ object SimQueries {
     }
 
   def annGraphPersisted(s: SparkSession, d: String): DataFrame =
-    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+    Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
         s.table(graphEdgeTable(s, d)), col("vec_id") < 10,
-        GraphEntryCells, GraphBeam, GraphHops, GraphK)
+        GraphEntryCells, GraphBeam, GraphHops, GraphK,
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))))
       .orderBy(col("q_id"), col("rank"))
 
   // ========================================================================
-  // ann_graph_append — INCREMENTAL update of the graph index: a new
-  // vector batch (vec_id % 5 = 4, the ann_ivf_append slice convention)
-  // is linked into the EXISTING graph without recomputing base edges or
-  // re-learning the quantizer: base edges are built over the base slice
-  // with base-learned centroids; each increment vector gets its
-  // out-edges against the FULL member set (base + the whole batch —
-  // batch insertion, deterministic, no sequential order dependence);
-  // search runs over the unioned edge relation with the same frozen
-  // centroids. At 100 TB this is an O(increment · cell) nightly index
-  // update vs an O(corpus²/cells) rebuild. HONEST LIMITATION, measured
-  // not hidden: base vertices gain NO back-edges toward the increment
-  // (true NSW insertion adds them; batch-append trades that for
-  // determinism), so increment vectors are reachable only via entry
-  // heads or other increment vertices — AnnGraphSpec measures the
-  // appended graph's recall against the full rebuild's and pins the
-  // floor. Oracle: the same CTE chain with the edge build split
-  // base/increment and the centroid CTE restricted to the base slice.
+  // ann_graph_append — INCREMENTAL update of the graph index WITH
+  // BOUNDED BACK-EDGE REPAIR: a new vector batch (vec_id % 5 = 4, the
+  // ann_ivf_append slice convention) is linked into the EXISTING graph
+  // without re-learning the quantizer — the quantizer is the adaptive-
+  // plane k-means learned on the BASE slice (frozen; the ann_ivf_append
+  // no-relearn contract) — and out-edges are recomputed ONLY for
+  // sources whose probe-cell pools received increment members
+  // (Similarity.knnGraphAppend): every other base edge is kept
+  // untouched. Because an untouched source's candidate pool is
+  // identical before and after the batch, the repaired relation is
+  // ROW-IDENTICAL to a full frozen-quantizer rebuild — base vertices in
+  // touched cells gain real back-edges toward the increment (closing
+  // r18's no-back-edges reachability gap), at O(affected-cell members ·
+  // cell) cost instead of O(corpus · cell). The remaining recall gap vs
+  // ann_graph_topk is pure quantizer staleness (base-learned vs
+  // full-learned cells), which is exactly what ann_ivf_rebalance's
+  // retrain policy exists to bound. Oracle: the frozen-quantizer full
+  // edge build (the rebuild the repair provably equals — AnnGraphSpec
+  // pins the equality and the bounded recompute set on a localized-
+  // increment fixture), with every LEARNING CTE restricted to the base
+  // slice.
   // ========================================================================
+  private val graphAppendPlanesMemo = scala.collection.mutable.Map.empty[String, Int]
+  private[graft] def graphAppendPlanes(s: SparkSession, d: String): Int =
+    graphAppendPlanesMemo.synchronized {
+      graphAppendPlanesMemo.getOrElseUpdate(d,
+        Similarity.adaptivePlanes(emb(s, d).filter(expr(AppendBaseWhere)).count()))
+    }
+
+  /** Frozen base-slice quantizer of the append path (memoized like
+    * kmCentroids — the learning slice differs, so it has its own map).
+    */
+  private val graphAppendCentsMemo =
+    scala.collection.mutable.Map.empty[String, Seq[Similarity.Centroid]]
+  private[graft] def graphAppendCents(s: SparkSession, d: String): Seq[Similarity.Centroid] =
+    graphAppendCentsMemo.synchronized {
+      graphAppendCentsMemo.getOrElseUpdate(d, {
+        MemoTrace.built("graphAppendCents")
+        Similarity.collectCentroids(
+          Similarity.kmeansCentroids(emb(s, d).filter(expr(AppendBaseWhere)),
+            "embedding", graphAppendPlanes(s, d), GraphIters))
+      })
+    }
+
+  /** Full corpus under the FROZEN base-learned quantizer. */
+  private def graphAppendCorpus(s: SparkSession, d: String): DataFrame =
+    emb(s, d).withColumn("gcell",
+      Similarity.nearestCentroid(col("embedding"), graphAppendCents(s, d)))
+
   private val graphAppendMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[graft] def graphAppendEdges(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(graphAppendMemo, (s, d), "graphAppendEdges") {
-      val full = emb(s, d)
+      val cents = Similarity.localizeCentroids(s, graphAppendCents(s, d))
+      val full = graphAppendCorpus(s, d)
       val base = full.filter(expr(AppendBaseWhere))
-      val cents = Similarity.ivfCentroids(base, "label", "embedding")
-      val baseEdges = Similarity.knnGraph(base, "vec_id", "embedding", "label",
+      // the pre-existing index: base-only edges under the frozen quantizer
+      val baseEdges = Similarity.knnGraph(base, "vec_id", "embedding", "gcell",
         GraphProbeCells, GraphDegree, centroids = Some(cents))
-      val incEdges = Similarity.knnGraph(full, "vec_id", "embedding", "label",
-        GraphProbeCells, GraphDegree, centroids = Some(cents),
-        isSrc = not(expr(AppendBaseWhere)))
-      baseEdges.unionByName(incEdges).persist()
+      Similarity.knnGraphAppend(full, "vec_id", "embedding", "gcell",
+        GraphProbeCells, GraphDegree, cents, baseEdges,
+        isBase = expr(AppendBaseWhere)).persist()
     }
 
-  def annGraphAppend(s: SparkSession, d: String): DataFrame = {
-    val baseCents = Similarity.ivfCentroids(
-      emb(s, d).filter(expr(AppendBaseWhere)), "label", "embedding")
-    Similarity.graphBeamSearch(emb(s, d), "vec_id", "embedding", "label",
+  def annGraphAppend(s: SparkSession, d: String): DataFrame =
+    Similarity.graphBeamSearch(graphAppendCorpus(s, d), "vec_id", "embedding", "gcell",
         graphAppendEdges(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
-        centroids = Some(baseCents))
+        centroids = Some(Similarity.localizeCentroids(s, graphAppendCents(s, d))))
       .orderBy(col("q_id"), col("rank"))
-  }
 
   // ========================================================================
   // ann_graph_stats — graph-index OBSERVABILITY: per source cell, the
@@ -928,7 +997,7 @@ object SimQueries {
   // ========================================================================
   def annGraphStats(s: SparkSession, d: String): DataFrame = {
     val edges = knnGraphEdges(s, d).select(col("src"), col("dst"))
-    val lbl = emb(s, d).select(col("vec_id"), col("label").cast("long"))
+    val lbl = graphCorpus(s, d).select(col("vec_id"), col("gcell").as("label"))
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
     val annotated = edges
       .join(lbl.select(col("vec_id").as("src"), col("label").as("src_cell")), Seq("src"))
@@ -951,8 +1020,9 @@ object SimQueries {
   }
 
   private def annGraphStatsSql =
-    s"""WITH $graphEdgeCtesSql,
-      |lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    s"""WITH ${graphKmCtesSql()},
+      |$graphEdgeBuildSql,
+      |lbl AS (SELECT vec_id, cell AS label FROM am),
       |ann AS (
       |  SELECT e.src, e.dst, ls.label AS src_cell, ld.label AS dst_cell
       |  FROM edges e JOIN lbl ls ON ls.vec_id = e.src
@@ -1002,123 +1072,92 @@ object SimQueries {
           / (col("s_nrm") * col("d_nrm")), 4).as("cos"))
 
   /** The static member side of [[graphAdmitCandidates]]: (kcell, dst,
-    * d_vec, d_nrm) over the base index corpus.
+    * d_vec, d_nrm) over the base index corpus, keyed by the SAME frozen
+    * quantizer the stream side assigns with (the [[graphAppendCents]]
+    * base-learned codebook — stream and members must agree on cells or
+    * the admission join scores the wrong neighborhoods).
     */
-  def graphAdmitMembers(base: DataFrame): DataFrame =
-    base.select(col("label").cast("long").as("kcell"),
+  def graphAdmitMembers(base: DataFrame, cents: Seq[Similarity.Centroid]): DataFrame =
+    base.select(Similarity.nearestCentroid(col("embedding"), cents).as("kcell"),
       col("vec_id").as("dst"), col("embedding").as("d_vec"),
       Similarity.norm(col("embedding")).as("d_nrm"))
 
-  /** Appended-graph oracle CTEs: base-slice centroids, base-member edge
-    * build for base sources, full-member edge build for increment
-    * sources, union — then the shared [[beamChainSql]].
-    */
-  private def graphAppendCtesSql: String =
-    s"""m AS (
-      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
-      |  FROM embeddings, range(1, 65) r(i)
-      |  WHERE $AppendBaseWhere GROUP BY label, i),
-      |cn AS MATERIALIZED (
-      |  SELECT label AS cell, cvec,
-      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
-      |e AS MATERIALIZED (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings),
-      |vassb AS MATERIALIZED (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT v.vec_id, cn.cell,
-      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-      |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
-      |        cn.cell) AS rc
-      |    FROM e v, cn WHERE v.$AppendBaseWhere)
-      |  WHERE rc <= $GraphProbeCells),
-      |edgesb AS MATERIALIZED (
-      |  SELECT src, dst FROM (
-      |    SELECT v.vec_id AS src, mb.vec_id AS dst,
-      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-      |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
-      |        mb.vec_id) AS rn
-      |    FROM e v JOIN vassb a ON a.vec_id = v.vec_id
-      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id
-      |               AND mb.$AppendBaseWhere)
-      |  WHERE rn <= $GraphDegree),
-      |vassi AS MATERIALIZED (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT v.vec_id, cn.cell,
-      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-      |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
-      |        cn.cell) AS rc
-      |    FROM e v, cn WHERE NOT (v.$AppendBaseWhere))
-      |  WHERE rc <= $GraphProbeCells),
-      |edgesi AS MATERIALIZED (
-      |  SELECT src, dst FROM (
-      |    SELECT v.vec_id AS src, mb.vec_id AS dst,
-      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-      |        list_sum(list_transform(range(1, len(v.embedding) + 1),
-      |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
-      |        mb.vec_id) AS rn
-      |    FROM e v JOIN vassi a ON a.vec_id = v.vec_id
-      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
-      |  WHERE rn <= $GraphDegree),
-      |edges AS MATERIALIZED (
-      |  SELECT src, dst FROM edgesb UNION ALL SELECT src, dst FROM edgesi),
-      |heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
-      |qv AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
-      |       FROM e WHERE vec_id < 10),
-      |qass AS (
-      |  SELECT q_id, cell FROM (
-      |    SELECT q.q_id, cn.cell,
-      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-      |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
-      |          i -> q.q_vec[i]::DOUBLE * cn.cvec[i])) / (q.q_nrm * cn.cnrm) DESC,
-      |        cn.cell) AS rc
-      |    FROM qv q, cn)
-      |  WHERE rc <= $GraphEntryCells),
-      |$beamChainSql""".stripMargin
-
   private def annGraphAppendSql =
-    s"""WITH $graphAppendCtesSql
+    s"""WITH ${graphCtesSqlFor(AppendBaseWhere)}
       |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 4) AS cos
       |FROM beam$GraphHops WHERE rn <= $GraphK
       |ORDER BY q_id, rank""".stripMargin
 
-  /** The graph pipeline's CTE chain (centroids → corpus cell assignment
-    * → bounded kNN edges → entry heads → unrolled beam hops) — ONE
-    * rendering shared by the `ann_graph_topk` and `ann_recall_graph`
-    * oracles. The final beam CTE is `beam$GraphHops`.
+  /** The graph pipeline's CTE chain (adaptive-plane learned quantizer →
+    * corpus cell assignment → bounded kNN edges → entry heads →
+    * unrolled beam hops) — ONE rendering shared by the `ann_graph_topk`
+    * and `ann_recall_graph` oracles (`learnWhere` empty) and the
+    * `ann_graph_append` oracle (`learnWhere` = the base slice: the
+    * frozen-quantizer FULL edge rebuild that the Spark side's bounded
+    * incremental repair provably equals). The final beam CTE is
+    * `beam$GraphHops`.
     */
-  private def graphCtesSql: String =
-    s"$graphEdgeCtesSql,\n$graphSearchCtesSql"
+  private def graphCtesSqlFor(learnWhere: String = ""): String =
+    s"${graphKmCtesSql(learnWhere)},\n$graphEdgeBuildSql,\n$graphSearchCtesSql"
 
-  /** Edge-build half of the graph oracle (centroids → assignment →
-    * bounded kNN edges) — consumed alone by `ann_graph_stats`, which
-    * must not drag the unused beam CTEs into its query.
+  /** Adaptive-plane kmeans CTEs for the graph oracle: the plane count is
+    * computed FROM THE ROW COUNT in SQL — p = max(2, (bitlen(n-1)+1)/2),
+    * the integer-exact rendering of Similarity.adaptivePlanes — so the
+    * oracle's seed-cell count scales ∝ √N with the corpus exactly like
+    * the Spark side at every sf (a static plane literal would silently
+    * freeze the oracle's quantizer while the engine's scales). The seed
+    * buckets come from the same integer-coefficient hyperplanes as
+    * hyperplaneBitsSql, but unrolled DYNAMICALLY via a filtered
+    * range(0, 32) lateral instead of a compile-time plane list.
+    * `learnWhere` restricts every LEARNING step (plane count, seed
+    * buckets, Lloyd reassignment) to that slice; the final `am` member
+    * assignment always covers the whole corpus.
     */
-  private def graphEdgeCtesSql: String = {
-    s"""m AS (
-      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
-      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
-      |cn AS MATERIALIZED (
-      |  SELECT label AS cell, cvec,
-      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
-      |e AS MATERIALIZED (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings),
-      |vass AS MATERIALIZED (
+  private def graphKmCtesSql(learnWhere: String = ""): String = {
+    val learnPred = if (learnWhere.isEmpty) "" else s" WHERE $learnWhere"
+    val andLearn = if (learnWhere.isEmpty) "" else s" AND v.$learnWhere"
+    val head =
+      s"""e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |np AS (SELECT greatest(2, (length(bin(count(*) - 1)) + 1) // 2) AS p
+         |       FROM embeddings$learnPred),
+         |b0 AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS cell
+         |  FROM (
+         |    SELECT v.vec_id, r.j,
+         |      list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |        i -> v.embedding[i]::DOUBLE * ((((i - 1) * 37 + r.j * 101) % 19) - 9)::DOUBLE)) AS d
+         |    FROM embeddings v, np, range(0, 32) r(j)
+         |    WHERE r.j < np.p$andLearn)
+         |  GROUP BY vec_id),
+         |${kmMeansCteSql("b0", 0)}""".stripMargin
+    val rounds = (1 to GraphIters).map { r =>
+      kmAssignCteSql(s"cn${r - 1}", s"a$r", learnWhere, learnOnly = true) + ",\n" +
+        kmMeansCteSql(s"a$r", r, materializedCn = r == GraphIters)
+    }
+    val fin = kmAssignCteSql(s"cn$GraphIters", "am", learnWhere,
+      learnOnly = false, materialized = true)
+    (Seq(head) ++ rounds :+ fin).mkString(",\n")
+  }
+
+  /** Edge-build half of the graph oracle (probe assignment → bounded
+    * kNN edges over the learned-cell member sets) — consumed with the
+    * search half by the topk/recall/append oracles and alone (plus the
+    * kmeans chain) by `ann_graph_stats`, which must not drag the unused
+    * beam CTEs into its query.
+    */
+  private def graphEdgeBuildSql: String =
+    s"""vass AS MATERIALIZED (
       |  SELECT vec_id, cell FROM (
       |    SELECT v.vec_id, cn.cell,
       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
       |        list_sum(list_transform(range(1, len(v.embedding) + 1),
       |          i -> v.embedding[i]::DOUBLE * cn.cvec[i])) / (v.nrm * cn.cnrm) DESC,
       |        cn.cell) AS rc
-      |    FROM e v, cn)
+      |    FROM e v, cn$GraphIters cn)
       |  WHERE rc <= $GraphProbeCells),
       |edges AS MATERIALIZED (
       |  SELECT src, dst FROM (
@@ -1128,13 +1167,15 @@ object SimQueries {
       |          i -> v.embedding[i]::DOUBLE * mb.embedding[i]::DOUBLE)) / (v.nrm * mb.nrm) DESC,
       |        mb.vec_id) AS rn
       |    FROM e v JOIN vass a ON a.vec_id = v.vec_id
-      |             JOIN e mb ON mb.label = a.cell AND mb.vec_id <> v.vec_id)
+      |             JOIN am ma ON ma.cell = a.cell
+      |             JOIN e mb ON mb.vec_id = ma.vec_id AND mb.vec_id <> v.vec_id)
       |  WHERE rn <= $GraphDegree)""".stripMargin
-  }
 
-  /** Search half (entry heads → query assignment → beam chain). */
+  /** Search half (entry heads over the learned cells → query entry
+    * assignment → beam chain).
+    */
   private def graphSearchCtesSql: String =
-    s"""heads AS (SELECT label AS cell, min(vec_id) AS n_id FROM embeddings GROUP BY label),
+    s"""heads AS (SELECT cell, min(vec_id) AS n_id FROM am GROUP BY cell),
       |qv AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm
       |       FROM e WHERE vec_id < 10),
       |qass AS (
@@ -1144,7 +1185,7 @@ object SimQueries {
       |        list_sum(list_transform(range(1, len(q.q_vec) + 1),
       |          i -> q.q_vec[i]::DOUBLE * cn.cvec[i])) / (q.q_nrm * cn.cnrm) DESC,
       |        cn.cell) AS rc
-      |    FROM qv q, cn)
+      |    FROM qv q, cn$GraphIters cn)
       |  WHERE rc <= $GraphEntryCells),
       |$beamChainSql""".stripMargin
 
@@ -1192,13 +1233,13 @@ object SimQueries {
   }
 
   private def annGraphTopkSql =
-    s"""WITH $graphCtesSql
+    s"""WITH ${graphCtesSqlFor()}
       |SELECT q_id, CAST(rn AS BIGINT) AS rank, n_id, round(cos, 4) AS cos
       |FROM beam$GraphHops WHERE rn <= $GraphK
       |ORDER BY q_id, rank""".stripMargin
 
   private def annRecallGraphSql =
-    s"""WITH $graphCtesSql,
+    s"""WITH ${graphCtesSqlFor()},
       |bf AS MATERIALIZED (
       |  SELECT q_id, n_id FROM (
       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -1509,24 +1550,27 @@ object SimQueries {
     * contract: centroids learned on the base slice, everything assigned
     * against them.
     */
+  private def kmMeansCteSql(src: String, idx: Int, materializedCn: Boolean = false): String =
+    s"""m$idx AS (
+       |  SELECT cell, i, round(avg(e.embedding[i]::DOUBLE), 6) AS mu
+       |  FROM $src JOIN e USING (vec_id), range(1, 65) r(i) GROUP BY cell, i),
+       |cn$idx AS ${if (materializedCn) "MATERIALIZED " else ""}(
+       |  SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
+       |  FROM (SELECT cell, list(mu ORDER BY i) AS cvec FROM m$idx GROUP BY cell))""".stripMargin
+
+  private def kmAssignCteSql(cn: String, name: String, learnWhere: String,
+                             learnOnly: Boolean, materialized: Boolean = false): String =
+    s"""$name AS ${if (materialized) "MATERIALIZED " else ""}(
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> e.embedding[i]::DOUBLE * c.cvec[i])) / c.cnrm DESC,
+       |        c.cell) AS rc
+       |    FROM e, $cn c${if (learnOnly && learnWhere.nonEmpty) s" WHERE e.$learnWhere" else ""}) WHERE rc = 1)""".stripMargin
+
   private def kmeansCtesSql(nPlanes: Int, iters: Int, learnWhere: String = ""): String = {
     val learnPred = if (learnWhere.isEmpty) "" else s" WHERE $learnWhere"
-    def meansOf(src: String, idx: Int) =
-      s"""m$idx AS (
-         |  SELECT cell, i, round(avg(e.embedding[i]::DOUBLE), 6) AS mu
-         |  FROM $src JOIN e USING (vec_id), range(1, 65) r(i) GROUP BY cell, i),
-         |cn$idx AS (
-         |  SELECT cell, cvec, sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-         |  FROM (SELECT cell, list(mu ORDER BY i) AS cvec FROM m$idx GROUP BY cell))""".stripMargin
-    def assignVs(cn: String, name: String, learnOnly: Boolean) =
-      s"""$name AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_sum(list_transform(range(1, len(e.embedding) + 1),
-         |          i -> e.embedding[i]::DOUBLE * c.cvec[i])) / c.cnrm DESC,
-         |        c.cell) AS rc
-         |    FROM e, $cn c${if (learnOnly && learnWhere.nonEmpty) s" WHERE e.$learnWhere" else ""}) WHERE rc = 1)""".stripMargin
     val head =
       s"""e AS (
          |  SELECT vec_id, embedding,
@@ -1535,11 +1579,12 @@ object SimQueries {
          |b0 AS (
          |  SELECT vec_id, CAST(${hyperplaneBitsSql(nPlanes)} AS BIGINT) AS cell
          |  FROM embeddings$learnPred),
-         |${meansOf("b0", 0)}""".stripMargin
+         |${kmMeansCteSql("b0", 0)}""".stripMargin
     val rounds = (1 to iters).map { r =>
-      assignVs(s"cn${r - 1}", s"a$r", learnOnly = true) + ",\n" + meansOf(s"a$r", r)
+      kmAssignCteSql(s"cn${r - 1}", s"a$r", learnWhere, learnOnly = true) +
+        ",\n" + kmMeansCteSql(s"a$r", r)
     }
-    val fin = assignVs(s"cn$iters", "am", learnOnly = false)
+    val fin = kmAssignCteSql(s"cn$iters", "am", learnWhere, learnOnly = false)
     (Seq(head) ++ rounds :+ fin).mkString(",\n")
   }
 

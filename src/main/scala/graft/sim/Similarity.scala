@@ -315,6 +315,20 @@ object Similarity {
     cents.toDF("cell", "cvec", "cnrm")
   }
 
+  /** Hyperplane count for a cardinality-scaling quantizer: cells ≈ √N.
+    * planes = ⌈⌈log2(n)⌉ / 2⌉ (min 2), so the 2^planes seed buckets
+    * track √N as the corpus grows — the classic IVF cell-count rule,
+    * and the property that keeps [[knnGraph]] construction sub-quadratic
+    * (per-src candidate pool ∝ probeCells·N/√N = O(√N), total scored
+    * pairs O(N^1.5) instead of O(N²/constant)). Integer-exact (no
+    * floating log) so every engine that re-derives it from a row count
+    * lands on the same value.
+    */
+  def adaptivePlanes(n: Long): Int = {
+    val clog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(2, (clog2 + 1) / 2)
+  }
+
   /** Deterministic Lloyd k-means over an embedding column — the learned
     * coarse quantizer for IVF on unlabeled corpora (the production case:
     * real corpora carry no `label`). Mirrors the reference's
@@ -410,16 +424,43 @@ object Similarity {
     // `isSrc`: restrict which vectors get OUT-edges (an increment batch
     // links into the full member set without recomputing base edges).
     val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
-    val v = df.filter(isSrc).select(col(idCol).as("src"), col(vecCol).as("s_vec"),
+    val assigned = probeAssignment(df.filter(isSrc), idCol, vecCol, cent, probeCells)
+    edgesFromPools(assigned, graphMembers(df, idCol, vecCol, cellCol), degree)
+  }
+
+  /** Probe-cell assignment half of [[knnGraph]]: each source vector's
+    * `probeCells` nearest cells by centroid cosine (ties to the smaller
+    * cell id) — (src, s_vec, s_nrm, cell), one row per probed cell. A
+    * broadcast of the ≤|cells| centroid relation into the corpus plus a
+    * src-keyed window; the corpus itself never shuffles for assignment.
+    * The rank-1 row is the vector's primary cell: the per-row norm is a
+    * positive constant inside the window, so this ranking equals
+    * [[nearestCentroid]]'s `dot/cnrm` argmax.
+    */
+  def probeAssignment(df: DataFrame, idCol: String, vecCol: String,
+                      cent: DataFrame, probeCells: Int): DataFrame = {
+    val v = df.select(col(idCol).as("src"), col(vecCol).as("s_vec"),
       norm(col(vecCol)).as("s_nrm"))
     val wa = Window.partitionBy(col("src")).orderBy(col("cos_c").desc, col("cell"))
-    val assigned = v.crossJoin(broadcast(cent))
+    v.crossJoin(broadcast(cent))
       .withColumn("cos_c", dot(col("s_vec"), col("cvec")) / (col("s_nrm") * col("cnrm")))
       .withColumn("rc", row_number().over(wa))
       .filter(col("rc") <= probeCells)
       .select(col("src"), col("s_vec"), col("s_nrm"), col("cell"))
-    val members = df.select(col(idCol).as("dst"), col(cellCol).cast("long").as("cell"),
+  }
+
+  /** Member side of the edge build: (dst, cell, d_vec, d_nrm). */
+  private def graphMembers(df: DataFrame, idCol: String, vecCol: String,
+                           cellCol: String): DataFrame =
+    df.select(col(idCol).as("dst"), col(cellCol).cast("long").as("cell"),
       col(vecCol).as("d_vec"), norm(col(vecCol)).as("d_nrm"))
+
+  /** Edge-selection half of [[knnGraph]]: join each source's probed
+    * cells against the member relation, exact-score, keep the `degree`
+    * nearest (ties to the smaller dst id).
+    */
+  private def edgesFromPools(assigned: DataFrame, members: DataFrame,
+                             degree: Int): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     members.join(assigned, Seq("cell"))
       .filter(col("dst") =!= col("src"))
@@ -434,6 +475,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= degree)
       .select(col("src"), col("dst"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The source vectors an increment batch forces to recompute: every
+    * vector (base or increment) whose probe-cell set touches a cell
+    * that received increment members. An increment vector's own primary
+    * cell is always among its probe cells (rank-1), so increments are
+    * included by construction. `df` must carry the FROZEN-quantizer
+    * cell assignment in `cellCol`.
+    */
+  def knnGraphAffectedSrcs(df: DataFrame, idCol: String, vecCol: String,
+                           cellCol: String, cent: DataFrame, probeCells: Int,
+                           isBase: Column): DataFrame = {
+    val affCells = df.filter(!isBase)
+      .select(col(cellCol).cast("long").as("cell")).distinct()
+    probeAssignment(df, idCol, vecCol, cent, probeCells)
+      .join(broadcast(affCells), Seq("cell"), "left_semi")
+      .select(col("src")).distinct()
+  }
+
+  /** INCREMENTAL kNN-graph maintenance with bounded back-edge repair:
+    * given the pre-existing base edges and a frozen quantizer, recompute
+    * out-edges ONLY for sources whose probe-cell pools gained increment
+    * members ([[knnGraphAffectedSrcs]]) and keep every other base edge
+    * untouched. Because an unaffected source's candidate pool is
+    * IDENTICAL before and after the batch (none of its probed cells
+    * changed), the result is row-identical to a full
+    * `knnGraph(df, centroids = frozen)` rebuild — the repair buys the
+    * rebuild's answer at O(affected-cell members · cell) cost instead of
+    * O(corpus · cell). This closes the no-back-edges gap of naive batch
+    * insertion: base vertices in touched cells DO gain edges toward the
+    * increment, so increment vectors are reachable mid-graph, not only
+    * via entry heads (AnnGraphSpec pins both the rebuild equivalence and
+    * the bounded recompute set).
+    */
+  def knnGraphAppend(df: DataFrame, idCol: String, vecCol: String,
+                     cellCol: String, probeCells: Int, degree: Int,
+                     cent: DataFrame, baseEdges: DataFrame,
+                     isBase: Column): DataFrame = {
+    val need = knnGraphAffectedSrcs(df, idCol, vecCol, cellCol, cent, probeCells, isBase)
+    val kept = baseEdges.join(need, Seq("src"), "left_anti")
+    val assigned = probeAssignment(df, idCol, vecCol, cent, probeCells)
+      .join(need, Seq("src"), "left_semi")
+    val repaired = edgesFromPools(assigned, graphMembers(df, idCol, vecCol, cellCol), degree)
+    kept.unionByName(repaired)
   }
 
   /** Beam search over a [[knnGraph]] edge relation: queries enter at the
@@ -463,6 +548,12 @@ object Similarity {
                       entryCells: Int, beamWidth: Int, hops: Int, k: Int,
                       centroids: Option[DataFrame] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    // the documented entry-degeneracy contract, loud instead of silent:
+    // with one entry cell a query that heads its own cell gets no entry
+    // and would return zero rows
+    require(entryCells >= 2,
+      s"entryCells $entryCells must be >= 2: entries exclude the query itself, " +
+        "and a corpus query can head its own cell")
     val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
     val e = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"))

@@ -1109,9 +1109,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sf).filter(expr("vec_id % 5 <> 4"))
-    val cents = graft.sim.Similarity.collectCentroids(
-      graft.sim.Similarity.ivfCentroids(base, "label", "embedding"))
-    val members = graft.queries.SimQueries.graphAdmitMembers(base)
+    // the frozen base-learned quantizer the nightly compaction assigns with
+    val cents = graft.queries.SimQueries.graphAppendCents(spark, sf)
+    val members = graft.queries.SimQueries.graphAdmitMembers(base, cents)
     val stream = MemoryStream[(Long, Array[Float])]
     val out = graft.queries.SimQueries.graphAdmitCandidates(
       stream.toDF().toDF("vec_id", "embedding"), cents, members)
@@ -1129,15 +1129,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // independent expectation: for each increment vector, candidates =
     // base members of its ARGMAX cell (computed via a different path:
-    // per-cell cosine rank over the collected centroids, driver-side)
-    val baseCells = base.select(col("vec_id"), col("label").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val want = incRows.flatMap { case (vid, emb) =>
+    // per-cell cosine rank over the collected centroids, driver-side —
+    // the member cells too, so the NearestCentroid projection is checked
+    // against an independent argmax, not against itself)
+    def argmaxCell(emb: Array[Float]): Long = {
       val nrm = math.sqrt(emb.map(x => x.toDouble * x.toDouble).sum)
-      val best = cents.map { c =>
+      cents.map { c =>
         val cos = emb.zip(c.cvec).map { case (x, y) => x.toDouble * y }.sum / (nrm * c.cnrm)
         (-cos, c.cell) // min by (-cos, cell) = max cos, ties to smaller cell
       }.min._2
+    }
+    val baseCells = base.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (vid, emb) => (vid, argmaxCell(emb)) }
+    val want = incRows.flatMap { case (vid, emb) =>
+      val best = argmaxCell(emb)
       baseCells.collect { case (m, cell) if cell == best && m != vid => (vid, m) }
     }.toSet
     assert(got.nonEmpty && got == want)
