@@ -830,25 +830,56 @@ object SimQueries {
     kmCentroids(s, d, graphPlanes(s, d), GraphIters)
 
   /** Corpus with the graph quantizer's cell assignment attached — a pure
-    * NearestCentroid projection (zero exchanges at any cell count).
+    * NearestCentroid projection (zero exchanges at any cell count),
+    * memoized + persisted: this is the index's VERTEX TABLE, the
+    * relation every beam hop's candidate-vector lookup joins into (at
+    * serving scale: the id-bucketed half of the persisted index next to
+    * the src-bucketed edge table).
     */
-  private def graphCorpus(s: SparkSession, d: String): DataFrame =
-    emb(s, d).withColumn("gcell",
-      Similarity.nearestCentroid(col("embedding"), graphCents(s, d)))
+  private val graphCorpusMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def graphCorpus(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphCorpusMemo, (s, d), "graphCorpus") {
+      emb(s, d).withColumn("gcell",
+        Similarity.nearestCentroid(col("embedding"), graphCents(s, d))).persist()
+    }
+
+  /** Entry heads (min-id member per cell) — part of the served index's
+    * artifact, memoized per (dir, variant) so the fast path skips the
+    * per-call aggregation job.
+    */
+  private val graphHeadsMemo =
+    scala.collection.mutable.Map.empty[(String, String), Map[Long, Long]]
+  private def graphHeads(d: String, variant: String)
+                        (corpus: => DataFrame): Map[Long, Long] =
+    graphHeadsMemo.synchronized {
+      graphHeadsMemo.getOrElseUpdate((d, variant),
+        corpus.select(col("gcell").cast("long").as("cell"), col("vec_id").as("n_id"))
+          .groupBy(col("cell")).agg(min(col("n_id")).as("n_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
 
   private val graphMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[graft] def knnGraphEdges(s: SparkSession, d: String): DataFrame =
     RelationMemo.relation(graphMemo, (s, d), "knnGraphEdges") {
+      // coalesce before persist: the edge relation exits its build
+      // shuffle in spark.sql.shuffle.partitions slivers, and every beam
+      // hop's point-lookup join would launch that many near-empty tasks
+      // per job (at serving scale the equivalent is the src-bucketed
+      // table's bucket count, sized to the cluster, not to one query)
       Similarity.knnGraph(graphCorpus(s, d), "vec_id", "embedding", "gcell",
         GraphProbeCells, GraphDegree,
-        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d)))).persist()
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))))
+        .coalesce(4).persist()
     }
 
   def annGraphTopk(s: SparkSession, d: String): DataFrame =
     Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
         knnGraphEdges(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
-        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))))
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
+        localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
+        localCents = Some(graphCents(s, d)))
       .orderBy(col("q_id"), col("rank"))
 
   def annRecallGraph(s: SparkSession, d: String): DataFrame = {
@@ -905,7 +936,9 @@ object SimQueries {
     Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
         s.table(graphEdgeTable(s, d)), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
-        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))))
+        centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
+        localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
+        localCents = Some(graphCents(s, d)))
       .orderBy(col("q_id"), col("rank"))
 
   // ========================================================================
@@ -953,10 +986,16 @@ object SimQueries {
       })
     }
 
-  /** Full corpus under the FROZEN base-learned quantizer. */
+  /** Full corpus under the FROZEN base-learned quantizer (memoized +
+    * persisted like [[graphCorpus]] — the appended index's vertex table).
+    */
+  private val graphAppendCorpusMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private def graphAppendCorpus(s: SparkSession, d: String): DataFrame =
-    emb(s, d).withColumn("gcell",
-      Similarity.nearestCentroid(col("embedding"), graphAppendCents(s, d)))
+    RelationMemo.relation(graphAppendCorpusMemo, (s, d), "graphAppendCorpus") {
+      emb(s, d).withColumn("gcell",
+        Similarity.nearestCentroid(col("embedding"), graphAppendCents(s, d))).persist()
+    }
 
   private val graphAppendMemo = scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private[graft] def graphAppendEdges(s: SparkSession, d: String): DataFrame =
@@ -969,14 +1008,16 @@ object SimQueries {
         GraphProbeCells, GraphDegree, centroids = Some(cents))
       Similarity.knnGraphAppend(full, "vec_id", "embedding", "gcell",
         GraphProbeCells, GraphDegree, cents, baseEdges,
-        isBase = expr(AppendBaseWhere)).persist()
+        isBase = expr(AppendBaseWhere)).coalesce(4).persist()
     }
 
   def annGraphAppend(s: SparkSession, d: String): DataFrame =
     Similarity.graphBeamSearch(graphAppendCorpus(s, d), "vec_id", "embedding", "gcell",
         graphAppendEdges(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
-        centroids = Some(Similarity.localizeCentroids(s, graphAppendCents(s, d))))
+        centroids = Some(Similarity.localizeCentroids(s, graphAppendCents(s, d))),
+        localHeads = Some(graphHeads(d, "append")(graphAppendCorpus(s, d))),
+        localCents = Some(graphAppendCents(s, d)))
       .orderBy(col("q_id"), col("rank"))
 
   // ========================================================================

@@ -546,7 +546,10 @@ object Similarity {
   def graphBeamSearch(df: DataFrame, idCol: String, vecCol: String,
                       cellCol: String, edges: DataFrame, isQuery: Column,
                       entryCells: Int, beamWidth: Int, hops: Int, k: Int,
-                      centroids: Option[DataFrame] = None): DataFrame = {
+                      centroids: Option[DataFrame] = None,
+                      maxLocalQueries: Int = 128,
+                      localHeads: Option[Map[Long, Long]] = None,
+                      localCents: Option[Seq[Centroid]] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     // the documented entry-degeneracy contract, loud instead of silent:
     // with one entry cell a query that heads its own cell gets no entry
@@ -555,6 +558,40 @@ object Similarity {
       s"entryCells $entryCells must be >= 2: entries exclude the query itself, " +
         "and a corpus query can head its own cell")
     val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
+    // SMALL-QUERY-SET FAST PATH (the clusterLabels probe-pinning
+    // pattern): collect up to maxLocalQueries+1 query rows; when the set
+    // is bounded, carry the beam as a driver-side array between hops —
+    // each hop is then ONE point-lookup job into the src-keyed edge
+    // relation plus one vector fetch for unseen candidates, instead of a
+    // checkpoint + distinct/window exchange pipeline (measured ~2 s →
+    // sub-second per registered key at sf0.1). The distributed path
+    // below remains the large-query-set shape and is pinned
+    // row-identical by AnnGraphSpec.
+    if (maxLocalQueries > 0) {
+      val probe = df.filter(isQuery)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .limit(maxLocalQueries + 1).collect()
+      if (probe.length <= maxLocalQueries) {
+        val qs = probe.map { r =>
+          (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray)
+        }.toSeq
+        return graphBeamSearchLocal(df, idCol, vecCol, cellCol, edges, qs,
+          entryCells, beamWidth, hops, k,
+          localCents.getOrElse(collectCentroids(cent)), localHeads)
+      }
+    }
+    graphBeamSearchDistributed(df, idCol, vecCol, cellCol, edges, isQuery,
+      entryCells, beamWidth, hops, k, cent)
+  }
+
+  /** The distributed beam search (the large-query-set shape of
+    * [[graphBeamSearch]] — see its scaladoc for the algorithm and the
+    * per-hop plan notes).
+    */
+  def graphBeamSearchDistributed(df: DataFrame, idCol: String, vecCol: String,
+                                 cellCol: String, edges: DataFrame, isQuery: Column,
+                                 entryCells: Int, beamWidth: Int, hops: Int, k: Int,
+                                 cent: DataFrame): DataFrame = {
     val e = df.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       norm(col(vecCol)).as("n_nrm"))
     val q = df.filter(isQuery)
@@ -613,6 +650,147 @@ object Similarity {
     fin.filter(col("rn") <= k)
       .select(col("q_id"), col("rn").cast("long").as("rank"), col("n_id"),
         round(col("cos"), 4).as("cos"))
+  }
+
+  /** Driver-carried beam search — the bounded-query-set fast path of
+    * [[graphBeamSearch]], row-identical to the distributed pipeline
+    * (AnnGraphSpec pins the parity). The beam (≤ |queries|·beamWidth
+    * ids) lives on the driver between hops; the CLUSTER still does what
+    * must be distributed — each hop issues exactly two point-lookup
+    * jobs: a broadcast semi-join of the beam's ids into the src-keyed
+    * edge relation (the same co-located lookup the distributed hop
+    * does) and a vector fetch for candidates not yet seen (the visited
+    * cache makes this shrink hop over hop). What moves to the driver is
+    * only the ≤ hops·beam·degree exact re-scores and the prune sort —
+    * work proportional to the SEARCH budget, never to the corpus.
+    * All arithmetic mirrors the distributed path bit-for-bit:
+    * left-to-right double dot products, `dot/ (nrm·nrm)` cosine,
+    * (cos desc, id asc) total-order pruning, Spark HALF_UP round(,4).
+    *
+    * `queries` carries (id, vector-as-doubles) — elements already cast
+    * exactly as Spark's `cast("double")` would (Float.doubleValue is
+    * the same widening).
+    */
+  def graphBeamSearchLocal(df: DataFrame, idCol: String, vecCol: String,
+                           cellCol: String, edges: DataFrame,
+                           queries: Seq[(Long, Array[Double])],
+                           entryCells: Int, beamWidth: Int, hops: Int, k: Int,
+                           cents: Seq[Centroid],
+                           headsOpt: Option[Map[Long, Long]] = None): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(entryCells >= 2, s"entryCells $entryCells must be >= 2")
+    require(cents.nonEmpty, "graphBeamSearchLocal needs centroids")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // entry heads: min-id member per cell — one tiny aggregation, or
+    // the caller's memoized copy (entry points are part of a served
+    // index's artifact, so registered keys pass them precomputed)
+    val heads: Map[Long, Long] = headsOpt.getOrElse(df
+      .select(col(cellCol).cast("long").as("cell"), col(idCol).cast("long").as("n_id"))
+      .groupBy(col("cell")).agg(min(col("n_id")).as("n_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val qVec = queries.toMap
+    val qNrm = queries.map { case (id, v) => id -> math.sqrt(ddot(v, v)) }.toMap
+    // visited-vector cache: (vector, norm) per candidate id, fetched in
+    // per-hop batches via a broadcast join into the corpus relation
+    val cache = scala.collection.mutable.Map.empty[Long, (Array[Double], Double)]
+    def fetchVecs(ids: Seq[Long]): Unit = {
+      val missing = ids.distinct.filterNot(cache.contains)
+      if (missing.nonEmpty) {
+        df.join(broadcast(missing.toDF("__fetch_id")),
+            col(idCol).cast("long") === col("__fetch_id"))
+          .select(col(idCol).cast("long"), col(vecCol)).collect()
+          .foreach { r =>
+            val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
+            cache(r.getLong(0)) = (v, math.sqrt(ddot(v, v)))
+          }
+      }
+    }
+    // ONE job per hop: the beam's out-edges joined with the candidate
+    // vectors — topology and payload in a single point-lookup round trip
+    // (collecting an already-cached dst's vector again is cheaper than a
+    // second job to fetch only the misses)
+    def fetchHop(srcs: Seq[Long]): Map[Long, Seq[Long]] =
+      edges.join(broadcast(srcs.distinct.toDF("__src_id")),
+          col("src") === col("__src_id"))
+        .join(df.select(col(idCol).cast("long").as("dst"), col(vecCol).as("__vec")),
+          Seq("dst"))
+        .select(col("src"), col("dst"), col("__vec")).collect()
+        .map { r =>
+          val dst = r.getLong(1)
+          if (!cache.contains(dst)) {
+            val v = r.getSeq[Number](2).map(_.doubleValue()).toArray
+            cache(dst) = (v, math.sqrt(ddot(v, v)))
+          }
+          (r.getLong(0), dst)
+        }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    def cosTo(qId: Long, nId: Long): Double = {
+      val (v, n) = cache(nId)
+      ddot(qVec(qId), v) / (qNrm(qId) * n)
+    }
+    // prune: exact-score the candidate set, total order (cos desc, id asc)
+    def prune(qId: Long, cand: Seq[Long]): Seq[(Long, Double)] =
+      cand.map(nId => (nId, cosTo(qId, nId)))
+        .sortWith { case ((ida, ca), (idb, cb)) =>
+          val c = java.lang.Double.compare(cb, ca)
+          if (c != 0) c < 0 else ida < idb
+        }
+        .take(beamWidth)
+    // entries: the query's entryCells nearest cells' heads, excluding self
+    val entry: Map[Long, Seq[Long]] = queries.map { case (qId, v) =>
+      val n = qNrm(qId)
+      val cells = cents
+        .map(c => (ddot(v, c.cvec.toArray) / (n * c.cnrm), c.cell))
+        .sortWith { case ((ca, cella), (cb, cellb)) =>
+          val c = java.lang.Double.compare(cb, ca)
+          if (c != 0) c < 0 else cella < cellb
+        }
+        .take(entryCells).map(_._2)
+      qId -> cells.flatMap(heads.get).filter(_ != qId).distinct
+    }.toMap
+    // beam0 = prune(entries): with entries <= beamWidth per query
+    // (entryCells heads at most) the prune keeps everything and its
+    // scores are never read again (hops >= 1 re-scores every candidate),
+    // so the entry vector fetch + scoring job is skipped entirely; the
+    // fetch only runs in the hops == 0 / over-wide-entry corner where
+    // beam0's scores ARE the answer
+    val entriesFit = entry.values.forall(_.size <= beamWidth)
+    var beam: Map[Long, Seq[(Long, Double)]] =
+      if (hops >= 1 && entriesFit)
+        entry.map { case (qId, ids) => qId -> ids.map((_, Double.NaN)) }
+      else {
+        fetchVecs(entry.values.flatten.toSeq)
+        queries.map { case (qId, _) => qId -> prune(qId, entry(qId)) }.toMap
+      }
+    for (_ <- 1 to hops) {
+      val nbrs = fetchHop(beam.values.flatten.map(_._1).toSeq)
+      val cand: Map[Long, Seq[Long]] = beam.map { case (qId, b) =>
+        val ids = b.map(_._1)
+        qId -> (ids ++ ids.flatMap(nbrs.getOrElse(_, Nil)))
+          .filter(_ != qId).distinct
+      }
+      // carried ids are normally cache-hits (they were candidates in the
+      // previous prune); the exception is hop 1's unscored entry heads
+      // that are nobody's out-neighbor — fetch only those (no-op job
+      // when the cache already covers the hop)
+      fetchVecs(cand.values.flatten.toSeq)
+      beam = cand.map { case (qId, c) => qId -> prune(qId, c) }
+    }
+    val rows = queries.flatMap { case (qId, _) =>
+      beam(qId).take(k).zipWithIndex.map { case ((nId, c), i) =>
+        // Spark round(,4): BigDecimal HALF_UP on the canonical double
+        val r4 = java.math.BigDecimal.valueOf(c)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        (qId, (i + 1).toLong, nId, r4)
+      }
+    }
+    rows.toDF("q_id", "rank", "n_id", "cos")
   }
 
   /** Bucketed ANN: assign buckets, then search only within the query's

@@ -1114,8 +1114,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("ann_graph_topk: centroid/entry/query sides broadcast; per-hop scoring windows keyed by q_id; no cartesian") {
+  test("ann_graph_topk: bounded query set engages the driver-carried fast path (LocalRelation result)") {
+    // the registered key's 10 queries sit under the maxLocalQueries
+    // probe, so the result is assembled from the driver-carried beam —
+    // a local relation, not a per-hop checkpoint pipeline
     val p = plan("ann_graph_topk")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph beam search (distributed path): centroid/entry/query sides broadcast; per-hop scoring windows keyed by q_id; no cartesian") {
+    import org.apache.spark.sql.functions._
+    val corpus = SimQueries.graphCorpus(spark, sf)
+    val cent = graft.sim.Similarity.localizeCentroids(spark,
+      SimQueries.graphCents(spark, sf))
+    val p = graft.sim.Similarity.graphBeamSearchDistributed(
+        corpus, "vec_id", "embedding", "gcell",
+        SimQueries.knnGraphEdges(spark, sf), col("vec_id") < 10,
+        SimQueries.GraphEntryCells, SimQueries.GraphBeam,
+        SimQueries.GraphHops, SimQueries.GraphK, cent)
+      .queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), p)
     assert(p.contains("hashpartitioning(q_id"), p)

@@ -184,6 +184,20 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("driver-carried beam search equals the distributed pipeline row-for-row") {
+    // the fast path must be a pure execution-strategy switch: same
+    // entries, same hop expansion, same scoring/tie-break/rounding
+    val corpus = SimQueries.graphCorpus(spark, sf)
+    val edges = SimQueries.knnGraphEdges(spark, sf)
+    val cent = Similarity.localizeCentroids(spark, SimQueries.graphCents(spark, sf))
+    val dist = Similarity.graphBeamSearchDistributed(corpus, "vec_id", "embedding",
+        "gcell", edges, col("vec_id") < 10, SimQueries.GraphEntryCells,
+        SimQueries.GraphBeam, SimQueries.GraphHops, SimQueries.GraphK, cent)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val local = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
+    assert(local == dist)
+  }
+
   test("beam search is deterministic: two runs return identical rows") {
     val a = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
     val b = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
