@@ -53,8 +53,12 @@ object ExactRound {
     * magnitudes can exceed 2^62.
     */
   def spark(num: String, den: String): String =
+    // negate AFTER the widening cast (ADVICE r18): -($num) at the narrow
+    // type's minimum (BIGINT -2^63) wraps silently before the DECIMAL
+    // widening can help; -CAST(...) negates in the wide type, exact for
+    // every narrow-type value
     "CAST((CASE WHEN (" + num + ") < 0 " +
-      s"THEN -((2 * CAST(-($num) AS DECIMAL(38,0)) + ($den)) div (2 * CAST(($den) AS DECIMAL(38,0)))) " +
+      s"THEN -((2 * (-CAST(($num) AS DECIMAL(38,0))) + ($den)) div (2 * CAST(($den) AS DECIMAL(38,0)))) " +
       s"ELSE (2 * CAST(($num) AS DECIMAL(38,0)) + ($den)) div (2 * CAST(($den) AS DECIMAL(38,0))) END) AS BIGINT)"
 
   /** DuckDB fragment mirroring [[spark]] — `//` and HUGEINT (see the
@@ -62,6 +66,6 @@ object ExactRound {
     */
   def duck(num: String, den: String): String =
     "CAST((CASE WHEN (" + num + ") < 0 " +
-      s"THEN -((2 * CAST(-($num) AS HUGEINT) + ($den)) // (2 * CAST(($den) AS HUGEINT))) " +
+      s"THEN -((2 * (-CAST(($num) AS HUGEINT)) + ($den)) // (2 * CAST(($den) AS HUGEINT))) " +
       s"ELSE (2 * CAST(($num) AS HUGEINT) + ($den)) // (2 * CAST(($den) AS HUGEINT)) END) AS BIGINT)"
 }

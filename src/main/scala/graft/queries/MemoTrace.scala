@@ -22,8 +22,14 @@ package graft.queries
   *
   * Thread-safety: a plain synchronized buffer — build events are rare
   * (tens per full bench run) so contention is irrelevant. Not
-  * per-session: Bench owns its JVM, and concurrent test sessions only
-  * ever ADD noise events that Bench isn't running to observe.
+  * per-session: Bench owns its JVM (the driver runs each entrypoint
+  * alone — the verify-skill concurrency rule), and concurrent test
+  * sessions only ever ADD noise events that Bench isn't running to
+  * observe. CONTRACT (ADVICE r18): if Verify/tests ever share a JVM
+  * with a running Bench, events from the other session would be
+  * attributed to whatever sample is being timed — at that point key
+  * the buffer by SparkSession (or thread) and drain per-key; until
+  * then the global buffer is the simpler correct-under-contract form.
   */
 private[graft] object MemoTrace {
   private val events = scala.collection.mutable.ListBuffer.empty[String]

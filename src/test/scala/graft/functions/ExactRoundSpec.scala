@@ -69,4 +69,15 @@ class ExactRoundSpec extends SparkSpec {
       s"SELECT ${ExactRound.spark("-4611686018427387904", "3")} AS r").head().getLong(0)
     assert(neg == -1537228672809129301L)
   }
+
+  test("BIGINT minimum survives: negation happens in the wide type (ADVICE r18)") {
+    // -(-2^63) wraps at BIGINT before any widening cast could help — the
+    // fragment must negate AFTER the DECIMAL(38,0)/HUGEINT cast. The
+    // literal is spelled (-max - 1) because -9223372036854775808 itself
+    // doesn't parse as a BIGINT literal.
+    val got = spark.sql(
+      s"SELECT ${ExactRound.spark("-9223372036854775807L - 1L", "3")} AS r")
+      .head().getLong(0)
+    assert(got == reference(Long.MinValue, 3L))
+  }
 }
