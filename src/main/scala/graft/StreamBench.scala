@@ -137,6 +137,37 @@ object StreamBench {
         st.map(_.memoryUsedBytes).getOrElse(0L))
     }
 
+    /** Like [[run]] but the pipeline is a `foreachBatch` serve stage:
+      * each trigger's bounded query batch runs a BATCH computation
+      * against persisted index artifacts and appends its result rows.
+      * Zero state by construction (no stateful operators in the stream;
+      * every batch is independent).
+      */
+    def runServe[T: org.apache.spark.sql.Encoder](name: String, rows: Seq[T],
+        cols: Seq[String], serve: DataFrame => DataFrame): Result = {
+      val stream = MemoryStream[T]
+      val outRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = stream.toDF().toDF(cols: _*).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          outRows.addAndGet(serve(batch).count()); ()
+        }
+        .queryName(s"sb_$name").start()
+      val size = math.max(1, (rows.size + chunks - 1) / chunks)
+      val t0 = System.nanoTime()
+      rows.grouped(size).foreach { g => stream.addData(g: _*); q.processAllAvailable() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq
+      val rowsIn = progress.map(_.numInputRows).sum
+      val batches = progress.count(_.numInputRows > 0).toLong
+      val st = progress.reverse.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption
+      q.stop()
+      Result(name, rowsIn, outRows.get(), batches, wall,
+        st.map(_.numRowsTotal).getOrElse(0L),
+        st.map(_.memoryUsedBytes).getOrElse(0L))
+    }
+
     val results = Seq(
       run[(Long, String, String)]("curate", docRows, Seq("doc_id", "source", "text"),
         df => graft.streaming.StreamingCurate.curate(spark, df)),
@@ -224,6 +255,14 @@ object StreamBench {
         evFullRows, Seq("ts", "user_id", "event_id", "event_type", "value"),
         df => graft.streaming.StreamingDedup.keepFirstWithinWatermark(
           df, Seq("user_id", "event_type"), "ts", "1 hour")),
+      // STREAMING SERVE: each trigger's query batch beam-searched against
+      // the persisted src-bucketed edge table via foreachBatch (per-query
+      // top-k pruning needs a window per hop — inexpressible in the pure
+      // streaming planner) — the low-latency lookup stage completing the
+      // index lifecycle. ZERO state; rows_out = k per query.
+      runServe[(Long, Array[Float])]("graph_serve",
+        embIncRows, Seq("vec_id", "embedding"),
+        batch => graft.queries.SimQueries.graphServeBatch(spark, sfDir, batch)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -275,6 +314,7 @@ object StreamBench {
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "graph_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
+      "graph_serve" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS (foreachBatch)
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
       // join buffers must EVICT: without the time-range condition state

@@ -1089,6 +1089,31 @@ object SimQueries {
       |GROUP BY p.src_cell
       |ORDER BY cell""".stripMargin
 
+  /** STREAMING SERVE for the graph index — one micro-batch of arriving
+    * query vectors beam-searched against the PERSISTED index artifacts
+    * (src-bucketed edge table, memoized vertex relation, entry heads,
+    * centroid codebook): the lifecycle stage that completes admission
+    * (graph_admit) and compaction (ann_graph_append) with low-latency
+    * lookup. Runs inside `foreachBatch` — the documented Spark pattern
+    * for per-batch logic the pure streaming planner cannot express
+    * (per-query top-k pruning is a window/aggregation per hop; chained
+    * stateful operators are unsupported) — so each trigger's bounded
+    * query set takes the driver-carried fast path: per hop ONE
+    * point-lookup join into the edge table. ZERO state across batches
+    * (every batch is independent; results are append-only). StreamBench
+    * drives it as `graph_serve`; StreamingSpec pins parity with
+    * `ann_graph_persisted` on the same query set.
+    */
+  def graphServeBatch(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+    val qs = batch.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .toSeq
+    Similarity.graphBeamSearchLocal(graphCorpus(s, d), "vec_id", "embedding",
+      "gcell", s.table(graphEdgeTable(s, d)), qs,
+      GraphEntryCells, GraphBeam, GraphHops, GraphK,
+      graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))))
+  }
+
   /** Streaming graph-index ADMISSION — the online stage of
     * [[annGraphAppend]]: each arriving vector is assigned its primary
     * cell (centroids ride the plan as literals — the benchSketch

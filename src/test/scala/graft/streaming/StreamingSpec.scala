@@ -1105,6 +1105,34 @@ class StreamingSpec extends SparkSpec {
       s"state rows $stateRows suggest the join buffers are not evicting (input $joinInput)")
   }
 
+  test("streaming graph serve: foreachBatch beam search equals ann_graph_persisted, zero state, batching-invariant") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Double)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val rows = graft.queries.SimQueries.graphServeBatch(spark, sf, batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        got.synchronized { got ++= rows }; ()
+      }.start()
+    // the ann_graph_persisted query set, split across two triggers: a
+    // per-query search must not depend on which batch carried the query
+    val qRows = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (a, b) = qRows.splitAt(qRows.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val want = graft.SparkEntry.queries("ann_graph_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty && got.toSet == want)
+    assert(stateRows == 0L, s"serve must be stateless, saw $stateRows state rows")
+  }
+
   test("streaming graph-index admission: candidate edges match the independent batch expectation, zero state") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions._
