@@ -1089,6 +1089,61 @@ object SimQueries {
       |GROUP BY p.src_cell
       |ORDER BY cell""".stripMargin
 
+  // ========================================================================
+  // ann_graph_filtered — FILTERED graph ANN (the filtered-HNSW problem):
+  // serve `ann_filtered`'s metadata contract ("top-5 outside the query's
+  // own label" — search within a slice) from the graph index instead of
+  // a corpus scan. Filtering DURING traversal is the classic trap: edges
+  // into disallowed vertices are the graph's connectivity, and pruning
+  // them strands whole regions (a query whose neighborhood is mostly
+  // its own label would dead-end). The production-standard answer is
+  // OVER-FETCHED POST-FILTERING, which the beam already provides for
+  // free: navigate UNFILTERED (the full beam keeps every long-range
+  // path alive), then take the top-k ALLOWED members of the final
+  // beam — the beam's 32 rows over-fetch k=5 by 6.4×, so the allowed
+  // top-5 is nearly always present (AnnGraphSpec pins filtered recall
+  // against the exact filteredTopK truth set). Ranking reuses the
+  // beam's own rank order (computed on unrounded scores), so the
+  // oracle re-ranks beam rows by `rn` rather than re-deriving cosines.
+  // Cost: the SAME search as ann_graph_topk plus two broadcast label
+  // lookups on ≤|queries|·beam rows — the filter costs nothing at any
+  // corpus size.
+  // ========================================================================
+  def annGraphFiltered(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val beam = Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding",
+      "gcell", knnGraphEdges(s, d), col("vec_id") < 10,
+      GraphEntryCells, GraphBeam, GraphHops, k = GraphBeam,
+      centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
+      localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
+      localCents = Some(graphCents(s, d)))
+    val lbl = emb(s, d).select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    beam
+      .join(broadcast(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label"))),
+        Seq("q_id"))
+      .join(broadcast(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label"))),
+        Seq("n_id"))
+      .filter(col("n_label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GraphK)
+      .select(col("q_id"), col("rn").cast("long").as("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def annGraphFilteredSql =
+    s"""WITH ${graphCtesSqlFor()},
+      |lbl AS (SELECT vec_id, label FROM embeddings)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(cos, 4) AS cos FROM (
+      |  SELECT b.q_id, b.n_id, b.cos,
+      |    row_number() OVER (PARTITION BY b.q_id ORDER BY b.rn) AS rank
+      |  FROM beam$GraphHops b
+      |    JOIN lbl lq ON lq.vec_id = b.q_id
+      |    JOIN lbl ln ON ln.vec_id = b.n_id
+      |  WHERE ln.label <> lq.label)
+      |WHERE rank <= $GraphK
+      |ORDER BY q_id, rank""".stripMargin
+
   /** STREAMING SERVE for the graph index — one micro-batch of arriving
     * query vectors beam-searched against the PERSISTED index artifacts
     * (src-bucketed edge table, memoized vertex relation, entry heads,
@@ -3153,6 +3208,7 @@ object SimQueries {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
     "ann_graph_topk" -> (annGraphTopk _),
+    "ann_graph_filtered" -> (annGraphFiltered _),
     "ann_graph_persisted" -> (annGraphPersisted _),
     "ann_graph_append" -> (annGraphAppend _),
     "ann_graph_stats" -> (annGraphStats _),
@@ -3204,6 +3260,7 @@ object SimQueries {
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
     "ann_graph_topk" -> annGraphTopkSql,
+    "ann_graph_filtered" -> annGraphFilteredSql,
     "ann_graph_persisted" -> annGraphTopkSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_stats" -> annGraphStatsSql,

@@ -184,6 +184,35 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("filtered graph serve: allowed-only results, full k, recall floors vs the exact filtered truth") {
+    // the over-fetched post-filter contract: navigate unfiltered (the
+    // beam keeps connectivity through disallowed vertices), then the
+    // final beam's allowed top-5 — measured 0.94/0.96/0.92 vs the
+    // filteredTopK exact truth, the same levels as unfiltered search
+    val floors = Seq("/root/testdata/sf0.001" -> 0.90,
+      "/root/testdata/sf0.01" -> 0.90, "/root/testdata/sf0.1" -> 0.85)
+    floors.foreach { case (dir, floor) =>
+      val e = graft.sources.Tables.embeddings(spark, dir)
+      val got = graft.SparkEntry.queries("ann_graph_filtered")(spark, dir)
+      val lbl = e.select(col("vec_id"), col("label"))
+      // structural: never a same-label neighbor; exactly k ranked rows
+      val joined = got
+        .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+        .join(lbl.select(col("vec_id").as("n_id"), col("label").as("nl")), Seq("n_id"))
+      assert(joined.filter(col("ql") === col("nl")).count() == 0)
+      val perQ = got.groupBy(col("q_id")).count().collect()
+      assert(perQ.forall(_.getLong(1) == 5L), s"under-filled k at $dir")
+      val truth = Similarity.filteredTopK(e, "vec_id", "embedding", "label",
+          col("vec_id") < 10, (qa, na) => na =!= qa, 5)
+        .select(col("q_id"), col("n_id"))
+      val hits = got.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      val total = truth.count()
+      val recall = hits.toDouble / total
+      assert(recall >= floor, s"filtered recall $recall below floor $floor at $dir")
+    }
+  }
+
   test("driver-carried beam search equals the distributed pipeline row-for-row") {
     // the fast path must be a pure execution-strategy switch: same
     // entries, same hop expansion, same scoring/tie-break/rounding
