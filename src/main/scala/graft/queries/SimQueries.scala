@@ -1090,6 +1090,44 @@ object SimQueries {
       |ORDER BY cell""".stripMargin
 
   // ========================================================================
+  // ann_graph_rebalance — the RETRAIN stage completing the graph index's
+  // lifecycle next to admission (graph_admit), compaction/repair
+  // (ann_graph_append), audit (ann_graph_stats) and serve
+  // (ann_graph_topk/_persisted/_filtered/graph_serve) — the exact
+  // ann_ivf_rebalance policy applied to the graph family: the appended
+  // index assigns against a FROZEN base-learned quantizer, so appended
+  // data accumulates staleness (and possibly cell skew) that back-edge
+  // repair cannot fix — repair restores the rebuild's ANSWER under the
+  // OLD quantizer, not the quantizer itself. When the audit counts
+  // (per-cell totals + appended-since-learn fraction, read from the
+  // frozen-quantizer corpus in one bounded ≤|cells|-row collect) trip
+  // rebalancePolicyFires, RE-LEARN the adaptive-plane quantizer on the
+  // full union and rebuild the edges — which IS ann_graph_topk's index,
+  // so the relearned search equals it by construction; below policy the
+  // appended (repaired) index is kept as-is. On this corpus the 20%
+  // increment slice exceeds IncFracMax at every sf, so the retrain path
+  // fires deterministically and the oracle is the full-corpus-learned
+  // CTE chain; AnnGraphSpec asserts the decision and both paths' row
+  // identities (the keep path ≡ ann_graph_append; the policy arithmetic
+  // itself is pinned by the shared rebalancePolicyFires tests).
+  // ========================================================================
+  private val graphRebalFiredMemo = scala.collection.mutable.Map.empty[String, Boolean]
+  private[graft] def graphRebalanceFired(s: SparkSession, d: String): Boolean =
+    graphRebalFiredMemo.synchronized {
+      graphRebalFiredMemo.getOrElseUpdate(d, {
+        val cnt = graphAppendCorpus(s, d).groupBy(col("gcell"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(expr(AppendBaseWhere), 0L).otherwise(1L)).as("n_inc"))
+          .collect()
+        rebalancePolicyFires(cnt.map(_.getAs[Long]("n")).toSeq,
+          cnt.map(_.getAs[Long]("n_inc")).sum)
+      })
+    }
+
+  def annGraphRebalance(s: SparkSession, d: String): DataFrame =
+    if (graphRebalanceFired(s, d)) annGraphTopk(s, d) else annGraphAppend(s, d)
+
+  // ========================================================================
   // ann_graph_filtered — FILTERED graph ANN (the filtered-HNSW problem):
   // serve `ann_filtered`'s metadata contract ("top-5 outside the query's
   // own label" — search within a slice) from the graph index instead of
@@ -3209,6 +3247,7 @@ object SimQueries {
     "ann_recall" -> (annRecall _),
     "ann_graph_topk" -> (annGraphTopk _),
     "ann_graph_filtered" -> (annGraphFiltered _),
+    "ann_graph_rebalance" -> (annGraphRebalance _),
     "ann_graph_persisted" -> (annGraphPersisted _),
     "ann_graph_append" -> (annGraphAppend _),
     "ann_graph_stats" -> (annGraphStats _),
@@ -3261,6 +3300,7 @@ object SimQueries {
     "ann_recall" -> annRecallSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_filtered" -> annGraphFilteredSql,
+    "ann_graph_rebalance" -> annGraphTopkSql,
     "ann_graph_persisted" -> annGraphTopkSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_stats" -> annGraphStatsSql,

@@ -213,6 +213,23 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("rebalance: the 20% increment trips the retrain policy; relearned search == ann_graph_topk; keep path == append") {
+    // the ann_ivf_rebalance policy applied to the graph family: repair
+    // restores the rebuild's answer under the OLD quantizer — only the
+    // retrain path refreshes the quantizer itself
+    assert(SimQueries.graphRebalanceFired(spark, sf),
+      "the vec_id % 5 = 4 slice is 20% appended — above IncFracMax")
+    val got = graft.SparkEntry.queries("ann_graph_rebalance")(spark, sf).collect().toSeq
+    val topk = graft.SparkEntry.queries("ann_graph_topk")(spark, sf).collect().toSeq
+    assert(got == topk)
+    // the keep path (policy below threshold) serves the appended index
+    // verbatim — same rows as ann_graph_append by construction; the
+    // policy arithmetic itself is pinned by the rebalancePolicyFires
+    // unit tests shared with the IVF family
+    val keep = graft.SparkEntry.queries("ann_graph_append")(spark, sf).collect().toSeq
+    assert(keep.nonEmpty && keep.map(_.getLong(0)).distinct.size == 10)
+  }
+
   test("driver-carried beam search equals the distributed pipeline row-for-row") {
     // the fast path must be a pure execution-strategy switch: same
     // entries, same hop expansion, same scoring/tie-break/rounding
