@@ -2417,6 +2417,192 @@ object DedupQueries {
        |ORDER BY bucket""".stripMargin
 
   // ========================================================================
+  // sample_coreset — greedy k-center coreset selection over the
+  // embedding corpus (Gonzalez 1985's 2-approximation farthest-point
+  // traversal; Sener & Savarese ICLR 2018 use exactly this greedy as
+  // the core-set selector for training-data subset selection). Where
+  // diversity_sample PRUNES near-duplicates cell by cell, the coreset
+  // SELECTS a fixed budget of k=8 maximally-spread exemplars: seed =
+  // vec_id 0, then each round adds the point whose nearest selected
+  // center is FARTHEST (here: lowest max-cosine, ties to the smaller
+  // vec_id). Output: the selection order with each pick's max-cosine
+  // to the already-selected set (NULL for the seed) — the marginal-
+  // coverage curve a data buyer reads (a pick arriving with max-cos
+  // ≈ 1 means the budget has saturated the corpus's spread).
+  //
+  // Scale shape: the selected set rides as ONE broadcast row (an array
+  // of ≤ k (vector, norm) structs built by a tiny aggregation of the
+  // corpus slice); each round's scoring is a per-row array_max over
+  // that array — no shuffle — and the argmin plans as a distributed
+  // TakeOrderedAndProject (per-partition heaps). Total: k exchange-free
+  // corpus passes, the textbook greedy cost; driver state is ≤ k ids.
+  // ========================================================================
+  private[queries] val CoresetK = 8
+
+  /** The embeddings corpus projected to (vec_id, embedding, nrm) — the
+    * relation both coreset keys score against.
+    */
+  private def coresetCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+
+  /** The greedy selection (rank, vec_id, maxsim-at-selection) — memoized
+    * per (session, dir): the k driver-sequenced jobs run once and serve
+    * both `sample_coreset` (the selection order itself) and
+    * `coreset_assign` (which needs the ids). Driver state is k rows.
+    */
+  private val coresetMemo = scala.collection.mutable.Map
+    .empty[(SparkSession, String), Seq[(Long, Long, Option[Double])]]
+  private def coresetRows(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] =
+    synchronized {
+      coresetMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+      coresetMemo.getOrElseUpdate((s, d), {
+        MemoTrace.built("coresetSelect")
+        val e = coresetCorpus(s, d)
+        // Spark round(,4): BigDecimal HALF_UP on the canonical double
+        // (the graphBeamSearchLocal convention)
+        def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        var selected = Seq(0L)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+          (1L, 0L, None))
+        for (step <- 2 to CoresetK) {
+          val selArr = e.filter(col("vec_id").isin(selected: _*))
+            .agg(collect_list(struct(col("embedding").as("v"), col("nrm").as("n")))
+              .as("sel"))
+          val win = e.filter(!col("vec_id").isin(selected: _*))
+            .crossJoin(broadcast(selArr))
+            .withColumn("maxsim", array_max(transform(col("sel"),
+              x => Similarity.dot(col("embedding"), x.getField("v"))
+                / (col("nrm") * x.getField("n")))))
+            .select(col("vec_id"), col("maxsim"))
+            .orderBy(col("maxsim").asc, col("vec_id")).limit(1)
+            .head()
+          selected = selected :+ win.getLong(0)
+          out += ((step.toLong, win.getLong(0), Some(r4(win.getDouble(1)))))
+        }
+        out.toSeq
+      })
+    }
+
+  def sampleCoreset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    coresetRows(s, d).toDF("rank", "vec_id", "maxsim").orderBy(col("rank"))
+  }
+
+  /** The coreset oracle unrolls the k−1 greedy rounds as CTE steps —
+    * `sel_i` accumulates picked ids, `s_i` is round i's argmin of the
+    * max-cosine to `sel_{i-1}` — mirroring the Spark loop pick for pick
+    * (same left-to-right double dots, same (maxsim asc, vec_id) total
+    * order). Every CTE is MATERIALIZED: DuckDB inlines CTEs, and an
+    * inlined sel-chain re-expands the whole upstream pipeline 2^k
+    * times. Shared by `sample_coreset` and `coreset_assign`.
+    */
+  private val coresetSelCtesSql: String = {
+    val cosExpr =
+      """list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> c.embedding[i]::DOUBLE * sv.embedding[i]::DOUBLE)) / (c.nrm * sv.nrm)""".stripMargin
+    val steps = (2 to CoresetK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, max($cosExpr) AS maxsim, $i AS rank
+         |  FROM e c JOIN e sv ON sv.vec_id IN (SELECT vec_id FROM sel${i - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY c.vec_id
+         |  ORDER BY maxsim ASC, c.vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |sel1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS vec_id),
+       |$steps""".stripMargin
+  }
+
+  private val coresetUnionsSql: String = (2 to CoresetK)
+    .map(i => s"SELECT rank, vec_id, maxsim FROM s$i").mkString("\n  UNION ALL ")
+
+  private val sampleCoresetSql: String =
+    s"""WITH $coresetSelCtesSql
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(maxsim, 4) AS maxsim FROM (
+       |  SELECT 1 AS rank, CAST(0 AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS maxsim
+       |  UNION ALL $coresetUnionsSql)
+       |ORDER BY rank""".stripMargin
+
+  // ========================================================================
+  // coreset_assign — the ASSIGNMENT/audit stage completing the coreset
+  // lifecycle (select → assign → audit, the graph family's lifecycle
+  // convention): every corpus vector is quantized to its most-similar
+  // coreset center (max cosine, ties to the smaller center id), and the
+  // report aggregates per center — population, exact-integer total and
+  // worst-case assigned similarity (per-row e6 quantization before
+  // aggregation, the zipf_fit treatment, so the order-dependent double
+  // sum never crosses the engine boundary). The report a data-pruning
+  // run reads: center populations say how the corpus mass splits across
+  // the selected exemplars; a center's min_cos_e6 is the worst-covered
+  // member of its cell.
+  //
+  // Scale shape: the k centers ride as ONE broadcast row (array of
+  // structs); per corpus row the argmax is a bounded array fold — no
+  // join, no shuffle — and the per-center report is one map-side-
+  // combined aggregation over ≤ k groups. Exchange-free up to k rows.
+  // ========================================================================
+  def coresetAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = coresetRows(s, d).map(_._2)
+    val ranks = coresetRows(s, d).map(r => (r._1, r._2)).toDF("rank", "center_id")
+    val e = coresetCorpus(s, d)
+    val centsArr = e.filter(col("vec_id").isin(ids: _*))
+      .agg(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("nrm").as("cnrm"))).as("cents"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("css", transform(col("cents"), c =>
+        struct((Similarity.dot(col("embedding"), c.getField("cvec"))
+          / (col("nrm") * c.getField("cnrm"))).as("cos"),
+          c.getField("cid").as("cid"))))
+      .withColumn("mc", array_max(transform(col("css"), x => x.getField("cos"))))
+      .withColumn("center_id", array_min(transform(
+        filter(col("css"), x => x.getField("cos") === col("mc")),
+        x => x.getField("cid"))))
+      .withColumn("mce6", expr("CAST(round(mc * 1000000) AS BIGINT)"))
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n_assigned"),
+        expr("CAST(sum(CAST(mce6 AS DECIMAL(38,0))) AS BIGINT)").as("sum_cos_e6"),
+        min(col("mce6")).as("min_cos_e6"))
+      .join(ranks, Seq("center_id"))
+      .select(col("rank"), col("center_id"), col("n_assigned"),
+        col("sum_cos_e6"), col("min_cos_e6"))
+      .orderBy(col("rank"))
+  }
+
+  private val coresetAssignSql: String =
+    s"""WITH $coresetSelCtesSql,
+       |cents AS MATERIALIZED (
+       |  SELECT CAST(rank AS BIGINT) AS rank, e.vec_id AS cid, e.embedding, e.nrm
+       |  FROM (SELECT 1 AS rank, CAST(0 AS BIGINT) AS vec_id
+       |        UNION ALL ${(2 to CoresetK)
+                  .map(i => s"SELECT rank, vec_id FROM s$i")
+                  .mkString("\n       |        UNION ALL ")}) c
+       |  JOIN e ON e.vec_id = c.vec_id),
+       |cj AS MATERIALIZED (
+       |  SELECT p.vec_id, ct.cid,
+       |    list_sum(list_transform(range(1, len(p.embedding) + 1),
+       |      i -> p.embedding[i]::DOUBLE * ct.embedding[i]::DOUBLE)) / (p.nrm * ct.nrm) AS cos
+       |  FROM e p CROSS JOIN cents ct),
+       |mx AS MATERIALIZED (SELECT vec_id, max(cos) AS mc FROM cj GROUP BY vec_id),
+       |asn AS MATERIALIZED (
+       |  SELECT cj.vec_id, min(cj.cid) AS center_id,
+       |    CAST(round(any_value(mx.mc) * 1000000) AS BIGINT) AS mce6
+       |  FROM cj JOIN mx ON cj.vec_id = mx.vec_id AND cj.cos = mx.mc
+       |  GROUP BY cj.vec_id)
+       |SELECT ct.rank, asn.center_id, count(*) AS n_assigned,
+       |  CAST(sum(asn.mce6) AS BIGINT) AS sum_cos_e6,
+       |  CAST(min(asn.mce6) AS BIGINT) AS min_cos_e6
+       |FROM asn JOIN (SELECT DISTINCT rank, cid FROM cents) ct ON asn.center_id = ct.cid
+       |GROUP BY ct.rank, asn.center_id
+       |ORDER BY ct.rank""".stripMargin
+
+  // ========================================================================
   // dedup_semantic_incremental — SemDeDup at the INGEST boundary: the
   // diversity_sample policy applied to a corpus increment (vec_id % 3
   // = 0, the family's split convention). The EXISTING slice's cells
@@ -2467,8 +2653,199 @@ object DedupQueries {
        |WHERE j.doc_id % 3 = 0
        |ORDER BY j.doc_id""".stripMargin
 
+  // ========================================================================
+  // dedup_winnow — winnowing local fingerprints (Schleimer, Wilkerson &
+  // Aiken, SIGMOD 2003 — the MOSS algorithm): over the CANONICAL text
+  // (the exact-dedup normalization, shared via TextOps.canonicalText),
+  // hash every K=12-char gram, slide a W=8 window over consecutive
+  // gram hashes, and select each window's minimum (rightmost position
+  // on ties — the paper's tie rule). The guarantee the shingle/MinHash
+  // family can't give: any shared substring of length ≥ K+W−1 = 19
+  // canonical chars yields at least one IDENTICAL selected fingerprint
+  // in both documents — detection of partial overlap (quotes, mirrored
+  // paragraphs) is positional and deterministic, not probabilistic.
+  // Fingerprints seen in more than DfCap=20 documents are discarded
+  // before pairing (the paper's "ignore extremely common" rule —
+  // boilerplate n-grams would otherwise wire the corpus into one
+  // component and make the inverted-index join quadratic on the hot
+  // key); docs pair when they share ≥ MinShared=8 surviving
+  // fingerprints, reported with both set sizes and the exact-integer
+  // winnow-Jaccard (the jaccard_e6 convention).
+  //
+  // Scale shape: gram hashing and window membership are per-row
+  // explodes (positions·W skinny rows, text never duplicated); the
+  // min-select is one (doc, window) keyed exchange; the df cap and the
+  // pair join shuffle only (h, doc_id) — and the cap BOUNDS every
+  // h-bucket at DfCap docs, so candidate enumeration is ≤ DfCap²/2 per
+  // fingerprint, linear in corpus size by construction.
+  // ========================================================================
+  private[queries] val WinnowK = 12      // gram length (canonical chars)
+  private[queries] val WinnowW = 8       // window: hashes per selection
+  private[queries] val WinnowDfCap = 20  // max docs sharing a usable fp
+  private[queries] val WinnowMinShared = 8
+
+  /** The selected winnowing fingerprint set (doc_id, h) of a documents
+    * relation — the stage BEFORE the df cap and pairing, exposed so
+    * WinnowSpec can pin the paper's guarantee (a shared canonical
+    * substring of ≥ K+W−1 chars yields a shared selected fingerprint)
+    * directly on the relation.
+    *
+    * The paper's rightmost-tie rule picks a POSITION per window; since
+    * this engine's fingerprints dedupe to per-doc HASH sets (positions
+    * never cross the pairing join), the selected set is exactly
+    * {min hash of each window} regardless of tie rule — computed in ONE
+    * per-row pass by the codegen'd [[graft.plans.WinnowFingerprints]]
+    * (monotonic deque, no position explode, no doc-keyed exchange: the
+    * declarative explode+window formulation measured 4.7 s at sf0.1
+    * for the identical output the oracle still states declaratively).
+    */
+  private[queries] def winnowFingerprints(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      explode(graft.plans.WinnowFingerprints.of(
+        TextOps.canonicalText(col("text")), WinnowK, WinnowW)).as("h"))
+
+  def dedupWinnow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = winnowFingerprints(docs(s, d))
+    val keep = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= WinnowDfCap)
+      .select(col("doc_id"), col("h"))
+    val sizes = keep.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    keep.select(col("doc_id").as("id_a"), col("h"))
+      .join(keep.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard_e6",
+        expr("(n_shared * 1000000) div (n_a + n_b - n_shared)"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard_e6"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** CTE chain to the selected winnowing fingerprint set `sel (doc_id,
+    * h)` — the declarative statement of what [[winnowFingerprints]]'s
+    * one-pass expression computes, shared by the full-corpus and
+    * incremental winnow oracles so the gram/hash/window scheme exists
+    * once per engine.
+    */
+  private val winnowSelCtesSql =
+    s"""ct AS (
+       |  SELECT doc_id, ${TextOps.canonicalTextSql("text")} AS ct FROM documents),
+       |ps AS (
+       |  SELECT doc_id, ct, CAST(len(ct) - $WinnowK + 1 AS BIGINT) AS p_max
+       |  FROM ct WHERE len(ct) - $WinnowK + 1 >= $WinnowW),
+       |pos AS (SELECT doc_id, p_max, ct, unnest(range(1, p_max + 1)) AS p FROM ps),
+       |hh AS (
+       |  SELECT doc_id, p_max, p,
+       |    ('0x' || substr(md5(substr(ct, p::INT, $WinnowK)), 1, 14))::BIGINT AS h
+       |  FROM pos),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, p, p_max,
+       |      min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS h
+       |    FROM hh) WHERE p <= p_max - $WinnowW + 1)""".stripMargin
+
+  private val dedupWinnowSql =
+    s"""WITH $winnowSelCtesSql,
+       |keep AS (
+       |  SELECT doc_id, h FROM sel
+       |  QUALIFY count(*) OVER (PARTITION BY h) <= $WinnowDfCap),
+       |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |  FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       |  CAST((n_shared * 1000000) // (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_e6
+       |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+       |        JOIN sz sb ON pr.id_b = sb.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ========================================================================
+  // dedup_winnow_incremental — winnowing at the INGEST boundary (the
+  // dedup_incremental / dedup_substring_incremental convention,
+  // doc_id % 3 = 0 as the arriving slice): the BASE slice's df-capped
+  // fingerprint relation is the PERSISTED INDEX (memoized per
+  // (session, dir), repartitioned on the hash before persisting — the
+  // substrIndex lifecycle, so every probe join reuses the stored
+  // partitioning and only the increment side exchanges). An arriving
+  // doc's winnowed fingerprints probe the index; (increment, base)
+  // pairs sharing ≥ MinShared surviving fingerprints are reported with
+  // the winnow-Jaccard. The df cap is a BASE-SIDE index statistic
+  // (published once with the index, the way a production fingerprint
+  // service ships it) — increment fingerprints are not capped, so a
+  // new doc made of base boilerplate simply finds no index entries to
+  // hit. Probe cost is O(increment + collisions); the corpus text is
+  // never re-read.
+  // ========================================================================
+  private val winnowIdxMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def winnowIndex(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    winnowIdxMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
+    val idx = winnowIdxMemo.getOrElseUpdate((s, d), {
+      MemoTrace.built("winnowIndex")
+      winnowFingerprints(docs(s, d).filter(col("doc_id") % 3 =!= 0))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("df") <= WinnowDfCap)
+        .select(col("doc_id").as("base_id"), col("h"))
+        .repartition(col("h"))
+        .persist()
+    })
+    if (idx.storageLevel == StorageLevel.NONE) {
+      MemoTrace.built("winnowIndex:repersist")
+      idx.persist()
+    }
+    idx
+  }
+
+  def dedupWinnowIncremental(s: SparkSession, d: String): DataFrame = {
+    val idx = winnowIndex(s, d)
+    val bsz = idx.groupBy(col("base_id")).agg(count(lit(1)).as("n_base"))
+    val incFps = winnowFingerprints(docs(s, d).filter(col("doc_id") % 3 === 0))
+    val isz = incFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_inc"))
+    incFps.join(idx, Seq("h"))
+      .groupBy(col("doc_id"), col("base_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .join(isz, Seq("doc_id"))
+      .join(bsz, Seq("base_id"))
+      .withColumn("jaccard_e6",
+        expr("(n_shared * 1000000) div (n_inc + n_base - n_shared)"))
+      .select(col("doc_id"), col("base_id"), col("n_inc"), col("n_base"),
+        col("n_shared"), col("jaccard_e6"))
+      .orderBy(col("doc_id"), col("base_id"))
+  }
+
+  private val dedupWinnowIncrementalSql =
+    s"""WITH $winnowSelCtesSql,
+       |bkeep AS (
+       |  SELECT doc_id AS base_id, h FROM (SELECT doc_id, h FROM sel WHERE doc_id % 3 <> 0)
+       |  QUALIFY count(*) OVER (PARTITION BY h) <= $WinnowDfCap),
+       |bsz AS (SELECT base_id, count(*) AS n_base FROM bkeep GROUP BY base_id),
+       |inc AS (SELECT doc_id, h FROM sel WHERE doc_id % 3 = 0),
+       |isz AS (SELECT doc_id, count(*) AS n_inc FROM inc GROUP BY doc_id),
+       |pr AS (
+       |  SELECT i.doc_id, b.base_id, count(*) AS n_shared
+       |  FROM inc i JOIN bkeep b ON i.h = b.h
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT pr.doc_id, pr.base_id, isz.n_inc, bsz.n_base, n_shared,
+       |  CAST((n_shared * 1000000) // (isz.n_inc + bsz.n_base - n_shared) AS BIGINT) AS jaccard_e6
+       |FROM pr JOIN isz ON pr.doc_id = isz.doc_id
+       |        JOIN bsz ON pr.base_id = bsz.base_id
+       |ORDER BY pr.doc_id, pr.base_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dedup_semantic_incremental" -> (dedupSemanticIncremental _),
+    "dedup_winnow" -> (dedupWinnow _),
+    "dedup_winnow_incremental" -> (dedupWinnowIncremental _),
+    "sample_coreset" -> (sampleCoreset _),
+    "coreset_assign" -> (coresetAssign _),
     "diversity_sample" -> (diversitySample _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_containment_bottomk" -> (dedupContainmentBottomk _),
@@ -2509,6 +2886,10 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
+    "dedup_winnow" -> dedupWinnowSql,
+    "dedup_winnow_incremental" -> dedupWinnowIncrementalSql,
+    "sample_coreset" -> sampleCoresetSql,
+    "coreset_assign" -> coresetAssignSql,
     "diversity_sample" -> diversitySampleSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_bottomk" -> dedupContainmentBottomkSql,

@@ -3221,8 +3221,129 @@ object SimQueries {
             - lit(100)).cast("float") / lit(10000.0f))).as("embedding"))
   }
 
+  // ========================================================================
+  // ann_mmr — Maximal Marginal Relevance re-ranking (Carbonell &
+  // Goldstein, SIGIR 1998) of the semantic candidate pool: a raw
+  // cosine top-k returns near-duplicates of one good answer; MMR
+  // greedily picks k=10 of the top-30 candidates maximizing
+  // λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) with λ=0.7 — each pick is
+  // penalized by its similarity to what's ALREADY picked, trading
+  // relevance for coverage. The query is vec 0 (the hybrid_topk
+  // convention); output is the selection order with each pick's
+  // relevance, redundancy (max sim to prior picks, 0 for the first),
+  // and MMR score — the re-ranked list plus the audit of what each
+  // pick paid in redundancy.
+  //
+  // Scale shape: the DISTRIBUTED work is the corpus scoring — one
+  // broadcast-query scan into a distributed TakeOrderedAndProject
+  // top-30 (never a corpus window); the greedy runs on the driver over
+  // the collected 30-row pool (the graphBeamSearchLocal bounded-budget
+  // pattern: O(k·pool) re-scores ∝ the SEARCH budget, never the
+  // corpus), with left-to-right double dots and Spark-HALF_UP rounding
+  // mirroring the distributed arithmetic bit for bit.
+  // ========================================================================
+  private[queries] val MmrK = 10
+  private[queries] val MmrPool = 30
+  // λ and 1−λ as independent literals on BOTH engines: 1.0 - 0.7
+  // evaluates to 0.30000000000000004 in IEEE — computing one from the
+  // other would diverge from the 0.3 literal the oracle uses
+  private val MmrLambda = 0.7
+  private val MmrOneMinusLambda = 0.3
+
+  def annMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("rel", Similarity.dot(col("embedding"), col("q_vec"))
+        / (Similarity.norm(col("embedding")) * col("q_nrm")))
+      .select(col("vec_id"), col("rel"), col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .collect()
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val cand = pool.map(r => (r.getLong(0), r.getDouble(1),
+      r.getSeq[Number](2).map(_.doubleValue()).toArray))
+    val vec = cand.map(c => c._1 -> c._3).toMap
+    val nrm = cand.map(c => c._1 -> math.sqrt(ddot(c._3, c._3))).toMap
+    var sel = Vector.empty[Long]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double)]
+    for (step <- 1 to MmrK) {
+      val best = cand.filterNot(c => sel.contains(c._1)).map { case (id, rel, v) =>
+        val red =
+          if (sel.isEmpty) 0.0
+          else sel.map(sid => ddot(v, vec(sid)) / (nrm(id) * nrm(sid))).max
+        (id, rel, red, MmrLambda * rel - MmrOneMinusLambda * red)
+      }.sortWith { case ((ida, _, _, ma), (idb, _, _, mb)) =>
+        val c = java.lang.Double.compare(mb, ma)
+        if (c != 0) c < 0 else ida < idb
+      }.head
+      sel :+= best._1
+      rows += ((step.toLong, best._1, r4(best._2), r4(best._3), r4(best._4)))
+    }
+    rows.toSeq.toDF("rank", "doc_id", "rel", "red", "mmr").orderBy(col("rank"))
+  }
+
+  /** The MMR oracle unrolls the k greedy picks as CTE steps over the
+    * same top-30 pool: `sel_i` accumulates picks, each step's
+    * redundancy is a correlated max over the candidate-pair sims, and
+    * the (mmr desc, doc_id) argmax mirrors the Spark-side sort.
+    */
+  private val annMmrSql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT doc_id, rel, red,
+         |    0.7::DOUBLE * rel - 0.3::DOUBLE * red AS mmr, $i AS rank FROM (
+         |    SELECT c.doc_id, c.rel,
+         |      (SELECT max(p.sim) FROM pr p WHERE p.a_id = c.doc_id
+         |         AND p.b_id IN (SELECT doc_id FROM sel${i - 1})) AS red
+         |    FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${i - 1}))
+         |  ORDER BY mmr DESC, doc_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT doc_id FROM sel${i - 1} UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to MmrK)
+      .map(i => s"SELECT rank, doc_id, rel, red, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |qv AS MATERIALIZED (SELECT embedding AS q_vec, nrm AS q_nrm FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT c.vec_id AS doc_id,
+       |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+       |      i -> c.embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (c.nrm * q_nrm) AS rel,
+       |    c.embedding, c.nrm
+       |  FROM e c CROSS JOIN qv WHERE c.vec_id <> 0
+       |  ORDER BY rel DESC, doc_id LIMIT $MmrPool),
+       |pr AS MATERIALIZED (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS sim
+       |  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT doc_id, rel, 0.0::DOUBLE AS red,
+       |    0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0::DOUBLE AS mmr, 1 AS rank
+       |  FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT doc_id FROM s1),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, round(rel, 4) AS rel,
+       |  round(red, 4) AS red, round(mmr, 4) AS mmr
+       |FROM (SELECT rank, doc_id, rel, red, mmr FROM s1 UNION ALL $unions)
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
+    "ann_mmr" -> (annMmr _),
     "ann_filtered" -> (annFiltered _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
@@ -3270,6 +3391,7 @@ object SimQueries {
 
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
+    "ann_mmr" -> annMmrSql,
     "ann_filtered" -> annFilteredSql,
     // the SQL-surface variant computes the identical result, so it is
     // checked against the identical oracle

@@ -390,12 +390,94 @@ object TextCorpus {
   }
 
   // ========================================================================
+  // vocab_coverage — the tokenizer-design OOV curve: for candidate
+  // vocabulary budgets V ∈ {64, 256, 1024}, how many unit OCCURRENCES
+  // the top-V corpus vocabulary covers (reference semantics: the
+  // coverage study behind every fixed-vocab tokenizer choice — BPE
+  // merge budgets, `num_words` caps in Keras-style `TextVectorization`
+  // (keras/layers/preprocessing, public API), WordPiece budgets). The
+  // unit is the word BIGRAM — the merge-candidate axis a BPE budget
+  // actually spends on; this corpus's unigram vocabulary saturates at
+  // ~31 types, so the bigram tail is where a budget choice binds. The
+  // top-V head is ranked by (count desc, gram) — the zipf/vocab
+  // family's total order — and each budget row reports vocabulary
+  // actually available (n_vocab ≤ V), covered vs total occurrences,
+  // and the exact-integer OOV rate per million (`div`, the jaccard_e6
+  // convention). A rising budget with a flat oov_e6 says bigger
+  // vocabularies buy nothing on this corpus; a large oov_e6 at the
+  // production budget predicts UNK-flooded training batches.
+  //
+  // Scale shape: ONE corpus count aggregation (map-side combined)
+  // shrinks text to its distinct grams; the top-1024 head is a
+  // distributed TakeOrderedAndProject (per-partition heaps — NEVER a
+  // global sort of the gram relation, which at 100 TB has billions of
+  // rows); ranking + the 3-budget cross join run over ≤ 1024·3 rows;
+  // the corpus-wide totals are one scalar agg. No vocabulary-sized
+  // window, no corpus-sized shuffle beyond the count's partials.
+  // ========================================================================
+  private[queries] val CoverageBudgets = Seq(64L, 256L, 1024L)
+  private val CoverageMaxV = CoverageBudgets.max.toInt
+
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cnt = docs(s, d)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat_ws(' ', slice(t, i, 2)))""".stripMargin)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = cnt.agg(sum(col("c")).as("total_tok"),
+      count(lit(1)).as("n_types"))
+    // distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    val head = cnt.orderBy(col("c").desc, col("w")).limit(CoverageMaxV)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    CoverageBudgets.toDF("v").crossJoin(head)
+      .filter(col("rn") <= col("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("c")).as("covered_tok"))
+      .crossJoin(broadcast(totals))
+      // DECIMAL(38,0) numerator: a 10^13-occurrence corpus times 10^6
+      // overflows int64 (the corpus_diversity overflow treatment)
+      .withColumn("oov_e6", expr(
+        """CAST((CAST(total_tok - covered_tok AS DECIMAL(38,0)) * 1000000)
+          |  div total_tok AS BIGINT)""".stripMargin))
+      .select(col("v"), col("n_vocab"), col("n_types"), col("covered_tok"),
+        col("total_tok"), col("oov_e6"))
+      .orderBy(col("v"))
+  }
+
+  private val vocabCoverageSql =
+    raw"""WITH wc AS (
+       |  SELECT w, count(*) AS c
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, len(t)),
+       |      i -> array_to_string(t[i:i+1], ' '))) AS w
+       |    FROM (SELECT regexp_extract_all(text, '\S+') AS t FROM documents)
+       |    WHERE len(t) >= 2)
+       |  GROUP BY w),
+       |tot AS (SELECT sum(c) AS total_tok, count(*) AS n_types FROM wc),
+       |hd AS (
+       |  SELECT w, c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rn
+       |  FROM wc QUALIFY rn <= $CoverageMaxV),
+       |bg AS (SELECT unnest([64, 256, 1024]) AS v)
+       |SELECT CAST(bg.v AS BIGINT) AS v, count(*) AS n_vocab,
+       |  CAST(tot.n_types AS BIGINT) AS n_types,
+       |  CAST(sum(hd.c) AS BIGINT) AS covered_tok,
+       |  CAST(tot.total_tok AS BIGINT) AS total_tok,
+       |  CAST(((tot.total_tok - sum(hd.c))::HUGEINT * 1000000) // tot.total_tok AS BIGINT) AS oov_e6
+       |FROM bg JOIN hd ON hd.rn <= bg.v CROSS JOIN tot
+       |GROUP BY bg.v, tot.n_types, tot.total_tok
+       |ORDER BY v""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "corpus_growth" -> (corpusGrowth _),
     "vocab_overlap" -> (vocabOverlap _),
     "zipf_fit" -> (zipfFit _),
     "corpus_diversity" -> (corpusDiversity _),
     "corpus_diversity_incremental" -> (corpusDiversityIncremental _),
+    "vocab_coverage" -> (vocabCoverage _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -404,5 +486,6 @@ object TextCorpus {
     "zipf_fit" -> zipfFitSql,
     "corpus_diversity" -> corpusDiversitySql,
     "corpus_diversity_incremental" -> corpusDiversitySql,
+    "vocab_coverage" -> vocabCoverageSql,
   )
 }

@@ -178,11 +178,23 @@ object TextOps {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
-  /** Canonical-text fingerprint: lowercase, strip non-alphanumerics,
-    * collapse whitespace, md5. Exact-dedup key.
+  /** Canonical text: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the normalization under [[fingerprint]] and the
+    * winnowing k-gram stream (`dedup_winnow`). ONE definition so the
+    * exact-dedup key and the local-fingerprint stream can never
+    * canonicalize differently.
     */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** DuckDB rendering of [[canonicalText]]. */
+  def canonicalTextSql(textExpr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Canonical-text fingerprint: [[canonicalText]] then md5. Exact-dedup
+    * key.
+    */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
 
   /** DuckDB rendering of [[fingerprint]] — ONE definition for every
     * oracle that buckets by content fingerprint (`sample_hash_split`,
@@ -190,7 +202,7 @@ object TextOps {
     * between them. `%s` is the text expression.
     */
   def fingerprintSql(textExpr: String): String =
-    s"md5(trim(regexp_replace(regexp_replace(lower($textExpr), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+    s"md5(${canonicalTextSql(textExpr)})"
 
   /** The 5/5/90 bucket→split convention (bucket ∈ [0, 100): test < 5,
     * val < 10, train otherwise) — ONE definition per engine for every

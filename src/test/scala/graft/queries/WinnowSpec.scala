@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+
+/** Semantic pins for `dedup_winnow` (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003): the detection guarantee, the selection-density bound,
+  * the document-frequency cap, and the identical-pair Jaccard identity.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private val K = DedupQueries.WinnowK
+  private val W = DedupQueries.WinnowW
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("guarantee: a shared canonical substring of >= K+W-1 chars yields a shared fingerprint") {
+    // two docs, disjoint vocabulary except one planted 30-char phrase
+    // (> K+W-1 = 19 canonical chars): the paper's theorem says at least
+    // one window inside the shared span selects the same k-gram hash
+    val shared = "the quick brown fox jumps over"
+    val a = s"alpha bravo charlie delta echo $shared foxtrot golf hotel india"
+    val b = s"kilo lima mike november oscar $shared papa quebec romeo sierra"
+    val fps = DedupQueries.winnowFingerprints(docsDf(Seq((0L, a), (1L, b))))
+    val common = fps.filter(col("doc_id") === 0)
+      .join(fps.filter(col("doc_id") === 1), Seq("h"), "left_semi").count()
+    assert(common >= 1, "planted shared span must yield a shared fingerprint")
+  }
+
+  test("disjoint texts share nothing; selection density is bounded by the window count") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val df = docsDf(Seq((0L, a), (1L, b)))
+    val fps = DedupQueries.winnowFingerprints(df)
+    val common = fps.filter(col("doc_id") === 0)
+      .join(fps.filter(col("doc_id") === 1), Seq("h"), "left_semi").count()
+    assert(common == 0, "disjoint vocabularies must not collide")
+    // one selection per window start, de-duplicated: n_fps <= P - W + 1
+    val bound = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .join(df.select(col("doc_id"),
+        (length(graft.text.TextOps.canonicalText(col("text"))) - K + 1 - W + 1)
+          .cast("long").as("max_n")), Seq("doc_id"))
+    assert(bound.filter(col("n") > col("max_n")).count() == 0)
+  }
+
+  test("df cap: fingerprints shared by more than DfCap docs cannot pair documents") {
+    // DfCap+5 docs that are IDENTICAL: every selected fingerprint has
+    // df = 25 > 20, so the cap removes them all and no pair survives —
+    // the boilerplate hot-key that would otherwise enumerate 25*24/2
+    // candidate pairs is structurally excluded
+    val boiler = "this content is repeated verbatim across every page of the site footer"
+    val rows = (0L until (DedupQueries.WinnowDfCap + 5).toLong).map(i => (i, boiler))
+    val tmp = writeDocsFixture(docsDf(rows))
+    assert(graft.SparkEntry.queries("dedup_winnow")(spark, tmp).count() == 0)
+  }
+
+  test("two identical long docs pair with jaccard_e6 = 1000000") {
+    val t = ("the winnowing fingerprint of an identical document pair must " +
+      "coincide exactly so the jaccard reaches one million parts per million " +
+      "with matching set sizes on both sides of the pair")
+    val tmp = writeDocsFixture(docsDf(Seq((0L, t), (1L, t))))
+    val out = graft.SparkEntry.queries("dedup_winnow")(spark, tmp).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == r.getLong(3), "equal fingerprint-set sizes")
+    assert(r.getLong(4) == r.getLong(2), "full overlap")
+    assert(r.getLong(5) == 1000000L)
+  }
+
+  test("dedup_winnow is deterministic across runs") {
+    val a = graft.SparkEntry.queries("dedup_winnow")(spark, sf).collect().toSeq
+    val b = graft.SparkEntry.queries("dedup_winnow")(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("incremental pairing equals an independent base-index recompute") {
+    // reference built WITHOUT the persisted-index path: base df cap via
+    // groupBy-count join (not the window), pairing re-derived — pins
+    // that the memoized index serves exactly the published semantics
+    val all = DedupQueries.winnowFingerprints(
+      graft.sources.Tables.documents(spark, sf))
+    val base = all.filter(col("doc_id") % 3 =!= 0)
+    val keep = base.join(
+      base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DedupQueries.WinnowDfCap).select(col("h")),
+      Seq("h"), "left_semi")
+    val inc = all.filter(col("doc_id") % 3 === 0)
+    val expected = inc.join(keep.select(col("doc_id").as("base_id"), col("h")), Seq("h"))
+      .groupBy(col("doc_id"), col("base_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DedupQueries.WinnowMinShared)
+      .select(col("doc_id"), col("base_id"), col("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.SparkEntry.queries("dedup_winnow_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
+  test("incremental pairs only cross the slice boundary") {
+    val out = graft.SparkEntry.queries("dedup_winnow_incremental")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) % 3 == 0, "left side is the increment")
+      assert(r.getLong(1) % 3 != 0, "right side is the base")
+    }
+  }
+}
