@@ -99,6 +99,12 @@ object StreamBench {
     val graphMembers = graft.queries.SimQueries.graphAdmitMembers(
       graphBase, graphCents).cache()
     graphMembers.count()
+    // winnowing-fingerprint admission inputs: the df-capped base index
+    // (the dedup_winnow_incremental persisted relation) as the
+    // stream-static side, the increment doc slice as the stream
+    val winnowIdx = graft.queries.DedupQueries.winnowIndex(spark, sfDir)
+    winnowIdx.count()
+    val docIncRows = docRows.filter(_._1 % 3 == 0)
     val embIncRows = graft.sources.Tables.embeddings(spark, sfDir)
       .filter(expr("vec_id % 5 = 4"))
       .select(col("vec_id"), col("embedding"))
@@ -248,6 +254,14 @@ object StreamBench {
         embIncRows, Seq("vec_id", "embedding"),
         df => graft.queries.SimQueries.graphAdmitCandidates(
           df, graphCents, graphMembers)),
+      // winnowing-fingerprint admission: arriving docs' selected
+      // fingerprints probe the published base index (stream-static
+      // join); candidate (doc, base) hits out, the batch incremental
+      // finalizes pair thresholds. ZERO state; rows_out fans out by
+      // index hits.
+      run[(Long, String, String)]("winnow_admit",
+        docIncRows, Seq("doc_id", "source", "text"),
+        df => graft.queries.DedupQueries.winnowAdmitCandidates(df, winnowIdx)),
       // EVENT-TIME bounded dedup: the engine's dropDuplicatesWithinWatermark
       // — state is the horizon's keys, evicted natively; contrasts with
       // dedup_keep_first's forever-state exact dedup above
@@ -314,6 +328,7 @@ object StreamBench {
       "data_card" -> Bound(1 << 20, _ => 64, 25, 4L << 20),
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "graph_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
+      "winnow_admit" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
       "graph_serve" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS (foreachBatch)
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS

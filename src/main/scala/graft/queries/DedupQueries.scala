@@ -2679,10 +2679,10 @@ object DedupQueries {
   // h-bucket at DfCap docs, so candidate enumeration is ≤ DfCap²/2 per
   // fingerprint, linear in corpus size by construction.
   // ========================================================================
-  private[queries] val WinnowK = 12      // gram length (canonical chars)
-  private[queries] val WinnowW = 8       // window: hashes per selection
-  private[queries] val WinnowDfCap = 20  // max docs sharing a usable fp
-  private[queries] val WinnowMinShared = 8
+  private[graft] val WinnowK = 12      // gram length (canonical chars)
+  private[graft] val WinnowW = 8       // window: hashes per selection
+  private[graft] val WinnowDfCap = 20  // max docs sharing a usable fp
+  private[graft] val WinnowMinShared = 8
 
   /** The selected winnowing fingerprint set (doc_id, h) of a documents
     * relation — the stage BEFORE the df cap and pairing, exposed so
@@ -2699,7 +2699,7 @@ object DedupQueries {
     * declarative explode+window formulation measured 4.7 s at sf0.1
     * for the identical output the oracle still states declaratively).
     */
-  private[queries] def winnowFingerprints(docsDf: DataFrame): DataFrame =
+  private[graft] def winnowFingerprints(docsDf: DataFrame): DataFrame =
     docsDf.select(col("doc_id"),
       explode(graft.plans.WinnowFingerprints.of(
         TextOps.canonicalText(col("text")), WinnowK, WinnowW)).as("h"))
@@ -2785,7 +2785,7 @@ object DedupQueries {
   // ========================================================================
   private val winnowIdxMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private def winnowIndex(s: SparkSession, d: String): DataFrame = synchronized {
+  private[graft] def winnowIndex(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     winnowIdxMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
@@ -2804,6 +2804,19 @@ object DedupQueries {
     }
     idx
   }
+
+  /** Streaming admission probe (the online half of
+    * `dedup_winnow_incremental`, the graph_admit convention): each
+    * arriving document's selected fingerprints (one per-row
+    * [[graft.plans.WinnowFingerprints]] pass) probe the PUBLISHED base
+    * index via a stream-static equi-join, emitting candidate
+    * (doc, base, h) hits; the batch incremental finalizes pair
+    * thresholds. ZERO streaming state — the index is a static cached
+    * relation, the probe a per-batch join.
+    */
+  def winnowAdmitCandidates(df: DataFrame, index: DataFrame): DataFrame =
+    winnowFingerprints(df).join(index, Seq("h"))
+      .select(col("doc_id"), col("base_id"), col("h"))
 
   def dedupWinnowIncremental(s: SparkSession, d: String): DataFrame = {
     val idx = winnowIndex(s, d)

@@ -1177,4 +1177,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
     assert(stateRows == 0L, s"admission must be stateless, saw $stateRows state rows")
   }
+
+  test("winnow_admit hits, batch-grouped, equal dedup_winnow_incremental's pairs (batching-invariance)") {
+    implicit val sc = spark.sqlContext
+    val idx = graft.queries.DedupQueries.winnowIndex(spark, sf)
+    val incRows = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val out = graft.queries.DedupQueries.winnowAdmitCandidates(
+      stream.toDF().toDF("doc_id", "source", "text"), idx)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("winnow_admit_out").start()
+    // two triggers: the pairing must not depend on batch boundaries
+    val (a, b) = incRows.splitAt(incRows.size / 2)
+    stream.addData(a: _*); q.processAllAvailable()
+    stream.addData(b: _*); q.processAllAvailable()
+    val hits = spark.sql("SELECT doc_id, base_id FROM winnow_admit_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    val got = hits.groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.size.toLong) }
+      .filter(_._3 >= graft.queries.DedupQueries.WinnowMinShared).toSet
+    val want = graft.SparkEntry.queries("dedup_winnow_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got == want, "streamed hit counts must reproduce the batch pair report")
+  }
 }
