@@ -2704,9 +2704,22 @@ object DedupQueries {
       explode(graft.plans.WinnowFingerprints.of(
         TextOps.canonicalText(col("text")), WinnowK, WinnowW)).as("h"))
 
+  /** Corpus-wide selected fingerprint relation (doc_id, h) — memoized
+    * per (session, dir) + persisted (the RelationMemo contract): four
+    * consumers inside dedup_winnow (df cap, both pair sides, sizes) and
+    * the incremental index build would otherwise each re-run the
+    * per-doc hashing pass (plan-guarded: one Generate, not four).
+    */
+  private val winnowSelMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def winnowSel(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(winnowSelMemo, (s, d), "winnowSel") {
+      winnowFingerprints(docs(s, d)).persist()
+    }
+
   def dedupWinnow(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sel = winnowFingerprints(docs(s, d))
+    val sel = winnowSel(s, d)
     val keep = sel
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= WinnowDfCap)
@@ -2791,7 +2804,7 @@ object DedupQueries {
     winnowIdxMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val idx = winnowIdxMemo.getOrElseUpdate((s, d), {
       MemoTrace.built("winnowIndex")
-      winnowFingerprints(docs(s, d).filter(col("doc_id") % 3 =!= 0))
+      winnowSel(s, d).filter(col("doc_id") % 3 =!= 0)
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= WinnowDfCap)
         .select(col("doc_id").as("base_id"), col("h"))
@@ -2804,6 +2817,43 @@ object DedupQueries {
     }
     idx
   }
+
+  // ========================================================================
+  // winnow_stats — fingerprint-index health audit (the ann_graph_stats
+  // convention: a served index needs an observability dial): the
+  // document-frequency spectrum of the corpus fingerprint relation,
+  // banded as singleton / pairable (2..5) / common (6..DfCap) /
+  // capped-out (> DfCap, excluded from pairing). The dial an index
+  // operator reads before trusting pair recall: a corpus whose mass
+  // sits in capped-out fingerprints is boilerplate-dominated (the cap
+  // is silently discarding its signal), while an all-singleton spectrum
+  // means winnowing can pair nothing. Pure reshape of the memoized
+  // fingerprint relation — the corpus text is never re-hashed; one
+  // fingerprint-keyed count and a 4-row band aggregation.
+  // ========================================================================
+  def winnowStats(s: SparkSession, d: String): DataFrame = {
+    val df = winnowSel(s, d).groupBy(col("h")).agg(count(lit(1)).as("df"))
+    df.withColumn("band",
+        when(col("df") === 1, "1_singleton")
+          .when(col("df") <= 5, "2_pairable")
+          .when(col("df") <= WinnowDfCap, "3_common")
+          .otherwise("4_capped_out"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("df")).as("n_postings"),
+        max(col("df")).as("max_df"))
+      .orderBy(col("band"))
+  }
+
+  private val winnowStatsSql =
+    s"""WITH $winnowSelCtesSql,
+       |df AS (SELECT h, count(*) AS df FROM sel GROUP BY h)
+       |SELECT CASE WHEN df = 1 THEN '1_singleton'
+       |            WHEN df <= 5 THEN '2_pairable'
+       |            WHEN df <= $WinnowDfCap THEN '3_common'
+       |            ELSE '4_capped_out' END AS band,
+       |  count(*) AS n_fps, CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(max(df) AS BIGINT) AS max_df
+       |FROM df GROUP BY band ORDER BY band""".stripMargin
 
   /** Streaming admission probe (the online half of
     * `dedup_winnow_incremental`, the graph_admit convention): each
@@ -2821,7 +2871,7 @@ object DedupQueries {
   def dedupWinnowIncremental(s: SparkSession, d: String): DataFrame = {
     val idx = winnowIndex(s, d)
     val bsz = idx.groupBy(col("base_id")).agg(count(lit(1)).as("n_base"))
-    val incFps = winnowFingerprints(docs(s, d).filter(col("doc_id") % 3 === 0))
+    val incFps = winnowSel(s, d).filter(col("doc_id") % 3 === 0)
     val isz = incFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_inc"))
     incFps.join(idx, Seq("h"))
       .groupBy(col("doc_id"), col("base_id")).agg(count(lit(1)).as("n_shared"))
@@ -2857,6 +2907,7 @@ object DedupQueries {
     "dedup_semantic_incremental" -> (dedupSemanticIncremental _),
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_winnow_incremental" -> (dedupWinnowIncremental _),
+    "winnow_stats" -> (winnowStats _),
     "sample_coreset" -> (sampleCoreset _),
     "coreset_assign" -> (coresetAssign _),
     "diversity_sample" -> (diversitySample _),
@@ -2901,6 +2952,7 @@ object DedupQueries {
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "dedup_winnow" -> dedupWinnowSql,
     "dedup_winnow_incremental" -> dedupWinnowIncrementalSql,
+    "winnow_stats" -> winnowStatsSql,
     "sample_coreset" -> sampleCoresetSql,
     "coreset_assign" -> coresetAssignSql,
     "diversity_sample" -> diversitySampleSql,

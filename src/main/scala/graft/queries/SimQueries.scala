@@ -3250,18 +3250,15 @@ object SimQueries {
   private val MmrLambda = 0.7
   private val MmrOneMinusLambda = 0.3
 
-  def annMmr(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = emb(s, d)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_vec"),
-        Similarity.norm(col("embedding")).as("q_nrm"))
-    val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      .withColumn("rel", Similarity.dot(col("embedding"), col("q_vec"))
-        / (Similarity.norm(col("embedding")) * col("q_nrm")))
-      .select(col("vec_id"), col("rel"), col("embedding"))
-      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
-      .collect()
+  /** The greedy MMR selection over ONE query's collected candidate pool
+    * (id, rel, vector-as-doubles) — shared by the single-query and
+    * batch keys. Arithmetic mirrors the distributed side bit for bit:
+    * left-to-right double dots, λ/1−λ as independent literals, (mmr
+    * desc, id asc) total order, Spark-HALF_UP round(,4) on the emitted
+    * columns. Returns (rank, id, rel_r4, red_r4, mmr_r4).
+    */
+  private def mmrSelect(cand: Seq[(Long, Double, Array[Double])])
+      : Seq[(Long, Long, Double, Double, Double)] = {
     def ddot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -3269,8 +3266,6 @@ object SimQueries {
     }
     def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-    val cand = pool.map(r => (r.getLong(0), r.getDouble(1),
-      r.getSeq[Number](2).map(_.doubleValue()).toArray))
     val vec = cand.map(c => c._1 -> c._3).toMap
     val nrm = cand.map(c => c._1 -> math.sqrt(ddot(c._3, c._3))).toMap
     var sel = Vector.empty[Long]
@@ -3289,7 +3284,116 @@ object SimQueries {
       sel :+= best._1
       rows += ((step.toLong, best._1, r4(best._2), r4(best._3), r4(best._4)))
     }
-    rows.toSeq.toDF("rank", "doc_id", "rel", "red", "mmr").orderBy(col("rank"))
+    rows.toSeq
+  }
+
+  def annMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("rel", Similarity.dot(col("embedding"), col("q_vec"))
+        / (Similarity.norm(col("embedding")) * col("q_nrm")))
+      .select(col("vec_id"), col("rel"), col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .collect()
+    val cand = pool.map(r => (r.getLong(0), r.getDouble(1),
+      r.getSeq[Number](2).map(_.doubleValue()).toArray)).toSeq
+    mmrSelect(cand).toDF("rank", "doc_id", "rel", "red", "mmr")
+      .orderBy(col("rank"))
+  }
+
+  // ========================================================================
+  // ann_mmr_batch — ann_mmr for a QUERY BATCH (vec_id < 4, the
+  // hybrid_topk_batch convention): proves every stage picks up q_id as
+  // a partition key unchanged. The per-query top-30 pools come from ONE
+  // broadcast-queries corpus scan with a q_id-keyed rank window (a
+  // WindowGroupLimit heap, never a corpus sort); the collected
+  // ≤ |queries|·30 rows run the same driver greedy per query.
+  // ========================================================================
+  private val MmrBatchQ = 4
+
+  def annMmrBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < MmrBatchQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel", Similarity.dot(col("embedding"), col("q_vec"))
+        / (Similarity.norm(col("embedding")) * col("q_nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPool)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("embedding"))
+      .collect()
+    val byQ = pool.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2),
+      r.getSeq[Number](3).map(_.doubleValue()).toArray))).groupBy(_._1)
+    val rows = byQ.toSeq.sortBy(_._1).flatMap { case (qId, rs) =>
+      mmrSelect(rs.map(_._2).toSeq).map(p => (qId, p._1, p._2, p._3, p._4, p._5))
+    }
+    rows.toDF("q_id", "rank", "doc_id", "rel", "red", "mmr")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The batch oracle: the single-query unrolled-greedy chain with q_id
+    * carried through every CTE — each step picks ONE row per q_id via a
+    * partitioned QUALIFY, and the redundancy subquery correlates on
+    * (q_id, doc_id).
+    */
+  private val annMmrBatchSql: String = {
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT q_id, doc_id, rel, red,
+         |    0.7::DOUBLE * rel - 0.3::DOUBLE * red AS mmr, $i AS rank FROM (
+         |    SELECT c.q_id, c.doc_id, c.rel,
+         |      (SELECT max(p.sim) FROM pr p WHERE p.q_id = c.q_id AND p.a_id = c.doc_id
+         |         AND p.b_id IN (SELECT doc_id FROM sel${i - 1} s WHERE s.q_id = c.q_id)) AS red
+         |    FROM cand c WHERE NOT EXISTS (
+         |      SELECT 1 FROM sel${i - 1} s WHERE s.q_id = c.q_id AND s.doc_id = c.doc_id))
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, doc_id) = 1),
+         |sel$i AS MATERIALIZED (
+         |  SELECT q_id, doc_id FROM sel${i - 1} UNION ALL SELECT q_id, doc_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to MmrK)
+      .map(i => s"SELECT q_id, rank, doc_id, rel, red, mmr FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm FROM e
+       |  WHERE vec_id < $MmrBatchQ),
+       |cand AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT qv.q_id, c.vec_id AS doc_id,
+       |      list_sum(list_transform(range(1, len(c.embedding) + 1),
+       |        i -> c.embedding[i]::DOUBLE * q_vec[i]::DOUBLE)) / (c.nrm * q_nrm) AS rel,
+       |      c.embedding, c.nrm
+       |    FROM e c CROSS JOIN qv WHERE c.vec_id <> qv.q_id)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) <= $MmrPool),
+       |pr AS MATERIALIZED (
+       |  SELECT a.q_id, a.doc_id AS a_id, b.doc_id AS b_id,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.doc_id <> b.doc_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT q_id, doc_id, rel, red, mmr, 1 AS rank FROM (
+       |    SELECT q_id, doc_id, rel, 0.0::DOUBLE AS red,
+       |      0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0::DOUBLE AS mmr
+       |    FROM cand)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, doc_id) = 1),
+       |sel1 AS MATERIALIZED (SELECT q_id, doc_id FROM s1),
+       |$steps
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, round(rel, 4) AS rel,
+       |  round(red, 4) AS red, round(mmr, 4) AS mmr
+       |FROM (SELECT q_id, rank, doc_id, rel, red, mmr FROM s1 UNION ALL $unions)
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** The MMR oracle unrolls the k greedy picks as CTE steps over the
@@ -3344,6 +3448,7 @@ object SimQueries {
   val queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> (annCosineTopK _),
     "ann_mmr" -> (annMmr _),
+    "ann_mmr_batch" -> (annMmrBatch _),
     "ann_filtered" -> (annFiltered _),
     "ann_cosine_sql" -> (annCosineSqlSurface _),
     "ann_lsh_bucket" -> (annLshBucket _),
@@ -3392,6 +3497,7 @@ object SimQueries {
   val oracleSql: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopKSql,
     "ann_mmr" -> annMmrSql,
+    "ann_mmr_batch" -> annMmrBatchSql,
     "ann_filtered" -> annFilteredSql,
     // the SQL-surface variant computes the identical result, so it is
     // checked against the identical oracle

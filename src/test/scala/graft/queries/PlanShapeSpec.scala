@@ -1141,4 +1141,54 @@ class PlanShapeSpec extends SparkSpec {
     // re-running the bounded per-cell candidate join per hop
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("vocab_coverage: the top-V head plans as a distributed TakeOrdered heap") {
+    val p = plan("vocab_coverage")
+    // at 100 TB the gram-type relation has billions of rows — ranking
+    // it must be per-partition heaps + bounded merge, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // two consumers of the gram counts (head + corpus totals), two scans
+    // — but never more
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) <= 2, p)
+  }
+
+  test("dedup_winnow: fingerprints hashed ONCE (memoized relation), pairing equi on the hash") {
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the df cap and the pair join both key on h — the one shuffle family
+    assert(p.contains("hashpartitioning(h"), p)
+    // four consumers of the fingerprint relation must read the persisted
+    // memo, not re-run the per-doc WinnowFingerprints pass per consumer
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.linesIterator.count(_.contains("winnowfingerprints")) <= 1, p)
+  }
+
+  test("dedup_winnow_incremental probes the CACHED base index; no cartesian") {
+    val p = plan("dedup_winnow_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the base fingerprint relation is built once, hash-partitioned,
+    // persisted — a probe recomputing it per increment defeats the
+    // incremental contract
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("ann_mmr / sample_coreset: bounded-budget greedy results arrive as driver-local relations") {
+    // the corpus work (top-30 pool / per-round argmin) runs in prior
+    // jobs; the registered query's own plan must be the LocalRelation
+    // render — proof the greedy never re-plans corpus scans per pick
+    assert(plan("ann_mmr").contains("LocalTableScan"), plan("ann_mmr"))
+    assert(plan("sample_coreset").contains("LocalTableScan"), plan("sample_coreset"))
+  }
+
+  test("coreset_assign: centers ride a broadcast single-row array; no per-vector exchange") {
+    val p = plan("coreset_assign")
+    // the only hashpartitioning allowed is the <= k-group report agg
+    // (center_id) and the tiny rank join: a vec_id exchange would mean
+    // the corpus is being shuffled to assign
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+    assert(p.contains("hashpartitioning(center_id"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -62,6 +62,27 @@ class SelectionSpec extends SparkSpec {
       "MMR must reduce the worst within-list redundancy")
   }
 
+  test("ann_mmr_batch: the q_id = 0 slice reproduces ann_mmr row for row") {
+    val single = graft.SparkEntry.queries("ann_mmr")(spark, sf)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val slice = graft.SparkEntry.queries("ann_mmr_batch")(spark, sf)
+      .filter(col("q_id") === 0).orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(slice.toSeq == single.toSeq, "batching must not change any query's list")
+  }
+
+  test("ann_mmr_batch: every query gets k distinct picks excluding itself") {
+    val out = graft.SparkEntry.queries("ann_mmr_batch")(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.foreach { case (q, rows) =>
+      val ids = rows.map(_.getLong(2)).toSeq
+      assert(ids.size == SimQueries.MmrK && ids.distinct.size == ids.size)
+      assert(!ids.contains(q), "a query must not retrieve itself")
+    }
+  }
+
   // ------------------------------------------------------------ coreset
 
   test("sample_coreset: seed first, distinct picks, rank 2 is the global farthest point") {

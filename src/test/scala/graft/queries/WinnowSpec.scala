@@ -101,6 +101,21 @@ class WinnowSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("winnow_stats: bands partition the fingerprint relation exactly") {
+    val stats = graft.SparkEntry.queries("winnow_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fps = DedupQueries.winnowFingerprints(
+      graft.sources.Tables.documents(spark, sf))
+    val total = fps.count()
+    assert(stats.values.map(_._2).sum == total,
+      "postings across bands must conserve the fingerprint relation")
+    val capped = stats.get("4_capped_out")
+    capped.foreach { case (_, _, maxDf) =>
+      assert(maxDf > DedupQueries.WinnowDfCap) }
+    stats.get("1_singleton").foreach { case (nFps, nPost, maxDf) =>
+      assert(nFps == nPost && maxDf == 1L) }
+  }
+
   test("incremental pairs only cross the slice boundary") {
     val out = graft.SparkEntry.queries("dedup_winnow_incremental")(spark, sf).collect()
     out.foreach { r =>
