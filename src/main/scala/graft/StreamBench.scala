@@ -262,6 +262,13 @@ object StreamBench {
       run[(Long, String, String)]("winnow_admit",
         docIncRows, Seq("doc_id", "source", "text"),
         df => graft.queries.DedupQueries.winnowAdmitCandidates(df, winnowIdx)),
+      // watermark provenance gate: greenlist z-score per arriving doc
+      // (Kirchenbauer et al. 2023 detection) — pure per-row expression
+      // chain, ZERO state; the front-of-funnel synthetic-text screen
+      run[(Long, String, String)]("watermark_gate",
+        docRows, Seq("doc_id", "source", "text"),
+        df => graft.queries.TextCorpus.watermarkScores(
+          df.select(col("doc_id"), col("text")))),
       // EVENT-TIME bounded dedup: the engine's dropDuplicatesWithinWatermark
       // — state is the horizon's keys, evicted natively; contrasts with
       // dedup_keep_first's forever-state exact dedup above
@@ -329,6 +336,7 @@ object StreamBench {
       "index_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "graph_admit" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS
       "winnow_admit" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
+      "watermark_gate" -> Bound(600, _ => 0, 25, 1L << 20),  // STATELESS
       "graph_serve" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS (foreachBatch)
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS

@@ -471,8 +471,87 @@ object TextCorpus {
        |GROUP BY bg.v, tot.n_types, tot.total_tok
        |ORDER BY v""".stripMargin
 
+  // ========================================================================
+  // text_watermark — greenlist watermark detection (Kirchenbauer,
+  // Geiping, Wen, Katz, Miers & Goldstein, ICML 2023 "A Watermark for
+  // Large Language Models"): a watermarking generator biases each next
+  // token toward a context-keyed pseudo-random "green" quarter (γ=0.25)
+  // of the vocabulary; the detector needs no model — it recounts green
+  // bigram transitions and flags documents whose green fraction is a
+  // > 4σ excess, z = (g − γn)/√(nγ(1−γ)). The provenance dial a
+  // training-data pipeline runs over crawled corpora to keep
+  // synthetically-generated text out of pretraining mixes.
+  // Greenlist membership = hash60(prev '#' cur) % 4 == 0 (the
+  // TextOps.hash60 seeded-hash convention — deterministic,
+  // engine-reproducible, no model weights). Because no corpus document
+  // is actually watermarked, docs with doc_id % 4 = 0 are
+  // deterministically SALTED with a 40-token run of `wm8` — a token
+  // chosen because its self-transition hashes green — so the oracle
+  // proves both detector directions: salted docs must flag (their z
+  // lands ≈ +10σ), unsalted docs sit in N(0,1). z crosses the engine
+  // boundary unrounded: g and n are exact integers, 0.25 and 0.1875
+  // are exactly representable, and one subtraction/multiply/sqrt/divide
+  // chain in identical order is bit-exact IEEE on both engines.
+  //
+  // Scale shape: the whole detector is a per-row expression chain
+  // (tokenize → lambda-filter count → scalar z) — zero joins, zero
+  // shuffles, one documents scan; the report is corpus-row-sized and
+  // usually consumed filtered to watermarked = 1.
+  // ========================================================================
+  private val WmToken = "wm8"   // hash60("wm8#wm8") % 4 == 0 (self-pair green)
+  private val WmCopies = 40
+
+  /** The detector core over any (doc_id, text) relation — pure per-row
+    * expressions (tokenize → greenlist lambda count → z), no salting,
+    * no ordering: shared by the batch key (which salts first) and the
+    * streaming `watermark_gate` pipeline (which scores arriving text
+    * as-is; stream-safe because nothing here joins or aggregates).
+    */
+  private[graft] def watermarkScores(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("n", (size(col("t")) - 1).cast("long"))
+      .filter(col("n") >= 1)
+      .withColumn("g", expr(
+        """CAST(size(filter(sequence(1, size(t) - 1), i ->
+          |  CAST(conv(substring(md5(concat(element_at(t, i), '#', element_at(t, i + 1))), 1, 15), 16, 10) AS BIGINT) % 4 = 0))
+          |AS BIGINT)""".stripMargin))
+      .withColumn("z",
+        (col("g").cast("double") - lit(0.25) * col("n").cast("double"))
+          / sqrt(col("n").cast("double") * lit(0.1875)))
+      .select(col("doc_id"), col("n").as("n_pairs"), col("g").as("n_green"),
+        col("z"), when(col("z") > 4.0, 1L).otherwise(0L).as("watermarked"))
+
+  def textWatermark(s: SparkSession, d: String): DataFrame = {
+    val salted = when(col("doc_id") % 4 === 0,
+      concat(col("text"), lit(" " + Seq.fill(WmCopies)(WmToken).mkString(" "))))
+      .otherwise(col("text"))
+    watermarkScores(docs(s, d).select(col("doc_id"), salted.as("text")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textWatermarkSql =
+    raw"""WITH st AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN text || ' ${Seq.fill(WmCopies)(WmToken).mkString(" ")}'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM st),
+       |gc AS (
+       |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n,
+       |    CAST(len(list_filter(range(1, len(t)), i ->
+       |      ('0x' || substr(md5(t[i] || '#' || t[i + 1]), 1, 15))::BIGINT % 4 = 0))
+       |    AS BIGINT) AS g
+       |  FROM tk WHERE len(t) >= 2)
+       |SELECT doc_id, n AS n_pairs, g AS n_green,
+       |  (g::DOUBLE - 0.25::DOUBLE * n::DOUBLE) / sqrt(n::DOUBLE * 0.1875::DOUBLE) AS z,
+       |  CAST(CASE WHEN (g::DOUBLE - 0.25::DOUBLE * n::DOUBLE)
+       |      / sqrt(n::DOUBLE * 0.1875::DOUBLE) > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS watermarked
+       |FROM gc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "corpus_growth" -> (corpusGrowth _),
+    "text_watermark" -> (textWatermark _),
     "vocab_overlap" -> (vocabOverlap _),
     "zipf_fit" -> (zipfFit _),
     "corpus_diversity" -> (corpusDiversity _),
@@ -482,6 +561,7 @@ object TextCorpus {
 
   val oracleSql: Map[String, String] = Map(
     "corpus_growth" -> corpusGrowthSql,
+    "text_watermark" -> textWatermarkSql,
     "vocab_overlap" -> vocabOverlapSql,
     "zipf_fit" -> zipfFitSql,
     "corpus_diversity" -> corpusDiversitySql,

@@ -1408,4 +1408,37 @@ class NewQuerySpec extends SparkSpec {
       assert(rs.forall(r => r._5 > 0 && r._5 <= 1000000L), s"$src out of range")
     }
   }
+
+  test("text_watermark: salted docs flag, clean docs stay in-band, z recomputes exactly") {
+    val out = graft.SparkEntry.queries("text_watermark")(spark, sf).collect()
+    val (salted, clean) = out.partition(_.getLong(0) % 4 == 0)
+    // at sf0.001 every salted doc is short enough that the planted
+    // 39-green-pair run clears the 4-sigma bar; no clean doc does
+    assert(salted.nonEmpty && salted.forall(_.getLong(4) == 1L),
+      "every salted doc must flag")
+    assert(clean.forall(_.getLong(4) == 0L), "zero false positives at sf0.001")
+    // z is the exact normal-approximation excess recomputed from (g, n)
+    out.foreach { r =>
+      val (n, g, z) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val want = (g.toDouble - 0.25 * n.toDouble) / math.sqrt(n.toDouble * 0.1875)
+      assert(z == want, s"z must be the exact formula value: $z vs $want")
+      assert((r.getLong(4) == 1L) == (z > 4.0))
+    }
+  }
+
+  test("text_watermark: greenlist membership is the seeded-hash convention on a known pair") {
+    import spark.implicits._
+    // wm8#wm8 hashes green (the salt token was CHOSEN for it); a one-pair
+    // doc of it scores g=1, n=1, z=(1-0.25)/sqrt(0.1875) ~= +1.73 (not
+    // flagged) -- pins the hash convention and the tiny-doc algebra.
+    // doc_id 1: NOT a salted id (1 % 4 != 0), so the text stays as-is
+    val docsDf = Seq((1L, "wm8 wm8", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = writeDocsFixture(docsDf)
+    val r = graft.SparkEntry.queries("text_watermark")(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 1L && r.head.getLong(2) == 1L)
+    assert(r.head.getDouble(3) == 0.75 / math.sqrt(0.1875))
+    assert(r.head.getLong(4) == 0L)
+  }
 }

@@ -1203,4 +1203,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
     assert(got == want, "streamed hit counts must reproduce the batch pair report")
   }
+
+  test("watermark_gate: streamed scores equal the batch detector on the same rows") {
+    implicit val sc = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val out = graft.queries.TextCorpus.watermarkScores(
+      stream.toDF().toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("text")))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("wm_gate_out").start()
+    val (a, b) = rows.splitAt(rows.size / 2)
+    stream.addData(a: _*); q.processAllAvailable()
+    stream.addData(b: _*); q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM wm_gate_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    q.stop()
+    val want = graft.queries.TextCorpus.watermarkScores(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got == want, "per-doc z must be batch-identical and batching-invariant")
+  }
 }
