@@ -441,7 +441,7 @@ object Bench {
       try {
         import org.apache.spark.sql.functions.{avg, col}
         val df = SparkEntry.queries(name)(spark, sfDir)
-        Seq("n_probe", "method", "quantizer").find(df.columns.contains) match {
+        Seq("n_probe", "method", "quantizer", "dims").find(df.columns.contains) match {
           case Some(v) =>
             df.groupBy(col(v)).agg(avg(col("recall")).as("r")).collect()
               .foreach(row => recalls(s"$name:${row.get(0)}") = row.getDouble(1))

@@ -706,6 +706,97 @@ object SimQueries {
     perProbe.reduce(_ unionByName _).orderBy(col("n_probe"), col("q_id"))
   }
 
+  // ========================================================================
+  // ann_recall_matryoshka — truncated-dimension recall curve (Kusupati
+  // et al., NeurIPS 2022 "Matryoshka Representation Learning"): MRL
+  // embeddings are trained so PREFIXES of the vector remain usable
+  // representations, letting a pipeline trade dimensions for cost at
+  // serving time. The eval every such deployment runs first: top-5
+  // recall of brute-force search over the first d ∈ {8, 16, 32}
+  // components against the full-64-dim truth, per query (vec_id < 10,
+  // the ann_recall harness conventions — same truth set, same
+  // (q_id, variant, hits, recall) shape, `dims` as the variant column
+  // so the bench `recalls` block splits on it). These synthetic
+  // embeddings are NOT MRL-trained, which is the point of the dial: it
+  // MEASURES how much recall a prefix truncation costs on whatever
+  // embeddings the pipeline actually has.
+  //
+  // Scale shape: per dims budget one broadcast-query corpus scan into
+  // per-query top-k windows (the bruteForceTopK plan); the truth set is
+  // collected once at queries×k rows and rides every variant as a
+  // local-relation semi-join.
+  // ========================================================================
+  private val MatryoshkaDims = Seq(8, 16, 32)
+
+  def annRecallMatryoshka(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val exactRows = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        col("vec_id") < 10, 5)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = exactRows.toDF("q_id", "n_id")
+    val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
+    val perDims = MatryoshkaDims.map { dm =>
+      val t = e.select(col("vec_id"), slice(col("embedding"), 1, dm).as("embedding"))
+      val hits = Similarity.bruteForceTopK(t, "vec_id", "embedding",
+          col("vec_id") < 10, 5)
+        .select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      qids.join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), lit(dm.toLong).as("dims"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
+    }
+    perDims.reduce(_ unionByName _).orderBy(col("dims"), col("q_id"))
+  }
+
+  private val annRecallMatryoshkaSql: String = {
+    val perDims = MatryoshkaDims.map { dm =>
+      s"""t$dm AS MATERIALIZED (
+         |  SELECT vec_id, embedding[1:$dm] AS emb,
+         |    sqrt(list_sum(list_transform(embedding[1:$dm], x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         |a$dm AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, len(q.emb) + 1),
+         |          i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+         |        c.vec_id) AS rank
+         |    FROM t$dm q JOIN t$dm c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |h$dm AS (SELECT q_id, count(*) AS hits
+         |  FROM (SELECT * FROM a$dm INTERSECT SELECT * FROM bf) GROUP BY q_id),
+         |r$dm AS (
+         |  SELECT qs.q_id, $dm AS dims, coalesce(hits, 0) AS hits,
+         |    coalesce(hits, 0)::DOUBLE / 5.0::DOUBLE AS recall
+         |  FROM qs LEFT JOIN h$dm ON qs.q_id = h$dm.q_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = MatryoshkaDims
+      .map(dm => s"SELECT q_id, dims, hits, recall FROM r$dm")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |bf AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm) DESC,
+       |        c.vec_id) AS rank
+       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |qs AS MATERIALIZED (SELECT DISTINCT q_id FROM bf),
+       |$perDims
+       |SELECT q_id, CAST(dims AS BIGINT) AS dims, CAST(hits AS BIGINT) AS hits, recall
+       |FROM ($unions)
+       |ORDER BY dims, q_id""".stripMargin
+  }
+
   private val annRecallSql =
     """WITH m AS (
       |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
@@ -3471,6 +3562,7 @@ object SimQueries {
     "ann_recall_pq" -> (annRecallPq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_matryoshka" -> (annRecallMatryoshka _),
     "ann_graph_topk" -> (annGraphTopk _),
     "ann_graph_filtered" -> (annGraphFiltered _),
     "ann_graph_rebalance" -> (annGraphRebalance _),
@@ -3526,6 +3618,7 @@ object SimQueries {
     "ann_recall_pq" -> annRecallPqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_recall" -> annRecallSql,
+    "ann_recall_matryoshka" -> annRecallMatryoshkaSql,
     "ann_graph_topk" -> annGraphTopkSql,
     "ann_graph_filtered" -> annGraphFilteredSql,
     "ann_graph_rebalance" -> annGraphTopkSql,

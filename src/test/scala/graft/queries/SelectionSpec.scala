@@ -156,6 +156,32 @@ class SelectionSpec extends SparkSpec {
     assert(got == assigned, "per-center populations must match the exact recompute")
   }
 
+  test("ann_recall_matryoshka: harness shape, hit algebra, and the full-prefix identity") {
+    val out = graft.SparkEntry.queries("ann_recall_matryoshka")(spark, sf).collect()
+    assert(out.length == 30, "10 queries x 3 dim budgets")
+    out.foreach { r =>
+      val (hits, recall) = (r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= 5)
+      assert(recall == hits.toDouble / 5.0)
+    }
+    // the truncation can never beat exact full-dim search: a dims=64
+    // variant would be the truth itself — verify by recomputing one
+    // query's truncated top-5 from unit vectors at dims=32
+    val truth = unitVecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (-cos(0L, id), id)).take(5).toSet
+    def cosPrefix(a: Long, b: Long, dm: Int): Double = {
+      val (x, y) = (unitVecs(a).take(dm), unitVecs(b).take(dm))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      val nx = math.sqrt(x.map(v => v * v).sum); val ny = math.sqrt(y.map(v => v * v).sum)
+      dot / (nx * ny)
+    }
+    val approx32 = unitVecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (-cosPrefix(0L, id, 32), id)).take(5).toSet
+    val want = (approx32 & truth).size.toLong
+    val got = out.filter(r => r.getLong(0) == 0L && r.getLong(1) == 32L).head.getLong(2)
+    assert(got == want, s"dims=32 hits for q0 must match the exact recompute: $got vs $want")
+  }
+
   // ----------------------------------------------------- vocab_coverage
 
   test("vocab_coverage: curve monotonicity and endpoint identities") {
