@@ -2453,16 +2453,17 @@ object DedupQueries {
     */
   private val coresetMemo = scala.collection.mutable.Map
     .empty[(SparkSession, String), Seq[(Long, Long, Option[Double])]]
+  // map-scoped monitor (the RelationMemo convention): the greedy build
+  // runs k-1 sequential Spark jobs — holding the shared DedupQueries
+  // object lock for it would stall every unrelated memo HIT in the file
+  // (the textClusterLabels lesson)
   private def coresetRows(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] =
-    synchronized {
+    coresetMemo.synchronized {
       coresetMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
       coresetMemo.getOrElseUpdate((s, d), {
         MemoTrace.built("coresetSelect")
         val e = coresetCorpus(s, d)
-        // Spark round(,4): BigDecimal HALF_UP on the canonical double
-        // (the graphBeamSearchLocal convention)
-        def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        def r4(x: Double): Double = Similarity.round4(x)
         var selected = Seq(0L)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
           (1L, 0L, None))
@@ -2798,24 +2799,16 @@ object DedupQueries {
   // ========================================================================
   private val winnowIdxMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-  private[graft] def winnowIndex(s: SparkSession, d: String): DataFrame = synchronized {
+  private[graft] def winnowIndex(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.storage.StorageLevel
-    winnowIdxMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-    val idx = winnowIdxMemo.getOrElseUpdate((s, d), {
-      MemoTrace.built("winnowIndex")
+    RelationMemo.relation(winnowIdxMemo, (s, d), "winnowIndex") {
       winnowSel(s, d).filter(col("doc_id") % 3 =!= 0)
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
         .filter(col("df") <= WinnowDfCap)
         .select(col("doc_id").as("base_id"), col("h"))
         .repartition(col("h"))
         .persist()
-    })
-    if (idx.storageLevel == StorageLevel.NONE) {
-      MemoTrace.built("winnowIndex:repersist")
-      idx.persist()
     }
-    idx
   }
 
   // ========================================================================

@@ -3355,8 +3355,6 @@ object SimQueries {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val vec = cand.map(c => c._1 -> c._3).toMap
     val nrm = cand.map(c => c._1 -> math.sqrt(ddot(c._3, c._3))).toMap
     var sel = Vector.empty[Long]
@@ -3373,7 +3371,8 @@ object SimQueries {
         if (c != 0) c < 0 else ida < idb
       }.head
       sel :+= best._1
-      rows += ((step.toLong, best._1, r4(best._2), r4(best._3), r4(best._4)))
+      rows += ((step.toLong, best._1, Similarity.round4(best._2),
+        Similarity.round4(best._3), Similarity.round4(best._4)))
     }
     rows.toSeq
   }

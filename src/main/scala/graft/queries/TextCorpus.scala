@@ -511,10 +511,10 @@ object TextCorpus {
     df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .withColumn("n", (size(col("t")) - 1).cast("long"))
       .filter(col("n") >= 1)
-      .withColumn("g", expr(
-        """CAST(size(filter(sequence(1, size(t) - 1), i ->
-          |  CAST(conv(substring(md5(concat(element_at(t, i), '#', element_at(t, i + 1))), 1, 15), 16, 10) AS BIGINT) % 4 = 0))
-          |AS BIGINT)""".stripMargin))
+      .withColumn("g", size(filter(
+        sequence(lit(1), size(col("t")) - 1),
+        i => TextOps.hash60(element_at(col("t"), i),
+          element_at(col("t"), i + 1)) % 4 === 0)).cast("long"))
       .withColumn("z",
         (col("g").cast("double") - lit(0.25) * col("n").cast("double"))
           / sqrt(col("n").cast("double") * lit(0.1875)))

@@ -24,6 +24,16 @@ object Similarity {
     * `aggregate(zip_with(...))` form but ~an order of magnitude faster
     * (primitive loop inside WholeStageCodegen vs interpreted lambdas).
     */
+  /** Driver-side replica of Spark `round(_, 4)`: BigDecimal HALF_UP on
+    * the canonical double — THE one definition for every bounded-budget
+    * driver path that must emit the same rounded value the distributed
+    * pipeline (and the DuckDB oracle) would (graphBeamSearchLocal, the
+    * MMR greedy, the coreset greedy). The rounding mode is load-bearing
+    * for cross-engine bit-identity; do not re-type it at call sites.
+    */
+  def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   def dot(a: Column, b: Column): Column = graft.plans.ArrayDotProduct.dot(a, b)
 
   /** The composable built-ins-only formulation (kept for reference and
@@ -784,10 +794,7 @@ object Similarity {
     }
     val rows = queries.flatMap { case (qId, _) =>
       beam(qId).take(k).zipWithIndex.map { case ((nId, c), i) =>
-        // Spark round(,4): BigDecimal HALF_UP on the canonical double
-        val r4 = java.math.BigDecimal.valueOf(c)
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-        (qId, (i + 1).toLong, nId, r4)
+        (qId, (i + 1).toLong, nId, round4(c))
       }
     }
     rows.toDF("q_id", "rank", "n_id", "cos")
