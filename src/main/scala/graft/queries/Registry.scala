@@ -75,7 +75,7 @@ object Registry {
       "dedup_minhash_est",
       "retrieval_ndcg", "retrieval_ndcg_batch",
       "lang_id_eval", "rules_gate_eval", "rules_ablation",
-      "quality_rank_corr", "quality_rules_report",
+      "quality_rank_corr", "quality_rules_report", "quality_calibration",
       "ts_forecast_eval", "split_leakage",
     )
     // a typo'd tag must fail loudly, not silently untag a key

@@ -485,7 +485,77 @@ object TextEval {
        |       ELSE NULL END AS rho_e6
        |FROM ag ORDER BY source""".stripMargin
 
+  // ========================================================================
+  // quality_calibration — the LM-score ↔ rule-gate calibration table:
+  // docs bucketed into exact deciles of the bigram-LM mean NLL (the
+  // lmScoreCore relation, lower = more fluent), each decile reporting
+  // its Gopher-rules pass rate (exact-integer e6). The artifact a
+  // curation owner reads to PICK an LM threshold: the decile where the
+  // pass rate falls off is where the cheap structural gate and the
+  // statistical score stop agreeing — quality_rank_corr says WHETHER
+  // they agree (one rho per source), this says WHERE (the operating
+  // point). Deciles are computed on the exact e4-quantized mean NLL
+  // (the ExactRound algebra — no double round crosses the boundary):
+  // per distinct score value, bucket = 1 + min(9, (docs-before·10) div
+  // n) — a value's ties land in ONE decile, so the table is
+  // deterministic under any row order.
+  //
+  // Scale shape: the decile window runs over the VALUE-GROUP relation,
+  // whose cardinality is bounded by the e4 quantization RANGE (a few
+  // 100k distinct values no matter how many docs), never corpus rows —
+  // the reason the quantile_bucket chunk-offset decomposition isn't
+  // needed here. Everything corpus-sized is one join of two memoized/
+  // scan-side per-doc relations and a map-side-combined value count.
+  // Docs with < 2 tokens have no bigram NLL and are outside the
+  // calibration domain (inner join), matching lm_score's population.
+  // ========================================================================
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val lm = TextQueries.lmScoreCore(s, d)
+      .select(col("doc_id"),
+        expr(ExactRound.spark("nll_sum_e4", "n_bg")).cast("long").as("v"))
+    val flags = qualityRuleFlags(docs(s, d)).select(col("doc_id"), col("pass_all"))
+    val g = lm.join(flags, Seq("doc_id"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("pass_all")).as("np"))
+    val w = Window.orderBy(col("v"))
+    g.withColumn("bf", coalesce(sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", lit(1L) + least(lit(9L), expr("(bf * 10) div n")))
+      .groupBy(col("decile"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("np")).as("n_pass"),
+        min(col("v")).as("lo_nll_e4"), max(col("v")).as("hi_nll_e4"))
+      .withColumn("pass_e6", expr(
+        "CAST((CAST(n_pass AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)"))
+      .select(col("decile"), col("n_docs"), col("n_pass"), col("pass_e6"),
+        col("lo_nll_e4"), col("hi_nll_e4"))
+      .orderBy(col("decile"))
+  }
+
+  private lazy val qualityCalibrationSql =
+    s"""WITH $ruleFlagsCtesSql,
+       |lm AS MATERIALIZED (SELECT * FROM (${TextQueries.lmScoreCoreSql})),
+       |per AS (
+       |  SELECT lm.doc_id,
+       |    CAST(${ExactRound.duck("nll_sum_e4", "n_bg")} AS BIGINT) AS v,
+       |    rflp.pass_all
+       |  FROM lm JOIN rflp ON lm.doc_id = rflp.doc_id),
+       |g AS (SELECT v, count(*) AS cnt, sum(pass_all) AS np FROM per GROUP BY v),
+       |o AS (
+       |  SELECT v, cnt, np,
+       |    coalesce(sum(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf,
+       |    sum(cnt) OVER () AS n
+       |  FROM g),
+       |b AS (SELECT 1 + least(9, (bf * 10) // n) AS decile, cnt, np, v FROM o)
+       |SELECT CAST(decile AS BIGINT) AS decile, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(np) AS BIGINT) AS n_pass,
+       |  CAST((sum(np)::HUGEINT * 1000000) // sum(cnt) AS BIGINT) AS pass_e6,
+       |  CAST(min(v) AS BIGINT) AS lo_nll_e4, CAST(max(v) AS BIGINT) AS hi_nll_e4
+       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "quality_calibration" -> (qualityCalibration _),
     "quality_rules_report" -> (qualityRulesReport _),
     "rules_gate_eval" -> (rulesGateEval _),
     "rules_ablation" -> (rulesAblation _),
@@ -495,6 +565,7 @@ object TextEval {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "quality_calibration" -> qualityCalibrationSql,
     "quality_rules_report" -> qualityRulesReportSql,
     "rules_gate_eval" -> rulesGateEvalSql,
     "rules_ablation" -> rulesAblationSql,

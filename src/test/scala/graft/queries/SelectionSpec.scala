@@ -182,6 +182,25 @@ class SelectionSpec extends SparkSpec {
     assert(got == want, s"dims=32 hits for q0 must match the exact recompute: $got vs $want")
   }
 
+  test("quality_calibration: deciles conserve the LM population; bands are ordered and exact") {
+    val out = graft.SparkEntry.queries("quality_calibration")(spark, sf)
+      .orderBy(col("decile")).collect()
+    assert(out.length == 10)
+    val lmPop = graft.SparkEntry.queries("lm_score")(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == lmPop,
+      "decile populations must conserve the scored-doc population")
+    out.foreach { r =>
+      val (n, p, e6, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(p <= n && e6 == p * 1000000L / n)
+      assert(lo <= hi)
+    }
+    // value bands must be disjoint and ascending decile over decile
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(5) < b.getLong(4),
+        "a value's ties land in one decile, so bands cannot overlap") }
+  }
+
   // ----------------------------------------------------- vocab_coverage
 
   test("vocab_coverage: curve monotonicity and endpoint identities") {
