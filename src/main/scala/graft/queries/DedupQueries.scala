@@ -2463,7 +2463,6 @@ object DedupQueries {
       coresetMemo.getOrElseUpdate((s, d), {
         MemoTrace.built("coresetSelect")
         val e = coresetCorpus(s, d)
-        def r4(x: Double): Double = Similarity.round4(x)
         var selected = Seq(0L)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
           (1L, 0L, None))
@@ -2480,7 +2479,7 @@ object DedupQueries {
             .orderBy(col("maxsim").asc, col("vec_id")).limit(1)
             .head()
           selected = selected :+ win.getLong(0)
-          out += ((step.toLong, win.getLong(0), Some(r4(win.getDouble(1)))))
+          out += ((step.toLong, win.getLong(0), Some(Similarity.round4(win.getDouble(1)))))
         }
         out.toSeq
       })

@@ -512,7 +512,7 @@ object TextEval {
   def qualityCalibration(s: SparkSession, d: String): DataFrame = {
     val lm = TextQueries.lmScoreCore(s, d)
       .select(col("doc_id"),
-        expr(ExactRound.spark("nll_sum_e4", "n_bg")).cast("long").as("v"))
+        expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("v"))
     val flags = qualityRuleFlags(docs(s, d)).select(col("doc_id"), col("pass_all"))
     val g = lm.join(flags, Seq("doc_id"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("pass_all")).as("np"))

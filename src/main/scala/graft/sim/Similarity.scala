@@ -18,12 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two array columns — a native
-    * codegen'd Catalyst expression (see [[graft.plans.ArrayDotProduct]]);
-    * same left-to-right summation as the composable
-    * `aggregate(zip_with(...))` form but ~an order of magnitude faster
-    * (primitive loop inside WholeStageCodegen vs interpreted lambdas).
-    */
   /** Driver-side replica of Spark `round(_, 4)`: BigDecimal HALF_UP on
     * the canonical double — THE one definition for every bounded-budget
     * driver path that must emit the same rounded value the distributed
@@ -34,6 +28,12 @@ object Similarity {
   def round4(x: Double): Double = java.math.BigDecimal.valueOf(x)
     .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Double-precision dot product of two array columns — a native
+    * codegen'd Catalyst expression (see [[graft.plans.ArrayDotProduct]]);
+    * same left-to-right summation as the composable
+    * `aggregate(zip_with(...))` form but ~an order of magnitude faster
+    * (primitive loop inside WholeStageCodegen vs interpreted lambdas).
+    */
   def dot(a: Column, b: Column): Column = graft.plans.ArrayDotProduct.dot(a, b)
 
   /** The composable built-ins-only formulation (kept for reference and
