@@ -74,7 +74,7 @@ object Registry {
       "dedup_lsh_recall", "dedup_lsh_precision", "dedup_lsh_tuning",
       "dedup_minhash_est",
       "retrieval_ndcg", "retrieval_ndcg_batch",
-      "lang_id_eval", "rules_gate_eval", "rules_ablation",
+      "lang_id_eval", "rules_gate_eval", "rules_ablation", "watermark_eval",
       "quality_rank_corr", "quality_rules_report", "quality_calibration",
       "ts_forecast_eval", "split_leakage",
     )

@@ -529,8 +529,12 @@ object TextCorpus {
       .orderBy(col("doc_id"))
   }
 
-  private val textWatermarkSql =
-    raw"""WITH st AS (
+  /** CTE chain to the salted per-doc scores `ws (doc_id, n, g, z)` —
+    * ONE rendering shared by the detector report and the operating-
+    * curve eval so the salting and the z algebra exist once per engine.
+    */
+  private val watermarkScoresCtesSql =
+    raw"""st AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 4 = 0
        |      THEN text || ' ${Seq.fill(WmCopies)(WmToken).mkString(" ")}'
@@ -542,16 +546,71 @@ object TextCorpus {
        |    CAST(len(list_filter(range(1, len(t)), i ->
        |      ('0x' || substr(md5(t[i] || '#' || t[i + 1]), 1, 15))::BIGINT % 4 = 0))
        |    AS BIGINT) AS g
-       |  FROM tk WHERE len(t) >= 2)
-       |SELECT doc_id, n AS n_pairs, g AS n_green,
-       |  (g::DOUBLE - 0.25::DOUBLE * n::DOUBLE) / sqrt(n::DOUBLE * 0.1875::DOUBLE) AS z,
-       |  CAST(CASE WHEN (g::DOUBLE - 0.25::DOUBLE * n::DOUBLE)
-       |      / sqrt(n::DOUBLE * 0.1875::DOUBLE) > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS watermarked
-       |FROM gc ORDER BY doc_id""".stripMargin
+       |  FROM tk WHERE len(t) >= 2),
+       |ws AS (
+       |  SELECT doc_id, n, g,
+       |    (g::DOUBLE - 0.25::DOUBLE * n::DOUBLE) / sqrt(n::DOUBLE * 0.1875::DOUBLE) AS z
+       |  FROM gc)""".stripMargin
+
+  private val textWatermarkSql =
+    s"""WITH $watermarkScoresCtesSql
+       |SELECT doc_id, n AS n_pairs, g AS n_green, z,
+       |  CAST(CASE WHEN z > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS watermarked
+       |FROM ws ORDER BY doc_id""".stripMargin
+
+  // ========================================================================
+  // watermark_eval — the detector's OPERATING CURVE: TPR/FPR of the
+  // greenlist z-test at thresholds σ ∈ {2, 3, 4, 5}, measured against
+  // the known salted/clean labels (doc_id % 4 — the ground truth this
+  // synthetic harness controls). The table that justifies the shipped
+  // 4σ default: at 2σ the false-positive rate is non-trivial, at 5σ
+  // long salted docs start escaping — the trade every deployment reads
+  // before picking its own bar. Exact-integer e6 rates (jaccard_e6
+  // convention); one pass over the per-doc score relation, the 4-row
+  // fan-out via a broadcast threshold relation with map-side combine.
+  // ========================================================================
+  private val WmThresholds = Seq(2.0, 3.0, 4.0, 5.0)
+
+  def watermarkEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val salted = when(col("doc_id") % 4 === 0,
+      concat(col("text"), lit(" " + Seq.fill(WmCopies)(WmToken).mkString(" "))))
+      .otherwise(col("text"))
+    val scores = watermarkScores(docs(s, d).select(col("doc_id"), salted.as("text")))
+      .select(col("doc_id"), col("z"), (col("doc_id") % 4 === 0).as("pos"))
+    scores.crossJoin(broadcast(WmThresholds.toDF("thresh")))
+      .groupBy(col("thresh"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("pos") && col("z") > col("thresh"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("pos") && col("z") > col("thresh"), 1L).otherwise(0L)).as("fp"))
+      .withColumn("tpr_e6", expr("(tp * 1000000) div n_pos"))
+      .withColumn("fpr_e6", expr("(fp * 1000000) div n_neg"))
+      .select(col("thresh"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        col("tpr_e6"), col("fpr_e6"))
+      .orderBy(col("thresh"))
+  }
+
+  private val watermarkEvalSql =
+    s"""WITH $watermarkScoresCtesSql,
+       |lab AS (SELECT doc_id, z, doc_id % 4 = 0 AS pos FROM ws),
+       |th AS (SELECT unnest([${WmThresholds.mkString(", ")}]) AS thresh)
+       |SELECT CAST(th.thresh AS DOUBLE) AS thresh,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       |  CAST(sum(CASE WHEN pos AND z > th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN NOT pos AND z > th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST((sum(CASE WHEN pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
+       |    // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tpr_e6,
+       |  CAST((sum(CASE WHEN NOT pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
+       |    // sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS fpr_e6
+       |FROM lab CROSS JOIN th
+       |GROUP BY th.thresh ORDER BY thresh""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "corpus_growth" -> (corpusGrowth _),
     "text_watermark" -> (textWatermark _),
+    "watermark_eval" -> (watermarkEval _),
     "vocab_overlap" -> (vocabOverlap _),
     "zipf_fit" -> (zipfFit _),
     "corpus_diversity" -> (corpusDiversity _),
@@ -562,6 +621,7 @@ object TextCorpus {
   val oracleSql: Map[String, String] = Map(
     "corpus_growth" -> corpusGrowthSql,
     "text_watermark" -> textWatermarkSql,
+    "watermark_eval" -> watermarkEvalSql,
     "vocab_overlap" -> vocabOverlapSql,
     "zipf_fit" -> zipfFitSql,
     "corpus_diversity" -> corpusDiversitySql,

@@ -1426,6 +1426,24 @@ class NewQuerySpec extends SparkSpec {
     }
   }
 
+  test("watermark_eval: ROC monotonicity and consistency with the shipped 4-sigma flag") {
+    val out = graft.SparkEntry.queries("watermark_eval")(spark, sf)
+      .orderBy(col("thresh")).collect()
+    assert(out.length == 4)
+    // raising the threshold can only shrink both rates
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(5) <= a.getLong(5), "TPR must be non-increasing in threshold")
+      assert(b.getLong(6) <= a.getLong(6), "FPR must be non-increasing in threshold")
+    }
+    // the 4-sigma row must agree with text_watermark's flag counts
+    val t4 = out.find(_.getDouble(0) == 4.0).get
+    val flags = graft.SparkEntry.queries("text_watermark")(spark, sf).collect()
+    val tp = flags.count(r => r.getLong(0) % 4 == 0 && r.getLong(4) == 1L).toLong
+    val fp = flags.count(r => r.getLong(0) % 4 != 0 && r.getLong(4) == 1L).toLong
+    assert(t4.getLong(3) == tp && t4.getLong(4) == fp,
+      "the eval's 4-sigma cell is the detector's own confusion count")
+  }
+
   test("text_watermark: greenlist membership is the seeded-hash convention on a known pair") {
     import spark.implicits._
     // wm8#wm8 hashes green (the salt token was CHOSEN for it); a one-pair
