@@ -470,49 +470,70 @@ object SimQueries {
       |ORDER BY label""".stripMargin
 
   // ========================================================================
-  // ann_ivf_search — the IVF production path end-to-end: learned per-cell
-  // centroids (one aggregation) → broadcast centroid assignment per query
-  // → top-5 ranked within the probed cell only. Per-query work is |cell|,
-  // not |corpus|.
+  // ann_ivf_search — the IVF production SERVING path end-to-end with a
+  // CARDINALITY-SCALING index: the adaptive-plane learned quantizer
+  // (cells ≈ √N — the graph family's codebook, shared memo, so the IVF
+  // serving keys and the graph index pay ONE learning pass) plus an
+  // ADAPTIVE probe budget (Similarity.adaptiveNProbe: nProbe =
+  // max(2, ⌈cells/8⌉), holding the probed corpus fraction ≈ 1/8
+  // constant at every scale — probed-fraction arithmetic documented at
+  // the definition). r19 probed a FIXED 1 cell of 8 geometry-blind
+  // label cells and recall decayed with corpus growth (0.12 at sf0.1 —
+  // the fixed-constant-vs-scaling-structure defect); with probe ∝ cells
+  // the per-sf recall floors hold flat (AnnIvfAdaptiveSpec, the
+  // AnnGraphSpec treatment). Per-query work is nProbe·|cell| ≈ N/16,
+  // never |corpus|; the query-side assignment is a broadcast of the
+  // ≤|cells| codebook.
   // ========================================================================
   def annIvfSearch(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfSearch(emb(s, d), "vec_id", "embedding", "label",
-        col("vec_id") < 10, k = 5)
-      .orderBy(col("q_id"), col("rank"))
+    annIvfAdaptive(s, d, probeMult = 1)
 
   // ========================================================================
-  // ann_ivf_probe2 — the same IVF search with nProbe = 2: each query scans
-  // its TWO nearest cells and the top-5 ranks across both. Exercises the
-  // boundary-recall dial (a query vector near a cell frontier recovers
-  // neighbors the rc=1 probe misses) — the oracle is the same pipeline
-  // with the assignment CTE widened to rc <= 2.
+  // ann_ivf_probe2 — the same adaptive IVF search at DOUBLE the probe
+  // budget (nProbe = 2·⌈cells/8⌉ ⇒ ≈ 1/4 of the corpus probed): the
+  // recall dial at the adaptive operating point — a query near a cell
+  // frontier recovers the neighbors the 1× budget misses, and the gap
+  // between the two keys (ann_recall measures both against the exact
+  // truth set) prices the dial.
   // ========================================================================
   def annIvfProbe2(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfSearch(emb(s, d), "vec_id", "embedding", "label",
-        col("vec_id") < 10, k = 5, nProbe = 2)
-      .orderBy(col("q_id"), col("rank"))
+    annIvfAdaptive(s, d, probeMult = 2)
 
-  private def ivfSearchSql(nProbe: Int) =
-    s"""WITH m AS (
-      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
-      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
-      |cn AS (
-      |  SELECT label AS cell, cvec,
-      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
-      |e AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings),
+  /** The shared serving pipeline: probe `probeMult ×` the adaptive
+    * budget over the graph family's √N-cell quantizer and rank top-5
+    * within the probed cells.
+    */
+  private def annIvfAdaptive(s: SparkSession, d: String, probeMult: Int): DataFrame = {
+    val cents = graphCents(s, d)
+    Similarity.ivfSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
+        col("vec_id") < 10, k = 5,
+        nProbe = probeMult * Similarity.adaptiveNProbe(cents.size),
+        centroids = Some(Similarity.localizeCentroids(s, cents)))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The adaptive-IVF oracle: the graph family's adaptive-plane kmeans
+    * chain (cell count derived from count(*) in SQL, so the oracle's
+    * quantizer scales with the corpus exactly like the Spark side) plus
+    * a probe budget CTE re-deriving greatest(2, (cells + 7) // 8) —
+    * the integer-exact rendering of Similarity.adaptiveNProbe — from
+    * its own final-centroid count.
+    */
+  private def ivfAdaptiveSql(probeMult: Int) =
+    s"""WITH ${graphKmCtesSql()},
+      |npr AS (SELECT greatest(2, (count(*) + 7) // 8) * $probeMult AS p
+      |       FROM cn$GraphIters),
       |assign AS (
       |  SELECT q_id, q_vec, q_nrm, cell FROM (
-      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, cn.cell,
+      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, c.cell,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
-      |          i -> q.embedding[i]::DOUBLE * cn.cvec[i])) / (q.nrm * cn.cnrm) DESC,
-      |        cn.cell) AS rc
-      |    FROM e q, cn WHERE q.vec_id < 10)
-      |  WHERE rc <= $nProbe)
+      |          i -> q.embedding[i]::DOUBLE * c.cvec[i])) / (q.nrm * c.cnrm) DESC,
+      |        c.cell) AS rc
+      |    FROM e q, cn$GraphIters c WHERE q.vec_id < 10)
+      |  WHERE rc <= (SELECT p FROM npr)),
+      |km AS (SELECT e.vec_id, e.embedding, e.nrm, am.cell
+      |       FROM e JOIN am USING (vec_id))
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, CAST(cell AS BIGINT) AS cell,
       |  round(cos, 4) AS cos
       |FROM (
@@ -523,12 +544,12 @@ object SimQueries {
       |      list_sum(list_transform(range(1, len(a.q_vec) + 1),
       |        i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
       |      c.vec_id) AS rank
-      |  FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id)
+      |  FROM assign a JOIN km c ON c.cell = a.cell AND c.vec_id <> a.q_id)
       |WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
-  private val annIvfSearchSql = ivfSearchSql(nProbe = 1)
-  private val annIvfProbe2Sql = ivfSearchSql(nProbe = 2)
+  private def annIvfSearchSql = ivfAdaptiveSql(probeMult = 1)
+  private def annIvfProbe2Sql = ivfAdaptiveSql(probeMult = 2)
 
   // ========================================================================
   // ann_sq8 — scalar-quantized (int8) brute-force ANN: the memory lever
@@ -590,12 +611,17 @@ object SimQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   // ========================================================================
-  // ann_recall — recall@5 of IVF(nProbe ∈ {1,2}) against the brute-force
-  // top-5 (the declared correctness baseline): per query, how many of the
-  // true neighbors the probe recovered. THE dial that matters at 100×
+  // ann_recall — recall@5 of the ADAPTIVE IVF serving path (the
+  // ann_ivf_search/ann_ivf_probe2 operating points: √N-cell learned
+  // quantizer, probe budgets 1× and 2× Similarity.adaptiveNProbe)
+  // against the brute-force top-5 truth set: per query, how many true
+  // neighbors each budget recovered. THE dial that matters at 100×
   // scale is recall-vs-probe-cost; this query measures it (and locks
-  // centroid learning against regressions — a worse quantizer shows up
-  // as a recall drop before it shows up anywhere else).
+  // quantizer learning against regressions — a worse codebook shows up
+  // as a recall drop before it shows up anywhere else). The n_probe
+  // column carries the ACTUAL probe counts (they scale with the cell
+  // count per sf), so the bench recalls/recalls_by_sf blocks record the
+  // operating curve per scale.
   //
   // Determinism: hits is an integer pair-set intersection; recall ships
   // as ONE division of identical ints (never a rounded small-denominator
@@ -692,9 +718,12 @@ object SimQueries {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val exact = exactRows.toDF("q_id", "n_id")
     val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
-    val perProbe = Seq(1, 2).map { p =>
-      val hits = Similarity.ivfSearch(e, "vec_id", "embedding", "label",
-          col("vec_id") < 10, k = 5, nProbe = p)
+    val cents = graphCents(s, d)
+    val np = Similarity.adaptiveNProbe(cents.size)
+    val perProbe = Seq(np, 2 * np).map { p =>
+      val hits = Similarity.ivfSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
+          col("vec_id") < 10, k = 5, nProbe = p,
+          centroids = Some(Similarity.localizeCentroids(s, cents)))
         .select(col("q_id"), col("n_id"))
         .join(exact, Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
@@ -797,19 +826,17 @@ object SimQueries {
        |ORDER BY dims, q_id""".stripMargin
   }
 
-  private val annRecallSql =
-    """WITH m AS (
-      |  SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS mu
-      |  FROM embeddings, range(1, 65) r(i) GROUP BY label, i),
-      |cn AS (
-      |  SELECT label AS cell, cvec,
-      |    sqrt(list_sum(list_transform(cvec, x -> x * x))) AS cnrm
-      |  FROM (SELECT label, list(mu ORDER BY i) AS cvec FROM m GROUP BY label)),
-      |e AS (
-      |  SELECT vec_id, label, embedding,
-      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
-      |  FROM embeddings),
-      |bf AS (
+  /** The ann_recall oracle: the adaptive-plane kmeans chain (cells and
+    * probe budget both re-derived from counts in SQL, scaling with the
+    * corpus exactly like the Spark side), the brute-force truth set,
+    * and one probed-rank CTE per budget (1× and 2× adaptiveNProbe).
+    */
+  private def annRecallSql =
+    s"""WITH ${graphKmCtesSql()},
+      |npr AS (SELECT greatest(2, (count(*) + 7) // 8) AS p FROM cn$GraphIters),
+      |km AS MATERIALIZED (SELECT e.vec_id, e.embedding, e.nrm, am.cell
+      |       FROM e JOIN am USING (vec_id)),
+      |bf AS MATERIALIZED (
       |  SELECT q_id, n_id FROM (
       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -818,15 +845,15 @@ object SimQueries {
       |        c.vec_id) AS rank
       |    FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
       |  WHERE rank <= 5),
-      |assign AS (
+      |assign AS MATERIALIZED (
       |  SELECT q_id, q_vec, q_nrm, cell, rc FROM (
-      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, cn.cell,
+      |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, q.nrm AS q_nrm, c.cell,
       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |        list_sum(list_transform(range(1, len(q.embedding) + 1),
-      |          i -> q.embedding[i]::DOUBLE * cn.cvec[i])) / (q.nrm * cn.cnrm) DESC,
-      |        cn.cell) AS rc
-      |    FROM e q, cn WHERE q.vec_id < 10)
-      |  WHERE rc <= 2),
+      |          i -> q.embedding[i]::DOUBLE * c.cvec[i])) / (q.nrm * c.cnrm) DESC,
+      |        c.cell) AS rc
+      |    FROM e q, cn$GraphIters c WHERE q.vec_id < 10)
+      |  WHERE rc <= 2 * (SELECT p FROM npr)),
       |ivf1 AS (
       |  SELECT q_id, n_id FROM (
       |    SELECT a.q_id, c.vec_id AS n_id,
@@ -834,8 +861,8 @@ object SimQueries {
       |        list_sum(list_transform(range(1, len(a.q_vec) + 1),
       |          i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
       |        c.vec_id) AS rank
-      |    FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id
-      |    WHERE a.rc <= 1)
+      |    FROM assign a JOIN km c ON c.cell = a.cell AND c.vec_id <> a.q_id
+      |    WHERE a.rc <= (SELECT p FROM npr))
       |  WHERE rank <= 5),
       |ivf2 AS (
       |  SELECT q_id, n_id FROM (
@@ -844,7 +871,7 @@ object SimQueries {
       |        list_sum(list_transform(range(1, len(a.q_vec) + 1),
       |          i -> a.q_vec[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (a.q_nrm * c.nrm) DESC,
       |        c.vec_id) AS rank
-      |    FROM assign a JOIN e c ON c.label = a.cell AND c.vec_id <> a.q_id)
+      |    FROM assign a JOIN km c ON c.cell = a.cell AND c.vec_id <> a.q_id)
       |  WHERE rank <= 5),
       |h1 AS (SELECT q_id, count(*) AS hits
       |       FROM (SELECT * FROM ivf1 INTERSECT SELECT * FROM bf) GROUP BY q_id),
@@ -852,11 +879,11 @@ object SimQueries {
       |       FROM (SELECT * FROM ivf2 INTERSECT SELECT * FROM bf) GROUP BY q_id),
       |q AS (SELECT DISTINCT q_id FROM bf)
       |SELECT q_id, n_probe, hits, CAST(hits AS DOUBLE) / 5.0 AS recall FROM (
-      |  SELECT q.q_id, CAST(1 AS BIGINT) AS n_probe,
+      |  SELECT q.q_id, CAST((SELECT p FROM npr) AS BIGINT) AS n_probe,
       |    CAST(coalesce(h1.hits, 0) AS BIGINT) AS hits
       |  FROM q LEFT JOIN h1 ON q.q_id = h1.q_id
       |  UNION ALL
-      |  SELECT q.q_id, CAST(2 AS BIGINT) AS n_probe,
+      |  SELECT q.q_id, CAST(2 * (SELECT p FROM npr) AS BIGINT) AS n_probe,
       |    CAST(coalesce(h2.hits, 0) AS BIGINT) AS hits
       |  FROM q LEFT JOIN h2 ON q.q_id = h2.q_id)
       |ORDER BY n_probe, q_id""".stripMargin
@@ -2202,9 +2229,14 @@ object SimQueries {
   // probed cells' members on reconstruction (coarse centroid + residual
   // decode), exact-rerank the shortlist.
   //
-  // Scale shape: per-query work is |probed cells| · compressed scan +
-  // |shortlist| exact fetches — both knobs (nProbe, shortlist) are
-  // constants; residual computation and encode are pure projections
+  // Scale shape: the coarse quantizer is the adaptive-plane √N-cell
+  // codebook (graphCents — shared with the graph/IVF serving keys) and
+  // the probe budget scales with it (Similarity.adaptiveNProbe, the
+  // ann_ivf_search treatment: probed fraction ≈ 1/8 of the corpus at
+  // every scale, in COMPRESSED form — r19's fixed 2-of-8-cells probe
+  // let rerank recall decay 0.88 → 0.64 at 10× the corpus); the exact
+  // rerank touches a constant 100-row shortlist per query. Residual
+  // computation and encode are pure projections
   // (the coarse map and 4 codebooks ride as literals — zero exchanges,
   // same plan contract as ann_pq's encode, guarded in PlanShapeSpec);
   // the only exchanges are the two top-k windows keyed by q_id. The
@@ -2213,8 +2245,6 @@ object SimQueries {
   // 4 residual Lloyd chains, reconstruction, probe, ADC shortlist and
   // exact rerank.
   // ========================================================================
-  private val IvfPqProbe = 2
-
   /** Residual frame (vec_id, kcell, resid): corpus assigned to coarse
     * cells, residual = embedding − coarse centroid, element-wise double.
     * Coarse centroids are rounded(,6) per the Lloyd contract, so the
@@ -2234,7 +2264,7 @@ object SimQueries {
     ivfPqResidMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
     val v = ivfPqResidMemo.getOrElseUpdate((s, d), {
       MemoTrace.built("ivfPqResiduals")
-      val coarse = kmCentroids(s, d, KmPlanes, KmIters)
+      val coarse = graphCents(s, d)
       val coarseMap = typedLit(coarse.map(c => c.cell -> c.cvec).toMap)
       emb(s, d)
         .withColumn("kcell", Similarity.nearestCentroid(col("embedding"), coarse))
@@ -2305,7 +2335,7 @@ object SimQueries {
     * residual frame (codebooks and the coarse map are literals).
     */
   private[graft] def ivfPqEncode(s: SparkSession, d: String): DataFrame =
-    ivfPqDecode(ivfPqCodes(s, d), kmCentroids(s, d, KmPlanes, KmIters),
+    ivfPqDecode(ivfPqCodes(s, d), graphCents(s, d),
       (0 until PqSubspaces).map(j => ivfPqCentroids(s, d, j)))
 
   /** Probe + ADC shortlist + exact rerank over a reconstruction frame
@@ -2314,7 +2344,8 @@ object SimQueries {
     */
   private[graft] def ivfPqSearch(s: SparkSession, e: DataFrame,
                                  corpusRecon: DataFrame,
-                                 coarse: Seq[Similarity.Centroid]): DataFrame = {
+                                 coarse: Seq[Similarity.Centroid],
+                                 nProbe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cent = Similarity.localizeCentroids(s, coarse)
     val q = e.filter(col("vec_id") < 10)
@@ -2325,7 +2356,7 @@ object SimQueries {
     val assigned = q.crossJoin(broadcast(cent))
       .withColumn("cos_c", Similarity.dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
       .withColumn("rc", row_number().over(wa))
-      .filter(col("rc") <= IvfPqProbe)
+      .filter(col("rc") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val wS = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     val shortlist = corpusRecon.join(broadcast(assigned), Seq("cell"))
@@ -2343,8 +2374,11 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def annIvfPq(s: SparkSession, d: String): DataFrame =
-    ivfPqSearch(s, emb(s, d), ivfPqEncode(s, d), kmCentroids(s, d, KmPlanes, KmIters))
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val coarse = graphCents(s, d)
+    ivfPqSearch(s, emb(s, d), ivfPqEncode(s, d), coarse,
+      Similarity.adaptiveNProbe(coarse.size))
+  }
 
   /** One residual subspace's Lloyd chain as DuckDB CTEs — pqSubCtesSql
     * over the `res` relation (resid already DOUBLE), CTE names prefixed
@@ -2403,7 +2437,7 @@ object SimQueries {
        |  SELECT e.vec_id, am.cell,
        |    list_transform(range(1, len(e.embedding) + 1),
        |      i -> e.embedding[i]::DOUBLE - cc.cvec[i]) AS resid
-       |  FROM e JOIN am USING (vec_id) JOIN cn$KmIters cc ON cc.cell = am.cell),
+       |  FROM e JOIN am USING (vec_id) JOIN cn$GraphIters cc ON cc.cell = am.cell),
        |$subCtes,
        |ivfpq_rres AS (
        |  SELECT res.vec_id, res.cell, $reconExpr AS rres
@@ -2412,7 +2446,8 @@ object SimQueries {
        |ivfpq_recon AS (
        |  SELECT rr.vec_id, rr.cell,
        |    list_transform(range(1, len(rr.rres) + 1), i -> cc.cvec[i] + rr.rres[i]) AS recon
-       |  FROM ivfpq_rres rr JOIN cn$KmIters cc ON cc.cell = rr.cell),
+       |  FROM ivfpq_rres rr JOIN cn$GraphIters cc ON cc.cell = rr.cell),
+       |ivfpq_np AS (SELECT greatest(2, (count(*) + 7) // 8) AS p FROM cn$GraphIters),
        |ivfpq_assign AS (
        |  SELECT q_id, q_vec, cell FROM (
        |    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
@@ -2420,8 +2455,8 @@ object SimQueries {
        |        list_sum(list_transform(range(1, len(q.embedding) + 1),
        |          i -> q.embedding[i]::DOUBLE * c.cvec[i])) / (q.nrm * c.cnrm) DESC,
        |        c.cell) AS rc
-       |    FROM e q, cn$KmIters c WHERE q.vec_id < 10)
-       |  WHERE rc <= $IvfPqProbe),
+       |    FROM e q, cn$GraphIters c WHERE q.vec_id < 10)
+       |  WHERE rc <= (SELECT p FROM ivfpq_np)),
        |ivfpq_sl AS (
        |  SELECT q_id, n_id FROM (
        |    SELECT a.q_id, m.vec_id AS n_id,
@@ -2444,11 +2479,11 @@ object SimQueries {
        |  WHERE rank <= 5)""".stripMargin
   }
 
-  private val ivfPqCtesSql =
-    s"""${kmeansCtesSql(KmPlanes, KmIters)},
+  private def ivfPqCtesSql =
+    s"""${graphKmCtesSql()},
        |$ivfPqCtesBodySql""".stripMargin
 
-  private val annIvfPqSql =
+  private def annIvfPqSql =
     s"""WITH $ivfPqCtesSql
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, round(ip, 4) AS ip
        |FROM ivfpq_rr
@@ -2491,8 +2526,8 @@ object SimQueries {
     }.reduce(_ unionByName _).orderBy(col("method"), col("q_id"))
   }
 
-  private val annRecallPqSql =
-    s"""WITH ${kmeansCtesSql(KmPlanes, KmIters)},
+  private def annRecallPqSql =
+    s"""WITH ${graphKmCtesSql()},
        |$ivfPqCtesBodySql,
        |$pqCtesBodySql,
        |bf AS (

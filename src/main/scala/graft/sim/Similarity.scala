@@ -339,6 +339,29 @@ object Similarity {
     math.max(2, (clog2 + 1) / 2)
   }
 
+  /** Probe budget for a cardinality-scaling IVF index: nProbe =
+    * max(2, ⌈cells/8⌉), so the probe count grows WITH the cell count
+    * instead of sitting at a fixed constant while cells ∝ √N multiply.
+    *
+    * The probed-fraction arithmetic this pins: with cells ≈ √N and
+    * ≈ N/cells ≈ √N members per cell, a FIXED nProbe scans
+    * nProbe·√N/N = nProbe/√N of the corpus — a fraction that shrinks
+    * as the corpus grows, so recall decays BY DESIGN at fixed probe
+    * (measured r19: 0.12/0.28 at the largest sf — the same
+    * fixed-constant-vs-scaling-structure defect the graph quantizer
+    * fixed with [[adaptivePlanes]]). With nProbe = ⌈cells/8⌉ the
+    * probed fraction is ⌈cells/8⌉/cells ≈ 1/8 of the corpus at
+    * EVERY scale, so recall holds flat as N grows (per-sf floors
+    * pinned in AnnIvfAdaptiveSpec). The trade is per-query scan cost
+    * ≈ N/8 — linear in N, 8× under brute force; the graph index
+    * ([[graphBeamSearch]], O(hops·beam·degree) per query) is the
+    * sublinear-serving alternative when that matters more than the
+    * IVF index's O(1)-cost maintenance. Integer-exact so the oracle
+    * re-derives the identical budget from its own cell count
+    * (greatest(2, (cells + 7) // 8)).
+    */
+  def adaptiveNProbe(nCells: Int): Int = math.max(2, (nCells + 7) / 8)
+
   /** Deterministic Lloyd k-means over an embedding column — the learned
     * coarse quantizer for IVF on unlabeled corpora (the production case:
     * real corpora carry no `label`). Mirrors the reference's

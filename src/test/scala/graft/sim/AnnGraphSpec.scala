@@ -14,21 +14,24 @@ class AnnGraphSpec extends SparkSpec {
 
   private def emb = graft.sources.Tables.embeddings(spark, sf)
 
-  test("recall@5 beats IVF nProbe=2") {
+  test("recall@5 beats the adaptive-IVF 2x probe budget") {
     val graph = graft.SparkEntry.queries("ann_recall_graph")(spark, sf)
       .agg(sum(col("hits")).as("h"), count(lit(1)).as("n")).head()
     val graphHits = graph.getLong(0)
-    // the IVF baseline from the same truth set: ann_recall's nProbe=2 rows
-    val ivf = graft.SparkEntry.queries("ann_recall")(spark, sf)
-      .filter(col("n_probe") === 2)
+    // the IVF baseline from the same truth set: ann_recall's strongest
+    // operating point (the 2x adaptive budget — max n_probe rows,
+    // ~1/4 of the corpus probed; measured 0.60-0.66 vs graph 0.92+)
+    val recall = graft.SparkEntry.queries("ann_recall")(spark, sf)
+    val npMax = recall.agg(max(col("n_probe"))).head().getLong(0)
+    val ivf = recall.filter(col("n_probe") === npMax)
       .agg(sum(col("hits")).as("h"), count(lit(1)).as("n")).head()
     val ivfHits = ivf.getLong(0)
     assert(graph.getLong(1) == ivf.getLong(1), "same query set")
     assert(graphHits > ivfHits,
-      s"graph hits $graphHits must beat IVF nProbe=2 hits $ivfHits")
+      s"graph hits $graphHits must beat IVF 2x-budget hits $ivfHits")
     // budget: beam search scores <= hops*beam*(degree+1) + entries
     // vertices per query — a CONSTANT independent of corpus size, while
-    // nProbe=2 scans ~2 label cells = 2N/10 per query, growing linearly.
+    // the 2x adaptive probe scans ~N/4 per query, growing linearly.
     // The graph wins recall AND has the bounded serving cost.
   }
 
@@ -63,7 +66,7 @@ class AnnGraphSpec extends SparkSpec {
     assert(live == persisted)
   }
 
-  test("append: repaired index beats IVF nProbe=2 and sits at the rebuild's recall level") {
+  test("append: repaired index beats the adaptive-IVF 2x budget and sits at the rebuild recall level") {
     val e = emb
     val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         col("vec_id") < 10, 5).select(col("q_id"), col("n_id"))
@@ -72,13 +75,15 @@ class AnnGraphSpec extends SparkSpec {
       .join(bf, Seq("q_id", "n_id"), "left_semi").count()
     val rebuild = hits(graft.SparkEntry.queries("ann_graph_topk")(spark, sf))
     val append = hits(graft.SparkEntry.queries("ann_graph_append")(spark, sf))
-    val ivf2 = graft.SparkEntry.queries("ann_recall")(spark, sf)
-      .filter(col("n_probe") === 2).agg(sum(col("hits"))).head().getLong(0)
+    val recall = graft.SparkEntry.queries("ann_recall")(spark, sf)
+    val npMax = recall.agg(max(col("n_probe"))).head().getLong(0)
+    val ivf2 = recall.filter(col("n_probe") === npMax)
+      .agg(sum(col("hits"))).head().getLong(0)
     // with back-edge repair the appended index IS a frozen-quantizer
     // rebuild, so the only gap vs ann_graph_topk is quantizer staleness
     // (base-learned vs full-learned cells) — bounded at 10% of the truth
     // set, a floor r18's no-back-edges insertion (36 vs 42 of 50) missed
-    assert(append > ivf2, s"append $append must beat IVF nProbe=2 $ivf2")
+    assert(append > ivf2, s"append $append must beat the IVF 2x budget $ivf2")
     assert(math.abs(append - rebuild) <= 5,
       s"append $append vs rebuild $rebuild: staleness gap above 10%")
   }

@@ -38,8 +38,9 @@ class AnnPersistSpec extends SparkSpec {
   test("IVF-PQ index persists: codebooks + coded corpus round-trip, search identical") {
     import graft.queries.SimQueries
     val subs = 0 until SimQueries.PqSubspaces
-    // learn the composed index in-session
-    val coarse = SimQueries.kmCentroids(spark, sf, SimQueries.KmPlanes, SimQueries.KmIters)
+    // learn the composed index in-session (the adaptive-plane coarse
+    // codebook the IVF-PQ keys serve with)
+    val coarse = SimQueries.graphCents(spark, sf)
     val books = subs.map(j => SimQueries.ivfPqCentroids(spark, sf, j))
     // persist: coarse codebook, 4 residual codebooks, and the CODED
     // corpus (cell + 4 small codes per vector — the compressed artifact)
@@ -54,7 +55,8 @@ class AnnPersistSpec extends SparkSpec {
     assert(coarseBack == coarse && booksBack == books) // bit-exact codebooks
     val recon = SimQueries.ivfPqDecode(
       spark.table("graft_test_ivfpq_codes"), coarseBack, booksBack)
-    val persisted = SimQueries.ivfPqSearch(spark, emb, recon, coarseBack).collect()
+    val persisted = SimQueries.ivfPqSearch(spark, emb, recon, coarseBack,
+      Similarity.adaptiveNProbe(coarseBack.size)).collect()
     val inSession = graft.SparkEntry.queries("ann_ivf_pq")(spark, sf).collect()
     assert(persisted.nonEmpty)
     assert(persisted.sameElements(inSession))
@@ -89,7 +91,7 @@ class AnnPersistSpec extends SparkSpec {
     import org.apache.spark.sql.functions.expr
     import graft.queries.SimQueries
     val subs = 0 until SimQueries.PqSubspaces
-    val coarse = SimQueries.kmCentroids(spark, sf, SimQueries.KmPlanes, SimQueries.KmIters)
+    val coarse = SimQueries.graphCents(spark, sf)
     val books = subs.map(j => SimQueries.ivfPqCentroids(spark, sf, j))
     // with codebooks FIXED, per-vector codes are deterministic — so a
     // codes table built from the base slice and APPENDED with the
@@ -104,7 +106,8 @@ class AnnPersistSpec extends SparkSpec {
       codes.filter(expr("vec_id % 5 = 4")), "graft_test_ivfpq_codes_inc", "cell", 4)
     val recon = SimQueries.ivfPqDecode(
       spark.table("graft_test_ivfpq_codes_inc"), coarse, books)
-    val viaAppend = SimQueries.ivfPqSearch(spark, emb, recon, coarse).collect()
+    val viaAppend = SimQueries.ivfPqSearch(spark, emb, recon, coarse,
+      Similarity.adaptiveNProbe(coarse.size)).collect()
     val inSession = graft.SparkEntry.queries("ann_ivf_pq")(spark, sf).collect()
     assert(viaAppend.nonEmpty)
     assert(viaAppend.sameElements(inSession))
