@@ -59,23 +59,38 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 object WinnowFingerprints {
 
   /** One-pass selection: gram hashes, monotonic-deque sliding min,
-    * first-seen-order dedupe. Char-based gram boundaries (matching
-    * Spark `substring`); the all-ASCII fast path (canonical text is
-    * [a-z0-9 ] by construction) hashes straight from the byte array.
+    * first-seen-order dedupe. Gram boundaries count CODE POINTS — the
+    * unit Spark `substring`/`length` and DuckDB `substr`/`len` agree
+    * on — never UTF-16 char units, which diverge from both engines on
+    * supplementary characters. The all-ASCII fast path (canonical text
+    * is [a-z0-9 ] by construction) hashes straight from the byte
+    * array; the fallback walks code-point offsets.
     */
   def selected(ct: UTF8String, k: Int, w: Int): ArrayData = {
     val s = ct.toString
-    val p = s.length - k + 1
-    if (p < w) return new GenericArrayData(Array.empty[Long])
     val md = java.security.MessageDigest.getInstance("MD5")
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val ascii = bytes.length == s.length
+    // code-point count and per-code-point char offsets (ASCII: 1:1)
+    val nCp = if (ascii) s.length else s.codePointCount(0, s.length)
+    val p = nCp - k + 1
+    if (p < w) return new GenericArrayData(Array.empty[Long])
+    val cpOff: Array[Int] =
+      if (ascii) null
+      else {
+        val o = new Array[Int](nCp + 1)
+        var ci = 0
+        var cp = 0
+        while (cp < nCp) { o(cp) = ci; ci = s.offsetByCodePoints(ci, 1); cp += 1 }
+        o(nCp) = s.length
+        o
+      }
     val hs = new Array[Long](p)
     var i = 0
     while (i < p) {
       val dig =
         if (ascii) { md.update(bytes, i, k); md.digest() }
-        else md.digest(s.substring(i, i + k)
+        else md.digest(s.substring(cpOff(i), cpOff(i + k))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       var v = 0L
       var b = 0

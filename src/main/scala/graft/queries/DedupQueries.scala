@@ -2456,34 +2456,55 @@ object DedupQueries {
   // map-scoped monitor (the RelationMemo convention): the greedy build
   // runs k-1 sequential Spark jobs — holding the shared DedupQueries
   // object lock for it would stall every unrelated memo HIT in the file
-  // (the textClusterLabels lesson)
-  private def coresetRows(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] =
+  // (the textClusterLabels lesson). The BUILD itself runs OUTSIDE the
+  // monitor too: k-1 blocking jobs under the map lock would serialize
+  // concurrent coreset builds even for unrelated (session, dir) keys.
+  // The value is deterministic per key, so the benign race (two threads
+  // both miss and both build) converges on identical rows.
+  private def coresetRows(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] = {
     coresetMemo.synchronized {
       coresetMemo.filterInPlace { case ((ks, _), _) => !ks.sparkContext.isStopped }
-      coresetMemo.getOrElseUpdate((s, d), {
-        MemoTrace.built("coresetSelect")
-        val e = coresetCorpus(s, d)
-        var selected = Seq(0L)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
-          (1L, 0L, None))
-        for (step <- 2 to CoresetK) {
-          val selArr = e.filter(col("vec_id").isin(selected: _*))
-            .agg(collect_list(struct(col("embedding").as("v"), col("nrm").as("n")))
-              .as("sel"))
-          val win = e.filter(!col("vec_id").isin(selected: _*))
-            .crossJoin(broadcast(selArr))
-            .withColumn("maxsim", array_max(transform(col("sel"),
-              x => Similarity.dot(col("embedding"), x.getField("v"))
-                / (col("nrm") * x.getField("n")))))
-            .select(col("vec_id"), col("maxsim"))
-            .orderBy(col("maxsim").asc, col("vec_id")).limit(1)
-            .head()
+      coresetMemo.get((s, d))
+    } match {
+      case Some(v) => v
+      case None =>
+        val built = coresetBuild(s, d)
+        coresetMemo.synchronized { coresetMemo.getOrElseUpdate((s, d), built) }
+    }
+  }
+
+  private def coresetBuild(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] = {
+    MemoTrace.built("coresetSelect")
+    val e = coresetCorpus(s, d)
+    var selected = Seq(0L)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (1L, 0L, None))
+    var step = 2
+    var remaining = true
+    while (step <= CoresetK && remaining) {
+      val selArr = e.filter(col("vec_id").isin(selected: _*))
+        .agg(collect_list(struct(col("embedding").as("v"), col("nrm").as("n")))
+          .as("sel"))
+      // a corpus smaller than CoresetK exhausts the remainder before the
+      // budget: stop and emit the shorter list (the oracle's unrolled
+      // s_i CTEs go empty the same way) instead of throwing on head()
+      e.filter(!col("vec_id").isin(selected: _*))
+        .crossJoin(broadcast(selArr))
+        .withColumn("maxsim", array_max(transform(col("sel"),
+          x => Similarity.dot(col("embedding"), x.getField("v"))
+            / (col("nrm") * x.getField("n")))))
+        .select(col("vec_id"), col("maxsim"))
+        .orderBy(col("maxsim").asc, col("vec_id")).limit(1)
+        .collect().headOption match {
+        case Some(win) =>
           selected = selected :+ win.getLong(0)
           out += ((step.toLong, win.getLong(0), Some(Similarity.round4(win.getDouble(1)))))
-        }
-        out.toSeq
-      })
+          step += 1
+        case None => remaining = false
+      }
     }
+    out.toSeq
+  }
 
   def sampleCoreset(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

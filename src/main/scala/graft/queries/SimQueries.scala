@@ -3395,8 +3395,13 @@ object SimQueries {
     var sel = Vector.empty[Long]
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double, Double, Double)]
-    for (step <- 1 to MmrK) {
-      val best = cand.filterNot(c => sel.contains(c._1)).map { case (id, rel, v) =>
+    var step = 1
+    var remaining = true
+    while (step <= MmrK && remaining) {
+      // a pool smaller than MmrK exhausts before the budget: emit the
+      // shorter list (the unrolled oracle's s_i CTEs go empty the same
+      // way) instead of throwing on an empty candidate set
+      val scored = cand.filterNot(c => sel.contains(c._1)).map { case (id, rel, v) =>
         val red =
           if (sel.isEmpty) 0.0
           else sel.map(sid => ddot(v, vec(sid)) / (nrm(id) * nrm(sid))).max
@@ -3404,10 +3409,15 @@ object SimQueries {
       }.sortWith { case ((ida, _, _, ma), (idb, _, _, mb)) =>
         val c = java.lang.Double.compare(mb, ma)
         if (c != 0) c < 0 else ida < idb
-      }.head
-      sel :+= best._1
-      rows += ((step.toLong, best._1, Similarity.round4(best._2),
-        Similarity.round4(best._3), Similarity.round4(best._4)))
+      }
+      scored.headOption match {
+        case Some(best) =>
+          sel :+= best._1
+          rows += ((step.toLong, best._1, Similarity.round4(best._2),
+            Similarity.round4(best._3), Similarity.round4(best._4)))
+          step += 1
+        case None => remaining = false
+      }
     }
     rows.toSeq
   }

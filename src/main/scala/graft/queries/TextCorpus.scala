@@ -584,8 +584,14 @@ object TextCorpus {
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("pos") && col("z") > col("thresh"), 1L).otherwise(0L)).as("tp"),
         sum(when(!col("pos") && col("z") > col("thresh"), 1L).otherwise(0L)).as("fp"))
-      .withColumn("tpr_e6", expr("(tp * 1000000) div n_pos"))
-      .withColumn("fpr_e6", expr("(fp * 1000000) div n_neg"))
+      // a degenerate fixture with no positives (or no negatives) must
+      // pin identical null semantics on both engines: Spark `div` and
+      // DuckDB `//` disagree on zero divisors, so the rate is NULLed
+      // explicitly when its denominator is 0 (the rho_e6 convention)
+      .withColumn("tpr_e6",
+        expr("CASE WHEN n_pos = 0 THEN NULL ELSE (tp * 1000000) div n_pos END"))
+      .withColumn("fpr_e6",
+        expr("CASE WHEN n_neg = 0 THEN NULL ELSE (fp * 1000000) div n_neg END"))
       .select(col("thresh"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
         col("tpr_e6"), col("fpr_e6"))
       .orderBy(col("thresh"))
@@ -600,10 +606,12 @@ object TextCorpus {
        |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
        |  CAST(sum(CASE WHEN pos AND z > th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        |  CAST(sum(CASE WHEN NOT pos AND z > th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |  CAST((sum(CASE WHEN pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
-       |    // sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tpr_e6,
-       |  CAST((sum(CASE WHEN NOT pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
-       |    // sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS fpr_e6
+       |  CAST(CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) = 0 THEN NULL
+       |    ELSE (sum(CASE WHEN pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
+       |      // sum(CASE WHEN pos THEN 1 ELSE 0 END) END AS BIGINT) AS tpr_e6,
+       |  CAST(CASE WHEN sum(CASE WHEN pos THEN 0 ELSE 1 END) = 0 THEN NULL
+       |    ELSE (sum(CASE WHEN NOT pos AND z > th.thresh THEN 1 ELSE 0 END) * 1000000)
+       |      // sum(CASE WHEN pos THEN 0 ELSE 1 END) END AS BIGINT) AS fpr_e6
        |FROM lab CROSS JOIN th
        |GROUP BY th.thresh ORDER BY thresh""".stripMargin
 

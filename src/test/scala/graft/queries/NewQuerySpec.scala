@@ -1444,6 +1444,26 @@ class NewQuerySpec extends SparkSpec {
       "the eval's 4-sigma cell is the detector's own confusion count")
   }
 
+  test("watermark_eval: a fixture with no positive docs NULLs tpr_e6 instead of diverging") {
+    import spark.implicits._
+    // every doc_id % 4 != 0 -> n_pos = 0 per threshold: the rate must be
+    // NULL on both engines (Spark div and DuckDB // disagree on zero
+    // divisors — the r19 ADVICE divergence), never an engine-specific 0
+    val docsDf = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot", "en", "s0", 38L),
+      (2L, "golf hotel india juliet kilo lima mike", "en", "s0", 39L),
+      (3L, "november oscar papa quebec romeo sierra", "en", "s0", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = writeDocsFixture(docsDf)
+    val out = graft.SparkEntry.queries("watermark_eval")(spark, tmp).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L, "no positive docs in the fixture")
+      assert(r.isNullAt(5), "tpr_e6 must be NULL when n_pos = 0")
+      assert(!r.isNullAt(6), "fpr_e6 has a real denominator")
+    }
+  }
+
   test("text_watermark: greenlist membership is the seeded-hash convention on a known pair") {
     import spark.implicits._
     // wm8#wm8 hashes green (the salt token was CHOSEN for it); a one-pair

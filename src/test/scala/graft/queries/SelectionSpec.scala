@@ -32,6 +32,33 @@ class SelectionSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- MMR
 
+  test("tiny corpus: ann_mmr and sample_coreset emit the SHORTER list when the budget exceeds the pool") {
+    // a corpus below MmrK / CoresetK must exhaust gracefully — the
+    // unrolled oracles' per-step CTEs simply go empty, so the engine
+    // side emits the shorter list instead of throwing on an empty
+    // argmax (the r19 ADVICE divergence)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiny_emb")
+    tmp.toFile.deleteOnExit()
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS vec_id,
+        |  transform(sequence(1, 8), i -> CAST(id * 31 + i * 7 AS FLOAT)) AS embedding,
+        |  CAST(id % 2 AS INT) AS label
+        |FROM range(5) AS t(id)""".stripMargin)
+      .write.mode("overwrite").parquet(tmp.resolve("embeddings.parquet").toString)
+    val d = tmp.toString
+    val mmr = graft.SparkEntry.queries("ann_mmr")(spark, d)
+      .orderBy(col("rank")).collect()
+    // pool excludes the query (vec_id 0): 4 candidates < MmrK = 10
+    assert(mmr.length == 4)
+    assert(mmr.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L), "dense ranks")
+    assert(mmr.map(_.getLong(1)).distinct.length == 4)
+    val cs = graft.SparkEntry.queries("sample_coreset")(spark, d)
+      .orderBy(col("rank")).collect()
+    // the whole 5-vector corpus is selected, then the greedy stops
+    assert(cs.length == 5)
+    assert(cs.map(_.getLong(1)).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("ann_mmr: rank 1 is the pure-relevance argmax; picks are distinct and from the pool") {
     val out = graft.SparkEntry.queries("ann_mmr")(spark, sf)
       .orderBy(col("rank")).collect()

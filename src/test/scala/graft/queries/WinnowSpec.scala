@@ -73,6 +73,39 @@ class WinnowSpec extends SparkSpec {
     assert(r.getLong(5) == 1000000L)
   }
 
+  test("non-ASCII fallback counts CODE POINTS (supplementary chars match a code-point reference)") {
+    // canonicalText strips raw text to [a-z0-9 ] before the expression
+    // today, but the expression must stay safe for direct reuse on raw
+    // text: gram boundaries count code points (the Spark substring /
+    // DuckDB substr unit), never UTF-16 chars — on supplementary
+    // characters (2 chars, 1 code point) the two diverge
+    val s = "ab😀cd ef🚀gh winnow fallback probe"
+    def reference(text: String): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      val p = cps.length - K + 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 until p).map { i =>
+        val g = new String(cps, i, K)
+        val dig = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (0 until 7).foldLeft(0L)((v, b) => (v << 8) | (dig(b) & 0xffL))
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      for (j <- (W - 1) until p)
+        out += ((j - W + 1) to j).map(hs).min
+      out.toSeq
+    }
+    val got = spark.sql(s"SELECT 1").select(
+        graft.plans.WinnowFingerprints.of(lit(s), K, W).as("fp"))
+      .head().getSeq[Long](0).toSeq
+    assert(got == reference(s))
+    // and the ASCII fast path agrees with the same reference
+    val ascii = "plain ascii winnow fallback probe text"
+    val gotA = spark.sql(s"SELECT 1").select(
+        graft.plans.WinnowFingerprints.of(lit(ascii), K, W).as("fp"))
+      .head().getSeq[Long](0).toSeq
+    assert(gotA == reference(ascii))
+  }
+
   test("dedup_winnow is deterministic across runs") {
     val a = graft.SparkEntry.queries("dedup_winnow")(spark, sf).collect().toSeq
     val b = graft.SparkEntry.queries("dedup_winnow")(spark, sf).collect().toSeq
