@@ -191,22 +191,45 @@ class SelectionSpec extends SparkSpec {
       assert(hits >= 0 && hits <= 5)
       assert(recall == hits.toDouble / 5.0)
     }
-    // the truncation can never beat exact full-dim search: a dims=64
-    // variant would be the truth itself — verify by recomputing one
-    // query's truncated top-5 from unit vectors at dims=32
-    val truth = unitVecs.keys.filter(_ != 0L).toSeq
-      .sortBy(id => (-cos(0L, id), id)).take(5).toSet
-    def cosPrefix(a: Long, b: Long, dm: Int): Double = {
-      val (x, y) = (unitVecs(a).take(dm), unitVecs(b).take(dm))
+    // verify by recomputing one query's truncated top-5 at dims=32 in
+    // the PREFIX-WEIGHTED space the harness searches (w(i) = 8/(8+i),
+    // 0-based; cosine is norm-invariant so weighting the unit vectors
+    // equals weighting the raw ones)
+    def weighted(id: Long): Array[Double] =
+      unitVecs(id).zipWithIndex.map { case (x, i) => x * (8.0 / (i + 8.0)) }
+    def cosW(a: Long, b: Long, dm: Int): Double = {
+      val (x, y) = (weighted(a).take(dm), weighted(b).take(dm))
       val dot = x.zip(y).map { case (p, q) => p * q }.sum
       val nx = math.sqrt(x.map(v => v * v).sum); val ny = math.sqrt(y.map(v => v * v).sum)
       dot / (nx * ny)
     }
+    val truth = unitVecs.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (-cosW(0L, id, 64), id)).take(5).toSet
     val approx32 = unitVecs.keys.filter(_ != 0L).toSeq
-      .sortBy(id => (-cosPrefix(0L, id, 32), id)).take(5).toSet
+      .sortBy(id => (-cosW(0L, id, 32), id)).take(5).toSet
     val want = (approx32 & truth).size.toLong
     val got = out.filter(r => r.getLong(0) == 0L && r.getLong(1) == 32L).head.getLong(2)
     assert(got == want, s"dims=32 hits for q0 must match the exact recompute: $got vs $want")
+  }
+
+  test("ann_recall_matryoshka: the curve is monotone in dims and has signal at every budget") {
+    // the r19 fixture was iid — recall@8 read 0.0 and the key couldn't
+    // regress anything. On the prefix-weighted fixture the curve must
+    // (a) be non-decreasing in the dim budget at EVERY sf and (b) sit
+    // above a real floor, so a truncation-quality regression (broken
+    // slice, wrong weights, wrong truth space) fails loudly.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
+      val byDims = graft.SparkEntry.queries("ann_recall_matryoshka")(spark, dir)
+        .groupBy(col("dims")).agg(avg(col("recall")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val curve = Seq(8L, 16L, 32L).map(byDims)
+      curve.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a, s"recall must not drop with more dims at $dir: $curve")
+      }
+      assert(curve.head >= 0.15, s"recall@8 ${curve.head} has no signal at $dir")
+      assert(curve.last >= 0.50, s"recall@32 ${curve.last} below floor at $dir")
+    }
   }
 
   test("quality_calibration: deciles conserve the LM population; bands are ordered and exact") {
