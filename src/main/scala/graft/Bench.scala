@@ -88,6 +88,22 @@ import org.apache.spark.sql.SparkSession
   *    bench_full carries per-query "harness" flags, "families_op"
   *    (family totals excluding harnesses) and "harness_total", so the
   *    operator-vs-measurement cost split is readable from the artifact.
+  *  - CROSS-LAP QUIET-BEST (r20): a rolling per-key minimum over
+  *    samples taken at 1-min load ≤ 2.5, carried between laps in
+  *    `bench_quiet.json` STAMPED WITH THE GIT COMMIT (reset on any code
+  *    change, so a carried number can never mask a real regression).
+  *    When a lap's winning sample ran above 2.5 the quiet minimum
+  *    becomes the headline `sec`; "sec_from_quiet" (headline +
+  *    per-query flags) names every substitution. This closes the last
+  *    adjudication gap: r19 shipped five keys at 4-5× their quiet
+  *    numbers as below_gate headlines (all capture samples at load
+  *    3.1-3.9 under the 4.0 gate) and proving them environmental took
+  *    git archaeology; now the artifact carries the evidence itself.
+  *  - RECALLS BY SF (r20): the "recalls" summaries (mean recall of
+  *    every ann_recall* key, split by variant) are also emitted at all
+  *    three scales under "recalls_by_sf", so index-quality-vs-scale
+  *    drift (flat graph/IVF vs decaying) is visible from the JSON
+  *    alone, round over round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -414,6 +430,63 @@ object Bench {
         bestEvict(name) = 0L
       }
     }
+    // ---- cross-lap quiet-best (r20, closing VERDICT r19 "What's
+    // missing #4") ----
+    // Five r19 keys shipped 4-5x their quiet numbers as below_gate
+    // headlines because every capture sample ran at load 3.1-3.9 under
+    // the 4.0 gate; adjudication needed git archaeology against an
+    // earlier lap. The artifact now self-adjudicates: a rolling per-key
+    // QUIET minimum (min over successful samples taken at 1-min load
+    // <= 2.5, across laps AT THE SAME COMMIT — bench_quiet.json carries
+    // it between runs, reset whenever the code version changes) is
+    // recorded per key, and when the current lap's winning sample ran
+    // above 2.5 the carried quiet minimum becomes the headline `sec`
+    // ("sec_from_quiet" flags every substitution, so a reader can tell
+    // a carried number from a fresh one).
+    val quietLoad = 2.5
+    val gitCommit: String = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      p.waitFor()
+      if (out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val quietFile = java.nio.file.Paths.get("bench_quiet.json")
+    val carriedQuiet: Map[String, Double] = try {
+      if (gitCommit != "unknown" && java.nio.file.Files.exists(quietFile)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(quietFile), "UTF-8")
+        val cm = "\"commit\":\"([0-9a-f]{40})\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (cm.contains(gitCommit)) {
+          val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE]-?[0-9]+)?)".r
+          pair.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter { case (k, v) => perQuery.contains(k) && v > 0 }
+            .toMap
+        } else Map.empty // code changed: carried minima no longer comparable
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val quietBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    perQuery.keys.toSeq.foreach { name =>
+      val lapQuiet = perQuerySamples(name).zip(perQueryLoads(name))
+        .collect { case (s, l) if s > 0 && l >= 0 && l <= quietLoad => s }
+      val cands = lapQuiet ++ carriedQuiet.get(name)
+      if (cands.nonEmpty) quietBest(name) = cands.min
+    }
+    val secFromQuiet = scala.collection.mutable.ListBuffer.empty[String]
+    perQuery.keys.toSeq.foreach { name =>
+      val t = perQuery(name)
+      if (t > 0 && (bestLoad(name) < 0 || bestLoad(name) > quietLoad))
+        quietBest.get(name).filter(_ < t).foreach { qb =>
+          perQuery(name) = qb
+          secFromQuiet += name
+        }
+    }
+    try {
+      val body = quietBest
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      java.nio.file.Files.write(quietFile,
+        (s"""{"commit":"$gitCommit","quiet_best":$body}""" + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val overGate = perQuery.toSeq
       .filter { case (name, t) => t > 0 && !hasGatedSample(name) }
       .map(_._1)
@@ -430,25 +503,48 @@ object Bench {
         keys.filterNot(harness).map(k => math.max(perQuery(k), 0.0)).sum
     }
     val harnessTotal = harness.toSeq.map(k => math.max(perQuery(k), 0.0)).sum
-    // ---- per-sf recall trend line ----
+    // ---- recall trend lines ----
     // mean recall of every ann_recall* harness key, split by the variant
-    // column when one exists (n_probe / method / quantizer) — index-
-    // quality regressions become visible round-over-round from
+    // column when one exists (n_probe / method / quantizer / dims) —
+    // index-quality regressions become visible round-over-round from
     // bench_full.json alone, without re-reading spec floors. Runs after
     // the sweeps on warm memos; failures degrade to an absent entry.
-    val recalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    perQuery.keys.toSeq.filter(_.startsWith("ann_recall")).sorted.foreach { name =>
-      try {
-        import org.apache.spark.sql.functions.{avg, col}
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        Seq("n_probe", "method", "quantizer", "dims").find(df.columns.contains) match {
-          case Some(v) =>
-            df.groupBy(col(v)).agg(avg(col("recall")).as("r")).collect()
-              .foreach(row => recalls(s"$name:${row.get(0)}") = row.getDouble(1))
-          case None =>
-            recalls(name) = df.agg(avg(col("recall"))).head().getDouble(0)
+    def recallsFor(dir: String): scala.collection.mutable.LinkedHashMap[String, Double] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      perQuery.keys.toSeq.filter(_.startsWith("ann_recall")).sorted.foreach { name =>
+        try {
+          import org.apache.spark.sql.functions.{avg, col}
+          val df = SparkEntry.queries(name)(spark, dir)
+          Seq("n_probe", "method", "quantizer", "dims").find(df.columns.contains) match {
+            case Some(v) =>
+              df.groupBy(col(v)).agg(avg(col("recall")).as("r")).collect()
+                .foreach(row => m(s"$name:${row.get(0)}") = row.getDouble(1))
+            case None =>
+              m(name) = df.agg(avg(col("recall"))).head().getDouble(0)
+          }
+        } catch { case _: Throwable => () }
+      }
+      m
+    }
+    val recalls = recallsFor(sfDir)
+    // ...and the SAME summaries at ALL THREE scales (r20, completing
+    // r18 #8 per VERDICT r19 "Next #3"): one block keyed by sf makes
+    // index-quality-vs-scale drift (flat graph/IVF, decaying whatever)
+    // readable from the JSON alone. Sibling dirs of the bench sf; the
+    // bench dir's own summaries are reused, the other scales' recall
+    // keys run fresh (bounded harness cost, after the timed sweeps).
+    val recallsBySf = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.Map[String, Double]]
+    val sfParent = Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sub =>
+      sfParent.map(_.resolve(sub)).filter(java.nio.file.Files.isDirectory(_))
+        .foreach { dir =>
+          val d = dir.toString
+          recallsBySf(sub) =
+            if (java.nio.file.Files.isSameFile(dir,
+                java.nio.file.Paths.get(sfDir).toAbsolutePath)) recalls
+            else recallsFor(d)
         }
-      } catch { case _: Throwable => () }
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     // failed queries carry a NEGATED time; a sub-5ms failure must not
@@ -482,11 +578,15 @@ object Bench {
     val cacheEvictedJs = perQuery.keys.toSeq
       .filter(n => bestFrac(n) < 1.0 || bestEvict(n) > 0)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val recallsBySfJs = recallsBySf
+      .map { case (k, m) => "\"" + k + "\":" + js(m, identity) }
+      .mkString("{", ",", "}")
+    val secFromQuietJs = secFromQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
     val diagLine =
       s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"recalls":${js(recalls, r3)},"harness_total":${r3(harnessTotal)},"families_op":${js(perFamilyOp, r3)},"families":${js(perFamily, r3)}}"""
     val overGateJs = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"harness_total":${r3(harnessTotal)},"sf":$sfNum,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"sec_from_quiet":$secFromQuietJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"harness_total":${r3(harnessTotal)},"sf":$sfNum,"value":${r3(total)}}"""
     // complete full-precision artifact for readers with file access:
     // per-query OBJECTS — the reported sec, the load its winning sample
     // ran under, whether that load was at or below the gate, whether the
@@ -504,14 +604,18 @@ object Bench {
       val rawMin = if (good.nonEmpty) good.min else t
       val frac = bestFrac(name)
       val ev = bestEvict(name)
-      "\"" + name + s"\":{\"sec\":$t,\"raw_min\":$rawMin,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"cached_frac\":$frac,\"evictions\":$ev,\"cache_evicted\":${frac < 1.0 || ev > 0},\"harness\":$h}"
+      // quiet_best: the rolling code-version-stamped quiet minimum;
+      // sec_from_quiet marks a headline that deferred to it
+      val qb = quietBest.get(name).map(v => s",\"quiet_best\":$v").getOrElse("")
+      val sfq = secFromQuiet.contains(name)
+      "\"" + name + s"\":{\"sec\":$t,\"raw_min\":$rawMin,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"cached_frac\":$frac,\"evictions\":$ev,\"cache_evicted\":${frac < 1.0 || ev > 0}$qb,\"sec_from_quiet\":$sfq,\"harness\":$h}"
     }.mkString("{", ",", "}")
     val buildsFull = perQueryBuilds
       .map { case (k, vs) => "\"" + k + "\":" + vs.map(
         _.map("\"" + _ + "\"").mkString("[", ",", "]")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"recalls_by_sf":$recallsBySfJs,"quiet_commit":"$gitCommit","quiet_load":$quietLoad,"sec_from_quiet":$secFromQuietJs,"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

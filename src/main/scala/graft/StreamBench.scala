@@ -284,6 +284,14 @@ object StreamBench {
       runServe[(Long, Array[Float])]("graph_serve",
         embIncRows, Seq("vec_id", "embedding"),
         batch => graft.queries.SimQueries.graphServeBatch(spark, sfDir, batch)),
+      // STREAMING SERVE for the IVF index (the graph_serve symmetry on
+      // the quantization axis): per-trigger query vectors probed
+      // against the persisted codebook, ranked cell-locally against
+      // the cell-bucketed corpus table (per-query top-k window →
+      // foreachBatch). ZERO state; rows_out = k per query.
+      runServe[(Long, Array[Float])]("ivf_serve",
+        embIncRows, Seq("vec_id", "embedding"),
+        batch => graft.queries.SimQueries.ivfServeBatch(spark, sfDir, batch)),
     )
 
     // ---- regression thresholds: the artifact asserts on itself ----
@@ -338,6 +346,7 @@ object StreamBench {
       "winnow_admit" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
       "watermark_gate" -> Bound(600, _ => 0, 25, 1L << 20),  // STATELESS
       "graph_serve" -> Bound(600, _ => 0, 25, 1L << 20),     // STATELESS (foreachBatch)
+      "ivf_serve" -> Bound(600, _ => 0, 25, 1L << 20),       // STATELESS (foreachBatch)
       "rules_gate" -> Bound(600, _ => 0, 25, 1L << 20),      // STATELESS
       "ccnet_assign" -> Bound(600, _ => 0, 25, 1L << 20),    // STATELESS
       // join buffers must EVICT: without the time-range condition state

@@ -1340,6 +1340,32 @@ object SimQueries {
       graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))))
   }
 
+  /** STREAMING SERVE for the persisted IVF index — the graph_serve
+    * symmetry on the quantization axis, completing the IVF lifecycle
+    * (learn → persist → append → audit → rebalance → SERVE): one
+    * micro-batch of arriving query vectors probed against the
+    * PERSISTED codebook (ann_ivf_persisted's artifacts: saved
+    * centroids + the cell-bucketed corpus table) and ranked
+    * cell-locally. Runs inside `foreachBatch` (the per-query top-k
+    * rank is a window — inexpressible in the pure streaming planner);
+    * ZERO state — batches are independent, results append-only. The
+    * codebook collect is memoized per dir so a trigger pays one
+    * broadcast, not a reload. StreamBench drives it as `ivf_serve`;
+    * StreamingSpec pins parity with `ann_ivf_persisted` on the same
+    * query set split across triggers.
+    */
+  def ivfServeBatch(s: SparkSession, d: String, batch: DataFrame): DataFrame = {
+    val (centT, corpT) = ivfIndexTables(s, d)
+    val loaded = ivfServeCentMemo.synchronized {
+      ivfServeCentMemo.getOrElseUpdate((d, centT), Similarity.loadCentroids(s, centT))
+    }
+    Similarity.ivfServe(s.table(corpT), "vec_id", "embedding", "kcell",
+      batch.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec")),
+      k = 5, nProbe = 1, cent = Similarity.localizeCentroids(s, loaded))
+  }
+  private val ivfServeCentMemo =
+    scala.collection.mutable.Map.empty[(String, String), Seq[Similarity.Centroid]]
+
   /** Streaming graph-index ADMISSION — the online stage of
     * [[annGraphAppend]]: each arriving vector is assigned its primary
     * cell (centroids ride the plan as literals — the benchSketch

@@ -404,23 +404,38 @@ object Similarity {
   def ivfSearch(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
                 isQuery: Column, k: Int, nProbe: Int = 1,
                 centroids: Option[DataFrame] = None): DataFrame = {
-    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     // default: per-cell means OF the given cells (the label-cell path);
     // a learned quantizer passes its own centroids so probe and member
     // assignment use the same model (textbook IVF)
     val cent = centroids.getOrElse(ivfCentroids(df, cellCol, vecCol))
-    val e = df.select(col(idCol), col(cellCol).cast("long").as("cell"),
-      col(vecCol), norm(col(vecCol)).as("nrm"))
-    val q = e.filter(isQuery)
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val queries = df.filter(isQuery)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    ivfServe(df, idCol, vecCol, cellCol, queries, k, nProbe, cent)
+  }
+
+  /** The SERVE half of IVF search, taking an EXTERNAL query relation
+    * (q_id, q_vec) — what a streaming micro-batch or a query service
+    * hands the index — against an already-assigned corpus and its
+    * learned codebook. [[ivfSearch]] is the self-query special case
+    * (queries drawn from the corpus itself). Probe assignment is a
+    * broadcast of the ≤|cells| codebook into the (usually tiny) query
+    * relation; candidates join the corpus ONLY on the probed cells —
+    * per-query work is nProbe·|cell|, and a cell-bucketed corpus table
+    * serves the join co-located at scale. Stateless by construction:
+    * every query batch is independent.
+    */
+  def ivfServe(corpus: DataFrame, idCol: String, vecCol: String, cellCol: String,
+               queries: DataFrame, k: Int, nProbe: Int, cent: DataFrame): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val q = queries.select(col("q_id"), col("q_vec"), norm(col("q_vec")).as("q_nrm"))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("cell"))
     val assigned = q.crossJoin(broadcast(cent))
       .withColumn("cos_c", dot(col("q_vec"), col("cvec")) / (col("q_nrm") * col("cnrm")))
       .withColumn("rc", row_number().over(wa))
       .filter(col("rc") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
-    val c = e.select(col(idCol).as("n_id"), col("cell"), col(vecCol).as("n_vec"),
-      col("nrm").as("n_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(cellCol).cast("long").as("cell"),
+      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     c.join(broadcast(assigned), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))

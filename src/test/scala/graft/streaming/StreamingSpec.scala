@@ -1133,6 +1133,36 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows == 0L, s"serve must be stateless, saw $stateRows state rows")
   }
 
+  test("streaming IVF serve: foreachBatch probe equals ann_ivf_persisted, zero state, batching-invariant") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Double)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        val rows = graft.queries.SimQueries.ivfServeBatch(spark, sf, batch)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4)))
+        got.synchronized { got ++= rows }; ()
+      }.start()
+    // the ann_ivf_persisted query set, split across two triggers: a
+    // per-query probe must not depend on which batch carried the query
+    val qRows = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val (a, b) = qRows.splitAt(qRows.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val want = graft.SparkEntry.queries("ann_ivf_persisted")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty && got.toSet == want)
+    assert(stateRows == 0L, s"serve must be stateless, saw $stateRows state rows")
+  }
+
   test("streaming graph-index admission: candidate edges match the independent batch expectation, zero state") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.functions._
