@@ -69,6 +69,7 @@ object Registry {
   val harnessKeys: Set[String] = {
     val ks = Set(
       "ann_recall", "ann_recall_kmeans", "ann_recall_pq", "ann_recall_graph",
+      "ann_graph_pathlen",
       "ann_recall_matryoshka",
       "ann_text_recall", "knn_accuracy",
       "dedup_lsh_recall", "dedup_lsh_precision", "dedup_lsh_tuning",

