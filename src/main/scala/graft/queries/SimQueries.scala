@@ -1252,21 +1252,25 @@ object SimQueries {
   // ========================================================================
   def annGraphPathlen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    def top5At(h: Int): Map[Long, Set[Long]] =
-      Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
-          knnGraphEdges(s, d), col("vec_id") < 10,
-          GraphEntryCells, GraphBeam, h, GraphK,
-          centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
-          localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
-          localCents = Some(graphCents(s, d)))
-        .select(col("q_id"), col("n_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-        .map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val fin = top5At(GraphHops)
+    // ONE traced search yields every hop's top-5 (prefix identity of
+    // the hop loop — see graphBeamSearchLocal's hopTrace), instead of
+    // GraphHops separate searches
+    val qs = graphCorpus(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
+      .toSeq
+    val trace = scala.collection.mutable.Map.empty[Int, Map[Long, Seq[Long]]]
+    // the local search runs eagerly on the driver — the trace is
+    // complete when the call returns; its DataFrame result is unused
+    Similarity.graphBeamSearchLocal(graphCorpus(s, d), "vec_id", "embedding", "gcell",
+      knnGraphEdges(s, d), qs, GraphEntryCells, GraphBeam, GraphHops, GraphK,
+      graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))),
+      hopTrace = Some(trace))
+    val fin = trace(GraphHops).map { case (q, ids) => q -> ids.toSet }
     val rows = (1 to GraphHops).map { h =>
-      val at = top5At(h)
-      val hits = fin.map { case (q, f) => (at.getOrElse(q, Set.empty) & f).size }.sum
-      val stable = fin.count { case (q, f) => at.getOrElse(q, Set.empty) == f }
+      val at = trace(h).map { case (q, ids) => q -> ids.toSet }
+      val hits = fin.map { case (q, f) => (at.getOrElse(q, Set.empty[Long]) & f).size }.sum
+      val stable = fin.count { case (q, f) => at.getOrElse(q, Set.empty[Long]) == f }
       (h.toLong, fin.size.toLong, hits.toLong, stable.toLong)
     }
     rows.toDF("hops", "n_queries", "overlap_hits", "n_stable")

@@ -724,7 +724,9 @@ object Similarity {
                            queries: Seq[(Long, Array[Double])],
                            entryCells: Int, beamWidth: Int, hops: Int, k: Int,
                            cents: Seq[Centroid],
-                           headsOpt: Option[Map[Long, Long]] = None): DataFrame = {
+                           headsOpt: Option[Map[Long, Long]] = None,
+                           hopTrace: Option[scala.collection.mutable.Map[Int,
+                             Map[Long, Seq[Long]]]] = None): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require(entryCells >= 2, s"entryCells $entryCells must be >= 2")
     require(cents.nonEmpty, "graphBeamSearchLocal needs centroids")
@@ -816,7 +818,7 @@ object Similarity {
         fetchVecs(entry.values.flatten.toSeq)
         queries.map { case (qId, _) => qId -> prune(qId, entry(qId)) }.toMap
       }
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val nbrs = fetchHop(beam.values.flatten.map(_._1).toSeq)
       val cand: Map[Long, Seq[Long]] = beam.map { case (qId, b) =>
         val ids = b.map(_._1)
@@ -829,6 +831,13 @@ object Similarity {
       // when the cache already covers the hop)
       fetchVecs(cand.values.flatten.toSeq)
       beam = cand.map { case (qId, c) => qId -> prune(qId, c) }
+      // per-hop top-k snapshot for observability callers: hop h's entry
+      // equals a separate hops = h run's top-k BY PREFIX IDENTITY (the
+      // loop body never reads the total budget), so one traced search
+      // replaces GraphHops re-runs
+      hopTrace.foreach(_ += h -> beam.map { case (qId, b) =>
+        qId -> b.take(k).map(_._1)
+      })
     }
     val rows = queries.flatMap { case (qId, _) =>
       beam(qId).take(k).zipWithIndex.map { case ((nId, c), i) =>
