@@ -90,8 +90,11 @@ import org.apache.spark.sql.SparkSession
   *    operator-vs-measurement cost split is readable from the artifact.
   *  - CROSS-LAP QUIET-BEST (r20): a rolling per-key minimum over
   *    samples taken at 1-min load ≤ 2.5, carried between laps in
-  *    `bench_quiet.json` STAMPED WITH THE GIT COMMIT (reset on any code
-  *    change, so a carried number can never mask a real regression).
+  *    `bench_quiet.json` STAMPED WITH (git commit [+ -dirty], sf dir,
+  *    cpu count) — reset on any code change, never carried from a
+  *    dirty tree or across scales/parallelism, and never overwritten
+  *    from an unresolvable git state, so a carried number can never
+  *    mask a real regression or substitute a different scale's timing.
   *    When a lap's winning sample ran above 2.5 the quiet minimum
   *    becomes the headline `sec`; "sec_from_quiet" (headline +
   *    per-query flags) names every substitution. This closes the last
@@ -444,25 +447,40 @@ object Bench {
     // ("sec_from_quiet" flags every substitution, so a reader can tell
     // a carried number from a fresh one).
     val quietLoad = 2.5
-    val gitCommit: String = try {
-      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
-        .redirectErrorStream(true).start()
+    def gitLine(cmd: String*): String = try {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
       p.waitFor()
-      if (out.matches("[0-9a-f]{40}")) out else "unknown"
-    } catch { case _: Throwable => "unknown" }
+      out
+    } catch { case _: Throwable => "" }
+    val gitHead = gitLine("git", "rev-parse", "HEAD")
+    val gitDirty = gitLine("git", "status", "--porcelain").nonEmpty
+    // the carry STAMP: commit (+ -dirty) + sf dir + cpu count — minima
+    // are only comparable between laps of the SAME code on the SAME
+    // scale and parallelism (a sf0.001 minimum must never substitute an
+    // sf0.1 headline, and an uncommitted edit must never inherit the
+    // pre-edit minima — that would mask the regression the mechanism
+    // exists to expose)
+    val gitCommit: String =
+      if (gitHead.matches("[0-9a-f]{40}"))
+        gitHead + (if (gitDirty) "-dirty" else "")
+      else "unknown"
+    val quietStamp = s"$gitCommit@$sfDir@cpus=$cpus"
     val quietFile = java.nio.file.Paths.get("bench_quiet.json")
     val carriedQuiet: Map[String, Double] = try {
-      if (gitCommit != "unknown" && java.nio.file.Files.exists(quietFile)) {
+      // a dirty tree never carries: two dirty states are not the same
+      // code version even though they share a stamp prefix
+      if (gitCommit != "unknown" && !gitDirty
+          && java.nio.file.Files.exists(quietFile)) {
         val txt = new String(java.nio.file.Files.readAllBytes(quietFile), "UTF-8")
-        val cm = "\"commit\":\"([0-9a-f]{40})\"".r.findFirstMatchIn(txt).map(_.group(1))
-        if (cm.contains(gitCommit)) {
+        val cm = "\"stamp\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (cm.contains(quietStamp)) {
           val pair = "\"([A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE]-?[0-9]+)?)".r
           pair.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter { case (k, v) => perQuery.contains(k) && v > 0 }
             .toMap
-        } else Map.empty // code changed: carried minima no longer comparable
+        } else Map.empty // code/scale/parallelism changed: not comparable
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
     val quietBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -482,10 +500,16 @@ object Bench {
         }
     }
     try {
-      val body = quietBest
-        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      java.nio.file.Files.write(quietFile,
-        (s"""{"commit":"$gitCommit","quiet_best":$body}""" + "\n").getBytes("UTF-8"))
+      // never overwrite accumulated minima from an unresolvable git
+      // state — a transient git failure must not destroy the rolling
+      // history the next resolvable lap would have carried
+      if (gitCommit != "unknown") {
+        val body = quietBest
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        java.nio.file.Files.write(quietFile,
+          (s"""{"stamp":"$quietStamp","commit":"$gitCommit","quiet_best":$body}""" + "\n")
+            .getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     val overGate = perQuery.toSeq
       .filter { case (name, t) => t > 0 && !hasGatedSample(name) }

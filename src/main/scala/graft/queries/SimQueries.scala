@@ -517,10 +517,12 @@ object SimQueries {
     * quantizer scales with the corpus exactly like the Spark side) plus
     * a probe budget CTE re-deriving greatest(2, (cells + 7) // 8) —
     * the integer-exact rendering of Similarity.adaptiveNProbe — from
-    * its own final-centroid count.
+    * its own final-centroid count. `learnWhere` restricts every
+    * LEARNING step to that slice (the incremental-index contract);
+    * member assignment always covers the whole corpus.
     */
-  private def ivfAdaptiveSql(probeMult: Int) =
-    s"""WITH ${graphKmCtesSql()},
+  private def ivfAdaptiveSql(probeMult: Int, learnWhere: String = "") =
+    s"""WITH ${graphKmCtesSql(learnWhere)},
       |npr AS (SELECT greatest(2, (count(*) + 7) // 8) * $probeMult AS p
       |       FROM cn$GraphIters),
       |assign AS (
@@ -1266,11 +1268,20 @@ object SimQueries {
       knnGraphEdges(s, d), qs, GraphEntryCells, GraphBeam, GraphHops, GraphK,
       graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))),
       hopTrace = Some(trace))
-    val fin = trace(GraphHops).map { case (q, ids) => q -> ids.toSet }
+    // ORACLE SEMANTICS, pinned exactly: queries whose final beam is
+    // empty drop out of n_queries (the SQL counts DISTINCT q_id over
+    // beam rows), and "stable" means GraphK shared pairs (the SQL's
+    // HAVING count(*) = GraphK) — NOT set equality, which would also
+    // accept under-filled final sets on degenerate tiny corpora and
+    // diverge cross-engine
+    val fin = trace(GraphHops).collect {
+      case (q, ids) if ids.nonEmpty => q -> ids.toSet
+    }
     val rows = (1 to GraphHops).map { h =>
       val at = trace(h).map { case (q, ids) => q -> ids.toSet }
-      val hits = fin.map { case (q, f) => (at.getOrElse(q, Set.empty[Long]) & f).size }.sum
-      val stable = fin.count { case (q, f) => at.getOrElse(q, Set.empty[Long]) == f }
+      val overlaps = fin.map { case (q, f) => (at.getOrElse(q, Set.empty[Long]) & f).size }
+      val hits = overlaps.sum
+      val stable = overlaps.count(_ == GraphK)
       (h.toLong, fin.size.toLong, hits.toLong, stable.toLong)
     }
     rows.toDF("hops", "n_queries", "overlap_hits", "n_stable")
@@ -1438,7 +1449,8 @@ object SimQueries {
     }
     Similarity.ivfServe(s.table(corpT), "vec_id", "embedding", "kcell",
       batch.select(col("vec_id").cast("long").as("q_id"), col("embedding").as("q_vec")),
-      k = 5, nProbe = 1, cent = Similarity.localizeCentroids(s, loaded))
+      k = 5, nProbe = Similarity.adaptiveNProbe(loaded.size),
+      cent = Similarity.localizeCentroids(s, loaded))
   }
   private val ivfServeCentMemo =
     scala.collection.mutable.Map.empty[(String, String), Seq[Similarity.Centroid]]
@@ -1711,9 +1723,11 @@ object SimQueries {
   // means a probe reads co-located buckets, not the corpus). The query
   // path then RELOADS both and ranks without re-learning: no Lloyd
   // scans, no assignment pass — exactly what the 100 TB index serves per
-  // query. Results are identical to ann_ivf_kmeans (parquet doubles
-  // round-trip bit-exactly; AnnPersistSpec pins top-k equality), so the
-  // oracle is the same re-learned pipeline.
+  // query. Since r20 the persisted artifact IS the adaptive serving
+  // index (√N-cell graphCents codebook, adaptiveNProbe budget), so
+  // results are identical to ann_ivf_search (parquet doubles round-trip
+  // bit-exactly; AnnPersistSpec pins top-k equality) and the oracle is
+  // the adaptive re-learned pipeline.
   // ========================================================================
   private val ivfIndexMemo = scala.collection.mutable.Map.empty[String, (String, String)]
   private[graft] def ivfIndexTables(s: SparkSession, d: String): (String, String) =
@@ -1729,7 +1743,7 @@ object SimQueries {
           val suffix = MemoNames.dirSuffix(d)
           val centT = s"graft_ivf_centroids_$suffix"
           val corpT = s"graft_ivf_corpus_$suffix"
-          val cents = kmCentroids(s, d, KmPlanes, KmIters)
+          val cents = graphCents(s, d)
           Similarity.saveCentroids(s, cents, centT)
           graft.operators.Scale.writeBucketed(
             emb(s, d).withColumn("kcell",
@@ -1745,7 +1759,8 @@ object SimQueries {
     // fresh load — the ranking below must touch only persisted artifacts
     val loaded = Similarity.loadCentroids(s, centT)
     Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
-        col("vec_id") < 10, k = 5, nProbe = 1,
+        col("vec_id") < 10, k = 5,
+        nProbe = Similarity.adaptiveNProbe(loaded.size),
         centroids = Some(Similarity.localizeCentroids(s, loaded)))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -1753,8 +1768,9 @@ object SimQueries {
   // ========================================================================
   // ann_ivf_append — INCREMENTAL update of the persisted IVF index: new
   // vectors join an existing index WITHOUT re-learning the quantizer or
-  // touching the base rows. Build: centroids learned on the BASE slice
-  // (vec_id % 5 <> 4) only, base corpus assigned and cell-bucketed;
+  // touching the base rows. Build: the ADAPTIVE quantizer learned on
+  // the BASE slice (vec_id % 5 <> 4) only — graphAppendCents, cells ≈
+  // √base — base corpus assigned and cell-bucketed;
   // append: the increment slice (% 5 = 4) is assigned against the
   // PERSISTED (reloaded) centroids and appended into the bucketed
   // layout — the dedup_incremental shape applied to ANN. Search over
@@ -1763,8 +1779,10 @@ object SimQueries {
   // asserts the equality). At 100 TB this is the difference between an
   // O(increment) daily index update and an O(corpus) rebuild; appended
   // rows land in their cell's buckets so probes stay co-located.
-  // Oracle: the kmeans CTE chain with every LEARNING step restricted to
-  // the base slice and the member assignment covering everything.
+  // Search probes adaptiveNProbe(cells) — the serving operating point.
+  // Oracle: the adaptive-plane CTE chain with every LEARNING step
+  // restricted to the base slice and the member assignment covering
+  // everything.
   // ========================================================================
   private val AppendBaseWhere = "vec_id % 5 <> 4"
 
@@ -1784,8 +1802,7 @@ object SimQueries {
     val centT = s"graft_ivfadd_centroids_$suffix"
     val corpT = s"graft_ivfadd_corpus_$suffix"
     val base = emb(s, d).filter(expr(AppendBaseWhere))
-    val cents = Similarity.collectCentroids(
-      Similarity.kmeansCentroids(base, "embedding", KmPlanes, KmIters))
+    val cents = graphAppendCents(s, d)
     Similarity.saveCentroids(s, cents, centT)
     graft.operators.Scale.writeBucketed(
       base.withColumn("kcell",
@@ -1807,7 +1824,8 @@ object SimQueries {
     val (centT, corpT) = ivfAppendTables(s, d)
     val loaded = Similarity.loadCentroids(s, centT)
     Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
-        col("vec_id") < 10, k = 5, nProbe = 1,
+        col("vec_id") < 10, k = 5,
+        nProbe = Similarity.adaptiveNProbe(loaded.size),
         centroids = Some(Similarity.localizeCentroids(s, loaded)))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -1860,7 +1878,7 @@ object SimQueries {
   // and the search result EQUALS a fresh-learned index on the union by
   // construction — same deterministic Lloyd rounds (round(,6) means),
   // same assignment, same probe — which is exactly what the oracle
-  // (the ann_ivf_kmeans chain) checks, and AnnPersistSpec asserts
+  // (the adaptive ann_ivf_search chain) checks, and AnnPersistSpec asserts
   // against the in-memory fresh index plus the keep path on a
   // constructed low-drift corpus. At 100 TB: the audit is O(cells),
   // the decision is free, and the rebuild cost is paid only when the
@@ -1905,7 +1923,7 @@ object SimQueries {
               val suffix = MemoNames.dirSuffix(d)
               val centT = s"graft_ivfreb_centroids_$suffix"
               val corpT = s"graft_ivfreb_corpus_$suffix"
-              val cents = kmCentroids(s, d, KmPlanes, KmIters)
+              val cents = graphCents(s, d)
               Similarity.saveCentroids(s, cents, centT)
               graft.operators.Scale.writeBucketed(
                 emb(s, d).withColumn("kcell",
@@ -1922,7 +1940,8 @@ object SimQueries {
     val (centT, corpT) = ivfRebalanceTables(s, d)
     val loaded = Similarity.loadCentroids(s, centT)
     Similarity.ivfSearch(s.table(corpT), "vec_id", "embedding", "kcell",
-        col("vec_id") < 10, k = 5, nProbe = 1,
+        col("vec_id") < 10, k = 5,
+        nProbe = Similarity.adaptiveNProbe(loaded.size),
         centroids = Some(Similarity.localizeCentroids(s, loaded)))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -2016,10 +2035,9 @@ object SimQueries {
        |ORDER BY q_id, rank""".stripMargin
 
   private val annIvfKmeansSql = annIvfKmeansSqlFor(KmPlanes, KmIters)
-  private val annIvfAppendSql = annIvfKmeansSqlFor(KmPlanes, KmIters, AppendBaseWhere)
 
-  private val annIvfCellsSql =
-    s"""WITH ${kmeansCtesSql(KmPlanes, KmIters, AppendBaseWhere)},
+  private def annIvfCellsSql =
+    s"""WITH ${graphKmCtesSql(AppendBaseWhere)},
        |cnt AS (
        |  SELECT cell, count(*) AS n_vecs,
        |    sum(CASE WHEN $AppendBaseWhere THEN 1 ELSE 0 END) AS n_base
@@ -3768,11 +3786,11 @@ object SimQueries {
     // the persisted-index path reloads what ann_ivf_kmeans learns, so it
     // is checked against the identical re-learned oracle (the
     // ann_cosine_sql precedent)
-    "ann_ivf_persisted" -> annIvfKmeansSql,
+    "ann_ivf_persisted" -> annIvfSearchSql,
     // append = same learned-on-base pipeline with full member assignment
-    "ann_ivf_append" -> annIvfAppendSql,
+    "ann_ivf_append" -> ivfAdaptiveSql(1, AppendBaseWhere),
     "ann_ivf_cells" -> annIvfCellsSql,
-    "ann_ivf_rebalance" -> annIvfKmeansSql,
+    "ann_ivf_rebalance" -> annIvfSearchSql,
     "ann_ivf_kmeans64" -> annIvfKmeans64Sql,
     "ann_ivf_kmeans256" -> annIvfKmeans256Sql,
     "ann_sq8" -> annSq8Sql,

@@ -11,9 +11,12 @@ class AnnPersistSpec extends SparkSpec {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
-  test("ann_ivf_persisted returns the identical top-k as ann_ivf_kmeans") {
+  test("ann_ivf_persisted returns the identical top-k as the in-session adaptive ann_ivf_search") {
+    // the persisted artifact IS the adaptive serving index (r20): same
+    // graphCents codebook, same adaptiveNProbe budget — so reloading and
+    // searching must reproduce the in-session serving key exactly
     val persisted = graft.SparkEntry.queries("ann_ivf_persisted")(spark, sf).collect()
-    val inSession = graft.SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    val inSession = graft.SparkEntry.queries("ann_ivf_search")(spark, sf).collect()
     assert(persisted.nonEmpty)
     assert(persisted.sameElements(inSession))
   }
@@ -72,11 +75,13 @@ class AnnPersistSpec extends SparkSpec {
     // deterministic, so this reproduces the persisted codebook exactly.
     val base = emb.filter(expr("vec_id % 5 <> 4"))
     val cents = Similarity.collectCentroids(
-      Similarity.kmeansCentroids(base, "embedding", SimQueries.KmPlanes, SimQueries.KmIters))
+      Similarity.kmeansCentroids(base, "embedding",
+        Similarity.adaptivePlanes(base.count()), 1))
     val union = emb.withColumn("kcell",
       Similarity.nearestCentroid(col("embedding"), cents))
     val direct = Similarity.ivfSearch(union, "vec_id", "embedding", "kcell",
-        col("vec_id") < 10, k = 5, nProbe = 1,
+        col("vec_id") < 10, k = 5,
+        nProbe = Similarity.adaptiveNProbe(cents.size),
         centroids = Some(Similarity.localizeCentroids(spark, cents)))
       .orderBy(col("q_id"), col("rank")).collect()
     assert(viaAppend.nonEmpty)
@@ -124,7 +129,7 @@ class AnnPersistSpec extends SparkSpec {
     // union equivalence: search over the rebalanced index equals the
     // fresh in-session union-learned index exactly
     val rebal = graft.SparkEntry.queries("ann_ivf_rebalance")(spark, sf).collect()
-    val fresh = graft.SparkEntry.queries("ann_ivf_kmeans")(spark, sf).collect()
+    val fresh = graft.SparkEntry.queries("ann_ivf_search")(spark, sf).collect()
     assert(rebal.nonEmpty)
     assert(rebal.sameElements(fresh))
   }
