@@ -90,11 +90,14 @@ import org.apache.spark.sql.SparkSession
   *    operator-vs-measurement cost split is readable from the artifact.
   *  - CROSS-LAP QUIET-BEST (r20): a rolling per-key minimum over
   *    samples taken at 1-min load ≤ 2.5, carried between laps in
-  *    `bench_quiet.json` STAMPED WITH (git commit [+ -dirty], sf dir,
-  *    cpu count) — reset on any code change, never carried from a
-  *    dirty tree or across scales/parallelism, and never overwritten
-  *    from an unresolvable git state, so a carried number can never
-  *    mask a real regression or substitute a different scale's timing.
+  *    `bench_quiet.json` STAMPED WITH (source-tree content hash, sf
+  *    dir, cpu count) — the hash covers src/main/scala + build.sbt, so
+  *    ANY code edit (committed or not) resets the carry, while
+  *    artifact-only commits (bench_full.json itself is tracked) keep
+  *    it valid; minima are never carried across scales/parallelism and
+  *    never overwritten from an unresolvable source state, so a
+  *    carried number can never mask a real regression or substitute a
+  *    different scale's timing.
   *    When a lap's winning sample ran above 2.5 the quiet minimum
   *    becomes the headline `sec`; "sec_from_quiet" (headline +
   *    per-query flags) names every substitution. This closes the last
@@ -447,31 +450,40 @@ object Bench {
     // ("sec_from_quiet" flags every substitution, so a reader can tell
     // a carried number from a fresh one).
     val quietLoad = 2.5
-    def gitLine(cmd: String*): String = try {
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      p.waitFor()
-      out
-    } catch { case _: Throwable => "" }
-    val gitHead = gitLine("git", "rev-parse", "HEAD")
-    val gitDirty = gitLine("git", "status", "--porcelain").nonEmpty
-    // the carry STAMP: commit (+ -dirty) + sf dir + cpu count — minima
-    // are only comparable between laps of the SAME code on the SAME
-    // scale and parallelism (a sf0.001 minimum must never substitute an
-    // sf0.1 headline, and an uncommitted edit must never inherit the
-    // pre-edit minima — that would mask the regression the mechanism
-    // exists to expose)
-    val gitCommit: String =
-      if (gitHead.matches("[0-9a-f]{40}"))
-        gitHead + (if (gitDirty) "-dirty" else "")
-      else "unknown"
-    val quietStamp = s"$gitCommit@$sfDir@cpus=$cpus"
+    // the carry STAMP: a content hash of the SOURCE tree + sf dir + cpu
+    // count — minima are only comparable between laps of the SAME code
+    // on the SAME scale and parallelism (a sf0.001 minimum must never
+    // substitute an sf0.1 headline, and an edited source tree —
+    // committed or not — must never inherit the pre-edit minima, which
+    // would mask the regression the mechanism exists to expose). A
+    // content hash rather than the git commit: it tracks uncommitted
+    // edits automatically and survives artifact-only commits
+    // (bench_full.json itself is committed between laps).
+    val srcStamp: String = try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val roots = Seq("src/main/scala", "build.sbt")
+        .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      if (roots.isEmpty) "unknown"
+      else {
+        roots.foreach { root =>
+          val files =
+            if (java.nio.file.Files.isDirectory(root)) {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(root).iterator().asScala
+                .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+            } else Seq(root)
+          files.foreach { f =>
+            md.update(f.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(f))
+          }
+        }
+        md.digest().map("%02x".format(_)).mkString
+      }
+    } catch { case _: Throwable => "unknown" }
+    val quietStamp = s"$srcStamp@$sfDir@cpus=$cpus"
     val quietFile = java.nio.file.Paths.get("bench_quiet.json")
     val carriedQuiet: Map[String, Double] = try {
-      // a dirty tree never carries: two dirty states are not the same
-      // code version even though they share a stamp prefix
-      if (gitCommit != "unknown" && !gitDirty
-          && java.nio.file.Files.exists(quietFile)) {
+      if (srcStamp != "unknown" && java.nio.file.Files.exists(quietFile)) {
         val txt = new String(java.nio.file.Files.readAllBytes(quietFile), "UTF-8")
         val cm = "\"stamp\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
         if (cm.contains(quietStamp)) {
@@ -500,14 +512,14 @@ object Bench {
         }
     }
     try {
-      // never overwrite accumulated minima from an unresolvable git
-      // state — a transient git failure must not destroy the rolling
+      // never overwrite accumulated minima from an unresolvable source
+      // state — a transient failure must not destroy the rolling
       // history the next resolvable lap would have carried
-      if (gitCommit != "unknown") {
+      if (srcStamp != "unknown") {
         val body = quietBest
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
         java.nio.file.Files.write(quietFile,
-          (s"""{"stamp":"$quietStamp","commit":"$gitCommit","quiet_best":$body}""" + "\n")
+          (s"""{"stamp":"$quietStamp","quiet_best":$body}""" + "\n")
             .getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
@@ -639,7 +651,7 @@ object Bench {
         _.map("\"" + _ + "\"").mkString("[", ",", "]")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"recalls_by_sf":$recallsBySfJs,"quiet_commit":"$gitCommit","quiet_load":$quietLoad,"sec_from_quiet":$secFromQuietJs,"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"recalls_by_sf":$recallsBySfJs,"quiet_stamp":"$srcStamp","quiet_load":$quietLoad,"sec_from_quiet":$secFromQuietJs,"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
