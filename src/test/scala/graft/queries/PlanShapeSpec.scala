@@ -250,6 +250,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_persisted serves WITHOUT re-learning: no Lloyd aggregates, codebook rides as a local relation") {
+    // the build-once/query-many contract at plan level: a regression
+    // that re-runs quantizer learning inside the serving plan would be
+    // invisible to correctness (same deterministic result) but turns
+    // every query into a corpus-scan pipeline at 100 TB. The persisted
+    // serve plan must contain NO centroid-learning aggregate
+    // (vector_sum is the Lloyd update's fingerprint) and read the
+    // reloaded codebook as a LocalTableScan.
+    val p = plan("ann_ivf_persisted")
+    assert(!p.toLowerCase.contains("vector_sum"),
+      "serving plan contains a Lloyd centroid aggregate - it is re-learning")
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bm25_topk partial-aggregates the tf counts and broadcasts df + corpus stats") {
     val p = plan("bm25_topk")
     assert(p.contains("partial_"), p)
