@@ -77,6 +77,23 @@ object DedupQueries {
   }
   private[queries] def verifiedPairs(s: SparkSession, d: String): DataFrame = lshShared(s, d).pairs
 
+  /** The UNVERIFIED banded candidate-pair relation (distinct id_a <
+    * id_b), memoized per (session, dir) and PERSISTED — r21 optimization
+    * (guide §1.2 step 1): four keys (`dedup_containment`,
+    * `dedup_lsh_recall`, `dedup_lsh_precision`, `dedup_minhash_est`)
+    * each re-ran band-key hashing + the band self-join over the shared
+    * signature relation. The pair set is collision-sparse (LSH-bounded)
+    * so the persisted footprint is small at any scale; same lifecycle
+    * as the verified `pairs` memo it feeds beside.
+    */
+  private val lshCandMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(lshCandMemo, (s, d), "lshCandidates") {
+      Dedup.lshCandidatePairs(lshShared(s, d).sigs, "doc_id",
+        LshParams.RowsPerBand).persist()
+    }
+
   /** Text-LSH cluster labels (doc_id, canonical), shared by FOUR
     * consumers (dedup_cluster, dedup_cluster_best, split_leak_safe,
     * split_leakage), which each used to re-run the union-find probe
@@ -198,8 +215,7 @@ object DedupQueries {
 
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
     val sh = lshShared(s, d)
-    val cand = Dedup.lshCandidatePairs(sh.sigs, "doc_id", LshParams.RowsPerBand)
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = lshCandidates(s, d)
     Dedup.pairContainment(cand, sh.ex, "doc_id")
       .filter(greatest(col("cont_a"), col("cont_b")) >= ContainmentMin)
       .orderBy(col("id_a"), col("id_b"))
@@ -534,8 +550,7 @@ object DedupQueries {
       .crossJoin(sliceIds.select(col("doc_id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
     val truth = Dedup.pairJaccard(allPairs, shd.ex, "doc_id")
-    val caughtAll = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
-      .withColumn("hit", lit(1L))
+    val caughtAll = lshCandidates(s, d).withColumn("hit", lit(1L))
     val caught = caughtAll.filter(col("id_a") < SliceMax && col("id_b") < SliceMax)
     val curve = truth.join(caught, Seq("id_a", "id_b"), "left")
       .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
@@ -619,7 +634,7 @@ object DedupQueries {
   // ========================================================================
   def dedupLshPrecision(s: SparkSession, d: String): DataFrame = {
     val shd = lshShared(s, d)
-    val cand = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val cand = lshCandidates(s, d)
     val cj = cand
       .join(Dedup.pairJaccard(cand, shd.ex, "doc_id"), Seq("id_a", "id_b"), "left")
       .select(coalesce(col("jaccard"), lit(0.0)).as("j"))
@@ -2241,7 +2256,7 @@ object DedupQueries {
   private[queries] val EstSampleTarget = 32
   def dedupMinhashEst(s: SparkSession, d: String): DataFrame = {
     val shd = lshShared(s, d)
-    val cand = Dedup.lshCandidatePairs(shd.sigs, "doc_id", LshParams.RowsPerBand)
+    val cand = lshCandidates(s, d)
     val nCand = cand.groupBy().agg(count(lit(1)).as("n_cand"))
     val sampled = cand.crossJoin(broadcast(nCand))
       .filter(TextOps.hash60(concat(col("id_a"), lit("#"), col("id_b")))

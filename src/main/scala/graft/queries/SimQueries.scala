@@ -2726,13 +2726,28 @@ object SimQueries {
     val configs = Seq(
       ("kmeans", withCell, "kcell", Some(Similarity.localizeCentroids(s, cents))),
       ("label", e, "label", Option.empty[DataFrame]))
-    val rows = for ((qz, df, cc, co) <- configs; p <- Seq(1, 2)) yield {
-      val got = Similarity.ivfSearch(df, "vec_id", "embedding", cc,
-          col("vec_id") < 10, k = 5, nProbe = p, centroids = co)
-        .select(col("q_id"), col("n_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val hits = got.count(exact.contains).toLong
-      (qz, p.toLong, hits, hits.toDouble / (nq * 5).toDouble)
+    // r21 (guide §2.6 — overlap independent jobs): the four
+    // (quantizer × n_probe) searches are independent bounded pipelines
+    // that were submitted sequentially, leaving the cluster idle in
+    // each one's stage tails. Submit them from driver threads so later
+    // searches back-fill; each future is a self-contained
+    // ivfSearch→collect, results are assembled in the fixed config
+    // order, so the output rows are byte-identical to the sequential
+    // loop. (~28 sequential jobs was this key's bench profile — the
+    // highest of any key.)
+    val rows = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futs = for ((qz, df, cc, co) <- configs; p <- Seq(1, 2)) yield Future {
+        val got = Similarity.ivfSearch(df, "vec_id", "embedding", cc,
+            col("vec_id") < 10, k = 5, nProbe = p, centroids = co)
+          .select(col("q_id"), col("n_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val hits = got.count(exact.contains).toLong
+        (qz, p.toLong, hits, hits.toDouble / (nq * 5).toDouble)
+      }
+      Await.result(Future.sequence(futs), Duration.Inf)
     }
     rows.toDF("quantizer", "n_probe", "hits", "recall")
       .orderBy(col("quantizer"), col("n_probe"))

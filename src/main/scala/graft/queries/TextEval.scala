@@ -89,8 +89,27 @@ object TextEval {
           + col("f_stop") + col("f_alpha") === 0, 1L).otherwise(0L))
       .drop("n", "nonws", "na", "n_hash", "d3", "n_stop")
 
+  /** The per-doc rule-flag relation (doc_id, source, five 0/1 flags,
+    * pass_all — no text), memoized per (session, dir) and PERSISTED —
+    * r21 optimization (guide §1.2 step 1): four keys
+    * (`quality_rules_report`, `rules_gate_eval`, `rules_ablation`,
+    * `quality_calibration`) each re-ran the tokenize + regexp flag scan
+    * over the whole corpus; the flags are a pure function of `text`, so
+    * one id-sized persisted relation serves them all. The STREAMING
+    * gate keeps the stateless [[qualityRuleFlags]] projection — this
+    * memo is batch-side reuse only, semantics shared via the one
+    * definition.
+    */
+  private val ruleFlagsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def ruleFlagsCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(ruleFlagsMemo, (s, d), "ruleFlagsCore") {
+      qualityRuleFlags(docs(s, d).select(col("doc_id"), col("source"), col("text")))
+        .drop("text").persist()
+    }
+
   def qualityRulesReport(s: SparkSession, d: String): DataFrame = {
-    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
+    val f = ruleFlagsCore(s, d)
     f.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_nword")).as("fail_nword"),
@@ -160,7 +179,7 @@ object TextEval {
   // integer ratios are free.
   // ========================================================================
   def rulesGateEval(s: SparkSession, d: String): DataFrame = {
-    val rp = qualityRuleFlags(docs(s, d).select(col("doc_id"), col("source"), col("text")))
+    val rp = ruleFlagsCore(s, d)
       .select(col("doc_id"), col("source"), col("pass_all").as("rp"))
     val lm = TextQueries.lmScoreCore(s, d).select(col("doc_id"), col("n_bg"), col("nll_sum_e4"))
     rp.join(lm, Seq("doc_id"), "left")
@@ -232,7 +251,7 @@ object TextEval {
   // exchange, no join.
   // ========================================================================
   def rulesAblation(s: SparkSession, d: String): DataFrame = {
-    val f = qualityRuleFlags(docs(s, d).select(col("source"), col("text")))
+    val f = ruleFlagsCore(s, d)
       .withColumn("ft", col("f_nword") + col("f_wordlen") + col("f_symbol")
         + col("f_stop") + col("f_alpha"))
     val rules = Seq("alpha", "nword", "stop", "symbol", "wordlen")
@@ -513,7 +532,7 @@ object TextEval {
     val lm = TextQueries.lmScoreCore(s, d)
       .select(col("doc_id"),
         expr(ExactRound.spark("nll_sum_e4", "n_bg")).as("v"))
-    val flags = qualityRuleFlags(docs(s, d)).select(col("doc_id"), col("pass_all"))
+    val flags = ruleFlagsCore(s, d).select(col("doc_id"), col("pass_all"))
     val g = lm.join(flags, Seq("doc_id"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("pass_all")).as("np"))
     val w = Window.orderBy(col("v"))

@@ -439,9 +439,10 @@ object TextPack {
 
   def pipelinePack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val survivors = TextQueries.curateFeatures(docs(s, d))
-      .withColumn("rn", row_number().over(wFp)).filter(col("rn") === 1)
+    // r21: the survivor-id set is the memoized pipelineCurateCore
+    // relation (identical funnel + fp keep-first window) — pipeline_pack
+    // no longer re-runs the feature scan and dedup shuffle per call
+    val survivors = TextQueries.pipelineCurateCore(s, d)
       .select(col("doc_id"))
     val chunks = chunkTokensOn(
       // hint-free: the survivor set is MOST of the corpus (the curation

@@ -394,15 +394,29 @@ object TextQueries {
   def curateFeatures(docsDf: DataFrame): DataFrame =
     curateFeaturesAll(docsDf).filter(condTokens)
 
-  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val feat = curateFeatures(docs(s, d))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    feat.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("source"), col("n_re"), col("score"))
-      .orderBy(col("doc_id"))
-  }
+  /** The heuristic funnel's SURVIVOR relation (doc_id, source, n_re,
+    * score), memoized per (session, dir) and PERSISTED — r21
+    * optimization (guide §1.2 step 1): `pipeline_curate` and
+    * `pipeline_pack` both ran the feature scan + fp dedup window from
+    * scratch; the survivor set is id-sized and pure, so one persisted
+    * relation serves both (the curateFullCore treatment for the
+    * heuristic-only funnel).
+    */
+  private val curateMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def pipelineCurateCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(curateMemo, (s, d), "curateCore") {
+      import org.apache.spark.sql.expressions.Window
+      val feat = curateFeatures(docs(s, d))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      feat.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("n_re"), col("score"))
+        .persist()
+    }
+
+  def pipelineCurate(s: SparkSession, d: String): DataFrame =
+    pipelineCurateCore(s, d).orderBy(col("doc_id"))
 
   /** The funnel's feature CTEs (`t` → `f` → `q`), ONE DuckDB rendering
     * shared by the `pipeline_curate` and `curate_report` oracles so the
@@ -813,20 +827,36 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("n_re"), col("fp"),
         col("score"), col("top2_frac"))
 
-  def pipelineCurateFull(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val rep = curateFullFeatures(docs(s, d))
-    val contaminated = decontHits(s, d).select(col("doc_id"))
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    // hint-free: contamination membership is rate-bounded, not
-    // small-bounded — size-based planning decides (same contract as
-    // data_card's membership joins)
-    rep.join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("source"), col("n_re"), col("score"),
-        col("top2_frac"))
-      .orderBy(col("doc_id"))
-  }
+  /** The full-funnel SURVIVOR relation (doc_id, source, n_re, score,
+    * top2_frac), memoized per (session, dir) and PERSISTED — r21
+    * optimization (VERDICT r20 "Next #2" / guide §1.2 "don't compute
+    * things you throw away"): four queries consume this exact relation
+    * (`pipeline_curate_full`, `pipeline_curate_lm`, `release_manifest`,
+    * `curate_report_lm`) and each used to re-run the whole gate stack —
+    * tokenize scan, repetition fold, decontamination anti-join, fp
+    * window — per consumer. The survivor set is id-sized (no text
+    * column), so the persisted footprint is small at any scale.
+    */
+  private val curateFullMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[queries] def pipelineCurateFullCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(curateFullMemo, (s, d), "curateFullCore") {
+      import org.apache.spark.sql.expressions.Window
+      val rep = curateFullFeatures(docs(s, d))
+      val contaminated = decontHits(s, d).select(col("doc_id"))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      // hint-free: contamination membership is rate-bounded, not
+      // small-bounded — size-based planning decides (same contract as
+      // data_card's membership joins)
+      rep.join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("n_re"), col("score"),
+          col("top2_frac"))
+        .persist()
+    }
+
+  def pipelineCurateFull(s: SparkSession, d: String): DataFrame =
+    pipelineCurateFullCore(s, d).orderBy(col("doc_id"))
 
   /** The full-funnel survivor relation as a CTE chain (no ORDER BY) —
     * shared by `pipeline_curate_full` and the LM-gated variant.
@@ -866,16 +896,25 @@ object TextQueries {
   // (curateFull → curateLm). Scale: the LM relations join only the
   // SURVIVOR set (funnel-first ordering), everything token-keyed.
   // ========================================================================
-  def pipelineCurateLm(s: SparkSession, d: String): DataFrame = {
-    val lm = lmScore(s, d)
+  /** LM-gated survivors, UNORDERED — the composition of the two
+    * persisted cores (funnel memo ⋈ LM memo). Aggregating consumers
+    * (`release_manifest`, `curate_report_lm`) read this so the
+    * pipeline_curate_lm ORDER BY's range exchange isn't paid just to be
+    * re-shuffled by a downstream groupBy (guide §2.4: remove exchanges
+    * the consumer immediately destroys).
+    */
+  private def pipelineCurateLmCore(s: SparkSession, d: String): DataFrame = {
+    val lm = lmScoreCore(s, d)
       .select(col("doc_id"), col("n_bg"), col("nll_sum_e4"), col("mean_nll"))
-    pipelineCurateFull(s, d)
+    pipelineCurateFullCore(s, d)
       .join(lm, Seq("doc_id"), "left")
       .filter(col("nll_sum_e4").isNull
         || col("nll_sum_e4") <= col("n_bg") * lit(GateNllE4PerBigram))
       .select(col("doc_id"), col("source"), col("score"), col("mean_nll"))
-      .orderBy(col("doc_id"))
   }
+
+  def pipelineCurateLm(s: SparkSession, d: String): DataFrame =
+    pipelineCurateLmCore(s, d).orderBy(col("doc_id"))
 
   private val pipelineCurateLmSql =
     s"""$pipelineCurateFullCoreSql,
@@ -895,9 +934,12 @@ object TextQueries {
   // the capstone composition: a reference user runs curate → gate →
   // split → count as ONE query. Counts are exact integers; the split is
   // the sample_hash_split assignment (content-addressed, so dup
-  // variants can't straddle splits); the funnel reuses every shared
-  // memo (decontamination relation, LM score relation, fingerprint
-  // dedup) — nothing is recomputed.
+  // variants can't straddle splits); the funnel reads the PERSISTED
+  // curateFullCore + lmScoreCore memos (r21: previously only the LM /
+  // decont / fingerprint inputs were memoized and the funnel core
+  // itself re-ran per consumer — the recompute VERDICT r20 flagged as
+  // this key's 13.8 s under-load headline), so steady-state cost is
+  // the split projection scan + one equi-join + the rollup.
   //
   // Scale: the funnel is the already-audited one-scan pipeline; the
   // split+token projection is scan-side; the final rollup aggregates
@@ -905,7 +947,7 @@ object TextQueries {
   // survivor ids and the projection.
   // ========================================================================
   def releaseManifest(s: SparkSession, d: String): DataFrame = {
-    val surv = pipelineCurateLm(s, d).select(col("doc_id"), col("source"))
+    val surv = pipelineCurateLmCore(s, d).select(col("doc_id"), col("source"))
     val sp = docs(s, d).select(col("doc_id"),
         (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bucket"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
@@ -1293,9 +1335,9 @@ object TextQueries {
   // ========================================================================
   def curateReportLm(s: SparkSession, d: String): DataFrame = {
     val total = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_total"))
-    val full = pipelineCurateFull(s, d)
+    val full = pipelineCurateFullCore(s, d)
       .groupBy(col("source")).agg(count(lit(1)).as("n_full"))
-    val lm = pipelineCurateLm(s, d)
+    val lm = pipelineCurateLmCore(s, d)
       .groupBy(col("source")).agg(count(lit(1)).as("n_lm"))
     total.join(full, Seq("source"), "left").join(lm, Seq("source"), "left")
       .select(col("source"), col("n_total"),

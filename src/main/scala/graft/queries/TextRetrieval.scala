@@ -68,38 +68,49 @@ object TextRetrieval {
   /** Per-doc UNROUNDED BM25 score for the fixed query-term set (docs
     * with ≥ 1 matching term) — the pre-top-k stage, shared by
     * `bm25_topk` and the `hybrid_topk` fusion.
+    *
+    * r21 optimization (guide §2.3/§2.4 — aggregate before you shuffle /
+    * remove shuffles outright): the query-term set is FIXED, so per-doc
+    * term frequencies are per-row array counts ([[graft.plans.CountInSet]]
+    * over the one tokenize pass), not an explode → hashpartitioning
+    * (doc_id, term) aggregation; document lengths, corpus size, avgdl
+    * and the per-term document frequencies all come from ONE single-row
+    * aggregate over the same scan (broadcast back). Plan shape went
+    * from two tokenize scans + two hash exchanges (tf groupBy, df
+    * groupBy) + a doc_id join to ONE scan + one scalar-row exchange —
+    * at 100 TB the old shape moved every matching token occurrence
+    * across the network; this moves one row. Score algebra is
+    * bit-identical: same per-term contribution expression on the same
+    * (tf, df, dl, avgdl, n) values, summed in the same fixed term order
+    * (absent terms contribute literal 0.0 exactly like the old
+    * coalesce(sum(CASE...), 0.0)); membership (≥ 1 matching term)
+    * becomes an explicit filter.
     */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val dl = docs(s, d).select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
-    val tf = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(((col("n") - col("df")).cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
-          / (col("tf").cast("double")
-             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-    val perTerm = Bm25Terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    val base = docs(s, d)
+      .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          graft.plans.CountInSet(col("toks"), Seq(t)).as(s"tf$i") }: _*)
+    val statCols =
+      Seq(sum(col("dl")).as("sumdl"), count(lit(1)).as("n")) ++
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+      .select(Seq((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n")) ++
+        Bm25Terms.indices.map(i => col(s"df$i")): _*)
+    val contribs = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(((col("n") - col(s"df$i")).cast("double") + lit(0.5))
+        / (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      when(col(s"tf$i") > 0,
+        idf * (tf * lit(Bm25K1 + 1))
+          / (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+        .otherwise(lit(0.0))
     }
-    val score = Bm25Terms.indices
-      .map(i => coalesce(col(s"c$i"), lit(0.0)))
-      .reduceLeft(_ + _)
-    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
-      .withColumn("score", score)
-      .select(col("doc_id"), col("score"))
+    base.crossJoin(broadcast(stats))
+      .filter(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduceLeft(_ || _))
+      .select(col("doc_id"), contribs.reduceLeft(_ + _).as("score"))
   }
 
   def bm25TopK(s: SparkSession, d: String): DataFrame =
@@ -273,10 +284,14 @@ object TextRetrieval {
 
   def retrievalNdcg(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r21: gain = total occurrences of the fixed query terms — one
+    // CountInSet per row (same integer as the old explode → filter →
+    // groupBy(doc_id) count, with the same ≥1-occurrence membership),
+    // zero exchanges instead of one token-sized one (guide §2.4)
     val gains = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      .select(col("doc_id"),
+        graft.plans.CountInSet(TextOps.tokens(col("text")), Bm25Terms).as("gain"))
+      .filter(col("gain") > 0)
     val wArr = array(NdcgW.map(lit): _*)
     val bmRanked = bm25Scores(s, d)
       .orderBy(col("score").desc, col("doc_id")).limit(Bm25K)
@@ -378,36 +393,51 @@ object TextRetrieval {
 
   def hybridTopKBatch(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
+    // r21 optimization — the batched analogue of the bm25Scores rewrite
+    // (guide §2.3/§2.4): per-term tf as scan-side CountInSet columns
+    // over ONE tokenize pass, corpus stats + per-term df in one
+    // broadcast scalar row, and the per-query fan-out as an explode of
+    // a |batch|-element literal array (Generate — partition-local,
+    // bounded) instead of the explode → (doc,term) groupBy exchange →
+    // broadcast qt join → (q,doc) groupBy exchange chain. Score algebra
+    // unchanged: per-slot contributions use the identical expression on
+    // identical values and add in fixed slot order, with an unmatched
+    // slot contributing literal 0.0 exactly like the old
+    // coalesce(sum(CASE slot...), 0.0); (q, doc) membership (≥ 1
+    // matching term of that query) becomes the explicit `m` filter.
     val allTerms = HybridBatch.flatMap(_._2).distinct
-    val qt = HybridBatch
-      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, sl) => (q.toLong, sl, t) } }
-      .toDF("q_id", "slot", "term")
-    val dl = docs(s, d).select(col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n"))
-      .select((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n"))
-    val tfT = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfT = tfT.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tfT
-      .join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(((col("n") - col("df")).cast("double") + lit(0.5))
-          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1))
-          / (col("tf").cast("double")
-             + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-      .join(broadcast(qt), Seq("term"))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(when(col("slot") === 0, col("contrib"))).as("c0"),
-           sum(when(col("slot") === 1, col("contrib"))).as("c1"))
-      .withColumn("score", coalesce(col("c0"), lit(0.0)) + coalesce(col("c1"), lit(0.0)))
+    val tIdx = allTerms.zipWithIndex.toMap
+    val base = docs(s, d)
+      .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          graft.plans.CountInSet(col("toks"), Seq(t)).as(s"tf$i") }: _*)
+    val statCols =
+      Seq(sum(col("dl")).as("sumdl"), count(lit(1)).as("n")) ++
+        allTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+      .select(Seq((col("sumdl").cast("double") / col("n")).as("avgdl"), col("n")) ++
+        allTerms.indices.map(i => col(s"df$i")): _*)
+    def contribOrZero(t: String) = {
+      val i = tIdx(t)
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(((col("n") - col(s"df$i")).cast("double") + lit(0.5))
+        / (col(s"df$i").cast("double") + lit(0.5)) + lit(1.0))
+      when(col(s"tf$i") > 0,
+        idf * (tf * lit(Bm25K1 + 1))
+          / (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    val qStructs = HybridBatch.map { case (q, ts) =>
+      struct(lit(q.toLong).as("q_id"),
+        ts.map(contribOrZero).reduceLeft(_ + _).as("score"),
+        ts.map(t => col(s"tf${tIdx(t)}") > 0).reduceLeft(_ || _).as("m"))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("qs"))
+      .filter(col("qs.m"))
+      .select(col("qs.q_id").as("q_id"), col("doc_id"), col("qs.score").as("score"))
     val wLex = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
     val lex = scored.withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .filter(col("lex_rank") <= HybridListN)
@@ -525,14 +555,19 @@ object TextRetrieval {
   def retrievalNdcgBatch(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val allTerms = HybridBatch.flatMap(_._2).distinct
-    val qt = HybridBatch.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
-      .toDF("q_id", "term")
+    // r21: per-query gain = CountInSet over one tokenize pass, fanned
+    // out by a literal-array explode — same integers and the same
+    // ≥1-occurrence membership as the old explode → broadcast-qt join →
+    // (q,doc) groupBy, with zero exchanges (guide §2.4)
+    val gainStructs = HybridBatch.map { case (q, ts) =>
+      struct(lit(q.toLong).as("q_id"),
+        graft.plans.CountInSet(col("toks"), ts).as("gain"))
+    }
     val gains = docs(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .join(broadcast(qt), Seq("term"))
-      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("gain"))
+      .select(col("doc_id"), graft.plans.EvalOnce(TextOps.tokens(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(array(gainStructs: _*)).as("g"))
+      .filter(col("g.gain") > 0)
+      .select(col("g.q_id").as("q_id"), col("doc_id"), col("g.gain").as("gain"))
     val wArr = array(NdcgW.map(lit): _*)
     val ranked = hybridTopKBatch(s, d).select(col("q_id"), col("rank"), col("doc_id"))
     val dcg = gains.join(broadcast(ranked), Seq("q_id", "doc_id"))
