@@ -469,8 +469,15 @@ object Bench {
           val files =
             if (java.nio.file.Files.isDirectory(root)) {
               import scala.jdk.CollectionConverters._
-              java.nio.file.Files.walk(root).iterator().asScala
-                .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
+              // hash ALL regular files under the root (not only .scala —
+              // a .java or resource edit must reset the carry too), and
+              // CLOSE the walk stream (r21, ADVICE: the unclosed stream
+              // leaked a directory handle per bench run)
+              val walk = java.nio.file.Files.walk(root)
+              try walk.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .toSeq.sortBy(_.toString)
+              finally walk.close()
             } else Seq(root)
           files.foreach { f =>
             md.update(f.toString.getBytes("UTF-8"))
@@ -480,7 +487,31 @@ object Bench {
         md.digest().map("%02x".format(_)).mkString
       }
     } catch { case _: Throwable => "unknown" }
-    val quietStamp = s"$srcStamp@$sfDir@cpus=$cpus"
+    // dataset fingerprint (r21, ADVICE medium): a changed dataset under
+    // the SAME sf path must reset the carry — a stale carried minimum
+    // measured on different data could mask a real slowdown. size+mtime
+    // of every regular file under the sf dir, cheap and order-stable.
+    val dataStamp: String = try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.isDirectory(root)) "nodata"
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.toString)
+          .foreach { f =>
+            md.update(f.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.size(f).toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.getLastModifiedTime(f)
+              .toMillis.toString.getBytes("UTF-8"))
+          }
+        finally walk.close()
+        md.digest().map("%02x".format(_)).mkString.take(16)
+      }
+    } catch { case _: Throwable => "nodata" }
+    val quietStamp = s"$srcStamp@$sfDir@data=$dataStamp@cpus=$cpus"
     val quietFile = java.nio.file.Paths.get("bench_quiet.json")
     val carriedQuiet: Map[String, Double] = try {
       if (srcStamp != "unknown" && java.nio.file.Files.exists(quietFile)) {
@@ -492,9 +523,19 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter { case (k, v) => perQuery.contains(k) && v > 0 }
             .toMap
-        } else Map.empty // code/scale/parallelism changed: not comparable
+        } else {
+          // r21 (ADVICE low): a present-but-unusable carry must be
+          // OBSERVABLE, not silently treated as empty — log why the
+          // carry did not apply so a broken stamp chain is debuggable
+          System.err.println(s"[bench] bench_quiet.json stamp mismatch " +
+            s"(have ${cm.getOrElse("<none>")}, want $quietStamp) - carry not applied")
+          Map.empty // code/scale/data/parallelism changed: not comparable
+        }
       } else Map.empty
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_quiet.json unreadable (${e.getClass.getSimpleName}) - carry not applied")
+      Map.empty
+    }
     val quietBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     perQuery.keys.toSeq.foreach { name =>
       val lapQuiet = perQuerySamples(name).zip(perQueryLoads(name))

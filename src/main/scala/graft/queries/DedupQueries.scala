@@ -542,21 +542,45 @@ object DedupQueries {
   // slice, never corpus-sized.
   // ========================================================================
   def dedupLshRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val SliceMax = 60
     val shd = lshShared(s, d)
-    val sliceIds = shd.ex.select(col("doc_id")).distinct()
-      .filter(col("doc_id") < SliceMax)
-    val allPairs = sliceIds.select(col("doc_id").as("id_a"))
-      .crossJoin(sliceIds.select(col("doc_id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
-    val truth = Dedup.pairJaccard(allPairs, shd.ex, "doc_id")
+    // r21 optimization — the dedup_lsh_tuning driver-side precedent
+    // (guide §1.2: the sweep input is STRUCTURALLY bounded): the truth
+    // side is ≤ SliceMax docs and ≤ C(60,2) pairs, yet it ran a
+    // multi-stage distributed all-pairs jaccard pipeline per call. Two
+    // bounded collects against the memoized persisted relations (the
+    // slice's distinct shingle hashes; the candidate pairs restricted
+    // to the slice) and the exact jaccard + decile bucketing run
+    // in-process — identical doubles by construction (integer set
+    // sizes, ONE division, one ×10 multiply, floor — the tuning key's
+    // jac() algebra). The planted bucket-10 row stays DISTRIBUTED: its
+    // fp-equal pair set is corpus-wide, never slice-bounded.
+    val shRows = shd.ex.filter(col("doc_id") < SliceMax)
+      .select(col("doc_id"), col("h1")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sh: Map[Long, Set[Long]] =
+      shRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val caughtSlice: Set[(Long, Long)] = lshCandidates(s, d)
+      .filter(col("id_a") < SliceMax && col("id_b") < SliceMax)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = sh.keySet.toSeq.sorted
+    val pairRows = for {
+      i <- ids.indices
+      j <- (i + 1) until ids.length
+      inter = (sh(ids(i)) & sh(ids(j))).size
+      if inter > 0 // zero-overlap slice pairs are outside the truth set
+    } yield {
+      val a = ids(i); val b = ids(j)
+      val jac = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      val bucket = math.min(math.floor(jac * 10), 9.0).toLong
+      (bucket, if (caughtSlice.contains((a, b))) 1L else 0L)
+    }
+    val curve = pairRows.groupBy(_._1).toSeq
+      .map { case (bkt, xs) => (bkt, xs.size.toLong, xs.map(_._2).sum) }
+      .toDF("bucket", "n_true", "n_caught")
     val caughtAll = lshCandidates(s, d).withColumn("hit", lit(1L))
-    val caught = caughtAll.filter(col("id_a") < SliceMax && col("id_b") < SliceMax)
-    val curve = truth.join(caught, Seq("id_a", "id_b"), "left")
-      .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
     // planted truth: exact-FINGERPRINT dup pairs, known INDEPENDENTLY of
     // MinHash (bucket 10) — an id-range slice cannot contain both ends
     // of a cross-range dup pair, but every fp-equal pair anywhere in the
@@ -2484,12 +2508,21 @@ object DedupQueries {
       case Some(v) => v
       case None =>
         val built = coresetBuild(s, d)
-        coresetMemo.synchronized { coresetMemo.getOrElseUpdate((s, d), built) }
+        coresetMemo.synchronized {
+          // r21 (ADVICE low): fire the MemoTrace event only for the
+          // thread whose value WINS the race — two simultaneous missers
+          // both run the deterministic build, but attributing two
+          // "coresetSelect" build events would over-count memo_build in
+          // the bench artifact
+          val hadIt = coresetMemo.contains((s, d))
+          val v = coresetMemo.getOrElseUpdate((s, d), built)
+          if (!hadIt) MemoTrace.built("coresetSelect")
+          v
+        }
     }
   }
 
   private def coresetBuild(s: SparkSession, d: String): Seq[(Long, Long, Option[Double])] = {
-    MemoTrace.built("coresetSelect")
     val e = coresetCorpus(s, d)
     var selected = Seq(0L)
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](

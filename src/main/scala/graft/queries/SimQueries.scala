@@ -1750,6 +1750,11 @@ object SimQueries {
               Similarity.nearestCentroid(col("embedding"), cents)),
             corpT, "kcell", 8)
           ivfIndexMemo(d) = (centT, corpT)
+          // r21 (ADVICE low): a REBUILD of the centroid table must drop
+          // any cached collected codebook for it — streaming ivf_serve
+          // would otherwise keep probing with the stale codebook against
+          // the freshly-written corpus table
+          ivfServeCentMemo.synchronized { ivfServeCentMemo.remove((d, centT)) }
           (centT, corpT)
         }
     }

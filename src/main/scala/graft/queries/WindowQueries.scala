@@ -473,22 +473,36 @@ object WindowQueries {
   // ========================================================================
   private val SessionGapUs = 1800L * 1000000L
 
-  def sessionize(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, d)
-      .select(col("user_id"), col("event_id"), epochUs.as("e_us"))
-      .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
-      .withColumn("is_new",
-        when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("is_new")).over(cum))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("e_us")).as("start_us"), max(col("e_us")).as("end_us"))
-      .withColumn("duration_us", col("end_us") - col("start_us"))
-      .orderBy(col("user_id"), col("session_idx"))
-  }
+  /** The session relation UNORDERED (user_id, session_idx, n_events,
+    * start_us, end_us, duration_us), memoized per (session, dir) and
+    * PERSISTED — r21 optimization (guide §1.2/§2.4): `sessionize` and
+    * `session_concurrency` both ran the two-window gap pipeline, and
+    * the concurrency sweep additionally paid sessionize's presentation
+    * ORDER BY range exchange just to destroy it with a groupBy. The
+    * interval relation is session-sized (id columns only).
+    */
+  private val sessionMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private def sessionCore(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(sessionMemo, (s, d), "sessionCore") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("e_us"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), epochUs.as("e_us"))
+        .withColumn("gap", col("e_us") - lag(col("e_us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("gap").isNull || col("gap") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("is_new")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("e_us")).as("start_us"), max(col("e_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .persist()
+    }
+
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    sessionCore(s, d).orderBy(col("user_id"), col("session_idx"))
 
   /** The session CTE chain — ONE rendering shared by `sessionize` and
     * `session_concurrency` so the gap rule cannot silently diverge
@@ -540,7 +554,7 @@ object WindowQueries {
   // ========================================================================
   def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sess = sessionize(s, d).select(col("start_us"), col("end_us"))
+    val sess = sessionCore(s, d).select(col("start_us"), col("end_us"))
     val b = sess.select(explode(array(
         struct(col("start_us").as("t"), lit(1L).as("delta")),
         struct((col("end_us") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
