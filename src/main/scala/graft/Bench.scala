@@ -88,6 +88,33 @@ import org.apache.spark.sql.SparkSession
   *    bench_full carries per-query "harness" flags, "families_op"
   *    (family totals excluding harnesses) and "harness_total", so the
   *    operator-vs-measurement cost split is readable from the artifact.
+  *  - WARM-THEN-MEASURE + ≤2×RAW_MIN ELIGIBILITY (r22, closing VERDICT
+  *    r21 "What's wrong #1"): post-sweep re-pass samples run CACHE-COLD
+  *    (the between-family clearCache dropped every memo), so the first
+  *    below-gate success was routinely 10-35× the key's own warm
+  *    minimum — and the below-gate headline rule then shipped it
+  *    (r21: bm25_topk 16.37 s reported vs raw_min 0.47 s). Two fixes:
+  *    (a) a re-pass sample that lands below-gate but above 2× the
+  *    key's fastest success is followed by ONE immediate extra sample —
+  *    the cold pass just warmed the caches, the second sample measures
+  *    the operator; (b) a below-gate candidate is only ELIGIBLE to be
+  *    the headline when it is ≤ 2× the key's raw_min — otherwise the
+  *    raw minimum (taken under load: an UPPER bound on the quiet time,
+  *    since load only inflates) is reported and the key is flagged in
+  *    "sec_from_raw". Every headline sec is therefore within 2× of its
+  *    raw_min or explicitly flagged.
+  *  - ALWAYS-FRESH HEADLINE (r22, VERDICT r21 "What's wrong #2"): the
+  *    quiet-minimum substitution below only applies LAP-FRESH quiet
+  *    samples; carried cross-lap minima are recorded as per-key
+  *    "quiet_best" side fields in bench_full.json (and still roll
+  *    forward in bench_quiet.json) but never replace a headline sec —
+  *    the headline total is always this lap's own measurement.
+  *  - COMPACT HEADLINE (r22, VERDICT r21 "What's wrong #3"): the
+  *    consumer's stdout tail window is finite and 258 keys brush it;
+  *    the large name lists (repassed / load_gated_repassed /
+  *    memo_built / cache_evicted) now live on the DIAGNOSTIC line only,
+  *    with counts (n_*) in the headline — failed / over_gate /
+  *    sec_from_quiet / sec_from_raw stay as lists (normally empty).
   *  - CROSS-LAP QUIET-BEST (r20): a rolling per-key minimum over
   *    samples taken at 1-min load ≤ 2.5, carried between laps in
   *    `bench_quiet.json` STAMPED WITH (source-tree content hash, sf
@@ -294,6 +321,32 @@ object Bench {
       perQuerySamples(name).zip(perQueryLoads(name)).exists {
         case (s, l) => s > 0 && l >= 0 && l <= loadGate
       }
+    def rawMinOf(name: String): Double = {
+      val good = perQuerySamples(name).filter(_ > 0)
+      if (good.isEmpty) Double.MaxValue else good.min
+    }
+    def sampleInto(name: String): Double = {
+      val s = sampleOf(name)
+      perQuerySamples(name) = perQuerySamples(name) :+ s
+      if (s > 0 && s < perQuery(name)) perQuery(name) = s
+      s
+    }
+    // WARM-THEN-MEASURE (r22): post-sweep samples run cache-cold (the
+    // between-family clearCache dropped every memo), so the first
+    // below-gate success is routinely many× the key's warm minimum.
+    // When a below-gate sample lands above 2× the fastest success so
+    // far, sample once more immediately — the cold pass warmed the
+    // caches; the second sample measures the operator, not the rebuild.
+    def sampleWarmedInto(name: String): Unit = {
+      val before = rawMinOf(name)
+      val s = sampleInto(name)
+      val l = perQueryLoads(name).last
+      if (s > 0 && l >= 0 && l <= loadGate &&
+          before < Double.MaxValue && s > 2.0 * before) {
+        sampleInto(name)
+        ()
+      }
+    }
     val loadRepassed = scala.collection.mutable.ListBuffer.empty[String]
     val gateT0 = System.nanoTime()
     def gateBudgetLeft: Boolean = (System.nanoTime() - gateT0) / 1e9 < 150.0
@@ -306,11 +359,9 @@ object Bench {
       var fired = false
       while (!hasGatedSample(name) && tries < maxTries && gateBudgetLeft) {
         if (tries > 0 && loadAvg() > loadGate) Thread.sleep(3000)
-        val s = sampleOf(name)
+        sampleWarmedInto(name)
         tries += 1
         fired = true
-        perQuerySamples(name) = perQuerySamples(name) :+ s
-        if (s > 0 && s < perQuery(name)) perQuery(name) = s
       }
       if (fired) loadRepassed += name
     }
@@ -334,10 +385,8 @@ object Bench {
           while (loadAvg() > loadGate && waited < 30 && sweepBudgetLeft) {
             Thread.sleep(5000); waited += 5
           }
-          val s = sampleOf(name)
+          sampleWarmedInto(name)
           tries += 1
-          perQuerySamples(name) = perQuerySamples(name) :+ s
-          if (s > 0 && s < perQuery(name)) perQuery(name) = s
           if (!loadRepassed.contains(name)) loadRepassed += name
         }
       }
@@ -371,10 +420,8 @@ object Bench {
           while (loadAvg() > loadGate && waited < 15 && memoBudgetLeft) {
             Thread.sleep(5000); waited += 5
           }
-          val s = sampleOf(name)
+          sampleInto(name)
           tries += 1
-          perQuerySamples(name) = perQuerySamples(name) :+ s
-          if (s > 0 && s < perQuery(name)) perQuery(name) = s
         }
       }
     // ---- reported-minimum selection + best-sample attribution ----
@@ -397,6 +444,7 @@ object Bench {
                          frac: Double, evicts: Long) {
       def cleanCache: Boolean = frac >= 1.0 && evicts == 0
     }
+    val secFromRaw = scala.collection.mutable.ListBuffer.empty[String]
     perQuery.keys.toSeq.foreach { name =>
       val n = perQuerySamples(name).size
       val recs = (0 until n).map(i => Rec(perQuerySamples(name)(i),
@@ -410,9 +458,23 @@ object Bench {
       // whenever a clean alternative exists
       val gatedClean = gatedGood.filter(_.cleanCache)
       val good = recs.filter(_.sec > 0)
+      // ≤2×RAW_MIN ELIGIBILITY (r22, VERDICT r21 "What's wrong #1"): a
+      // below-gate candidate may only become the headline when it is
+      // within 2× of the key's fastest successful sample — otherwise
+      // the below-gate sample measured a cache-cold rebuild, not the
+      // operator (r21 shipped bm25_topk at 16.37 s vs raw_min 0.47 s).
+      // When every below-gate sample is ineligible the raw minimum
+      // stands (taken under load, i.e. an UPPER bound on the quiet
+      // time) and the key is flagged in sec_from_raw.
+      val rawMin = if (good.nonEmpty) good.map(_.sec).min else Double.MaxValue
+      def eligible(rs: Seq[Rec]): Seq[Rec] = rs.filter(_.sec <= 2.0 * rawMin)
       val pool =
-        if (gatedClean.nonEmpty) gatedClean
-        else if (gatedGood.nonEmpty) gatedGood
+        if (eligible(gatedClean).nonEmpty) eligible(gatedClean)
+        else if (eligible(gatedGood).nonEmpty) eligible(gatedGood)
+        else if (gatedGood.nonEmpty) {
+          secFromRaw += name
+          good.filter(_.sec == rawMin)
+        }
         else good
       if (pool.nonEmpty) {
         val best = pool.map(_.sec).min
@@ -537,17 +599,24 @@ object Bench {
       Map.empty
     }
     val quietBest = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val lapQuietMin = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     perQuery.keys.toSeq.foreach { name =>
       val lapQuiet = perQuerySamples(name).zip(perQueryLoads(name))
         .collect { case (s, l) if s > 0 && l >= 0 && l <= quietLoad => s }
+      if (lapQuiet.nonEmpty) lapQuietMin(name) = lapQuiet.min
       val cands = lapQuiet ++ carriedQuiet.get(name)
       if (cands.nonEmpty) quietBest(name) = cands.min
     }
+    // ALWAYS-FRESH HEADLINE (r22, VERDICT r21 "What's wrong #2"): only
+    // LAP-FRESH quiet samples may replace a loaded reported sec — the
+    // carried cross-lap minimum stays a side field (quiet_best in
+    // bench_full.json) and keeps rolling forward in bench_quiet.json,
+    // but the headline total is always this lap's own measurement.
     val secFromQuiet = scala.collection.mutable.ListBuffer.empty[String]
     perQuery.keys.toSeq.foreach { name =>
       val t = perQuery(name)
       if (t > 0 && (bestLoad(name) < 0 || bestLoad(name) > quietLoad))
-        quietBest.get(name).filter(_ < t).foreach { qb =>
+        lapQuietMin.get(name).filter(_ < t).foreach { qb =>
           perQuery(name) = qb
           secFromQuiet += name
         }
@@ -648,22 +717,30 @@ object Bench {
       .map(_.group(1)).getOrElse("\"unknown\"")
     // keys whose REPORTED sample paid a shared-relation build/re-persist
     // — the round-over-round comparability caveat, surfaced by name
-    val memoBuiltJs = bestBuilds.collect { case (n, bs) if bs.nonEmpty => "\"" + n + "\"" }
-      .mkString("[", ",", "]")
+    val memoBuilt = bestBuilds.collect { case (n, bs) if bs.nonEmpty => n }.toSeq
+    val memoBuiltJs = memoBuilt.map("\"" + _ + "\"").mkString("[", ",", "]")
     // keys whose REPORTED sample started on partially-evicted memos or
     // saw RDD-block evictions mid-query — the silent-recompute caveat
-    val cacheEvictedJs = perQuery.keys.toSeq
+    val cacheEvicted = perQuery.keys.toSeq
       .filter(n => bestFrac(n) < 1.0 || bestEvict(n) > 0)
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cacheEvictedJs = cacheEvicted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val recallsBySfJs = recallsBySf
       .map { case (k, m) => "\"" + k + "\":" + js(m, identity) }
       .mkString("{", ",", "}")
     val secFromQuietJs = secFromQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val diagLine =
-      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"recalls":${js(recalls, r3)},"harness_total":${r3(harnessTotal)},"families_op":${js(perFamilyOp, r3)},"families":${js(perFamily, r3)}}"""
+    val secFromRawJs = secFromRaw.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overGateJs = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val diagLine =
+      s"""{"samples":${seqJs(perQuerySamples, r3)},"loads":${seqJs(perQueryLoads, r1)},"sf_dir":"$sfDir","repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"sec_from_raw":$secFromRawJs,"sec_from_quiet":$secFromQuietJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"recalls":${js(recalls, r3)},"harness_total":${r3(harnessTotal)},"families_op":${js(perFamilyOp, r3)},"families":${js(perFamily, r3)}}"""
+    // COMPACT HEADLINE (r22): the consumer keeps only the stdout TAIL
+    // (~2000 chars); r21's load_gated_repassed list alone was ~2000
+    // chars of names and pushed the aggregates out of the window in
+    // r20. Large name lists live on the diagnostic line (and in
+    // bench_full.json); the headline carries their COUNTS. The lists
+    // that are normally empty — and load-bearing for trust when not —
+    // stay as lists: failed / over_gate / sec_from_raw / sec_from_quiet.
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"cache_evicted":$cacheEvictedJs,"sec_from_quiet":$secFromQuietJs,"load_gate":${r1(loadGate)},"load":$loadSummary,"harness_total":${r3(harnessTotal)},"sf":$sfNum,"value":${r3(total)}}"""
+      s"""{"metric":"total","unit":"sec","queries":${js(perQuery, r2)},"failed":$failedJs,"over_gate":$overGateJs,"sec_from_raw":$secFromRawJs,"sec_from_quiet":$secFromQuietJs,"n_repassed":${repassed.size},"n_load_gated_repassed":${loadRepassed.size},"n_memo_built":${memoBuilt.size},"n_cache_evicted":${cacheEvicted.size},"load_gate":${r1(loadGate)},"load":$loadSummary,"harness_total":${r3(harnessTotal)},"sf":$sfNum,"value":${r3(total)}}"""
     // complete full-precision artifact for readers with file access:
     // per-query OBJECTS — the reported sec, the load its winning sample
     // ran under, whether that load was at or below the gate, whether the
@@ -685,14 +762,15 @@ object Bench {
       // sec_from_quiet marks a headline that deferred to it
       val qb = quietBest.get(name).map(v => s",\"quiet_best\":$v").getOrElse("")
       val sfq = secFromQuiet.contains(name)
-      "\"" + name + s"\":{\"sec\":$t,\"raw_min\":$rawMin,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"cached_frac\":$frac,\"evictions\":$ev,\"cache_evicted\":${frac < 1.0 || ev > 0}$qb,\"sec_from_quiet\":$sfq,\"harness\":$h}"
+      val sfr = secFromRaw.contains(name)
+      "\"" + name + s"\":{\"sec\":$t,\"raw_min\":$rawMin,\"best_load\":$l,\"below_gate\":$gated,\"memo_build\":${bestBuilds(name).nonEmpty},\"builds\":$builds,\"cached_frac\":$frac,\"evictions\":$ev,\"cache_evicted\":${frac < 1.0 || ev > 0}$qb,\"sec_from_quiet\":$sfq,\"sec_from_raw\":$sfr,\"harness\":$h}"
     }.mkString("{", ",", "}")
     val buildsFull = perQueryBuilds
       .map { case (k, vs) => "\"" + k + "\":" + vs.map(
         _.map("\"" + _ + "\"").mkString("[", ",", "]")).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"recalls_by_sf":$recallsBySfJs,"quiet_stamp":"$srcStamp","quiet_load":$quietLoad,"sec_from_quiet":$secFromQuietJs,"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queriesFull,"samples":${seqJs(perQuerySamples, identity)},"loads":${seqJs(perQueryLoads, identity)},"builds":$buildsFull,"cached_frac":${seqJs(perQueryFracs, identity)},"evictions":${seqJs(perQueryEvicts.map { case (k, v) => k -> v.map(_.toDouble) }, identity)},"recalls":${js(recalls, identity)},"recalls_by_sf":$recallsBySfJs,"quiet_stamp":"$srcStamp","quiet_load":$quietLoad,"sec_from_quiet":$secFromQuietJs,"sec_from_raw":$secFromRawJs,"cache_evicted":$cacheEvictedJs,"families":${js(perFamily, identity)},"families_op":${js(perFamilyOp, identity)},"harness_total":$harnessTotal,"failed":$failedJs,"repassed":$repassedJs,"load_gated_repassed":$loadRepassedJs,"over_gate":$overGateJs,"memo_built":$memoBuiltJs,"load_gate":$loadGate,"load":$loadSummary,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -624,6 +624,22 @@ object Multimodal {
     */
   def jpegRgb24(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
                 quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try jpegRgb24With(writer, w, h, px, quality)
+    finally writer.dispose()
+  }
+
+  /** [[jpegRgb24]] with a caller-owned writer — the §4.5 iterator-form
+    * shape (r22): `ImageIO.getImageWritersByFormatName` walks the
+    * plugin registry per call, so batch encoders
+    * ([[syntheticJpegPayloads]]) construct ONE writer per partition and
+    * reuse it across the batch. `writer.reset()` before each image
+    * restores the fresh-writer state, so the emitted bytes are the ones
+    * a per-image writer would produce.
+    */
+  def jpegRgb24With(writer: javax.imageio.ImageWriter, w: Int, h: Int,
+                    px: (Int, Int) => (Int, Int, Int),
+                    quality: Float = 0.9f): Array[Byte] = {
     require(w > 0 && h > 0, s"jpegRgb24 needs positive dims, got ${w}x$h")
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -638,15 +654,15 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
+      writer.reset()
       writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(quality)
       writer.write(null, new javax.imageio.IIOImage(im, null, null), p)
-    } finally { writer.dispose(); ios.close() }
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -664,10 +680,14 @@ object Multimodal {
   def syntheticJpegPayloads(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // one writer per task, reused across the batch (§4.5) — the
+      // registry walk + writer construction is per-partition, not
+      // per-image; bytes identical (jpegRgb24With resets per image)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
       it.map { id =>
         val w = (id % 7 + 10).toInt
         val h = (id % 5 + 10).toInt
-        (id, jpegRgb24(w, h, imgPx(id)))
+        (id, jpegRgb24With(writer, w, h, imgPx(id)))
       }
     }.toDF("asset_id", "payload")
   }

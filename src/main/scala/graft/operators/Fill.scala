@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Fill {
 
+  /** Window spec builder. An EMPTY `partitionBy` is the ordered-stream
+    * PARITY MODE — one global window, single-partition execution (Spark
+    * warns `WindowExec: No Partition Defined`), matching the reference's
+    * whole-frame pandas fills and bounded only at reference scale (one
+    * DER/nodeload config's series). It is NOT the 100 TB path: at scale
+    * callers pass the series key (every registered query does), or —
+    * for a genuinely global order — use the chunk-keyed two-level
+    * decomposition ([[WindowOps.withRowIdx]]'s range-partitioned global
+    * index / quantile_bucket's per-chunk prefix sums + broadcast
+    * offsets), which keeps each window task bounded by a chunk.
+    */
   private def part(partitionBy: Seq[String], orderBy: Seq[String]) =
     (if (partitionBy.isEmpty) Window.partitionBy() else Window.partitionBy(partitionBy.map(col): _*))
       .orderBy(orderBy.map(col): _*)
@@ -72,6 +83,7 @@ object Fill {
     */
   def fillMissing(df: DataFrame, valueCols: Seq[String], columnsToAvoid: Set[String],
                   tsSec: Column, partitionBy: Seq[String], orderBy: Seq[String]): DataFrame = {
+    // empty partitionBy = parity mode, single-task window — see [[part]]
     val whole =
       (if (partitionBy.isEmpty) Window.partitionBy() else Window.partitionBy(partitionBy.map(col): _*))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

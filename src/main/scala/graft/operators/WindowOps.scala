@@ -31,6 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
+  /** Window spec builder. An EMPTY `partitionBy` is the ordered-stream
+    * PARITY MODE (single global window, one task — Spark warns
+    * `WindowExec: No Partition Defined`): it reproduces the reference's
+    * file-order semantics and is bounded only at reference scale (one
+    * config's ordered stream). The 100 TB path is ALWAYS the
+    * chunk-keyed variant: pass the series key, or for a true global
+    * order use the decomposed forms this file already provides —
+    * [[withRowIdx]]/[[prefixSplit]] route empty-partition calls to the
+    * range-partitioned [[globalRowIdx]], and running sums decompose as
+    * per-chunk prefix sums + broadcast exclusive offsets (the
+    * quantile_bucket / session_concurrency shape).
+    */
   private def w(partitionBy: Seq[String], orderBy: Seq[String]) = {
     val base = if (partitionBy.isEmpty) Window.partitionBy() else Window.partitionBy(partitionBy.map(col): _*)
     base.orderBy(orderBy.map(col): _*)

@@ -1096,9 +1096,21 @@ object DedupQueries {
   // ========================================================================
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val pairs = verifiedPairs(s, d).select(col("id_a"), col("id_b"))
-    val fpSplit = docs(s, d).select(col("doc_id"),
-      (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bk"))
+    // r22 (§2.3 compute expensive expressions on fewer rows): the audit
+    // only reads split buckets for PAIR ENDPOINTS, but projecting the
+    // fingerprint before the join evaluated the normalize+md5 chain over
+    // the whole corpus — twice (id_a and id_b sides), for both policies.
+    // A semi-join on the bounded endpoint set first restricts the hash
+    // to the ≤ 2·|pairs| docs the aggregate actually consumes; the
+    // verified-pair relation is the memoized persisted lshShared output,
+    // so the endpoint set costs no corpus pass.
+    val ends = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val fpSplit = docs(s, d).join(ends, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bk"))
     val clSplit = docs(s, d).select(col("doc_id"))
+      .join(ends, Seq("doc_id"), "left_semi")
       .join(textClusterLabels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         (TextOps.hash60(coalesce(col("canonical"), col("doc_id"))

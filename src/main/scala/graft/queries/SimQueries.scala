@@ -650,11 +650,36 @@ object SimQueries {
   private val KnnAccQ = 40
   private val KnnAccK = 5
 
+  /** SHARED brute-force truth set (r22, VERDICT r21 Next #7): the exact
+    * top-5 cosine neighbors of every query vec_id < 40 over the raw
+    * embeddings, collected ONCE per dir (bounded at 40·5 rows — the
+    * dedup_lsh_tuning bounded-collect contract). Four harness keys
+    * previously each ran their own corpus-wide crossJoin+window for the
+    * same truth (knn_accuracy at q<40; ann_recall / ann_recall_graph /
+    * ann_recall_kmeans at q<10 — a SUBSET: per-query top-5 is
+    * independent of which other queries are in the filter, so slicing
+    * q_id < 10 from the q<40 set is identical by construction). Keyed
+    * by dir like subwordMemo — a deterministic pure function of the
+    * dir's data, whichever session computes it.
+    */
+  private val bruteTruthMemo =
+    scala.collection.mutable.Map.empty[String, Seq[(Long, Long)]]
+  private def bruteTruth40(s: SparkSession, d: String): Seq[(Long, Long)] =
+    bruteTruthMemo.synchronized {
+      bruteTruthMemo.getOrElseUpdate(d, {
+        MemoTrace.built("bruteTruth40")
+        Similarity.bruteForceTopK(emb(s, d), "vec_id", "embedding",
+            col("vec_id") < KnnAccQ, KnnAccK)
+          .select(col("q_id"), col("n_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      })
+    }
+
   def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = emb(s, d)
     val lbl = e.select(col("vec_id"), col("label").cast("long").as("label"))
-    val topk = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-      col("vec_id") < KnnAccQ, KnnAccK)
+    val topk = bruteTruth40(s, d).toDF("q_id", "n_id")
     val votes = topk
       .join(lbl.select(col("vec_id").as("n_id"), col("label").as("n_label")), Seq("n_id"))
       .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
@@ -708,16 +733,12 @@ object SimQueries {
 
   def annRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, d)
     // the baseline is consumed four times below (qids + one semi-join per
     // probe, and every downstream action would re-run its corpus-wide
-    // crossJoin+window). Its result is bounded at queries×k rows, so
-    // materialize it ONCE to a local relation (bounded top-k collect —
-    // same contract as the vocab collects) instead of re-scanning the
-    // corpus per consumer.
-    val exactRows = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 10, 5)
-      .select(col("q_id"), col("n_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // crossJoin+window). r22: the q<10 slice of the SHARED bruteTruth40
+    // memo — identical rows (per-query top-5 doesn't depend on the
+    // query-set filter), zero corpus passes on the warm path.
+    val exactRows = bruteTruth40(s, d).filter(_._1 < 10)
     val exact = exactRows.toDF("q_id", "n_id")
     val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
     val cents = graphCents(s, d)
@@ -1008,9 +1029,33 @@ object SimQueries {
         .coalesce(4).persist()
     }
 
+  /** Adjacency⋈vector FUSION (r22, VERDICT r21 Next #2 — the HNSW index
+    * layout): each edge row carries its destination's vector, so a beam
+    * hop is ONE broadcast point-lookup into ONE src-keyed relation —
+    * previously every hop re-joined the edge relation into the corpus
+    * (scanning both and building a join hash table per hop, 5× per
+    * search across 7 serve keys + streaming graph_serve). Built once
+    * per (session, dir) from the memoized edges and vertex table; the
+    * 24× payload duplication is the standard graph-index trade (at
+    * serving scale this is the src-bucketed fused table the index build
+    * job writes). Row-identical by construction: fetchHop's per-hop
+    * join produced exactly these (src, dst, __vec) rows.
+    */
+  private val graphFusedMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def knnGraphEdgesFused(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphFusedMemo, (s, d), "knnGraphEdgesFused") {
+      knnGraphEdges(s, d)
+        .join(graphCorpus(s, d)
+          .select(col("vec_id").cast("long").as("dst"), col("embedding").as("__vec")),
+          Seq("dst"))
+        .select(col("src"), col("dst"), col("__vec"))
+        .coalesce(4).persist()
+    }
+
   def annGraphTopk(s: SparkSession, d: String): DataFrame =
     Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
-        knnGraphEdges(s, d), col("vec_id") < 10,
+        knnGraphEdgesFused(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
         centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
         localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
@@ -1019,11 +1064,8 @@ object SimQueries {
 
   def annRecallGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, d)
-    val exactRows = Similarity.bruteForceTopK(e, "vec_id", "embedding",
-        col("vec_id") < 10, GraphK)
-      .select(col("q_id"), col("n_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // r22: q<10 slice of the shared bruteTruth40 memo (GraphK == its k)
+    val exactRows = bruteTruth40(s, d).filter(_._1 < 10)
     val exact = exactRows.toDF("q_id", "n_id")
     val qids = exactRows.map(_._1).distinct.sorted.toDF("q_id")
     val hits = annGraphTopk(s, d)
@@ -1067,9 +1109,29 @@ object SimQueries {
         }
     }
 
+  /** The serving session's in-memory fusion of the persisted artifact
+    * (r22): the reloaded src-bucketed edge table joined ONCE with the
+    * vertex relation, so every subsequent beam hop (and every
+    * graph_serve micro-batch) is a single point-lookup into one
+    * relation — the load-the-index-into-memory step of an HNSW serving
+    * process. The persisted artifact itself stays (src, dst): payload
+    * co-location is a serve-time layout, not a second copy on disk.
+    */
+  private val graphTableFusedMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def graphEdgeTableFused(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphTableFusedMemo, (s, d), "graphEdgeTableFused") {
+      s.table(graphEdgeTable(s, d))
+        .join(graphCorpus(s, d)
+          .select(col("vec_id").cast("long").as("dst"), col("embedding").as("__vec")),
+          Seq("dst"))
+        .select(col("src"), col("dst"), col("__vec"))
+        .coalesce(4).persist()
+    }
+
   def annGraphPersisted(s: SparkSession, d: String): DataFrame =
     Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding", "gcell",
-        s.table(graphEdgeTable(s, d)), col("vec_id") < 10,
+        graphEdgeTableFused(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
         centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
         localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
@@ -1146,9 +1208,24 @@ object SimQueries {
         isBase = expr(AppendBaseWhere)).coalesce(4).persist()
     }
 
+  /** [[knnGraphEdgesFused]] for the appended index (r22): repaired
+    * edges fused with the frozen-quantizer vertex table.
+    */
+  private val graphAppendFusedMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private[graft] def graphAppendEdgesFused(s: SparkSession, d: String): DataFrame =
+    RelationMemo.relation(graphAppendFusedMemo, (s, d), "graphAppendEdgesFused") {
+      graphAppendEdges(s, d)
+        .join(graphAppendCorpus(s, d)
+          .select(col("vec_id").cast("long").as("dst"), col("embedding").as("__vec")),
+          Seq("dst"))
+        .select(col("src"), col("dst"), col("__vec"))
+        .coalesce(4).persist()
+    }
+
   def annGraphAppend(s: SparkSession, d: String): DataFrame =
     Similarity.graphBeamSearch(graphAppendCorpus(s, d), "vec_id", "embedding", "gcell",
-        graphAppendEdges(s, d), col("vec_id") < 10,
+        graphAppendEdgesFused(s, d), col("vec_id") < 10,
         GraphEntryCells, GraphBeam, GraphHops, GraphK,
         centroids = Some(Similarity.localizeCentroids(s, graphAppendCents(s, d))),
         localHeads = Some(graphHeads(d, "append")(graphAppendCorpus(s, d))),
@@ -1265,7 +1342,7 @@ object SimQueries {
     // the local search runs eagerly on the driver — the trace is
     // complete when the call returns; its DataFrame result is unused
     Similarity.graphBeamSearchLocal(graphCorpus(s, d), "vec_id", "embedding", "gcell",
-      knnGraphEdges(s, d), qs, GraphEntryCells, GraphBeam, GraphHops, GraphK,
+      knnGraphEdgesFused(s, d), qs, GraphEntryCells, GraphBeam, GraphHops, GraphK,
       graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))),
       hopTrace = Some(trace))
     // ORACLE SEMANTICS, pinned exactly: queries whose final beam is
@@ -1371,7 +1448,7 @@ object SimQueries {
   def annGraphFiltered(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val beam = Similarity.graphBeamSearch(graphCorpus(s, d), "vec_id", "embedding",
-      "gcell", knnGraphEdges(s, d), col("vec_id") < 10,
+      "gcell", knnGraphEdgesFused(s, d), col("vec_id") < 10,
       GraphEntryCells, GraphBeam, GraphHops, k = GraphBeam,
       centroids = Some(Similarity.localizeCentroids(s, graphCents(s, d))),
       localHeads = Some(graphHeads(d, "full")(graphCorpus(s, d))),
@@ -1423,7 +1500,7 @@ object SimQueries {
       .map(r => (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray))
       .toSeq
     Similarity.graphBeamSearchLocal(graphCorpus(s, d), "vec_id", "embedding",
-      "gcell", s.table(graphEdgeTable(s, d)), qs,
+      "gcell", graphEdgeTableFused(s, d), qs,
       GraphEntryCells, GraphBeam, GraphHops, GraphK,
       graphCents(s, d), Some(graphHeads(d, "full")(graphCorpus(s, d))))
   }
@@ -2722,9 +2799,8 @@ object SimQueries {
   def annRecallKmeans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", col("vec_id") < 10, 5)
-      .select(col("q_id"), col("n_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // r22: q<10 slice of the shared bruteTruth40 memo
+    val exact = bruteTruth40(s, d).filter(_._1 < 10).toSet
     val nq = exact.map(_._1).size
     val cents = kmCentroids(s, d, KmPlanes, KmIters)
     val withCell = e.withColumn("kcell", Similarity.nearestCentroid(col("embedding"), cents))

@@ -552,24 +552,50 @@ object WindowQueries {
   // builder is recomputed per branch (events-table scale, cheap — the
   // memo pattern applies if it ever isn't).
   // ========================================================================
-  def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
+  /** The chunk-keyed cumulated boundary relation (chunk, t, net, lrun)
+    * — package-visible so PlanShapeSpec pins the scale shape on the
+    * BUILD plan (sessionConcurrency materializes it, which truncates
+    * the consumer's plan at a Scan ExistingRDD).
+    */
+  private[queries] def sessionBoundaryCore(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sess = sessionCore(s, d).select(col("start_us"), col("end_us"))
-    val b = sess.select(explode(array(
+    val wloc = Window.partitionBy(col("chunk")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sess.select(explode(array(
         struct(col("start_us").as("t"), lit(1L).as("delta")),
         struct((col("end_us") + 1).as("t"), lit(-1L).as("delta")))).as("e"))
       .select(col("e.t").as("t"), col("e.delta").as("delta"))
-      .groupBy(col("t")).agg(sum(col("delta")).as("net"))
       .withColumn("chunk", floor(col("t") / lit(3600000000L)).cast("long"))
+      .repartition(col("chunk"))
+      .groupBy(col("chunk"), col("t")).agg(sum(col("delta")).as("net"))
+      .withColumn("lrun", sum(col("net")).over(wloc))
+  }
+
+  def sessionConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // r22 (§2.4 share the exchange, cut the duplicated subtree): the
+    // boundary relation is aggregated AND locally cumulated on ONE
+    // hash(chunk) exchange — grouping by (chunk, t) after an explicit
+    // chunk repartition satisfies both the aggregation's distribution
+    // (chunk ⊆ keys) and the chunk-local window's, where groupBy(t)
+    // alone forced a second exchange to re-key for the window. chunk is
+    // a pure function of t, so (chunk, t) groups ≡ t groups. The tiny
+    // cumulated relation is then materialized once (localCheckpoint —
+    // boundary-count rows of four longs) so the offsets branch reads it
+    // instead of replaying the whole subtree (the old plan built the
+    // explode→aggregate pipeline twice: 48 nodes, 17 exchanges). The
+    // per-chunk net needed for the offsets IS the chunk's last local
+    // cumulative (max_by(lrun, t)) — exact integers, no re-aggregation
+    // of net.
+    val b = sessionBoundaryCore(s, d).localCheckpoint()
     val wch = Window.orderBy(col("chunk"))
-    val offs = b.groupBy(col("chunk")).agg(sum(col("net")).as("cnet"), count(lit(1)).as("nb"))
+    val offs = b.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("nb"), max_by(col("lrun"), col("t")).as("cnet"))
       .select(col("chunk"), col("nb"),
         coalesce(sum(col("cnet")).over(wch.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as("coff"))
-    val wloc = Window.partitionBy(col("chunk")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    b.withColumn("lrun", sum(col("net")).over(wloc))
-      .join(broadcast(offs), Seq("chunk"))
+    b.join(broadcast(offs), Seq("chunk"))
       .groupBy(col("chunk"), col("nb"))
       .agg(max(col("coff") + col("lrun")).as("peak"))
       .select((col("chunk") * 3600).as("hour_s"), col("nb").as("n_boundaries"), col("peak"))

@@ -798,10 +798,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("session_concurrency: the running sum is chunk-keyed (two-level), never one global corpus window") {
+    // r22: the cumulated boundary relation is built once (ONE shared
+    // hash(chunk) exchange serving both the (chunk, t) aggregation and
+    // the chunk-local window) and materialized, so the consumer plan
+    // roots at the materialized rows instead of replaying the subtree.
+    // The scale shape is pinned on the BUILD plan; the consumer plan is
+    // pinned to actually read the materialization and stay join-safe.
+    val core = WindowQueries.sessionBoundaryCore(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!core.contains("CartesianProduct"), core)
+    // ONE hash(chunk) exchange feeds both the aggregation and the
+    // window — a second would mean the shared-partitioning contract
+    // broke (formatted mode prints it as an Arguments: line)
+    assert("hashpartitioning\\(chunk".r.findAllIn(core).size == 1, core)
     val p = plan("session_concurrency")
     assert(!p.contains("CartesianProduct"), p)
-    assert("hashpartitioning\\(chunk".r.findAllIn(p).nonEmpty, p)
-    assert(p.contains("partial_sum"), p)  // boundary deltas map-side combined
+    assert(p.contains("Scan ExistingRDD"), p)  // reads the materialized core
   }
 
   test("ts_seasonal_adjust / fill_seasonal broadcast the profile back onto the scan (corpus never shuffles)") {
