@@ -1104,8 +1104,13 @@ object DedupQueries {
     // to the ≤ 2·|pairs| docs the aggregate actually consumes; the
     // verified-pair relation is the memoized persisted lshShared output,
     // so the endpoint set costs no corpus pass.
-    val ends = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    // explicit broadcast: hint-free, AQE materialized a doc_id shuffle of
+    // the corpus before converting (measured: 14 → 23 jobs, 736 tasks);
+    // the endpoint set is ids-only and dup-rate-bounded — at a scale
+    // where it outgrows a broadcast, the §3.2 Bloom pre-filter is the
+    // swap-in (false positives only cost extra fingerprints)
+    val ends = broadcast(pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct())
     val fpSplit = docs(s, d).join(ends, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         (TextOps.hash60(TextOps.fingerprint(col("text"))) % 100).as("bk"))

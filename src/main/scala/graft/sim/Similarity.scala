@@ -749,13 +749,28 @@ object Similarity {
     // visited-vector cache: (vector, norm) per candidate id, fetched in
     // per-hop batches via a broadcast join into the corpus relation
     val cache = scala.collection.mutable.Map.empty[Long, (Array[Double], Double)]
+    // §1.5 job labels: the beam loop issues several point-lookup jobs
+    // per search — label them so the UI (and the JobSites dev probe)
+    // attributes the scheduler floor to the right round trip
+    def labeled[T](desc: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(desc)
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
+    // Point lookups ride an InSet PREDICATE, not a broadcast join (r22):
+    // a broadcast of a driver-local id list plans a LocalTableScan whose
+    // execution parallelizes into min(n, shuffle.partitions) tasks — the
+    // broadcast-build job alone cost up to 32 near-empty tasks PER HOP
+    // (measured: 2 jobs/hop, 37 tasks). The id set is bounded by the
+    // search budget (≤ queries·beam ids), so an InSet literal is a
+    // codegen'd hash-set probe evaluated partition-local on the one
+    // src-keyed relation: ONE single-stage job per lookup.
     def fetchVecs(ids: Seq[Long]): Unit = {
       val missing = ids.distinct.filterNot(cache.contains)
       if (missing.nonEmpty) {
-        df.join(broadcast(missing.toDF("__fetch_id")),
-            col(idCol).cast("long") === col("__fetch_id"))
-          .select(col(idCol).cast("long"), col(vecCol)).collect()
-          .foreach { r =>
+        labeled(s"graph: vec fetch (${missing.size} ids)") {
+          df.filter(col(idCol).cast("long").isin(missing: _*))
+            .select(col(idCol).cast("long"), col(vecCol)).collect()
+        }.foreach { r =>
             val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
             cache(r.getLong(0)) = (v, math.sqrt(ddot(v, v)))
           }
@@ -772,14 +787,16 @@ object Similarity {
     // into ONE src-keyed relation, no second table scanned and no hash
     // relation built per hop.
     def fetchHop(srcs: Seq[Long]): Map[Long, Seq[Long]] = {
-      val hop = edges.join(broadcast(srcs.distinct.toDF("__src_id")),
-          col("src") === col("__src_id"))
+      val srcSet = srcs.distinct
+      val hop = edges.filter(col("src").isin(srcSet: _*))
       val withVec =
         if (edges.columns.contains("__vec")) hop
         else hop.join(
           df.select(col(idCol).cast("long").as("dst"), col(vecCol).as("__vec")),
           Seq("dst"))
-      withVec.select(col("src"), col("dst"), col("__vec")).collect()
+      labeled(s"graph: hop lookup (${srcSet.size} srcs)") {
+        withVec.select(col("src"), col("dst"), col("__vec")).collect()
+      }
         .map { r =>
           val dst = r.getLong(1)
           if (!cache.contains(dst)) {
@@ -876,7 +893,10 @@ object Similarity {
         (qId, (i + 1).toLong, nId, round4(c))
       }
     }
-    rows.toDF("q_id", "rank", "n_id", "cos")
+    // coalesce(1): a LocalTableScan otherwise executes with
+    // min(rows, shuffle.partitions) near-empty tasks — the result is
+    // bounded at queries·k rows, one task is the right parallelism
+    rows.toDF("q_id", "rank", "n_id", "cos").coalesce(1)
   }
 
   /** Bucketed ANN: assign buckets, then search only within the query's
